@@ -1,0 +1,107 @@
+"""Catalog matching: the reference's tiered fallback joins and
+derivability closure, as DataFrame plans.
+
+The reference matches scanned model variables against its mapping catalog
+with progressively relaxed keys — exact (input_vars, frequency, version),
+then dropping version, then frequency, flagging tiers
+``no_ver``/``no_frq``/``no_match`` (mopdb_utils.py:648-672; same tiering in
+get_cmorname :262-304).  Catalogs are small (102 mapping / 2,205 cmorvar
+rows shipped) — always broadcast; the scanned-variable side may be huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tiered_match(left: DataFrame, right: DataFrame,
+                 tiers: list[tuple[str, list[str]]],
+                 no_match_label: str = "no_match") -> DataFrame:
+    """Tag each left row with the first tier whose keys find a match in
+    ``right``.  Chain of left_semi/left_anti broadcast joins — the big side
+    is never shuffled (semi/anti against a broadcast dim are map-side)."""
+    remaining = left
+    outs = []
+    for name, keys in tiers:
+        dim = F.broadcast(right.select(*keys).distinct())
+        outs.append(remaining.join(dim, keys, "left_semi")
+                    .withColumn("match_tier", F.lit(name)))
+        remaining = remaining.join(dim, keys, "left_anti")
+    outs.append(remaining.withColumn("match_tier", F.lit(no_match_label)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def tiered_join(left: DataFrame, right: DataFrame,
+                tiers: list[tuple[str, list[str]]],
+                no_match_label: str = "no_match") -> DataFrame:
+    """Like :func:`tiered_match` but brings the matched right row along
+    (the reference keeps the matched mapping row's calculation/resample).
+    Single-pass alternative: union the per-tier joins and keep the best
+    tier per left key via min_by — used when tier count is larger."""
+    remaining = left
+    outs = None
+    right_cols = [c for c in right.columns]
+    for name, keys in tiers:
+        matched = remaining.join(F.broadcast(right), keys, "inner") \
+                           .withColumn("match_tier", F.lit(name))
+        outs = matched if outs is None else outs.unionByName(matched)
+        remaining = remaining.join(F.broadcast(right.select(*keys).distinct()), keys, "left_anti")
+    no_match = remaining
+    for c in right_cols:
+        if c not in no_match.columns:
+            no_match = no_match.withColumn(c, F.lit(None))
+    no_match = no_match.withColumn("match_tier", F.lit(no_match_label))
+    return outs.unionByName(no_match, allowMissingColumns=True) if outs is not None else no_match
+
+
+FREQ_LADDER = ["10yr", "yr", "mon", "10day", "7day", "day", "12hr", "6hr",
+               "3hr", "1hr", "30min", "10min"]
+
+
+def nearest_frequency(requested: DataFrame, available: DataFrame,
+                      req_freq: str = "frequency", avail_freq: str = "frequency",
+                      on: list[str] = ()) -> DataFrame:
+    """Nearest-higher-frequency fallback (find_nearest,
+    mop_setup.py:108-153): if the exact frequency is missing, pick the
+    nearest HIGHER frequency along the ordered ladder and synthesize a
+    ``resample`` instruction.
+
+    As-of join on frequency rank: rank both sides on the ladder, keep
+    available candidates with rank >= requested rank (higher frequency =
+    larger rank index), choose the minimum such rank via min_by."""
+    ladder = F.array(*[F.lit(x) for x in FREQ_LADDER])
+    req = requested.withColumn("__req_rank", F.array_position(ladder, F.col(req_freq)))
+    av = available.withColumn("__avail_rank", F.array_position(ladder, F.col(avail_freq))) \
+                  .withColumnRenamed(avail_freq, "__avail_freq")
+    joined = req.join(F.broadcast(av), list(on), "left") \
+                .where(F.col("__avail_rank") >= F.col("__req_rank"))
+    picked = joined.groupBy(*requested.columns).agg(
+        F.min_by("__avail_freq", F.col("__avail_rank")).alias("matched_frequency"),
+    )
+    return picked.withColumn(
+        "resample",
+        F.when(F.col("matched_frequency") != F.col(req_freq), F.col(req_freq)),
+    )
+
+
+def derivability_closure(available_vars: DataFrame, mapping: DataFrame,
+                         var_col: str = "name",
+                         input_vars_col: str = "input_vars") -> DataFrame:
+    """potential_vars semantics (mopdb_utils.py:715-741): keep mapping rows
+    ALL of whose (space-separated) input variables exist in the scanned
+    output.  explode → semi-join → grouped bool_and."""
+    m = mapping.withColumn("__inputs", F.split(F.col(input_vars_col), r"\s+"))
+    exploded = m.select("*", F.explode("__inputs").alias("__iv"))
+    avail = available_vars.select(F.col(var_col).alias("__iv")).distinct()
+    flagged = exploded.join(F.broadcast(avail).withColumn("__have", F.lit(True)),
+                            "__iv", "left")
+    return (
+        flagged.groupBy(*mapping.columns)
+        .agg(F.bool_and(F.coalesce(F.col("__have"), F.lit(False))).alias("derivable"))
+        .where(F.col("derivable"))
+        .drop("derivable")
+    )

@@ -1,0 +1,113 @@
+"""Aggregation operator pack — the reference's §2.4 family re-expressed as
+single-shuffle groupBy plans (map-side partial aggregation throughout).
+
+Every function returns a DataFrame plan; nothing collects. Weights, masks
+and basin/tile tables are companion columns or small broadcast dims — the
+reference loads them as ancillary NetCDFs inside operators
+(calculations.py:156-161, 1010-1036); here they arrive as DataFrames and
+are broadcast-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def weighted_mean(df: DataFrame, value: str | Column, weight: str | Column,
+                  group_cols: list[str], out_col: str = "wmean") -> DataFrame:
+    """Mass-weighted mean: sum(v*w)/sum(w), skipna (calc_global_ave_ocean,
+    calculations.py:801-825; OM2 variant app_functions.py:255-264).
+    skipna='True' semantics: null values contribute neither numerator nor
+    denominator."""
+    v = F.col(value) if isinstance(value, str) else value
+    w = F.col(weight) if isinstance(weight, str) else weight
+    w_eff = F.when(v.isNotNull(), w)
+    return df.groupBy(*group_cols).agg(
+        (F.sum(v * w_eff) / F.sum(w_eff)).alias(out_col))
+
+
+def hemi_sum(df: DataFrame, value: str, lat_col: str = "lat", hemisphere: str = "north",
+             lo: float | None = None, hi: float | None = None,
+             group_cols: list[str] = ()) -> DataFrame:
+    """Hemispheric (optionally threshold-banded) sum — sea-ice
+    area/volume/extent (HemiSeaIce, calculations.py:568-646)."""
+    pred = (F.col(lat_col) >= 0) if hemisphere == "north" else (F.col(lat_col) < 0)
+    if lo is not None:
+        pred = pred & (F.col(value) >= lo)
+    if hi is not None:
+        pred = pred & (F.col(value) <= hi)
+    return df.where(pred).groupBy(*group_cols).agg(F.sum(value).alias(f"{value}_sum"))
+
+
+def depth_integral(df: DataFrame, value: str, rho: str | Column, dz: str | Column,
+                   group_cols: list[str]) -> DataFrame:
+    """Σ_z v·rho·dz then collapse depth (ocndepthint,
+    app_functions.py:496-528)."""
+    r = F.col(rho) if isinstance(rho, str) else rho
+    d = F.col(dz) if isinstance(dz, str) else dz
+    return df.groupBy(*group_cols).agg(F.sum(F.col(value) * r * d).alias(f"{value}_int"))
+
+
+def cumsum_minus_total(df: DataFrame, value: str, part_cols: list[str], order_col: str,
+                       out_col: str = "overturning") -> DataFrame:
+    """Cumulative sum over depth minus the column total (calcOverturning /
+    meridionalOverturning, app_functions.py:154-205, :101-145).
+
+    One shuffle on part_cols serves both windows (cumsum frame and whole-
+    partition total share the partitioning)."""
+    w = W.partitionBy(*part_cols).orderBy(order_col)
+    cum = F.sum(value).over(w.rowsBetween(W.unboundedPreceding, 0))
+    tot = F.sum(value).over(W.partitionBy(*part_cols))
+    return df.withColumn(out_col, cum - tot)
+
+
+def tile_weighted_sum(df: DataFrame, value: str, frac: str, group_cols: list[str],
+                      out_col: str = "tile_ave") -> DataFrame:
+    """Tile-weighted average: Σ_tiles v·frac (tileAve,
+    calculations.py:1117-1152; app_functions.py:292-313)."""
+    return df.groupBy(*group_cols).agg(F.sum(F.col(value) * F.col(frac)).alias(out_col))
+
+
+def tile_bucket_sum(df: DataFrame, value: str, tile_col: str, buckets: dict[str, list[int]],
+                    group_cols: list[str], out_col: str = "value") -> DataFrame:
+    """Bucket tiles into classes then sum per class (fracLut land-use
+    regrouping, calculations.py:1073-1102, app_functions.py:207-243):
+    when/otherwise bucket column + groupBy."""
+    bucket = F.lit(None).cast("string")
+    expr = None
+    for name, tiles in buckets.items():
+        cond = F.col(tile_col).isin(tiles)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    bucket = expr.otherwise(F.lit("other"))
+    return df.withColumn("tile_class", bucket) \
+             .groupBy(*group_cols, "tile_class") \
+             .agg(F.sum(value).alias(out_col))
+
+
+def climatology(df: DataFrame, ts_col: str, value: str, weight_days: Column | None = None,
+                group_cols: list[str] = ()) -> DataFrame:
+    """Monthly climatology: day-weighted mean per calendar month across
+    years (axm_timeshot monthClim, mop_utils.py:815-845)."""
+    w = weight_days if weight_days is not None else F.dayofmonth(F.last_day(ts_col))
+    return (
+        df.withColumn("month", F.month(ts_col))
+        .groupBy(*group_cols, "month")
+        .agg((F.sum(F.col(value) * w) / F.sum(w)).alias(f"{value}_clim"))
+    )
+
+
+def ocean_floor(df: DataFrame, value: str, depth_col: str, group_cols: list[str]) -> DataFrame:
+    """Deepest non-null level per column (ocean_floor,
+    calculations.py:683-698): max_by over non-null depths — a single
+    aggregate, no window or self-join."""
+    nn = F.when(F.col(value).isNotNull(), F.col(depth_col))
+    return df.groupBy(*group_cols).agg(
+        F.max_by(value, nn).alias(f"{value}_floor"),
+        F.max(nn).alias("floor_depth"),
+    )
+
+
+def column_max(df: DataFrame, value: str, over_col: str, group_cols: list[str]) -> DataFrame:
+    """Max over levels (column_max, app_functions.py:742-744)."""
+    return df.groupBy(*group_cols).agg(F.max(value).alias(f"{value}_max"))
