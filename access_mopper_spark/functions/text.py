@@ -1,0 +1,98 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All pure Column expressions (JVM-side, codegen) — these run per-document
+over billions of rows, so no Python in the hot path.  Where a DuckDB
+oracle needs bit-for-bit parity we prefer `replace`-difference counting
+over regex dialect corners.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (reference has no tokenizer; this is the
+    standard pre-BPE proxy)."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Count occurrences of a literal substring via length difference —
+    dialect-portable (same arithmetic in any SQL engine)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(needle)
+
+
+#: language marker words — tiny n-gram-style heuristic; deterministic, not
+#: a real classifier (the reference has no language ID at all).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " los ", " y "],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum(occurrence_count(padded, m) for m in markers).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_guess(text: Column, default: str = "und") -> Column:
+    """Argmax language with deterministic tie-break (marker-dict order)."""
+    scores = lang_scores(text)
+    mx = F.greatest(*scores.values())
+    out = F.lit(default)
+    expr = None
+    for lang, s in scores.items():
+        cond = (s == mx) & (mx > 0)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise(out)
+
+
+def punct_count(text: Column, chars: str = ".,!?;:") -> Column:
+    out = F.lit(0)
+    for ch in chars:
+        out = out + occurrence_count(text, ch)
+    return out
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length/punctuation/word-length features for quality scoring
+    (the classic C4/Gopher-style filters, expressible as pure SQL)."""
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_count(text) / n_chars,
+        "mean_word_len": (F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_tokens),
+    }
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over the normalized text (lowercase,
+    alnum-only).  Deterministic across engines (md5 of UTF-8 bytes)."""
+    return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """All k-char shingles as an array (sliding window via sequence +
+    transform — no explode, no UDF)."""
+    n = F.greatest(F.length(text) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles from whitespace tokens."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )

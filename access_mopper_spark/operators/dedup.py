@@ -1,0 +1,149 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB of documents):
+- exact dedup = hash-groupBy on a fingerprint — one shuffle on md5 keys
+  (uniformly distributed, no skew).
+- MinHash/LSH = per-doc signature (narrow, pure Column math) → band keys
+  → shuffle ONLY on band keys → candidate pairs verified within buckets.
+  The cross-product never materializes; bucket sizes are bounded by
+  near-dup cluster sizes.
+- signatures use min-of-md5-strings per seeded hash: engine-portable
+  (md5 is byte-identical everywhere), no random state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from access_mopper_spark.functions.text import char_shingles, fingerprint
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: keep the smallest id
+    per group, count members.  One shuffle on the hash key."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 4,
+                      shingle_k: int = 5, shingle_kind: str = "char") -> DataFrame:
+    """Append minhash_0..n-1 columns: min over shingles of
+    md5(seed_i || shingle).  Min of hex strings ≡ min of the underlying
+    128-bit ints — portable across engines without bigint casts.
+
+    ``shingle_kind``: 'char' (k-char sliding window) or 'word' (k-word
+    n-grams).  Word shingles discriminate far better when the character
+    vocabulary is small (min-of-hash over a shared shingle pool
+    degenerates → band buckets collide quadratically)."""
+    from access_mopper_spark.functions.text import word_shingles
+    sh = (char_shingles(F.col(text_col), shingle_k) if shingle_kind == "char"
+          else word_shingles(F.col(text_col), shingle_k))
+
+    # One fold over the shingle array computes ALL n mins (struct
+    # accumulator): the shingle array is built once and scanned once,
+    # instead of n transformed arrays materializing per row. md5 hex
+    # strings compare lexicographically ≥ 'f'-max sentinel.
+    sentinel = "g" * 32
+    init = F.struct(*[F.lit(sentinel).alias(f"m{i}") for i in range(n_hashes)])
+
+    def merge(acc, s):
+        return F.struct(*[
+            F.least(acc[f"m{i}"], F.md5(F.concat(F.lit(f"seed{i}:"), s))).alias(f"m{i}")
+            for i in range(n_hashes)
+        ])
+
+    out = df.withColumn("__mh", F.aggregate(sh, init, merge))
+    for i in range(n_hashes):
+        out = out.withColumn(f"minhash_{i}", F.col("__mh")[f"m{i}"])
+    return out.drop("__mh")
+
+
+def lsh_band_keys(sig_df: DataFrame, n_hashes: int = 4, band_size: int = 2) -> DataFrame:
+    """Concatenate signature rows into band keys (banding technique:
+    docs agreeing on ANY band become candidates)."""
+    out = sig_df
+    for b in range(0, n_hashes, band_size):
+        cols = [F.col(f"minhash_{i}") for i in range(b, min(b + band_size, n_hashes))]
+        out = out.withColumn(f"band_{b // band_size}", F.md5(F.concat_ws("|", *cols)))
+    return out
+
+
+def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   n_hashes: int = 6, band_size: int = 2, shingle_k: int = 3,
+                   jaccard_threshold: float = 0.5,
+                   shingle_kind: str = "word") -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard on distinct
+    shingle sets.
+
+    Scale structure: candidate generation carries ONLY (id, band_key) —
+    the shingle arrays never enter the band self-join shuffle; after
+    id-pair dedup, shingle sets are re-joined by id (two linear joins)
+    for the exact-Jaccard verify.  Bucket sizes stay bounded because
+    word-shingle minhashes are diverse (see minhash_signature note)."""
+    from access_mopper_spark.functions.text import word_shingles
+    sig = lsh_band_keys(
+        minhash_signature(df, text_col, n_hashes, shingle_k, shingle_kind),
+        n_hashes, band_size)
+    n_bands = (n_hashes + band_size - 1) // band_size
+    ids = sig.select(id_col, *[f"band_{b}" for b in range(n_bands)])
+
+    cand = None
+    for b in range(n_bands):
+        a = ids.select(F.col(id_col).alias("id_a"), F.col(f"band_{b}").alias("bk"))
+        bdf = ids.select(F.col(id_col).alias("id_b"), F.col(f"band_{b}").alias("bk"))
+        pairs = a.join(bdf, "bk").where(F.col("id_a") < F.col("id_b")) \
+                 .select("id_a", "id_b")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+
+    shingles = F.array_distinct(
+        char_shingles(F.col(text_col), shingle_k) if shingle_kind == "char"
+        else word_shingles(F.col(text_col), shingle_k))
+    docs_sh = df.select(F.col(id_col), shingles.alias("sh"))
+    verified = (
+        cand.join(docs_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(docs_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        verified.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
+              out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over character shingles.
+
+    Each shingle hashes to 64 bits (xxhash64); per bit position the +1/-1
+    votes are summed across shingles; the sign vector is the fingerprint.
+    Pure Column math: explode-free via aggregate over the shingle array —
+    for each bit b, popcount-style vote = Σ (2·bit−1).
+    """
+    sh = F.array_distinct(char_shingles(F.col(text_col), shingle_k))
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def vote(b: int):
+        # vote_b = Σ_h (2·bit_b(h) − 1);  bit set iff vote > 0
+        return F.aggregate(
+            hashes, F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        weight = F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
+        acc = acc + F.when(vote(b) > 0, weight).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, acc)
+
+
+def simhash_hamming(a, b):
+    """Hamming distance between two simhash64 Columns (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -610,3 +610,262 @@ def q_monsecs_normalize(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     per_sec = F.col("o_totalprice") / (F.dayofmonth(F.last_day("o_orderdate")) * 86400.0)
     return orders.select("o_orderkey", R6(per_sec).alias("per_sec"))
+
+
+# =====================================================================
+# Beyond-reference: training-data pipeline operators (dedup, similarity,
+# text analysis) — SURVEY.md §7.1 step 8 / BASELINE.json north star
+# =====================================================================
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized-text fingerprint. One
+    shuffle on md5 keys — uniform, skew-free at any scale."""
+    from access_mopper_spark.operators.dedup import exact_dedup
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting (md5 over normalized text) — pure Column,
+    byte-identical across engines."""
+    from access_mopper_spark.functions.text import fingerprint
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "q_minhash_band",
+    oracle="""
+    WITH sh AS (
+      SELECT d.doc_id, substring(d.text, g.i, 5) AS s
+      FROM documents d, generate_series(1, 600) g(i)
+      WHERE g.i <= greatest(length(d.text) - 4, 1)
+    )
+    SELECT doc_id,
+           MIN(md5('seed0:' || s)) AS minhash_0,
+           MIN(md5('seed1:' || s)) AS minhash_1,
+           MIN(md5('seed2:' || s)) AS minhash_2,
+           MIN(md5('seed3:' || s)) AS minhash_3
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_minhash_band(spark, sf_dir):
+    """MinHash signatures over 5-char shingles: min of seeded md5 strings
+    (min of hex ≡ min of 128-bit ints; portable, no RNG state). Shingling
+    is sequence+transform — narrow, no explode, no UDF."""
+    from access_mopper_spark.operators.dedup import minhash_signature
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "text", n_hashes=4, shingle_k=5)
+    return sig.select("doc_id", "minhash_0", "minhash_1", "minhash_2", "minhash_3")
+
+
+@query(
+    "q_near_dup_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
+      FROM toks, generate_series(1, 300) g(i)
+      WHERE g.i <= greatest(length(w) - 2, 1)
+    ),
+    sig AS (
+      SELECT doc_id,
+             MIN(md5('seed0:' || s)) AS m0, MIN(md5('seed1:' || s)) AS m1,
+             MIN(md5('seed2:' || s)) AS m2, MIN(md5('seed3:' || s)) AS m3,
+             MIN(md5('seed4:' || s)) AS m4, MIN(md5('seed5:' || s)) AS m5
+      FROM sh GROUP BY doc_id
+    ),
+    band AS (SELECT doc_id, md5(m0 || '|' || m1) AS b0, md5(m2 || '|' || m3) AS b1,
+                    md5(m4 || '|' || m5) AS b2 FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b
+        ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2) AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ni
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.id_a
+    JOIN cnt cb ON cb.doc_id = i.id_b
+    WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.5
+    """,
+)
+def q_near_dup_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup detection over word 3-gram shingles:
+    band-bucket join on (id, band_key) only → id-pair dedup → exact
+    Jaccard verify with shingle sets re-joined by id. The cross-product
+    never materializes and shingle arrays never enter the candidate
+    shuffle — the properties that make this viable at 100 TB."""
+    from access_mopper_spark.operators.dedup import near_dup_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, "text", "doc_id", n_hashes=6, band_size=2,
+                          shingle_k=3, jaccard_threshold=0.5, shingle_kind="word")
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT source,
+           ROUND(AVG(CAST(length(regexp_split_to_array(trim(text), '\\s+') ) AS DOUBLE)), 6) AS avg_tokens,
+           ROUND(AVG(CAST(length(text) AS DOUBLE)), 6) AS avg_chars,
+           ROUND(AVG(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / length(regexp_split_to_array(trim(text), '\\s+'))), 6) AS avg_word_len,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Quality-scoring features (token count, char count, mean word len)
+    aggregated per source — the C4/Gopher-style filter signals as pure
+    Column math."""
+    from access_mopper_spark.functions.text import token_count
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = token_count(F.col("text"))
+    word_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / ntok
+    return docs.groupBy("source").agg(
+        R6(F.avg(ntok.cast("double"))).alias("avg_tokens"),
+        R6(F.avg(F.length("text").cast("double"))).alias("avg_chars"),
+        R6(F.avg(word_len)).alias("avg_word_len"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT lang,
+           SUM(length(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+           ROUND(AVG(CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)), 6) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Token counting (whitespace tokenizer) rolled up per language."""
+    from access_mopper_spark.functions.text import token_count
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.sum(ntok).alias("total_tokens"),
+        R6(F.avg(ntok.cast("double"))).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q_lang_guess",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             (length(p) - length(replace(p, ' the ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' of ', ''))) / 4.0 AS s_en,
+             (length(p) - length(replace(p, ' le ', ''))) / 4.0
+               + (length(p) - length(replace(p, ' la ', ''))) / 4.0
+               + (length(p) - length(replace(p, ' et ', ''))) / 4.0 AS s_fr,
+             (length(p) - length(replace(p, ' der ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' und ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' die ', ''))) / 5.0 AS s_de,
+             (length(p) - length(replace(p, ' el ', ''))) / 4.0
+               + (length(p) - length(replace(p, ' los ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' y ', ''))) / 3.0 AS s_es
+      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents) t
+    )
+    SELECT doc_id,
+           CASE WHEN s_en = greatest(s_en, s_fr, s_de, s_es) AND greatest(s_en, s_fr, s_de, s_es) > 0 THEN 'en'
+                WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) AND greatest(s_en, s_fr, s_de, s_es) > 0 THEN 'fr'
+                WHEN s_de = greatest(s_en, s_fr, s_de, s_es) AND greatest(s_en, s_fr, s_de, s_es) > 0 THEN 'de'
+                WHEN s_es = greatest(s_en, s_fr, s_de, s_es) AND greatest(s_en, s_fr, s_de, s_es) > 0 THEN 'es'
+                ELSE 'und' END AS guessed_lang
+    FROM scored
+    """,
+)
+def q_lang_guess(spark, sf_dir):
+    """Language-ID heuristic: marker-word occurrence scores + deterministic
+    argmax. Occurrence counting via replace-difference — dialect-portable,
+    exact (no fp ambiguity: length deltas are multiples of needle length)."""
+    from access_mopper_spark.functions.text import lang_guess
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_guess(F.col("text")).alias("guessed_lang"))
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND(
+               list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+               / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS cosine_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cosine_sim, rank FROM (
+      SELECT vec_id, cosine_sim,
+             ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a query vector: zip_with+aggregate
+    dot product (JVM-side fold, no UDF), broadcast query, partial top-k.
+    Ranked on ROUNDED sims so ulp-level engine differences can't flip
+    order; ties broken by id."""
+    from access_mopper_spark.operators.similarity import as_double, cosine
+    from pyspark.sql import Window as W2
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(as_double(F.col("embedding")).alias("qv"))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id",
+                R6(cosine(as_double(F.col("embedding")), F.col("qv"))).alias("cosine_sim"))
+    )
+    w = W2.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+
+
+@query("q_simhash")  # engine-only: xxhash64 has no DuckDB equivalent → rows-only check
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints over char shingles (bitwise vote
+    aggregation, pure Column math). No SQL oracle — xxhash64 is
+    Spark-specific; validated in tests/test_dedup.py against a Python
+    reference implementation."""
+    from access_mopper_spark.operators.dedup import simhash64
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs, "text").select("doc_id", "simhash")
+
+
+@query("q_ann_lsh")  # engine-only: approximate by construction → rows-only check
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate nearest neighbours (bucket + Hamming-1
+    probes). Approximate ⇒ no exact SQL oracle; recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    from access_mopper_spark.operators.similarity import ann_lsh_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann_lsh_topk(emb, q, dim=64, k=5, n_planes=6)

@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Queries are forced with the noop sink (full execution, no driver
+collect). Each query is timed individually after a warmup of the session
+(JVM + parquet footer caches are shared, as they would be on a long-lived
+cluster app).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_join_revenue_by_nation",
+    "q_resample_hourly",
+    "q_resample_monthly",
+    "q_cumsum_minus_total",
+    "q_window_topk",
+    "q_calc_dsl_arithmetic",
+    "q_tiered_match",
+    "q_freq_infer",
+    "q_dedup_exact",
+    "q_minhash_band",
+    "q_text_quality",
+    "q_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from access_mopper_spark.session import get_spark
+    from access_mopper_spark.queries import QUERIES
+
+    spark = get_spark(app_name="bench")
+    # warmup: touch each table's footer + spin up the JVM codepaths once
+    QUERIES["q_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

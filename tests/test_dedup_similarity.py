@@ -1,0 +1,109 @@
+"""Tests for dedup (minhash/simhash/jaccard) and similarity (cosine, LSH
+ANN) operators — python reference implementations as oracles."""
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from access_mopper_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signature,
+    near_dup_pairs,
+    simhash64,
+)
+from access_mopper_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "completely different content about spark engines",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "xy",                                            # shorter than shingle k
+    ]
+    return spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+
+
+def py_minhash(text, seed, k=5):
+    n = max(len(text) - (k - 1), 1)
+    return min(hashlib.md5((seed + text[i:i + k]).encode()).hexdigest() for i in range(n))
+
+
+def test_minhash_matches_python(spark, docs):
+    got = {r["doc_id"]: r["minhash_0"]
+           for r in minhash_signature(docs).select("doc_id", "minhash_0").collect()}
+    rows = docs.collect()
+    for r in rows:
+        assert got[r["doc_id"]] == py_minhash(r["text"], "seed0:")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[0] == 2          # docs 0 and 3 identical
+    assert sum(groups.values()) == 5
+
+
+def test_near_dup_pairs_finds_neighbor(spark, docs):
+    pairs = near_dup_pairs(docs, jaccard_threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got           # exact dup: jaccard 1.0
+    assert (0, 1) in got or (1, 3) in got  # near dup shares most shingles
+
+
+def py_simhash(text, k=5):
+    # reference implementation mirroring xxhash64 is impossible in pure
+    # python; instead verify structural properties (see test below)
+    raise NotImplementedError
+
+
+def test_simhash_properties(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    # identical docs → identical fingerprints
+    assert out[0] == out[3]
+    # near-dup closer than unrelated (hamming distance)
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(out[0], out[1]) < ham(out[0], out[2])
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(100, 16).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(100), "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    df, vecs = emb
+    import numpy as np
+    q = df.where(F.col("vec_id") == 0).select(F.lit(0).alias("query_id"), "embedding")
+    got = cosine_topk(df.where(F.col("vec_id") != 0), q, k=5).orderBy("rank").collect()
+    v = vecs.astype("float64")
+    sims = (v[1:] @ v[0]) / (np.linalg.norm(v[1:], axis=1) * np.linalg.norm(v[0]))
+    exp = np.argsort(-sims)[:5] + 1
+    assert [r["vec_id"] for r in got] == exp.tolist()
+    assert got[0]["cosine_sim"] == pytest.approx(sims.max(), rel=1e-9)
+
+
+def test_ann_lsh_recall(spark, emb):
+    df, vecs = emb
+    q = df.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(df, q, k=5).select("query_id", "vec_id").collect()
+    approx = ann_lsh_topk(df, q, dim=16, k=5, n_planes=4).select("query_id", "vec_id").collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # bucket+hamming-1 probing should recover a decent fraction; the exact
+    # value is deterministic (fixed planes, fixed data)
+    assert recall >= 0.4
+    # every query finds its own vector (sim=1.0 in its own bucket)
+    own = {(r["query_id"], r["vec_id"]) for r in approx if r["query_id"] == r["vec_id"]}
+    assert len(own) == 5
