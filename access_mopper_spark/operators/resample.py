@@ -133,7 +133,8 @@ def start_day_origin(df: DataFrame, ts_col: str) -> str:
 
 
 def time_interpolate(df: DataFrame, ts_col: str, value_col: str, every: str,
-                     group_cols: list[str] | None = None) -> DataFrame:
+                     group_cols: list[str] | None = None,
+                     align: bool = False) -> DataFrame:
     """Upsample + linear interpolation (reference ``calculations.py:127-132``
     ``.resample(...).interpolate('linear')``).
 
@@ -151,11 +152,15 @@ def time_interpolate(df: DataFrame, ts_col: str, value_col: str, every: str,
         raise ValueError("time_interpolate supports fixed-width intervals only")
     step = F.expr(f"interval {n} {unit}")
 
-    grid = (
-        df.groupBy(*group_cols)
-        .agg(F.min(ts_col).alias("__t0"), F.max(ts_col).alias("__t1"))
-        .select(*group_cols, F.explode(F.sequence("__t0", "__t1", step)).alias(ts_col))
-    )
+    span = df.groupBy(*group_cols).agg(F.min(ts_col).alias("__t0"), F.max(ts_col).alias("__t1"))
+    if align:
+        # epoch-aligned grid (pandas .resample(...).interpolate semantics):
+        # first grid point = ceil(min/step)*step
+        width = n * _FIXED_US[unit]
+        t0u = F.unix_micros("__t0")
+        aligned = (-F.floor(-t0u / width) * width).cast("long")
+        span = span.withColumn("__t0", F.timestamp_micros(aligned))
+    grid = span.select(*group_cols, F.explode(F.sequence("__t0", "__t1", step)).alias(ts_col))
     obs = df.select(*group_cols, ts_col, F.col(value_col).cast("double").alias("__obs"),
                     F.lit(0).alias("__grid"))
     tagged = grid.select(*group_cols, ts_col, F.lit(None).cast("double").alias("__obs"),

@@ -869,3 +869,305 @@ def q_ann_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
     return ann_lsh_topk(emb, q, dim=64, k=5, n_planes=6)
+
+
+# =====================================================================
+# §2.9 interpolation + §2.3 as-of/range joins + §2.8 physics
+# =====================================================================
+
+_INTERP_ORACLE = """
+    WITH pts AS (
+      SELECT l_orderkey AS k, CAST(l_linenumber AS DOUBLE) AS x, AVG(l_quantity) AS y
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tgt(plev) AS (VALUES (1.5), (2.5), (3.5)),
+    br AS (
+      SELECT k, plev,
+             MAX(x) FILTER (x <= plev) AS lox,
+             ARG_MAX(y, x) FILTER (x <= plev) AS loy,
+             MIN(x) FILTER (x > plev) AS hix,
+             ARG_MIN(y, x) FILTER (x > plev) AS hiy
+      FROM pts CROSS JOIN tgt GROUP BY k, plev
+    )
+    SELECT k, plev,
+           ROUND(CASE WHEN lox IS NULL THEN hiy
+                      WHEN hix IS NULL THEN loy
+                      ELSE loy + (hiy - loy) * ((plev - lox) / (hix - lox)) END, 6) AS value
+    FROM br
+"""
+
+
+@query("q_plevinterp_pandas", oracle=_INTERP_ORACLE)
+def q_plevinterp_pandas(spark, sf_dir):
+    """Model-level→pressure-level interpolation, the reference's flagship
+    numeric kernel (plevinterp, calculations.py:855-923): literal np.interp
+    per column group via Arrow-batched applyInPandas. Group key is the
+    column dims — even distribution, no skew; Python cost amortized over
+    Arrow batches. Samples averaged per (group, x) first so x is strictly
+    increasing (np.interp contract)."""
+    from access_mopper_spark.operators.interp import plevinterp_pandas
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.groupBy(F.col("l_orderkey").alias("k"),
+                     F.col("l_linenumber").cast("double").alias("x")) \
+            .agg(F.avg("l_quantity").alias("y"))
+    out = plevinterp_pandas(pts, ["k"], "x", "y", [1.5, 2.5, 3.5])
+    return out.select("k", "plev", R6(F.col("value")).alias("value"))
+
+
+@query("q_interp_sql", oracle=_INTERP_ORACLE)
+def q_interp_sql(spark, sf_dir):
+    """Same interpolation, zero-Python formulation: broadcast targets ×
+    conditional-aggregate bracketing × linear blend (interp_at_targets).
+    Validates the UDF kernel against a pure Catalyst plan — and is the
+    preferred path when the target list is small (CMIP: 19 plevs)."""
+    from access_mopper_spark.operators.interp import interp_at_targets
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.groupBy(F.col("l_orderkey").alias("k"),
+                     F.col("l_linenumber").cast("double").alias("x")) \
+            .agg(F.avg("l_quantity").alias("y"))
+    out = interp_at_targets(pts, ["k"], "x", "y", [1.5, 2.5, 3.5])
+    return out.select("k", "plev", R6(F.col("value")).alias("value"))
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             TIMESTAMP '1995-01-01' + INTERVAL (CAST(FLOOR(value * 2400) AS INT)) DAY AS cutoff
+      FROM events
+    ),
+    best AS (
+      SELECT e.event_id, e.cutoff,
+             MAX(o.o_orderdate) AS last_order_date
+      FROM ev e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.cutoff
+      GROUP BY e.event_id, e.cutoff
+    ),
+    pick AS (
+      SELECT b.event_id, b.last_order_date,
+             MAX(o.o_orderkey) AS last_orderkey
+      FROM best b LEFT JOIN ev e ON e.event_id = b.event_id
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate = b.last_order_date
+      GROUP BY b.event_id, b.last_order_date
+    )
+    SELECT event_id, last_order_date, last_orderkey FROM pick
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (reference: nearest-frequency ladder pick
+    mop_setup.py:108-153 / reindex nearest calculations.py:901): for each
+    event (with a deterministic synthetic cutoff date), the latest order
+    of that customer at or before the cutoff. Union+window formulation —
+    one shuffle on the key, one sort, no range self-join."""
+    from access_mopper_spark.operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("TIMESTAMP '1995-01-01' + make_dt_interval(CAST(FLOOR(value * 2400) AS INT))").alias("cutoff"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey")
+    out = asof_join(ev, orders, on=["user_id"], left_ts="cutoff", right_ts="o_orderdate",
+                    right_values=["o_orderkey"], direction="backward",
+                    tiebreak=["o_orderkey"])
+    return out.select("event_id",
+                      F.col("o_orderdate_right").alias("last_order_date"),
+                      F.col("o_orderkey").alias("last_orderkey"))
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT a.o_orderkey, COUNT(b.o_orderkey) AS n_nearby
+    FROM orders a LEFT JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND b.o_orderkey <> a.o_orderkey
+     AND b.o_orderdate BETWEEN a.o_orderdate - INTERVAL 30 DAY
+                           AND a.o_orderdate + INTERVAL 30 DAY
+    GROUP BY a.o_orderkey
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Interval-overlap range join (mop_utils.py:320 predicate): orders of
+    the same customer within ±30 days. Equi-join on the key carries the
+    shuffle; the range predicate filters post-join — never a cartesian."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    b = orders.select(F.col("o_custkey").alias("b_custkey"),
+                      F.col("o_orderkey").alias("b_orderkey"),
+                      F.col("o_orderdate").alias("b_orderdate"))
+    joined = a.join(
+        b,
+        (a.o_custkey == b.b_custkey) & (F.col("b_orderkey") != a.o_orderkey)
+        & F.col("b_orderdate").between(
+            F.col("o_orderdate") - F.expr("INTERVAL 30 DAY"),
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left",
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("b_orderkey").alias("n_nearby"))
+
+
+@query(
+    "q_upsample_interp",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu, value
+      FROM events
+    ),
+    span AS (
+      SELECT user_id,
+             CAST(CEIL(MIN(tu) / 3600000000.0) AS BIGINT) * 3600000000 AS t0,
+             MAX(tu) AS t1
+      FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id, s.t0 + g.i * 3600000000 AS tu
+      FROM span s, generate_series(0, 800) g(i)
+      WHERE s.t0 + g.i * 3600000000 <= s.t1
+    ),
+    br AS (
+      SELECT g.user_id, g.tu,
+             MAX(o.tu) FILTER (o.tu <= g.tu) AS lox,
+             ARG_MAX(o.value, o.tu) FILTER (o.tu <= g.tu) AS loy,
+             MIN(o.tu) FILTER (o.tu > g.tu) AS hix,
+             ARG_MIN(o.value, o.tu) FILTER (o.tu > g.tu) AS hiy
+      FROM grid g JOIN obs o ON o.user_id = g.user_id
+      GROUP BY g.user_id, g.tu
+    )
+    SELECT user_id, make_timestamp(tu) AS ts,
+           ROUND(CASE WHEN lox IS NULL THEN hiy
+                      WHEN hix IS NULL THEN loy
+                      WHEN hix = lox THEN loy
+                      ELSE loy + (hiy - loy) * (CAST(tu - lox AS DOUBLE) / (hix - lox)) END,
+                 6) AS value
+    FROM br
+    """,
+)
+def q_upsample_interp(spark, sf_dir):
+    """Upsample + linear interpolation onto an hour-aligned grid
+    (reference .resample(...).interpolate('linear'),
+    calculations.py:127-132). Grid generated per group with sequence (no
+    driver loop); bracketing via one ordered window pass per direction."""
+    from access_mopper_spark.operators.resample import time_interpolate
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = time_interpolate(ev, "ts", "value", "1 hour", group_cols=["user_id"], align=True)
+    return out.select("user_id", "ts", R6(F.col("value")).alias("value"))
+
+
+@query(
+    "q_physics_eos",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      ROUND((
+        9.99843699e2
+        + t * (7.35212840 + t * (-5.45928211e-2 + t * 3.98476704e-4))
+        + s * (2.96938239 + s * 2.12382341e-3 + t * -7.23268813e-3)
+        + p * (1.04004591e-2 + t * t * 1.03970529e-7 + s * 5.18761880e-6
+               + p * (-3.24041825e-8 + t * t * -1.23869360e-11))
+      ) / (
+        1.0
+        + t * (7.28606739e-3 + t * (-4.60835542e-5 + t * (3.68390573e-7 + t * 1.80809186e-10)))
+        + s * (2.14691708e-3 + t * (-9.27062484e-6 + t * -1.78343643e-10)
+               + sqrt(s) * (4.76534122e-6 + t * t * 1.63410736e-9))
+        + p * (5.30848875e-6 + t * t * p * -3.03175128e-16 + t * t * t * p * p * -1.27934137e-17)
+      ), 6) AS rho
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_quantity / 2.0 AS t, l_discount * 350.0 AS s, l_extendedprice * 0.1 * 0.1 AS p
+      FROM lineitem
+    ) x
+    """,
+)
+def q_physics_eos(spark, sf_dir):
+    """25-term EOS density polynomial (rho_from_theta,
+    app_functions.py:683-714) as pure Column math — whole-stage codegen,
+    no UDF. Inputs derived deterministically from lineitem columns."""
+    from access_mopper_spark.functions.physics import rho_from_theta
+    li = load_table(spark, sf_dir, "lineitem")
+    rho = rho_from_theta(F.col("l_quantity") / 2.0,
+                         F.col("l_discount") * 350.0,
+                         F.col("l_extendedprice") * 0.1)
+    return li.select("l_orderkey", "l_linenumber", R6(rho).alias("rho"))
+
+
+# =====================================================================
+# §2.10 domain composites on relational analogues
+# =====================================================================
+
+@query(
+    "q_ocean_floor",
+    oracle="""
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber, MAX(l_extendedprice) AS price
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_orderkey,
+           ARG_MAX(price, CASE WHEN price IS NOT NULL THEN l_linenumber END)
+             AS price_floor,
+           MAX(CASE WHEN price IS NOT NULL THEN l_linenumber END) AS floor_depth
+    FROM pts GROUP BY l_orderkey
+    """,
+)
+def q_ocean_floor(spark, sf_dir):
+    """Deepest non-null level per column (ocean_floor,
+    calculations.py:683-698) — single max_by aggregate, no window/self-join.
+    NOTE: (l_orderkey, l_linenumber) has duplicate rows in the testdata;
+    max_by ties on the deepest level are broken by value on both sides via
+    the same max-of-value convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # dedupe to one sample per level so ARG_MAX ties cannot differ between engines
+    pts = li.groupBy("l_orderkey", "l_linenumber").agg(F.max("l_extendedprice").alias("price"))
+    return pts.groupBy("l_orderkey").agg(
+        F.max_by("price", F.when(F.col("price").isNotNull(), F.col("l_linenumber"))).alias("price_floor"),
+        F.max(F.when(F.col("price").isNotNull(), F.col("l_linenumber"))).alias("floor_depth"),
+    )
+
+
+@query(
+    "q_tile_bucket",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN l_linenumber IN (1, 2) THEN 'psl'
+                WHEN l_linenumber IN (3, 4) THEN 'crp'
+                WHEN l_linenumber IN (5) THEN 'urb'
+                ELSE 'other' END AS tile_class,
+           ROUND(SUM(l_quantity * l_discount), 6) AS value
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q_tile_bucket(spark, sf_dir):
+    """Land-use tile regrouping (fracLut, calculations.py:1073-1102):
+    bucket pseudo-levels into classes via when/otherwise, then weighted
+    sums per class."""
+    from access_mopper_spark.operators.aggregates import tile_bucket_sum
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    df = orders.join(li, orders.o_orderkey == li.l_orderkey) \
+               .withColumn("__w", F.col("l_quantity") * F.col("l_discount"))
+    out = tile_bucket_sum(df, "__w", "l_linenumber",
+                          {"psl": [1, 2], "crp": [3, 4], "urb": [5]},
+                          ["o_orderkey"], out_col="value")
+    return out.select("o_orderkey", "tile_class", R6(F.col("value")).alias("value"))
+
+
+@query(
+    "q_box_transport",
+    oracle="""
+    SELECT ROUND(SUM(l_quantity * l_extendedprice * 1e-9), 6) AS transport
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size BETWEEN 10 AND 25 AND l_linenumber BETWEEN 2 AND 4
+    """,
+)
+def q_box_transport(spark, sf_dir):
+    """Transport across an (i,j) index box (transAcrossLine,
+    calculations.py:193-237): box-range predicate + weighted sum — filter
+    pushdown does the heavy lifting; the dim join is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(F.col("p_size").between(10, 25) & F.col("l_linenumber").between(2, 4))
+        .agg(R6(F.sum(F.col("l_quantity") * F.col("l_extendedprice") * 1e-9)).alias("transport"))
+    )
