@@ -1171,3 +1171,269 @@ def q_box_transport(spark, sf_dir):
         .where(F.col("p_size").between(10, 25) & F.col("l_linenumber").between(2, 4))
         .agg(R6(F.sum(F.col("l_quantity") * F.col("l_extendedprice") * 1e-9)).alias("transport"))
     )
+
+
+# =====================================================================
+# §3.1 planner (frequency ladder, file splitting) + §2.4 climatology/basin
+# =====================================================================
+
+@query(
+    "q_climatology",
+    oracle="""
+    SELECT o_orderpriority, EXTRACT(month FROM o_orderdate) AS month,
+           ROUND(SUM(o_totalprice * DAY(LAST_DAY(o_orderdate)))
+                 / SUM(DAY(LAST_DAY(o_orderdate))), 6) AS o_totalprice_clim
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_climatology(spark, sf_dir):
+    """Day-weighted monthly climatology across years (axm_timeshot
+    monthClim, mop_utils.py:815-845): groupBy calendar month with
+    days-in-month weights — one shuffle, map-side partials."""
+    from access_mopper_spark.operators.aggregates import climatology
+    orders = load_table(spark, sf_dir, "orders")
+    out = climatology(orders, "o_orderdate", "o_totalprice",
+                      group_cols=["o_orderpriority"])
+    return out.select("o_orderpriority", "month",
+                      R6(F.col("o_totalprice_clim")).alias("o_totalprice_clim"))
+
+
+@query(
+    "q_basin_agg",
+    oracle="""
+    SELECT r_name AS basin, EXTRACT(month FROM o_orderdate) AS month,
+           ROUND(SUM(o_totalprice), 6) AS flux
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q_basin_agg(spark, sf_dir):
+    """Basin-scoped flux sum (hfbasin/basinMeridFlux, app_functions.py:
+    383-427): the basin mask is a small dim table — broadcast-joined so
+    the only shuffle is the final groupBy on (basin, month)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    basin = (customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+             .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+             .select("c_custkey", "r_name"))
+    return (
+        orders.join(F.broadcast(basin), orders.o_custkey == basin.c_custkey)
+        .groupBy(F.col("r_name").alias("basin"),
+                 F.month("o_orderdate").alias("month"))
+        .agg(R6(F.sum("o_totalprice")).alias("flux"))
+    )
+
+
+_LADDER_SQL = "['10yr','yr','mon','10day','7day','day','12hr','6hr','3hr','1hr','30min','10min']"
+
+
+@query(
+    "q_freq_ladder",
+    oracle=f"""
+    WITH ladder AS (
+      SELECT f, i - 1 AS r FROM (SELECT UNNEST({_LADDER_SQL}) AS f,
+                                        generate_subscripts({_LADDER_SQL}, 1) AS i)
+    ),
+    req AS (
+      SELECT DISTINCT p_partkey % 50 AS var_id,
+             list_extract({_LADDER_SQL}, (p_size % 12) + 1) AS frequency
+      FROM part
+    ),
+    avail AS (
+      SELECT DISTINCT l_partkey % 50 AS var_id,
+             list_extract({_LADDER_SQL}, (l_suppkey % 12) + 1) AS frequency
+      FROM lineitem
+    ),
+    j AS (
+      SELECT q.var_id, q.frequency, lq.r AS req_rank, la.r AS a_rank, a.frequency AS a_freq
+      FROM req q
+      JOIN ladder lq ON lq.f = q.frequency
+      LEFT JOIN avail a ON a.var_id = q.var_id
+      LEFT JOIN ladder la ON la.f = a.frequency
+    )
+    SELECT var_id, frequency,
+           ARG_MIN(a_freq, a_rank) FILTER (a_rank >= req_rank) AS src_frequency,
+           CASE WHEN MIN(a_rank) FILTER (a_rank >= req_rank) IS NULL THEN NULL
+                ELSE MIN(a_rank) FILTER (a_rank >= req_rank) <> req_rank END AS needs_resample
+    FROM j GROUP BY var_id, frequency, req_rank
+    """,
+)
+def q_freq_ladder(spark, sf_dir):
+    """Nearest-frequency fallback (find_nearest, mop_setup.py:108-153):
+    requested (var, freq) pairs resolve to the nearest finer available
+    frequency on the ordered ladder, synthesizing a needs_resample flag —
+    the planner rule that injects a resample step. Ranked broadcast joins
+    + one min_by shuffle."""
+    from access_mopper_spark.plans.planner import FREQ_LADDER, nearest_frequency
+    ladder = F.array(*[F.lit(f) for f in FREQ_LADDER])
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    req = part.select((F.col("p_partkey") % 50).alias("var_id"),
+                      F.element_at(ladder, ((F.col("p_size") % 12) + 1).cast("int"))
+                       .alias("frequency")).distinct()
+    avail = li.select((F.col("l_partkey") % 50).alias("var_id"),
+                      F.element_at(ladder, ((F.col("l_suppkey") % 12) + 1).cast("int"))
+                       .alias("frequency")).distinct()
+    return nearest_frequency(req, avail, ["var_id"])
+
+
+@query(
+    "q_file_plan",
+    oracle="""
+    WITH vars AS (
+      SELECT p_partkey AS var_id, CAST(p_size AS DOUBLE) AS size_per_step,
+             50 + p_partkey % 100 AS nsteps,
+             GREATEST(1, CAST(FLOOR(100.0 / p_size) AS BIGINT)) AS spf
+      FROM part WHERE p_partkey <= 200
+    )
+    SELECT var_id, g.i AS file_idx,
+           g.i * spf AS step_start,
+           LEAST(nsteps, (g.i + 1) * spf) AS step_end,
+           ROUND((LEAST(nsteps, (g.i + 1) * spf) - g.i * spf) * size_per_step, 6) AS est_size
+    FROM vars, generate_series(0, 200) g(i)
+    WHERE g.i < CEIL(CAST(nsteps AS DOUBLE) / spf)
+    """,
+)
+def q_file_plan(spark, sf_dir):
+    """Size-based output-file splitting (compute_fsize/define_files,
+    setup_utils.py:428-482, :591-644): steps-per-file from bytes-per-step
+    vs max_size, one plan row per output file — sequence+explode, fully
+    distributed (no driver loop over the catalog)."""
+    from access_mopper_spark.plans.planner import plan_output_files
+    part = load_table(spark, sf_dir, "part")
+    vars_df = part.where(F.col("p_partkey") <= 200).select(
+        F.col("p_partkey").alias("var_id"),
+        F.col("p_size").cast("double").alias("size_per_step"),
+        (F.lit(50) + F.col("p_partkey") % 100).alias("nsteps"))
+    out = plan_output_files(vars_df, "size_per_step", "nsteps",
+                            max_size=100.0, key_cols=["var_id"])
+    return out.select("var_id", "file_idx", "step_start", "step_end",
+                      R6(F.col("est_size")).alias("est_size"))
+
+
+# =====================================================================
+# Multimodal binary columns + streaming resample
+# =====================================================================
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id, 'image/fake' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS fingerprint,
+           lower(hex(encode(text[1:4]))) AS head_hex,
+           ascii(text[1:1]) % 64 + 1 AS width,
+           ascii(text[-1:]) % 64 + 1 AS height
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark, sf_dir):
+    """Opaque-binary media pipeline: payload bytes + typed metadata
+    through Arrow-batched mapInPandas (decode stubbed deterministically —
+    no codec libs in this container; the schema/batching/partitioning are
+    the real thing). Map-only: no shuffle at any scale."""
+    from access_mopper_spark.operators.multimodal import extract_features
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.lit("image/fake").alias("media_type"),
+                        F.encode("text", "UTF-8").alias("payload"))
+    return extract_features(blobs, fake_decode=True)
+
+
+@query(
+    "q_frame_sample",
+    oracle="""
+    SELECT doc_id, g.i AS frame_idx,
+           lower(hex(encode(substring(text, g.i * 16 + 1, 16)))) AS frame_hex
+    FROM documents, generate_series(0, 3) g(i)
+    WHERE g.i <= LEAST(3, CAST(FLOOR(octet_length(encode(text)) / 16.0) AS BIGINT))
+    """,
+)
+def q_frame_sample(spark, sf_dir):
+    """Frame sampling over video-like payloads (every Nth fixed chunk,
+    capped): pure Column slicing + explode — the demuxer boundary is the
+    stub, the distributed shape is real."""
+    from access_mopper_spark.operators.multimodal import frame_sample
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = frame_sample(blobs, every=16, max_frames=4)
+    return out.select("doc_id", "frame_idx",
+                      F.lower(F.hex("frame_bytes")).alias("frame_hex"))
+
+
+@query(
+    "q_stream_resample",
+    oracle="""
+    SELECT user_id,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts,
+           ROUND(AVG(value), 6) AS value_mean
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_resample(spark, sf_dir):
+    """Structured-Streaming tumbling-window resample (the batch
+    time_resample lifted onto readStream + watermark; SURVEY.md §2.5
+    'natural extension'). Driven to completion with Trigger.AvailableNow
+    into a memory sink so the finite testdata stream is deterministic."""
+    import os
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    from access_mopper_spark.streaming.resample import (run_to_memory,
+                                                        stream_resample,
+                                                        stream_source)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("kind", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    raw = stream_source(spark, sf_dir, schema, glob="events.parquet")
+    stream = raw.select("user_id",
+                        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+                        "value")
+    res = stream_resample(stream, "ts", "value", "1 hour", how="mean",
+                          group_cols=["user_id"], watermark="1 hour")
+    run_to_memory(res, "q_stream_resample_sink", mode="complete")
+    return spark.table("q_stream_resample_sink") \
+                .select("user_id", "ts", R6(F.col("value_mean")).alias("value_mean"))
+
+
+@query(
+    "q_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact semantics: self-join
+    (id_a < id_b) + JVM-side cosine (zip_with/aggregate — no UDF) +
+    threshold. Exact-by-construction, hence oracle-gated; the sublinear
+    scale path (hyperplane-LSH bucketing so candidates shuffle on bucket
+    keys instead of the full cross product) is q_ann_lsh — at 100 TB you
+    run THAT and accept its recall, here we gate correctness."""
+    from access_mopper_spark.operators.similarity import as_double, dot, norm
+    emb = load_table(spark, sf_dir, "embeddings")
+    # normalize ONCE per vector (O(n) array passes), so each of the O(n²)
+    # pairs costs a single dot product instead of dot + two norms
+    unit = (emb.select("vec_id", as_double(F.col("embedding")).alias("__e"))
+            .withColumn("__n", norm(F.col("__e")))
+            .select("vec_id", F.transform("__e", lambda x: x / F.col("__n")).alias("__u")))
+    a = unit.select(F.col("vec_id").alias("id_a"), F.col("__u").alias("__ea"))
+    b = unit.select(F.col("vec_id").alias("id_b"), F.col("__u").alias("__eb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b)).where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", dot(F.col("__ea"), F.col("__eb")))
+        .where(F.col("cosine_sim") >= 0.45)
+    )
+    return pairs.select("id_a", "id_b", R6(F.col("cosine_sim")).alias("cosine_sim"))

@@ -1,0 +1,60 @@
+"""Structured Streaming resample: the reference's tumbling-window
+downsample (calculations.py:68-137) lifted onto an unbounded source.
+
+The reference is purely batch (SURVEY.md §2.5); this is the natural Spark
+extension: ``readStream`` → event-time watermark → windowed aggregate →
+sink.  Late data within the watermark updates its window; beyond it, state
+is dropped — the property that bounds state size on an infinite stream
+(a batch resample at 100 TB has the same shuffle shape, so the two paths
+share semantics: same window width, same closed-right label convention).
+
+``run_to_memory`` drives a stream with ``Trigger.AvailableNow`` into a
+named in-memory sink and blocks until drained — how the oracle-checked
+query and tests consume a finite stream deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+AGGS = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
+
+
+def stream_source(spark: SparkSession, path: str, schema, glob: str | None = None) -> DataFrame:
+    """File-stream over a parquet directory with a declared schema
+    (streaming scans cannot infer; FileStreamSource requires a directory,
+    so single files are selected via ``pathGlobFilter``)."""
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path)
+
+
+def stream_resample(stream: DataFrame, ts_col: str, value_col: str, every: str,
+                    how: str = "mean", group_cols: list[str] | None = None,
+                    watermark: str = "1 day") -> DataFrame:
+    """Watermarked tumbling-window aggregate.
+
+    Window label convention matches the batch ``time_resample``: the
+    window start marks the bin, and the bin is [start, end) in event time.
+    """
+    group_cols = group_cols or []
+    agg = AGGS[how]
+    w = stream.withWatermark(ts_col, watermark)
+    return (
+        w.groupBy(F.window(ts_col, every).alias("__w"), *group_cols)
+        .agg(agg(value_col).alias(f"{value_col}_{how}"))
+        .select(F.col("__w.start").alias(ts_col), *group_cols,
+                f"{value_col}_{how}")
+    )
+
+
+def run_to_memory(resampled: DataFrame, name: str, mode: str = "complete") -> None:
+    """Execute the stream with AvailableNow into memory sink ``name`` and
+    block until all available input is processed."""
+    q = (
+        resampled.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()

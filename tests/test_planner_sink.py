@@ -1,0 +1,135 @@
+"""Planner (frequency ladder, file split, task ledger), sink writer,
+multimodal plumbing, streaming resample — unit tests at smoke scale."""
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from access_mopper_spark.plans.planner import (FREQ_LADDER, TaskLedger,
+                                               nearest_frequency,
+                                               plan_output_files)
+from access_mopper_spark.sinks.writer import (SchemaRegistry, conform,
+                                              render_template, write_dataset)
+
+
+def test_nearest_frequency_tiers(spark):
+    req = spark.createDataFrame(
+        [("tas", "mon"), ("pr", "day"), ("zg", "10min"), ("uo", "yr")],
+        ["var", "frequency"])
+    avail = spark.createDataFrame(
+        [("tas", "mon"), ("pr", "3hr"), ("pr", "1hr"), ("uo", "10yr")],
+        ["var", "frequency"])
+    out = {r["var"]: r for r in
+           nearest_frequency(req, avail, ["var"]).collect()}
+    # exact match: no resample
+    assert out["tas"]["src_frequency"] == "mon" and out["tas"]["needs_resample"] is False
+    # nearest finer: 3hr (closer to day on the ladder than 1hr)
+    assert out["pr"]["src_frequency"] == "3hr" and out["pr"]["needs_resample"] is True
+    # nothing finer-or-equal available -> no_match tier
+    assert out["zg"]["src_frequency"] is None and out["zg"]["needs_resample"] is None
+    # only coarser available -> also no_match (can't upsample implicitly)
+    assert out["uo"]["src_frequency"] is None
+
+
+def test_ladder_is_reference_order():
+    assert FREQ_LADDER[0] == "10yr" and FREQ_LADDER[-1] == "10min"
+    assert FREQ_LADDER.index("mon") < FREQ_LADDER.index("day")
+
+
+def test_plan_output_files_bounds(spark):
+    vars_df = spark.createDataFrame(
+        [("v_small", 1.0, 10), ("v_big", 300.0, 5), ("v_exact", 50.0, 4)],
+        ["var", "size_per_step", "nsteps"])
+    rows = plan_output_files(vars_df, "size_per_step", "nsteps",
+                             max_size=100.0, key_cols=["var"]).collect()
+    by_var = {}
+    for r in rows:
+        by_var.setdefault(r["var"], []).append(r)
+    # 1 MB/step, 100 MB cap -> all 10 steps in one file
+    assert len(by_var["v_small"]) == 1
+    assert by_var["v_small"][0]["step_end"] == 10
+    # oversize steps still get one step per file (floor clamps to >=1)
+    assert len(by_var["v_big"]) == 5
+    assert all(r["step_end"] - r["step_start"] == 1 for r in by_var["v_big"])
+    # 50 MB/step -> 2 steps per file, 2 files, contiguous non-overlapping
+    segs = sorted((r["step_start"], r["step_end"]) for r in by_var["v_exact"])
+    assert segs == [(0, 2), (2, 4)]
+
+
+def test_task_ledger_idempotent(spark):
+    plan = spark.createDataFrame([(1,), (2,), (3,)], ["task_id"])
+    ledger = TaskLedger(plan)
+    assert ledger.pending().count() == 3
+    done = spark.createDataFrame([(1, "processed"), (3, "failed")],
+                                 ["task_id", "status"])
+    l2 = ledger.mark(done)
+    assert l2.pending().count() == 1
+    # re-applying the same outcomes changes nothing (idempotent restart)
+    l3 = l2.mark(done)
+    assert l3.pending().count() == 1
+    assert {r["status"] for r in l3.df.collect()} == {"processed", "failed", "unprocessed"}
+
+
+OUT_SCHEMA = StructType([
+    StructField("k", LongType()),
+    StructField("v", DoubleType()),
+])
+
+
+def test_conform_rejects_and_casts(spark):
+    df = spark.createDataFrame([(1, 2)], ["k", "v"])
+    out = conform(df, OUT_SCHEMA)
+    assert [f.dataType for f in out.schema.fields] == [LongType(), DoubleType()]
+    with pytest.raises(ValueError, match="missing.*extra"):
+        conform(df.withColumnRenamed("v", "w"), OUT_SCHEMA)
+
+
+def test_render_template():
+    attrs = {"activity": "CMIP", "var": "tas", "version": "v1"}
+    assert render_template("{activity}/{var}/{version}", attrs) == "CMIP/tas/v1"
+    with pytest.raises(KeyError):
+        render_template("{missing}", attrs)
+
+
+def test_write_dataset_roundtrip(spark, tmp_path):
+    reg = SchemaRegistry()
+    reg.register("out_tas", OUT_SCHEMA, {"var": "tas", "table": "Amon"})
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.5).alias("v"))
+    path = write_dataset(df, reg, "out_tas", str(tmp_path), "{table}/{var}")
+    assert path.endswith("Amon/tas")
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert back.schema == OUT_SCHEMA
+
+
+def test_multimodal_decode_stub_gates():
+    from access_mopper_spark.operators.multimodal import decode_stub
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x00\x01", "image/png")
+    assert decode_stub(b"\x00\x01", "image/png", fake=True) == (1, 2)
+
+
+def test_frame_sample_shape(spark):
+    from access_mopper_spark.operators.multimodal import frame_sample
+    df = spark.createDataFrame([(1, bytearray(b"a" * 40))], ["doc_id", "payload"])
+    rows = frame_sample(df, every=16, max_frames=4).collect()
+    # 40 bytes / 16 -> frames at 0,16,32 (idx 0..2)
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert bytes(rows[1]["frame_bytes"]) == b"a" * 16
+    assert bytes(rows[2]["frame_bytes"]) == b"a" * 8
+
+
+def test_stream_resample_matches_batch(spark, sf_dir):
+    from access_mopper_spark.queries import QUERIES
+    from access_mopper_spark.sources.readers import load_table
+
+    out = QUERIES["q_stream_resample"](spark, sf_dir)
+    got = {(r["user_id"], r["ts"]): r["value_mean"] for r in out.collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {(r["user_id"], r["ts"]): r["m"] for r in
+            ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts"))
+              .agg(F.round(F.avg("value"), 6).alias("m")).collect()}
+    assert got == want
