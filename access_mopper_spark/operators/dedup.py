@@ -18,13 +18,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from access_mopper_spark.functions.text import char_shingles, fingerprint
+from access_mopper_spark.operators.partitioning import ensure_min_partitions
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by normalized-text fingerprint: keep the smallest id
     per group, count members.  One shuffle on the hash key."""
     return (
-        df.withColumn("fp", fingerprint(F.col(text_col)))
+        ensure_min_partitions(df).withColumn("fp", fingerprint(F.col(text_col)))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
     )
@@ -32,35 +33,48 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 4,
                       shingle_k: int = 5, shingle_kind: str = "char") -> DataFrame:
-    """Append minhash_0..n-1 columns: min over shingles of
-    md5(seed_i || shingle).  Min of hex strings ≡ min of the underlying
-    128-bit ints — portable across engines without bigint casts.
+    """Append minhash_0..n-1 columns: each hash is min over shingles of an
+    8-hex-char (32-bit) slice of md5(seed_g || shingle) — FOUR independent
+    hash functions per md5 evaluation (one digest, four disjoint 32-bit
+    lanes), so n hashes cost ceil(n/4) md5s per shingle instead of n.
+    Min of fixed-width hex strings ≡ min of the underlying 32-bit ints —
+    portable across engines without bigint casts.
 
     ``shingle_kind``: 'char' (k-char sliding window) or 'word' (k-word
     n-grams).  Word shingles discriminate far better when the character
     vocabulary is small (min-of-hash over a shared shingle pool
     degenerates → band buckets collide quadratically)."""
     from access_mopper_spark.functions.text import word_shingles
+    df = ensure_min_partitions(df)  # md5-per-shingle is CPU-bound: run wide
     sh = (char_shingles(F.col(text_col), shingle_k) if shingle_kind == "char"
           else word_shingles(F.col(text_col), shingle_k))
 
-    # One fold over the shingle array computes ALL n mins (struct
-    # accumulator): the shingle array is built once and scanned once,
-    # instead of n transformed arrays materializing per row. md5 hex
-    # strings compare lexicographically ≥ 'f'-max sentinel.
-    sentinel = "g" * 32
-    init = F.struct(*[F.lit(sentinel).alias(f"m{i}") for i in range(n_hashes)])
+    # PySpark infers lambda arity from the signature, so closures must be
+    # built by factories (a default arg would masquerade as the index
+    # parameter of transform/aggregate).
+    def hash_fn(g):
+        return lambda s: F.md5(F.concat(F.lit(f"seed{g}:"), s))
 
-    def merge(acc, s):
-        return F.struct(*[
-            F.least(acc[f"m{i}"], F.md5(F.concat(F.lit(f"seed{i}:"), s))).alias(f"m{i}")
-            for i in range(n_hashes)
+    def merge_fn(k):
+        return lambda acc, h: F.struct(*[
+            F.least(acc[f"m{j}"], F.substring(h, j * 8 + 1, 8)).alias(f"m{j}")
+            for j in range(k)
         ])
 
-    out = df.withColumn("__mh", F.aggregate(sh, init, merge))
-    for i in range(n_hashes):
-        out = out.withColumn(f"minhash_{i}", F.col("__mh")[f"m{i}"])
-    return out.drop("__mh")
+    out = df
+    n_groups = (n_hashes + 3) // 4
+    for g in range(n_groups):
+        k = min(4, n_hashes - 4 * g)
+        # md5 once per (shingle, group) in a transform; the fold then takes
+        # k lane-mins per element — one digest feeding up to 4 hash lanes.
+        # 'g'*8 sentinel sorts after every hex string.
+        hashes = F.transform(sh, hash_fn(g))
+        init = F.struct(*[F.lit("g" * 8).alias(f"m{j}") for j in range(k)])
+        out = out.withColumn(f"__mh{g}", F.aggregate(hashes, init, merge_fn(k)))
+        for j in range(k):
+            out = out.withColumn(f"minhash_{4 * g + j}", F.col(f"__mh{g}")[f"m{j}"])
+        out = out.drop(f"__mh{g}")
+    return out
 
 
 def lsh_band_keys(sig_df: DataFrame, n_hashes: int = 4, band_size: int = 2) -> DataFrame:
@@ -86,6 +100,7 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     for the exact-Jaccard verify.  Bucket sizes stay bounded because
     word-shingle minhashes are diverse (see minhash_signature note)."""
     from access_mopper_spark.functions.text import word_shingles
+    df = ensure_min_partitions(df)
     sig = lsh_band_keys(
         minhash_signature(df, text_col, n_hashes, shingle_k, shingle_kind),
         n_hashes, band_size)
@@ -127,6 +142,7 @@ def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
     Pure Column math: explode-free via aggregate over the shingle array —
     for each bit b, popcount-style vote = Σ (2·bit−1).
     """
+    df = ensure_min_partitions(df)
     sh = F.array_distinct(char_shingles(F.col(text_col), shingle_k))
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
 

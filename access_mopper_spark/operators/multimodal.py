@@ -85,8 +85,10 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
                 "height": [d[1] for d in dims],
             })
 
+    from access_mopper_spark.operators.partitioning import ensure_min_partitions
+
     cols = [id_col, media_type_col, payload_col]
-    return df.select(*cols).mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return ensure_min_partitions(df.select(*cols)).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",

@@ -657,10 +657,10 @@ def q_fingerprint(spark, sf_dir):
       WHERE g.i <= greatest(length(d.text) - 4, 1)
     )
     SELECT doc_id,
-           MIN(md5('seed0:' || s)) AS minhash_0,
-           MIN(md5('seed1:' || s)) AS minhash_1,
-           MIN(md5('seed2:' || s)) AS minhash_2,
-           MIN(md5('seed3:' || s)) AS minhash_3
+           MIN(substring(md5('seed0:' || s), 1, 8)) AS minhash_0,
+           MIN(substring(md5('seed0:' || s), 9, 8)) AS minhash_1,
+           MIN(substring(md5('seed0:' || s), 17, 8)) AS minhash_2,
+           MIN(substring(md5('seed0:' || s), 25, 8)) AS minhash_3
     FROM sh GROUP BY doc_id
     """,
 )
@@ -685,9 +685,12 @@ def q_minhash_band(spark, sf_dir):
     ),
     sig AS (
       SELECT doc_id,
-             MIN(md5('seed0:' || s)) AS m0, MIN(md5('seed1:' || s)) AS m1,
-             MIN(md5('seed2:' || s)) AS m2, MIN(md5('seed3:' || s)) AS m3,
-             MIN(md5('seed4:' || s)) AS m4, MIN(md5('seed5:' || s)) AS m5
+             MIN(substring(md5('seed0:' || s), 1, 8)) AS m0,
+             MIN(substring(md5('seed0:' || s), 9, 8)) AS m1,
+             MIN(substring(md5('seed0:' || s), 17, 8)) AS m2,
+             MIN(substring(md5('seed0:' || s), 25, 8)) AS m3,
+             MIN(substring(md5('seed1:' || s), 1, 8)) AS m4,
+             MIN(substring(md5('seed1:' || s), 9, 8)) AS m5
       FROM sh GROUP BY doc_id
     ),
     band AS (SELECT doc_id, md5(m0 || '|' || m1) AS b0, md5(m2 || '|' || m3) AS b1,

@@ -30,8 +30,10 @@ def docs(spark):
 
 
 def py_minhash(text, seed, k=5):
+    # lane 0 of the split digest: first 8 hex chars of md5(seed || shingle)
     n = max(len(text) - (k - 1), 1)
-    return min(hashlib.md5((seed + text[i:i + k]).encode()).hexdigest() for i in range(n))
+    return min(hashlib.md5((seed + text[i:i + k]).encode()).hexdigest()[:8]
+               for i in range(n))
 
 
 def test_minhash_matches_python(spark, docs):
