@@ -1673,3 +1673,126 @@ def q_derivability(spark, sf_dir):
     avail = nation.where(F.col("n_nationkey") < 15).select(F.col("n_name").alias("name"))
     mapping = spark.createDataFrame(_DERIV_MAPPINGS, ["cmor_var", "input_vars"])
     return derivability_closure(avail, mapping)
+
+
+# =====================================================================
+# bounds validation, level relabel, tile average, filename timestamps
+# =====================================================================
+
+@query(
+    "q_bounds_check",
+    oracle="""
+    WITH axis AS (
+      SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS t
+      FROM events
+    ),
+    e AS (
+      SELECT t, epoch_us(t) AS tu,
+             epoch_us(LAG(t) OVER (ORDER BY t)) AS pu,
+             epoch_us(LEAD(t) OVER (ORDER BY t)) AS nu
+      FROM axis
+    ),
+    b AS (
+      SELECT t,
+             make_timestamp(CAST(FLOOR(COALESCE(pu + (tu - pu) / 2.0,
+                                                tu - (nu - tu) / 2.0)) AS BIGINT)) AS bnd_lo,
+             make_timestamp(CAST(FLOOR(COALESCE(tu + (nu - tu) / 2.0,
+                                                tu + (tu - pu) / 2.0)) AS BIGINT)) AS bnd_hi
+      FROM e
+    )
+    SELECT t, bnd_lo, bnd_hi,
+           ABS(epoch(bnd_hi) - epoch(bnd_lo) - 86400.0) / 86400.0 <= 0.01 AS width_ok
+    FROM b
+    """,
+)
+def q_bounds_check(spark, sf_dir):
+    """Bounds derivation + width validation (get_bounds roll math +
+    check_time_bnds ±1% tolerance, mop_utils.py:678-755, :630-642):
+    lag/lead over the tiny axis table, then an assertion column."""
+    from access_mopper_spark.operators.bounds import (check_bounds_width,
+                                                      derive_time_bounds)
+    ev = load_table(spark, sf_dir, "events")
+    axis = ev.select(F.date_trunc("day", "ts").alias("t")).distinct()
+    bounds = derive_time_bounds(axis, "t")
+    return check_bounds_width(bounds, 86400.0, tol=0.01)
+
+
+_LEVEL_HEIGHTS = [(1, 20.0), (2, 80.0), (3, 180.0), (4, 320.0),
+                  (5, 500.0), (6, 720.0), (7, 980.0)]
+
+
+@query(
+    "q_level_to_height",
+    oracle=f"""
+    WITH levels(lev, height_m) AS (
+      VALUES {", ".join(f"({l}, {h})" for l, h in _LEVEL_HEIGHTS)}
+    )
+    SELECT l_orderkey, CAST(height_m AS DOUBLE) AS height_m,
+           ROUND(SUM(l_quantity), 6) AS qty
+    FROM lineitem JOIN levels ON l_linenumber = lev
+    GROUP BY 1, 2
+    """,
+)
+def q_level_to_height(spark, sf_dir):
+    """Vertical-dimension relabel: model level number → physical height
+    from a static table (level_to_height, calculations.py:1160-1184;
+    data/model_levels.yaml) — broadcast dim join, then the original level
+    column is dropped."""
+    li = load_table(spark, sf_dir, "lineitem")
+    levels = spark.createDataFrame(_LEVEL_HEIGHTS, ["lev", "height_m"])
+    return (
+        li.join(F.broadcast(levels), li.l_linenumber == levels.lev)
+        .groupBy("l_orderkey", "height_m")
+        .agg(R6(F.sum("l_quantity")).alias("qty"))
+    )
+
+
+@query(
+    "q_tile_ave",
+    oracle="""
+    SELECT l_orderkey, ROUND(SUM(l_quantity * l_tax), 6) AS tile_ave
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_tile_ave(spark, sf_dir):
+    """Tile-weighted average — the reference's most-used operator
+    (tileAve ×31 in shipped mappings; calculations.py:1117-1152):
+    Σ_tiles value·frac collapsing the tile dimension. Single
+    map-side-combined groupBy."""
+    from access_mopper_spark.operators.aggregates import tile_weighted_sum
+    li = load_table(spark, sf_dir, "lineitem")
+    out = tile_weighted_sum(li, "l_quantity", "l_tax", ["l_orderkey"])
+    return out.select("l_orderkey", R6(F.col("tile_ave")).alias("tile_ave"))
+
+
+@query(
+    "q_filename_timestamp",
+    oracle="""
+    WITH files AS (
+      SELECT DISTINCT 'ocean_daily_' || strftime(o_orderdate, '%Y%m%d') || '.nc' AS fname
+      FROM orders
+    )
+    SELECT fname,
+           CAST(strptime(regexp_extract(fname, '([0-9]{8})', 1), '%Y%m%d') AS TIMESTAMP)
+             AS fstamp
+    FROM files
+    WHERE strptime(regexp_extract(fname, '([0-9]{8})', 1), '%Y%m%d')
+          BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1996-12-31'
+    """,
+)
+def q_filename_timestamp(spark, sf_dir):
+    """Filename-timestamp partition pruning (check_timestamp,
+    mop_utils.py:238-295): parse the digit stamp out of heterogeneous
+    filenames, keep files overlapping [tstart, tend]. At ingest this
+    becomes the partitioner; expressed here as regexp + to_timestamp +
+    range predicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.select(
+        F.concat(F.lit("ocean_daily_"),
+                 F.date_format("o_orderdate", "yyyyMMdd"),
+                 F.lit(".nc")).alias("fname")).distinct()
+    stamp = F.to_timestamp(F.regexp_extract("fname", r"([0-9]{8})", 1), "yyyyMMdd")
+    return (
+        files.withColumn("fstamp", stamp)
+        .where(F.col("fstamp").between(F.lit("1994-01-01"), F.lit("1996-12-31")))
+    )

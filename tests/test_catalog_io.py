@@ -1,0 +1,64 @@
+"""Catalog file-format roundtrips (varlist CSV, map template, CMOR JSON)."""
+
+import json
+
+from access_mopper_spark.sources.catalog_io import (infer_varlist,
+                                                    read_cmor_table,
+                                                    read_map_template,
+                                                    read_varlist,
+                                                    write_map_template,
+                                                    write_varlist)
+
+
+def test_varlist_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("fld_s03i236", "tas", "K", "time lat lon", "1hr"),
+         ("fld_s05i216", "pr", "kg m-2 s-1", "time lat lon", "1hr")],
+        ["name", "cmor_var", "units", "dimensions", "frequency"])
+    path = str(tmp_path / "varlist")
+    write_varlist(df, path)
+    back = read_varlist(spark, path)
+    assert sorted(r["cmor_var"] for r in back.collect()) == ["pr", "tas"]
+    assert back.columns == df.columns
+
+
+def test_map_template_sections(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("tas", "fld_s03i236", "full"), ("pr", "fld_s05i216", "no_frq"),
+         ("zg", "fld_s30i297", "no_match")],
+        ["cmor_var", "input_vars", "match_tier"])
+    path = str(tmp_path / "template")
+    write_map_template(df, path)
+    back = read_map_template(spark, path)
+    tiers = {r["cmor_var"]: r["match_tier"] for r in back.collect()}
+    assert tiers == {"tas": "full", "pr": "no_frq", "zg": "no_match"}
+
+
+def test_read_cmor_table(spark, tmp_path):
+    doc = {
+        "Header": {"table_id": "Table Amon", "realm": "atmos"},
+        "variable_entry": {
+            "tas": {"units": "K", "dimensions": "longitude latitude time",
+                    "cell_methods": "area: time: mean", "frequency": "mon"},
+            "pr": {"units": "kg m-2 s-1", "dimensions": "longitude latitude time",
+                   "frequency": "mon"},
+        },
+    }
+    p = tmp_path / "CMIP6_Amon.json"
+    p.write_text(json.dumps(doc))
+    df = read_cmor_table(spark, str(p))
+    rows = {r["variable"]: r for r in df.collect()}
+    assert rows["tas"]["units"] == "K"
+    assert rows["pr"]["cell_methods"] is None
+    assert rows["tas"]["table_id"] == "Table Amon"
+
+
+def test_infer_varlist(spark, sf_dir):
+    from access_mopper_spark.sources.readers import load_tables
+    tables = load_tables(spark, sf_dir, ("region", "nation"))
+    inv = infer_varlist(spark, tables)
+    rows = inv.collect()
+    names = {(r["table"], r["name"]) for r in rows}
+    assert ("nation", "n_name") in names and ("region", "r_regionkey") in names
+    dtypes = {r["name"]: r["dtype"] for r in rows}
+    assert dtypes["n_nationkey"] == "int"

@@ -1,0 +1,83 @@
+"""Physical-plan audits: the properties that matter at 100 TB, asserted
+on the actual Catalyst output so regressions surface in CI, not on the
+cluster.
+
+- filters/projections reach the parquet scan (PushedFilters, ReadSchema)
+- small dims broadcast (BroadcastHashJoin), big joins never cartesian
+- scalar math stays inside WholeStageCodegen (no Python in the hot path)
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from access_mopper_spark.queries import QUERIES
+
+
+def plan_str(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown(spark, sf_dir):
+    df = QUERIES["q_scan_filter_project"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed, not an empty list
+    assert "PushedFilters: []" not in plan
+    # projection pruned to the referenced columns only
+    readschema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in readschema
+
+
+def test_broadcast_dim_join(spark, sf_dir):
+    df = QUERIES["q_join_revenue_by_nation"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_range_join_not_cartesian(spark, sf_dir):
+    df = QUERIES["q_range_join"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan
+    # the equi-key carries the join; range predicate is a post-filter
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_physics_stays_in_codegen(spark, sf_dir):
+    df = QUERIES["q_physics_eos"](spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    # '*(n)' prefixes mark WholeStageCodegen stages in simple mode
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interp_sql_no_python(spark, sf_dir):
+    plan = plan_str(QUERIES["q_interp_sql"](spark, sf_dir), mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_join_single_shuffle_no_cartesian(spark, sf_dir):
+    plan = plan_str(QUERIES["q_asof_join"](spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resample_partial_aggregation(spark, sf_dir):
+    # tumbling-window agg must do map-side partial aggregation:
+    # two HashAggregate levels around the exchange
+    plan = plan_str(QUERIES["q_resample_hourly"](spark, sf_dir), mode="simple")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_line_transports_single_scan(spark, sf_dir):
+    # one scan of lineitem feeding all straits — not a union of re-scans
+    plan = plan_str(QUERIES["q_line_transports"](spark, sf_dir), mode="simple")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pricing_summary_pushes_date_filter(spark, sf_dir):
+    plan = plan_str(QUERIES["q_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
