@@ -1796,3 +1796,61 @@ def q_filename_timestamp(spark, sf_dir):
         files.withColumn("fstamp", stamp)
         .where(F.col("fstamp").between(F.lit("1994-01-01"), F.lit("1996-12-31")))
     )
+
+
+# =====================================================================
+# end-to-end pipeline capstone: catalog row → bind → calc-DSL → resample
+# =====================================================================
+
+@query(
+    "q_pipeline_calc_resample",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS time,
+             SUM(value) AS value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT user_id, CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS time,
+             SUM(value) AS value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    bound AS (
+      SELECT a.user_id, a.time, a.value + b.value AS v
+      FROM a JOIN b ON a.user_id = b.user_id AND a.time = b.time
+    ),
+    o AS (
+      SELECT epoch_us(CAST(date_trunc('day', MIN(time)) AS TIMESTAMP)) AS ou FROM bound
+    ),
+    binned AS (
+      SELECT user_id, v,
+             CAST(CEIL((epoch_us(time) - ou) / 86400000000.0) AS BIGINT) AS idx
+      FROM bound, o
+    )
+    SELECT user_id,
+           make_timestamp(ou + (idx - 1) * 86400000000 + 43200000000) AS time,
+           ROUND(AVG(v), 6) AS value
+    FROM binned, o GROUP BY 1, 2
+    """,
+)
+def q_pipeline_calc_resample(spark, sf_dir):
+    """Full pipeline path on driver data (mop run semantics,
+    mopper.py:174-351): two source variables bound positionally on shared
+    dims, calc string 'var[0] + var[1]' compiled (no eval), then the
+    reference's exact resample semantics — closed='right', origin =
+    midnight of series start, label re-centred +12h (calculations.py:
+    68-137). The oracle replicates the bin edges in integer microseconds,
+    so an off-by-one-bin regression fails the hash."""
+    from access_mopper_spark.plans.pipeline import MappingRow, execute_mapping
+    ev = load_table(spark, sf_dir, "events")
+
+    def hourly(kind):
+        return (ev.where(F.col("event_type") == kind)
+                .groupBy("user_id", F.date_trunc("hour", "ts").alias("time"))
+                .agg(F.sum("value").alias("value")))
+
+    sources = {"clicks": hourly("click"), "views": hourly("view")}
+    row = MappingRow("engagement", ["clicks", "views"], "var[0] + var[1]",
+                     frequency="day", resample="1 day", reducer="mean")
+    out = execute_mapping(spark, row, sources, ["time", "user_id"], ts_col="time")
+    return out.select("user_id", "time", R6(F.col("value")).alias("value"))
