@@ -144,12 +144,17 @@ def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
     """
     df = ensure_min_partitions(df)
     sh = F.array_distinct(char_shingles(F.col(text_col), shingle_k))
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # materialize the hash array ONCE in its own projection: 64 bit-votes
+    # reference it, and CollapseProject keeps a multiply-referenced
+    # non-trivial expression un-inlined, so shingling+hashing is not
+    # recomputed per bit
+    hashed = df.withColumn("__h", F.transform(sh, lambda s: F.xxhash64(s)))
+    hcol = F.col("__h")
 
     def vote(b: int):
         # vote_b = Σ_h (2·bit_b(h) − 1);  bit set iff vote > 0
         return F.aggregate(
-            hashes, F.lit(0).cast("long"),
+            hcol, F.lit(0).cast("long"),
             lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
         )
 
@@ -157,7 +162,7 @@ def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
     for b in range(64):
         weight = F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
         acc = acc + F.when(vote(b) > 0, weight).otherwise(F.lit(0).cast("long"))
-    return df.withColumn(out_col, acc)
+    return hashed.withColumn(out_col, acc).drop("__h")
 
 
 def simhash_hamming(a, b):

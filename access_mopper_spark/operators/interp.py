@@ -27,11 +27,19 @@ from pyspark.sql import functions as F
 def plevinterp_pandas(df: DataFrame, group_cols: list[str], x_col: str, y_col: str,
                       targets: list[float], out_x: str = "plev",
                       out_y: str = "value") -> DataFrame:
-    """np.interp per group via applyInPandas.
+    """np.interp per column group, streamed through ``mapInPandas``.
 
-    Input: tall frame with one sample per row; ``x_col`` need not be
-    sorted (sorted in-kernel, matching np.interp's increasing-x
-    contract).  Output: one row per (group, target)."""
+    NOT ``applyInPandas``: that issues one Python call per group, which
+    collapses when groups are small and numerous (a (time,y,x) column key
+    at climate resolution is millions of tiny groups).  Instead the data
+    is hash-partitioned on the group key and sorted within partitions, so
+    each Arrow batch carries thousands of whole groups; the kernel loops
+    groups inside the batch and carries the (possibly split) trailing
+    group over to the next batch.  Python cost amortizes to one IPC per
+    ~10k rows instead of one per group — at any scale.
+
+    Output: one row per (group, target); x need not be pre-sorted
+    (partition sort handles np.interp's increasing-x contract)."""
     import numpy as np
     import pandas as pd
 
@@ -42,18 +50,51 @@ def plevinterp_pandas(df: DataFrame, group_cols: list[str], x_col: str, y_col: s
     schema_parts.append(f"{out_y} double")
     schema = ", ".join(schema_parts)
     tgt = np.asarray(targets, dtype="float64")
+    nt = len(tgt)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(x_col)
-        xs = pdf[x_col].to_numpy(dtype="float64")
-        ys = pdf[y_col].to_numpy(dtype="float64")
-        vals = np.interp(tgt, xs, ys)
-        out = pd.DataFrame({out_x: tgt, out_y: vals})
-        for c in group_cols:
-            out[c] = pdf[c].iloc[0]
-        return out[group_cols + [out_x, out_y]]
+    def interp_block(block: pd.DataFrame) -> pd.DataFrame:
+        keys, xs = [], block[x_col].to_numpy(dtype="float64")
+        ys = block[y_col].to_numpy(dtype="float64")
+        # group boundaries over the sorted block (no pandas groupby loop)
+        gvals = [block[c].to_numpy() for c in group_cols]
+        change = np.zeros(len(block), dtype=bool)
+        change[0] = True
+        for gv in gvals:
+            change[1:] |= gv[1:] != gv[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(block))
+        out_vals = np.empty(len(starts) * nt, dtype="float64")
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            out_vals[i * nt:(i + 1) * nt] = np.interp(tgt, xs[s:e], ys[s:e])
+        data = {c: np.repeat(gv[starts], nt) for c, gv in zip(group_cols, gvals)}
+        data[out_x] = np.tile(tgt, len(starts))
+        data[out_y] = out_vals
+        return pd.DataFrame(data)
 
-    return df.select(*group_cols, x_col, y_col).groupBy(*group_cols).applyInPandas(kernel, schema)
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # the trailing group may continue in the next batch — hold it
+            last = pdf.iloc[-1]
+            eq = np.ones(len(pdf), dtype=bool)
+            for c in group_cols:
+                eq &= (pdf[c].to_numpy() == last[c])
+            tail = int(np.argmin(eq[::-1])) if not eq.all() else len(pdf)
+            split = len(pdf) - tail
+            head, carry = pdf.iloc[:split], pdf.iloc[split:]
+            if len(head):
+                yield interp_block(head)
+        if carry is not None and len(carry):
+            yield interp_block(carry)
+
+    part = (df.select(*group_cols, x_col, y_col)
+            .repartition(*group_cols)
+            .sortWithinPartitions(*group_cols, x_col))
+    return part.mapInPandas(run, schema)
 
 
 def interp_at_targets(df: DataFrame, group_cols: list[str], x_col: str, y_col: str,

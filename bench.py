@@ -33,6 +33,16 @@ HEADLINE = [
     "q_minhash_band",
     "q_text_quality",
     "q_cosine_topk",
+    # engine core added in later milestones
+    "q_plevinterp_pandas",
+    "q_interp_sql",
+    "q_asof_join",
+    "q_pipeline_calc_resample",
+    "q_stream_resample",
+    # training-data ops
+    "q_near_dup_pairs",
+    "q_simhash",
+    "q_multimodal_features",
 ]
 
 
