@@ -1854,3 +1854,42 @@ def q_pipeline_calc_resample(spark, sf_dir):
                      frequency="day", resample="1 day", reducer="mean")
     out = execute_mapping(spark, row, sources, ["time", "user_id"], ts_col="time")
     return out.select("user_id", "time", R6(F.col("value")).alias("value"))
+
+
+@query(
+    "q_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(value) AS n, ROUND(SUM(value), 6) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stateful_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key running totals carried in the state store across
+    micro-batches — the reference's cross-file cumulative integral
+    (axm_t_integral, mop_utils.py:790-812) on an unbounded source.
+    The last emitted update per key equals the batch aggregate, which is
+    what the oracle checks."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    from access_mopper_spark.streaming.resample import stream_source
+    from access_mopper_spark.streaming.stateful import (run_stateful_to_memory,
+                                                        running_totals)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    raw = stream_source(spark, sf_dir, schema, glob="events.parquet")
+    res = running_totals(raw.select("user_id", "value"), "user_id", "value")
+    run_stateful_to_memory(res, "q_stateful_totals_sink")
+    final = (
+        spark.table("q_stateful_totals_sink")
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"), F.max_by("total", "n").alias("total"))
+    )
+    return final.select("user_id", "n", R6(F.col("total")).alias("total"))

@@ -1,0 +1,66 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's one genuinely stateful computation is the running
+time-integral accumulated across sequentially processed files
+(``axm_t_integral``, mop_utils.py:790-812: each file adds ``Σ v·dt`` to a
+carried total).  On a stream that is per-key state: the operator below
+keeps (count, sum) per group and emits the updated running aggregate
+every micro-batch — state lives in the state store, bounded by key
+cardinality, checkpointed, and recovered on restart.
+
+``applyInPandasWithState`` is the right tool precisely where windowed
+aggregation is not: the state outlives any window and is updated by an
+arbitrary Python reducer over Arrow batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
+
+STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+
+
+def running_totals(stream: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key running (count, sum, mean) across the whole stream.
+
+    Output one row per key per micro-batch in which the key saw data
+    (outputMode='update' downstream).
+    """
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("mean", DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n += int(vals.count())
+            total += float(vals.sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total],
+                            "mean": [total / n if n else None]})
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(update, out_schema, STATE_SCHEMA,
+                                "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+def run_stateful_to_memory(result: DataFrame, name: str) -> None:
+    """Drive with AvailableNow into a memory sink (update mode)."""
+    q = (
+        result.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,67 @@
+"""Stateful streaming (applyInPandasWithState) and skew-salting tests."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from access_mopper_spark.operators.skew import explode_salt_join, salted_agg
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    from access_mopper_spark.sources.readers import load_table
+    from access_mopper_spark.streaming.resample import stream_source
+    from access_mopper_spark.streaming.stateful import (run_stateful_to_memory,
+                                                        running_totals)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    raw = stream_source(spark, sf_dir, schema, glob="events.parquet")
+    res = running_totals(raw.select("user_id", "value"), "user_id", "value")
+    run_stateful_to_memory(res, "stateful_totals_sink")
+    # last emitted row per key is the final running total
+    got = (
+        spark.table("stateful_totals_sink")
+        .groupBy("user_id").agg(F.max_by("total", "n").alias("total"),
+                                F.max("n").alias("n"))
+    )
+    got_map = {r["user_id"]: (r["n"], round(r["total"], 6)) for r in got.collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id").agg(F.count("value").alias("n"),
+                                     F.round(F.sum("value"), 6).alias("total"))
+    want_map = {r["user_id"]: (r["n"], r["total"]) for r in want.collect()}
+    assert got_map == want_map
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    from access_mopper_spark.sources.readers import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_agg(li, ["l_returnflag"], "l_quantity", n_salts=8)
+    direct = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum"), F.count("l_quantity").alias("count"),
+        F.min("l_quantity").alias("min"), F.max("l_quantity").alias("max"))
+    s = {r["l_returnflag"]: (round(r["sum"], 6), r["count"], r["min"], r["max"])
+         for r in salted.collect()}
+    d = {r["l_returnflag"]: (round(r["sum"], 6), r["count"], r["min"], r["max"])
+         for r in direct.collect()}
+    assert s == d
+
+
+def test_explode_salt_join_matches_plain(spark, sf_dir):
+    from access_mopper_spark.sources.readers import load_table
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment") \
+        .withColumnRenamed("c_custkey", "o_custkey")
+    salted = explode_salt_join(orders, cust, "o_custkey", n_salts=4)
+    plain = orders.join(cust, "o_custkey")
+    assert salted.count() == plain.count()
+    sa = salted.groupBy("c_mktsegment").count().collect()
+    pl = plain.groupBy("c_mktsegment").count().collect()
+    assert {(r[0], r[1]) for r in sa} == {(r[0], r[1]) for r in pl}
