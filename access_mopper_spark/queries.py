@@ -1893,3 +1893,55 @@ def q_stateful_totals(spark, sf_dir):
         .agg(F.max("n").alias("n"), F.max_by("total", "n").alias("total"))
     )
     return final.select("user_id", "n", R6(F.col("total")).alias("total"))
+
+
+@query(
+    "q_ivf_assign",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8
+    )
+    SELECT e.vec_id,
+           ARG_MAX(c.centroid_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv))
+             AS centroid_id
+    FROM embeddings e CROSS JOIN cents c
+    GROUP BY e.vec_id
+    """,
+)
+def q_ivf_assign(spark, sf_dir):
+    """IVF index build side: nearest-centroid assignment by cosine
+    (broadcast the centroid table, max_by per vector) — the coarse
+    quantizer for inverted-file ANN. Map-side compute; one shuffle on
+    vec_id for the argmax."""
+    from access_mopper_spark.operators.similarity import ivf_assign
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8) \
+               .select(F.col("vec_id").alias("centroid_id"),
+                       F.col("embedding").alias("centroid"))
+    out = ivf_assign(emb, cents)
+    return out.select("vec_id", "centroid_id")
+
+
+@query(
+    "q_grid_vertices",
+    oracle="""
+    SELECT event_id,
+           ROUND(fmod(fmod(value * 57.29577951308232, 360) + 360, 360), 6) AS lon_deg,
+           ROUND(LEAST(90.0, GREATEST(-90.0, value * 57.29577951308232 / 4)), 6) AS lat_deg
+    FROM events
+    """,
+)
+def q_grid_vertices(spark, sf_dir):
+    """Grid-vertex normalization (get_vertices/define_grid,
+    app_functions.py:564-584, mop_utils.py:540-579): radians → degrees
+    (×57.29577951), longitudes wrapped into [0, 360) with pmod, latitudes
+    clamped to ±90 — pure Column math in codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    deg = F.col("value") * 57.29577951308232
+    return ev.select(
+        "event_id",
+        R6(F.pmod(deg, F.lit(360.0))).alias("lon_deg"),
+        R6(F.least(F.lit(90.0), F.greatest(F.lit(-90.0), deg / 4))).alias("lat_deg"),
+    )
