@@ -73,9 +73,11 @@ def execute_mapping(spark: SparkSession, row: MappingRow,
     """Run one mapping row to a result frame (extract_var semantics,
     mop_utils.py:868-927): bind → calc → optional resample → stamped
     output columns (dims + ``value``)."""
+    from access_mopper_spark.functions.macros import default_macros
+
     bound = bind_inputs(sources, row.input_vars, dim_cols)
     if row.calculation:
-        ctx = CalcContext(dim_cols=list(dim_cols))
+        ctx = CalcContext(dim_cols=list(dim_cols), macros=default_macros())
         plan = compile_calc(row.calculation, ctx)
         computed = plan.apply(bound, out_col="value")
     else:

