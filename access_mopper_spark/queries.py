@@ -1945,3 +1945,26 @@ def q_grid_vertices(spark, sf_dir):
         R6(F.pmod(deg, F.lit(360.0))).alias("lon_deg"),
         R6(F.least(F.lit(90.0), F.greatest(F.lit(-90.0), deg / 4))).alias("lat_deg"),
     )
+
+
+@query(
+    "q_distinct_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    """Distinct aggregation alongside plain aggregates (beyond-reference;
+    SURVEY §2.4 notes Spark provides it natively): Catalyst expands
+    count(distinct) into a two-phase plan — partial per-key dedup, then
+    merge — no driver-side set."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
