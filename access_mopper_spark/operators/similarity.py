@@ -123,3 +123,58 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
         F.max_by(cent_id, "__sim").alias(cent_id),
         F.first(vec_col).alias(vec_col),
     )
+
+
+# ------------------------------------------------- exact pairs via BLAS
+
+def cosine_pairs_exact(corpus: DataFrame, threshold: float, dim: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_broadcast_rows: int = 200_000) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold, exact, via blocked
+    matrix multiplication: the normalized corpus is broadcast as one numpy
+    matrix; each partition's rows multiply against it with BLAS
+    (``A_chunk @ B.T``) inside ``mapInPandas``.
+
+    This is the dense-similarity scale pattern: the O(n²) compare runs as
+    n/p × n GEMMs — hundreds of times faster than per-pair JVM array
+    folds.  The broadcast side is guarded (``max_broadcast_rows``); above
+    it, block BOTH sides (outer join of block ids) or switch to the LSH
+    path (``ann_lsh_topk``) and accept its recall.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    n = corpus.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"corpus of {n} rows exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; use blocked-blocked or LSH")
+
+    rows = corpus.select(id_col, vec_col).collect()   # bounded by guard above
+    ids = np.array([r[id_col] for r in rows], dtype="int64")
+    mat = np.array([r[vec_col] for r in rows], dtype="float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    from access_mopper_spark.operators.partitioning import ensure_min_partitions
+
+    def blocks(batches):
+        import pandas as pd
+
+        B, BI = b_mat.value, b_ids.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf[vec_col]), dtype="float64")
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            AI = pdf[id_col].to_numpy(dtype="int64")
+            sims = A @ B.T
+            ai, bi = np.nonzero((sims >= threshold) & (AI[:, None] < BI[None, :]))
+            yield pd.DataFrame({
+                "id_a": AI[ai], "id_b": BI[bi],
+                "cosine_sim": sims[ai, bi],
+            })
+
+    src = ensure_min_partitions(corpus.select(id_col, vec_col))
+    return src.mapInPandas(blocks, "id_a long, id_b long, cosine_sim double")

@@ -1420,26 +1420,15 @@ def q_stream_resample(spark, sf_dir):
     """,
 )
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, exact semantics: self-join
-    (id_a < id_b) + JVM-side cosine (zip_with/aggregate — no UDF) +
-    threshold. Exact-by-construction, hence oracle-gated; the sublinear
-    scale path (hyperplane-LSH bucketing so candidates shuffle on bucket
-    keys instead of the full cross product) is q_ann_lsh — at 100 TB you
-    run THAT and accept its recall, here we gate correctness."""
-    from access_mopper_spark.operators.similarity import as_double, dot, norm
+    """Embedding-cosine near-duplicate pairs, exact semantics, computed
+    as blocked GEMM: normalized corpus broadcast as a numpy matrix, each
+    partition multiplies its rows against it with BLAS inside mapInPandas
+    (the dense-similarity scale pattern). Exact-by-construction, hence
+    oracle-gated; the sublinear alternative at extreme n is the LSH path
+    (q_ann_lsh), trading recall."""
+    from access_mopper_spark.operators.similarity import cosine_pairs_exact
     emb = load_table(spark, sf_dir, "embeddings")
-    # normalize ONCE per vector (O(n) array passes), so each of the O(n²)
-    # pairs costs a single dot product instead of dot + two norms
-    unit = (emb.select("vec_id", as_double(F.col("embedding")).alias("__e"))
-            .withColumn("__n", norm(F.col("__e")))
-            .select("vec_id", F.transform("__e", lambda x: x / F.col("__n")).alias("__u")))
-    a = unit.select(F.col("vec_id").alias("id_a"), F.col("__u").alias("__ea"))
-    b = unit.select(F.col("vec_id").alias("id_b"), F.col("__u").alias("__eb"))
-    pairs = (
-        a.crossJoin(F.broadcast(b)).where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", dot(F.col("__ea"), F.col("__eb")))
-        .where(F.col("cosine_sim") >= 0.45)
-    )
+    pairs = cosine_pairs_exact(emb, threshold=0.45, dim=64)
     return pairs.select("id_a", "id_b", R6(F.col("cosine_sim")).alias("cosine_sim"))
 
 
