@@ -1957,3 +1957,43 @@ def q_distinct_agg(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, t, value,
+             CASE WHEN epoch_us(t) - epoch_us(LAG(t) OVER w) >= 1020000000
+                  OR LAG(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    sess AS (
+      SELECT user_id, t, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (session_window, 17-min inactivity gap) —
+    the dynamic-window family Spark adds beyond the reference's tumbling
+    resample (SURVEY §2.5 notes none exist there). Oracle replicates the
+    merge rule (an event exactly `gap` after its predecessor starts a new
+    session) with lag + running sum."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id", F.session_window("ts", "17 minutes").alias("__w"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total"))
+        .select("user_id", F.col("__w.start").alias("session_start"),
+                "n_events", R6(F.col("total")).alias("total"))
+    )
+    return out
