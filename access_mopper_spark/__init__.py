@@ -1,22 +1,22 @@
-"""access_mopper_spark — a PySpark-native analytics engine with the query and
-data-processing capabilities of ACCESS-Hive/ACCESS-MOPPeR.
+"""access_mopper_spark — PySpark-native analytics engine with the query
+and data-processing capabilities of ACCESS-Hive/ACCESS-MOPPeR, plus
+training-data pipeline operators, designed for 100 TB scale.
 
-The reference (at /root/reference, cited throughout as ``file:line``) is a
-single-node xarray/CMOR batch CMORisation tool.  This package re-expresses its
-capability surface — catalog-driven variable mapping, a safe calculation DSL,
-time resampling with exact bin-edge semantics, masked/weighted/windowed
-aggregations, vertical interpolation, schema-inference catalog tooling, and a
-metadata-enforcing partitioned sink — as idiomatic Spark DataFrame plans that
-Catalyst can optimize, plus the large-scale training-data-pipeline operators
-(dedup, similarity search, text analysis, multimodal plumbing) the reference
-lacks.
+Public surface:
 
-Design point: 1000-executor clusters over ~100 TB.  Every operator here is a
-declarative DataFrame transformation (predicate pushdown / column pruning /
-broadcast joins / AQE all apply); Python only runs inside Arrow-batched
-pandas UDFs for genuinely non-relational kernels (e.g. per-column np.interp).
+- :func:`access_mopper_spark.session.get_spark` — tuned SparkSession.
+- :mod:`access_mopper_spark.plans.pipeline` — catalog-driven lifecycle
+  (``MappingRow``, ``execute_mapping``, ``run_pipeline``).
+- :mod:`access_mopper_spark.functions.calc_dsl` — safe calc-string
+  compiler (``compile_calc``); :mod:`...functions.macros` — domain
+  function registry.
+- :mod:`access_mopper_spark.operators` — resample, interp, asof,
+  aggregates, bounds, dedup, similarity, multimodal, skew.
+- :mod:`access_mopper_spark.queries` — the oracle-checked query registry
+  driving ``__spark_entry__``.
 """
 
-__version__ = "0.1.0"
-
 from access_mopper_spark.session import get_spark  # noqa: F401
+
+__version__ = "0.1.0"
+__all__ = ["get_spark", "__version__"]

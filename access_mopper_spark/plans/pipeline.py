@@ -106,12 +106,24 @@ def run_pipeline(spark: SparkSession, rows: list[MappingRow],
                  sources: dict[str, DataFrame], dim_cols: list[str],
                  registry: SchemaRegistry, base_dir: str,
                  path_template: str = "{table}/{cmor_var}",
-                 ts_col: str = "time") -> TaskLedger:
+                 ts_col: str = "time",
+                 resume: TaskLedger | None = None) -> TaskLedger:
     """Execute every mapping row through the sink, maintaining the task
-    ledger (pool_handler + status write-back, mopper.py:472-504)."""
-    plan = spark.createDataFrame(
-        [(r.cmor_var,) for r in rows], ["task_id"])
-    ledger = TaskLedger(plan)
+    ledger (pool_handler + status write-back, mopper.py:472-504).
+
+    ``resume``: a ledger from a previous (partial) run — tasks already
+    marked ``processed`` are skipped (the reference's skip-if-exists
+    idempotent restart, mopper.py:393, :434-437); pass ``override`` by
+    simply not passing the old ledger."""
+    if resume is not None:
+        ledger = resume
+        done = {r["task_id"] for r in
+                resume.df.where("status = 'processed'").collect()}
+        rows = [r for r in rows if r.cmor_var not in done]
+    else:
+        plan = spark.createDataFrame(
+            [(r.cmor_var,) for r in rows], ["task_id"])
+        ledger = TaskLedger(plan)
     outcomes = []
     for row in rows:
         try:
@@ -127,6 +139,8 @@ def run_pipeline(spark: SparkSession, rows: list[MappingRow],
             outcomes.append((row.cmor_var, "processed"))
         except Exception:       # noqa: BLE001 — task failures land in the ledger
             outcomes.append((row.cmor_var, "failed"))
+    if not outcomes:
+        return ledger
     status = spark.createDataFrame(outcomes, ["task_id", "status"])
     return ledger.mark(status)
 

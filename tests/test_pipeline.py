@@ -69,3 +69,25 @@ def test_run_pipeline_writes_and_ledgers(spark, grids, tmp_path):
     got = back.where("lat = 10 AND lon = 90").orderBy("time").first()
     src = grids["fld_a"].where("lat = 10 AND lon = 90").orderBy("time").first()
     assert got["value"] == pytest.approx(3 * src["value"])
+
+
+def test_run_pipeline_resume_skips_processed(spark, grids, tmp_path):
+    registry = SchemaRegistry()
+    rows = [MappingRow("sum_ab", ["fld_a", "fld_b"], "var[0] + var[1]",
+                       attrs={"table": "Amon"}),
+            MappingRow("broken", ["missing_var"], None)]
+    first = run_pipeline(spark, rows, grids, DIMS, registry,
+                         str(tmp_path), "{table}/{cmor_var}")
+    # fix the broken row, resume: only the failed task re-runs
+    rows2 = [MappingRow("sum_ab", ["fld_a", "fld_b"], "var[0] * 999",
+                        attrs={"table": "Amon"}),  # would change output if re-run
+             MappingRow("broken", ["fld_a"], None, attrs={"table": "Amon"})]
+    second = run_pipeline(spark, rows2, grids, DIMS, registry,
+                          str(tmp_path), "{table}/{cmor_var}", resume=first)
+    status = {r["task_id"]: r["status"] for r in second.df.collect()}
+    assert status == {"sum_ab": "processed", "broken": "processed"}
+    # sum_ab was NOT recomputed (still var0+var1, not var0*999)
+    back = spark.read.parquet(str(tmp_path / "Amon" / "sum_ab"))
+    got = back.where("lat = 10 AND lon = 90").orderBy("time").first()
+    src = grids["fld_a"].where("lat = 10 AND lon = 90").orderBy("time").first()
+    assert got["value"] == pytest.approx(3 * src["value"])

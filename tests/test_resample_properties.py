@@ -77,3 +77,34 @@ def test_on_edge_point_closes_earlier_bin(spark):
     rows = edges_for(spark, [86400], "1 day", "right")  # exactly midnight day 2
     assert rows[0]["e"] == BASE + timedelta(days=1)
     assert rows[0]["s"] == BASE
+
+
+# ---------------------------------------------------------- as-of join
+
+asof_pairs = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=15,
+             unique=True),
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=15,
+             unique=True),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(pair=asof_pairs)
+def test_asof_backward_matches_bruteforce(spark, pair):
+    from access_mopper_spark.operators.asof import asof_join
+    lsecs, rsecs = pair
+    left = spark.createDataFrame(
+        [(i, BASE + timedelta(seconds=s)) for i, s in enumerate(lsecs)],
+        ["lid", "lt"]).withColumn("k", F.lit(1))
+    right = spark.createDataFrame(
+        [(i, BASE + timedelta(seconds=s)) for i, s in enumerate(rsecs)],
+        ["rid", "rt"]).withColumn("k", F.lit(1))
+    out = asof_join(left, right, on=["k"], left_ts="lt", right_ts="rt",
+                    right_values=["rid"], direction="backward",
+                    tiebreak=["rid"])
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    for i, s in enumerate(lsecs):
+        cands = [(rs, j) for j, rs in enumerate(rsecs) if rs <= s]
+        want = max(cands)[1] if cands else None
+        assert got.get(i) == want, (s, sorted(rsecs))
