@@ -1997,3 +1997,40 @@ def q_sessionize(spark, sf_dir):
                 "n_events", R6(F.col("total")).alias("total"))
     )
     return out
+
+
+@query(
+    "q_overturning_basin",
+    oracle="""
+    WITH summed AS (
+      SELECT o_orderpriority AS basin, EXTRACT(month FROM o_orderdate) AS y,
+             l_linenumber AS depth, SUM(l_quantity) AS xsum
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT basin, y, depth,
+           ROUND(SUM(xsum) OVER (PARTITION BY basin, y ORDER BY depth
+                                 ROWS UNBOUNDED PRECEDING)
+                 - SUM(xsum) OVER (PARTITION BY basin, y), 6) AS overturning
+    FROM summed
+    """,
+)
+def q_overturning_basin(spark, sf_dir):
+    """Full meridional overturning composite (meridionalOverturning /
+    calcOverturning, app_functions.py:101-205): zonally-summed transport
+    per (basin, y, depth), then cumulative sum over depth minus the
+    column total, per basin. One groupBy shuffle + one window shuffle on
+    (basin, y) — both windows share the partitioning so Catalyst plans a
+    single sort."""
+    from access_mopper_spark.operators.aggregates import cumsum_minus_total
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    summed = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("basin"),
+                 F.month("o_orderdate").alias("y"),
+                 F.col("l_linenumber").alias("depth"))
+        .agg(F.sum("l_quantity").alias("xsum"))
+    )
+    out = cumsum_minus_total(summed, "xsum", ["basin", "y"], "depth")
+    return out.select("basin", "y", "depth", R6(F.col("overturning")).alias("overturning"))

@@ -133,3 +133,34 @@ def test_stream_resample_matches_batch(spark, sf_dir):
             ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts"))
               .agg(F.round(F.avg("value"), 6).alias("m")).collect()}
     assert got == want
+
+
+def test_partitioned_sink_enables_pruning(spark, tmp_path):
+    """DRS partition columns must come back as partition-pruned scans:
+    reading one partition shows PartitionFilters, not a full scan."""
+    import contextlib
+    import io
+
+    reg = SchemaRegistry()
+    schema = StructType([
+        StructField("table", StringType()),
+        StructField("k", LongType()),
+        StructField("v", DoubleType()),
+    ])
+    reg.register("out_part", schema, {"var": "tas"})
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 2 == 0, "Amon").otherwise("Omon").alias("table"),
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    path = write_dataset(df, reg, "out_part", str(tmp_path), "{var}",
+                         partition_cols=["table"])
+    back = spark.read.parquet(path).where(F.col("table") == "Amon")
+    assert back.count() == 500
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the partition predicate must be IN the partition filters, pruning
+    # the Omon directory without opening its files
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "table" in pf_line and "Amon" in pf_line

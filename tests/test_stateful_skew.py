@@ -65,3 +65,44 @@ def test_explode_salt_join_matches_plain(spark, sf_dir):
     sa = salted.groupBy("c_mktsegment").count().collect()
     pl = plain.groupBy("c_mktsegment").count().collect()
     assert {(r[0], r[1]) for r in sa} == {(r[0], r[1]) for r in pl}
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """File-sink streaming with a checkpoint: stopping and restarting the
+    query must not duplicate output (exactly-once file sink semantics)."""
+    import os
+
+    from access_mopper_spark.sources.readers import load_table
+    from access_mopper_spark.streaming.resample import (stream_resample,
+                                                        stream_source)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        raw = stream_source(spark, sf_dir, schema, glob="events.parquet")
+        stream = raw.select("user_id",
+                            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+                            "value")
+        # append mode requires the watermark to close windows
+        res = stream_resample(stream, "ts", "value", "1 hour", how="sum",
+                              group_cols=["user_id"], watermark="1 hour")
+        q = (res.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    run_once()   # restart from checkpoint: no new input -> no new rows
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == n2 and n1 > 0
