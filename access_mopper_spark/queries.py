@@ -2034,3 +2034,74 @@ def q_overturning_basin(spark, sf_dir):
     )
     out = cumsum_minus_total(summed, "xsum", ["basin", "y"], "depth")
     return out.select("basin", "y", "depth", R6(F.col("overturning")).alias("overturning"))
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (beyond-reference;
+    SURVEY §2.4 notes Spark provides these natively). At extreme
+    cardinality swap for percentile_approx (t-digest sketch, mergeable
+    map-side) — same plan shape, bounded memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        R6(F.expr("percentile(l_extendedprice, 0.5)")).alias("median_price"),
+        R6(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90_price"),
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE doc_id < 60
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
+      FROM toks, generate_series(1, 300) g(i)
+      WHERE g.i <= greatest(len(w) - 2, 1)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s,
+             b.s IS NOT NULL AS hit
+      FROM sh a LEFT JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(COUNT(*) FILTER (hit)::DOUBLE /
+                 ((SELECT COUNT(*) FROM sh x WHERE x.doc_id = id_a)
+                  + (SELECT COUNT(*) FROM sh y WHERE y.doc_id = id_b)
+                  - COUNT(*) FILTER (hit)), 6) AS jaccard
+    FROM pairs WHERE hit GROUP BY id_a, id_b
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard between document pairs (no LSH): explode
+    word 3-gram shingles, equi-join on the shingle (shuffle on shingle
+    keys — never a doc cross product), count intersections, derive the
+    union from per-doc set sizes. Only pairs sharing ≥1 shingle emerge,
+    which is exactly the support of nonzero Jaccard."""
+    from access_mopper_spark.functions.text import word_shingles
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    sh = docs.select("doc_id", F.explode(
+        F.array_distinct(word_shingles(F.col("text"), 3))).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (a.join(b, "s").where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
+    out = (inter
+           .join(F.broadcast(sizes.select(F.col("doc_id").alias("id_a"),
+                                          F.col("n").alias("na"))), "id_a")
+           .join(F.broadcast(sizes.select(F.col("doc_id").alias("id_b"),
+                                          F.col("n").alias("nb"))), "id_b"))
+    return out.select("id_a", "id_b",
+                      R6(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+                      .alias("jaccard"))
