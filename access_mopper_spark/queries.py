@@ -2105,3 +2105,39 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b",
                       R6(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
                       .alias("jaccard"))
+
+
+@query(
+    "q_physics_scalars",
+    oracle="""
+    SELECT event_id,
+           ROUND(((1 - c1) - SQRT((1 - c1) * (1 - c1) - 8.84e-6 * d)) / 4.42e-6, 6)
+             AS press,
+           ROUND(SQRT(u * u + v * v), 6) AS wspeed,
+           ROUND(1 - EXP(-0.2 * 330 * ABS(value) / 10), 6) AS snowconc
+    FROM (
+      SELECT event_id, value,
+             ABS(value) * 50 AS d,
+             5.92e-3 + POW(SIN(ABS(CAST(user_id AS DOUBLE) - 75) * PI() / 180.0), 2)
+               * 5.25e-3 AS c1,
+             value AS u, value / 2 AS v
+      FROM events
+    ) x
+    """,
+)
+def q_physics_scalars(spark, sf_dir):
+    """Remaining physics scalar pack (sw_press app_functions.py:716-733,
+    wind_speed §2.8 corpus, sisnconc calculations.py:740-753) — all pure
+    Column math in whole-stage codegen, inputs derived deterministically
+    from events columns."""
+    from access_mopper_spark.functions.physics import (sisnconc_from_thickness,
+                                                       sw_press, wind_speed)
+    ev = load_table(spark, sf_dir, "events")
+    d = F.abs(F.col("value")) * 50
+    lat = F.col("user_id").cast("double") - 75
+    return ev.select(
+        "event_id",
+        R6(sw_press(d, lat)).alias("press"),
+        R6(wind_speed(F.col("value"), F.col("value") / 2)).alias("wspeed"),
+        R6(sisnconc_from_thickness(F.abs(F.col("value")) / 10)).alias("snowconc"),
+    )

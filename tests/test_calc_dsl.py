@@ -112,3 +112,36 @@ def test_macro_dispatch(spark, grid):
     out = plan.apply(grid)
     exp = grid.select((F.col("var0") * 2).alias("v")).collect()
     assert sorted(r["value"] for r in out.collect()) == sorted(r["v"] for r in exp)
+
+
+def test_ten_term_sum(spark, grid):
+    # master_map has up to 10-term sums; 3 vars here, repeated terms
+    plan = compile_calc("var[0]+var[1]+var[2]+var[0]+var[1]+var[2]+var[0]+var[1]+var[2]+var[0]")
+    one = plan.apply(grid.limit(1)).first()["value"]
+    src = grid.limit(1).first()
+    want = 4 * src["var0"] + 3 * src["var1"] + 3 * src["var2"]
+    assert one == pytest.approx(want)
+
+
+def test_isel_chain_astype(spark, grid):
+    # access.db row shape: var[0].isel(lev=0).astype(int)
+    plan = compile_calc("var[0].isel(lev=0).astype(int)")
+    out = plan.apply(grid)
+    assert dict(out.dtypes)["value"] == "bigint"
+    assert out.count() == grid.where("lev = 0").count()
+
+
+def test_mixed_scalar_linear_transform(spark, grid):
+    # "(var[0]*106*24)/(16*86400)" family
+    plan = compile_calc("(var[0]*106*24)/(16*86400)")
+    one = plan.apply(grid.limit(1)).first()["value"]
+    src = grid.limit(1).first()
+    assert one == pytest.approx((src["var0"] * 106 * 24) / (16 * 86400))
+
+
+def test_weighted_two_var_mix(spark, grid):
+    # "var[0]*917+var[1]*330" (ice+snow mass)
+    plan = compile_calc("var[0]*917+var[1]*330")
+    one = plan.apply(grid.limit(1)).first()["value"]
+    src = grid.limit(1).first()
+    assert one == pytest.approx(src["var0"] * 917 + src["var1"] * 330)
