@@ -178,3 +178,37 @@ def cosine_pairs_exact(corpus: DataFrame, threshold: float, dim: int,
 
     src = ensure_min_partitions(corpus.select(id_col, vec_col))
     return src.mapInPandas(blocks, "id_a long, id_b long, cosine_sim double")
+
+
+def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
+               k: int = 5, nprobe: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding", cent_id: str = "centroid_id",
+               cent_vec: str = "centroid",
+               query_id_col: str = "query_id") -> DataFrame:
+    """IVF probe: rank centroids per query, keep the top ``nprobe``, and
+    score ONLY the corpus vectors assigned to those lists.
+
+    The scan cost drops from |corpus| to |corpus|·nprobe/n_centroids per
+    query; the join shuffles on centroid id (bounded fan-out), never the
+    full corpus × queries.  With nprobe = n_centroids the result is
+    exactly brute force — the recall/latency dial.  Ranking uses the
+    6dp-rounded similarity with id tiebreak so ordering is deterministic
+    across engines."""
+    from pyspark.sql import Window as W
+
+    cents = centroids.select(cent_id, as_double(F.col(cent_vec)).alias("__cv"))
+    q = query.select(query_id_col, as_double(F.col(vec_col)).alias("__qv"))
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        query_id_col, "__qv", cent_id,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("__csim"))
+    wq = W.partitionBy(query_id_col).orderBy(F.col("__csim").desc(), F.col(cent_id))
+    probes = qc.withColumn("__r", F.row_number().over(wq)) \
+               .where(F.col("__r") <= nprobe).select(query_id_col, "__qv", cent_id)
+
+    lists = assigned.select(id_col, cent_id, as_double(F.col(vec_col)).alias("__ev"))
+    scored = lists.join(F.broadcast(probes), cent_id).select(
+        query_id_col, id_col,
+        F.round(cosine(F.col("__ev"), F.col("__qv")), 6).alias("cosine_sim"))
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (scored.dropDuplicates([query_id_col, id_col])
+            .withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k))

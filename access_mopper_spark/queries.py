@@ -2141,3 +2141,43 @@ def q_physics_scalars(spark, sf_dir):
         R6(wind_speed(F.col("value"), F.col("value") / 2)).alias("wspeed"),
         R6(sisnconc_from_thickness(F.abs(F.col("value")) / 10)).alias("snowconc"),
     )
+
+
+@query(
+    "q_ivf_search",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+               AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ivf_search(spark, sf_dir):
+    """IVF inverted-list search: queries probe their top-nprobe centroid
+    lists; only those lists are scored (join shuffles on centroid id,
+    never corpus × queries). Run here with nprobe = n_centroids, where
+    IVF is EXACTLY brute force — so the oracle checks the full machinery
+    (assignment, probing, list join, ranking) against plain top-k. Lower
+    nprobe trades recall for a proportional scan cut."""
+    from access_mopper_spark.operators.similarity import ivf_assign, ivf_search
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8) \
+               .select(F.col("vec_id").alias("centroid_id"),
+                       F.col("embedding").alias("centroid"))
+    assigned = ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") < 3) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_search(assigned, cents, queries, k=5, nprobe=8)

@@ -35,6 +35,12 @@ COMMENTARY = {
         "a downstream band join); md5 lanes inside whole-stage codegen.",
     "q_pricing_summary": "The classic agg pyramid: partial HashAggregate → "
         "exchange on tiny key space → final HashAggregate.",
+    "q_overturning_basin": "Overturning composite: groupBy shuffle then BOTH "
+        "windows (cumsum frame + partition total) share one sort/partitioning.",
+    "q_sessionize": "session_window: dynamic gap-merged windows planned as "
+        "a single keyed shuffle + sort-based session merge.",
+    "q_line_transports": "All straits in ONE scan: broadcast range-join "
+        "against the strait dim, box predicates vectorized post-join.",
 }
 
 
