@@ -19,20 +19,27 @@ def tiered_match(left: DataFrame, right: DataFrame,
                  tiers: list[tuple[str, list[str]]],
                  no_match_label: str = "no_match") -> DataFrame:
     """Tag each left row with the first tier whose keys find a match in
-    ``right``.  Chain of left_semi/left_anti broadcast joins — the big side
-    is never shuffled (semi/anti against a broadcast dim are map-side)."""
-    remaining = left
-    outs = []
-    for name, keys in tiers:
-        dim = F.broadcast(right.select(*keys).distinct())
-        outs.append(remaining.join(dim, keys, "left_semi")
-                    .withColumn("match_tier", F.lit(name)))
-        remaining = remaining.join(dim, keys, "left_anti")
-    outs.append(remaining.withColumn("match_tier", F.lit(no_match_label)))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    ``right``.
+
+    Single pass over the big side: one broadcast LEFT join per tier adds
+    a marker column (map-side, no shuffle, no rescan), then a CASE picks
+    the first matching tier.  The semi/anti-chain formulation reads the
+    left side once per tier; this reads it once, full stop — the
+    difference between 1 and N scans of the fact table at 100 TB."""
+    out = left
+    markers = []
+    for i, (name, keys) in enumerate(tiers):
+        dim = F.broadcast(right.select(*keys).distinct()
+                          .withColumn(f"__m{i}", F.lit(True)))
+        out = out.join(dim, keys, "left")
+        markers.append((name, f"__m{i}"))
+    tier_col = None
+    for name, m in markers:
+        tier_col = (F.when(F.col(m), name) if tier_col is None
+                    else tier_col.when(F.col(m), name))
+    tier_col = tier_col.otherwise(no_match_label)
+    return out.withColumn("match_tier", tier_col) \
+              .drop(*[m for _, m in markers])
 
 
 def tiered_join(left: DataFrame, right: DataFrame,

@@ -106,3 +106,34 @@ def test_stream_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     run_once()   # restart from checkpoint: no new input -> no new rows
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == n2 and n1 > 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming exact dedup (training-data op on an unbounded source):
+    dropDuplicatesWithinWatermark keys the state store by event_id; a
+    re-delivered duplicate within the watermark is dropped."""
+    from access_mopper_spark.streaming.resample import stream_source
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    raw = stream_source(spark, sf_dir, schema, glob="events.parquet")
+    stream = raw.select("event_id",
+                        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
+    # duplicate every record, then dedup by key within the watermark
+    doubled = stream.union(stream)
+    deduped = doubled.withWatermark("ts", "1 day") \
+                     .dropDuplicatesWithinWatermark(["event_id"])
+    q = (deduped.writeStream.format("memory").queryName("dedup_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("dedup_sink").count()
+    from access_mopper_spark.sources.readers import load_table
+    want = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got == want
