@@ -2181,3 +2181,24 @@ def q_ivf_search(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 3) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_search(assigned, cents, queries, k=5, nprobe=8)
+
+
+@query(
+    "q_column_max",
+    oracle="""
+    SELECT l_orderkey, MAX(l_quantity) AS qty_max,
+           ARG_MAX(l_linenumber, l_quantity + l_linenumber * 1e-9) AS max_level
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_column_max(spark, sf_dir):
+    """Column max over levels (column_max, app_functions.py:742-744) plus
+    the level where it occurs — max/max_by in one grouped pass. The
+    argmax key is perturbed by a level epsilon so ties resolve to the
+    deepest level identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.max("l_quantity").alias("qty_max"),
+        F.max_by("l_linenumber",
+                 F.col("l_quantity") + F.col("l_linenumber") * 1e-9).alias("max_level"),
+    )
