@@ -47,22 +47,32 @@ def tiered_join(left: DataFrame, right: DataFrame,
                 no_match_label: str = "no_match") -> DataFrame:
     """Like :func:`tiered_match` but brings the matched right row along
     (the reference keeps the matched mapping row's calculation/resample).
-    Single-pass alternative: union the per-tier joins and keep the best
-    tier per left key via min_by — used when tier count is larger."""
-    remaining = left
-    outs = None
-    right_cols = [c for c in right.columns]
-    for name, keys in tiers:
-        matched = remaining.join(F.broadcast(right), keys, "inner") \
-                           .withColumn("match_tier", F.lit(name))
-        outs = matched if outs is None else outs.unionByName(matched)
-        remaining = remaining.join(F.broadcast(right.select(*keys).distinct()), keys, "left_anti")
-    no_match = remaining
-    for c in right_cols:
-        if c not in no_match.columns:
-            no_match = no_match.withColumn(c, F.lit(None))
-    no_match = no_match.withColumn("match_tier", F.lit(no_match_label))
-    return outs.unionByName(no_match, allowMissingColumns=True) if outs is not None else no_match
+
+    Same single-pass shape: per tier a broadcast LEFT join attaches the
+    matched right row as a struct payload; the first non-null payload in
+    tier order wins (coalesce), so the big side is scanned once.  If a
+    tier's keys match several right rows, an arbitrary-but-deterministic
+    one is kept (min struct) — mirroring the reference's fetchone."""
+    payload_cols = [c for c in right.columns]
+    out = left
+    markers = []
+    for i, (name, keys) in enumerate(tiers):
+        # identical struct schema across tiers (all right columns) so the
+        # tier-priority coalesce below type-checks
+        pay = right.groupBy(*keys).agg(
+            F.min(F.struct(*[F.col(c) for c in payload_cols])).alias(f"__p{i}"))
+        out = out.join(F.broadcast(pay), keys, "left")
+        markers.append((name, f"__p{i}"))
+    tier_col = None
+    for name, m in markers:
+        tier_col = (F.when(F.col(m).isNotNull(), name) if tier_col is None
+                    else tier_col.when(F.col(m).isNotNull(), name))
+    out = out.withColumn("match_tier", tier_col.otherwise(no_match_label))
+    best = F.coalesce(*[F.col(m) for _, m in markers])
+    for c in payload_cols:
+        if c not in out.columns:       # left/key columns keep the left value
+            out = out.withColumn(c, best[c])
+    return out.drop(*[m for _, m in markers])
 
 
 FREQ_LADDER = ["10yr", "yr", "mon", "10day", "7day", "day", "12hr", "6hr",

@@ -36,8 +36,12 @@ def stream_resample(stream: DataFrame, ts_col: str, value_col: str, every: str,
                     watermark: str = "1 day") -> DataFrame:
     """Watermarked tumbling-window aggregate.
 
-    Window label convention matches the batch ``time_resample``: the
-    window start marks the bin, and the bin is [start, end) in event time.
+    Labels use the window START (Spark's streaming convention; bins are
+    [start, end) in event time).  Note this differs from the batch
+    ``time_resample`` default, which re-centres labels to the bin middle
+    per the reference (calculations.py:111-113) — downstream consumers
+    re-label with ``start + width/2`` when parity with batch output is
+    needed.
     """
     group_cols = group_cols or []
     agg = AGGS[how]

@@ -62,3 +62,23 @@ def test_infer_varlist(spark, sf_dir):
     assert ("nation", "n_name") in names and ("region", "r_regionkey") in names
     dtypes = {r["name"]: r["dtype"] for r in rows}
     assert dtypes["n_nationkey"] == "int"
+
+
+def test_tiered_join_brings_payload(spark):
+    from access_mopper_spark.catalog.matching import tiered_join
+    left = spark.createDataFrame(
+        [("tas", "1hr", "CM2"), ("pr", "3hr", "CM2"), ("zg", "day", "OM2")],
+        ["var", "freq", "model"])
+    right = spark.createDataFrame(
+        [("tas", "1hr", "CM2", "calcA"), ("pr", "3hr", "ESM", "calcB")],
+        ["var", "freq", "model", "calculation"])
+    out = tiered_join(left, right,
+                      [("full", ["var", "freq", "model"]),
+                       ("no_ver", ["var", "freq"])])
+    rows = {r["var"]: r for r in out.collect()}
+    assert rows["tas"]["match_tier"] == "full" and rows["tas"]["calculation"] == "calcA"
+    # pr matches only once version is dropped; payload still carried
+    assert rows["pr"]["match_tier"] == "no_ver" and rows["pr"]["calculation"] == "calcB"
+    # left's own model value is preserved (not overwritten by the match)
+    assert rows["pr"]["model"] == "CM2"
+    assert rows["zg"]["match_tier"] == "no_match" and rows["zg"]["calculation"] is None

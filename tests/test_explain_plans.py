@@ -81,3 +81,20 @@ def test_line_transports_single_scan(spark, sf_dir):
 def test_pricing_summary_pushes_date_filter(spark, sf_dir):
     plan = plan_str(QUERIES["q_pricing_summary"](spark, sf_dir))
     assert "PushedFilters: [" in plan
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    # AQE must be on and rewriting shuffle reads at runtime
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = QUERIES["q_pricing_summary"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()   # materialize -> final plan
+    plan = plan_str(df, mode="simple")
+    assert "AdaptiveSparkPlan" in plan
+
+
+def test_tiered_match_single_scan_of_big_side(spark, sf_dir):
+    plan = plan_str(QUERIES["q_tiered_match"](spark, sf_dir), mode="simple")
+    # single-pass: the big (customer-derived) side appears once; all tier
+    # dims are broadcast left joins — no anti-join rescans
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" not in plan
