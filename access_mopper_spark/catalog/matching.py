@@ -75,34 +75,8 @@ def tiered_join(left: DataFrame, right: DataFrame,
     return out.drop(*[m for _, m in markers])
 
 
-FREQ_LADDER = ["10yr", "yr", "mon", "10day", "7day", "day", "12hr", "6hr",
-               "3hr", "1hr", "30min", "10min"]
-
-
-def nearest_frequency(requested: DataFrame, available: DataFrame,
-                      req_freq: str = "frequency", avail_freq: str = "frequency",
-                      on: list[str] = ()) -> DataFrame:
-    """Nearest-higher-frequency fallback (find_nearest,
-    mop_setup.py:108-153): if the exact frequency is missing, pick the
-    nearest HIGHER frequency along the ordered ladder and synthesize a
-    ``resample`` instruction.
-
-    As-of join on frequency rank: rank both sides on the ladder, keep
-    available candidates with rank >= requested rank (higher frequency =
-    larger rank index), choose the minimum such rank via min_by."""
-    ladder = F.array(*[F.lit(x) for x in FREQ_LADDER])
-    req = requested.withColumn("__req_rank", F.array_position(ladder, F.col(req_freq)))
-    av = available.withColumn("__avail_rank", F.array_position(ladder, F.col(avail_freq))) \
-                  .withColumnRenamed(avail_freq, "__avail_freq")
-    joined = req.join(F.broadcast(av), list(on), "left") \
-                .where(F.col("__avail_rank") >= F.col("__req_rank"))
-    picked = joined.groupBy(*requested.columns).agg(
-        F.min_by("__avail_freq", F.col("__avail_rank")).alias("matched_frequency"),
-    )
-    return picked.withColumn(
-        "resample",
-        F.when(F.col("matched_frequency") != F.col(req_freq), F.col(req_freq)),
-    )
+# Nearest-frequency ladder fallback lives in plans/planner.py
+# (``nearest_frequency`` — the planner owns resample injection).
 
 
 def derivability_closure(available_vars: DataFrame, mapping: DataFrame,

@@ -168,3 +168,22 @@ def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
 def simhash_hamming(a, b):
     """Hamming distance between two simhash64 Columns (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         id_col: str = "doc_id", salt: str = "split0") -> DataFrame:
+    """Deterministic hash-based sampling — the train-data split
+    primitive: reproducible across runs, engines, and cluster sizes (no
+    RNG state; membership is a pure function of the id).  Uniform per-id
+    hashing samples every stratum at ≈fraction, so stratified splits need
+    no grouping; disjoint splits come from distinct salts.
+
+    ``md5(salt || id)`` is uniform in hex space, so comparing the digest
+    against the fraction's hex threshold keeps ≈``fraction`` of each
+    stratum.  Map-only: no shuffle, no sort, works identically at 100 TB.
+    """
+    if not (0.0 < fraction < 1.0):
+        raise ValueError("fraction must be in (0, 1)")
+    threshold = format(int(fraction * 16**8), "08x")
+    digest = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return df.where(F.substring(digest, 1, 8) < threshold)

@@ -2202,3 +2202,23 @@ def q_column_max(spark, sf_dir):
         F.max_by("l_linenumber",
                  F.col("l_quantity") + F.col("l_linenumber") * 1e-9).alias("max_level"),
     )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < format('{:08x}', CAST(0.2 * 4294967296 AS BIGINT))
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for train/val splits
+    (beyond-reference training-data op): membership is a pure function
+    of md5(salt || id) against the fraction's hex threshold — no RNG
+    state, identical on any engine or cluster size, map-only."""
+    from access_mopper_spark.operators.dedup import deterministic_sample
+    docs = load_table(spark, sf_dir, "documents")
+    out = deterministic_sample(docs, 0.2)
+    return out.select("doc_id", "lang")
