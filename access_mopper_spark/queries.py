@@ -2222,3 +2222,31 @@ def q_stratified_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = deterministic_sample(docs, 0.2)
     return out.select("doc_id", "lang")
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents WHERE doc_id < 20
+    ),
+    corpus AS (
+      SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents
+    )
+    SELECT c.doc_id FROM corpus c
+    WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.fp = c.fp)
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (training-data op): drop corpus docs
+    whose NORMALIZED fingerprint appears in the held-out set — left_anti
+    against a broadcast fingerprint list, so formatting/casing tweaks of
+    a contaminated document still match. Map-side at any corpus size."""
+    from access_mopper_spark.functions.text import fingerprint
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    bench = docs.where(F.col("doc_id") < 20) \
+                .select(fingerprint(F.col("text")).alias("fp")).distinct()
+    return corpus.join(F.broadcast(bench), "fp", "left_anti").select("doc_id")
