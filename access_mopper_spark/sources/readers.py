@@ -32,6 +32,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps — matching DuckDB's ns→µs floor when it hands rows to
     Python."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # pin UTC at runtime: bin edges (date_trunc/window/month) must not
+    # shift with the host session's timezone — the driver runs a vanilla
+    # SparkSession, not our get_spark
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

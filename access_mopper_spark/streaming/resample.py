@@ -25,6 +25,7 @@ def stream_source(spark: SparkSession, path: str, schema, glob: str | None = Non
     """File-stream over a parquet directory with a declared schema
     (streaming scans cannot infer; FileStreamSource requires a directory,
     so single files are selected via ``pathGlobFilter``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # window edges must not drift with host session TZ
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
