@@ -96,3 +96,14 @@ def derivability_closure(available_vars: DataFrame, mapping: DataFrame,
         .where(F.col("derivable"))
         .drop("derivable")
     )
+
+
+def upsert_ignore(existing: DataFrame, incoming: DataFrame,
+                  keys: list[str]) -> DataFrame:
+    """``INSERT OR IGNORE`` catalog upsert (update_db/add_row,
+    mopdb_utils.py:190-218, setup_utils.py:370-402): incoming rows are
+    added only when their key is absent; on conflict the EXISTING row
+    wins.  One anti-join (map-side when the catalog side broadcasts) +
+    union — the merge shape any upsert-capable table format executes."""
+    fresh = incoming.join(existing.select(*keys).distinct(), keys, "left_anti")
+    return existing.unionByName(fresh)

@@ -2250,3 +2250,33 @@ def q_decontaminate(spark, sf_dir):
     bench = docs.where(F.col("doc_id") < 20) \
                 .select(fingerprint(F.col("text")).alias("fp")).distinct()
     return corpus.join(F.broadcast(bench), "fp", "left_anti").select("doc_id")
+
+
+@query(
+    "q_upsert_ignore",
+    oracle="""
+    WITH existing AS (
+      SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey < 20
+    ),
+    incoming AS (
+      SELECT s_suppkey, 'UPDATED_' || s_name AS s_name, s_nationkey
+      FROM supplier WHERE s_suppkey < 30
+    )
+    SELECT * FROM existing
+    UNION ALL
+    SELECT i.* FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.s_suppkey = i.s_suppkey)
+    """,
+)
+def q_upsert_ignore(spark, sf_dir):
+    """Catalog upsert with INSERT OR IGNORE semantics (update_db,
+    mopdb_utils.py:190-218): on key conflict the existing row wins, new
+    keys append — anti-join + union, broadcastable on the catalog side."""
+    from access_mopper_spark.catalog.matching import upsert_ignore
+    sup = load_table(spark, sf_dir, "supplier")
+    existing = sup.where(F.col("s_suppkey") < 20) \
+                  .select("s_suppkey", "s_name", "s_nationkey")
+    incoming = sup.where(F.col("s_suppkey") < 30).select(
+        "s_suppkey", F.concat(F.lit("UPDATED_"), F.col("s_name")).alias("s_name"),
+        "s_nationkey")
+    return upsert_ignore(existing, incoming, ["s_suppkey"])
