@@ -105,16 +105,19 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         minhash_signature(df, text_col, n_hashes, shingle_k, shingle_kind),
         n_hashes, band_size)
     n_bands = (n_hashes + band_size - 1) // band_size
-    ids = sig.select(id_col, *[f"band_{b}" for b in range(n_bands)])
-
-    cand = None
-    for b in range(n_bands):
-        a = ids.select(F.col(id_col).alias("id_a"), F.col(f"band_{b}").alias("bk"))
-        bdf = ids.select(F.col(id_col).alias("id_b"), F.col(f"band_{b}").alias("bk"))
-        pairs = a.join(bdf, "bk").where(F.col("id_a") < F.col("id_b")) \
-                 .select("id_a", "id_b")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    # one (band_idx, band_key) row per doc per band → a SINGLE self-join
+    # on the composite key replaces n_bands joins + union: one signature
+    # computation, one shuffle, same candidate set (pairs agreeing on any
+    # band), and the band_idx in the key keeps different bands' buckets
+    # from cross-matching
+    ids = sig.select(id_col, F.explode(F.array(*[
+        F.struct(F.lit(b).alias("bi"), F.col(f"band_{b}").alias("bk"))
+        for b in range(n_bands)])).alias("__b")) \
+        .select(id_col, F.col("__b.bi").alias("bi"), F.col("__b.bk").alias("bk"))
+    a = ids.select(F.col(id_col).alias("id_a"), "bi", "bk")
+    bdf = ids.select(F.col(id_col).alias("id_b"), "bi", "bk")
+    cand = (a.join(bdf, ["bi", "bk"]).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
 
     shingles = F.array_distinct(
         char_shingles(F.col(text_col), shingle_k) if shingle_kind == "char"
