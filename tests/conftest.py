@@ -10,7 +10,12 @@ SF_CORRECT = os.environ.get("SPARK_GRAFT_CORRECT_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", extra_conf={"spark.driver.memory": "6g"})
+    s = get_spark(app_name="tests", extra_conf={
+        "spark.driver.memory": "6g",
+        # keep catalog/bucketing artifacts out of the repo dir
+        "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
+        "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/derby",
+    })
     yield s
 
 

@@ -98,3 +98,32 @@ def test_tiered_match_single_scan_of_big_side(spark, sf_dir):
     # dims are broadcast left joins — no anti-join rescans
     assert plan.count("BroadcastHashJoin") >= 2
     assert "LeftAnti" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Bucketing co-locates join keys at write time: a join of two tables
+    bucketed on the same key by the same bucket count needs NO exchange —
+    the pre-shuffle is amortized across every later join (the 100 TB
+    repeated-join strategy)."""
+    from access_mopper_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a fresh metastore forgets tables but their directories persist —
+    # clear the locations or the managed-table write refuses
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"/tmp/spark-warehouse/{t}", ignore_errors=True)
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey") \
+          .mode("overwrite").saveAsTable("b_orders")
+    li.withColumnRenamed("l_orderkey", "o_orderkey") \
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey") \
+      .mode("overwrite").saveAsTable("b_lineitem")
+    joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+    plan = plan_str(joined, mode="simple")
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+    # result is still correct
+    assert joined.count() == li.count()
