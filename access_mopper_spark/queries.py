@@ -2280,3 +2280,20 @@ def q_upsert_ignore(spark, sf_dir):
         "s_suppkey", F.concat(F.lit("UPDATED_"), F.col("s_name")).alias("s_name"),
         "s_nationkey")
     return upsert_ignore(existing, incoming, ["s_suppkey"])
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 6) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets (beyond reference; §2.4 notes Spark natively
+    covers grouping sets): all 2^k grouping combinations in one pass —
+    Catalyst expands to a single Expand + aggregate, not k² scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), R6(F.sum("l_quantity")).alias("qty"))

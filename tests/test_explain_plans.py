@@ -127,3 +127,14 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
     # result is still correct
     assert joined.count() == li.count()
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """HLL sketch vs exact: the 100 TB cardinality-estimate path must
+    land within its advertised error (rsd 5% default ~ allow 10%)."""
+    from access_mopper_spark.sources.readers import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact")).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.10
