@@ -2297,3 +2297,57 @@ def q_cube(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), R6(F.sum("l_quantity")).alias("qty"))
+
+
+@query(
+    "q_filename_formats",
+    oracle="""
+    WITH files AS (
+      SELECT 'atm_' || strftime(o_orderdate, '%Y%m') || '.nc' AS fname FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT 'ocn_daily_' || strftime(o_orderdate, '%Y%m%d') || '.nc' FROM orders WHERE o_orderkey % 3 = 1
+      UNION ALL
+      SELECT 'ice_' || strftime(o_orderdate, '%Y%m%d') || 'T0630.nc' FROM orders WHERE o_orderkey % 3 = 2
+    ),
+    parsed AS (
+      SELECT DISTINCT fname,
+             regexp_replace(regexp_extract(fname, '([0-9]{6,8}(T[0-9]{4})?)', 1),
+                            '[^0-9]', '', 'g') AS digits
+      FROM files
+    )
+    SELECT fname,
+           CAST(strptime(
+             CASE WHEN length(digits) = 6 THEN digits || '01' || '0000'
+                  WHEN length(digits) = 8 THEN digits || '0000'
+                  ELSE digits END, '%Y%m%d%H%M') AS TIMESTAMP) AS fstamp
+    FROM parsed
+    """,
+)
+def q_filename_formats(spark, sf_dir):
+    """Heterogeneous filename-timestamp normalization (check_timestamp,
+    mop_utils.py:253-291): 6-digit yyyymm, 8-digit yyyymmdd, and
+    T-separated yyyymmddThhmm stamps all normalize to a timestamp by
+    stripping non-digits and right-padding to minute precision — the
+    ingest-time partitioner for raw model output trees."""
+    orders = load_table(spark, sf_dir, "orders")
+    files = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .select(F.concat(F.lit("atm_"), F.date_format("o_orderdate", "yyyyMM"),
+                         F.lit(".nc")).alias("fname"))
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 3 == 1)
+            .select(F.concat(F.lit("ocn_daily_"),
+                             F.date_format("o_orderdate", "yyyyMMdd"),
+                             F.lit(".nc")).alias("fname")))
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 3 == 2)
+            .select(F.concat(F.lit("ice_"), F.date_format("o_orderdate", "yyyyMMdd"),
+                             F.lit("T0630.nc")).alias("fname")))
+    ).distinct()
+    digits = F.regexp_replace(
+        F.regexp_extract("fname", r"([0-9]{6,8}(T[0-9]{4})?)", 1), "[^0-9]", "")
+    padded = (F.when(F.length(digits) == 6, F.concat(digits, F.lit("010000")))
+              .when(F.length(digits) == 8, F.concat(digits, F.lit("0000")))
+              .otherwise(digits))
+    return files.select("fname",
+                        F.to_timestamp(padded, "yyyyMMddHHmm").alias("fstamp"))
