@@ -2351,3 +2351,34 @@ def q_filename_formats(spark, sf_dir):
               .otherwise(digits))
     return files.select("fname",
                         F.to_timestamp(padded, "yyyyMMddHHmm").alias("fstamp"))
+
+
+@query(
+    "q_missing_value_decode",
+    oracle="""
+    WITH decoded AS (
+      SELECT l_orderkey,
+             CASE WHEN l_discount = 0.0 THEN NULL ELSE l_quantity END AS v
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           ROUND(AVG(v), 6) AS mean_v,
+           COUNT(*) - COUNT(v) AS n_missing,
+           ROUND(SUM(COALESCE(v, 0.0)), 6) AS filled_sum
+    FROM decoded GROUP BY l_orderkey
+    """,
+)
+def q_missing_value_decode(spark, sf_dir):
+    """Missing-value decode at ingest (_FillValue/missing_value handling,
+    mop_utils.py:766-768, :914-920): sentinel values become nulls, null-
+    skipping aggregates see true data counts, and fillna(0) reproduces
+    the reference's filled path — all in one grouped pass (avg skips
+    nulls natively; no special-case branching)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.when(F.col("l_discount") == 0.0, None).otherwise(F.col("l_quantity"))
+    decoded = li.select("l_orderkey", v.alias("v"))
+    return decoded.groupBy("l_orderkey").agg(
+        R6(F.avg("v")).alias("mean_v"),
+        (F.count("*") - F.count("v")).alias("n_missing"),
+        R6(F.sum(F.coalesce(F.col("v"), F.lit(0.0)))).alias("filled_sum"),
+    )
