@@ -25,7 +25,8 @@ ts_lists = st.lists(
     st.integers(min_value=0, max_value=400 * 24 * 3600),  # seconds over ~13 months
     min_size=1, max_size=40, unique=True,
 )
-widths = st.sampled_from(["1 hour", "3 hours", "1 day", "2 days", "1 month"])
+widths = st.sampled_from(["1 hour", "3 hours", "1 day", "2 days",
+                          "1 month", "2 months", "1 year"])
 
 
 def edges_for(spark, seconds, every, closed):
@@ -62,14 +63,15 @@ def test_fixed_width_exact(spark, secs, every):
 
 
 @settings(max_examples=8, deadline=None)
-@given(secs=ts_lists)
-def test_month_bins_start_on_month_boundaries(spark, secs):
-    for r in edges_for(spark, secs, "1 month", "right"):
+@given(secs=ts_lists, every=st.sampled_from(["1 month", "2 months", "1 year"]))
+def test_month_bins_start_on_month_boundaries(spark, secs, every):
+    for r in edges_for(spark, secs, every, "right"):
         assert r["s"].day == 1 and r["s"].hour == 0 and r["s"].minute == 0
         assert r["e"].day == 1 and r["e"].hour == 0
-        # edge membership: a point exactly at a month start belongs to the
-        # earlier month
-        if r["t"].day == 1 and r["t"].hour == 0 and r["t"].minute == 0 and r["t"].second == 0:
+        # edge membership: a point exactly on a bin-closing month start
+        # belongs to the earlier bin
+        if (r["t"].day == 1 and r["t"].hour == 0 and r["t"].minute == 0
+                and r["t"].second == 0 and every == "1 month"):
             assert r["e"] == r["t"]
 
 
