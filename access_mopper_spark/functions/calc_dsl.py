@@ -234,6 +234,13 @@ class _Compiler(ast.NodeVisitor):
             return target
         if meth == "where":
             cond = self._expr(node.args[0])
+            # drop=True (sithick, calculations.py:720-737): remove the
+            # rows entirely instead of nulling the value
+            for kw in node.keywords:
+                if kw.arg == "drop" and isinstance(kw.value, ast.Constant) \
+                        and kw.value.value is True:
+                    self.plan.filters.append(cond)
+                    return target
             other = self._expr(node.args[1]) if len(node.args) > 1 else F.lit(None)
             return F.when(cond, target).otherwise(other)
         if meth == "fillna":

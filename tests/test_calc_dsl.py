@@ -145,3 +145,11 @@ def test_weighted_two_var_mix(spark, grid):
     one = plan.apply(grid.limit(1)).first()["value"]
     src = grid.limit(1).first()
     assert one == pytest.approx(src["var0"] * 917 + src["var1"] * 330)
+
+
+def test_where_drop_true_filters_rows(spark, grid):
+    # sithick shape: aice.where(aice > 1e-3, drop=True)
+    plan = compile_calc("var[0].where(var[1] != 1, drop=True)")
+    out = plan.apply(grid)
+    assert out.count() == grid.where("var1 != 1").count()
+    assert out.where(F.col("value").isNull()).count() == 0
