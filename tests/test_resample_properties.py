@@ -110,3 +110,26 @@ def test_asof_backward_matches_bruteforce(spark, pair):
         cands = [(rs, j) for j, rs in enumerate(rsecs) if rs <= s]
         want = max(cands)[1] if cands else None
         assert got.get(i) == want, (s, sorted(rsecs))
+
+
+@settings(max_examples=10, deadline=None)
+@given(pair=asof_pairs)
+def test_asof_forward_matches_bruteforce(spark, pair):
+    from access_mopper_spark.operators.asof import asof_join
+    lsecs, rsecs = pair
+    left = spark.createDataFrame(
+        [(i, BASE + timedelta(seconds=s)) for i, s in enumerate(lsecs)],
+        ["lid", "lt"]).withColumn("k", F.lit(1))
+    right = spark.createDataFrame(
+        [(i, BASE + timedelta(seconds=s)) for i, s in enumerate(rsecs)],
+        ["rid", "rt"]).withColumn("k", F.lit(1))
+    out = asof_join(left, right, on=["k"], left_ts="lt", right_ts="rt",
+                    right_values=["rid"], direction="forward",
+                    tiebreak=["rid"])
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    for i, s in enumerate(lsecs):
+        cands = [(rs, j) for j, rs in enumerate(rsecs) if rs >= s]
+        # forward nearest: smallest rt >= lt; tiebreak keeps the LAST in
+        # descending (rid) order, i.e. the smallest rid — min() matches
+        want = min(cands)[1] if cands else None
+        assert got.get(i) == want, (s, sorted(rsecs))
