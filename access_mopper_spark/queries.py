@@ -2382,3 +2382,26 @@ def q_missing_value_decode(spark, sf_dir):
         (F.count("*") - F.count("v")).alias("n_missing"),
         R6(F.sum(F.coalesce(F.col("v"), F.lit(0.0)))).alias("filled_sum"),
     )
+
+
+@query(
+    "q_macro_ocean_surface",
+    oracle="""
+    SELECT l_orderkey AS k, l_quantity AS value
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def q_macro_ocean_surface(spark, sf_dir):
+    """Mapping-catalog macro through the compiler: the calc string
+    'ocean_surface(var[0])' (app_functions.py:448-450) resolves via the
+    macro registry to a surface-level frame filter — the reference's
+    extension mechanism end-to-end, no eval anywhere."""
+    from access_mopper_spark.functions.calc_dsl import CalcContext, compile_calc
+    from access_mopper_spark.functions.macros import default_macros
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(F.col("l_orderkey").alias("k"),
+                    (F.col("l_linenumber") - 1).alias("lev"),
+                    F.col("l_quantity").alias("var0"))
+    ctx = CalcContext(dim_cols=["k", "lev"], macros=default_macros())
+    plan = compile_calc("ocean_surface(var[0])", ctx)
+    return plan.apply(pts).select("k", "value")
