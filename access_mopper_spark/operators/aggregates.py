@@ -111,3 +111,10 @@ def ocean_floor(df: DataFrame, value: str, depth_col: str, group_cols: list[str]
 def column_max(df: DataFrame, value: str, over_col: str, group_cols: list[str]) -> DataFrame:
     """Max over levels (column_max, app_functions.py:742-744)."""
     return df.groupBy(*group_cols).agg(F.max(value).alias(f"{value}_max"))
+
+
+def add_axis(df: DataFrame, name: str, value) -> DataFrame:
+    """Expand a singleton dimension (add_axis, calculations.py:1187-1205):
+    a constant axis column, so downstream group/sort keys and the sink's
+    schema see the dimension explicitly."""
+    return df.withColumn(name, F.lit(value))

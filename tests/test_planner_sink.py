@@ -164,3 +164,11 @@ def test_partitioned_sink_enables_pruning(spark, tmp_path):
     # the Omon directory without opening its files
     pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "table" in pf_line and "Amon" in pf_line
+
+
+def test_add_axis_singleton_dim(spark):
+    from access_mopper_spark.operators.aggregates import add_axis
+    df = spark.range(3).select(F.col("id").alias("k"))
+    out = add_axis(df, "height", 2.0)
+    assert out.columns == ["k", "height"]
+    assert {r["height"] for r in out.collect()} == {2.0}
