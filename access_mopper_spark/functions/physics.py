@@ -21,26 +21,41 @@ SEAWATER_DENSITY = 1026.0  # rho_sw
 
 
 def rho_from_theta(theta: Column, salt: Column, press: Column) -> Column:
-    """In-situ density from potential temperature/salinity/pressure —
-    the EOS-80-style polynomial of app_functions.py:683-714, re-expressed
-    with Horner-style Column arithmetic (same coefficients, same term
-    grouping as the reference so values agree bitwise-close)."""
-    t, s, p = theta, salt, press * 0.1  # pressure dbar→bar as in reference
+    """In-situ density from potential temperature / salinity / pressure —
+    the Jackett & McDougall (2006) 25-term rational polynomial exactly as
+    the reference evaluates it (app_functions.py:683-714), same
+    coefficients and same term grouping.  The reference's ``pmask``
+    (zeroing the pressure terms when p == 0) is a no-op here because every
+    pressure term is a multiple of p, so p == 0 already contributes 0.
+
+    Check value (Jackett et al. 2006, and the reference's own kernel):
+    rho(theta=25 degC, s=35 psu, p=2000 db) = 1031.65056056576 kg/m3,
+    asserted by tests/test_physics.py."""
+    t, s, p = theta, salt, press
+    t2 = t * t
     zs = F.sqrt(s)
     num = (
-        9.99843699e2
-        + t * (7.35212840e0 + t * (-5.45928211e-2 + t * 3.98476704e-4))
-        + s * (2.96938239e0 + s * 2.12382341e-3 + t * -7.23268813e-3)
-        + p * (1.04004591e-2 + t * t * 1.03970529e-7
-               + s * 5.18761880e-6
-               + p * (-3.24041825e-8 + t * t * -1.23869360e-11))
+        9.9984085444849347e02
+        + t * (7.3471625860981584e00
+               + t * (-5.3211231792841769e-02 + t * 3.6492439109814549e-04))
+        + s * (2.5880571023991390e00
+               - t * 6.7168282786692355e-03
+               + s * 1.9203202055760151e-03)
+        + p * (1.1798263740430364e-02
+               + t2 * 9.8920219266399117e-08
+               + s * 4.6996642771754730e-06
+               - p * (2.5862187075154352e-08 + t2 * 3.2921414007960662e-12))
     )
     den = (
         1.0
-        + t * (7.28606739e-3 + t * (-4.60835542e-5 + t * (3.68390573e-7 + t * 1.80809186e-10)))
-        + s * (2.14691708e-3 + t * (-9.27062484e-6 + t * -1.78343643e-10)
-               + zs * (4.76534122e-6 + t * t * 1.63410736e-9))
-        + p * (5.30848875e-6 + t * t * p * -3.03175128e-16 + t * t * t * p * p * -1.27934137e-17)
+        + t * (7.2815210113327091e-03
+               + t * (-4.4787265461983921e-05
+                      + t * (3.3851002965802430e-07 + t * 1.3651202389758572e-10)))
+        + s * (1.7632126669040377e-03
+               - t * (8.8066583251206474e-06 + t2 * 1.8832689434804897e-10)
+               + zs * (5.7463776745432097e-06 + t2 * 1.4716275472242334e-09))
+        + p * (6.7103246285651894e-06
+               - (p * t) * (t2 * 2.4461698007024582e-17 + p * 9.1534417604289062e-18))
     )
     return num / den
 
@@ -53,12 +68,14 @@ def sw_press(depth: Column, lat: Column) -> Column:
     return ((1 - c1) - F.sqrt((1 - c1) * (1 - c1) - 8.84e-6 * depth)) / 4.42e-6
 
 
-def fix_packing_division(num: Column, den: Column, min_positive: Column) -> Column:
-    """Packing-safe division (app_functions.py:735-738): zero denominators
-    replaced by half the smallest positive value (an aggregate the caller
-    computes once and broadcasts as a scalar column)."""
-    safe_den = F.when(den == 0, min_positive * 0.5).otherwise(den)
-    return num / safe_den
+def fix_packing_division(num: Column, den: Column, min_positive_quotient: Column) -> Column:
+    """Packing-safe division (app_functions.py:735-738).  The reference
+    divides first and then replaces zero RESULTS (``vout == 0``) with half
+    the smallest positive result: ``vout[vout==0] = 0.5*min(vout[vout>0])``.
+    ``min_positive_quotient`` is that global aggregate — the caller
+    computes it once (1-row agg) and broadcasts it back as a scalar."""
+    vout = num / den
+    return F.when(vout == 0, min_positive_quotient * 0.5).otherwise(vout)
 
 
 def wind_speed(u: Column, v: Column) -> Column:

@@ -1063,21 +1063,21 @@ def q_upsample_interp(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
       ROUND((
-        9.99843699e2
-        + t * (7.35212840 + t * (-5.45928211e-2 + t * 3.98476704e-4))
-        + s * (2.96938239 + s * 2.12382341e-3 + t * -7.23268813e-3)
-        + p * (1.04004591e-2 + t * t * 1.03970529e-7 + s * 5.18761880e-6
-               + p * (-3.24041825e-8 + t * t * -1.23869360e-11))
+        9.9984085444849347e2
+        + t * (7.3471625860981584 + t * (-5.3211231792841769e-2 + t * 3.6492439109814549e-4))
+        + s * (2.5880571023991390 - t * 6.7168282786692355e-3 + s * 1.9203202055760151e-3)
+        + p * (1.1798263740430364e-2 + t * t * 9.8920219266399117e-8 + s * 4.6996642771754730e-6
+               - p * (2.5862187075154352e-8 + t * t * 3.2921414007960662e-12))
       ) / (
         1.0
-        + t * (7.28606739e-3 + t * (-4.60835542e-5 + t * (3.68390573e-7 + t * 1.80809186e-10)))
-        + s * (2.14691708e-3 + t * (-9.27062484e-6 + t * -1.78343643e-10)
-               + sqrt(s) * (4.76534122e-6 + t * t * 1.63410736e-9))
-        + p * (5.30848875e-6 + t * t * p * -3.03175128e-16 + t * t * t * p * p * -1.27934137e-17)
+        + t * (7.2815210113327091e-3 + t * (-4.4787265461983921e-5 + t * (3.3851002965802430e-7 + t * 1.3651202389758572e-10)))
+        + s * (1.7632126669040377e-3 - t * (8.8066583251206474e-6 + t * t * 1.8832689434804897e-10)
+               + sqrt(s) * (5.7463776745432097e-6 + t * t * 1.4716275472242334e-9))
+        + p * (6.7103246285651894e-6 - (p * t) * (t * t * 2.4461698007024582e-17 + p * 9.1534417604289062e-18))
       ), 6) AS rho
     FROM (
       SELECT l_orderkey, l_linenumber,
-             l_quantity / 2.0 AS t, l_discount * 350.0 AS s, l_extendedprice * 0.1 * 0.1 AS p
+             l_quantity / 2.0 AS t, l_discount * 350.0 AS s, l_extendedprice * 0.1 AS p
       FROM lineitem
     ) x
     """,
@@ -1532,31 +1532,38 @@ def q_zostoga(spark, sf_dir):
 @query(
     "q_safe_division",
     oracle="""
-    WITH minpos AS (
-      SELECT MIN(l_discount) FILTER (l_discount > 0) AS mp FROM lineitem
+    WITH q AS (
+      SELECT l_orderkey, l_linenumber,
+             GREATEST(l_quantity - 45.0, 0.0) / l_extendedprice AS vout
+      FROM lineitem
+    ),
+    minpos AS (
+      SELECT MIN(vout) FILTER (vout > 0) AS mp FROM q
     )
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice /
-                 CASE WHEN l_discount = 0 THEN 0.5 * mp ELSE l_discount END, 6)
-             AS packed
-    FROM lineitem, minpos
+           ROUND(CASE WHEN vout = 0 THEN 0.5 * mp ELSE vout END, 9) AS packed
+    FROM q, minpos
     """,
 )
 def q_safe_division(spark, sf_dir):
-    """Safe division with packing fix (fix_packing_division,
-    app_functions.py:735-738): zero denominators replaced by half the
-    global minimum positive value — a 1-row global aggregate broadcast
-    back as a scalar (cross-join of a single-row agg; Spark plans it as
-    BroadcastNestedLoop over one row, i.e. free)."""
+    """Packing fix (fix_packing_division, app_functions.py:735-738):
+    divide FIRST, then replace zero results with half the smallest
+    positive result — the reference's exact post-division semantics.
+    The min-positive-quotient is a 1-row global aggregate broadcast back
+    as a scalar (BroadcastNestedLoop over one row, i.e. free); the
+    numerator is clipped so a large fraction of rows genuinely exercise
+    the vout==0 replacement path."""
+    from access_mopper_spark.functions.physics import fix_packing_division
     li = load_table(spark, sf_dir, "lineitem")
-    minpos = li.agg(F.min(F.when(F.col("l_discount") > 0, F.col("l_discount")))
-                    .alias("mp"))
-    den = F.when(F.col("l_discount") == 0, 0.5 * F.col("mp")) \
-           .otherwise(F.col("l_discount"))
+    num = F.greatest(F.col("l_quantity") - 45.0, F.lit(0.0))
+    den = F.col("l_extendedprice")
+    minpos = li.agg(
+        F.min(F.when(num / den > 0, num / den)).alias("mp"))
+    packed = fix_packing_division(num, den, F.col("mp"))
     return (
         li.crossJoin(F.broadcast(minpos))
         .select("l_orderkey", "l_linenumber",
-                R6(F.col("l_extendedprice") / den).alias("packed"))
+                F.round(packed, 9).alias("packed"))
     )
 
 
