@@ -13,10 +13,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def ws_normalized(text: Column) -> Column:
+    """Collapse runs of explicit whitespace ``[ \\t\\n\\r]`` to single
+    spaces and trim.  The class is spelled out because Java's ``\\s``
+    (includes \\x0B) and RE2's (doesn't) disagree — the r1 driver run
+    caught exactly this dialect corner on ``q_token_count``."""
+    return F.trim(F.regexp_replace(text, "[ \t\n\r]+", " "))
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (reference has no tokenizer; this is the
-    standard pre-BPE proxy)."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    standard pre-BPE proxy).  Computed arithmetically — spaces-remaining
+    difference over the normalized text — instead of ``split``, so the
+    count is bit-identical across engines (no regex-split edge semantics,
+    no ``\\s`` dialect drift).  Empty/whitespace-only text counts 0."""
+    t = ws_normalized(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1)
 
 
 def occurrence_count(text: Column, needle: str) -> Column:

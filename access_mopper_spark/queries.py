@@ -731,13 +731,23 @@ def q_near_dup_pairs(spark, sf_dir):
 @query(
     "q_text_quality",
     oracle="""
+    WITH t AS (
+      SELECT source, text,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS tn
+      FROM documents
+    ), c AS (
+      SELECT source, text,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END AS ntok
+      FROM t
+    )
     SELECT source,
-           ROUND(AVG(CAST(length(regexp_split_to_array(trim(text), '\\s+') ) AS DOUBLE)), 6) AS avg_tokens,
+           ROUND(AVG(CAST(ntok AS DOUBLE)), 6) AS avg_tokens,
            ROUND(AVG(CAST(length(text) AS DOUBLE)), 6) AS avg_chars,
            ROUND(AVG(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                     / length(regexp_split_to_array(trim(text), '\\s+'))), 6) AS avg_word_len,
+                     / nullif(ntok, 0)), 6) AS avg_word_len,
            COUNT(*) AS n_docs
-    FROM documents GROUP BY source
+    FROM c GROUP BY source
     """,
 )
 def q_text_quality(spark, sf_dir):
@@ -747,7 +757,8 @@ def q_text_quality(spark, sf_dir):
     from access_mopper_spark.functions.text import token_count
     docs = load_table(spark, sf_dir, "documents")
     ntok = token_count(F.col("text"))
-    word_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / ntok
+    word_len = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                / F.nullif(ntok, F.lit(0)))
     return docs.groupBy("source").agg(
         R6(F.avg(ntok.cast("double"))).alias("avg_tokens"),
         R6(F.avg(F.length("text").cast("double"))).alias("avg_chars"),
@@ -759,19 +770,32 @@ def q_text_quality(spark, sf_dir):
 @query(
     "q_token_count",
     oracle="""
+    WITH t AS (
+      SELECT lang,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS tn
+      FROM documents
+    ), c AS (
+      SELECT lang,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END AS ntok
+      FROM t
+    )
     SELECT lang,
-           SUM(length(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
-           ROUND(AVG(CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)), 6) AS avg_tokens
-    FROM documents GROUP BY lang
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           ROUND(AVG(CAST(ntok AS DOUBLE)), 6) AS avg_tokens
+    FROM c GROUP BY lang
     """,
 )
 def q_token_count(spark, sf_dir):
-    """Token counting (whitespace tokenizer) rolled up per language."""
+    """Token counting (whitespace tokenizer) rolled up per language.
+    Token = maximal non-whitespace run, counted arithmetically over an
+    explicit [ \\t\\n\\r] class on BOTH engines — no regex-split, no \\s
+    dialect drift (the r1 driver hash-mismatch)."""
     from access_mopper_spark.functions.text import token_count
     docs = load_table(spark, sf_dir, "documents")
     ntok = token_count(F.col("text"))
     return docs.groupBy("lang").agg(
-        F.sum(ntok).alias("total_tokens"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
         R6(F.avg(ntok.cast("double"))).alias("avg_tokens"),
     )
 
