@@ -73,7 +73,12 @@ def fix_packing_division(num: Column, den: Column, min_positive_quotient: Column
     divides first and then replaces zero RESULTS (``vout == 0``) with half
     the smallest positive result: ``vout[vout==0] = 0.5*min(vout[vout>0])``.
     ``min_positive_quotient`` is that global aggregate — the caller
-    computes it once (1-row agg) and broadcasts it back as a scalar."""
+    computes it once (1-row agg) and broadcasts it back as a scalar.
+
+    Contract: callers must guarantee ``den != 0``.  The reference's numpy
+    ``num/den`` yields ±inf at den==0 (nonzero, so kept as-is), while Spark
+    non-ANSI division yields NULL — the behaviors diverge, so a zero
+    denominator is outside this function's domain (filter or mask first)."""
     vout = num / den
     return F.when(vout == 0, min_positive_quotient * 0.5).otherwise(vout)
 

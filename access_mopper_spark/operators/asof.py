@@ -67,14 +67,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
 
 def range_join_count(left: DataFrame, right: DataFrame, on: list[str],
                      left_point: Column, right_point: Column,
-                     radius_expr: str, count_alias: str = "n_in_range") -> DataFrame:
+                     radius_expr: str, count_alias: str = "n_in_range",
+                     left_keys: list[str] | None = None) -> DataFrame:
     """Interval-overlap join + count (mop_utils.py:320 overlap predicate):
-    equi-join on keys (shuffle-partitioned) with the range predicate as a
-    post-join filter — Catalyst executes the equi part as a hash/sort-merge
-    join so the range never becomes a cartesian product."""
+    for each left row, the number of right rows sharing the ``on`` keys
+    whose ``right_point`` lies within ``radius_expr`` of ``left_point``.
+    Left rows with no key match OR only out-of-range matches both get 0
+    (consistent left-join semantics).
+
+    ``left_keys`` identify a left row (default: all left columns; rows
+    identical on those columns collapse to one output row).
+
+    Scale: the equi part carries the shuffle as a hash/sort-merge join —
+    the range predicate is evaluated post-join, never a cartesian product;
+    the count is one partial-aggregated groupBy on the same keys."""
+    keys = list(left_keys or left.columns)
     r = right.select(*on, right_point.alias("__rp"))
-    joined = left.join(r, on, "left") \
-        .where(F.col("__rp").isNull() |
-               (F.col("__rp").between(left_point - F.expr(radius_expr),
-                                      left_point + F.expr(radius_expr))))
-    return joined
+    lo = left_point - F.expr(radius_expr)
+    hi = left_point + F.expr(radius_expr)
+    in_range = F.when(F.col("__rp").between(lo, hi), F.lit(1)).otherwise(F.lit(0))
+    return (
+        left.join(r, on, "left")
+        .groupBy(*keys)
+        .agg(F.sum(in_range).cast("long").alias(count_alias))
+    )

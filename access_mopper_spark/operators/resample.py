@@ -86,16 +86,41 @@ def bin_edges(ts: Column, every: str, closed: str = "right",
     return bin_start, bin_end
 
 
-# label re-centring offsets, mirroring calculations.py:111-113 ('M'→[15,'D'],
-# 'D'→[12,'h'], 'h'→[30,'m']): label = bin_start + half the nominal interval.
-def label_col(bin_start: Column, bin_end: Column, label: str = "middle") -> Column:
+# label re-centring offsets, mirroring the reference's FIXED offset table
+# (calculations.py:111-113: '30m'→[15,'T'], 'H'→[30,'T'], 'D'→[12,'h'],
+# 'M'→[15,'D'], 'Y'→[6,'M'], '10Y'→[5,'Y']): label = bin_start + half the
+# NOMINAL interval.  For fixed-width units that equals half the bin width,
+# but calendar bins diverge — the reference pins monthly labels at +15 days
+# for 31-day and 28-day months alike, and yearly at +6 calendar months.
+def label_offset(every: str) -> tuple[str, int]:
+    """('us', micros) | ('months', k) | ('days', d) — half the nominal width."""
+    n, unit = parse_every(every)
+    if unit in ("month", "year"):
+        months = n * (12 if unit == "year" else 1)
+        if months % 2 == 0:
+            return ("months", months // 2)       # 'Y'→+6M, '10Y'→+5Y
+        return ("days", 15 * months)             # 'M'→+15D (not half-width)
+    return ("us", n * _FIXED_US[unit] // 2)
+
+
+def label_col(bin_start: Column, bin_end: Column, label: str = "middle",
+              every: str | None = None) -> Column:
     if label == "left":
         return bin_start
     if label == "right":
         return bin_end
     if label == "middle":
-        half = (F.unix_micros(bin_end) - F.unix_micros(bin_start)) / F.lit(2)
-        return F.timestamp_micros((F.unix_micros(bin_start) + half).cast("long"))
+        if every is None:
+            # fall back to half the actual bin width (fixed-width bins only)
+            half = (F.unix_micros(bin_end) - F.unix_micros(bin_start)) / F.lit(2)
+            return F.timestamp_micros((F.unix_micros(bin_start) + half).cast("long"))
+        kind, amt = label_offset(every)
+        if kind == "months":
+            return F.to_timestamp(F.add_months(bin_start, amt))
+        if kind == "days":
+            return F.timestamp_micros((F.unix_micros(bin_start)
+                                       + F.lit(amt * 86_400_000_000)).cast("long"))
+        return F.timestamp_micros((F.unix_micros(bin_start) + F.lit(amt)).cast("long"))
     raise ValueError("label must be left|right|middle")
 
 
@@ -119,7 +144,8 @@ def time_resample(df: DataFrame, ts_col: str, every: str, aggs: list[Column],
         .agg(*aggs)
     )
     return (
-        out.withColumn(ts_col, label_col(F.col("__bin_start"), F.col("__bin_end"), label))
+        out.withColumn(ts_col, label_col(F.col("__bin_start"), F.col("__bin_end"), label,
+                                         every=every))
         .withColumnRenamed("__bin_start", "bin_start")
         .withColumnRenamed("__bin_end", "bin_end")
     )
@@ -160,7 +186,12 @@ def time_interpolate(df: DataFrame, ts_col: str, value_col: str, every: str,
         t0u = F.unix_micros("__t0")
         aligned = (-F.floor(-t0u / width) * width).cast("long")
         span = span.withColumn("__t0", F.timestamp_micros(aligned))
-    grid = span.select(*group_cols, F.explode(F.sequence("__t0", "__t1", step)).alias(ts_col))
+    # guard: a group spanning less than one step can leave the aligned
+    # __t0 past __t1; sequence(start, stop, +step) would throw at runtime.
+    # when() leaves the sequence unevaluated and yields NULL, and explode
+    # drops NULL rows — the group simply contributes no grid points.
+    seq = F.when(F.col("__t0") <= F.col("__t1"), F.sequence("__t0", "__t1", step))
+    grid = span.select(*group_cols, F.explode(seq).alias(ts_col))
     obs = df.select(*group_cols, ts_col, F.col(value_col).cast("double").alias("__obs"),
                     F.lit(0).alias("__grid"))
     tagged = grid.select(*group_cols, ts_col, F.lit(None).cast("double").alias("__obs"),

@@ -86,6 +86,31 @@ def test_label_middle_recentres(spark, series):
     assert got["time"].iloc[0].hour == 12  # day label recentred by +12h
 
 
+def test_label_middle_monthly_fixed_15d(spark):
+    # reference pins the monthly label at bin_start + 15 DAYS regardless of
+    # month length (calculations.py:111-113 'M'→[15,'D']): February bins get
+    # +15 d too, NOT +14 d (half of 28).
+    pdf = pd.DataFrame({
+        "time": pd.to_datetime(["2023-02-03", "2023-02-20", "2023-03-05"]),
+        "value": [1.0, 2.0, 3.0],
+    })
+    df = spark.createDataFrame(pdf)
+    got = time_resample(df, "time", "1 month", [F.sum("value").alias("v")],
+                        closed="right", label="middle").orderBy("bin_start").toPandas()
+    assert list(got["time"]) == [pd.Timestamp("2023-02-16"), pd.Timestamp("2023-03-16")]
+
+
+def test_label_middle_yearly_plus_6_months(spark):
+    # 'Y' → [6, 'M']: yearly label = Jan 1 + 6 calendar months = Jul 1,
+    # not half of 365 days (Jul 2 12:00).
+    pdf = pd.DataFrame({"time": pd.to_datetime(["2023-04-01", "2023-09-01"]),
+                        "value": [1.0, 2.0]})
+    df = spark.createDataFrame(pdf)
+    got = time_resample(df, "time", "1 year", [F.sum("value").alias("v")],
+                        closed="right", label="middle").toPandas()
+    assert list(got["time"]) == [pd.Timestamp("2023-07-01")]
+
+
 def test_time_interpolate_linear(spark):
     pdf = pd.DataFrame({
         "time": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 02:00"]),
@@ -94,3 +119,21 @@ def test_time_interpolate_linear(spark):
     df = spark.createDataFrame(pdf)
     got = time_interpolate(df, "time", "value", "30 minutes").orderBy("time").toPandas()
     assert got["value"].tolist() == pytest.approx([0.0, 1.0, 2.0, 3.0, 4.0])
+
+
+def test_time_interpolate_align_short_span_no_crash(spark):
+    # regression (ADVICE r1): a group spanning less than one step leaves the
+    # epoch-aligned __t0 past __t1; sequence(start, stop, +step) used to
+    # throw and fail the whole job. Now the group yields no grid points
+    # while other groups are unaffected.
+    pdf = pd.DataFrame({
+        "g": ["short", "short", "ok", "ok"],
+        "time": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:20",
+                                "2024-01-01 00:30", "2024-01-01 02:30"]),
+        "value": [1.0, 2.0, 0.0, 4.0],
+    })
+    df = spark.createDataFrame(pdf)
+    got = time_interpolate(df, "time", "value", "1 hour",
+                           group_cols=["g"], align=True).orderBy("g", "time").toPandas()
+    assert got[got["g"] == "short"].empty
+    assert got[got["g"] == "ok"]["value"].tolist() == pytest.approx([1.0, 3.0])

@@ -133,3 +133,22 @@ def test_asof_forward_matches_bruteforce(spark, pair):
         # descending (rid) order, i.e. the smallest rid — min() matches
         want = min(cands)[1] if cands else None
         assert got.get(i) == want, (s, sorted(rsecs))
+
+
+def test_range_join_count_semantics(spark):
+    # regression (ADVICE r1): the operator now aggregates an in-range COUNT
+    # per left row, with 0 for both no-key-match and all-out-of-range lefts.
+    from access_mopper_spark.operators.asof import range_join_count
+    left = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 500), ("b", 3, 100), ("c", 4, 100)],
+        ["k", "lid", "pt"])
+    right = spark.createDataFrame(
+        [("a", 95), ("a", 108), ("a", 400), ("b", 900)], ["k", "rp"])
+    out = range_join_count(left, right, on=["k"],
+                           left_point=F.col("pt"), right_point=F.col("rp"),
+                           radius_expr="10", left_keys=["k", "lid"])
+    got = {r["lid"]: r["n_in_range"] for r in out.collect()}
+    # lid=1: 95 and 108 in [90,110] -> 2; lid=2: none of a's in [490,510] -> 0
+    # lid=3: b's 900 out of range -> 0; lid=4: key c unmatched -> 0
+    assert got == {1: 2, 2: 0, 3: 0, 4: 0}
+    assert out.schema["n_in_range"].dataType.simpleString() == "bigint"
