@@ -19,9 +19,6 @@ Beyond-reference capability (training-data pipeline); no counterpart in
 
 from __future__ import annotations
 
-import hashlib
-from collections.abc import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -62,33 +59,40 @@ def decode_stub(payload: bytes, media_type: str, fake: bool = False) -> tuple[in
 def extract_features(df: DataFrame, payload_col: str = "payload",
                      id_col: str = "doc_id", media_type_col: str = "media_type",
                      fake_decode: bool = True) -> DataFrame:
-    """Per-blob features via ``mapInPandas``: fingerprint (md5), size,
-    head bytes, and decoded dimensions (stubbed).
+    """Per-blob features: fingerprint (md5), size, head bytes, and decoded
+    dimensions (stubbed codec).
 
-    One pass, map-only — no shuffle; Arrow carries the binary column in
-    batches. Partition count is inherited from the scan, so blob-heavy
-    inputs should be sized via ``spark.sql.files.maxPartitionBytes``.
+    Fingerprint/size/head-hex are JVM built-ins (``F.md5``,
+    ``F.octet_length``, ``F.hex(F.substring(...))``) — whole-stage codegen,
+    the payload bytes never leave the JVM for them.  Only the decode step
+    (the genuinely-Python codec boundary) crosses to Python, as ONE
+    Arrow-batched pandas UDF.  Map-only — no shuffle; partition count is
+    inherited from the scan, so blob-heavy inputs should be sized via
+    ``spark.sql.files.maxPartitionBytes``.
     """
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = pdf[payload_col]
-            dims = [decode_stub(bytes(p), mt, fake=fake_decode)
-                    for p, mt in zip(payloads, pdf[media_type_col])]
-            yield pd.DataFrame({
-                "doc_id": pdf[id_col],
-                "media_type": pdf[media_type_col],
-                "n_bytes": [len(bytes(p)) for p in payloads],
-                "fingerprint": [hashlib.md5(bytes(p)).hexdigest() for p in payloads],
-                "head_hex": [bytes(p)[:4].hex() for p in payloads],
-                "width": [d[0] for d in dims],
-                "height": [d[1] for d in dims],
-            })
+    @F.pandas_udf("width int, height int")
+    def _decode(payload: pd.Series, mt: pd.Series) -> pd.DataFrame:
+        dims = [decode_stub(bytes(p) if p is not None else b"", m, fake=fake_decode)
+                for p, m in zip(payload, mt)]
+        return pd.DataFrame({"width": [d[0] for d in dims],
+                             "height": [d[1] for d in dims]})
 
     from access_mopper_spark.operators.partitioning import ensure_min_partitions
 
-    cols = [id_col, media_type_col, payload_col]
-    return ensure_min_partitions(df.select(*cols)).mapInPandas(batches, schema=FEATURE_SCHEMA)
+    base = ensure_min_partitions(df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(media_type_col).alias("media_type"),
+        F.col(payload_col).alias("__payload"),
+    ))
+    return base.select(
+        "doc_id", "media_type",
+        F.octet_length("__payload").cast("long").alias("n_bytes"),
+        F.md5("__payload").alias("fingerprint"),
+        F.lower(F.hex(F.substring(F.col("__payload"), 1, 4))).alias("head_hex"),
+        _decode(F.col("__payload"), F.col("media_type")).alias("__wh"),
+    ).select("doc_id", "media_type", "n_bytes", "fingerprint", "head_hex",
+             F.col("__wh.width").alias("width"), F.col("__wh.height").alias("height"))
 
 
 def frame_sample(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",

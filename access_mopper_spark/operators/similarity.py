@@ -38,27 +38,47 @@ def as_double(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double"))
 
 
+def partial_topk(scored: DataFrame, part_cols: list[str], order: list[Column],
+                 k: int, rank_col: str = "rank") -> DataFrame:
+    """Two-phase top-k that never funnels the full input to one reducer.
+
+    Phase 1 salts the rank window with ``spark_partition_id()`` — every
+    (group, upstream-partition) combo ranks independently, so the shuffle
+    spreads across all reducers and each keeps only its local top k.
+    Phase 2 ranks the surviving ≤ k·p candidate rows per group — a tiny
+    exchange even when ``part_cols`` is empty (global top-k).  The local
+    top-k per physical partition is always a superset of the global top-k,
+    so results are identical to a single global window for any total
+    ``order``.  This is the formulation that survives 100 TB: the old
+    single-window plan sorts the whole corpus on max(1, |groups|)
+    reducers."""
+    from pyspark.sql import Window as W
+
+    local = scored.withColumn("__pid", F.spark_partition_id())
+    wl = W.partitionBy(*part_cols, "__pid").orderBy(*order)
+    cand = (local.withColumn("__lr", F.row_number().over(wl))
+            .where(F.col("__lr") <= k).drop("__lr", "__pid"))
+    wg = W.partitionBy(*part_cols).orderBy(*order) if part_cols else W.orderBy(*order)
+    return cand.withColumn(rank_col, F.row_number().over(wg)).where(F.col(rank_col) <= k)
+
+
 def cosine_topk(corpus: DataFrame, query: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id") -> DataFrame:
     """Brute-force cosine top-k of each query vector against the corpus.
 
     ``query`` is small (broadcast); the corpus is scanned once for ALL
-    queries (crossJoin + per-query top-k via window), which is the right
-    plan when |queries| ≪ |corpus|: one pass, map-side compute, shuffle
-    only (|corpus|·|queries| → k·|queries|) via partial top-k."""
-    from pyspark.sql import Window as W
-
+    queries (crossJoin + per-query top-k), which is the right plan when
+    |queries| ≪ |corpus|: one pass, map-side compute.  Ranking uses
+    ``partial_topk`` — per-partition local top-k then a k·p-row merge —
+    so no reducer ever sees more than its partition's scores."""
     q = query.select(F.col(query_id_col),
                      as_double(F.col(vec_col)).alias("__qv"))
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col, id_col, cosine(F.col("__cv"), F.col("__qv")).alias("cosine_sim"))
-    w = W.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return partial_topk(scored, [query_id_col],
+                        [F.col("cosine_sim").desc(), F.col(id_col)], k)
 
 
 # --------------------------------------------------------------- LSH ANN
@@ -97,14 +117,12 @@ def ann_lsh_topk(corpus: DataFrame, query: DataFrame, dim: int, k: int = 5,
         F.col("__qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
     q = q.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv"),
                  F.explode(probes).alias("__bucket"))
-    from pyspark.sql import Window as W
-
     scored = c.join(F.broadcast(q), "__bucket").select(
         query_id_col, id_col,
         cosine(as_double(F.col(vec_col)), F.col("__qv")).alias("cosine_sim"))
-    w = W.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return scored.dropDuplicates([query_id_col, id_col]) \
-                 .withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return partial_topk(scored.dropDuplicates([query_id_col, id_col]),
+                        [query_id_col],
+                        [F.col("cosine_sim").desc(), F.col(id_col)], k)
 
 
 # --------------------------------------------------------------- IVF ANN
@@ -209,6 +227,6 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
     scored = lists.join(F.broadcast(probes), cent_id).select(
         query_id_col, id_col,
         F.round(cosine(F.col("__ev"), F.col("__qv")), 6).alias("cosine_sim"))
-    w = W.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (scored.dropDuplicates([query_id_col, id_col])
-            .withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k))
+    return partial_topk(scored.dropDuplicates([query_id_col, id_col]),
+                        [query_id_col],
+                        [F.col("cosine_sim").desc(), F.col(id_col)], k)

@@ -859,11 +859,13 @@ def q_lang_guess(spark, sf_dir):
 )
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k against a query vector: zip_with+aggregate
-    dot product (JVM-side fold, no UDF), broadcast query, partial top-k.
-    Ranked on ROUNDED sims so ulp-level engine differences can't flip
-    order; ties broken by id."""
-    from access_mopper_spark.operators.similarity import as_double, cosine
-    from pyspark.sql import Window as W2
+    dot product (JVM-side fold, no UDF), broadcast query, then
+    partial_topk — per-partition local top-k and a tiny candidate merge,
+    never a single-reducer global sort of the corpus.  Ranked on ROUNDED
+    sims so ulp-level engine differences can't flip order; ties broken by
+    id."""
+    from access_mopper_spark.operators.similarity import (as_double, cosine,
+                                                          partial_topk)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(as_double(F.col("embedding")).alias("qv"))
     scored = (
@@ -872,8 +874,7 @@ def q_cosine_topk(spark, sf_dir):
         .select("vec_id",
                 R6(cosine(as_double(F.col("embedding")), F.col("qv"))).alias("cosine_sim"))
     )
-    w = W2.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    return partial_topk(scored, [], [F.col("cosine_sim").desc(), F.col("vec_id")], 5)
 
 
 @query("q_simhash")  # engine-only: xxhash64 has no DuckDB equivalent → rows-only check
