@@ -2437,3 +2437,120 @@ def q_macro_ocean_surface(spark, sf_dir):
     ctx = CalcContext(dim_cols=["k", "lev"], macros=default_macros())
     plan = compile_calc("ocean_surface(var[0])", ctx)
     return plan.apply(pts).select("k", "value")
+
+
+# =====================================================================
+# §2.5 non-Gregorian CF calendars (360_day / noleap) — SURVEY §7.3
+# =====================================================================
+
+@query(
+    "q_cal360_resample",
+    oracle="""
+    WITH base AS (
+      SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+             o_orderpriority, o_totalprice
+      FROM orders
+    ),
+    binned AS (
+      SELECT CASE WHEN d % 30 = 0 THEN (d // 30) - 1 ELSE d // 30 END AS midx,
+             o_orderpriority, o_totalprice
+      FROM base
+    )
+    SELECT CAST(midx * 30 AS DOUBLE) AS bin_start_days,
+           CAST(midx * 30 + 30 AS DOUBLE) AS bin_end_days,
+           CAST(midx * 30 + 15 AS DOUBLE) AS t,
+           o_orderpriority,
+           ROUND(SUM(o_totalprice), 6) AS total_price,
+           COUNT(*) AS n
+    FROM binned
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_cal360_resample(spark, sf_dir):
+    """Monthly resample on a 360_day CF calendar axis (cftime semantics,
+    mopper.py:241-243; SURVEY §7.3 integer days-since-ref prescription).
+    The time axis is a plain double 'days since 1992-01-01' column; every
+    month is exactly 30 days, bin edges are exact integer math with
+    closed-right on-edge handling, and the label is the reference's fixed
+    +15 d recentring (calculations.py:111-113)."""
+    from access_mopper_spark.functions.calendars import cf_time_resample
+    orders = load_table(spark, sf_dir, "orders")
+    withday = orders.withColumn(
+        "t", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+             .cast("double"))
+    out = cf_time_resample(
+        withday, "t", "360_day", "1 month",
+        [R6(F.sum("o_totalprice")).alias("total_price"),
+         F.count("*").alias("n")],
+        group_cols=["o_orderpriority"], closed="right", label="middle")
+    return out.select("bin_start_days", "bin_end_days", "t",
+                      "o_orderpriority", "total_price", "n")
+
+
+_NOLEAP_STARTS = "[0,31,59,90,120,151,181,212,243,273,304,334]"
+
+@query(
+    "q_cal_noleap_resample",
+    oracle=f"""
+    WITH base AS (
+      SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+             o_orderpriority, o_totalprice
+      FROM orders
+    ),
+    comp AS (
+      SELECT d, CAST(FLOOR(d / 365.0) AS BIGINT) AS yr, d % 365 AS doy,
+             o_orderpriority, o_totalprice
+      FROM base
+    ),
+    mm AS (
+      SELECT d, yr, doy,
+             CASE WHEN doy < 31 THEN 0 WHEN doy < 59 THEN 1 WHEN doy < 90 THEN 2
+                  WHEN doy < 120 THEN 3 WHEN doy < 151 THEN 4 WHEN doy < 181 THEN 5
+                  WHEN doy < 212 THEN 6 WHEN doy < 243 THEN 7 WHEN doy < 273 THEN 8
+                  WHEN doy < 304 THEN 9 WHEN doy < 334 THEN 10 ELSE 11 END AS m0,
+             o_orderpriority, o_totalprice
+      FROM comp
+    ),
+    binned AS (
+      SELECT CASE WHEN doy = {_NOLEAP_STARTS}[m0 + 1]
+                  THEN yr * 12 + m0 - 1 ELSE yr * 12 + m0 END AS midx,
+             o_orderpriority, o_totalprice
+      FROM mm
+    ),
+    edges AS (
+      SELECT midx,
+             CAST(FLOOR(midx / 12.0) AS BIGINT) AS byr,
+             CAST(midx - CAST(FLOOR(midx / 12.0) AS BIGINT) * 12 AS INT) AS bm,
+             CAST(FLOOR((midx + 1) / 12.0) AS BIGINT) AS eyr,
+             CAST((midx + 1) - CAST(FLOOR((midx + 1) / 12.0) AS BIGINT) * 12 AS INT) AS em,
+             o_orderpriority, o_totalprice
+      FROM binned
+    )
+    SELECT CAST(byr * 365 + {_NOLEAP_STARTS}[bm + 1] AS DOUBLE) AS bin_start_days,
+           CAST(eyr * 365 + {_NOLEAP_STARTS}[em + 1] AS DOUBLE) AS bin_end_days,
+           CAST(byr * 365 + {_NOLEAP_STARTS}[bm + 1] + 15 AS DOUBLE) AS t,
+           o_orderpriority,
+           ROUND(SUM(o_totalprice), 6) AS total_price,
+           COUNT(*) AS n
+    FROM edges
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_cal_noleap_resample(spark, sf_dir):
+    """Monthly resample on a noleap (365_day) CF calendar axis — month
+    boundaries come from the fixed noleap month-length table (no Feb 29
+    ever), decomposition is exact modular arithmetic on days-since-ref
+    (mirroring cftime.num2date), and the monthly label is the fixed +15 d
+    of the reference (calculations.py:111-113) even for 28-day February."""
+    from access_mopper_spark.functions.calendars import cf_time_resample
+    orders = load_table(spark, sf_dir, "orders")
+    withday = orders.withColumn(
+        "t", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+             .cast("double"))
+    out = cf_time_resample(
+        withday, "t", "noleap", "1 month",
+        [R6(F.sum("o_totalprice")).alias("total_price"),
+         F.count("*").alias("n")],
+        group_cols=["o_orderpriority"], closed="right", label="middle")
+    return out.select("bin_start_days", "bin_end_days", "t",
+                      "o_orderpriority", "total_price", "n")
