@@ -174,24 +174,50 @@ def time_interpolate(df: DataFrame, ts_col: str, value_col: str, every: str,
 
     group_cols = list(group_cols or [])
     n, unit = parse_every(every)
-    if unit in ("month", "year"):
-        raise ValueError("time_interpolate supports fixed-width intervals only")
-    step = F.expr(f"interval {n} {unit}")
 
     span = df.groupBy(*group_cols).agg(F.min(ts_col).alias("__t0"), F.max(ts_col).alias("__t1"))
-    if align:
-        # epoch-aligned grid (pandas .resample(...).interpolate semantics):
-        # first grid point = ceil(min/step)*step
-        width = n * _FIXED_US[unit]
-        t0u = F.unix_micros("__t0")
-        aligned = (-F.floor(-t0u / width) * width).cast("long")
-        span = span.withColumn("__t0", F.timestamp_micros(aligned))
-    # guard: a group spanning less than one step can leave the aligned
-    # __t0 past __t1; sequence(start, stop, +step) would throw at runtime.
-    # when() leaves the sequence unevaluated and yields NULL, and explode
-    # drops NULL rows — the group simply contributes no grid points.
-    seq = F.when(F.col("__t0") <= F.col("__t1"), F.sequence("__t0", "__t1", step))
-    grid = span.select(*group_cols, F.explode(seq).alias(ts_col))
+    if unit in ("month", "year"):
+        # calendar grid (reference accepts 'M'/'Y' upsample targets,
+        # calculations.py:127-132): month steps via timestampadd so
+        # time-of-day is preserved; align=True snaps the first grid point
+        # up to the next month start.  k range is over-generated from a
+        # 28-day lower bound on month length, then filtered to <= __t1 —
+        # exact without trusting fractional months_between.
+        months = n * (12 if unit == "year" else 1)
+        if align:
+            trunc = F.date_trunc("month", F.col("__t0"))
+            span = span.withColumn(
+                "__t0",
+                F.when(F.col("__t0") == trunc, F.col("__t0"))
+                 .otherwise(F.to_timestamp(F.add_months(trunc, 1))))
+        kmax = F.floor(
+            F.datediff("__t1", "__t0") / F.lit(28 * months)).cast("int")
+        ks = F.when(F.col("__t0") <= F.col("__t1"),
+                    F.sequence(F.lit(0), kmax))
+        grid = (
+            span.select(*group_cols, "__t0", "__t1", F.explode(ks).alias("__k"))
+            .select(*group_cols, "__t1",
+                    F.expr(f"timestampadd(MONTH, __k * {months}, __t0)").alias(ts_col))
+            .where(F.col(ts_col) <= F.col("__t1"))
+            .drop("__t1")
+        )
+    else:
+        step = F.expr(f"interval {n} {unit}")
+        if align:
+            # epoch-aligned grid (pandas .resample(...).interpolate
+            # semantics): first grid point = ceil(min/step)*step
+            width = n * _FIXED_US[unit]
+            t0u = F.unix_micros("__t0")
+            aligned = (-F.floor(-t0u / width) * width).cast("long")
+            span = span.withColumn("__t0", F.timestamp_micros(aligned))
+        # guard: a group spanning less than one step can leave the aligned
+        # __t0 past __t1; sequence(start, stop, +step) would throw at
+        # runtime.  when() leaves the sequence unevaluated and yields NULL,
+        # and explode drops NULL rows — the group simply contributes no
+        # grid points.
+        seq = F.when(F.col("__t0") <= F.col("__t1"),
+                     F.sequence("__t0", "__t1", step))
+        grid = span.select(*group_cols, F.explode(seq).alias(ts_col))
     obs = df.select(*group_cols, ts_col, F.col(value_col).cast("double").alias("__obs"),
                     F.lit(0).alias("__grid"))
     tagged = grid.select(*group_cols, ts_col, F.lit(None).cast("double").alias("__obs"),

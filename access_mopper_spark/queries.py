@@ -2554,3 +2554,60 @@ def q_cal_noleap_resample(spark, sf_dir):
         group_cols=["o_orderpriority"], closed="right", label="middle")
     return out.select("bin_start_days", "bin_end_days", "t",
                       "o_orderpriority", "total_price", "n")
+
+
+@query(
+    "q_upsample_calendar",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS p, CAST(o_orderdate AS TIMESTAMP) AS ts,
+             MAX(o_totalprice) AS v
+      FROM orders GROUP BY 1, 2
+    ),
+    span AS (SELECT p, MIN(ts) AS t0, MAX(ts) AS t1 FROM obs GROUP BY p),
+    astart AS (
+      SELECT p,
+             CASE WHEN CAST(date_trunc('month', t0) AS TIMESTAMP) = t0 THEN t0
+                  ELSE CAST(date_trunc('month', t0) AS TIMESTAMP) + INTERVAL 1 MONTH
+             END AS t0m, t1
+      FROM span
+    ),
+    grid AS (
+      SELECT a.p, a.t0m + g.i * INTERVAL 1 MONTH AS gts
+      FROM astart a CROSS JOIN range(0, 120) g(i)
+      WHERE a.t0m + g.i * INTERVAL 1 MONTH <= a.t1
+    ),
+    br AS (
+      SELECT g.p, epoch_us(g.gts) AS gu,
+             MAX(epoch_us(o.ts)) FILTER (o.ts <= g.gts) AS lox,
+             ARG_MAX(o.v, o.ts) FILTER (o.ts <= g.gts) AS loy,
+             MIN(epoch_us(o.ts)) FILTER (o.ts > g.gts) AS hix,
+             ARG_MIN(o.v, o.ts) FILTER (o.ts > g.gts) AS hiy
+      FROM grid g JOIN obs o ON o.p = g.p
+      GROUP BY 1, 2
+    )
+    SELECT p, make_timestamp(gu) AS ts,
+           ROUND(CASE WHEN lox IS NULL THEN hiy
+                      WHEN hix IS NULL THEN loy
+                      WHEN hix = lox THEN loy
+                      ELSE loy + (hiy - loy) * (CAST(gu - lox AS DOUBLE) / (hix - lox)) END,
+                 6) AS value
+    FROM br
+    """,
+)
+def q_upsample_calendar(spark, sf_dir):
+    """Calendar-unit upsample + linear interpolation (reference accepts
+    'M'/'Y' resample targets for sample='up', calculations.py:127-132):
+    per-priority order-value series interpolated onto month-start grid
+    points.  The month grid is generated per group with timestampadd
+    (no driver loop); bracketing/blend is the same union + one-ordered-
+    window-pass-per-direction as the fixed-width path.  Observations are
+    pre-aggregated to unique (group, ts) so bracketing ties are
+    deterministic on both engines."""
+    from access_mopper_spark.operators.resample import time_interpolate
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (orders.groupBy(F.col("o_orderpriority").alias("p"),
+                          F.col("o_orderdate").cast("timestamp").alias("ts"))
+           .agg(F.max("o_totalprice").alias("v")))
+    out = time_interpolate(obs, "ts", "v", "1 month", group_cols=["p"], align=True)
+    return out.select("p", "ts", R6(F.col("v")).alias("value"))

@@ -137,3 +137,29 @@ def test_time_interpolate_align_short_span_no_crash(spark):
                            group_cols=["g"], align=True).orderBy("g", "time").toPandas()
     assert got[got["g"] == "short"].empty
     assert got[got["g"] == "ok"]["value"].tolist() == pytest.approx([1.0, 3.0])
+
+
+def test_time_interpolate_month_grid(spark):
+    # calendar-unit upsample: quarterly obs -> month-start grid, linear
+    pdf = pd.DataFrame({
+        "time": pd.to_datetime(["2024-01-01", "2024-04-01"]),
+        "value": [0.0, 91.0],  # 91 days apart -> value == day offset
+    })
+    df = spark.createDataFrame(pdf)
+    got = time_interpolate(df, "time", "value", "1 month", align=True) \
+        .orderBy("time").toPandas()
+    assert list(got["time"]) == list(pd.to_datetime(
+        ["2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01"]))
+    assert got["value"].tolist() == pytest.approx([0.0, 31.0, 60.0, 91.0])
+
+
+def test_time_interpolate_month_align_snaps_up(spark):
+    pdf = pd.DataFrame({
+        "time": pd.to_datetime(["2024-01-15", "2024-03-20"]),
+        "value": [0.0, 65.0],  # 65 days apart -> value == day offset
+    })
+    df = spark.createDataFrame(pdf)
+    got = time_interpolate(df, "time", "value", "1 month", align=True) \
+        .orderBy("time").toPandas()
+    assert list(got["time"]) == list(pd.to_datetime(["2024-02-01", "2024-03-01"]))
+    assert got["value"].tolist() == pytest.approx([17.0, 46.0])
