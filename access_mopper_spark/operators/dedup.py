@@ -139,52 +139,91 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
-              out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash over character shingles.
-
-    Each shingle hashes to 64 bits (xxhash64, JVM-side, codegen); per bit
-    position the +1/-1 votes are summed across shingles; the sign vector
-    is the fingerprint.
-
-    The bit-vote runs as a SINGLE Arrow-batched pandas UDF over the hash
-    array (vectorized numpy unpack → reduceat → sign-pack) instead of 64
-    separate interpreted ``F.aggregate`` folds — one pass over each
-    document's hashes, map-only, no shuffle.  Output is bit-identical to
-    the 64-fold formulation (same hashes, same vote rule, bit 63 is the
-    two's-complement sign bit).
-    """
-    df = ensure_min_partitions(df)
-    sh = F.array_distinct(char_shingles(F.col(text_col), shingle_k))
-    hashed = df.withColumn("__h", F.transform(sh, lambda s: F.xxhash64(s)))
-
+def _vote_pack64(arrs: list[np.ndarray]) -> np.ndarray:
+    """Single-pass numpy bit-vote: per document, each 64-bit hash votes
+    +1/-1 per bit position; bit set iff votes > 0.  Vectorized
+    unpack → reduceat → sign-pack over a whole Arrow batch."""
     shifts = np.arange(64, dtype=np.uint64)
     weights = np.uint64(1) << shifts
     chunk_rows = 2048  # bounds the bits matrix (~chunk·shingles·64 bytes)
+    out = np.zeros(len(arrs), dtype=np.int64)
+    for lo in range(0, len(arrs), chunk_rows):
+        sub = arrs[lo:lo + chunk_rows]
+        lens = np.fromiter((a.size for a in sub), dtype=np.int64, count=len(sub))
+        nz = lens > 0
+        if not nz.any():
+            continue
+        flat = np.concatenate([a for a in sub if a.size]).astype(np.uint64)
+        bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        starts = np.zeros(int(nz.sum()), dtype=np.int64)
+        starts[1:] = np.cumsum(lens[nz])[:-1]
+        ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+        votes = 2 * ones - lens[nz][:, None]
+        packed = ((votes > 0).astype(np.uint64) * weights) \
+            .sum(axis=1, dtype=np.uint64).view(np.int64)
+        out[lo:lo + chunk_rows][nz] = packed  # slice is a view into out
+    return out
+
+
+def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
+              out_col: str = "simhash", hash_kind: str = "md5") -> DataFrame:
+    """64-bit SimHash over character shingles.
+
+    Each distinct shingle hashes to 64 bits JVM-side; per bit position the
+    +1/-1 votes are summed across shingles; the sign vector is the
+    fingerprint.  The bit-vote runs as a SINGLE Arrow-batched pandas UDF
+    over the hash array(s) (vectorized numpy unpack → reduceat →
+    sign-pack) — one pass per document, map-only, no shuffle.
+
+    ``hash_kind``:
+    - ``'md5'`` (default): the 64 bits are two 32-bit lanes of the md5
+      digest (hex chars 1-8 / 9-16).  Engine-portable — DuckDB computes
+      the identical digest, so the fingerprint is oracle-checkable
+      end-to-end (see ``q_simhash``).  One digest per shingle; the lane
+      split is two cheap transforms over the already-computed hex array.
+    - ``'xxhash64'``: Spark-native 64-bit hash, fastest (pure codegen,
+      no hex decode) but engine-specific; use for production pipelines
+      that don't need a cross-engine oracle.
+    """
+    df = ensure_min_partitions(df)
+    sh = F.array_distinct(char_shingles(F.col(text_col), shingle_k))
+
+    if hash_kind == "xxhash64":
+        hashed = df.withColumn("__h", F.transform(sh, lambda s: F.xxhash64(s)))
+
+        @F.pandas_udf("long")
+        def _vote1(harr: pd.Series) -> pd.Series:
+            arrs = [np.asarray(a, dtype=np.int64) if a is not None
+                    else np.empty(0, dtype=np.int64) for a in harr]
+            return pd.Series(_vote_pack64(arrs))
+
+        return hashed.withColumn(out_col, _vote1(F.col("__h"))).drop("__h")
+
+    # md5 lanes: one digest per shingle, hi/lo 32-bit halves decoded on
+    # the JVM (conv is codegen'd), combined to uint64 in the vote kernel
+    hashed = (
+        df.withColumn("__d", F.transform(sh, lambda s: F.md5(s)))
+        .withColumn("__hi", F.transform(
+            F.col("__d"), lambda d: F.conv(F.substring(d, 1, 8), 16, 10).cast("long")))
+        .withColumn("__lo", F.transform(
+            F.col("__d"), lambda d: F.conv(F.substring(d, 9, 8), 16, 10).cast("long")))
+        .drop("__d")
+    )
 
     @F.pandas_udf("long")
-    def _bit_vote_pack(harr: pd.Series) -> pd.Series:
-        out = np.zeros(len(harr), dtype=np.int64)
-        arrs = [np.asarray(a, dtype=np.int64) if a is not None
-                else np.empty(0, dtype=np.int64) for a in harr]
-        for lo in range(0, len(arrs), chunk_rows):
-            sub = arrs[lo:lo + chunk_rows]
-            lens = np.fromiter((a.size for a in sub), dtype=np.int64, count=len(sub))
-            nz = lens > 0
-            if not nz.any():
-                continue
-            flat = np.concatenate([a for a in sub if a.size]).astype(np.uint64)
-            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-            starts = np.zeros(int(nz.sum()), dtype=np.int64)
-            starts[1:] = np.cumsum(lens[nz])[:-1]
-            ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
-            votes = 2 * ones - lens[nz][:, None]
-            packed = ((votes > 0).astype(np.uint64) * weights) \
-                .sum(axis=1, dtype=np.uint64).view(np.int64)
-            out[lo:lo + chunk_rows][nz] = packed  # slice is a view into out
-        return pd.Series(out)
+    def _vote2(hi: pd.Series, lo: pd.Series) -> pd.Series:
+        arrs = []
+        for h, l in zip(hi, lo):
+            if h is None or len(h) == 0:
+                arrs.append(np.empty(0, dtype=np.int64))
+            else:
+                u = (np.asarray(h, dtype=np.uint64) << np.uint64(32)) \
+                    | np.asarray(l, dtype=np.uint64)
+                arrs.append(u.view(np.int64))
+        return pd.Series(_vote_pack64(arrs))
 
-    return hashed.withColumn(out_col, _bit_vote_pack(F.col("__h"))).drop("__h")
+    return hashed.withColumn(out_col, _vote2(F.col("__hi"), F.col("__lo"))) \
+                 .drop("__hi", "__lo")
 
 
 def simhash_hamming(a, b):

@@ -117,9 +117,11 @@ def ann_lsh_topk(corpus: DataFrame, query: DataFrame, dim: int, k: int = 5,
         F.col("__qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
     q = q.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv"),
                  F.explode(probes).alias("__bucket"))
+    # 6dp-rounded sims + id tiebreak: ordering is deterministic across
+    # engines/summation orders (same convention as ivf_search)
     scored = c.join(F.broadcast(q), "__bucket").select(
         query_id_col, id_col,
-        cosine(as_double(F.col(vec_col)), F.col("__qv")).alias("cosine_sim"))
+        F.round(cosine(as_double(F.col(vec_col)), F.col("__qv")), 6).alias("cosine_sim"))
     return partial_topk(scored.dropDuplicates([query_id_col, id_col]),
                         [query_id_col],
                         [F.col("cosine_sim").desc(), F.col(id_col)], k)
@@ -156,17 +158,18 @@ def cosine_pairs_exact(corpus: DataFrame, threshold: float, dim: int,
     This is the dense-similarity scale pattern: the O(n²) compare runs as
     n/p × n GEMMs — hundreds of times faster than per-pair JVM array
     folds.  The broadcast side is guarded (``max_broadcast_rows``); above
-    it, block BOTH sides (outer join of block ids) or switch to the LSH
-    path (``ann_lsh_topk``) and accept its recall.
+    it the computation automatically switches to
+    ``cosine_pairs_blocked`` — both sides blocked, no driver collect, no
+    broadcast of the corpus.
     """
     import numpy as np
 
     spark = corpus.sparkSession
     n = corpus.count()
     if n > max_broadcast_rows:
-        raise ValueError(
-            f"corpus of {n} rows exceeds max_broadcast_rows="
-            f"{max_broadcast_rows}; use blocked-blocked or LSH")
+        n_blocks = max(2, math.ceil(n / max(1, max_broadcast_rows // 8)))
+        return cosine_pairs_blocked(corpus, threshold, id_col=id_col,
+                                    vec_col=vec_col, n_blocks=n_blocks)
 
     rows = corpus.select(id_col, vec_col).collect()   # bounded by guard above
     ids = np.array([r[id_col] for r in rows], dtype="int64")
@@ -196,6 +199,80 @@ def cosine_pairs_exact(corpus: DataFrame, threshold: float, dim: int,
 
     src = ensure_min_partitions(corpus.select(id_col, vec_col))
     return src.mapInPandas(blocks, "id_a long, id_b long, cosine_sim double")
+
+
+def cosine_pairs_blocked(corpus: DataFrame, threshold: float,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         n_blocks: int = 8) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — exact, with BOTH
+    sides blocked: no broadcast, no driver collect, unbounded corpus size.
+
+    Each row hashes to one of ``n_blocks`` blocks (xxhash64 of id —
+    uniform, no skew).  For every block pair (i ≤ j) the rows of block i
+    ship as the 'A' side and the rows of block j as the 'B' side; a row
+    therefore replicates ~n_blocks times (once per pair it participates
+    in), the shuffle moves n·n_blocks rows total, and each reducer runs
+    one |block|×|block| GEMM via ``applyInPandas``.  This is the
+    standard O(n²) similarity sharding: quadratic FLOPs spread over
+    n_blocks·(n_blocks+1)/2 independent GEMM tasks, each with bounded
+    memory (|block| ≈ n/n_blocks rows per side).
+
+    Pick ``n_blocks`` so one block's matrix fits executor memory
+    (n/n_blocks · dim · 8 bytes); FLOPs are invariant to n_blocks.
+    """
+    import numpy as np
+
+    src = corpus.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v"))
+    blk = src.withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int"))
+
+    # row in block b → A-side of pairs (b, j≥b), B-side of pairs (i≤b, b)
+    a_targets = F.filter(F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                         lambda j: j >= F.col("__blk"))
+    b_targets = F.filter(F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                         lambda i: i < F.col("__blk"))  # i==b covered by A side
+    a_rows = blk.select(
+        "__id", "__v", F.lit(0).alias("__role"),
+        F.col("__blk").alias("__bi"), F.explode(a_targets).alias("__bj"))
+    b_rows = blk.select(
+        "__id", "__v", F.lit(1).alias("__role"),
+        F.explode(b_targets).alias("__bi"), F.col("__blk").alias("__bj"))
+    tagged = a_rows.unionByName(b_rows)
+
+    def gemm(pdf):
+        import pandas as pd
+
+        same = pdf["__bi"].iat[0] == pdf["__bj"].iat[0]
+        a = pdf[pdf["__role"] == 0]
+        b = a if same else pdf[pdf["__role"] == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine_sim": pd.Series(dtype="float64")})
+        A = np.array(list(a["__v"]), dtype="float64")
+        B = A if same else np.array(list(b["__v"]), dtype="float64")
+        A = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = A if same else B / np.linalg.norm(B, axis=1, keepdims=True)
+        AI = a["__id"].to_numpy(dtype="int64")
+        BI = AI if same else b["__id"].to_numpy(dtype="int64")
+        sims = A @ Bn.T
+        if same:
+            # A ≡ B: the grid holds every unordered pair twice ((x,y) and
+            # (y,x)); keep only the id_a < id_b cell
+            ai, bi = np.nonzero((sims >= threshold) & (AI[:, None] < BI[None, :]))
+            id_a, id_b = AI[ai], BI[bi]
+        else:
+            # disjoint blocks: each unordered pair appears in exactly one
+            # cell; min/max normalizes output order
+            lo = np.minimum(AI[:, None], BI[None, :])
+            hi = np.maximum(AI[:, None], BI[None, :])
+            ai, bi = np.nonzero((sims >= threshold) & (lo < hi))
+            id_a, id_b = lo[ai, bi], hi[ai, bi]
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b,
+                             "cosine_sim": sims[ai, bi]})
+
+    return (tagged.groupBy("__bi", "__bj")
+            .applyInPandas(gemm, "id_a long, id_b long, cosine_sim double"))
 
 
 def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,

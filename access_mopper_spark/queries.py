@@ -877,22 +877,104 @@ def q_cosine_topk(spark, sf_dir):
     return partial_topk(scored, [], [F.col("cosine_sim").desc(), F.col("vec_id")], 5)
 
 
-@query("q_simhash")  # engine-only: xxhash64 has no DuckDB equivalent → rows-only check
+@query(
+    "q_simhash",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT d.doc_id, substring(d.text, g.i, 5) AS s
+      FROM documents d, generate_series(1, 600) g(i)
+      WHERE g.i <= greatest(length(d.text) - 4, 1)
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(s), 1, 8))::BIGINT AS hi,
+             ('0x' || substring(md5(s), 9, 8))::BIGINT AS lo
+      FROM sh
+    ),
+    votes AS (
+      SELECT doc_id, g.b AS bit,
+             SUM(CASE WHEN (((CASE WHEN g.b >= 32 THEN hi ELSE lo END)
+                             >> (g.b % 32)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, generate_series(0, 63) g(b)
+      GROUP BY doc_id, g.b
+    ),
+    packed AS (
+      SELECT doc_id,
+             SUM(CASE WHEN bit >= 32 AND v > 0 THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS hi_s,
+             SUM(CASE WHEN bit < 32 AND v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS lo_s
+      FROM votes GROUP BY doc_id
+    )
+    SELECT doc_id,
+           lpad(to_hex(hi_s), 8, '0') || lpad(to_hex(lo_s), 8, '0') AS simhash_hex
+    FROM packed
+    """,
+)
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints over char shingles (bitwise vote
-    aggregation, pure Column math). No SQL oracle — xxhash64 is
-    Spark-specific; validated in tests/test_dedup.py against a Python
-    reference implementation."""
+    """64-bit SimHash fingerprints over distinct 5-char shingles: each
+    shingle's 64 bits are two 32-bit lanes of its md5 digest (engine-
+    portable — DuckDB computes the identical digest), the per-bit ±1
+    vote runs as ONE Arrow-batched numpy pass, and the fingerprint is
+    emitted as 16 hex chars so both engines agree bit-for-bit.  The md5
+    lane choice is what upgrades this from a rows-only check to a full
+    value-hash oracle."""
     from access_mopper_spark.operators.dedup import simhash64
     docs = load_table(spark, sf_dir, "documents")
-    return simhash64(docs, "text").select("doc_id", "simhash")
+    sim = simhash64(docs, "text", shingle_k=5, hash_kind="md5")
+    return sim.select(
+        "doc_id", F.lpad(F.hex(F.col("simhash")), 16, "0").alias("simhash_hex"))
 
 
-@query("q_ann_lsh")  # engine-only: approximate by construction → rows-only check
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, seed: int = 7,
+                    k: int = 5, n_queries: int = 4) -> str:
+    """Generate the DuckDB oracle for q_ann_lsh: the hyperplanes are
+    deterministic constants (no RNG state), so they inline into the SQL
+    verbatim and DuckDB replays the ENTIRE LSH pipeline — bucketing,
+    Hamming-1 probes, candidate join, rounded cosine ranking."""
+    from access_mopper_spark.operators.similarity import _det_plane
+    bucket_terms = []
+    for p in range(n_planes):
+        plane = "[" + ", ".join(repr(v) for v in _det_plane(dim, p, seed)) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, {plane}) >= 0"
+            f" THEN {1 << (n_planes - 1 - p)} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    probes = ", ".join(f"xor(qb, {1 << p})" for p in range(n_planes))
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bk AS (SELECT vec_id, v, {bucket} AS bucket FROM b),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM bk
+      WHERE vec_id < {n_queries}
+    ),
+    probes AS (
+      SELECT query_id, qv, unnest([qb, {probes}]) AS bucket FROM q
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id,
+             ROUND(list_dot_product(e.v, p.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine_sim
+      FROM probes p JOIN bk e USING (bucket)
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    ) t WHERE rank <= {k}
+    """
+
+
+@query("q_ann_lsh", oracle=_ann_lsh_oracle())
 def q_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH approximate nearest neighbours (bucket + Hamming-1
-    probes). Approximate ⇒ no exact SQL oracle; recall vs brute force is
-    asserted in tests/test_similarity.py."""
+    probes).  Approximate vs BRUTE FORCE, but fully deterministic given
+    the seed-derived planes — so the oracle replays the same LSH
+    construction in SQL (planes inlined as literals) and the driver
+    hash-checks the exact candidate ranking, not just row counts.
+    Recall vs brute force is separately asserted in tests."""
     from access_mopper_spark.operators.similarity import ann_lsh_topk
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -1454,6 +1536,30 @@ def q_embedding_near_dup(spark, sf_dir):
     from access_mopper_spark.operators.similarity import cosine_pairs_exact
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_exact(emb, threshold=0.45, dim=64)
+    return pairs.select("id_a", "id_b", R6(F.col("cosine_sim")).alias("cosine_sim"))
+
+
+@query(
+    "q_cosine_pairs_blocked",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+)
+def q_cosine_pairs_blocked(spark, sf_dir):
+    """Same exact-pairs semantics as q_embedding_near_dup but via the
+    UNBOUNDED-corpus formulation: both sides blocked (xxhash64 of id →
+    n_blocks), every block pair (i ≤ j) reduced by one |block|×|block|
+    BLAS GEMM under applyInPandas.  No broadcast, no driver collect —
+    the shape that holds past the 200k-row broadcast guard.  n_blocks=4
+    here exercises replication + same-block/cross-block dedup paths."""
+    from access_mopper_spark.operators.similarity import cosine_pairs_blocked
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(emb, threshold=0.45, n_blocks=4)
     return pairs.select("id_a", "id_b", R6(F.col("cosine_sim")).alias("cosine_sim"))
 
 

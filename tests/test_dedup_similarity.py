@@ -59,19 +59,38 @@ def test_near_dup_pairs_finds_neighbor(spark, docs):
 
 
 def py_simhash(text, k=5):
-    # reference implementation mirroring xxhash64 is impossible in pure
-    # python; instead verify structural properties (see test below)
-    raise NotImplementedError
+    """Pure-python reference of the md5-lane simhash: distinct k-char
+    shingles, 64 bits = (hi32, lo32) md5 lanes, bit set iff +1/-1 vote
+    sum > 0; returned as two's-complement int64."""
+    n = max(len(text) - (k - 1), 1)
+    shingles = {text[i:i + k] for i in range(n)}
+    votes = [0] * 64
+    for s in shingles:
+        d = hashlib.md5(s.encode()).hexdigest()
+        h = (int(d[:8], 16) << 32) | int(d[8:16], 16)
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    u = sum(1 << b for b in range(64) if votes[b] > 0)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_simhash_matches_python(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    for r in docs.collect():
+        assert out[r["doc_id"]] == py_simhash(r["text"]), r["doc_id"]
 
 
 def test_simhash_properties(spark, docs):
-    out = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
-    # identical docs → identical fingerprints
-    assert out[0] == out[3]
-    # near-dup closer than unrelated (hamming distance)
-    def ham(a, b):
-        return bin((a ^ b) & (2**64 - 1)).count("1")
-    assert ham(out[0], out[1]) < ham(out[0], out[2])
+    # both hash kinds satisfy the structural fingerprint contract
+    for kind in ("md5", "xxhash64"):
+        out = {r["doc_id"]: r["simhash"]
+               for r in simhash64(docs, hash_kind=kind).collect()}
+        # identical docs → identical fingerprints
+        assert out[0] == out[3]
+        # near-dup closer than unrelated (hamming distance)
+        def ham(a, b):
+            return bin((a ^ b) & (2**64 - 1)).count("1")
+        assert ham(out[0], out[1]) < ham(out[0], out[2])
 
 
 @pytest.fixture(scope="module")
@@ -109,3 +128,26 @@ def test_ann_lsh_recall(spark, emb):
     # every query finds its own vector (sim=1.0 in its own bucket)
     own = {(r["query_id"], r["vec_id"]) for r in approx if r["query_id"] == r["vec_id"]}
     assert len(own) == 5
+
+
+def test_cosine_pairs_blocked_matches_broadcast(spark, emb):
+    """Blocked-both-sides exact pairs ≡ broadcast-GEMM exact pairs, and
+    the broadcast guard auto-dispatches to the blocked path."""
+    from access_mopper_spark.operators.similarity import (cosine_pairs_blocked,
+                                                          cosine_pairs_exact)
+    df, _ = emb
+
+    def key(rows):
+        pairs = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(pairs) == len(set(pairs))  # no duplicate pair rows
+        return {(r["id_a"], r["id_b"]): round(r["cosine_sim"], 9) for r in rows}
+
+    base = key(cosine_pairs_exact(df, threshold=0.3, dim=16).collect())
+    assert base  # fixture produces pairs at this threshold
+    for n_blocks in (1, 3, 7):
+        got = key(cosine_pairs_blocked(df, threshold=0.3, n_blocks=n_blocks).collect())
+        assert got == base, n_blocks
+    # guard overflow (100 rows > 16) must not raise: dispatches to blocked
+    via_guard = key(cosine_pairs_exact(df, threshold=0.3, dim=16,
+                                       max_broadcast_rows=16).collect())
+    assert via_guard == base
