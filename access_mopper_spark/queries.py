@@ -2717,3 +2717,261 @@ def q_upsample_calendar(spark, sf_dir):
            .agg(F.max("o_totalprice").alias("v")))
     out = time_interpolate(obs, "ts", "v", "1 month", group_cols=["p"], align=True)
     return out.select("p", "ts", R6(F.col("v")).alias("value"))
+
+
+# =====================================================================
+# §2.10 legacy composite remainder: tslsi family, depth100, rsdoabsorb,
+# ocnrmadvect_offine, areacello/volcello/deptho, ice/snow transports
+# =====================================================================
+
+@query(
+    "q_calc_tslsi",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_extendedprice * 1e-3
+                  - l_quantity * ((1 - (l_tax + 0.05)) * (1 - l_discount)))
+                 / ((l_tax + 0.05) + (1 - (l_tax + 0.05)) * l_discount), 6) AS tslsi
+    FROM lineitem
+    """,
+)
+def q_calc_tslsi(spark, sf_dir):
+    """Land-or-sea-ice surface temperature (calc_tslsi,
+    app_functions.py:370-378): subtract the open-ocean contribution from
+    the total and renormalize by the land+ice fraction.  Pure Column
+    math — map-only, codegen, zero shuffle.  land_frac is offset +0.05
+    so the A_lsi denominator is structurally positive (the all-open-
+    ocean 0/0 cell is undefined in the reference too)."""
+    from access_mopper_spark.functions.legacy import calc_tslsi
+    li = load_table(spark, sf_dir, "lineitem")
+    ts = F.col("l_extendedprice") * 1e-3
+    ts_sea = F.col("l_quantity")
+    sic = F.col("l_discount")
+    land = F.col("l_tax") + 0.05
+    return li.select("l_orderkey", "l_linenumber",
+                     R6(calc_tslsi(ts, ts_sea, sic, land)).alias("tslsi"))
+
+
+@query(
+    "q_tslsi_tiles",
+    oracle="""
+    WITH tf(tile, frac) AS (
+      VALUES (1, 0.30), (2, 0.25), (3, 0.15), (4, 0.12),
+             (5, 0.10), (6, 0.05), (7, 0.03)
+    ),
+    src AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             CAST(l_orderkey % 10 AS DOUBLE) / 10.0 + 0.05 AS land_frac,
+             CASE WHEN l_orderkey % 3 = 0 THEN 271.35
+                  ELSE 260.0 + CAST(l_orderkey % 7 AS DOUBLE) END AS si_temp
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           ROUND(SUM(l_quantity * frac) * MAX(land_frac)
+                 + COALESCE(MAX(CASE WHEN si_temp <> 271.35 THEN si_temp END), 0.0),
+                 6) AS tslsi
+    FROM src JOIN tf ON tile = l_linenumber
+    GROUP BY l_orderkey
+    """,
+)
+def q_tslsi_tiles(spark, sf_dir):
+    """Tile-summed land temperature + sentinel-masked sea-ice temperature
+    (tslsi + tileFraci317 + apply_landfrac, app_functions.py:266-287,
+    354-366): the pft tile-fraction ancillary is a BROADCAST dim table,
+    the per-tile loop collapses to one map-side-combined groupBy, the
+    CICE open-water sentinel (271.35) masks to null before the combine.
+    land_frac and si_temp derive from the group key so they are
+    group-constant (the reference's 2-D ancillary fields)."""
+    from access_mopper_spark.functions.legacy import tslsi_tiles
+    li = load_table(spark, sf_dir, "lineitem")
+    tf = spark.createDataFrame(
+        [(1, 0.30), (2, 0.25), (3, 0.15), (4, 0.12), (5, 0.10), (6, 0.05), (7, 0.03)],
+        ["l_linenumber", "frac"])
+    src = (li.withColumn("land_frac", (F.col("l_orderkey") % 10).cast("double") / 10.0 + 0.05)
+             .withColumn("si_temp",
+                         F.when(F.col("l_orderkey") % 3 == 0, F.lit(271.35))
+                          .otherwise(260.0 + (F.col("l_orderkey") % 7).cast("double"))))
+    out = tslsi_tiles(src, tf, ["l_orderkey"], temp_col="l_quantity",
+                      tile_key="l_linenumber", frac_col="frac",
+                      land_frac_col="land_frac", si_temp_col="si_temp")
+    return out.select("l_orderkey", R6(F.col("tslsi")).alias("tslsi"))
+
+
+@query(
+    "q_depth100",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CASE WHEN l_discount > 0
+                      THEN (l_extendedprice * 1e-3
+                            + (l_extendedprice * 1e-3 + l_quantity)) / 2.0 END,
+                 6) AS depth100
+    FROM lineitem
+    """,
+)
+def q_depth100(spark, sf_dir):
+    """100 m layer mid-point depth (depth100, app_functions.py:452-455):
+    (d95+d105)/2 with the deeper field's mask transplanted — the
+    CASE-null rendering of the numpy masked mean.  Map-only."""
+    from access_mopper_spark.functions.legacy import depth100
+    li = load_table(spark, sf_dir, "lineitem")
+    d95 = F.col("l_extendedprice") * 1e-3
+    d105 = F.when(F.col("l_discount") > 0, d95 + F.col("l_quantity"))
+    return li.select("l_orderkey", "l_linenumber",
+                     R6(depth100(d95, d105)).alias("depth100"))
+
+
+@query(
+    "q_rsdoabsorb",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CASE WHEN l_linenumber = 1
+                      THEN l_quantity + o_totalprice * 1e-4
+                      ELSE l_quantity END, 6) AS rsdoabsorb
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q_rsdoabsorb(spark, sf_dir):
+    """Absorbed shortwave (calcrsdoabsorb, app_functions.py:457-466):
+    the 2-D surface flux (orders level) adds into the 3-D heating ONLY
+    at the top level; deeper levels pass through.  The reference's
+    per-level numpy loop is one level-conditional Column expression
+    after an equi-join on the column key."""
+    from access_mopper_spark.functions.legacy import rsdoabsorb
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    out = rsdoabsorb(F.col("l_quantity"), F.col("o_totalprice") * 1e-4,
+                     F.col("l_linenumber"), 1)
+    return j.select("l_orderkey", "l_linenumber", R6(out).alias("rsdoabsorb"))
+
+
+@query(
+    "q_ocnrmadvect",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS var0,
+             l_discount * 10.0 AS var1,
+             l_tax * 10.0 AS var2,
+             l_extendedprice * 1e-4 AS var3,
+             CAST(l_linenumber AS DOUBLE) AS var4,
+             l_quantity * 0.1 AS var5,
+             CAST(l_partkey % 5 AS DOUBLE) AS var6,
+             CAST(l_suppkey % 3 AS DOUBLE) AS var7,
+             1.0 AS var8,
+             l_quantity * 2.0 AS var9
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND((var9 - ((var0 - var1) + var2 + (var3 + var4) + var5
+                          + (var1 + var6) + var7 + var8))
+                 + var3 + var5, 6) AS adv_residual
+    FROM t
+    """,
+)
+def q_ocnrmadvect(spark, sf_dir):
+    """Offline residual advection (ocnrmadvect_offine,
+    app_functions.py:468-494, salt variant): named linear combination of
+    ten tendency terms, ADV = NET − RHS, result = ADV + EIT_a + SUB.
+    One projection, zero shuffles — the reference's sequence of numpy
+    temporaries fuses into a single codegen stage."""
+    from access_mopper_spark.functions.legacy import ocnrmadvect_offine
+    li = load_table(spark, sf_dir, "lineitem")
+    v = {
+        "var0": F.col("l_quantity").cast("double"),
+        "var1": F.col("l_discount") * 10.0,
+        "var2": F.col("l_tax") * 10.0,
+        "var3": F.col("l_extendedprice") * 1e-4,
+        "var4": F.col("l_linenumber").cast("double"),
+        "var5": F.col("l_quantity") * 0.1,
+        "var6": (F.col("l_partkey") % 5).cast("double"),
+        "var7": (F.col("l_suppkey") % 3).cast("double"),
+        "var8": F.lit(1.0),
+        "var9": F.col("l_quantity") * 2.0,
+    }
+    return li.select("l_orderkey", "l_linenumber",
+                     R6(ocnrmadvect_offine(v, "salt")).alias("adv_residual"))
+
+
+@query(
+    "q_ancillary_grids",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(CASE WHEN p_retailprice <= 1500
+                      THEN CAST(p_size AS DOUBLE) * 10.0 ELSE 0.0 END, 6) AS areacello,
+           ROUND(CAST(p_size AS DOUBLE) * 10.0 * (p_retailprice * 1e-2), 6) AS volcello,
+           ROUND(CAST(p_size AS DOUBLE) * 5.0, 6) AS deptho
+    FROM part
+    """,
+)
+def q_ancillary_grids(spark, sf_dir):
+    """Static grid ancillaries (calc_areacello / calc_volcello_om2 /
+    getdeptho, app_functions.py:610-630): the cell-area field takes the
+    land mask of a companion field and fills 0; volume = area × layer
+    thickness; depth is a plain ancillary projection.  All map-only over
+    the (small) grid dim table — at scale these broadcast to every
+    consumer, never shuffle."""
+    from access_mopper_spark.functions.legacy import calc_areacello, calc_volcello
+    part = load_table(spark, sf_dir, "part")
+    area = F.col("p_size") * 10.0
+    mask_v = F.when(F.col("p_retailprice") <= 1500, F.col("p_retailprice"))
+    dht = F.col("p_retailprice") * 1e-2
+    return part.select(
+        "p_partkey",
+        R6(calc_areacello(area, mask_v)).alias("areacello"),
+        R6(calc_volcello(area, dht)).alias("volcello"),
+        R6(F.col("p_size") * 5.0).alias("deptho"),
+    )
+
+
+@query(
+    "q_ice_transports",
+    oracle=f"""
+    WITH straits(strait, key_lo, key_hi, line_lo, line_hi) AS (
+      VALUES {", ".join(f"('{s}', {a}, {b}, {c}, {d})" for s, a, b, c, d in _STRAITS)}
+    ),
+    grid(line, cell_len) AS (
+      VALUES (1, 1100.0), (2, 1200.0), (3, 1300.0), (4, 1400.0),
+             (5, 1500.0), (6, 1600.0), (7, 1700.0)
+    )
+    SELECT strait,
+           ROUND(SUM(900.0 * (l_quantity * 0.1) * (l_discount * 10.0) * cell_len) * 1e-9, 6)
+             AS ice_mass,
+           ROUND(SUM(300.0 * (l_quantity * 0.05) * (l_discount * 10.0) * cell_len) * 1e-9, 6)
+             AS snow_mass,
+           ROUND(SUM(l_tax * (l_discount * 10.0) * cell_len) * 1e-9, 6) AS ice_area
+    FROM straits
+    JOIN lineitem ON l_partkey BETWEEN key_lo AND key_hi
+                 AND l_linenumber BETWEEN line_lo AND line_hi
+    JOIN grid ON line = l_linenumber
+    GROUP BY strait
+    """,
+)
+def q_ice_transports(spark, sf_dir):
+    """Ice/snow/ice-area strait transports (iceTransport / snowTransport /
+    iceareaTransport + fill_transports, calculations.py:323-430):
+    ρ·thickness·velocity·cell-length expressions summed across strait
+    boxes.  The grid cell-length ancillary and the strait table are both
+    BROADCAST; all three transport variants come out of ONE scan (the
+    reference recomputes the masked box sum per strait per variant)."""
+    from access_mopper_spark.functions.legacy import (ice_transport,
+                                                      icearea_transport,
+                                                      snow_transport)
+    li = load_table(spark, sf_dir, "lineitem")
+    straits = spark.createDataFrame(
+        _STRAITS, ["strait", "key_lo", "key_hi", "line_lo", "line_hi"])
+    grid = spark.createDataFrame(
+        [(i, 1000.0 + 100.0 * i) for i in range(1, 8)], ["line", "cell_len"])
+    thickness = F.col("l_quantity") * 0.1
+    snow_th = F.col("l_quantity") * 0.05
+    vel = F.col("l_discount") * 10.0
+    L = F.col("cell_len")
+    return (
+        li.join(F.broadcast(straits),
+                F.col("l_partkey").between(F.col("key_lo"), F.col("key_hi"))
+                & F.col("l_linenumber").between(F.col("line_lo"), F.col("line_hi")))
+        .join(F.broadcast(grid), F.col("line") == F.col("l_linenumber"))
+        .groupBy("strait")
+        .agg(R6(F.sum(ice_transport(thickness, vel, L)) * 1e-9).alias("ice_mass"),
+             R6(F.sum(snow_transport(snow_th, vel, L)) * 1e-9).alias("snow_mass"),
+             R6(F.sum(icearea_transport(F.col("l_tax"), vel, L)) * 1e-9).alias("ice_area"))
+    )
