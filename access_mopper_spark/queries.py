@@ -2975,3 +2975,53 @@ def q_ice_transports(spark, sf_dir):
              R6(F.sum(snow_transport(snow_th, vel, L)) * 1e-9).alias("snow_mass"),
              R6(F.sum(icearea_transport(F.col("l_tax"), vel, L)) * 1e-9).alias("ice_area"))
     )
+
+
+# =====================================================================
+# §2.1 NetCDF ingest bridge: filename pruning → mapInPandas decode →
+# tall layout (sources/netcdf_io.py)
+# =====================================================================
+
+@query(
+    "q_netcdf_ingest",
+    oracle="""
+    WITH files AS (
+      SELECT DISTINCT 'ocean_daily_' || strftime(o_orderdate, '%Y%m%d') || '.nc' AS path,
+             o_orderdate AS d
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+    ),
+    grid AS (
+      SELECT t.t, l.lev, j.j, i.i
+      FROM generate_series(0, 1) t(t), generate_series(0, 1) l(lev),
+           generate_series(0, 2) j(j), generate_series(0, 3) i(i)
+    )
+    SELECT CAST(d + t * INTERVAL 1 DAY AS TIMESTAMP) AS time, lev, j, i,
+           ROUND(CAST(datediff('day', DATE '1970-01-01', d) % 100 AS DOUBLE)
+                 + t * 100.0 + lev * 10.0 + j * 2.0 + i * 0.5, 6) AS temp,
+           ROUND(CAST(datediff('day', DATE '1970-01-01', d) % 100 AS DOUBLE)
+                 + 1000.0 + t * 100.0 + lev * 10.0 + j * 2.0 + i * 0.5, 6) AS salt
+    FROM files, grid
+    """,
+)
+def q_netcdf_ingest(spark, sf_dir):
+    """NetCDF ingest end-to-end (open_mfdataset + check_timestamp +
+    _preselect, mop_utils.py:116-122,238-295,330-346): a path-list
+    DataFrame is filename-stamp PRUNED before any I/O, repartitioned for
+    file-level parallelism, and decoded to the tall (time,lev,j,i)
+    layout inside one Arrow-batched mapInPandas.  The decode uses the
+    deterministic synthetic opener (xarray isn't shipped here), whose
+    values are a pure function of (stamp, indices) — so DuckDB replays
+    the ENTIRE ingest, pruning included, and the driver value-hashes it.
+    Swapping in xarray_opener changes no plumbing."""
+    from access_mopper_spark.sources.netcdf_io import scan_netcdf, synthetic_opener
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.select(
+        F.concat(F.lit("ocean_daily_"), F.date_format("o_orderdate", "yyyyMMdd"),
+                 F.lit(".nc")).alias("path")).distinct()
+    out = scan_netcdf(files, ["temp", "salt"],
+                      tstart="1995-01-01", tend="1995-03-31 23:59:59",
+                      opener=synthetic_opener)
+    return out.select("time", "lev", "j", "i",
+                      R6(F.col("temp")).alias("temp"),
+                      R6(F.col("salt")).alias("salt"))
