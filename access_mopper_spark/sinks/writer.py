@@ -14,6 +14,20 @@ Three reference behaviors carried over:
   ``maxRecordsPerFile`` computed from target bytes / est. row width —
   Spark streams each partition to disk, so the reference's memory-guard
   chunking is inherent.
+
+Round-3 additions:
+
+- **Global-attribute / CV validation** (``edit_json_cv`` + required
+  attribute collection, setup_utils.py:250-300; CMOR exits on missing
+  attrs): required keys = the CV's required_global_attributes plus every
+  template placeholder; value sets (frequency/realm/calendar) validated
+  against the controlled vocabulary.  Violations raise BEFORE any write.
+- **Hybrid-height z-factors** (``hybrid_axis``, mop_utils.py:518-537):
+  the hybrid vertical coordinate ships with its formula terms — the
+  per-level ``b``/``b_half`` coefficient (with bounds) and the per-cell
+  ``orog`` field.  In a columnar store these are companion columns
+  attached by BROADCAST joins (per-level table ≤ O(100) rows, orography
+  is a per-cell ancillary) — never a shuffle of the data table.
 """
 
 from __future__ import annotations
@@ -64,15 +78,110 @@ def render_template(template: str, attrs: dict) -> str:
     return re.sub(r"\{(\w+)\}", sub, template)
 
 
+# Controlled vocabulary (CMIP6_CV.json role, setup_utils.py:250-300).
+# Value sets mirror the reference's tables; calendars match
+# functions/calendars.py support.
+DEFAULT_CV = {
+    "required_global_attributes": [
+        "source_id", "source", "experiment_id", "frequency", "realm",
+        "calendar", "table_id", "variant_label",
+    ],
+    "frequency": {"subhr", "1hr", "3hr", "6hr", "day", "mon", "yr", "dec",
+                  "fx", "monC", "monPt", "dayPt"},
+    "realm": {"atmos", "ocean", "seaIce", "land", "landIce", "ocnBgchem",
+              "atmosChem", "aerosol"},
+    "calendar": {"gregorian", "standard", "proleptic_gregorian", "noleap",
+                 "365_day", "360_day", "all_leap", "366_day", "julian"},
+}
+
+
+def validate_attrs(attrs: dict, path_template: str = "", cv: dict | None = None) -> dict:
+    """Validate global attributes against the controlled vocabulary
+    (setup_utils.py:250-300 + CMOR's required-attribute exit): required
+    keys = CV required_global_attributes ∪ template placeholders; keys
+    with a CV value set must use a listed value.  Raises ValueError
+    listing EVERY violation (the reference exits on the first)."""
+    cv = cv or DEFAULT_CV
+    required = list(cv.get("required_global_attributes", []))
+    required += re.findall(r"\{(\w+)\}", path_template or "")
+    problems = []
+    for k in dict.fromkeys(required):          # ordered de-dup
+        if k not in attrs or attrs[k] in (None, ""):
+            problems.append(f"missing required attribute {k!r}")
+    for k, allowed in cv.items():
+        if k == "required_global_attributes" or not isinstance(allowed, (set, frozenset)):
+            continue
+        if k in attrs and attrs[k] not in allowed:
+            problems.append(f"attribute {k}={attrs[k]!r} not in CV {sorted(allowed)}")
+    if problems:
+        raise ValueError("CV validation failed: " + "; ".join(problems))
+    return attrs
+
+
+# hybrid-height vertical coordinates and their formula-term names
+# (hybrid_axis, mop_utils.py:518-537)
+HYBRID_ZFACTORS = {
+    "hybrid_height": "b",
+    "hybrid_height_half": "b_half",
+}
+
+
+def attach_zfactors(df: DataFrame, axis_name: str,
+                    b_table: DataFrame, orog: DataFrame,
+                    lev_col: str = "lev",
+                    cell_cols: tuple[str, str] = ("j", "i"),
+                    expected_levels: list | None = None) -> DataFrame:
+    """Attach the hybrid-height formula terms as companion columns
+    (hybrid_axis, mop_utils.py:518-537): the per-level coefficient
+    (named ``b`` or ``b_half`` by axis, with its bounds) joins on the
+    level key; the per-cell orography joins on the cell key.  Both are
+    small ancillaries → broadcast joins, no shuffle of ``df``.
+
+    ``b_table`` columns: (lev_col, b, b_lo, b_hi);
+    ``orog`` columns: (*cell_cols, orog).
+    Unknown axis names raise (the reference's hybrid_dict KeyError).
+    ``expected_levels`` (if given) is checked against the b_table
+    driver-side — the b_table is an O(levels) ancillary, so this stays a
+    bounded collect and the data table is never scanned for validation.
+    """
+    if axis_name not in HYBRID_ZFACTORS:
+        raise KeyError(f"{axis_name!r} is not a hybrid axis; "
+                       f"known: {sorted(HYBRID_ZFACTORS)}")
+    zname = HYBRID_ZFACTORS[axis_name]
+    if expected_levels is not None:
+        have = {r[0] for r in b_table.select(lev_col).collect()}  # bounded: axis table
+        missing = sorted(set(expected_levels) - have)
+        if missing:
+            raise ValueError(
+                f"z-factor {zname!r} undefined for levels {missing}")
+    b = b_table.select(
+        F.col(lev_col),
+        F.col("b").alias(zname),
+        F.col("b_lo").alias(f"{zname}_bnds_lo"),
+        F.col("b_hi").alias(f"{zname}_bnds_hi"),
+    )
+    out = df.join(F.broadcast(b), lev_col, "left")
+    return out.join(F.broadcast(orog), list(cell_cols), "left")
+
+
 def write_dataset(df: DataFrame, registry: SchemaRegistry, name: str,
                   base_dir: str, path_template: str,
                   partition_cols: list[str] | None = None,
                   target_file_mb: float = 256.0,
                   est_row_bytes: int = 64,
-                  compression: str = "zstd") -> str:
-    """Conform → template the output directory → write parquet with a
-    per-file record cap derived from the byte target.  Returns the path."""
+                  compression: str = "zstd",
+                  cv: dict | bool | None = None) -> str:
+    """Conform → validate attrs (optional CV) → template the output
+    directory → write parquet with a per-file record cap derived from
+    the byte target.  Returns the path.
+
+    ``cv``: None skips CV validation (legacy behavior); True validates
+    against DEFAULT_CV; a dict validates against that vocabulary.
+    Validation failures raise BEFORE any file is written (CMOR's
+    exit-on-missing-attribute discipline, mopper.py:174-196)."""
     schema, attrs = registry.get(name)
+    if cv:
+        validate_attrs(attrs, path_template, None if cv is True else cv)
     out = conform(df, schema)
     path = f"{base_dir.rstrip('/')}/{render_template(path_template, attrs)}"
     max_records = max(1, int(target_file_mb * 1024 * 1024 / est_row_bytes))

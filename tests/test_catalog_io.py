@@ -82,3 +82,67 @@ def test_tiered_join_brings_payload(spark):
     # left's own model value is preserved (not overwritten by the match)
     assert rows["pr"]["model"] == "CM2"
     assert rows["zg"]["match_tier"] == "no_match" and rows["zg"]["calculation"] is None
+
+
+# ----------------------------- dreq workflow (cmip_utils.py:33-146) ----
+
+def _dreq_fixture(spark, tmp_path):
+    """Minimal tab-delimited dreq: 32 positional columns like the export."""
+    def row(c0, cmor="", mips="", years=""):
+        cells = [""] * 32
+        cells[0], cells[12], cells[28], cells[31] = c0, cmor, mips, years
+        return "\t".join(cells)
+
+    lines = [
+        row("Notes", "Notes on tables"),
+        row("MIP table", "CMOR Name"),
+        row("0"),
+        row("Amon", "tas", "CMIP,ScenarioMIP", "All years"),
+        row("Amon", "pr", "HighResMIP", "All years"),
+        row("Amon", "psl", "CMIP", "[1850, 1900]"),
+        row("Amon", ""),                       # blank cmor name → dropped
+        row("Omon", "tos", "CMIP", "All years"),
+    ]
+    p = tmp_path / "dreq.tsv"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_find_cmip_tables(spark, tmp_path):
+    from access_mopper_spark.sources.catalog_io import find_cmip_tables, read_dreq
+    dreq = read_dreq(spark, _dreq_fixture(spark, tmp_path))
+    got = {r["table"] for r in find_cmip_tables(dreq).collect()}
+    assert got == {"CMIP6_Amon", "CMIP6_Omon"}  # sentinels dropped
+
+
+def test_read_dreq_vars_activity_filter(spark, tmp_path):
+    from access_mopper_spark.sources.catalog_io import read_dreq, read_dreq_vars
+    dreq = read_dreq(spark, _dreq_fixture(spark, tmp_path))
+    got = {r["cmor_name"]: r["dreq_years"]
+           for r in read_dreq_vars(dreq, "Amon", "CMIP").collect()}
+    # pr is HighResMIP-only → excluded; years text passes through,
+    # 'All years' normalizes to 'all'
+    assert got == {"tas": "all", "psl": "[1850, 1900]"}
+
+
+def test_dreq_intersection(spark, tmp_path):
+    from access_mopper_spark.sources.catalog_io import (dreq_intersection,
+                                                        read_dreq,
+                                                        read_dreq_vars)
+    dreq = read_dreq(spark, _dreq_fixture(spark, tmp_path))
+    dv = read_dreq_vars(dreq, "Amon", "CMIP")
+    varlist = spark.createDataFrame(
+        [("tas", "K"), ("uas", "m s-1"), ("psl", "Pa")], ["cmor_name", "units"])
+    got = {r["cmor_name"] for r in dreq_intersection(varlist, dv).collect()}
+    assert got == {"tas", "psl"}
+
+
+def test_fix_years_and_reallocate():
+    from access_mopper_spark.sources.catalog_io import fix_years, reallocate_years
+    ys = ["1850", "1900"]
+    assert fix_years(ys, "1870", "1890") == ("1870", "1890")       # inside
+    assert fix_years(ys, "1840", "1890") == ("18500101T0000", "1890")  # clamp lo
+    assert fix_years(ys, "1870", "1950") == ("1870", "19001231T2359")  # clamp hi
+    assert fix_years(ys, "1950", "1960")[0] is None                # disjoint
+    assert reallocate_years([1850, 1851], "0950") == [950, 951]
+    assert reallocate_years([1850, 1851], "1950") == [1850, 1851]

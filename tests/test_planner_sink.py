@@ -172,3 +172,78 @@ def test_add_axis_singleton_dim(spark):
     out = add_axis(df, "height", 2.0)
     assert out.columns == ["k", "height"]
     assert {r["height"] for r in out.collect()} == {2.0}
+
+
+# ------------------------- CMOR sink metadata (round 3) -------------------
+
+def test_validate_attrs_cv(spark):
+    from access_mopper_spark.sinks.writer import DEFAULT_CV, validate_attrs
+    good = {"source_id": "ACCESS-CM2", "source": "ACCESS-CM2 model",
+            "experiment_id": "historical", "frequency": "mon",
+            "realm": "ocean", "calendar": "360_day",
+            "table_id": "Omon", "variant_label": "r1i1p1f1"}
+    assert validate_attrs(good) is good
+    # bad CV value
+    with pytest.raises(ValueError, match="frequency='fortnightly'"):
+        validate_attrs({**good, "frequency": "fortnightly"})
+    # missing required key
+    bad = dict(good); del bad["realm"]
+    with pytest.raises(ValueError, match="missing required attribute 'realm'"):
+        validate_attrs(bad)
+    # template placeholders become required too
+    with pytest.raises(ValueError, match="missing required attribute 'version'"):
+        validate_attrs(good, path_template="{experiment_id}/{version}")
+    # every violation reported, not just the first
+    try:
+        validate_attrs({**bad, "calendar": "martian"})
+    except ValueError as e:
+        assert "realm" in str(e) and "martian" in str(e)
+
+
+def test_write_dataset_cv_gate(spark, tmp_path):
+    from access_mopper_spark.sinks.writer import SchemaRegistry, write_dataset
+    reg = SchemaRegistry()
+    schema = StructType([StructField("v", DoubleType())])
+    reg.register("out", schema, {"experiment_id": "historical", "frequency": "bad-freq",
+                                 "source_id": "x", "source": "y", "realm": "ocean",
+                                 "calendar": "noleap", "table_id": "Omon",
+                                 "variant_label": "r1i1p1f1"})
+    df = spark.range(3).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="bad-freq"):
+        write_dataset(df, reg, "out", str(tmp_path), "{experiment_id}", cv=True)
+    # cv=None keeps legacy behavior (no validation)
+    path = write_dataset(df, reg, "out", str(tmp_path), "{experiment_id}")
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_attach_zfactors(spark):
+    from access_mopper_spark.sinks.writer import attach_zfactors
+    data = spark.createDataFrame(
+        [(lev, j, i, float(lev * 10 + j + i)) for lev in (1, 2)
+         for j in (0, 1) for i in (0, 1)],
+        ["lev", "j", "i", "ta"])
+    b = spark.createDataFrame(
+        [(1, 0.99, 0.985, 0.995), (2, 0.95, 0.945, 0.955)],
+        ["lev", "b", "b_lo", "b_hi"])
+    orog = spark.createDataFrame(
+        [(0, 0, 100.0), (0, 1, 120.0), (1, 0, 140.0), (1, 1, 160.0)],
+        ["j", "i", "orog"])
+    out = attach_zfactors(data, "hybrid_height", b, orog,
+                          expected_levels=[1, 2])
+    assert set(out.columns) >= {"b", "b_bnds_lo", "b_bnds_hi", "orog"}
+    row = out.where((F.col("lev") == 2) & (F.col("j") == 1) & (F.col("i") == 0)).first()
+    assert row["b"] == 0.95 and row["orog"] == 140.0
+    # half-level axis renames the coefficient (hybrid_dict, mop_utils.py:521)
+    out2 = attach_zfactors(data, "hybrid_height_half", b, orog)
+    assert "b_half" in out2.columns
+    # unknown axis and missing level both fail fast
+    with pytest.raises(KeyError):
+        attach_zfactors(data, "sigma", b, orog)
+    with pytest.raises(ValueError, match=r"\[3\]"):
+        attach_zfactors(data, "hybrid_height", b, orog, expected_levels=[1, 2, 3])
+    # broadcast join shape: no shuffle of the data side
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
