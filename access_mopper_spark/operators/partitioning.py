@@ -6,7 +6,7 @@ feature extraction) over a source that arrived as very few input splits
 runs on as few cores.  At 100 TB a parquet scan yields thousands of
 splits and this is a no-op; on a single small file it round-robins rows
 across the cluster once so the expensive map runs wide.  Gated on the
-current partition count so the shuffle is only paid when parallelism is
+current parallelism so the shuffle is only paid when parallelism is
 actually missing — never blanket-repartition a big scan.
 """
 
@@ -17,9 +17,21 @@ from pyspark.sql import DataFrame
 
 def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition up to ``n`` (default: cluster default parallelism) only
-    if the DataFrame currently has fewer partitions."""
+    if the source's parallelism is below it.
+
+    The probe avoids ``df.rdd`` where it can: for file-backed plans the
+    file count (``inputFiles`` — a driver-side listing, no physical
+    planning) bounds the scan's split count from below, so ``files >=
+    target`` proves parallelism without planning the query twice.  Only
+    in-memory/local sources fall through to the ``rdd`` probe, where the
+    plan is trivial and the conversion is cheap.
+    """
     sc = df.sparkSession.sparkContext
     target = n or sc.defaultParallelism
+    if len(df.inputFiles()) >= target:
+        return df  # ≥ one split per file → already wide enough, no planning
+    # few/no files: a single big file may still split wide — confirm with
+    # the rdd probe before paying a shuffle (rare branch, plan is small)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
