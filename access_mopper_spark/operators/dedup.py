@@ -248,3 +248,50 @@ def deterministic_sample(df: DataFrame, fraction: float,
     threshold = format(int(fraction * 16**8), "08x")
     digest = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     return df.where(F.substring(digest, 1, 8) < threshold)
+
+
+def dedup_clusters(pairs: DataFrame, nodes: DataFrame,
+                   id_a: str = "id_a", id_b: str = "id_b",
+                   id_col: str = "doc_id", max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    gets the MIN document id reachable through the pair graph as its
+    ``cluster_id`` (singletons keep their own id).  This is the step
+    after LSH pair generation in a real dedup pipeline — pairs only say
+    "a~b"; keeping one doc per CLUSTER needs the transitive closure.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbours' labels.  Rounds needed = graph
+    diameter — near-dup clusters are tiny and dense, so convergence is
+    2-3 rounds in practice (``max_iter`` bounds pathological chains).
+    Each round is one shuffle on the edge key; the driver-side action
+    per round is a single count on the CHANGED rows (inherent to any
+    iterative fixpoint — documented, bounded by max_iter).  At 100 TB
+    scale the same loop is how GraphX/GraphFrames run CC; for massive
+    diameters switch to the large-star/small-star variant (same
+    primitive, fewer rounds).
+    """
+    # undirected: propagate along both edge directions
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"))).distinct()
+    edges.persist()
+    labels = nodes.select(F.col(id_col).alias("id"),
+                          F.col(id_col).alias("cluster_id"))
+    labels.persist()
+    for _ in range(max_iter):
+        neigh = (edges.join(labels.withColumnRenamed("id", "dst")
+                            .withColumnRenamed("cluster_id", "__nl"), "dst")
+                 .groupBy("src").agg(F.min("__nl").alias("__nmin")))
+        new_labels = (labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
+                      .select("id", F.least("cluster_id", F.coalesce("__nmin", "cluster_id"))
+                              .alias("cluster_id")))
+        new_labels.persist()
+        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), "cluster_id")

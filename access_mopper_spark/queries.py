@@ -3025,3 +3025,41 @@ def q_netcdf_ingest(spark, sf_dir):
     return out.select("time", "lev", "j", "i",
                       R6(F.col("temp")).alias("temp"),
                       R6(F.col("salt")).alias("salt"))
+
+
+# =====================================================================
+# beyond-reference: dedup clusters (transitive closure of near-dup pairs)
+# =====================================================================
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({ORACLES["q_near_dup_pairs"]})
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@query("q_dedup_clusters", oracle=_DEDUP_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph: each document
+    labelled with the min id reachable through pairs (singletons keep
+    their own id) — the transitive-closure step that turns pairwise
+    LSH output into keep-one-per-cluster dedup decisions.  Iterative
+    min-label propagation (rounds = cluster diameter, 2-3 in practice,
+    one edge-key shuffle per round); the oracle replays the closure as a
+    recursive CTE over the SAME pair SQL as q_near_dup_pairs."""
+    from access_mopper_spark.operators.dedup import dedup_clusters, near_dup_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, "text", "doc_id", n_hashes=6, band_size=2,
+                           shingle_k=3, jaccard_threshold=0.5, shingle_kind="word")
+    return dedup_clusters(pairs, docs.select("doc_id"))

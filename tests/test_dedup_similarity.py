@@ -151,3 +151,13 @@ def test_cosine_pairs_blocked_matches_broadcast(spark, emb):
     via_guard = key(cosine_pairs_exact(df, threshold=0.3, dim=16,
                                        max_broadcast_rows=16).collect())
     assert via_guard == base
+
+
+def test_dedup_clusters_transitive(spark):
+    """Chain a-b, b-c collapses to one cluster (transitivity the pair
+    list alone can't express); isolated nodes stay singletons."""
+    from access_mopper_spark.operators.dedup import dedup_clusters
+    pairs = spark.createDataFrame([(2, 5), (5, 9), (11, 12)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in (2, 5, 9, 11, 12, 40)], ["doc_id"])
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs, nodes).collect()}
+    assert got == {2: 2, 5: 2, 9: 2, 11: 11, 12: 11, 40: 40}
