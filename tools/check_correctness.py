@@ -51,7 +51,15 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(app_name="check_correctness")
+    import os
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver parity: the harness does NOT use our get_spark — probe
+        # the registry under a plain session to catch conf dependencies
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.master("local[8]") \
+            .appName("check_correctness_vanilla").getOrCreate()
+    else:
+        spark = get_spark(app_name="check_correctness")
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
