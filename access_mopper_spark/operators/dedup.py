@@ -139,29 +139,44 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def _vote_pack64(arrs: list[np.ndarray]) -> np.ndarray:
+def _flatten_rows(cells) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow list column → (flat concatenation, per-row lengths): ONE
+    concatenate for the whole batch, no per-row numpy arithmetic."""
+    arrs = [np.asarray(a) for a in cells if a is not None and len(a)]
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in cells), dtype=np.int64,
+        count=len(cells))
+    flat = (np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64))
+    return flat, lens
+
+
+def _vote_pack64(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Single-pass numpy bit-vote: per document, each 64-bit hash votes
     +1/-1 per bit position; bit set iff votes > 0.  Vectorized
-    unpack → reduceat → sign-pack over a whole Arrow batch."""
+    unpack → reduceat → sign-pack over a whole Arrow batch; documents
+    arrive flattened (``flat`` hashes + per-row ``lens``) so every op is
+    a global numpy call, never per-row."""
     shifts = np.arange(64, dtype=np.uint64)
     weights = np.uint64(1) << shifts
     chunk_rows = 2048  # bounds the bits matrix (~chunk·shingles·64 bytes)
-    out = np.zeros(len(arrs), dtype=np.int64)
-    for lo in range(0, len(arrs), chunk_rows):
-        sub = arrs[lo:lo + chunk_rows]
-        lens = np.fromiter((a.size for a in sub), dtype=np.int64, count=len(sub))
-        nz = lens > 0
+    flat = flat.astype(np.uint64, copy=False)
+    out = np.zeros(len(lens), dtype=np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    for lo in range(0, len(lens), chunk_rows):
+        hi = min(lo + chunk_rows, len(lens))
+        l = lens[lo:hi]
+        nz = l > 0
         if not nz.any():
             continue
-        flat = np.concatenate([a for a in sub if a.size]).astype(np.uint64)
-        bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-        starts = np.zeros(int(nz.sum()), dtype=np.int64)
-        starts[1:] = np.cumsum(lens[nz])[:-1]
+        seg = flat[offs[lo]:offs[hi]]
+        bits = ((seg[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        starts = offs[lo:hi][nz] - offs[lo]
         ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
-        votes = 2 * ones - lens[nz][:, None]
+        votes = 2 * ones - l[nz][:, None]
         packed = ((votes > 0).astype(np.uint64) * weights) \
             .sum(axis=1, dtype=np.uint64).view(np.int64)
-        out[lo:lo + chunk_rows][nz] = packed  # slice is a view into out
+        out[lo:hi][nz] = packed  # slice is a view into out
     return out
 
 
@@ -193,9 +208,8 @@ def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
 
         @F.pandas_udf("long")
         def _vote1(harr: pd.Series) -> pd.Series:
-            arrs = [np.asarray(a, dtype=np.int64) if a is not None
-                    else np.empty(0, dtype=np.int64) for a in harr]
-            return pd.Series(_vote_pack64(arrs))
+            flat, lens = _flatten_rows(harr)
+            return pd.Series(_vote_pack64(flat, lens))
 
         return hashed.withColumn(out_col, _vote1(F.col("__h"))).drop("__h")
 
@@ -212,15 +226,12 @@ def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
 
     @F.pandas_udf("long")
     def _vote2(hi: pd.Series, lo: pd.Series) -> pd.Series:
-        arrs = []
-        for h, l in zip(hi, lo):
-            if h is None or len(h) == 0:
-                arrs.append(np.empty(0, dtype=np.int64))
-            else:
-                u = (np.asarray(h, dtype=np.uint64) << np.uint64(32)) \
-                    | np.asarray(l, dtype=np.uint64)
-                arrs.append(u.view(np.int64))
-        return pd.Series(_vote_pack64(arrs))
+        # flatten both lanes once, combine to uint64 in ONE global op —
+        # the hi/lo row layouts are identical (same transform source)
+        fhi, lens = _flatten_rows(hi)
+        flo, _ = _flatten_rows(lo)
+        flat = (fhi.astype(np.uint64) << np.uint64(32)) | flo.astype(np.uint64)
+        return pd.Series(_vote_pack64(flat, lens))
 
     return hashed.withColumn(out_col, _vote2(F.col("__hi"), F.col("__lo"))) \
                  .drop("__hi", "__lo")
