@@ -307,3 +307,29 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
     return partial_topk(scored.dropDuplicates([query_id_col, id_col]),
                         [query_id_col],
                         [F.col("cosine_sim").desc(), F.col(id_col)], k)
+
+
+# -------------------------------------------------- scalar quantization
+
+def quantize_int8(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization: scale = max(|x|)/127,
+    q_i = round(x_i/scale).  The storage-side primitive for embedding
+    tables at scale — 4× smaller than float32, 8× smaller than the
+    double math Spark does on read, with the scale kept alongside for
+    dequantization.  Pure Column math (higher-order functions, no UDF);
+    returns struct(scale double, q array<int>).
+
+    Zero vectors quantize to scale 0 + all-zero codes (guarded divide)."""
+    amax = F.aggregate(vec, F.lit(0.0),
+                       lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
+    scale = amax / F.lit(127.0)
+    q = F.when(scale > 0,
+               F.transform(vec, lambda v: F.round(v.cast("double") / scale)
+                           .cast("int"))) \
+        .otherwise(F.transform(vec, lambda v: F.lit(0)))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(quant: Column) -> Column:
+    """Inverse of ``quantize_int8``: x̂_i = q_i · scale (array<double>)."""
+    return F.transform(quant["q"], lambda v: v.cast("double") * quant["scale"])

@@ -3063,3 +3063,46 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = near_dup_pairs(docs, "text", "doc_id", n_hashes=6, band_size=2,
                            shingle_k=3, jaccard_threshold=0.5, shingle_kind="word")
     return dedup_clusters(pairs, docs.select("doc_id"))
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH src AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM src
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(round(x / scale) AS INT))
+                  ELSE list_transform(v, x -> 0) END AS qv
+      FROM s
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           qv[1] AS q0, qv[33] AS q32, qv[64] AS q63,
+           ROUND(list_sum(list_transform(qv, x -> CAST(abs(x) AS DOUBLE))), 6) AS l1_q
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding column
+    (training-data storage path: 4x smaller than float32).  Pure Column
+    math — aggregate for max|x|, transform for the codes; the oracle
+    recomputes scale + spot codes + the L1 norm of the code vector in
+    DuckDB.  Map-only, shuffle-free, trivially 100 TB-parallel."""
+    from access_mopper_spark.operators.similarity import quantize_int8
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = emb.withColumn("__qz", quantize_int8(F.col("embedding")))
+    q = F.col("__qz.q")
+    return out.select(
+        "vec_id",
+        R6(F.col("__qz.scale")).alias("scale"),
+        q[0].alias("q0"), q[32].alias("q32"), q[63].alias("q63"),
+        R6(F.aggregate(q, F.lit(0.0),
+                       lambda acc, v: acc + F.abs(v).cast("double"))).alias("l1_q"),
+    )

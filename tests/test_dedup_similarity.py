@@ -161,3 +161,24 @@ def test_dedup_clusters_transitive(spark):
     nodes = spark.createDataFrame([(i,) for i in (2, 5, 9, 11, 12, 40)], ["doc_id"])
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs, nodes).collect()}
     assert got == {2: 2, 5: 2, 9: 2, 11: 11, 12: 11, 40: 40}
+
+
+def test_quantize_int8_roundtrip(spark):
+    from access_mopper_spark.operators.similarity import (dequantize_int8,
+                                                          quantize_int8)
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0]), (2, [127.0, -127.0, 63.5])],
+        ["vec_id", "embedding"])
+    out = df.select("vec_id", quantize_int8(F.col("embedding")).alias("qz")) \
+            .withColumn("back", dequantize_int8(F.col("qz"))).collect()
+    rows = {r["vec_id"]: r for r in out}
+    # codes bounded to int8 range, max|x| maps to ±127 exactly
+    assert rows[0]["qz"]["q"] == [64, -127, 32]
+    assert rows[1]["qz"]["scale"] == 0.0 and rows[1]["qz"]["q"] == [0, 0, 0]
+    assert rows[2]["qz"]["q"] == [127, -127, 64]
+    # dequantization error bounded by scale/2 per element
+    for r in rows.values():
+        scale = r["qz"]["scale"]
+        orig = {0: [1.0, -2.0, 0.5], 1: [0.0, 0.0, 0.0], 2: [127.0, -127.0, 63.5]}[r["vec_id"]]
+        for x, xb in zip(orig, r["back"]):
+            assert abs(x - xb) <= scale / 2 + 1e-12
