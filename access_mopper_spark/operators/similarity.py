@@ -333,3 +333,51 @@ def quantize_int8(vec: Column) -> Column:
 def dequantize_int8(quant: Column) -> Column:
     """Inverse of ``quantize_int8``: x̂_i = q_i · scale (array<double>)."""
     return F.transform(quant["q"], lambda v: v.cast("double") * quant["scale"])
+
+
+# -------------------------------------------------- k-means (IVF build)
+
+def kmeans_train(corpus: DataFrame, k: int, n_iter: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 cent_id: str = "centroid_id",
+                 cent_vec: str = "centroid") -> DataFrame:
+    """Train IVF coarse-quantizer centroids with Lloyd iterations as
+    plain DataFrame ops — the build step ``ivf_assign``/``ivf_search``
+    assume already happened.
+
+    Deterministic throughout (cross-engine replayable): init = the k
+    lowest-id vectors; assignment = argmax 6dp-rounded cosine with
+    centroid-id tiebreak; update = elementwise member mean, rounded to
+    6dp (empty clusters keep their previous centroid).  Per iteration:
+    one broadcast of the k centroids (tiny), one map-side scored pass
+    over the corpus, one shuffle keyed by (centroid, dim) for the mean —
+    the textbook distributed Lloyd round, linear in corpus size, never a
+    corpus self-join.
+    """
+    from pyspark.sql import Window as W
+
+    c = corpus.select(F.col(id_col).alias("__id"),
+                      as_double(F.col(vec_col)).alias("__v"))
+    cents = (c.orderBy("__id").limit(k)
+             .select(F.col("__id").alias(cent_id), F.col("__v").alias("__c")))
+
+    for _ in range(n_iter):
+        scored = c.crossJoin(F.broadcast(cents)).select(
+            "__id", "__v", cent_id,
+            F.round(cosine(F.col("__v"), F.col("__c")), 6).alias("__sim"))
+        wv = W.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col(cent_id))
+        assigned = (scored.withColumn("__r", F.row_number().over(wv))
+                    .where(F.col("__r") == 1).select("__id", "__v", cent_id))
+        # elementwise mean via (centroid, dim) shuffle; array_agg ordered
+        # by dim index rebuilds the vector
+        means = (assigned.select(cent_id, F.posexplode("__v").alias("__d", "__x"))
+                 .groupBy(cent_id, "__d").agg(F.avg("__x").alias("__m"))
+                 .groupBy(cent_id)
+                 .agg(F.array_sort(F.collect_list(F.struct("__d", "__m"))).alias("__dm"))
+                 .select(cent_id,
+                         F.transform(F.col("__dm"), lambda s: F.round(s["__m"], 6))
+                         .alias("__cnew")))
+        cents = (cents.join(means, cent_id, "left")
+                 .select(cent_id, F.coalesce("__cnew", "__c").alias("__c")))
+
+    return cents.select(cent_id, F.col("__c").alias(cent_vec))

@@ -3106,3 +3106,63 @@ def q_embedding_quantize(spark, sf_dir):
         R6(F.aggregate(q, F.lit(0.0),
                        lambda acc, v: acc + F.abs(v).cast("double"))).alias("l1_q"),
     )
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations in SQL: every round is deterministic
+    (6dp-rounded sims + cid tiebreak, 6dp-rounded means), so DuckDB
+    replays the exact training trajectory."""
+    parts = [f"""
+    WITH src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM src ORDER BY vec_id LIMIT {k})"""]
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        parts.append(f""",
+    s{it} AS (
+      SELECT src.vec_id, src.v, p.cid,
+             ROUND(list_dot_product(src.v, p.c)
+                   / (sqrt(list_dot_product(src.v, src.v))
+                      * sqrt(list_dot_product(p.c, p.c))), 6) AS sim
+      FROM src CROSS JOIN {prev} p
+    ),
+    a{it} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+        FROM s{it}
+      ) t WHERE r = 1
+    ),
+    m{it} AS (
+      SELECT cid, g.i AS d, ROUND(AVG(v[g.i]), 6) AS m
+      FROM a{it}, generate_series(1, {dim}) g(i)
+      GROUP BY cid, g.i
+    ),
+    mm{it} AS (SELECT cid, list(m ORDER BY d) AS cnew FROM m{it} GROUP BY cid),
+    c{it} AS (
+      SELECT p.cid, COALESCE(mm.cnew, p.c) AS c
+      FROM {prev} p LEFT JOIN mm{it} mm USING (cid)
+    )""")
+    parts.append(f"""
+    SELECT cid AS centroid_id, c[1] AS c0, c[33] AS c32, c[64] AS c63,
+           ROUND(sqrt(list_dot_product(c, c)), 6) AS cnorm
+    FROM c{n_iter}""")
+    return "".join(parts)
+
+
+@query("q_ivf_train", oracle=_kmeans_oracle())
+def q_ivf_train(spark, sf_dir):
+    """IVF coarse-quantizer training: 2 Lloyd rounds as DataFrame ops —
+    broadcast the k centroids, one map-side scored pass, one
+    (centroid, dim)-keyed shuffle for the elementwise mean.  Every round
+    is deterministic (lowest-id init, 6dp-rounded argmax-cosine with cid
+    tiebreak, 6dp-rounded means) so the oracle replays the exact
+    trajectory as unrolled SQL.  Linear per round, never a corpus
+    self-join — the 100 TB-shaped k-means."""
+    from access_mopper_spark.operators.similarity import kmeans_train
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=4, n_iter=2)
+    c = F.col("centroid")
+    from access_mopper_spark.operators.similarity import dot
+    return cents.select(
+        "centroid_id", c[0].alias("c0"), c[32].alias("c32"), c[63].alias("c63"),
+        R6(F.sqrt(dot(c, c))).alias("cnorm"))

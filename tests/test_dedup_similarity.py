@@ -182,3 +182,25 @@ def test_quantize_int8_roundtrip(spark):
         orig = {0: [1.0, -2.0, 0.5], 1: [0.0, 0.0, 0.0], 2: [127.0, -127.0, 63.5]}[r["vec_id"]]
         for x, xb in zip(orig, r["back"]):
             assert abs(x - xb) <= scale / 2 + 1e-12
+
+
+def test_kmeans_train_improves_and_keeps_k(spark, emb):
+    from access_mopper_spark.operators.similarity import (cosine, as_double,
+                                                          kmeans_train)
+    df, _ = emb
+    import numpy as np
+
+    def objective(cents_df):
+        # mean best-centroid cosine over the corpus (higher = tighter)
+        cents = cents_df.collect()
+        vecs = df.select("vec_id", "embedding").collect()
+        C = np.array([r["centroid"] for r in cents], dtype="float64")
+        V = np.array([r["embedding"] for r in vecs], dtype="float64")
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return float((Vn @ Cn.T).max(axis=1).mean())
+
+    c1 = kmeans_train(df, k=5, n_iter=1)
+    c2 = kmeans_train(df, k=5, n_iter=3)
+    assert c1.count() == 5 and c2.count() == 5  # empty clusters retained
+    assert objective(c2) >= objective(c1) - 1e-9  # Lloyd monotone-ish
