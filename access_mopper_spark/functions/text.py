@@ -109,3 +109,15 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         F.sequence(F.lit(0), n - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
+
+
+def repetition_score(text: Column, ngram: int = 3) -> Column:
+    """Within-document repetition: 1 − distinct/total word n-grams — the
+    Gopher-style repetitive-content quality signal (high value = the doc
+    repeats itself).  Pure Column math over the shingle array; single
+    docs shorter than the n-gram window score 0."""
+    sh = word_shingles(text, ngram)
+    total = F.size(sh)
+    return F.when(total > 0,
+                  1.0 - F.size(F.array_distinct(sh)).cast("double") / total) \
+            .otherwise(F.lit(0.0))

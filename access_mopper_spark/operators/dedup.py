@@ -35,7 +35,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 4,
-                      shingle_k: int = 5, shingle_kind: str = "char") -> DataFrame:
+                      shingle_k: int = 5, shingle_kind: str = "char",
+                      hash_kind: str = "md5") -> DataFrame:
     """Append minhash_0..n-1 columns: each hash is min over shingles of an
     8-hex-char (32-bit) slice of md5(seed_g || shingle) — FOUR independent
     hash functions per md5 evaluation (one digest, four disjoint 32-bit
@@ -46,11 +47,27 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 4,
     ``shingle_kind``: 'char' (k-char sliding window) or 'word' (k-word
     n-grams).  Word shingles discriminate far better when the character
     vocabulary is small (min-of-hash over a shared shingle pool
-    degenerates → band buckets collide quadratically)."""
+    degenerates → band buckets collide quadratically).
+
+    ``hash_kind``: 'md5' (default, engine-portable — the oracle replays
+    the identical digests) or 'xxhash64' — Spark-native seeded 64-bit
+    hashes (pure codegen, no hex work, several× less CPU) for production
+    pipelines that don't need a cross-engine oracle; signature columns
+    are then longs instead of hex strings (band keys hash either)."""
     from access_mopper_spark.functions.text import word_shingles
     df = ensure_min_partitions(df)  # md5-per-shingle is CPU-bound: run wide
     sh = (char_shingles(F.col(text_col), shingle_k) if shingle_kind == "char"
           else word_shingles(F.col(text_col), shingle_k))
+
+    if hash_kind == "xxhash64":
+        def xx_fn(seed):  # factory: a default arg would read as the index param
+            return lambda s: F.xxhash64(s, F.lit(seed))
+
+        out = df
+        for i in range(n_hashes):
+            out = out.withColumn(
+                f"minhash_{i}", F.array_min(F.transform(sh, xx_fn(i))))
+        return out
 
     # PySpark infers lambda arity from the signature, so closures must be
     # built by factories (a default arg would masquerade as the index
@@ -93,7 +110,8 @@ def lsh_band_keys(sig_df: DataFrame, n_hashes: int = 4, band_size: int = 2) -> D
 def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    n_hashes: int = 6, band_size: int = 2, shingle_k: int = 3,
                    jaccard_threshold: float = 0.5,
-                   shingle_kind: str = "word") -> DataFrame:
+                   shingle_kind: str = "word",
+                   hash_kind: str = "md5") -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact Jaccard on distinct
     shingle sets.
 
@@ -105,7 +123,8 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     from access_mopper_spark.functions.text import word_shingles
     df = ensure_min_partitions(df)
     sig = lsh_band_keys(
-        minhash_signature(df, text_col, n_hashes, shingle_k, shingle_kind),
+        minhash_signature(df, text_col, n_hashes, shingle_k, shingle_kind,
+                          hash_kind),
         n_hashes, band_size)
     n_bands = (n_hashes + band_size - 1) // band_size
     # one (band_idx, band_key) row per doc per band → a SINGLE self-join

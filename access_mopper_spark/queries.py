@@ -3166,3 +3166,31 @@ def q_ivf_train(spark, sf_dir):
     return cents.select(
         "centroid_id", c[0].alias("c0"), c[32].alias("c32"), c[63].alias("c63"),
         R6(F.sqrt(dot(c, c))).alias("cnorm"))
+
+
+@query(
+    "q_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
+      FROM toks, generate_series(1, 300) g(i)
+      WHERE g.i <= greatest(length(w) - 2, 1)
+    )
+    SELECT doc_id,
+           ROUND(1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*), 6)
+             AS repetition
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_repetition(spark, sf_dir):
+    """Within-document repetition filter (1 − distinct/total word
+    3-grams): the Gopher-style repetitive-content signal, as pure
+    Column math over the shingle array — map-only, no shuffle, the
+    quality-filter shape that runs in the same pass as language ID and
+    token counting at 100 TB."""
+    from access_mopper_spark.functions.text import repetition_score
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", R6(repetition_score(F.col("text"), 3)).alias("repetition"))

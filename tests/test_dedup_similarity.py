@@ -204,3 +204,17 @@ def test_kmeans_train_improves_and_keeps_k(spark, emb):
     c2 = kmeans_train(df, k=5, n_iter=3)
     assert c1.count() == 5 and c2.count() == 5  # empty clusters retained
     assert objective(c2) >= objective(c1) - 1e-9  # Lloyd monotone-ish
+
+
+def test_minhash_xxhash_fast_path(spark, docs):
+    """xxhash64 signature kind: long columns, identical-doc agreement,
+    and the full near-dup pipeline still finds the planted dup."""
+    sig = minhash_signature(docs, hash_kind="xxhash64", n_hashes=4)
+    rows = {r["doc_id"]: tuple(r[f"minhash_{i}"] for i in range(4))
+            for r in sig.collect()}
+    assert all(isinstance(v, int) for v in rows[0])
+    assert rows[0] == rows[3]          # exact dups agree on all hashes
+    assert rows[0] != rows[2]          # unrelated docs differ
+    pairs = near_dup_pairs(docs, jaccard_threshold=0.5,
+                           hash_kind="xxhash64").collect()
+    assert (0, 3) in {(r["id_a"], r["id_b"]) for r in pairs}
