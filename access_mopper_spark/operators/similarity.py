@@ -335,6 +335,122 @@ def dequantize_int8(quant: Column) -> Column:
     return F.transform(quant["q"], lambda v: v.cast("double") * quant["scale"])
 
 
+# ---------------------------------------------- product quantization
+#
+# The memory side of billion-scale ANN (IVF-PQ): each vector splits into
+# m subvectors, each subvector maps to the id of its nearest codeword in
+# a per-subspace codebook of ksub entries — 64 float32 dims become m
+# small ints.  Search then runs against the codes with asymmetric
+# distance computation (ADC): the query stays exact, each corpus vector
+# is approximated by its codewords, so the scan is a map-only lookup—sum
+# over codes instead of full-dimension float math.
+
+def subvectors(vec: Column, m: int, dsub: int) -> Column:
+    """array of the m contiguous subvectors of ``vec`` (each dsub long)."""
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
+                       lambda s: F.slice(vec, s * dsub + 1, dsub))
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codebooks(corpus: DataFrame, m: int, dsub: int, ksub: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic baseline codebooks ``(sub, code, codeword)``: the
+    subvectors of the ksub lowest-id corpus vectors — the same
+    lowest-id-prefix convention as ``kmeans_train``'s init, so the DuckDB
+    oracle can rebuild them exactly.  ``pq_train`` is the quality path
+    (Lloyd per subspace); the encode/search plumbing is identical."""
+    base = (corpus.orderBy(id_col).limit(ksub)
+            .select(F.col(id_col).alias("code"),
+                    as_double(F.col(vec_col)).alias("__v")))
+    return (base.select("code", F.posexplode(subvectors(F.col("__v"), m, dsub))
+                        .alias("sub", "codeword")))
+
+
+def pq_train(corpus: DataFrame, m: int, dsub: int, ksub: int,
+             n_iter: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Trained codebooks ``(sub, code, codeword)``: one distributed Lloyd
+    run (``kmeans_train``) per subspace over the sliced subvector column.
+    m driver-side loop iterations, each a linear pass — never a corpus
+    self-join."""
+    out = None
+    for s in range(m):
+        sub = corpus.select(F.col(id_col),
+                            F.slice(as_double(F.col(vec_col)),
+                                    s * dsub + 1, dsub).alias("__sv"))
+        cb = kmeans_train(sub, k=ksub, n_iter=n_iter, id_col=id_col,
+                          vec_col="__sv").select(
+            F.lit(s).alias("sub"), F.col("centroid_id").alias("code"),
+            F.col("centroid").alias("codeword"))
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame, m: int, dsub: int,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ codes ``(id, codes array<int>)``: per subspace, the code of the
+    nearest codeword by squared L2 (6dp-rounded, code tiebreak — the
+    cross-engine-deterministic argmin convention used throughout).
+
+    Plan: posexplode to (id, sub, subvector) — m·n rows, map-only — then
+    a broadcast join against the (m·ksub)-row codebook, a keyed
+    (id, sub) argmin, and a keyed (id) reassembly.  No driver collect,
+    no corpus self-join; codes are 4–8× smaller than int8 quantization
+    and 16–32× smaller than float32."""
+    sv = corpus.select(
+        F.col(id_col),
+        F.posexplode(subvectors(as_double(F.col(vec_col)), m, dsub))
+        .alias("sub", "__sv"))
+    d = sv.join(F.broadcast(codebooks), "sub").select(
+        id_col, "sub", "code",
+        F.round(_sq_l2(F.col("__sv"), F.col("codeword")), 6).alias("__d"))
+    codes = d.groupBy(id_col, "sub").agg(
+        F.min_by("code", F.struct("__d", "code")).alias("code"))
+    return (codes.groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(F.struct("sub", "code")))
+                 .alias("__sc"))
+            .select(id_col,
+                    F.transform(F.col("__sc"), lambda s: s["code"].cast("int"))
+                    .alias("codes")))
+
+
+def pq_adc_topk(codes: DataFrame, codebooks: DataFrame, query: DataFrame,
+                m: int, dsub: int, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id",
+                rank_col: str = "adc_rank") -> DataFrame:
+    """Asymmetric-distance top-k: exact query subvectors against each
+    corpus vector's codewords.  adc = Σ_sub ‖q_sub − codeword(code_sub)‖²
+    (each subspace term 6dp-rounded, then the 6dp-rounded sum — the
+    oracle replays both layers).
+
+    Plan: the per-(query, sub, code) distance table is |queries|·m·ksub
+    rows — computed once and broadcast (this is the classic ADC lookup
+    table); the corpus codes then resolve distances with a map-side
+    lookup join and one keyed sum per (query, id).  The corpus-side scan
+    never touches float vectors — the 100 TB memory win of PQ."""
+    qsv = query.select(
+        F.col(query_id_col),
+        F.posexplode(subvectors(as_double(F.col(vec_col)), m, dsub))
+        .alias("sub", "__qv"))
+    lut = qsv.join(codebooks, "sub").select(
+        query_id_col, "sub", "code",
+        F.round(_sq_l2(F.col("__qv"), F.col("codeword")), 6).alias("__d"))
+
+    expanded = codes.select(
+        F.col(id_col), F.posexplode(F.col("codes")).alias("sub", "code"))
+    per_doc = (expanded.join(F.broadcast(lut), ["sub", "code"])
+               .groupBy(query_id_col, id_col)
+               .agg(F.round(F.sum("__d"), 6).alias("adc_dist")))
+    return partial_topk(per_doc, [query_id_col],
+                        [F.col("adc_dist").asc(), F.col(id_col)], k,
+                        rank_col=rank_col)
+
+
 # -------------------------------------------------- k-means (IVF build)
 
 def kmeans_train(corpus: DataFrame, k: int, n_iter: int = 2,

@@ -3194,3 +3194,244 @@ def q_repetition(spark, sf_dir):
     from access_mopper_spark.functions.text import repetition_score
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", R6(repetition_score(F.col("text"), 3)).alias("repetition"))
+
+
+# =====================================================================
+# beyond-reference: full-text retrieval (BM25), PII scrubbing, corpus
+# n-gram stats, product quantization (operators/search.py,
+# functions/pii.py, operators/similarity.py)
+# =====================================================================
+
+_TOKS_SQL = """
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')), ' ') AS w
+    FROM documents
+"""
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    tf AS (
+      SELECT t.doc_id, d.dl, u.t AS term, COUNT(*) AS tf
+      FROM toks t JOIN dl d ON d.doc_id = t.doc_id, unnest(t.w) u(t)
+      WHERE u.t IN ('dup', 'spark', 'sort')
+      GROUP BY t.doc_id, d.dl, u.t
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))),
+                   6) AS score
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 for a 3-term query over the documents corpus —
+    the inverted-index retrieval primitive (operators/search.py).  Query
+    terms filter the token stream before the one (doc, term) shuffle;
+    df and corpus stats broadcast back; ranking via partial_topk (no
+    global single-reducer sort).  Scores 6dp-rounded both engines."""
+    from access_mopper_spark.operators.search import bm25_topk
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, ["dup", "spark", "sort"], k=10)
+    return out.select("doc_id", "score")
+
+
+@query(
+    "q_pii_redact",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com ip 10.0.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-867-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' ' || text AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<PII>', 'g'),
+               '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PII>', 'g') AS r
+      FROM synth
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(t, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phone,
+           md5(r) AS redacted_md5, length(r) AS redacted_len
+    FROM red
+    """,
+)
+def q_pii_redact(spark, sf_dir):
+    """PII scan + scrub (functions/pii.py): deterministic synthetic PII
+    (an email, an IPv4, a phone number derived from doc_id) is injected
+    into each document, then counted per type and redacted.  The oracle
+    re-runs the same regexes in DuckDB (RE2) and value-hashes the md5 of
+    the redacted text — byte-exact redaction parity across engines.
+    Map-only, shuffle-free: the quality-filter pass shape at 100 TB."""
+    from access_mopper_spark.functions.pii import pii_counts, redact_pii
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "), F.col("text"))
+    t = docs.select("doc_id", synth.alias("__t"))
+    counts = pii_counts(F.col("__t"))
+    red = redact_pii(F.col("__t"))
+    return t.select(
+        "doc_id", counts["email"], counts["ipv4"], counts["phone"],
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"))
+
+
+@query(
+    "q_top_ngrams",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    bg AS (
+      SELECT w[g.i] || ' ' || w[g.i + 1] AS ngram
+      FROM toks, generate_series(1, 2000) g(i)
+      WHERE g.i <= len(w) - 1
+    )
+    SELECT ngram, COUNT(*) AS n
+    FROM bg GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+    """,
+)
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-level n-gram statistics: top-20 word bigrams by count —
+    the vocabulary/contamination-audit pass over a training corpus.
+    Bigram construction is pure Column math (sequence + element_at, no
+    UDF), counting is one map-side-combined shuffle on the ngram key,
+    and the top-k merge is partial_topk.  Integer counts: no float
+    drift, exact cross-engine hash."""
+    from access_mopper_spark.operators.search import tokens
+    from access_mopper_spark.operators.similarity import partial_topk
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(w, i),
+                                          F.element_at(w, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (docs.select(F.explode(bigrams).alias("ngram"))
+               .groupBy("ngram").agg(F.count("*").alias("n")))
+    out = partial_topk(counted, [], [F.col("n").desc(), F.col("ngram")], 20)
+    return out.select("ngram", "n")
+
+
+_PQ_CODES_SQL = """
+    src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    base AS (SELECT vec_id AS code, v FROM src ORDER BY vec_id LIMIT 8),
+    cb AS (
+      SELECT s.s AS sub, b.code, (b.v)[s.s * 16 + 1 : s.s * 16 + 16] AS cw
+      FROM base b, generate_series(0, 3) s(s)
+    ),
+    sv AS (
+      SELECT vec_id, s.s AS sub, v[s.s * 16 + 1 : s.s * 16 + 16] AS sv
+      FROM src, generate_series(0, 3) s(s)
+    ),
+    d AS (
+      SELECT sv.vec_id, sv.sub, cb.code,
+             ROUND(SUM((sv.sv[g.i] - cb.cw[g.i]) * (sv.sv[g.i] - cb.cw[g.i])),
+                   6) AS dist
+      FROM sv JOIN cb ON cb.sub = sv.sub, generate_series(1, 16) g(i)
+      GROUP BY sv.vec_id, sv.sub, cb.code
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, code) AS r
+        FROM d) t
+      WHERE r = 1
+    )
+"""
+
+
+@query(
+    "q_pq_encode",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL}
+    SELECT vec_id,
+           MAX(CASE WHEN sub = 0 THEN code END) AS code0,
+           MAX(CASE WHEN sub = 1 THEN code END) AS code1,
+           MAX(CASE WHEN sub = 2 THEN code END) AS code2,
+           MAX(CASE WHEN sub = 3 THEN code END) AS code3
+    FROM codes GROUP BY vec_id
+    """,
+)
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encode (m=4 subspaces × 16 dims, ksub=8
+    codewords): each 64-dim embedding becomes 4 small codes — the memory
+    side of IVF-PQ, the billion-scale ANN layout.  Codebooks here are
+    the deterministic lowest-id-prefix baseline (so DuckDB rebuilds them
+    exactly); ``pq_train`` (Lloyd per subspace) is the quality path with
+    identical plumbing.  Plan: posexplode to (id, sub, subvec) →
+    broadcast codebook join → keyed argmin (6dp-rounded dist, code
+    tiebreak) → keyed reassembly.  No collect, no corpus self-join."""
+    from access_mopper_spark.operators.similarity import pq_codebooks, pq_encode
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=4, dsub=16, ksub=8)
+    codes = pq_encode(emb, cb, m=4, dsub=16)
+    c = F.col("codes")
+    return codes.select("vec_id", c[0].alias("code0"), c[1].alias("code1"),
+                        c[2].alias("code2"), c[3].alias("code3"))
+
+
+@query(
+    "q_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL},
+    qsv AS (
+      SELECT s.s AS sub, q.v[s.s * 16 + 1 : s.s * 16 + 16] AS qv
+      FROM (SELECT v FROM src WHERE vec_id = 0) q, generate_series(0, 3) s(s)
+    ),
+    lut AS (
+      SELECT qsv.sub, cb.code,
+             ROUND(SUM((qsv.qv[g.i] - cb.cw[g.i]) * (qsv.qv[g.i] - cb.cw[g.i])),
+                   6) AS d
+      FROM qsv JOIN cb ON cb.sub = qsv.sub, generate_series(1, 16) g(i)
+      GROUP BY qsv.sub, cb.code
+    ),
+    adc AS (
+      SELECT c.vec_id, ROUND(SUM(l.d), 6) AS adc_dist
+      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+      GROUP BY c.vec_id
+    )
+    SELECT 0 AS query_id, vec_id, adc_dist,
+           ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS adc_rank
+    FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def q_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-10 over PQ codes: the query (vec_id 0)
+    stays exact; every corpus vector is approximated by its codewords.
+    The per-(query, sub, code) distance table (m·ksub rows/query) is the
+    classic ADC lookup table — broadcast; the corpus-side scan touches
+    only the int codes (map-side lookup join + one keyed sum), never the
+    float vectors.  That's the 100 TB memory win of PQ."""
+    from access_mopper_spark.operators.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=4, dsub=16, ksub=8)
+    codes = pq_encode(emb, cb, m=4, dsub=16)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding")
+    out = pq_adc_topk(codes, cb, q, m=4, dsub=16, k=10, rank_col="adc_rank")
+    return out.select("query_id", "vec_id", "adc_dist", "adc_rank")

@@ -43,6 +43,9 @@ HEADLINE = [
     "q_near_dup_pairs",
     "q_simhash",
     "q_multimodal_features",
+    "q_bm25_topk",
+    "q_pii_redact",
+    "q_pq_adc_topk",
 ]
 
 

@@ -138,3 +138,33 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("l_partkey").alias("approx"),
         F.countDistinct("l_partkey").alias("exact")).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.10
+
+
+def test_bm25_no_global_single_partition_sort(spark, sf_dir):
+    """BM25 ranking must go through partial_topk: the only
+    SinglePartition exchange feeds the tiny ≤k·p candidate merge, and
+    the corpus-side plan keeps partial aggregation (map-side combine)
+    around the (doc, term) shuffle."""
+    df = QUERIES["q_bm25_topk"](spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    # the pre-merge local top-k window partitions by spark_partition_id
+    assert "__pid" in plan
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """The PII scrub pass must not shuffle or call Python."""
+    df = QUERIES["q_pii_redact"](spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_pq_adc_corpus_scan_reads_codes_not_vectors(spark, sf_dir):
+    """ADC search plan: the lookup table joins broadcast; no cartesian
+    product; no Python evaluation anywhere."""
+    df = QUERIES["q_pq_adc_topk"](spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
