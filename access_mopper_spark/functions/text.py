@@ -121,3 +121,18 @@ def repetition_score(text: Column, ngram: int = 3) -> Column:
     return F.when(total > 0,
                   1.0 - F.size(F.array_distinct(sh)).cast("double") / total) \
             .otherwise(F.lit(0.0))
+
+
+#: BPE-ish tokenizer pattern: letter runs, single digits, single
+#: punctuation — the standard pre-tokenizer shape (GPT-2-style splits
+#: digits and punctuation apart from words), restricted to the
+#: Java-regex ∩ RE2 dialect subset (explicit whitespace class, no \p
+#: properties, no lookaround).
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Count of BPE-ish regex tokens (letter runs / digits / punct) —
+    the closer-to-real-tokenizer cost estimate next to the whitespace
+    proxy ``token_count``.  Non-overlapping regexp_count, map-only."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))

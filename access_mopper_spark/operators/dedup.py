@@ -325,3 +325,38 @@ def dedup_clusters(pairs: DataFrame, nodes: DataFrame,
             break
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col), "cluster_id")
+
+
+def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 5,
+                       min_count: int = 2) -> DataFrame:
+    """Per-document duplicated-n-gram fraction: the share of a document's
+    word n-gram positions whose gram occurs ≥ ``min_count`` times in the
+    WHOLE corpus — the distributed approximation of suffix-array exact-
+    substring dedup (flag/trim documents whose text is largely made of
+    corpus-repeated spans; cf. the "dedupe by duplicated n-grams" family
+    of training-data filters).
+
+    Returns (id, n_grams, n_dup, dup_fraction).  Documents shorter than
+    the n-gram window score 0 over their single truncated gram (matching
+    the shingle convention in ``functions/text.word_shingles``).
+
+    Scale shape: one map-side-combined shuffle on the gram key for the
+    global counts, one keyed join of the exploded grams back to those
+    counts, one per-doc aggregation.  The gram table is huge at 100 TB
+    but stays keyed end-to-end — no broadcast, no driver state; skew on
+    ultra-common grams is bounded because the join side carries only
+    (gram, count)."""
+    from access_mopper_spark.functions.text import word_shingles
+
+    grams = df.select(F.col(id_col),
+                      F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count("*").alias("__gc"))
+    return (grams.join(counts, "gram")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.when(F.col("__gc") >= min_count, 1).otherwise(0))
+                 .alias("n_dup"))
+            .select(id_col, "n_grams", "n_dup",
+                    F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 6)
+                    .alias("dup_fraction")))

@@ -3435,3 +3435,67 @@ def q_pq_adc_topk(spark, sf_dir):
         F.lit(0).alias("query_id"), "embedding")
     out = pq_adc_topk(codes, cb, q, m=4, dsub=16, k=10, rank_col="adc_rank")
     return out.select("query_id", "vec_id", "adc_dist", "adc_rank")
+
+
+@query(
+    "q_dup_ngrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(w[g.i : g.i + 4], ' ') AS gram
+      FROM toks, generate_series(1, 2000) g(i)
+      WHERE g.i <= greatest(len(w) - 4, 1)
+    ),
+    gc AS (SELECT gram, COUNT(*) AS c FROM sh GROUP BY gram)
+    SELECT sh.doc_id, COUNT(*) AS n_grams,
+           SUM(CASE WHEN gc.c >= 2 THEN 1 ELSE 0 END) AS n_dup,
+           ROUND(CAST(SUM(CASE WHEN gc.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_fraction
+    FROM sh JOIN gc ON gc.gram = sh.gram
+    GROUP BY sh.doc_id
+    """,
+)
+def q_dup_ngrams(spark, sf_dir):
+    """Corpus-duplicated n-gram fraction per document (word 5-grams,
+    corpus count ≥ 2) — the distributed stand-in for suffix-array
+    exact-substring dedup: documents made largely of corpus-repeated
+    spans get flagged/trimmed.  One map-side-combined shuffle for the
+    global gram counts, one keyed join back, one per-doc rollup — the
+    gram table stays keyed end-to-end at 100 TB (no broadcast, no
+    driver state)."""
+    from access_mopper_spark.operators.dedup import dup_ngram_fraction
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_fraction(docs, n=5, min_count=2)
+
+
+@query(
+    "q_bpe_tokens",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS tn
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(tn) = 0 THEN 0
+                ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END AS n_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]'))
+             AS n_bpe
+    FROM t
+    """,
+)
+def q_bpe_tokens(spark, sf_dir):
+    """Token counting, both estimators side by side: the whitespace
+    proxy and the BPE-ish regex tokenizer (letter runs / single digits /
+    single punctuation — the GPT-2-style pre-tokenizer split, in the
+    Java∩RE2 regex subset so DuckDB counts the identical matches).
+    Map-only, shuffle-free — the per-document cost estimate that prices
+    a 100 TB corpus in tokens."""
+    from access_mopper_spark.functions.text import token_count, token_count_bpe
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws"),
+        token_count_bpe(F.col("text")).alias("n_bpe"))

@@ -218,3 +218,27 @@ def test_minhash_xxhash_fast_path(spark, docs):
     pairs = near_dup_pairs(docs, jaccard_threshold=0.5,
                            hash_kind="xxhash64").collect()
     assert (0, 3) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_dup_ngram_fraction_flags_shared_spans(spark):
+    from access_mopper_spark.operators.dedup import dup_ngram_fraction
+    docs = spark.createDataFrame([
+        (1, "a b c d e unique tail one"),
+        (2, "a b c d e other ending two"),
+        (3, "totally different words here nothing shared at all"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_ngram_fraction(docs, n=5).collect()}
+    # docs 1 and 2 share exactly the gram "a b c d e" (position 1 of 4)
+    assert out[1].n_grams == 4 and out[1].n_dup == 1
+    assert out[1].dup_fraction == 0.25
+    assert out[2].n_dup == 1
+    assert out[3].n_dup == 0 and out[3].dup_fraction == 0.0
+
+
+def test_dup_ngram_fraction_short_doc(spark):
+    from access_mopper_spark.operators.dedup import dup_ngram_fraction
+    docs = spark.createDataFrame([(1, "too short"), (2, "too short")],
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_ngram_fraction(docs, n=5).collect()}
+    # shorter than the window → one truncated gram; identical docs dup it
+    assert out[1].n_grams == 1 and out[1].dup_fraction == 1.0

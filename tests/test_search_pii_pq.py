@@ -152,3 +152,17 @@ def test_pq_encode_reduces_reconstruction_error_after_training(spark, sf_dir):
     base = distortion(pq_codebooks(emb, m=4, dsub=16, ksub=8))
     trained = distortion(pq_train(emb, m=4, dsub=16, ksub=8, n_iter=2))
     assert trained <= base * 1.0001
+
+
+def test_token_count_bpe(spark):
+    from access_mopper_spark.functions.text import token_count, token_count_bpe
+    df = spark.createDataFrame(
+        [(1, "ab 12 c!"), (2, "hello,world"), (3, ""), (4, "x-9")],
+        "id long, t string")
+    out = {r.id: (r.ws, r.bpe) for r in df.select(
+        "id", token_count(F.col("t")).alias("ws"),
+        token_count_bpe(F.col("t")).alias("bpe")).collect()}
+    assert out[1] == (3, 5)   # ab / 1 / 2 / c / !
+    assert out[2] == (1, 3)   # hello / , / world
+    assert out[3] == (0, 0)
+    assert out[4] == (1, 3)   # x / - / 9
