@@ -40,8 +40,8 @@ _DRIVER_PRIORITY = [
     "q_tiered_match",
     # aggregations
     "q_pricing_summary", "q_weighted_mean", "q_hemi_threshold_sum",
-    "q_depth_integral", "q_cumsum_minus_total", "q_basin_agg",
-    "q_climatology", "q_window_topk",
+    "q_depth_integral", "q_cumsum_minus_total",
+    "q_climatology",
     # time series / resample / calendars
     "q_resample_hourly", "q_resample_monthly", "q_bounds_derive",
     "q_freq_ladder", "q_file_plan",
@@ -60,9 +60,10 @@ _DRIVER_PRIORITY = [
     "q_dedup_exact", "q_minhash_band", "q_near_dup_pairs",
     "q_dedup_clusters", "q_simhash", "q_token_count", "q_cosine_topk",
     "q_ann_lsh", "q_embedding_near_dup", "q_cosine_pairs_blocked",
-    # round-3 additions: retrieval, scrubbing, corpus stats, PQ
+    # round-3 additions: retrieval, scrubbing, corpus stats, PQ, fuzzy
     "q_bm25_topk", "q_pii_redact", "q_top_ngrams", "q_dup_ngrams",
-    "q_bpe_tokens", "q_pq_encode", "q_pq_adc_topk",
+    "q_bpe_tokens", "q_pq_encode", "q_pq_adc_topk", "q_ivf_pq_search",
+    "q_fuzzy_match",
 ]
 
 

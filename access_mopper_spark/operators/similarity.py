@@ -497,3 +497,61 @@ def kmeans_train(corpus: DataFrame, k: int, n_iter: int = 2,
                  .select(cent_id, F.coalesce("__cnew", "__c").alias("__c")))
 
     return cents.select(cent_id, F.col("__c").alias(cent_vec))
+
+
+def ivf_pq_search(corpus: DataFrame, centroids: DataFrame,
+                  codebooks: DataFrame, query: DataFrame, m: int, dsub: int,
+                  k: int = 10, nprobe: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  cent_id: str = "centroid_id", cent_vec: str = "centroid",
+                  query_id_col: str = "query_id",
+                  rank_col: str = "adc_rank") -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN — IVF cuts WHICH vectors
+    are scored (only the top-``nprobe`` centroid lists per query), PQ
+    cuts WHAT is scored (int codes via the ADC lookup table, never the
+    float vectors).
+
+    Build side: one ``ivf_assign`` pass + one ``pq_encode`` pass, joined
+    on id — in production both persist as the index.  Search side: probe
+    selection is a |queries|×|centroids| broadcast ranking; candidates
+    come from a broadcast semi-join of the code table on centroid id;
+    scoring is the same lookup-join + keyed sum as ``pq_adc_topk``.
+    Per-query work is |corpus|·nprobe/n_centroids code lookups — the
+    only shape that survives both the compute AND the memory wall at
+    100 TB."""
+    from pyspark.sql import Window as W
+
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col,
+                          cent_id=cent_id, cent_vec=cent_vec) \
+        .select(id_col, cent_id)
+    codes = pq_encode(corpus, codebooks, m, dsub, id_col=id_col,
+                      vec_col=vec_col).join(assigned, id_col)
+
+    cents = centroids.select(cent_id, as_double(F.col(cent_vec)).alias("__cv"))
+    q = query.select(query_id_col, as_double(F.col(vec_col)).alias("__qv"))
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        query_id_col, "__qv", cent_id,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("__csim"))
+    wq = W.partitionBy(query_id_col).orderBy(F.col("__csim").desc(),
+                                             F.col(cent_id))
+    probes = qc.withColumn("__r", F.row_number().over(wq)) \
+               .where(F.col("__r") <= nprobe).select(query_id_col, cent_id)
+
+    qsv = query.select(
+        F.col(query_id_col),
+        F.posexplode(subvectors(as_double(F.col(vec_col)), m, dsub))
+        .alias("sub", "__qv"))
+    lut = qsv.join(codebooks, "sub").select(
+        query_id_col, "sub", "code",
+        F.round(_sq_l2(F.col("__qv"), F.col("codeword")), 6).alias("__d"))
+
+    cand = codes.join(F.broadcast(probes), cent_id) \
+                .select(query_id_col, id_col, "codes")
+    expanded = cand.select(
+        query_id_col, id_col, F.posexplode(F.col("codes")).alias("sub", "code"))
+    per_doc = (expanded.join(F.broadcast(lut), [query_id_col, "sub", "code"])
+               .groupBy(query_id_col, id_col)
+               .agg(F.round(F.sum("__d"), 6).alias("adc_dist")))
+    return partial_topk(per_doc, [query_id_col],
+                        [F.col("adc_dist").asc(), F.col(id_col)], k,
+                        rank_col=rank_col)

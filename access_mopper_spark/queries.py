@@ -3499,3 +3499,105 @@ def q_bpe_tokens(spark, sf_dir):
         "doc_id",
         token_count(F.col("text")).alias("n_ws"),
         token_count_bpe(F.col("text")).alias("n_bpe"))
+
+
+@query(
+    "q_ivf_pq_search",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL},
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM src WHERE vec_id < 4),
+    asg AS (
+      SELECT s.vec_id,
+             ARG_MAX(c.centroid_id, list_cosine_similarity(s.v, c.cv))
+               AS centroid_id
+      FROM src s CROSS JOIN cents c GROUP BY s.vec_id
+    ),
+    qv AS (SELECT v FROM src WHERE vec_id = 0),
+    probe AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                          c.centroid_id) AS r
+        FROM cents c CROSS JOIN qv q) t
+      WHERE r <= 2
+    ),
+    qsv AS (
+      SELECT s.s AS sub, q.v[s.s * 16 + 1 : s.s * 16 + 16] AS qsub
+      FROM qv q, generate_series(0, 3) s(s)
+    ),
+    lut AS (
+      SELECT qsv.sub, cb.code,
+             ROUND(SUM((qsv.qsub[g.i] - cb.cw[g.i])
+                       * (qsv.qsub[g.i] - cb.cw[g.i])), 6) AS d
+      FROM qsv JOIN cb ON cb.sub = qsv.sub, generate_series(1, 16) g(i)
+      GROUP BY qsv.sub, cb.code
+    ),
+    adc AS (
+      SELECT c.vec_id, ROUND(SUM(l.d), 6) AS adc_dist
+      FROM codes c
+      JOIN asg a ON a.vec_id = c.vec_id
+      JOIN probe p ON p.centroid_id = a.centroid_id
+      JOIN lut l ON l.sub = c.sub AND l.code = c.code
+      GROUP BY c.vec_id
+    )
+    SELECT 0 AS query_id, vec_id, adc_dist,
+           ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS adc_rank
+    FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def q_ivf_pq_search(spark, sf_dir):
+    """The composed billion-scale ANN: IVF picks WHICH vectors get
+    scored (top-nprobe centroid lists per query), PQ picks WHAT gets
+    scored (int codes through the ADC lookup table — the corpus-side
+    scan never touches float vectors).  Deterministic fixtures (lowest-4
+    centroids, lowest-8 codebook prefix) let DuckDB replay the entire
+    index build + probe + ADC ranking."""
+    from access_mopper_spark.operators.similarity import (
+        ivf_pq_search, pq_codebooks)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 4) \
+               .select(F.col("vec_id").alias("centroid_id"),
+                       F.col("embedding").alias("centroid"))
+    cb = pq_codebooks(emb, m=4, dsub=16, ksub=8)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding")
+    out = ivf_pq_search(emb, cents, cb, q, m=4, dsub=16, k=10, nprobe=2)
+    return out.select("query_id", "vec_id", "adc_dist", "adc_rank")
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH probe AS (
+      SELECT substr(s_name, 1, CAST(s_suppkey % 8 + 10 AS INT) - 1) || 'X'
+               || substr(s_name, CAST(s_suppkey % 8 + 10 AS INT) + 1)
+               AS probe_name
+      FROM supplier WHERE s_suppkey % 5 = 0
+    )
+    SELECT p.probe_name, s.s_suppkey, s.s_name,
+           levenshtein(s.s_name, p.probe_name) AS edit_dist
+    FROM supplier s CROSS JOIN probe p
+    WHERE abs(length(s.s_name) - length(p.probe_name)) <= 1
+      AND levenshtein(s.s_name, p.probe_name) <= 1
+    """,
+)
+def q_fuzzy_match(spark, sf_dir):
+    """Fuzzy dictionary match (operators/fuzzy.py): supplier names with
+    one deterministically corrupted character are matched back against
+    the supplier table under edit distance ≤ 1 — the entity-resolution
+    primitive for dirty catalog/metadata strings.  The dictionary side
+    broadcasts; a length-band predicate short-circuits before the
+    levenshtein evaluation.  A corrupted name legitimately matches every
+    supplier differing only at the corrupted position — multi-match rows
+    are part of the contract (and of the oracle)."""
+    from access_mopper_spark.operators.fuzzy import dictionary_fuzzy_match
+    sup = load_table(spark, sf_dir, "supplier")
+    pos = (F.col("s_suppkey") % 8 + 10).cast("int")
+    probe = sup.where(F.col("s_suppkey") % 5 == 0).select(
+        F.concat(F.substring(F.col("s_name"), F.lit(1), pos - 1),
+                 F.lit("X"),
+                 F.substring(F.col("s_name"), pos + 1, F.lit(100)))
+        .alias("probe_name"))
+    out = dictionary_fuzzy_match(sup, probe, "s_name", "probe_name", max_dist=1)
+    return out.select("probe_name", "s_suppkey", "s_name", "edit_dist")

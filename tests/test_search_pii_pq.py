@@ -166,3 +166,54 @@ def test_token_count_bpe(spark):
     assert out[2] == (1, 3)   # hello / , / world
     assert out[3] == (0, 0)
     assert out[4] == (1, 3)   # x / - / 9
+
+
+def test_ivf_pq_full_probe_equals_pure_adc(spark, sf_dir):
+    """With nprobe = n_centroids, IVF-PQ scores every list — the result
+    must equal plain ADC top-k over the same codes/codebooks."""
+    from access_mopper_spark.operators.similarity import ivf_pq_search
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebooks(emb, m=4, dsub=16, ksub=8)
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"))
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding")
+    codes = pq_encode(emb, cb, m=4, dsub=16)
+    full = [(r.vec_id, r.adc_dist) for r in
+            ivf_pq_search(emb, cents, cb, q, m=4, dsub=16, k=5,
+                          nprobe=4).collect()]
+    pure = [(r.vec_id, r.adc_dist) for r in
+            pq_adc_topk(codes, cb, q, m=4, dsub=16, k=5).collect()]
+    assert full == pure
+
+
+def test_ivf_pq_narrow_probe_is_subset(spark, sf_dir):
+    """nprobe < n_centroids returns only vectors from probed lists (a
+    subset of the candidate universe, each with the exact ADC dist)."""
+    from access_mopper_spark.operators.similarity import ivf_pq_search
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebooks(emb, m=4, dsub=16, ksub=8)
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"))
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding")
+    codes = pq_encode(emb, cb, m=4, dsub=16)
+    narrow = {r.vec_id: r.adc_dist for r in
+              ivf_pq_search(emb, cents, cb, q, m=4, dsub=16, k=50,
+                            nprobe=1).collect()}
+    exact = {r.vec_id: r.adc_dist for r in
+             pq_adc_topk(codes, cb, q, m=4, dsub=16, k=500).collect()}
+    assert narrow and all(exact[v] == d for v, d in narrow.items())
+
+
+def test_fuzzy_match_exact_and_one_edit(spark):
+    from access_mopper_spark.operators.fuzzy import dictionary_fuzzy_match
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "alphq"), (3, "gamma"), (4, "alphabet")],
+        "id long, name string")
+    dic = spark.createDataFrame([("alpha",)], "dict_name string")
+    out = {r.id: r.edit_dist for r in dictionary_fuzzy_match(
+        corpus, dic, "name", "dict_name", max_dist=1).collect()}
+    assert out == {1: 0, 2: 1}   # gamma too far; alphabet fails length band
