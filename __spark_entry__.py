@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-checked by tools/check_correctness.py (full registry).
 _DRIVER_PRIORITY = [
     # scans / filters / joins
-    "q_scan_filter_project", "q_mask_fillna", "q_join_revenue_by_nation",
+    "q_scan_filter_project", "q_join_revenue_by_nation",
     "q_tiered_match",
     # aggregations
     "q_pricing_summary", "q_weighted_mean", "q_hemi_threshold_sum",
@@ -63,7 +63,7 @@ _DRIVER_PRIORITY = [
     # round-3 additions: retrieval, scrubbing, corpus stats, PQ, fuzzy
     "q_bm25_topk", "q_pii_redact", "q_top_ngrams", "q_dup_ngrams",
     "q_bpe_tokens", "q_pq_encode", "q_pq_adc_topk", "q_ivf_pq_search",
-    "q_fuzzy_match",
+    "q_fuzzy_match", "q_curation_pipeline",
 ]
 
 

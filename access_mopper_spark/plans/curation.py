@@ -1,0 +1,51 @@
+"""End-to-end training-data curation: the composed pipeline a corpus
+actually runs through before pretraining — quality filter → PII scrub →
+exact dedup → deterministic train/val split.
+
+One declarative plan: the filter/scrub/fingerprint stage is map-only
+(single corpus scan, all Column math), dedup is one shuffle on the
+fingerprint key, and the split label is a pure hash function of the id —
+so the whole pipeline is scan + one exchange regardless of corpus size.
+Near-dup removal (MinHash-LSH + clusters) plugs in between dedup and
+split via ``operators/dedup.dedup_clusters``; it is kept out of this
+composite so the composite stays one-exchange cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from access_mopper_spark.functions.pii import redact_pii
+from access_mopper_spark.functions.text import (
+    fingerprint, repetition_score, token_count)
+
+
+def curate_documents(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_tokens: int = 10,
+                     max_repetition: float = 0.9,
+                     val_fraction: float = 0.1,
+                     salt: str = "split0") -> DataFrame:
+    """Returns (id, n_tokens, repetition, fp, split) for the surviving
+    documents: quality-filtered (token floor + repetition ceiling),
+    PII-redacted before fingerprinting, exact-deduped keeping the lowest
+    id per fingerprint, and labelled 'train'/'val' by the same
+    md5-threshold convention as ``operators/dedup.deterministic_sample``
+    (reproducible on any engine or cluster size)."""
+    enriched = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.round(repetition_score(F.col(text_col), 3), 6).alias("repetition"),
+        fingerprint(redact_pii(F.col(text_col))).alias("fp"))
+    filtered = enriched.where((F.col("n_tokens") >= min_tokens)
+                              & (F.col("repetition") <= max_repetition))
+    kept = (filtered.groupBy("fp")
+            .agg(F.min(id_col).alias(id_col),
+                 F.min_by("n_tokens", id_col).alias("n_tokens"),
+                 F.min_by("repetition", id_col).alias("repetition")))
+    threshold = format(int(val_fraction * 16**8), "08x")
+    digest = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return kept.select(
+        id_col, "n_tokens", "repetition", "fp",
+        F.when(F.substring(digest, 1, 8) < threshold, "val")
+        .otherwise("train").alias("split"))

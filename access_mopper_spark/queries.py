@@ -3601,3 +3601,72 @@ def q_fuzzy_match(spark, sf_dir):
         .alias("probe_name"))
     out = dictionary_fuzzy_match(sup, probe, "s_name", "probe_name", max_dist=1)
     return out.select("probe_name", "s_suppkey", "s_name", "edit_dist")
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
+      FROM toks, generate_series(1, 2000) g(i)
+      WHERE g.i <= greatest(len(w) - 2, 1)
+    ),
+    rep AS (
+      SELECT doc_id,
+             ROUND(1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*), 6)
+               AS repetition
+      FROM sh GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END
+               AS n_tokens
+      FROM (SELECT doc_id,
+                   trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS tn
+            FROM documents) t
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<PII>', 'g'),
+                 '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PII>', 'g')),
+               '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents
+    ),
+    filt AS (
+      SELECT f.doc_id, t.n_tokens, r.repetition, f.fp
+      FROM fp f
+      JOIN tok t ON t.doc_id = f.doc_id
+      JOIN rep r ON r.doc_id = f.doc_id
+      WHERE t.n_tokens >= 10 AND r.repetition <= 0.9
+    ),
+    ded AS (
+      SELECT fp, MIN(doc_id) AS doc_id,
+             ARG_MIN(n_tokens, doc_id) AS n_tokens,
+             ARG_MIN(repetition, doc_id) AS repetition
+      FROM filt GROUP BY fp
+    )
+    SELECT doc_id, n_tokens, repetition, fp,
+           CASE WHEN substring(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < format('{:08x}', CAST(0.1 * 4294967296 AS BIGINT))
+                THEN 'val' ELSE 'train' END AS split
+    FROM ded
+    """,
+)
+def q_curation_pipeline(spark, sf_dir):
+    """The composed curation pipeline end-to-end (plans/curation.py):
+    quality filter (token floor, repetition ceiling) → PII redaction →
+    fingerprint exact-dedup (keep lowest id) → deterministic train/val
+    split.  The whole thing is one corpus scan of map-only Column math
+    plus ONE shuffle on the fingerprint key — the per-document cost
+    shape that makes a 100 TB curation pass a single job, replayed
+    stage-for-stage by the DuckDB oracle."""
+    from access_mopper_spark.plans.curation import curate_documents
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_documents(docs)

@@ -91,3 +91,22 @@ def test_run_pipeline_resume_skips_processed(spark, grids, tmp_path):
     got = back.where("lat = 10 AND lon = 90").orderBy("time").first()
     src = grids["fld_a"].where("lat = 10 AND lon = 90").orderBy("time").first()
     assert got["value"] == pytest.approx(3 * src["value"])
+
+
+def test_curate_documents_filters_dedups_splits(spark):
+    from pyspark.sql import functions as F
+    from access_mopper_spark.plans.curation import curate_documents
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 1
+        (3, "too short"),                                                  # < 10 tokens
+        # 13 tokens → 11 identical 3-grams → repetition 1 − 1/11 ≈ 0.909
+        (4, "spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (5, "one two three four five six seven eight nine ten eleven"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in curate_documents(docs).collect()}
+    assert set(out) == {1, 5}            # 2 deduped into 1; 3, 4 filtered
+    assert out[1].n_tokens == 10
+    assert all(r.split in ("train", "val") for r in out.values())
+    again = {r.doc_id: r.split for r in curate_documents(docs).collect()}
+    assert again == {k: v.split for k, v in out.items()}   # reproducible
