@@ -41,6 +41,20 @@ COMMENTARY = {
         "a single keyed shuffle + sort-based session merge.",
     "q_line_transports": "All straits in ONE scan: broadcast range-join "
         "against the strait dim, box predicates vectorized post-join.",
+    "q_bm25_topk": "Inverted-index BM25: query terms filter the exploded "
+        "tokens BEFORE the (doc, term) shuffle; df + corpus stats broadcast "
+        "back; ranking via partial_topk (WindowGroupLimit, no global sort).",
+    "q_dup_ngrams": "Corpus-duplicated n-grams: gram counts aggregate with "
+        "map-side combine and join back on the gram key — no broadcast of "
+        "data-scale state, no driver collect.",
+    "q_ivf_pq_search": "IVF-PQ composed ANN: assignment + codes are keyed "
+        "shuffles; probes and the ADC lookup table broadcast; the candidate "
+        "scan touches only int codes.",
+    "q_curation_pipeline": "Filter→scrub→dedup→split in one plan: a single "
+        "corpus scan of Column math plus ONE exchange on the fingerprint key.",
+    "q_fuzzy_match": "Dictionary fuzzy match: BroadcastNestedLoopJoin with a "
+        "length-band short-circuit ahead of levenshtein — right shape for a "
+        "small dictionary; corpus×corpus fuzzy goes through LSH instead.",
 }
 
 
