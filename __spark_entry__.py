@@ -39,8 +39,8 @@ _DRIVER_PRIORITY = [
     "q_scan_filter_project", "q_join_revenue_by_nation",
     "q_tiered_match",
     # aggregations
-    "q_pricing_summary", "q_weighted_mean", "q_hemi_threshold_sum",
-    "q_depth_integral", "q_cumsum_minus_total",
+    "q_pricing_summary", "q_weighted_mean",
+    "q_depth_integral",
     "q_climatology",
     # time series / resample / calendars
     "q_resample_hourly", "q_resample_monthly", "q_bounds_derive",
@@ -63,7 +63,8 @@ _DRIVER_PRIORITY = [
     # round-3 additions: retrieval, scrubbing, corpus stats, PQ, fuzzy
     "q_bm25_topk", "q_pii_redact", "q_top_ngrams", "q_dup_ngrams",
     "q_bpe_tokens", "q_pq_encode", "q_pq_adc_topk", "q_ivf_pq_search",
-    "q_fuzzy_match", "q_curation_pipeline",
+    "q_fuzzy_match", "q_curation_pipeline", "q_stream_curation",
+    "q_corpus_report",
 ]
 
 

@@ -3670,3 +3670,105 @@ def q_curation_pipeline(spark, sf_dir):
     from access_mopper_spark.plans.curation import curate_documents
     docs = load_table(spark, sf_dir, "documents")
     return curate_documents(docs)
+
+
+@query(
+    "q_stream_curation",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS tn
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END
+               AS n_tokens,
+             md5(regexp_replace(lower(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<PII>', 'g'),
+                 '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PII>', 'g')),
+               '[^a-z0-9]', '', 'g')) AS fp
+      FROM t
+    )
+    SELECT doc_id, n_tokens, fp FROM c WHERE n_tokens >= 10
+    """,
+)
+def q_stream_curation(spark, sf_dir):
+    """The curation filter+scrub stage as a STREAM: quality floor, PII
+    redaction, and fingerprinting applied per micro-batch in append mode
+    (row-preserving map-only stages — no stateful operator, so the
+    streaming result is set-identical to the batch oracle regardless of
+    batch boundaries).  This is how the curation pass runs over a
+    continuously-landing crawl at scale; the dedup/split stages downstream
+    consume the fingerprints with their own keyed state."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    from access_mopper_spark.functions.pii import redact_pii
+    from access_mopper_spark.functions.text import fingerprint, token_count
+    from access_mopper_spark.streaming.resample import (run_to_memory,
+                                                        stream_source)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    raw = stream_source(spark, sf_dir, schema, glob="documents.parquet")
+    cur = (raw.select(
+               "doc_id",
+               token_count(F.col("text")).alias("n_tokens"),
+               fingerprint(redact_pii(F.col("text"))).alias("fp"))
+           .where(F.col("n_tokens") >= 10))
+    run_to_memory(cur, "q_stream_curation_sink", mode="append")
+    return spark.table("q_stream_curation_sink")
+
+
+@query(
+    "q_corpus_report",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, lang,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS tn
+      FROM documents
+    ),
+    c AS (
+      SELECT source, lang,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END
+               AS n_tokens
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) AS mean_tokens,
+           ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+           ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
+           ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+             AS en_share
+    FROM c GROUP BY source
+    """,
+)
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus health report — the dataset-card numbers a
+    curation run publishes: document and token counts, mean/p50/p95
+    token length, language share.  One map-side-combined shuffle on the
+    tiny source key; percentiles are exact interpolated here and swap
+    for percentile_approx (mergeable t-digest) at extreme cardinality
+    with the same plan shape."""
+    from access_mopper_spark.functions.text import token_count
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select("source", "lang",
+                    token_count(F.col("text")).alias("n_tokens"))
+    return c.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        R6(F.avg(F.col("n_tokens").cast("double"))).alias("mean_tokens"),
+        R6(F.expr("percentile(n_tokens, 0.5)")).alias("p50_tokens"),
+        R6(F.expr("percentile(n_tokens, 0.95)")).alias("p95_tokens"),
+        R6(F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)))
+        .alias("en_share"))
