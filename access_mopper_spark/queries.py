@@ -1489,25 +1489,10 @@ def q_stream_resample(spark, sf_dir):
     time_resample lifted onto readStream + watermark; SURVEY.md §2.5
     'natural extension'). Driven to completion with Trigger.AvailableNow
     into a memory sink so the finite testdata stream is deterministic."""
-    import os
-    from pyspark.sql.types import (DoubleType, LongType, StringType,
-                                   StructField, StructType)
-    from access_mopper_spark.streaming.resample import (run_to_memory,
-                                                        stream_resample,
-                                                        stream_source)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType([
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ])
-    raw = stream_source(spark, sf_dir, schema, glob="events.parquet")
-    stream = raw.select("user_id",
-                        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-                        "value")
+    from access_mopper_spark.streaming.resample import (events_stream,
+                                                        run_to_memory,
+                                                        stream_resample)
+    stream = events_stream(spark, sf_dir).select("user_id", "ts", "value")
     res = stream_resample(stream, "ts", "value", "1 hour", how="mean",
                           group_cols=["user_id"], watermark="1 hour")
     run_to_memory(res, "q_stream_resample_sink", mode="complete")
@@ -1997,21 +1982,10 @@ def q_stateful_totals(spark, sf_dir):
     (axm_t_integral, mop_utils.py:790-812) on an unbounded source.
     The last emitted update per key equals the batch aggregate, which is
     what the oracle checks."""
-    from pyspark.sql.types import (DoubleType, LongType, StringType,
-                                   StructField, StructType)
-    from access_mopper_spark.streaming.resample import stream_source
+    from access_mopper_spark.streaming.resample import events_stream
     from access_mopper_spark.streaming.stateful import (run_stateful_to_memory,
                                                         running_totals)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType([
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ])
-    raw = stream_source(spark, sf_dir, schema, glob="events.parquet")
+    raw = events_stream(spark, sf_dir)
     res = running_totals(raw.select("user_id", "value"), "user_id", "value")
     run_stateful_to_memory(res, "q_stateful_totals_sink")
     final = (

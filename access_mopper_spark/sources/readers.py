@@ -26,11 +26,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     predicate pushdown are left entirely to Catalyst (reference equivalent:
     ``_preselect`` column pruning, ``mop_utils.py:116-122``).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects by default; read it as long nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
-    timestamps — matching DuckDB's ns→µs floor when it hands rows to
-    Python."""
+    ``events.ts`` has been generated both as parquet TIMESTAMP(NANOS) and as
+    tz-less TIMESTAMP(MICROS) across driver runs; normalize every variant to
+    a plain UTC ``timestamp`` column so downstream ``unix_micros`` math and
+    the DuckDB oracle (naive µs timestamps) agree:
+
+    - NANOS → read as long (``spark.sql.legacy.parquet.nanosAsLong``) and
+      floor-divide to µs, matching DuckDB's ns→µs truncation.
+    - tz-less MICROS → Spark 4 infers TIMESTAMP_NTZ; with the session pinned
+      to UTC a cast to ``timestamp`` is a pure relabel (same wall time)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     # pin UTC at runtime: bin edges (date_trunc/window/month) must not
     # shift with the host session's timezone — the driver runs a vanilla
@@ -44,8 +48,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
             # integer division — epoch nanos (~1.7e18) overflow double precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

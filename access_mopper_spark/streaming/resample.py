@@ -32,6 +32,44 @@ def stream_source(spark: SparkSession, path: str, schema, glob: str | None = Non
     return reader.parquet(path)
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over ``events.parquet`` with ``ts`` normalized to a plain
+    UTC ``timestamp``, whatever physical type the generator used.
+
+    Streaming scans cannot infer a schema, and the testdata's ``ts`` column
+    has appeared as TIMESTAMP(NANOS) (needs ``nanosAsLong`` + ns→µs floor),
+    tz-less TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ), and adjusted-to-UTC
+    TIMESTAMP(MICROS) across driver runs — so probe the batch reader's
+    resolved schema once (footer-only, no data scan) and declare the stream
+    schema to match."""
+    import os
+
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_type = dict(spark.read.parquet(path).dtypes)["ts"]
+    fields = [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # placeholder, fixed below
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+    if ts_type != "bigint":
+        from pyspark.sql.types import _parse_datatype_string
+
+        fields[1] = StructField("ts", _parse_datatype_string(ts_type))
+    raw = stream_source(spark, sf_dir, StructType(fields), glob="events.parquet")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
 def stream_resample(stream: DataFrame, ts_col: str, value_col: str, every: str,
                     how: str = "mean", group_cols: list[str] | None = None,
                     watermark: str = "1 day") -> DataFrame:

@@ -1,28 +1,17 @@
 """Stateful streaming (applyInPandasWithState) and skew-salting tests."""
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
-                               StructType)
 
 from access_mopper_spark.operators.skew import explode_salt_join, salted_agg
 
 
 def test_stateful_running_totals_matches_batch(spark, sf_dir):
     from access_mopper_spark.sources.readers import load_table
-    from access_mopper_spark.streaming.resample import stream_source
+    from access_mopper_spark.streaming.resample import events_stream
     from access_mopper_spark.streaming.stateful import (run_stateful_to_memory,
                                                         running_totals)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType([
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ])
-    raw = stream_source(spark, sf_dir, schema, glob="events.parquet")
+    raw = events_stream(spark, sf_dir)
     res = running_totals(raw.select("user_id", "value"), "user_id", "value")
     run_stateful_to_memory(res, "stateful_totals_sink")
     # last emitted row per key is the final running total
@@ -70,29 +59,14 @@ def test_explode_salt_join_matches_plain(spark, sf_dir):
 def test_stream_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     """File-sink streaming with a checkpoint: stopping and restarting the
     query must not duplicate output (exactly-once file sink semantics)."""
-    import os
+    from access_mopper_spark.streaming.resample import (events_stream,
+                                                        stream_resample)
 
-    from access_mopper_spark.sources.readers import load_table
-    from access_mopper_spark.streaming.resample import (stream_resample,
-                                                        stream_source)
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType([
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ])
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
 
     def run_once():
-        raw = stream_source(spark, sf_dir, schema, glob="events.parquet")
-        stream = raw.select("user_id",
-                            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-                            "value")
+        stream = events_stream(spark, sf_dir).select("user_id", "ts", "value")
         # append mode requires the watermark to close windows
         res = stream_resample(stream, "ts", "value", "1 hour", how="sum",
                               group_cols=["user_id"], watermark="1 hour")
@@ -112,20 +86,9 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     """Streaming exact dedup (training-data op on an unbounded source):
     dropDuplicatesWithinWatermark keys the state store by event_id; a
     re-delivered duplicate within the watermark is dropped."""
-    from access_mopper_spark.streaming.resample import stream_source
+    from access_mopper_spark.streaming.resample import events_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType([
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ])
-    raw = stream_source(spark, sf_dir, schema, glob="events.parquet")
-    stream = raw.select("event_id",
-                        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
+    stream = events_stream(spark, sf_dir).select("event_id", "ts")
     # duplicate every record, then dedup by key within the watermark
     doubled = stream.union(stream)
     deduped = doubled.withWatermark("ts", "1 day") \
