@@ -360,3 +360,39 @@ def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
             .select(id_col, "n_grams", "n_dup",
                     F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 6)
                     .alias("dup_fraction")))
+
+
+def cross_corpus_dedup(df_new: DataFrame, df_ref: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n_hashes: int = 6, band_size: int = 2,
+                       shingle_k: int = 3, shingle_kind: str = "word",
+                       hash_kind: str = "md5") -> DataFrame:
+    """Fuzzy cross-corpus decontamination: drop NEW documents that share
+    any MinHash-LSH band with a REFERENCE corpus (held-out benchmarks, an
+    already-trained snapshot, a licensed set) — the near-duplicate
+    counterpart of the exact-fingerprint anti-join in
+    ``q_decontaminate``; catches paraphrases and light edits, not just
+    byte-identical copies.
+
+    Scale structure mirrors ``near_dup_pairs``: both sides carry ONLY
+    (id, band_idx, band_key) into the match — one shuffle on uniformly
+    distributed band keys regardless of corpus size — then matched NEW
+    ids (a small, near-dup-bounded set) anti-join back against the full
+    rows."""
+    n_bands = (n_hashes + band_size - 1) // band_size
+
+    def bands_of(df):
+        sig = lsh_band_keys(
+            minhash_signature(df, text_col, n_hashes, shingle_k,
+                              shingle_kind, hash_kind),
+            n_hashes, band_size)
+        return sig.select(id_col, F.explode(F.array(*[
+            F.struct(F.lit(b).alias("bi"), F.col(f"band_{b}").alias("bk"))
+            for b in range(n_bands)])).alias("__b")) \
+            .select(id_col, F.col("__b.bi").alias("bi"), F.col("__b.bk").alias("bk"))
+
+    contaminated = (bands_of(df_new)
+                    .join(bands_of(df_ref).select("bi", "bk").distinct(),
+                          ["bi", "bk"], "left_semi")
+                    .select(id_col).distinct())
+    return df_new.join(contaminated, id_col, "left_anti")

@@ -1,0 +1,151 @@
+"""Corpus assembly operators: mixture sampling, quality-quantile and
+per-group cap filtering, sequence packing, and deterministic sharding —
+the steps between "curated documents" and "training shards".
+
+Scale design (100 TB of documents):
+- everything here is a pure function of document ids and tiny per-group
+  statistics — no RNG state, no driver-side loops, reproducible across
+  runs and cluster sizes.
+- per-source statistics (counts, weights) are one tiny aggregate
+  broadcast back; membership tests are then map-only.
+- packing and capping use ONE window shuffle keyed by the group column —
+  the same shuffle a groupBy would take; no global sort anywhere.
+- sharding is map-only: shard id is a hash residue, so output files can
+  be written with a single ``partitionBy("shard")`` pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def uniform_hash(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform double in [0, 1): first 32 bits of
+    md5(salt || id) over 2^32.  Engine-portable — DuckDB replays it as
+    ``('0x' || substring(md5(...), 1, 8))::BIGINT / 4294967296.0``."""
+    digest = F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string")))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") / F.lit(2.0 ** 32)
+
+
+def mixture_sample(df: DataFrame, source_col: str = "source",
+                   alpha: float = 0.5, id_col: str = "doc_id",
+                   salt: str = "mix0") -> DataFrame:
+    """Temperature-flattened source mixture: downsample large sources so
+    the kept corpus follows ``share_s ∝ count_s^alpha`` (alpha=1 keeps
+    the natural mixture, alpha=0 equalizes sources) — the standard
+    mixture-reweighting step when assembling multi-source training data.
+
+    Keep probability per source: ``p_s = (c_s / c_max)^(alpha - 1)``,
+    capped at 1 — the LARGEST source is never upsampled and smaller
+    sources keep proportionally more. Membership is a deterministic
+    per-id hash test against the broadcast per-source probability:
+    two tiny aggregates (per-source counts, global max) joined back by
+    broadcast, then a map-only filter. No sampling RNG, no shuffle of
+    the data itself."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__c"))
+    cmax = counts.agg(F.max("__c").alias("__cmax"))
+    probs = counts.crossJoin(F.broadcast(cmax)).select(
+        source_col,
+        F.least(F.lit(1.0),
+                F.pow(F.col("__c") / F.col("__cmax"), F.lit(alpha - 1.0)))
+        .alias("__p"))
+    u = uniform_hash(F.col(id_col), salt)
+    return (df.join(F.broadcast(probs), source_col)
+              .where(u < F.col("__p"))
+              .drop("__p"))
+
+
+def quality_quantile_filter(df: DataFrame, score_col: str,
+                            group_col: str = "lang",
+                            keep_top: float = 0.5,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Keep the top ``keep_top`` fraction of each group by quality score
+    — per-language quality thresholding, so high-resource languages don't
+    set the bar for low-resource ones.
+
+    Exact per-group percent_rank (one keyed window shuffle; ties broken
+    by id so membership is deterministic).  At 100 TB swap the window for
+    a two-pass approx: per-group ``approx_percentile`` threshold (tiny
+    aggregate, broadcast back) + map-only filter — same output within
+    sketch error, no per-group sort."""
+    pr = F.percent_rank().over(
+        W.partitionBy(group_col).orderBy(F.col(score_col).desc(),
+                                         F.col(id_col)))
+    return (df.withColumn("__pr", pr)
+              .where(F.col("__pr") < keep_top)
+              .drop("__pr"))
+
+
+def cap_per_group(df: DataFrame, group_col: str, order_col: str,
+                  n: int, id_col: str = "doc_id",
+                  descending: bool = True) -> DataFrame:
+    """Keep at most ``n`` rows per group, best-first — per-host /
+    per-source caps against single-origin domination (a crawl-curation
+    staple).  One keyed window shuffle; deterministic id tiebreak."""
+    order = (F.col(order_col).desc() if descending else F.col(order_col).asc())
+    rn = F.row_number().over(W.partitionBy(group_col).orderBy(order, F.col(id_col)))
+    return df.withColumn("__rn", rn).where(F.col("__rn") <= n).drop("__rn")
+
+
+def pack_sequences(df: DataFrame, token_col: str, budget: int,
+                   group_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic sequential packing of documents into fixed
+    token-budget bins (context-window packing for training): documents
+    are laid out in id order within each group; a document starts in the
+    bin where the running token total stood when it arrived.
+
+    Emits ``bin_id`` (0-based within group) and ``bin_offset`` (token
+    offset of the document's start within its bin).  This is the
+    streaming-fill formulation — a document may straddle a bin boundary
+    (the trainer's concat-and-chunk handles that); exact first-fit
+    bin-packing is inherently sequential and gains <2% fill at typical
+    doc/budget ratios.  One keyed window shuffle, cumulative sum only —
+    scales like any grouped running total."""
+    w = (W.partitionBy(group_col).orderBy(F.col(id_col))
+         .rowsBetween(W.unboundedPreceding, -1))
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    # floor-divide explicitly: a bare cast of the double quotient truncates
+    # on Spark but ROUNDS on some engines (DuckDB CAST) — floor is portable
+    return (df.withColumn("bin_id", F.floor(before / F.lit(budget)).cast("long"))
+              .withColumn("bin_offset", (before % F.lit(budget)).cast("long")))
+
+
+def shard_assign(df: DataFrame, n_shards: int,
+                 id_col: str = "doc_id", salt: str = "shard0") -> DataFrame:
+    """Deterministic output sharding: ``shard = hash(id) mod n_shards``
+    over the portable md5 lane, so the same document lands in the same
+    shard on every engine and cluster size.  Map-only; writing becomes
+    one ``partitionBy("shard")`` pass and shard sizes are uniform by
+    hash uniformity (no skew for any n_shards ≪ corpus size)."""
+    digest = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    code = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    return df.withColumn("shard", (code % n_shards).cast("int"))
+
+
+def chunk_documents(df: DataFrame, size: int, overlap: int,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the context-window chunker feeding embedding/RAG indexing and
+    fixed-length training examples.  stride = size − overlap; chunk i
+    covers ``[i·stride, i·stride + size)`` and the last chunk reaches the
+    end of the document (possibly shorter).
+
+    Pure Column math: per-row chunk-index ``sequence`` → ``transform`` →
+    ``explode`` — map-only (no shuffle), output rows ≈ input_chars/stride
+    regardless of document skew, so it scales with data volume, not
+    document count."""
+    if not (0 <= overlap < size):
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    n = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(float(stride))))
+    idx = F.explode(F.sequence(F.lit(0), (n - 1).cast("int")))
+    out = df.withColumn("chunk_id", idx)
+    chunk = F.substring(F.col(text_col),
+                        (F.col("chunk_id") * stride + 1).cast("int"), size)
+    return out.withColumn("chunk", chunk)

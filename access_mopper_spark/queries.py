@@ -3746,3 +3746,221 @@ def q_corpus_report(spark, sf_dir):
         R6(F.expr("percentile(n_tokens, 0.95)")).alias("p95_tokens"),
         R6(F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)))
         .alias("en_share"))
+
+
+# =====================================================================
+# corpus assembly: mixture sampling, quantile/cap filtering, packing,
+# sharding (operators/sampling.py)
+# =====================================================================
+
+@query(
+    "q_mixture_sample",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ), m AS (
+      SELECT MAX(cnt) AS cmax FROM c
+    ), p AS (
+      SELECT source, LEAST(1.0, POW(CAST(cnt AS DOUBLE) / cmax, -0.5)) AS p
+      FROM c, m
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN p USING (source)
+    WHERE ('0x' || substring(md5('mix0:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < p.p
+    """,
+)
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-flattened source mixture (alpha=0.5): large sources
+    downsampled toward share ∝ count^alpha, membership a deterministic
+    md5 test against the broadcast per-source keep probability — two
+    tiny aggregates + a map-only filter, no data shuffle."""
+    from access_mopper_spark.operators.sampling import mixture_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, "source", alpha=0.5).select("doc_id", "source")
+
+
+@query(
+    "q_quality_quantile_filter",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS tn
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END AS ntok
+      FROM t
+    ), r AS (
+      SELECT doc_id, lang, ntok,
+             PERCENT_RANK() OVER (PARTITION BY lang
+                                  ORDER BY ntok DESC, doc_id) AS pr
+      FROM c
+    )
+    SELECT doc_id, lang, ntok FROM r WHERE pr < 0.5
+    """,
+)
+def q_quality_quantile_filter(spark, sf_dir):
+    """Per-language quality thresholding: keep the top half of each
+    language by token count, so high-resource languages don't set the
+    bar for low-resource ones.  Exact percent_rank over one keyed window
+    shuffle; deterministic id tiebreak (at extreme scale the documented
+    swap is an approx-percentile threshold broadcast back + map filter)."""
+    from access_mopper_spark.functions.text import token_count
+    from access_mopper_spark.operators.sampling import quality_quantile_filter
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang",
+                         token_count(F.col("text")).alias("ntok"))
+    return quality_quantile_filter(scored, "ntok", "lang", keep_top=0.5)
+
+
+@query(
+    "q_cap_per_group",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM r WHERE rn <= 50
+    """,
+)
+def q_cap_per_group(spark, sf_dir):
+    """Per-source document cap (anti single-origin domination): keep the
+    50 largest documents per source — one keyed window shuffle,
+    best-first with deterministic id tiebreak."""
+    from access_mopper_spark.operators.sampling import cap_per_group
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", "n_chars", 50) \
+        .select("doc_id", "source", "n_chars")
+
+
+@query(
+    "q_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS tn
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END AS ntok
+      FROM t
+    ), s AS (
+      SELECT doc_id, source, ntok,
+             COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS before
+      FROM c
+    )
+    SELECT doc_id, source, ntok,
+           CAST(FLOOR(before / 2048.0) AS BIGINT) AS bin_id,
+           CAST(before % 2048 AS BIGINT) AS bin_offset
+    FROM s
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Context-window packing: lay documents out in id order per source
+    and assign each to the token-budget bin (2048) where the running
+    total stood when it arrived, with its offset in that bin — the
+    deterministic streaming-fill packing a trainer's concat-and-chunk
+    loader consumes.  One keyed window shuffle (a grouped running sum)."""
+    from access_mopper_spark.functions.text import token_count
+    from access_mopper_spark.operators.sampling import pack_sequences
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source",
+                       token_count(F.col("text")).alias("ntok"))
+    return pack_sequences(toks, "ntok", 2048, "source") \
+        .select("doc_id", "source", "ntok", "bin_id", "bin_offset")
+
+
+@query(
+    "q_shard_assign",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('shard0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 16 AS INT) AS shard
+    FROM documents
+    """,
+)
+def q_shard_assign(spark, sf_dir):
+    """Deterministic output sharding: shard = md5-lane(id) mod 16 —
+    map-only, engine-portable, uniform shard sizes; writing is then one
+    partitionBy('shard') pass."""
+    from access_mopper_spark.operators.sampling import shard_assign
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_assign(docs, 16).select("doc_id", "shard")
+
+
+@query(
+    "q_chunk_documents",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, text,
+             GREATEST(1, CAST(CEIL((length(text) - 50) / 150.0) AS BIGINT)) AS nch
+      FROM documents
+    )
+    SELECT doc_id, g.i AS chunk_id,
+           substring(text, g.i * 150 + 1, 200) AS chunk,
+           length(substring(text, g.i * 150 + 1, 200)) AS chunk_len
+    FROM n, generate_series(0, 20) g(i)
+    WHERE g.i < nch
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 200-char windows, 50-char overlap
+    (stride 150), last chunk runs to the document end.  Map-only
+    sequence→explode — output volume scales with corpus bytes, not
+    document count, and no shuffle is involved."""
+    from access_mopper_spark.operators.sampling import chunk_documents
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=200, overlap=50) \
+        .select("doc_id", "chunk_id", "chunk",
+                F.length("chunk").alias("chunk_len"))
+
+
+@query(
+    "q_cross_dedup",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
+      FROM toks, generate_series(1, 300) g(i)
+      WHERE g.i <= greatest(length(w) - 2, 1)
+    ),
+    sig AS (
+      SELECT doc_id,
+             MIN(substring(md5('seed0:' || s), 1, 8)) AS m0,
+             MIN(substring(md5('seed0:' || s), 9, 8)) AS m1,
+             MIN(substring(md5('seed0:' || s), 17, 8)) AS m2,
+             MIN(substring(md5('seed0:' || s), 25, 8)) AS m3,
+             MIN(substring(md5('seed1:' || s), 1, 8)) AS m4,
+             MIN(substring(md5('seed1:' || s), 9, 8)) AS m5
+      FROM sh GROUP BY doc_id
+    ),
+    band AS (SELECT doc_id, md5(m0 || '|' || m1) AS b0, md5(m2 || '|' || m3) AS b1,
+                    md5(m4 || '|' || m5) AS b2 FROM sig)
+    SELECT d.doc_id FROM band d
+    WHERE d.doc_id >= 50
+      AND NOT EXISTS (
+        SELECT 1 FROM band r
+        WHERE r.doc_id < 50
+          AND (r.b0 = d.b0 OR r.b1 = d.b1 OR r.b2 = d.b2))
+    """,
+)
+def q_cross_dedup(spark, sf_dir):
+    """Fuzzy cross-corpus decontamination: docs with id >= 50 are the
+    incoming corpus, id < 50 the held-out reference; any incoming doc
+    sharing an LSH band (6 minhashes, 3 bands of 2, word 3-shingles)
+    with the reference is dropped.  Both sides shuffle only
+    (id, band_idx, band_key); matched ids anti-join back."""
+    from access_mopper_spark.operators.dedup import cross_corpus_dedup
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") >= 50)
+    ref = docs.where(F.col("doc_id") < 50)
+    return cross_corpus_dedup(new, ref, "text", "doc_id",
+                              n_hashes=6, band_size=2, shingle_k=3,
+                              shingle_kind="word").select("doc_id")
