@@ -3964,3 +3964,52 @@ def q_cross_dedup(spark, sf_dir):
     return cross_corpus_dedup(new, ref, "text", "doc_id",
                               n_hashes=6, band_size=2, shingle_k=3,
                               shingle_kind="word").select("doc_id")
+
+
+@query(
+    "q_lm_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')),
+               ' ') AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, w[g.i] AS w1, w[g.i] || ' ' || w[g.i + 1] AS bigram
+      FROM toks, generate_series(1, 300) g(i)
+      WHERE g.i <= length(w) - 1
+    ),
+    big AS (SELECT bigram, COUNT(*) AS c_big FROM pairs GROUP BY bigram),
+    uni AS (
+      SELECT w1, COUNT(*) AS c_uni FROM (
+        SELECT doc_id, unnest(w) AS w1 FROM toks
+      ) GROUP BY w1
+    ),
+    v AS (SELECT COUNT(*) AS v FROM uni)
+    SELECT p.doc_id,
+           ROUND(AVG(ln((b.c_big + 1.0) / (u.c_uni + 1.0 * v.v))), 6)
+             AS lm_score,
+           COUNT(*) AS n_bigrams
+    FROM pairs p
+    JOIN big b USING (bigram)
+    JOIN uni u USING (w1)
+    CROSS JOIN v
+    GROUP BY p.doc_id
+    """,
+)
+def q_lm_score(spark, sf_dir):
+    """Corpus-trained bigram language-model quality score (the model-based
+    filter of a curation pipeline, the role KenLM perplexity plays in
+    public web-corpus pipelines): train add-1-smoothed bigram statistics
+    on the corpus (one shuffle), score each doc by mean bigram
+    log-probability (explode + two n-gram-key equi-joins + one per-doc
+    aggregate — the model stays distributed, never collected)."""
+    from access_mopper_spark.operators.lm import (score_bigram_logprob,
+                                                  train_bigram_lm)
+    docs = load_table(spark, sf_dir, "documents")
+    big, uni, vocab = train_bigram_lm(docs)
+    out = score_bigram_logprob(docs, big, uni, vocab, k=1.0)
+    return out.select("doc_id", R6(F.col("lm_score")).alias("lm_score"),
+                      "n_bigrams")
