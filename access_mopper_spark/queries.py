@@ -4013,3 +4013,59 @@ def q_lm_score(spark, sf_dir):
     out = score_bigram_logprob(docs, big, uni, vocab, k=1.0)
     return out.select("doc_id", R6(F.col("lm_score")).alias("lm_score"),
                       "n_bigrams")
+
+
+@query(
+    "q_cms_counts",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')),
+               ' ')) AS term
+      FROM documents
+    ),
+    pairs AS (
+      SELECT term, g.d,
+             ('0x' || substring(md5('cms' || g.d || ':' || term), 1, 8))::BIGINT
+               % 512 AS bucket
+      FROM toks, generate_series(0, 3) g(d)
+    ),
+    sketch AS (
+      SELECT d, bucket, COUNT(*) AS cnt FROM pairs GROUP BY d, bucket
+    ),
+    truth AS (SELECT term, COUNT(*) AS true_count FROM toks GROUP BY term),
+    probes AS (
+      SELECT t.term, g.d,
+             ('0x' || substring(md5('cms' || g.d || ':' || t.term), 1, 8))::BIGINT
+               % 512 AS bucket
+      FROM (SELECT DISTINCT term FROM toks) t, generate_series(0, 3) g(d)
+    ),
+    est AS (
+      SELECT p.term, MIN(COALESCE(s.cnt, 0)) AS est_count
+      FROM probes p LEFT JOIN sketch s USING (d, bucket)
+      GROUP BY p.term
+    )
+    SELECT e.term, t.true_count, e.est_count
+    FROM est e JOIN truth t USING (term)
+    ORDER BY t.true_count DESC, e.term
+    LIMIT 20
+    """,
+)
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch frequency estimation (mergeable sketch, fixed
+    depth×width memory at any corpus size): build a 4×512 CMS over the
+    corpus token stream, estimate every distinct token, and report the
+    top-20 tokens with true vs estimated counts — the one-sided
+    overestimate guarantee (est ≥ true) is visible in the output and
+    asserted in tests."""
+    from access_mopper_spark.operators.search import tokens as tok_fn
+    from access_mopper_spark.operators.sketch import cms_build, cms_estimate
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tok_fn(F.lower(F.col("text")))).alias("term"))
+    sketch = cms_build(toks, "term", depth=4, width=512)
+    est = cms_estimate(sketch, toks, "term", depth=4, width=512)
+    truth = toks.groupBy("term").agg(F.count("*").alias("true_count"))
+    return (truth.join(est, "term")
+            .orderBy(F.col("true_count").desc(), F.col("term"))
+            .limit(20)
+            .select("term", "true_count", "est_count"))
