@@ -4069,3 +4069,109 @@ def q_cms_counts(spark, sf_dir):
             .orderBy(F.col("true_count").desc(), F.col("term"))
             .limit(20)
             .select("term", "true_count", "est_count"))
+
+
+# =====================================================================
+# event analytics: funnel, cohort retention, outlier filtering
+# =====================================================================
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS step_view,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS step_click,
+           COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+             AS step_purchase
+    FROM steps
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): one grouped
+    conditional-min pass per user (map-side combined), then counting
+    users whose step timestamps are strictly increasing.  No joins, no
+    window — the funnel semantics live in conditional aggregation, the
+    shape that survives billions of users."""
+    ev = load_table(spark, sf_dir, "events")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"))
+    return steps.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("step_click"),
+        F.count(F.when((F.col("t_purchase") > F.col("t_click"))
+                       & (F.col("t_click") > F.col("t_view")), 1))
+        .alias("step_purchase"))
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(FLOOR(epoch(CAST(e.ts AS TIMESTAMP) - f.cohort_week)
+                        / 604800.0) AS BIGINT) AS week_k
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_k, COUNT(*) AS active_users
+    FROM activity GROUP BY cohort_week, week_k
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity week;
+    for each cohort, how many are active k weeks later.  Two shuffles
+    (first-touch per user, then distinct cohort-week activity) — the
+    user-keyed join broadcasts nothing and stays co-partitioned on
+    user_id, the property that matters at 10^9 users."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    week_k = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("cohort_week")))
+        / F.lit(604800.0 * 1e6)).cast("long")
+    activity = (ev.join(firsts, "user_id")
+                  .select("user_id", "cohort_week", week_k.alias("week_k"))
+                  .distinct())
+    return activity.groupBy("cohort_week", "week_k") \
+        .agg(F.count("*").alias("active_users"))
+
+
+@query(
+    "q_outlier_filter",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 6) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE ABS((e.value - s.mu) / s.sigma) > 3.0
+    """,
+)
+def q_outlier_filter(spark, sf_dir):
+    """Per-type z-score outlier detection: tiny per-type stats broadcast
+    back onto the stream, outliers flagged map-side — the data side never
+    shuffles (same shape as mixture_sample)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma"))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (ev.join(F.broadcast(stats), "event_type")
+              .where(F.abs(z) > 3.0)
+              .select("event_id", "event_type", R6(z).alias("zscore")))

@@ -168,3 +168,25 @@ def test_pq_adc_corpus_scan_reads_codes_not_vectors(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_funnel_is_two_level_aggregate(spark, sf_dir):
+    """The funnel is conditional aggregation only: no join, no window,
+    exactly one data shuffle (user_id) + the final single-row reduce."""
+    from access_mopper_spark.queries import QUERIES
+    plan = QUERIES["q_funnel"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "partial" in plan  # map-side combine before the user shuffle
+
+
+def test_outlier_filter_data_side_no_shuffle(spark, sf_dir):
+    """Per-type stats broadcast back; the event stream itself is never
+    exchanged."""
+    from access_mopper_spark.queries import QUERIES
+    plan = QUERIES["q_outlier_filter"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    streamed = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange", 1)[0]
+    assert "Exchange" not in streamed
