@@ -107,3 +107,62 @@ def upsert_ignore(existing: DataFrame, incoming: DataFrame,
     union — the merge shape any upsert-capable table format executes."""
     fresh = incoming.join(existing.select(*keys).distinct(), keys, "left_anti")
     return existing.unionByName(fresh)
+
+
+def scd2_merge(current: DataFrame, incoming: DataFrame, keys: list[str],
+               tracked: list[str], effective_ts: str,
+               valid_from: str = "valid_from", valid_to: str = "valid_to") -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: apply an incoming snapshot
+    to a dimension HISTORY table, closing out rows whose tracked
+    attributes changed and opening new versions — the standard warehouse
+    pattern for "what did this supplier look like when the order shipped".
+
+    ``current`` carries open (``valid_to IS NULL``) and closed rows;
+    ``incoming`` is the new snapshot of (keys + tracked).  Output:
+    - closed rows pass through untouched;
+    - open rows with NO incoming match, or an incoming match with equal
+      tracked values, pass through;
+    - open rows whose match differs get ``valid_to = effective_ts`` and a
+      fresh open row with the new values;
+    - incoming keys never seen before open as new rows.
+
+    Shape: ONE equi-join of open rows against the snapshot on the
+    dimension key plus a union of three branches over that single joined
+    frame — co-partitioned on the key, no window, no collect; at any
+    dimension size this is the same one-shuffle merge an ACID table
+    format runs for MERGE INTO."""
+    null_safe_eq = [F.col(f"cur.{c}").eqNullSafe(F.col(f"inc.{c}")) for c in tracked]
+    unchanged_pred = null_safe_eq[0]
+    for p in null_safe_eq[1:]:
+        unchanged_pred = unchanged_pred & p
+
+    closed = current.where(F.col(valid_to).isNotNull())
+    open_rows = current.where(F.col(valid_to).isNull())
+    j = open_rows.alias("cur").join(
+        incoming.alias("inc"), [F.col(f"cur.{k}") == F.col(f"inc.{k}") for k in keys],
+        "full_outer")
+
+    cur_cols = current.columns
+    keep_open = j.where(F.col(f"inc.{keys[0]}").isNull() | unchanged_pred) \
+        .where(F.col(f"cur.{keys[0]}").isNotNull()) \
+        .select([F.col(f"cur.{c}").alias(c) for c in cur_cols])
+    to_close = j.where(F.col(f"cur.{keys[0]}").isNotNull()
+                       & F.col(f"inc.{keys[0]}").isNotNull() & ~unchanged_pred)
+    closed_out = to_close.select(
+        *[F.col(f"cur.{c}").alias(c) for c in cur_cols if c != valid_to],
+        F.lit(effective_ts).cast("timestamp").alias(valid_to))
+    new_versions = to_close.select(
+        *[F.col(f"inc.{c}").alias(c) if c in (keys + tracked)
+          else (F.lit(effective_ts).cast("timestamp").alias(c) if c == valid_from
+                else F.lit(None).cast("timestamp").alias(c) if c == valid_to
+                else F.col(f"cur.{c}").alias(c))
+          for c in cur_cols])
+    cur_types = dict(current.dtypes)
+    brand_new = j.where(F.col(f"cur.{keys[0]}").isNull()).select(
+        *[F.col(f"inc.{c}").alias(c) if c in (keys + tracked)
+          else (F.lit(effective_ts).cast("timestamp").alias(c) if c == valid_from
+                else F.lit(None).cast("timestamp").alias(c) if c == valid_to
+                else F.lit(None).cast(cur_types[c]).alias(c))
+          for c in cur_cols])
+    return closed.unionByName(keep_open).unionByName(closed_out) \
+        .unionByName(new_versions).unionByName(brand_new)

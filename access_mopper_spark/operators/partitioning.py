@@ -35,3 +35,28 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def zorder_key(cols, bits: int = 16):
+    """Z-order (Morton) clustering key: interleave the low ``bits`` bits
+    of each non-negative integer column so rows close in EVERY dimension
+    get close keys.  Sorting / range-partitioning output files by this
+    key tightens per-file min/max statistics on ALL participating
+    columns at once — multi-dimensional data skipping from
+    one-dimensional layout, the trick behind z-ordered table formats.
+
+    Pure Column bit math (shift/mask/sum — whole-stage codegen, no UDF);
+    callers normalize real-valued columns to [0, 2^bits) first (rank or
+    min/max scale).  Key width = len(cols)·bits ≤ 63 bits."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError("len(cols) * bits must fit in a signed 64-bit key")
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        cl = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(cl, i).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, n * i + j)
+    return key

@@ -4175,3 +4175,90 @@ def q_outlier_filter(spark, sf_dir):
     return (ev.join(F.broadcast(stats), "event_type")
               .where(F.abs(z) > 3.0)
               .select("event_id", "event_type", R6(z).alias("zscore")))
+
+
+@query(
+    "q_scd2_merge",
+    oracle="""
+    WITH cur_closed AS (
+      SELECT s_suppkey, 'OLD_' || s_name AS s_name,
+             TIMESTAMP '2023-01-01' AS valid_from,
+             TIMESTAMP '2024-01-01' AS valid_to
+      FROM supplier WHERE s_suppkey < 5
+    ),
+    changed AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0)
+    SELECT * FROM cur_closed
+    UNION ALL   -- open rows whose snapshot matches: pass through
+    SELECT s_suppkey, s_name, TIMESTAMP '2024-01-01', CAST(NULL AS TIMESTAMP)
+    FROM supplier WHERE s_suppkey % 10 <> 0
+    UNION ALL   -- changed open rows: closed at the effective date
+    SELECT s_suppkey, s_name, TIMESTAMP '2024-01-01', TIMESTAMP '2024-06-01'
+    FROM supplier WHERE s_suppkey % 10 = 0
+    UNION ALL   -- their new open versions
+    SELECT s_suppkey, 'NEW_' || s_name, TIMESTAMP '2024-06-01',
+           CAST(NULL AS TIMESTAMP)
+    FROM supplier WHERE s_suppkey % 10 = 0
+    UNION ALL   -- never-seen keys: brand-new open rows
+    SELECT s_suppkey + 200000, 'BRAND_' || s_name, TIMESTAMP '2024-06-01',
+           CAST(NULL AS TIMESTAMP)
+    FROM supplier WHERE s_suppkey < 3
+    """,
+)
+def q_scd2_merge(spark, sf_dir):
+    """Type-2 slowly-changing-dimension merge: an incoming supplier
+    snapshot (10% renamed, 3 brand-new keys) applied to a history table
+    with open and closed rows — changed rows close at the effective
+    date and reopen with new values.  One key-co-partitioned full-outer
+    join + a three-branch union; the MERGE INTO shape of an ACID table
+    format."""
+    from access_mopper_spark.catalog.matching import scd2_merge
+    sup = load_table(spark, sf_dir, "supplier")
+    cur_open = sup.select(
+        "s_suppkey", "s_name",
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"))
+    cur_closed = sup.where(F.col("s_suppkey") < 5).select(
+        "s_suppkey", F.concat(F.lit("OLD_"), F.col("s_name")).alias("s_name"),
+        F.lit("2023-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_to"))
+    current = cur_closed.unionByName(cur_open)
+    incoming = sup.select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 10 == 0,
+               F.concat(F.lit("NEW_"), F.col("s_name")))
+        .otherwise(F.col("s_name")).alias("s_name")) \
+        .unionByName(sup.where(F.col("s_suppkey") < 3).select(
+            (F.col("s_suppkey") + 200000).alias("s_suppkey"),
+            F.concat(F.lit("BRAND_"), F.col("s_name")).alias("s_name")))
+    return scd2_merge(current, incoming, ["s_suppkey"], ["s_name"],
+                      "2024-06-01")
+
+
+@query(
+    "q_zorder_key",
+    oracle="""
+    WITH g AS (SELECT i FROM generate_series(0, 15) t(i)),
+    bits AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             SUM((((l_partkey % 65536) >> g.i) & 1) << (2 * g.i))
+             + SUM((((l_suppkey % 65536) >> g.i) & 1) << (2 * g.i + 1))
+               AS zkey
+      FROM lineitem, g
+      GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, CAST(zkey AS BIGINT) AS zkey
+    FROM bits
+    """,
+)
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    interleaved 16-bit lanes as pure codegen bit math.  Sorting output
+    files by this key gives tight min/max stats on both columns at once
+    — multi-dimensional data skipping from a one-dimensional sort (see
+    tests/test_sampling.py zorder locality test)."""
+    from access_mopper_spark.operators.partitioning import zorder_key
+    li = load_table(spark, sf_dir, "lineitem")
+    zkey = zorder_key([F.col("l_partkey") % 65536,
+                       F.col("l_suppkey") % 65536], bits=16)
+    return li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                     zkey.alias("zkey"))
