@@ -118,3 +118,27 @@ def add_axis(df: DataFrame, name: str, value) -> DataFrame:
     a constant axis column, so downstream group/sort keys and the sink's
     schema see the dimension explicitly."""
     return df.withColumn(name, F.lit(value))
+
+
+def fixed_width_histogram(df, value_col: str, n_buckets: int,
+                          group_cols: list[str] | None = None):
+    """Fixed-width histogram with data-derived bounds: global [min, max]
+    from a 1-row aggregate broadcast back (scalar-subquery shape), bucket
+    = floor((v − lo)/(hi − lo)·n) clamped to [0, n−1], then one
+    map-side-combined count per (group, bucket).  Two passes over the
+    column, no window, no sort — the shape that survives any row count;
+    the bucket math is plain IEEE double ops so estimates replay
+    identically on any engine."""
+    from pyspark.sql import functions as F
+
+    group_cols = group_cols or []
+    bounds = df.agg(F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi"))
+    raw = F.floor((F.col(value_col) - F.col("__lo"))
+                  / (F.col("__hi") - F.col("__lo")) * n_buckets)
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)).cast("int")
+    return (df.crossJoin(F.broadcast(bounds))
+              .withColumn("bucket", bucket)
+              .groupBy(*group_cols, "bucket")
+              .agg(F.count("*").alias("n"),
+                   F.min(value_col).alias("bucket_min"),
+                   F.max(value_col).alias("bucket_max")))

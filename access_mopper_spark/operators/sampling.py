@@ -60,22 +60,31 @@ def mixture_sample(df: DataFrame, source_col: str = "source",
 def quality_quantile_filter(df: DataFrame, score_col: str,
                             group_col: str = "lang",
                             keep_top: float = 0.5,
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            exact: bool = True) -> DataFrame:
     """Keep the top ``keep_top`` fraction of each group by quality score
     — per-language quality thresholding, so high-resource languages don't
     set the bar for low-resource ones.
 
-    Exact per-group percent_rank (one keyed window shuffle; ties broken
-    by id so membership is deterministic).  At 100 TB swap the window for
-    a two-pass approx: per-group ``approx_percentile`` threshold (tiny
-    aggregate, broadcast back) + map-only filter — same output within
-    sketch error, no per-group sort."""
-    pr = F.percent_rank().over(
-        W.partitionBy(group_col).orderBy(F.col(score_col).desc(),
-                                         F.col(id_col)))
-    return (df.withColumn("__pr", pr)
-              .where(F.col("__pr") < keep_top)
-              .drop("__pr"))
+    ``exact=True`` (default): per-group percent_rank — one keyed window
+    shuffle; ties broken by id so membership is deterministic.
+
+    ``exact=False``: the 100 TB path — per-group ``approx_percentile``
+    threshold (tiny aggregate, broadcast back) + map-only filter.  Same
+    membership within sketch error, NO per-group sort: the data side
+    never shuffles (the same broadcast-stats shape as mixture_sample)."""
+    if exact:
+        pr = F.percent_rank().over(
+            W.partitionBy(group_col).orderBy(F.col(score_col).desc(),
+                                             F.col(id_col)))
+        return (df.withColumn("__pr", pr)
+                  .where(F.col("__pr") < keep_top)
+                  .drop("__pr"))
+    thresholds = df.groupBy(group_col).agg(
+        F.percentile_approx(score_col, 1.0 - keep_top, 10000).alias("__thr"))
+    return (df.join(F.broadcast(thresholds), group_col)
+              .where(F.col(score_col) >= F.col("__thr"))
+              .drop("__thr"))
 
 
 def cap_per_group(df: DataFrame, group_col: str, order_col: str,

@@ -4262,3 +4262,29 @@ def q_zorder_key(spark, sf_dir):
                        F.col("l_suppkey") % 65536], bits=16)
     return li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
                      zkey.alias("zkey"))
+
+
+@query(
+    "q_value_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT event_type,
+           CAST(LEAST(GREATEST(FLOOR((value - lo) / (hi - lo) * 20), 0), 19)
+                AS INT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS bucket_min,
+           ROUND(MAX(value), 6) AS bucket_max
+    FROM events, b
+    GROUP BY event_type, bucket
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width 20-bucket histogram of event values per type: bounds
+    from a broadcast 1-row aggregate, bucket assignment map-side, one
+    combined count shuffle on the tiny (type, bucket) key."""
+    from access_mopper_spark.operators.aggregates import fixed_width_histogram
+    ev = load_table(spark, sf_dir, "events")
+    h = fixed_width_histogram(ev, "value", 20, ["event_type"])
+    return h.select("event_type", "bucket", "n",
+                    R6(F.col("bucket_min")).alias("bucket_min"),
+                    R6(F.col("bucket_max")).alias("bucket_max"))

@@ -46,6 +46,13 @@ HEADLINE = [
     "q_bm25_topk",
     "q_pii_redact",
     "q_pq_adc_topk",
+    # corpus assembly + analytics (round 3)
+    "q_mixture_sample",
+    "q_pack_sequences",
+    "q_lm_score",
+    "q_funnel",
+    "q_zorder_key",
+    "q_value_histogram",
 ]
 
 

@@ -181,3 +181,38 @@ def test_cross_corpus_dedup_drops_known_duplicates(spark, sf_dir):
     assert all(i not in kept_ids for r in ref.collect()
                for i in [r["doc_id"] + 100000])  # verbatim copies dropped
     assert {200000 + i for i in range(10)} <= kept_ids  # unique survive
+
+
+def test_quality_quantile_filter_approx_close_to_exact(spark, sf_dir):
+    """The no-shuffle approx path keeps (nearly) the same membership as
+    the exact window path, and its data side never exchanges."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", F.col("n_chars").alias("score"))
+    exact = {r["doc_id"] for r in
+             quality_quantile_filter(docs, "score", "lang", 0.5).collect()}
+    approx_df = quality_quantile_filter(docs, "score", "lang", 0.5, exact=False)
+    approx = {r["doc_id"] for r in approx_df.collect()}
+    # symmetric difference bounded by sketch error + score ties
+    assert len(exact ^ approx) <= 0.1 * len(exact)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    streamed = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange", 1)[0]
+    assert "Exchange" not in streamed
+
+
+import pytest
+
+
+@pytest.mark.parametrize("size,overlap", [(100, 0), (128, 64), (600, 10)])
+def test_chunk_documents_parametrized(spark, sf_dir, size, overlap):
+    from access_mopper_spark.operators.sampling import chunk_documents
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    got = chunk_documents(docs, size, overlap).select(
+        "doc_id", "chunk_id", "chunk").collect()
+    orig = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk"]))
+    for d, chunks in by_doc.items():
+        chunks.sort()
+        rebuilt = chunks[0][1] + "".join(t[overlap:] for _, t in chunks[1:])
+        assert rebuilt == orig[d]
