@@ -55,6 +55,24 @@ COMMENTARY = {
     "q_fuzzy_match": "Dictionary fuzzy match: BroadcastNestedLoopJoin with a "
         "length-band short-circuit ahead of levenshtein — right shape for a "
         "small dictionary; corpus×corpus fuzzy goes through LSH instead.",
+    "q_mixture_sample": "Mixture sampling: per-source keep probabilities are "
+        "two tiny aggregates broadcast back; the document stream is filtered "
+        "map-side and NEVER exchanged.",
+    "q_pack_sequences": "Sequence packing: one keyed window shuffle carrying "
+        "a grouped running sum — bin id and offset are plain arithmetic over "
+        "the cumulative count.",
+    "q_lm_score": "Bigram LM scoring: model counts aggregate with map-side "
+        "combine; scoring joins on n-gram keys (AQE broadcasts them at small "
+        "scale, shuffles at web scale — same plan text, different exchange).",
+    "q_cms_counts": "Count-min sketch: depth×width counters built in one "
+        "combined count; estimation broadcasts the fixed-size sketch.",
+    "q_funnel": "Conversion funnel as conditional aggregation: no join, no "
+        "window — one user-keyed shuffle plus the single-row reduce.",
+    "q_zorder_key": "Z-order key: pure shift/mask Column math inside "
+        "whole-stage codegen; no exchange, no UDF.",
+    "q_scd2_merge": "SCD2 merge: one key-co-partitioned full-outer join; the "
+        "three output branches reuse the same joined frame (union, no "
+        "re-join).",
 }
 
 
