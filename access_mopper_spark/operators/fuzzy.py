@@ -32,3 +32,34 @@ def dictionary_fuzzy_match(corpus: DataFrame, dictionary: DataFrame,
             & (F.levenshtein(a, b) <= max_dist))
     return (corpus.join(F.broadcast(dictionary), cond)
             .withColumn("edit_dist", F.levenshtein(a, b)))
+
+
+def blocked_entity_pairs(df: DataFrame, text_col: str, id_col: str,
+                         block_prefix: int = 4, max_dist: int = 1) -> DataFrame:
+    """Corpus×corpus entity resolution under an edit-distance budget via
+    BLOCKING: rows sharing a blocking key (here the lowercased
+    ``block_prefix``-char prefix) are candidate pairs; only candidates
+    pay the levenshtein evaluation.  The blocking self-join is an
+    equi-join — one shuffle on the block key, bucket sizes bounded by
+    block selectivity — never a cross product, which is what makes
+    entity resolution feasible when BOTH sides are large (the
+    dictionary-broadcast path in :func:`dictionary_fuzzy_match` stops
+    applying).
+
+    Prefix blocking misses pairs whose edits touch the first
+    ``block_prefix`` chars — standard practice is a union over 2-3
+    complementary blocking keys (prefix, suffix, soundex); one key keeps
+    the oracle replay simple here and the union is the same plan shape.
+
+    Returns ``(id_a, id_b, edit_dist)`` with ``id_a < id_b``."""
+    lowered = F.lower(F.col(text_col))
+    keyed = df.select(F.col(id_col), lowered.alias("__t"),
+                      F.substring(lowered, 1, block_prefix).alias("__blk"))
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"), "__blk")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"), "__blk")
+    return (a.join(b, "__blk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(F.abs(F.length("__ta") - F.length("__tb")) <= max_dist)
+            .where(F.levenshtein(F.col("__ta"), F.col("__tb")) <= max_dist)
+            .select("id_a", "id_b",
+                    F.levenshtein(F.col("__ta"), F.col("__tb")).alias("edit_dist")))

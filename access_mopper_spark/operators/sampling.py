@@ -37,19 +37,21 @@ def mixture_sample(df: DataFrame, source_col: str = "source",
     the natural mixture, alpha=0 equalizes sources) — the standard
     mixture-reweighting step when assembling multi-source training data.
 
-    Keep probability per source: ``p_s = (c_s / c_max)^(alpha - 1)``,
-    capped at 1 — the LARGEST source is never upsampled and smaller
-    sources keep proportionally more. Membership is a deterministic
-    per-id hash test against the broadcast per-source probability:
-    two tiny aggregates (per-source counts, global max) joined back by
-    broadcast, then a map-only filter. No sampling RNG, no shuffle of
-    the data itself."""
+    Keep probability per source: ``p_s = (c_s / c_min)^(alpha - 1)``,
+    capped at 1 — ``c^(alpha-1)`` is decreasing in ``c`` for alpha < 1,
+    so the SMALLEST source keeps everything (sampling never upsamples)
+    and larger sources are downsampled toward the flattened share
+    (kept_s ≈ c_min^(1-alpha) · c_s^alpha ∝ c_s^alpha).  Membership is a
+    deterministic per-id hash test against the broadcast per-source
+    probability: two tiny aggregates (per-source counts, global min)
+    joined back by broadcast, then a map-only filter. No sampling RNG,
+    no shuffle of the data itself."""
     counts = df.groupBy(source_col).agg(F.count("*").alias("__c"))
-    cmax = counts.agg(F.max("__c").alias("__cmax"))
-    probs = counts.crossJoin(F.broadcast(cmax)).select(
+    cmin = counts.agg(F.min("__c").alias("__cmin"))
+    probs = counts.crossJoin(F.broadcast(cmin)).select(
         source_col,
         F.least(F.lit(1.0),
-                F.pow(F.col("__c") / F.col("__cmax"), F.lit(alpha - 1.0)))
+                F.pow(F.col("__c") / F.col("__cmin"), F.lit(alpha - 1.0)))
         .alias("__p"))
     u = uniform_hash(F.col(id_col), salt)
     return (df.join(F.broadcast(probs), source_col)

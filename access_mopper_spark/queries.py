@@ -3759,9 +3759,9 @@ def q_corpus_report(spark, sf_dir):
     WITH c AS (
       SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
     ), m AS (
-      SELECT MAX(cnt) AS cmax FROM c
+      SELECT MIN(cnt) AS cmin FROM c
     ), p AS (
-      SELECT source, LEAST(1.0, POW(CAST(cnt AS DOUBLE) / cmax, -0.5)) AS p
+      SELECT source, LEAST(1.0, POW(CAST(cnt AS DOUBLE) / cmin, -0.5)) AS p
       FROM c, m
     )
     SELECT d.doc_id, d.source
@@ -3772,7 +3772,8 @@ def q_corpus_report(spark, sf_dir):
 )
 def q_mixture_sample(spark, sf_dir):
     """Temperature-flattened source mixture (alpha=0.5): large sources
-    downsampled toward share ∝ count^alpha, membership a deterministic
+    downsampled toward share ∝ count^alpha (the smallest source keeps
+    everything — sampling never upsamples), membership a deterministic
     md5 test against the broadcast per-source keep probability — two
     tiny aggregates + a map-only filter, no data shuffle."""
     from access_mopper_spark.operators.sampling import mixture_sample
@@ -4288,3 +4289,29 @@ def q_value_histogram(spark, sf_dir):
     return h.select("event_type", "bucket", "n",
                     R6(F.col("bucket_min")).alias("bucket_min"),
                     R6(F.col("bucket_max")).alias("bucket_max"))
+
+
+@query(
+    "q_entity_blocks",
+    oracle="""
+    WITH k AS (
+      SELECT c_custkey AS id, lower(c_name) AS t,
+             substring(lower(c_name), 1, 12) AS blk
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.t, b.t) AS edit_dist
+    FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+    WHERE ABS(length(a.t) - length(b.t)) <= 1
+      AND levenshtein(a.t, b.t) <= 1
+    """,
+)
+def q_entity_blocks(spark, sf_dir):
+    """Corpus×corpus entity resolution with prefix blocking: customer
+    names sharing a 12-char prefix are candidates; only candidates pay
+    levenshtein.  One equi-join shuffle on the block key — the shape
+    that replaces a cross product when both sides are large."""
+    from access_mopper_spark.operators.fuzzy import blocked_entity_pairs
+    cust = load_table(spark, sf_dir, "customer")
+    return blocked_entity_pairs(cust, "c_name", "c_custkey",
+                                block_prefix=12, max_dist=1)

@@ -34,18 +34,22 @@ def test_mixture_sample_flattens_shares(spark, sf_dir):
     kept = mixture_sample(docs, "source", alpha=0.5)
     after = {r["source"]: r["count"] for r in
              kept.groupBy("source").count().collect()}
-    cmax = max(before.values())
-    top = max(before, key=before.get)
-    # the largest source is never downsampled below its p_s, and p_max = 1
-    assert after[top] == before[top]
+    cmin = min(before.values())
+    smallest = min(before, key=before.get)
+    # the smallest source keeps everything (p = 1, never upsampled)
+    assert after[smallest] == before[smallest]
+    # larger sources are actually downsampled (the no-op regression)
+    largest = max(before, key=before.get)
+    if before[largest] > 2 * cmin:
+        assert after[largest] < before[largest]
     # smaller sources keep a HIGHER fraction than larger ones (monotone)
     fracs = sorted((before[s], after[s] / before[s]) for s in before)
     for (c1, f1), (c2, f2) in zip(fracs, fracs[1:]):
         if c1 < c2:
             assert f1 >= f2 - 0.15  # hash noise tolerance at small counts
-    # expected keep fraction ≈ (c/cmax)^(alpha-1) within sampling noise
+    # expected keep fraction ≈ (c/cmin)^(alpha-1) within sampling noise
     for s, c in before.items():
-        p = min(1.0, (c / cmax) ** (0.5 - 1.0))
+        p = min(1.0, (c / cmin) ** (0.5 - 1.0))
         assert abs(after.get(s, 0) / c - p) < 0.15
 
 
