@@ -1490,12 +1490,14 @@ def q_stream_resample(spark, sf_dir):
     'natural extension'). Driven to completion with Trigger.AvailableNow
     into a memory sink so the finite testdata stream is deterministic."""
     from access_mopper_spark.streaming.resample import (events_stream,
+                                                        harness_shuffle,
                                                         run_to_memory,
                                                         stream_resample)
     stream = events_stream(spark, sf_dir).select("user_id", "ts", "value")
     res = stream_resample(stream, "ts", "value", "1 hour", how="mean",
                           group_cols=["user_id"], watermark="1 hour")
-    run_to_memory(res, "q_stream_resample_sink", mode="complete")
+    with harness_shuffle(spark):
+        run_to_memory(res, "q_stream_resample_sink", mode="complete")
     return spark.table("q_stream_resample_sink") \
                 .select("user_id", "ts", R6(F.col("value_mean")).alias("value_mean"))
 
@@ -1982,12 +1984,14 @@ def q_stateful_totals(spark, sf_dir):
     (axm_t_integral, mop_utils.py:790-812) on an unbounded source.
     The last emitted update per key equals the batch aggregate, which is
     what the oracle checks."""
-    from access_mopper_spark.streaming.resample import events_stream
+    from access_mopper_spark.streaming.resample import (events_stream,
+                                                        harness_shuffle)
     from access_mopper_spark.streaming.stateful import (run_stateful_to_memory,
                                                         running_totals)
     raw = events_stream(spark, sf_dir)
     res = running_totals(raw.select("user_id", "value"), "user_id", "value")
-    run_stateful_to_memory(res, "q_stateful_totals_sink")
+    with harness_shuffle(spark):
+        run_stateful_to_memory(res, "q_stateful_totals_sink")
     final = (
         spark.table("q_stateful_totals_sink")
         .groupBy("user_id")

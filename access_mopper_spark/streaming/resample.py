@@ -93,6 +93,25 @@ def stream_resample(stream: DataFrame, ts_col: str, value_col: str, every: str,
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def harness_shuffle(spark: SparkSession, n: int = 8):
+    """Scope the session's shuffle partitions down for a finite harness
+    stream: a stateful streaming query spins one state-store task per
+    shuffle partition EVERY micro-batch, so 32 partitions over a
+    single-file stream is pure task-launch overhead (~2× wall time at
+    sf0.1).  A production deployment sizes state partitions to throughput
+    at query start instead — this scoping is harness-only."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_to_memory(resampled: DataFrame, name: str, mode: str = "complete") -> None:
     """Execute the stream with AvailableNow into memory sink ``name`` and
     block until all available input is processed."""
