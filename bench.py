@@ -71,7 +71,8 @@ def main() -> None:
     # each query's own first run at the bench scale factor
     smoke = "/root/testdata/sf0.001"
     QUERIES["q_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for warm in ("q_multimodal_features", "q_plevinterp_pandas", "q_stream_resample"):
+    for warm in ("q_multimodal_features", "q_plevinterp_pandas", "q_stream_resample",
+                 "q_near_dup_pairs", "q_simhash", "q_lm_score", "q_cms_counts"):
         try:
             QUERIES[warm](spark, smoke).write.format("noop").mode("overwrite").save()
         except Exception:
