@@ -4319,3 +4319,57 @@ def q_entity_blocks(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     return blocked_entity_pairs(cust, "c_name", "c_custkey",
                                 block_prefix=12, max_dist=1)
+
+
+@query(
+    "q_max_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id,
+             CAST(ts AS TIMESTAMP) AS s,
+             LEAST(CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   + INTERVAL 1 DAY) AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT event_id, CAST(date_trunc('day', s) AS TIMESTAMP) AS d,
+             s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_id, CAST(date_trunc('day', s) AS TIMESTAMP) AS d,
+             e AS t, -1 AS delta FROM iv
+    ),
+    sweep AS (
+      SELECT d, SUM(delta) OVER (PARTITION BY d ORDER BY t, delta DESC, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS running
+      FROM pts
+    )
+    SELECT d AS day, MAX(running) AS max_concurrent
+    FROM sweep GROUP BY d
+    """,
+)
+def q_max_concurrency(spark, sf_dir):
+    """Per-day peak concurrency of 5-minute event intervals — the
+    interval-sweep (+1/−1 endpoint cumsum) pattern for "max simultaneous
+    sessions".  Intervals clip at midnight so every endpoint lands in
+    its start's day and the sweep partitions cleanly by date: one keyed
+    window shuffle, deterministic tie order (arrivals before
+    departures, then event id)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("s"))
+    iv = ev.select(
+        "event_id", F.col("ts").alias("s"),
+        F.least(F.col("ts") + F.expr("INTERVAL 5 MINUTE"),
+                F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY"))
+        .alias("e"))
+    pts = iv.select("event_id", day.alias("d"), F.col("s").alias("t"),
+                    F.lit(1).alias("delta")) \
+        .unionByName(iv.select("event_id", day.alias("d"),
+                               F.col("e").alias("t"),
+                               F.lit(-1).alias("delta")))
+    w = (W.partitionBy("d")
+         .orderBy(F.col("t"), F.col("delta").desc(), F.col("event_id"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    sweep = pts.withColumn("running", F.sum("delta").over(w))
+    return sweep.groupBy(F.col("d").alias("day")) \
+        .agg(F.max("running").alias("max_concurrent"))
