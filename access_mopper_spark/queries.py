@@ -4373,3 +4373,51 @@ def q_max_concurrency(spark, sf_dir):
     sweep = pts.withColumn("running", F.sum("delta").over(w))
     return sweep.groupBy(F.col("d").alias("day")) \
         .agg(F.max("running").alias("max_concurrent"))
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot (long → wide): per-user event counts as one column per
+    event type.  An EXPLICIT value list keeps the plan a single
+    conditional aggregate (one shuffle, map-side combined) — omitting it
+    costs an extra distinct-values job and is the classic pivot
+    anti-pattern at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return ev.groupBy("user_id").pivot("event_type", types).count() \
+        .na.fill(0, types)
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'click' AS event_type, click AS n FROM wide
+    UNION ALL
+    SELECT user_id, 'view' AS event_type, view AS n FROM wide
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt (wide → long): the inverse reshape via
+    ``DataFrame.unpivot`` — stack expressions, map-only over the wide
+    frame (no shuffle beyond the upstream aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", ["click", "view"]).count() \
+        .na.fill(0, ["click", "view"])
+    return wide.unpivot("user_id", ["click", "view"], "event_type", "n")
