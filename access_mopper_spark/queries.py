@@ -4301,7 +4301,7 @@ def q_value_histogram(spark, sf_dir):
     WITH k AS (
       SELECT c_custkey AS id, lower(c_name) AS t,
              substring(lower(c_name), 1, 12) AS blk
-      FROM customer
+      FROM customer WHERE c_custkey < 500
     )
     SELECT a.id AS id_a, b.id AS id_b,
            levenshtein(a.t, b.t) AS edit_dist
@@ -4316,7 +4316,8 @@ def q_entity_blocks(spark, sf_dir):
     levenshtein.  One equi-join shuffle on the block key — the shape
     that replaces a cross product when both sides are large."""
     from access_mopper_spark.operators.fuzzy import blocked_entity_pairs
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer") \
+        .where(F.col("c_custkey") < 500)
     return blocked_entity_pairs(cust, "c_name", "c_custkey",
                                 block_prefix=12, max_dist=1)
 
