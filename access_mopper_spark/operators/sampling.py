@@ -160,3 +160,28 @@ def chunk_documents(df: DataFrame, size: int, overlap: int,
     chunk = F.substring(F.col(text_col),
                         (F.col("chunk_id") * stride + 1).cast("int"), size)
     return out.withColumn("chunk", chunk)
+
+
+def weighted_sample_per_group(df: DataFrame, weight_col: str, k: int,
+                              group_col: str = "source",
+                              id_col: str = "doc_id",
+                              salt: str = "wrs0") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — pick the
+    quality-weighted subset of each source (heavier rows proportionally
+    likelier), deterministically and distributed.
+
+    Efraimidis–Spirakis exponential keys: each row draws
+    ``key = u^(1/w)`` with ``u`` the portable per-id uniform hash; the
+    top-k keys per group are exactly a weighted sample without
+    replacement.  Membership is a pure function of (salt, id, weight) —
+    reproducible across engines and cluster sizes.  One keyed window
+    shuffle (the same top-k-per-group shape as ``cap_per_group``);
+    weights must be strictly positive."""
+    key = F.pow(uniform_hash(F.col(id_col), salt),
+                F.lit(1.0) / F.col(weight_col))
+    rn = F.row_number().over(
+        W.partitionBy(group_col).orderBy(F.col("__wkey").desc(), F.col(id_col)))
+    return (df.withColumn("__wkey", key)
+              .withColumn("__rn", rn)
+              .where(F.col("__rn") <= k)
+              .drop("__wkey", "__rn"))

@@ -4422,3 +4422,32 @@ def q_unpivot(spark, sf_dir):
     wide = ev.groupBy("user_id").pivot("event_type", ["click", "view"]).count() \
         .na.fill(0, ["click", "view"])
     return wide.unpivot("user_id", ["click", "view"], "event_type", "n")
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             POW(('0x' || substring(md5('wrs0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0, 1.0 / n_chars) AS wkey
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY wkey DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 20
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (20 docs per source,
+    weight = document length) via Efraimidis–Spirakis exponential keys
+    over the portable md5 uniform — deterministic, one keyed window
+    shuffle, no RNG state."""
+    from access_mopper_spark.operators.sampling import weighted_sample_per_group
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_per_group(docs, "n_chars", 20, "source") \
+        .select("doc_id", "source", "n_chars")

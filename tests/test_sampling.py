@@ -220,3 +220,23 @@ def test_chunk_documents_parametrized(spark, sf_dir, size, overlap):
         chunks.sort()
         rebuilt = chunks[0][1] + "".join(t[overlap:] for _, t in chunks[1:])
         assert rebuilt == orig[d]
+
+
+def test_weighted_sample_invariants(spark, sf_dir):
+    from access_mopper_spark.operators.sampling import weighted_sample_per_group
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample_per_group(docs, "n_chars", 15, "source")
+    per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert all(v <= 15 for v in per.values())
+    # deterministic across evaluations
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               weighted_sample_per_group(docs, "n_chars", 15, "source").collect())
+    assert a == b
+    # a row with overwhelming weight is (effectively) always selected:
+    # key = u^(1/w) -> 1 as w -> inf, beating every unit-weight key
+    heavy = spark.createDataFrame(
+        [(i, "g", 1.0) for i in range(200)] + [(999, "g", 1e6)],
+        "doc_id long, source string, w double")
+    kept = weighted_sample_per_group(heavy, "w", 1, "source")
+    assert [r["doc_id"] for r in kept.collect()] == [999]
