@@ -4451,3 +4451,47 @@ def q_weighted_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return weighted_sample_per_group(docs, "n_chars", 20, "source") \
         .select("doc_id", "source", "n_chars")
+
+
+@query(
+    "q_stream_trending",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')),
+               ' ')) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(*) AS n
+    FROM toks GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 20
+    """,
+)
+def q_stream_trending(spark, sf_dir):
+    """Trending terms over a document STREAM: per-micro-batch token
+    explode feeding a running complete-mode count — the streaming
+    word-count that backs a live "what's trending" panel.  With
+    AvailableNow over finite input the final state equals the batch
+    aggregate, which is what the oracle checks; an unbounded deployment
+    adds a window + watermark to age terms out."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    from access_mopper_spark.operators.search import tokens as tok_fn
+    from access_mopper_spark.streaming.resample import (harness_shuffle,
+                                                        run_to_memory,
+                                                        stream_source)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    raw = stream_source(spark, sf_dir, schema, glob="documents.parquet")
+    counts = (raw.select(F.explode(tok_fn(F.lower(F.col("text")))).alias("term"))
+              .groupBy("term").agg(F.count("*").alias("n")))
+    with harness_shuffle(spark):
+        run_to_memory(counts, "q_stream_trending_sink", mode="complete")
+    return (spark.table("q_stream_trending_sink")
+            .orderBy(F.col("n").desc(), F.col("term")).limit(20))

@@ -190,3 +190,23 @@ def test_outlier_filter_data_side_no_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     streamed = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange", 1)[0]
     assert "Exchange" not in streamed
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned output layout + partition pruning end-to-end:
+    writing events partitionBy(date) and reading with a date predicate
+    must prune at the FILE INDEX (PartitionFilters), not post-scan."""
+    from access_mopper_spark.sources.readers import load_table
+    ev = load_table(spark, sf_dir, "events") \
+        .withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).where(F.col("day") == "2024-01-05")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the day predicate must appear in PartitionFilters, not PushedFilters
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf
+    want = ev.where(F.col("day") == "2024-01-05").count()
+    assert back.count() == want
