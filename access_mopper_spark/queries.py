@@ -4495,3 +4495,29 @@ def q_stream_trending(spark, sf_dir):
         run_to_memory(counts, "q_stream_trending_sink", mode="complete")
     return (spark.table("q_stream_trending_sink")
             .orderBy(F.col("n").desc(), F.col("term")).limit(20))
+
+
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ approximate distinct count next to the exact one, emitting
+    a deterministic within-5%% flag the oracle can value-check: the
+    sketch (mergeable, fixed memory) is the 100 TB path where exact
+    COUNT(DISTINCT) would shuffle every key; at rsd=0.01 the estimate
+    sits far inside the 5%% band, so the flag is stably TRUE on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("__approx"))
+    return agg.select(
+        "event_type", "exact_users",
+        (F.abs(F.col("__approx") - F.col("exact_users"))
+         / F.col("exact_users") < 0.05).alias("approx_within_5pct"))
