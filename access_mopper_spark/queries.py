@@ -4521,3 +4521,24 @@ def q_approx_distinct(spark, sf_dir):
         "event_type", "exact_users",
         (F.abs(F.col("__approx") - F.col("exact_users"))
          / F.col("exact_users") < 0.05).alias("approx_within_5pct"))
+
+
+ORACLES["q_dedup_keep_list"] = f"""
+    SELECT doc_id FROM ({_DEDUP_CLUSTERS_ORACLE}) WHERE doc_id = cluster_id
+"""
+
+
+@query("q_dedup_keep_list")
+def q_dedup_keep_list(spark, sf_dir):
+    """The end of the dedup chain: LSH pairs → connected components →
+    keep ONE document per cluster (the min-id representative; singletons
+    keep themselves).  This is the list a curation run joins back to
+    materialize the deduplicated corpus — same plan as
+    q_dedup_clusters plus a map-side representative filter."""
+    from access_mopper_spark.operators.dedup import dedup_clusters, near_dup_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, "text", "doc_id", n_hashes=6, band_size=2,
+                           shingle_k=3, jaccard_threshold=0.5, shingle_kind="word")
+    clusters = dedup_clusters(pairs, docs.select("doc_id"))
+    return clusters.where(F.col("doc_id") == F.col("cluster_id")) \
+        .select("doc_id")
