@@ -185,3 +185,29 @@ def weighted_sample_per_group(df: DataFrame, weight_col: str, k: int,
               .withColumn("__rn", rn)
               .where(F.col("__rn") <= k)
               .drop("__wkey", "__rn"))
+
+
+def chunk_documents_tokens(df: DataFrame, size: int, overlap: int,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Token-aligned chunking: fixed-size windows of whitespace tokens
+    with overlap — boundaries never split a word, the granularity a
+    tokenizer-fed training pipeline actually wants (the char-based
+    :func:`chunk_documents` is for byte-budget consumers).  Same
+    map-only sequence→explode shape; stride = size − overlap."""
+    if not (0 <= overlap < size):
+        raise ValueError("need 0 <= overlap < size")
+    from access_mopper_spark.functions.text import ws_normalized
+
+    stride = size - overlap
+    toks = F.split(ws_normalized(F.col(text_col)), " ", -1)
+    ntok = F.size(toks)
+    n = F.greatest(F.lit(1),
+                   F.ceil((ntok - F.lit(overlap)) / F.lit(float(stride))))
+    out = df.withColumn("__toks", toks) \
+            .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), (n - 1).cast("int"))))
+    chunk_toks = F.slice(F.col("__toks"),
+                         (F.col("chunk_id") * stride + 1).cast("int"), size)
+    return (out.withColumn("chunk", F.array_join(chunk_toks, " "))
+               .withColumn("chunk_ntok", F.size(chunk_toks))
+               .drop("__toks"))

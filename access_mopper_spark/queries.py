@@ -4542,3 +4542,34 @@ def q_dedup_keep_list(spark, sf_dir):
     clusters = dedup_clusters(pairs, docs.select("doc_id"))
     return clusters.where(F.col("doc_id") == F.col("cluster_id")) \
         .select("doc_id")
+
+
+@query(
+    "q_chunk_tokens",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, w,
+             GREATEST(1, CAST(CEIL((length(w) - 8) / 24.0) AS BIGINT)) AS nch
+      FROM t
+    )
+    SELECT doc_id, g.i AS chunk_id,
+           array_to_string(w[g.i * 24 + 1 : g.i * 24 + 32], ' ') AS chunk,
+           length(w[g.i * 24 + 1 : g.i * 24 + 32]) AS chunk_ntok
+    FROM n, generate_series(0, 20) g(i)
+    WHERE g.i < nch
+    """,
+)
+def q_chunk_tokens(spark, sf_dir):
+    """Token-aligned context-window chunking: 32-token windows with
+    8-token overlap (stride 24); boundaries never split a word.
+    Map-only sequence→explode, no shuffle."""
+    from access_mopper_spark.operators.sampling import chunk_documents_tokens
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents_tokens(docs, size=32, overlap=8) \
+        .select("doc_id", "chunk_id", "chunk", "chunk_ntok")

@@ -240,3 +240,31 @@ def test_weighted_sample_invariants(spark, sf_dir):
         "doc_id long, source string, w double")
     kept = weighted_sample_per_group(heavy, "w", 1, "source")
     assert [r["doc_id"] for r in kept.collect()] == [999]
+
+
+def test_chunk_documents_tokens_tiles_words(spark, sf_dir):
+    """Dropping each token chunk's first `overlap` tokens (except chunk
+    0) and concatenating reproduces the normalized token stream, and no
+    chunk ever splits a word."""
+    from access_mopper_spark.functions.text import ws_normalized
+    from access_mopper_spark.operators.sampling import chunk_documents_tokens
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    size, overlap = 32, 8
+    got = chunk_documents_tokens(docs, size, overlap).select(
+        "doc_id", "chunk_id", "chunk").collect()
+    norm = {r["doc_id"]: r["t"] for r in
+            docs.select("doc_id", ws_normalized(F.col("text")).alias("t")).collect()}
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk"]))
+    assert set(by_doc) == set(norm)
+    vocab = {w for t in norm.values() for w in t.split(" ")}
+    for d, chunks in by_doc.items():
+        chunks.sort()
+        toks = chunks[0][1].split(" ")
+        for _, c in chunks[1:]:
+            toks += c.split(" ")[overlap:]
+        assert " ".join(toks) == norm[d]
+        # every chunk token is a whole word from the document
+        for _, c in chunks:
+            assert all(w in vocab for w in c.split(" "))
