@@ -4573,3 +4573,67 @@ def q_chunk_tokens(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents_tokens(docs, size=32, overlap=8) \
         .select("doc_id", "chunk_id", "chunk", "chunk_ntok")
+
+
+@query(
+    "q_assembly_pipeline",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS tn
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END AS ntok
+      FROM t
+    ),
+    f AS (SELECT * FROM c WHERE ntok >= 10),
+    cnt AS (SELECT source, COUNT(*) AS n FROM f GROUP BY source),
+    m AS (SELECT MIN(n) AS cmin FROM cnt),
+    p AS (
+      SELECT source, LEAST(1.0, POW(CAST(n AS DOUBLE) / cmin, -0.5)) AS p
+      FROM cnt, m
+    ),
+    kept AS (
+      SELECT f.doc_id, f.source, f.ntok
+      FROM f JOIN p USING (source)
+      WHERE ('0x' || substring(md5('mix0:' || CAST(f.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0 < p.p
+    ),
+    s AS (
+      SELECT doc_id, source, ntok,
+             COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS before
+      FROM kept
+    )
+    SELECT doc_id, source, ntok,
+           CAST(FLOOR(before / 2048.0) AS BIGINT) AS bin_id,
+           CAST(before % 2048 AS BIGINT) AS bin_offset,
+           CAST(('0x' || substring(md5('shard0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 8 AS INT) AS shard
+    FROM s
+    """,
+)
+def q_assembly_pipeline(spark, sf_dir):
+    """End-to-end corpus assembly in ONE declarative plan: quality floor
+    (≥10 tokens) → temperature-flattened mixture sampling (broadcast
+    per-source probabilities) → token-budget sequence packing (one keyed
+    window shuffle) → deterministic sharding (map-only).  The whole
+    pipeline is one corpus scan, one broadcast of tiny stats, and one
+    window shuffle — the round-3 counterpart of q_curation_pipeline's
+    filter→scrub→dedup→split composite."""
+    from access_mopper_spark.functions.text import token_count
+    from access_mopper_spark.operators.sampling import (mixture_sample,
+                                                        pack_sequences,
+                                                        shard_assign)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source",
+                         token_count(F.col("text")).alias("ntok"))
+    filtered = scored.where(F.col("ntok") >= 10)
+    kept = mixture_sample(filtered, "source", alpha=0.5)
+    packed = pack_sequences(kept, "ntok", 2048, "source")
+    return shard_assign(packed, 8).select(
+        "doc_id", "source", "ntok", "bin_id", "bin_offset", "shard")
