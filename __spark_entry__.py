@@ -40,7 +40,6 @@ _DRIVER_PRIORITY = [
     "q_scan_filter_project", "q_join_revenue_by_nation",
     "q_tiered_match",
     # aggregations
-    "q_pricing_summary",
     "q_depth_integral",
     "q_climatology",
     # time series / resample / calendars
@@ -58,7 +57,7 @@ _DRIVER_PRIORITY = [
     # NetCDF ingest
     "q_netcdf_ingest",
     # training-data pipeline
-    "q_dedup_exact", "q_near_dup_pairs",
+    "q_near_dup_pairs",
     "q_dedup_clusters", "q_simhash", "q_cosine_topk",
     "q_ann_lsh", "q_cosine_pairs_blocked",
     # round-3 additions: retrieval, scrubbing, corpus stats, PQ, fuzzy
@@ -69,6 +68,7 @@ _DRIVER_PRIORITY = [
     # round-3 additions: corpus assembly, LM/sketch, analytics, warehouse
     "q_mixture_sample", "q_pack_sequences", "q_lm_score",
     "q_cms_counts", "q_funnel", "q_scd2_merge",
+    "q_assembly_pipeline", "q_weighted_sample",
 ]
 
 
