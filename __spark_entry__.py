@@ -35,40 +35,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # need hard driver signal.  Rows rotated out (all driver-green in r1 AND
 # r2, with their family still represented) remain oracle-checked by
 # tools/check_correctness.py (full registry).
+# Round-4 rotation: 2-round-green rows (scan/join/agg/resample/interp
+# basics, q_near_dup_pairs, q_cosine_topk, q_stream_resample …) rotate
+# OUT to the local-only tail; never-driver-checked families rotate IN;
+# the three r3 hash-flap rows stay until driver-green.
 _DRIVER_PRIORITY = [
-    # scans / filters / joins
-    "q_scan_filter_project", "q_join_revenue_by_nation",
-    "q_tiered_match",
-    # aggregations
-    "q_depth_integral",
-    "q_climatology",
-    # time series / resample / calendars
-    "q_resample_hourly", "q_resample_monthly", "q_bounds_derive",
-    "q_freq_ladder", "q_file_plan",
+    # r3 hash-flaps — tie-proofed this round, must re-prove under the driver
+    "q_ocnrmadvect", "q_dup_ngrams", "q_corpus_report",
+    # calendars (r3-new, one green round — keep for the second)
     "q_cal360_resample", "q_cal_noleap_resample", "q_upsample_calendar",
-    "q_stream_resample",
-    # calc-DSL / physics
-    "q_calc_dsl_mask_reduce", "q_physics_eos",
-    # interpolation / as-of
-    "q_plevinterp_pandas", "q_interp_sql", "q_asof_join",
-    # domain composites (incl. round-3 legacy remainder)
-    "q_tslsi_tiles",
-    "q_ocnrmadvect", "q_ice_transports", "q_ancillary_grids",
-    # NetCDF ingest
+    # domain composites / ingest
+    "q_tslsi_tiles", "q_ice_transports", "q_ancillary_grids",
     "q_netcdf_ingest",
-    # training-data pipeline
-    "q_near_dup_pairs",
-    "q_dedup_clusters", "q_simhash", "q_cosine_topk",
-    "q_ann_lsh", "q_cosine_pairs_blocked",
-    # round-3 additions: retrieval, scrubbing, corpus stats, PQ, fuzzy
-    "q_bm25_topk", "q_pii_redact", "q_top_ngrams", "q_dup_ngrams",
-    "q_bpe_tokens", "q_pq_encode", "q_pq_adc_topk", "q_ivf_pq_search",
-    "q_fuzzy_match", "q_curation_pipeline", "q_stream_curation",
-    "q_corpus_report",
-    # round-3 additions: corpus assembly, LM/sketch, analytics, warehouse
-    "q_mixture_sample", "q_pack_sequences", "q_lm_score",
-    "q_cms_counts", "q_funnel", "q_scd2_merge",
-    "q_assembly_pipeline", "q_weighted_sample",
+    # training-data pipeline carried rows
+    "q_dedup_clusters", "q_simhash", "q_ann_lsh", "q_cosine_pairs_blocked",
+    "q_bm25_topk", "q_pii_redact", "q_top_ngrams", "q_bpe_tokens",
+    "q_pq_encode", "q_pq_adc_topk", "q_ivf_pq_search", "q_fuzzy_match",
+    "q_curation_pipeline", "q_stream_curation", "q_mixture_sample",
+    "q_pack_sequences", "q_lm_score", "q_cms_counts", "q_funnel",
+    "q_scd2_merge", "q_assembly_pipeline", "q_weighted_sample",
+    # rotated IN: never driver-checked families (VERDICT r3 item 3)
+    "q_ivf_train", "q_entity_blocks", "q_pivot", "q_unpivot",
+    "q_approx_distinct", "q_stream_trending", "q_dedup_keep_list",
+    "q_chunk_tokens", "q_max_concurrency",
+    # rotated IN: ADVICE-fixed + additional never-checked families
+    "q_zorder_key", "q_value_histogram", "q_quality_quantile_filter",
+    "q_chunk_documents", "q_cross_dedup", "q_sessionize",
+    # round-4 placeholders (swapped for new round-4 queries as they land)
+    "q_safe_division", "q_repetition", "q_embedding_quantize",
 ]
 
 

@@ -135,6 +135,10 @@ def fixed_width_histogram(df, value_col: str, n_buckets: int,
     bounds = df.agg(F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi"))
     raw = F.floor((F.col(value_col) - F.col("__lo"))
                   / (F.col("__hi") - F.col("__lo")) * n_buckets)
+    # degenerate range (all values equal): Spark's non-ANSI 0/0 yields
+    # NULL while IEEE engines yield inf — pin bucket 0 explicitly so the
+    # semantics are engine-independent
+    raw = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(raw)
     bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)).cast("int")
     return (df.crossJoin(F.broadcast(bounds))
               .withColumn("bucket", bucket)

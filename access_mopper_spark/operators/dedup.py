@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from access_mopper_spark.functions.rounding import pround
+
 from access_mopper_spark.functions.text import char_shingles, fingerprint
 from access_mopper_spark.operators.partitioning import ensure_min_partitions
 
@@ -154,7 +156,7 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return (
         verified.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", pround("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -358,7 +360,7 @@ def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
                  F.sum(F.when(F.col("__gc") >= min_count, 1).otherwise(0))
                  .alias("n_dup"))
             .select(id_col, "n_grams", "n_dup",
-                    F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 6)
+                    pround(F.col("n_dup").cast("double") / F.col("n_grams"), 6)
                     .alias("dup_fraction")))
 
 

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from access_mopper_spark.functions.rounding import pround
+
 from access_mopper_spark.functions.text import ws_normalized
 from access_mopper_spark.operators.similarity import partial_topk
 
@@ -90,7 +92,7 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     tf_part = (F.col("tf") * (k1 + 1.0)
                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
     per_doc = (scored.select(F.col(id_col), (idf * tf_part).alias("__s"))
-               .groupBy(id_col).agg(F.round(F.sum("__s"), 6).alias("score")))
+               .groupBy(id_col).agg(pround(F.sum("__s"), 6).alias("score")))
     return partial_topk(per_doc, [],
                         [F.col("score").desc(), F.col(id_col)], k)
 
@@ -110,5 +112,5 @@ def tfidf_vectors(docs: DataFrame, id_col: str = "doc_id",
     stats = corpus_stats(docs, text_col)
     return (postings.join(df_, "term").crossJoin(F.broadcast(stats))
             .select(F.col(id_col), "term",
-                    F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+                    pround(F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
                             6).alias("weight")))

@@ -19,6 +19,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from access_mopper_spark.functions.rounding import pround
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array columns — zip_with + aggregate, JVM-side."""
@@ -121,7 +123,7 @@ def ann_lsh_topk(corpus: DataFrame, query: DataFrame, dim: int, k: int = 5,
     # engines/summation orders (same convention as ivf_search)
     scored = c.join(F.broadcast(q), "__bucket").select(
         query_id_col, id_col,
-        F.round(cosine(as_double(F.col(vec_col)), F.col("__qv")), 6).alias("cosine_sim"))
+        pround(cosine(as_double(F.col(vec_col)), F.col("__qv")), 6).alias("cosine_sim"))
     return partial_topk(scored.dropDuplicates([query_id_col, id_col]),
                         [query_id_col],
                         [F.col("cosine_sim").desc(), F.col(id_col)], k)
@@ -295,7 +297,7 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
     q = query.select(query_id_col, as_double(F.col(vec_col)).alias("__qv"))
     qc = q.crossJoin(F.broadcast(cents)).select(
         query_id_col, "__qv", cent_id,
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("__csim"))
+        pround(cosine(F.col("__qv"), F.col("__cv")), 6).alias("__csim"))
     wq = W.partitionBy(query_id_col).orderBy(F.col("__csim").desc(), F.col(cent_id))
     probes = qc.withColumn("__r", F.row_number().over(wq)) \
                .where(F.col("__r") <= nprobe).select(query_id_col, "__qv", cent_id)
@@ -303,7 +305,7 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
     lists = assigned.select(id_col, cent_id, as_double(F.col(vec_col)).alias("__ev"))
     scored = lists.join(F.broadcast(probes), cent_id).select(
         query_id_col, id_col,
-        F.round(cosine(F.col("__ev"), F.col("__qv")), 6).alias("cosine_sim"))
+        pround(cosine(F.col("__ev"), F.col("__qv")), 6).alias("cosine_sim"))
     return partial_topk(scored.dropDuplicates([query_id_col, id_col]),
                         [query_id_col],
                         [F.col("cosine_sim").desc(), F.col(id_col)], k)
@@ -324,7 +326,7 @@ def quantize_int8(vec: Column) -> Column:
                        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
     scale = amax / F.lit(127.0)
     q = F.when(scale > 0,
-               F.transform(vec, lambda v: F.round(v.cast("double") / scale)
+               F.transform(vec, lambda v: pround(v.cast("double") / scale, 0)
                            .cast("int"))) \
         .otherwise(F.transform(vec, lambda v: F.lit(0)))
     return F.struct(scale.alias("scale"), q.alias("q"))
@@ -407,7 +409,7 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame, m: int, dsub: int,
         .alias("sub", "__sv"))
     d = sv.join(F.broadcast(codebooks), "sub").select(
         id_col, "sub", "code",
-        F.round(_sq_l2(F.col("__sv"), F.col("codeword")), 6).alias("__d"))
+        pround(_sq_l2(F.col("__sv"), F.col("codeword")), 6).alias("__d"))
     codes = d.groupBy(id_col, "sub").agg(
         F.min_by("code", F.struct("__d", "code")).alias("code"))
     return (codes.groupBy(id_col)
@@ -439,13 +441,13 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame, query: DataFrame,
         .alias("sub", "__qv"))
     lut = qsv.join(codebooks, "sub").select(
         query_id_col, "sub", "code",
-        F.round(_sq_l2(F.col("__qv"), F.col("codeword")), 6).alias("__d"))
+        pround(_sq_l2(F.col("__qv"), F.col("codeword")), 6).alias("__d"))
 
     expanded = codes.select(
         F.col(id_col), F.posexplode(F.col("codes")).alias("sub", "code"))
     per_doc = (expanded.join(F.broadcast(lut), ["sub", "code"])
                .groupBy(query_id_col, id_col)
-               .agg(F.round(F.sum("__d"), 6).alias("adc_dist")))
+               .agg(pround(F.sum("__d"), 6).alias("adc_dist")))
     return partial_topk(per_doc, [query_id_col],
                         [F.col("adc_dist").asc(), F.col(id_col)], k,
                         rank_col=rank_col)
@@ -480,7 +482,7 @@ def kmeans_train(corpus: DataFrame, k: int, n_iter: int = 2,
     for _ in range(n_iter):
         scored = c.crossJoin(F.broadcast(cents)).select(
             "__id", "__v", cent_id,
-            F.round(cosine(F.col("__v"), F.col("__c")), 6).alias("__sim"))
+            pround(cosine(F.col("__v"), F.col("__c")), 6).alias("__sim"))
         wv = W.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col(cent_id))
         assigned = (scored.withColumn("__r", F.row_number().over(wv))
                     .where(F.col("__r") == 1).select("__id", "__v", cent_id))
@@ -491,7 +493,7 @@ def kmeans_train(corpus: DataFrame, k: int, n_iter: int = 2,
                  .groupBy(cent_id)
                  .agg(F.array_sort(F.collect_list(F.struct("__d", "__m"))).alias("__dm"))
                  .select(cent_id,
-                         F.transform(F.col("__dm"), lambda s: F.round(s["__m"], 6))
+                         F.transform(F.col("__dm"), lambda s: pround(s["__m"], 6))
                          .alias("__cnew")))
         cents = (cents.join(means, cent_id, "left")
                  .select(cent_id, F.coalesce("__cnew", "__c").alias("__c")))
@@ -531,7 +533,7 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame,
     q = query.select(query_id_col, as_double(F.col(vec_col)).alias("__qv"))
     qc = q.crossJoin(F.broadcast(cents)).select(
         query_id_col, "__qv", cent_id,
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("__csim"))
+        pround(cosine(F.col("__qv"), F.col("__cv")), 6).alias("__csim"))
     wq = W.partitionBy(query_id_col).orderBy(F.col("__csim").desc(),
                                              F.col(cent_id))
     probes = qc.withColumn("__r", F.row_number().over(wq)) \
@@ -543,7 +545,7 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame,
         .alias("sub", "__qv"))
     lut = qsv.join(codebooks, "sub").select(
         query_id_col, "sub", "code",
-        F.round(_sq_l2(F.col("__qv"), F.col("codeword")), 6).alias("__d"))
+        pround(_sq_l2(F.col("__qv"), F.col("codeword")), 6).alias("__d"))
 
     cand = codes.join(F.broadcast(probes), cent_id) \
                 .select(query_id_col, id_col, "codes")
@@ -551,7 +553,7 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame,
         query_id_col, id_col, F.posexplode(F.col("codes")).alias("sub", "code"))
     per_doc = (expanded.join(F.broadcast(lut), [query_id_col, "sub", "code"])
                .groupBy(query_id_col, id_col)
-               .agg(F.round(F.sum("__d"), 6).alias("adc_dist")))
+               .agg(pround(F.sum("__d"), 6).alias("adc_dist")))
     return partial_topk(per_doc, [query_id_col],
                         [F.col("adc_dist").asc(), F.col(id_col)], k,
                         rank_col=rank_col)

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from access_mopper_spark.functions.rounding import pround
+
 from access_mopper_spark.functions.pii import redact_pii
 from access_mopper_spark.functions.text import (
     fingerprint, repetition_score, token_count)
@@ -35,7 +37,7 @@ def curate_documents(docs: DataFrame, id_col: str = "doc_id",
     enriched = docs.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
-        F.round(repetition_score(F.col(text_col), 3), 6).alias("repetition"),
+        pround(repetition_score(F.col(text_col), 3), 6).alias("repetition"),
         fingerprint(redact_pii(F.col(text_col))).alias("fp"))
     filtered = enriched.where((F.col("n_tokens") >= min_tokens)
                               & (F.col("repetition") <= max_repetition))

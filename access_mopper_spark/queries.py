@@ -7,7 +7,14 @@ Conventions (driver contract, see ``__spark_entry__.py``):
 - every computed column aliased identically in Spark and SQL
 - aggregated doubles rounded to 6 dp on BOTH sides so value-hashes are
   robust to floating summation order (Spark and DuckDB both sum doubles in
-  a nondeterministic/parallel order)
+  a nondeterministic/parallel order); rounding is the portable floor
+  recipe ``FLOOR(x*1eN + 0.5)/1eN`` on BOTH sides — Spark ``pround``
+  (functions/rounding.py) and an automatic oracle rewrite of ``ROUND``
+  (``_portable_round_sql``) — because native ROUND tie semantics differ
+  between the engines (HALF_UP vs HALF_EVEN) and flip value hashes
+- sums of magnitude ≥1e6 (the big TPC-H money sums) round to 2 dp, not
+  6 — at that magnitude double summation-order noise (~n·ulp) is larger
+  than the 1e-6 grid, so 6 dp flaps no matter the tie rule
 - no ``.collect()`` / driver-side loops anywhere — each query is a single
   declarative plan
 
@@ -22,25 +29,102 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+import re
+
 from access_mopper_spark.sources.readers import load_table
 from access_mopper_spark.functions.calc_dsl import CalcContext, compile_calc
+from access_mopper_spark.functions.rounding import pround
 from access_mopper_spark.operators.resample import time_resample
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+
+_ROUND_CALL = re.compile(r"\bROUND\s*\(", re.IGNORECASE)
+
+
+def _scan_parens(s: str, j: int) -> int:
+    """Index just past the ')' matching the '(' at j-1 (quote-aware)."""
+    depth = 1
+    n = len(s)
+    while j < n and depth:
+        ch = s[j]
+        if ch == "'":
+            j += 1
+            while j < n and s[j] != "'":
+                j += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        j += 1
+    return j
+
+
+def _split_args(inner: str) -> list[str]:
+    args, depth, last = [], 0, 0
+    k = 0
+    n = len(inner)
+    while k < n:
+        ch = inner[k]
+        if ch == "'":
+            k += 1
+            while k < n and inner[k] != "'":
+                k += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(inner[last:k])
+            last = k + 1
+        k += 1
+    args.append(inner[last:])
+    return [a.strip() for a in args]
+
+
+def _portable_round_sql(sql: str) -> str:
+    """Rewrite every ``ROUND(expr[, n])`` in an oracle to the portable
+    floor recipe ``FLOOR((expr)*1eN + 0.5)/1eN`` so DuckDB performs the
+    identical IEEE double sequence as the Spark side's ``pround``
+    (functions/rounding.py) — ROUND tie semantics differ between the
+    engines and flipped three driver hashes in round 3.  Non-literal
+    scales are left untouched."""
+    out, i = [], 0
+    while True:
+        m = _ROUND_CALL.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : m.start()])
+        j = _scan_parens(sql, m.end())
+        args = _split_args(sql[m.end() : j - 1])
+        if len(args) == 2 and re.fullmatch(r"[0-9]+", args[1]):
+            d = int(args[1])
+            x = _portable_round_sql(args[0])
+            if d == 0:
+                out.append(f"FLOOR(({x}) + 0.5)")
+            else:
+                out.append(f"(FLOOR(({x}) * 1e{d} + 0.5) / 1e{d})")
+        elif len(args) == 1:
+            x = _portable_round_sql(args[0])
+            out.append(f"FLOOR(({x}) + 0.5)")
+        else:
+            out.append(sql[m.start() : j])
+        i = j
+    return "".join(out)
 
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            ORACLES[name] = _portable_round_sql(oracle)
         return fn
     return deco
 
 
-def R6(c):  # round for fp-order robustness
-    return F.round(c, 6)
+def R6(c):  # portable half-up round for fp-order robustness (rounding.py)
+    return pround(c, 6)
 
 
 # =====================================================================
@@ -653,7 +737,7 @@ def q_fingerprint(spark, sf_dir):
     oracle="""
     WITH sh AS (
       SELECT d.doc_id, substring(d.text, g.i, 5) AS s
-      FROM documents d, generate_series(1, 600) g(i)
+      FROM documents d, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(length(text)), 1) FROM documents) + 1)) AS i) g
       WHERE g.i <= greatest(length(d.text) - 4, 1)
     )
     SELECT doc_id,
@@ -680,7 +764,7 @@ def q_minhash_band(spark, sf_dir):
     WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
-      FROM toks, generate_series(1, 300) g(i)
+      FROM toks, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks) + 1)) AS i) g
       WHERE g.i <= greatest(length(w) - 2, 1)
     ),
     sig AS (
@@ -882,7 +966,7 @@ def q_cosine_topk(spark, sf_dir):
     oracle="""
     WITH sh AS (
       SELECT DISTINCT d.doc_id, substring(d.text, g.i, 5) AS s
-      FROM documents d, generate_series(1, 600) g(i)
+      FROM documents d, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(length(text)), 1) FROM documents) + 1)) AS i) g
       WHERE g.i <= greatest(length(d.text) - 4, 1)
     ),
     h AS (
@@ -1133,7 +1217,7 @@ def q_range_join(spark, sf_dir):
     ),
     grid AS (
       SELECT s.user_id, s.t0 + g.i * 3600000000 AS tu
-      FROM span s, generate_series(0, 800) g(i)
+      FROM span s, (SELECT UNNEST(range(0, (SELECT CAST(FLOOR(COALESCE(MAX(t1 - t0), 0) / 3600000000.0) AS BIGINT) + 1 FROM span))) AS i) g
       WHERE s.t0 + g.i * 3600000000 <= s.t1
     ),
     br AS (
@@ -1405,7 +1489,7 @@ def q_freq_ladder(spark, sf_dir):
            g.i * spf AS step_start,
            LEAST(nsteps, (g.i + 1) * spf) AS step_end,
            ROUND((LEAST(nsteps, (g.i + 1) * spf) - g.i * spf) * size_per_step, 6) AS est_size
-    FROM vars, generate_series(0, 200) g(i)
+    FROM vars, (SELECT UNNEST(range(0, (SELECT COALESCE(CAST(MAX(CEIL(CAST(nsteps AS DOUBLE) / spf)) AS BIGINT), 1) FROM vars))) AS i) g
     WHERE g.i < CEIL(CAST(nsteps AS DOUBLE) / spf)
     """,
 )
@@ -1681,7 +1765,7 @@ def q_safe_division(spark, sf_dir):
     return (
         li.crossJoin(F.broadcast(minpos))
         .select("l_orderkey", "l_linenumber",
-                F.round(packed, 9).alias("packed"))
+                pround(packed, 9).alias("packed"))
     )
 
 
@@ -2071,7 +2155,7 @@ def q_distinct_agg(spark, sf_dir):
     return orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        pround(F.sum("o_totalprice"), 2).alias("revenue"),
     )
 
 
@@ -2182,7 +2266,7 @@ def q_percentile(spark, sf_dir):
     ),
     sh AS (
       SELECT DISTINCT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
-      FROM toks, generate_series(1, 300) g(i)
+      FROM toks, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks) + 1)) AS i) g
       WHERE g.i <= greatest(len(w) - 2, 1)
     ),
     pairs AS (
@@ -3154,7 +3238,7 @@ def q_ivf_train(spark, sf_dir):
     ),
     sh AS (
       SELECT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
-      FROM toks, generate_series(1, 300) g(i)
+      FROM toks, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks) + 1)) AS i) g
       WHERE g.i <= greatest(length(w) - 2, 1)
     )
     SELECT doc_id,
@@ -3283,7 +3367,7 @@ def q_pii_redact(spark, sf_dir):
     WITH toks AS ({_TOKS_SQL}),
     bg AS (
       SELECT w[g.i] || ' ' || w[g.i + 1] AS ngram
-      FROM toks, generate_series(1, 2000) g(i)
+      FROM toks, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks) + 1)) AS i) g
       WHERE g.i <= len(w) - 1
     )
     SELECT ngram, COUNT(*) AS n
@@ -3421,9 +3505,13 @@ def q_pq_adc_topk(spark, sf_dir):
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
     ),
+    g AS (  -- bound derived from the data, not a constant: regenerated
+            -- testdata with longer documents must not truncate the oracle
+      SELECT UNNEST(range(1, (SELECT MAX(len(w)) FROM toks) + 1)) AS i
+    ),
     sh AS (
       SELECT doc_id, array_to_string(w[g.i : g.i + 4], ' ') AS gram
-      FROM toks, generate_series(1, 2000) g(i)
+      FROM toks, g
       WHERE g.i <= greatest(len(w) - 4, 1)
     ),
     gc AS (SELECT gram, COUNT(*) AS c FROM sh GROUP BY gram)
@@ -3589,7 +3677,7 @@ def q_fuzzy_match(spark, sf_dir):
     ),
     sh AS (
       SELECT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
-      FROM toks, generate_series(1, 2000) g(i)
+      FROM toks, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks) + 1)) AS i) g
       WHERE g.i <= greatest(len(w) - 2, 1)
     ),
     rep AS (
@@ -3724,8 +3812,11 @@ def q_stream_curation(spark, sf_dir):
            COUNT(*) AS n_docs,
            SUM(n_tokens) AS total_tokens,
            ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) AS mean_tokens,
-           ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
-           ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
+           -- interpolated quantiles of integers at q=0.5/0.95 land exactly
+           -- on the 1/20 grid; snapping there is immune to the engines'
+           -- ulp-different interpolation arithmetic (a+d*(b-a) vs lerp)
+           FLOOR(quantile_cont(n_tokens, 0.5) * 20 + 0.5) / 20.0 AS p50_tokens,
+           FLOOR(quantile_cont(n_tokens, 0.95) * 20 + 0.5) / 20.0 AS p95_tokens,
            ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
              AS en_share
     FROM c GROUP BY source
@@ -3746,8 +3837,11 @@ def q_corpus_report(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         R6(F.avg(F.col("n_tokens").cast("double"))).alias("mean_tokens"),
-        R6(F.expr("percentile(n_tokens, 0.5)")).alias("p50_tokens"),
-        R6(F.expr("percentile(n_tokens, 0.95)")).alias("p95_tokens"),
+        # snap to the exact 1/20 quantile grid (see oracle comment)
+        (F.floor(F.expr("percentile(n_tokens, 0.5)") * 20 + F.lit(0.5)) / 20.0)
+        .alias("p50_tokens"),
+        (F.floor(F.expr("percentile(n_tokens, 0.95)") * 20 + F.lit(0.5)) / 20.0)
+        .alias("p95_tokens"),
         R6(F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)))
         .alias("en_share"))
 
@@ -3911,7 +4005,7 @@ def q_shard_assign(spark, sf_dir):
     SELECT doc_id, g.i AS chunk_id,
            substring(text, g.i * 150 + 1, 200) AS chunk,
            length(substring(text, g.i * 150 + 1, 200)) AS chunk_len
-    FROM n, generate_series(0, 20) g(i)
+    FROM n, (SELECT UNNEST(range(0, (SELECT COALESCE(MAX(nch), 1) FROM n))) AS i) g
     WHERE g.i < nch
     """,
 )
@@ -3933,7 +4027,7 @@ def q_chunk_documents(spark, sf_dir):
     WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
-      FROM toks, generate_series(1, 300) g(i)
+      FROM toks, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks) + 1)) AS i) g
       WHERE g.i <= greatest(length(w) - 2, 1)
     ),
     sig AS (
@@ -3974,16 +4068,23 @@ def q_cross_dedup(spark, sf_dir):
 @query(
     "q_lm_score",
     oracle=r"""
-    WITH toks AS (
+    WITH tn AS (
       SELECT doc_id,
-             regexp_split_to_array(
-               trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')),
-               ' ') AS w
+             trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS tn
       FROM documents
+    ),
+    toks AS (
+      -- blank docs filtered BEFORE split: DuckDB splits '' to [''] while
+      -- Spark tokenization yields [], which would skew c_uni and V
+      SELECT doc_id, regexp_split_to_array(tn, ' ') AS w
+      FROM tn WHERE length(tn) > 0
+    ),
+    g AS (  -- data-derived bound, not a constant cap
+      SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks))) AS i
     ),
     pairs AS (
       SELECT doc_id, w[g.i] AS w1, w[g.i] || ' ' || w[g.i + 1] AS bigram
-      FROM toks, generate_series(1, 300) g(i)
+      FROM toks, g
       WHERE g.i <= length(w) - 1
     ),
     big AS (SELECT bigram, COUNT(*) AS c_big FROM pairs GROUP BY bigram),
@@ -4242,17 +4343,15 @@ def q_scd2_merge(spark, sf_dir):
 @query(
     "q_zorder_key",
     oracle="""
-    WITH g AS (SELECT i FROM generate_series(0, 15) t(i)),
-    bits AS (
-      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-             SUM((((l_partkey % 65536) >> g.i) & 1) << (2 * g.i))
-             + SUM((((l_suppkey % 65536) >> g.i) & 1) << (2 * g.i + 1))
-               AS zkey
-      FROM lineitem, g
-      GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey
-    )
-    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, CAST(zkey AS BIGINT) AS zkey
-    FROM bits
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           -- per-row lambda, NOT a GROUP BY over the key tuple: lineitem
+           -- key tuples are not unique, and grouping would collapse
+           -- duplicate rows that the Spark projection preserves
+           CAST(list_sum(list_transform(range(0, 16), i ->
+                  ((((l_partkey % 65536) >> i) & 1) << (2 * i))
+                + ((((l_suppkey % 65536) >> i) & 1) << (2 * i + 1))))
+                AS BIGINT) AS zkey
+    FROM lineitem
     """,
 )
 def q_zorder_key(spark, sf_dir):
@@ -4274,7 +4373,9 @@ def q_zorder_key(spark, sf_dir):
     oracle="""
     WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
     SELECT event_type,
-           CAST(LEAST(GREATEST(FLOOR((value - lo) / (hi - lo) * 20), 0), 19)
+           CAST(LEAST(GREATEST(CASE WHEN hi = lo THEN 0
+                               ELSE FLOOR((value - lo) / (hi - lo) * 20) END,
+                               0), 19)
                 AS INT) AS bucket,
            COUNT(*) AS n,
            ROUND(MIN(value), 6) AS bucket_min,
@@ -4561,7 +4662,7 @@ def q_dedup_keep_list(spark, sf_dir):
     SELECT doc_id, g.i AS chunk_id,
            array_to_string(w[g.i * 24 + 1 : g.i * 24 + 32], ' ') AS chunk,
            length(w[g.i * 24 + 1 : g.i * 24 + 32]) AS chunk_ntok
-    FROM n, generate_series(0, 20) g(i)
+    FROM n, (SELECT UNNEST(range(0, (SELECT COALESCE(MAX(nch), 1) FROM n))) AS i) g
     WHERE g.i < nch
     """,
 )

@@ -92,6 +92,24 @@ def test_fix_packing_division_reference_semantics(spark):
     assert got[(10.0, 5.0)] == 2.0
 
 
+def test_fix_packing_division_den_zero_contract(spark):
+    """den==0 is OUTSIDE the documented domain (physics.py docstring):
+    the reference's numpy yields ±inf there and keeps the row, Spark
+    non-ANSI division yields NULL.  Pin the Spark behavior so the
+    divergence stays visible and callers keep guarding (q_safe_division
+    guards via a strictly positive denominator column)."""
+    rows = [(1.0, 0.0), (-1.0, 0.0), (0.0, 0.0), (3.0, 2.0)]
+    df = spark.createDataFrame(rows, ["num", "den"])
+    out = df.select("num", "den",
+                    fix_packing_division(F.col("num"), F.col("den"),
+                                         F.lit(0.25)).alias("v")).collect()
+    got = {(r["num"], r["den"]): r["v"] for r in out}
+    assert got[(1.0, 0.0)] is None       # numpy would give +inf
+    assert got[(-1.0, 0.0)] is None      # numpy would give -inf
+    assert got[(0.0, 0.0)] is None       # numpy would give nan
+    assert got[(3.0, 2.0)] == 1.5        # in-domain rows untouched
+
+
 def test_sw_press_matches_reference_formula(spark):
     """sw_press (app_functions.py:716-733) vs direct numpy evaluation."""
     pts = [(float(d), float(la)) for d in (0, 100, 1000, 5000) for la in (-60, 0, 30, 89)]
