@@ -61,8 +61,10 @@ _DRIVER_PRIORITY = [
     # rotated IN: ADVICE-fixed + additional never-checked families
     "q_zorder_key", "q_value_histogram", "q_quality_quantile_filter",
     "q_chunk_documents", "q_cross_dedup", "q_sessionize",
-    # round-4 placeholders (swapped for new round-4 queries as they land)
-    "q_safe_division", "q_repetition", "q_embedding_quantize",
+    # round-4 new: real NetCDF-3 decode + full mop_process splice
+    "q_netcdf3_decode", "q_mop_process_e2e",
+    # round-4 placeholder (swapped for the streaming-sink query when built)
+    "q_safe_division",
 ]
 
 

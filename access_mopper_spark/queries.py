@@ -3089,6 +3089,148 @@ def q_netcdf_ingest(spark, sf_dir):
                       R6(F.col("salt")).alias("salt"))
 
 
+@query(
+    "q_netcdf3_decode",
+    oracle="""
+    WITH files AS (
+      SELECT DATE '1996-01-02' + g.i * INTERVAL 1 DAY AS d
+      FROM generate_series(0, 5) g(i)   -- 8 files written, 2 pruned
+    ),
+    grid AS (
+      SELECT t.t, l.lev, j.j, i.i
+      FROM generate_series(0, 1) t(t), generate_series(0, 1) l(lev),
+           generate_series(0, 2) j(j), generate_series(0, 3) i(i)
+    )
+    SELECT CAST(d + t * INTERVAL 1 DAY AS TIMESTAMP) AS time, lev, j, i,
+           ROUND(CAST(datediff('day', DATE '1970-01-01', CAST(d AS DATE)) % 100
+                      AS DOUBLE)
+                 + t * 100.0 + lev * 10.0 + j * 2.0 + i * 0.5, 6) AS temp,
+           ROUND(CAST(datediff('day', DATE '1970-01-01', CAST(d AS DATE)) % 100
+                      AS DOUBLE)
+                 + 1000.0 + t * 100.0 + lev * 10.0 + j * 2.0 + i * 0.5, 6) AS salt
+    FROM files, grid
+    """,
+)
+def q_netcdf3_decode(spark, sf_dir):
+    """REAL NetCDF decode end-to-end: classic NetCDF-3 files are
+    materialized on disk (write_nc3_fixture — same SQL-replayable value
+    formula as the synthetic opener) and then read back byte-for-byte
+    through the vendored pure-numpy codec (sources/netcdf3.py): header
+    parse, big-endian record slabs, CF 'days since' time decode — the
+    seam the synthetic opener could not exercise (open_mfdataset,
+    mop_utils.py:330-346).  Filename pruning drops 2 of the 8 real
+    files before any byte is read; the survivors decode inside the same
+    Arrow-batched mapInPandas as every other opener.  The driver-side
+    fixture write is bounded (8 tiny files standing in for pre-existing
+    shared storage), not a data-path collect."""
+    import os
+    import tempfile
+
+    from access_mopper_spark.sources.netcdf_io import (nc3_opener,
+                                                       scan_netcdf,
+                                                       write_nc3_fixture)
+    fix_dir = os.path.join(tempfile.gettempdir(),
+                           "access_mopper_spark_nc3_fixtures")
+    os.makedirs(fix_dir, exist_ok=True)
+    paths = []
+    for day in range(1, 9):  # 19960101..19960108
+        p = os.path.join(fix_dir, f"ocean_daily_199601{day:02d}.nc")
+        write_nc3_fixture(p, ["temp", "salt"])
+        paths.append(p)
+    files = spark.createDataFrame([(p,) for p in paths], ["path"])
+    out = scan_netcdf(files, ["temp", "salt"],
+                      tstart="1996-01-02", tend="1996-01-07 23:59:59",
+                      opener=nc3_opener)
+    return out.select("time", "lev", "j", "i",
+                      R6(F.col("temp")).alias("temp"),
+                      R6(F.col("salt")).alias("salt"))
+
+
+@query(
+    "q_mop_process_e2e",
+    oracle="""
+    WITH files AS (
+      SELECT DATE '1996-01-01' + g.i * INTERVAL 1 DAY AS d
+      FROM generate_series(0, 3) g(i)
+    ),
+    grid AS (
+      SELECT t.t, l.lev, j.j, i.i
+      FROM generate_series(0, 1) t(t), generate_series(0, 1) l(lev),
+           generate_series(0, 2) j(j), generate_series(0, 3) i(i)
+    ),
+    tall AS (
+      SELECT CAST(d + t * INTERVAL 1 DAY AS TIMESTAMP) AS time, lev, j, i,
+             CAST(datediff('day', DATE '1970-01-01', CAST(d AS DATE)) % 100
+                  AS DOUBLE) + t * 100.0 + lev * 10.0 + j * 2.0 + i * 0.5
+               AS temp,
+             CAST(datediff('day', DATE '1970-01-01', CAST(d AS DATE)) % 100
+                  AS DOUBLE) + 1000.0 + t * 100.0 + lev * 10.0 + j * 2.0
+               + i * 0.5 AS salt
+      FROM files, grid
+    )
+    SELECT time, lev, j, i, ROUND(AVG(temp - 0.5 * salt), 6) AS sst
+    FROM tall GROUP BY time, lev, j, i
+    """,
+)
+def q_mop_process_e2e(spark, sf_dir):
+    """The reference's whole ``mop_process`` workflow as ONE plan
+    (mopper/mopper.py:174-351): REAL classic-NetCDF ingest (vendored
+    codec, filename layout per check_timestamp) → calc-DSL derived
+    variable (mop_utils.py:899) → calendar resample (daily bins,
+    mop_utils time averaging) → CV-validated NATIVE NetCDF-3 write
+    (one file per day, executor-side, the chunked cmor_write shape) →
+    read-back of the written files through the same real decoder.  The
+    returned rows' bytes round-tripped through two genuine NetCDF
+    files; DuckDB replays the arithmetic end-to-end, so the driver
+    value-hash proves the entire splice.  Overlapping file stamps make
+    the daily mean non-trivial (interior days average two source
+    files)."""
+    import os
+    import tempfile
+
+    from access_mopper_spark.operators.resample import time_resample
+    from access_mopper_spark.sinks.writer import write_netcdf3_dataset
+    from access_mopper_spark.sources.netcdf_io import (nc3_opener,
+                                                       scan_netcdf,
+                                                       write_nc3_fixture)
+    fix_dir = os.path.join(tempfile.gettempdir(),
+                           "access_mopper_spark_nc3_fixtures")
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           "access_mopper_spark_nc3_out")
+    os.makedirs(fix_dir, exist_ok=True)
+    paths = []
+    for day in range(1, 5):
+        p = os.path.join(fix_dir, f"ocean_daily_199601{day:02d}.nc")
+        write_nc3_fixture(p, ["temp", "salt"])
+        paths.append(p)
+    files = spark.createDataFrame([(p,) for p in paths], ["path"])
+    tall = scan_netcdf(files, ["temp", "salt"], opener=nc3_opener)
+
+    ctx = CalcContext(dim_cols=["time", "lev", "j", "i"],
+                      var_cols=["temp", "salt"])
+    sst = compile_calc("var[0] - 0.5*var[1]", ctx).apply(tall)
+
+    daily = time_resample(sst, "time", "1 day",
+                          aggs=[F.mean("value").alias("sst")],
+                          group_cols=["lev", "j", "i"],
+                          closed="left", label="left")
+
+    manifest = write_netcdf3_dataset(
+        daily.withColumn("__fk", F.date_format("time", "yyyyMMdd"))
+             .select("__fk", "time", "lev", "j", "i", "sst"),
+        out_dir=out_dir, file_col="__fk", var_cols=["sst"],
+        attrs={"source_id": "SPARK-GRAFT", "source": "access_mopper_spark",
+               "experiment_id": "e2e", "frequency": "day", "realm": "ocean",
+               "calendar": "proleptic_gregorian", "table_id": "Oday",
+               "variant_label": "r1i1p1f1"},
+        path_template="{source_id}/{frequency}", cv=True,
+    )
+
+    back = scan_netcdf(manifest.select("path"), ["sst"], opener=nc3_opener)
+    return back.select("time", "lev", "j", "i",
+                       R6(F.col("sst")).alias("sst"))
+
+
 # =====================================================================
 # beyond-reference: dedup clusters (transitive closure of near-dup pairs)
 # =====================================================================

@@ -194,3 +194,78 @@ def write_dataset(df: DataFrame, registry: SchemaRegistry, name: str,
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
     return path
+
+
+def write_netcdf3_dataset(df: DataFrame, out_dir: str, file_col: str,
+                          var_cols: list[str],
+                          time_col: str = "time",
+                          dim_cols: tuple = ("lev", "j", "i"),
+                          attrs: dict | None = None,
+                          path_template: str = "",
+                          cv: dict | bool | None = None) -> DataFrame:
+    """NATIVE NetCDF output — the CMOR write itself (mopper/mopper.py:
+    174-351), via the vendored pure-numpy classic codec (sources/
+    netcdf3.py).  The tall (time, lev, j, i, vars…) frame groups by
+    ``file_col`` (the DRS file key: one group = one output file, the
+    reference's per-chunk cmor_write) and each EXECUTOR task pivots its
+    group back to (t, lev, j, i) arrays and writes one classic
+    NetCDF-3 file — file-level parallelism, no driver collect, the
+    exact granularity of the reference's >4 GB chunked writes
+    (mopper.py:335-341).
+
+    CV/attribute validation runs BEFORE any write (CMOR's
+    exit-on-missing-attribute discipline); global attrs and the file
+    key are embedded as NetCDF global attributes.  Returns a manifest
+    DataFrame (file_key, path, n_rows, md5) — the success ledger row.
+
+    applyInPandas is correct here (few, large groups — one per output
+    file), not the many-tiny-groups antipattern."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from access_mopper_spark.sources.netcdf3 import write_netcdf3
+
+    if cv:
+        validate_attrs(dict(attrs or {}), path_template,
+                       None if cv is True else cv)
+    gatts = {k: str(v) for k, v in (attrs or {}).items()}
+    os.makedirs(out_dir, exist_ok=True)
+    d0, d1, d2 = dim_cols
+
+    def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = str(pdf[file_col].iloc[0])
+        t_vals = np.sort(pdf[time_col].unique())
+        ax = {c: np.sort(pdf[c].unique()) for c in dim_cols}
+        ti = np.searchsorted(t_vals, pdf[time_col].values)
+        ix = tuple(np.searchsorted(ax[c], pdf[c].values) for c in dim_cols)
+        epoch = np.datetime64("1970-01-01", "us")
+        days = (t_vals.astype("datetime64[us]") - epoch) \
+            / np.timedelta64(1, "us") / 86400e6
+        variables = {
+            "time": (("time",), np.asarray(days, dtype="f8"),
+                     {"units": "days since 1970-01-01"}),
+            d0: ((d0,), ax[d0].astype("i4"), {}),
+            d1: ((d1,), ax[d1].astype("i4"), {}),
+            d2: ((d2,), ax[d2].astype("i4"), {}),
+        }
+        shape = (len(t_vals), len(ax[d0]), len(ax[d1]), len(ax[d2]))
+        for v in var_cols:
+            arr = np.full(shape, np.nan)
+            arr[(ti,) + ix] = pdf[v].values.astype("f8")
+            variables[v] = (("time", d0, d1, d2), arr, {})
+        path = os.path.join(out_dir, f"{key}.nc")
+        write_netcdf3(path,
+                      dims={"time": shape[0], d0: shape[1], d1: shape[2],
+                            d2: shape[3]},
+                      variables=variables,
+                      gatts={**gatts, "file_key": key},
+                      record_dim="time")
+        md5 = hashlib.md5(open(path, "rb").read()).hexdigest()
+        return pd.DataFrame({"file_key": [key], "path": [path],
+                             "n_rows": [len(pdf)], "md5": [md5]})
+
+    return df.groupBy(file_col).applyInPandas(
+        write_one, "file_key string, path string, n_rows long, md5 string")

@@ -105,6 +105,77 @@ def synthetic_opener(path: str, variables: list[str]):
     return data
 
 
+def nc3_opener(path: str, variables: list[str]):
+    """REAL decode opener: parses classic NetCDF-3 bytes with the
+    vendored pure-numpy codec (netcdf3.py) — no xarray/netCDF4 needed.
+    Matches open_mfdataset + decode_times semantics (mop_utils.py:
+    330-346) for the classic format: the CF time coordinate
+    ('days since YYYY-MM-DD') converts to timestamps, only the
+    requested variables are materialized (_preselect, mop_utils.py:
+    116-122), and the returned dict has the same shape contract as the
+    other openers, so the Spark plumbing is identical."""
+    import re as _re
+
+    import numpy as np
+
+    from access_mopper_spark.sources.netcdf3 import read_netcdf3
+
+    _, _, vars_ = read_netcdf3(path)
+    tv = vars_["time"]
+    units = tv["attrs"].get("units", "")
+    m = _re.match(r"days since (\d{4}-\d{2}-\d{2})",
+                  units if isinstance(units, str) else "")
+    if not m:
+        raise ValueError(f"unsupported time units {units!r} in {path!r}")
+    base = np.datetime64(m.group(1), "us")
+    time = base + np.round(np.asarray(tv["data"], dtype="f8")
+                           * 86400e6).astype("timedelta64[us]")
+    out = {
+        "time": time,
+        "lev": vars_["lev"]["data"].astype("int32"),
+        "j": vars_["j"]["data"].astype("int32"),
+        "i": vars_["i"]["data"].astype("int32"),
+    }
+    for v in variables:  # prune: only the requested variables decode
+        out[v] = np.asarray(vars_[v]["data"], dtype="f8")
+    return out
+
+
+def write_nc3_fixture(path: str, variables: list[str]) -> str:
+    """Materialize a REAL classic NetCDF-3 file whose contents equal
+    ``synthetic_opener(path, variables)`` — the same SQL-replayable
+    value formula, but the bytes a query reads genuinely travel through
+    the binary format (header parse, big-endian record slabs, CF time
+    decode).  Stands in for files that would already exist on shared
+    storage in production; writing is idempotent and deterministic."""
+    import numpy as np
+
+    from access_mopper_spark.sources.netcdf3 import write_netcdf3
+
+    d = synthetic_opener(path, variables)
+    epoch = np.datetime64("1970-01-01", "us")
+    days = (d["time"] - epoch) / np.timedelta64(1, "us") / 86400e6
+    nt = len(d["time"])
+    variables_nc = {
+        "time": (("time",), np.asarray(days, dtype="f8"),
+                 {"units": "days since 1970-01-01", "calendar": "proleptic_gregorian"}),
+        "lev": (("lev",), d["lev"], {"units": "1"}),
+        "j": (("j",), d["j"], {"units": "1"}),
+        "i": (("i",), d["i"], {"units": "1"}),
+    }
+    for v in variables:
+        variables_nc[v] = (("time", "lev", "j", "i"),
+                           np.asarray(d[v], dtype="f8"), {"units": "1"})
+    write_netcdf3(
+        path,
+        dims={"time": nt, "lev": len(d["lev"]), "j": len(d["j"]),
+              "i": len(d["i"])},
+        variables=variables_nc,
+        gatts={"title": "access_mopper_spark nc3 fixture"},
+        record_dim="time")
+    return path
+
+
 def xarray_opener(path: str, variables: list[str]):
     """Production opener: xarray + netCDF4, column-pruned at open
     (_preselect, mop_utils.py:116-122).  Import-gated — this container
