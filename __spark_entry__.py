@@ -60,11 +60,10 @@ _DRIVER_PRIORITY = [
     "q_chunk_tokens", "q_max_concurrency",
     # rotated IN: ADVICE-fixed + additional never-checked families
     "q_zorder_key", "q_value_histogram", "q_quality_quantile_filter",
-    "q_chunk_documents", "q_cross_dedup", "q_sessionize",
-    # round-4 new: real NetCDF-3 decode + full mop_process splice
-    "q_netcdf3_decode", "q_mop_process_e2e",
-    # round-4 placeholder (swapped for the streaming-sink query when built)
-    "q_safe_division",
+    "q_chunk_documents", "q_cross_dedup", "q_safe_division",
+    # round-4 new: real NetCDF-3 decode, full mop_process splice,
+    # exactly-once checkpointed streaming sink
+    "q_netcdf3_decode", "q_mop_process_e2e", "q_stream_sink_replay",
 ]
 
 

@@ -1587,6 +1587,69 @@ def q_stream_resample(spark, sf_dir):
 
 
 @query(
+    "q_stream_sink_replay",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
+    ),
+    w AS (
+      SELECT CAST(date_trunc('hour', t) AS TIMESTAMP) AS ts, event_type,
+             ROUND(AVG(value), 6) AS value_mean
+      FROM e GROUP BY 1, 2
+    )
+    SELECT ts, event_type, value_mean
+    FROM w
+    WHERE ts + INTERVAL 1 HOUR <= (SELECT MAX(t) FROM e)
+    """,
+)
+def q_stream_sink_replay(spark, sf_dir):
+    """Exactly-once checkpointed FILE sink with restart replay — the
+    durability half of the streaming story (previously pytest-only).
+    An hourly windowed mean streams append-mode into a parquet sink
+    with a checkpoint, driven to completion TWICE: the second start is
+    a restart against the same checkpoint and must be a no-op (no
+    duplicate windows) — the sink read-back value-hash proves it.
+    Watermark 0 s: after the final no-data batch every window whose end
+    ≤ max event time has been emitted exactly once; both sides filter
+    to that closed set.  Checkpoint/sink dirs are keyed by the input
+    file's (size, mtime) so regenerated testdata replays fresh instead
+    of replaying a stale checkpoint."""
+    import hashlib
+    import os
+    import tempfile
+
+    from access_mopper_spark.streaming.resample import (events_stream,
+                                                        harness_shuffle,
+                                                        stream_resample)
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()) \
+                 .hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(),
+                        f"access_mopper_spark_sink_{tag}")
+    out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+    stream = events_stream(spark, sf_dir).select("event_type", "ts", "value")
+    res = stream_resample(stream, "ts", "value", "1 hour", how="mean",
+                          group_cols=["event_type"], watermark="0 seconds")
+    with harness_shuffle(spark):
+        for _ in range(2):  # 2nd start = restart: checkpoint → no-op
+            q = (res.writeStream.format("parquet")
+                 .option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
+
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("__mt"))
+    sink = spark.read.parquet(out_dir)
+    return (sink.crossJoin(F.broadcast(mx))
+                .where(F.col("ts") + F.expr("INTERVAL 1 HOUR")
+                       <= F.col("__mt"))
+                .select("ts", "event_type",
+                        R6(F.col("value_mean")).alias("value_mean")))
+
+
+@query(
     "q_embedding_near_dup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
