@@ -331,7 +331,8 @@ def dedup_clusters(pairs: DataFrame, nodes: DataFrame,
 
 def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 5,
-                       min_count: int = 2) -> DataFrame:
+                       min_count: int = 2,
+                       hot_threshold: int | None = None) -> DataFrame:
     """Per-document duplicated-n-gram fraction: the share of a document's
     word n-gram positions whose gram occurs ≥ ``min_count`` times in the
     WHOLE corpus — the distributed approximation of suffix-array exact-
@@ -346,15 +347,35 @@ def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
     Scale shape: one map-side-combined shuffle on the gram key for the
     global counts, one keyed join of the exploded grams back to those
     counts, one per-doc aggregation.  The gram table is huge at 100 TB
-    but stays keyed end-to-end — no broadcast, no driver state; skew on
-    ultra-common grams is bounded because the join side carries only
-    (gram, count)."""
+    but stays keyed end-to-end — no broadcast of unbounded sides, no
+    driver state.
+
+    Skew hardening (``hot_threshold``): ultra-common grams ("of the",
+    boilerplate spans) would send every occurrence of one gram to one
+    reducer in the count-join.  With a threshold set, grams whose corpus
+    count ≥ threshold form a HOT set that is small by construction
+    (|hot| ≤ total_occurrences / threshold) and is BROADCAST — hot
+    occurrences never shuffle at all — while the cold remainder joins by
+    gram with per-key cardinality < threshold, so no reducer can exceed
+    threshold rows for any key: the hot partition cannot exist.  With
+    ``None`` the single keyed join is kept and AQE skew-join splitting
+    is the runtime backstop."""
     from access_mopper_spark.functions.text import word_shingles
 
     grams = df.select(F.col(id_col),
                       F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
     counts = grams.groupBy("gram").agg(F.count("*").alias("__gc"))
-    return (grams.join(counts, "gram")
+    if hot_threshold is None:
+        joined = grams.join(counts, "gram")
+    else:
+        hot = counts.where(F.col("__gc") >= hot_threshold)
+        cold = counts.where(F.col("__gc") < hot_threshold)
+        hot_occ = grams.join(F.broadcast(hot), "gram")           # map-side
+        cold_occ = (grams.join(F.broadcast(hot.select("gram")),
+                               "gram", "left_anti")              # map-side
+                    .join(cold, "gram"))       # bounded ≤ threshold per key
+        joined = hot_occ.unionByName(cold_occ)
+    return (joined
             .groupBy(id_col)
             .agg(F.count("*").alias("n_grams"),
                  F.sum(F.when(F.col("__gc") >= min_count, 1).otherwise(0))

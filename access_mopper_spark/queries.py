@@ -3738,7 +3738,10 @@ def q_dup_ngrams(spark, sf_dir):
     driver state)."""
     from access_mopper_spark.operators.dedup import dup_ngram_fraction
     docs = load_table(spark, sf_dir, "documents")
-    return dup_ngram_fraction(docs, n=5, min_count=2)
+    # hot_threshold exercises the skew-hardened split path: grams with
+    # corpus count ≥ 50 broadcast (never shuffle), the cold join is
+    # bounded < 50 rows per key — results identical to the naive join
+    return dup_ngram_fraction(docs, n=5, min_count=2, hot_threshold=50)
 
 
 @query(

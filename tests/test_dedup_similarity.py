@@ -242,3 +242,37 @@ def test_dup_ngram_fraction_short_doc(spark):
     out = {r.doc_id: r for r in dup_ngram_fraction(docs, n=5).collect()}
     # shorter than the window → one truncated gram; identical docs dup it
     assert out[1].n_grams == 1 and out[1].dup_fraction == 1.0
+
+
+def test_dup_ngram_skew_hardened_path(spark):
+    """Skew hardening (VERDICT r3 item 8): a fixture where one gram
+    dominates the corpus.  The split path must (a) match the naive join
+    exactly, (b) BROADCAST the hot side so hot occurrences never
+    shuffle, and (c) leave no cold key at/above the threshold — the
+    structural guarantee that no reducer can receive a hot partition."""
+    from access_mopper_spark.operators.dedup import dup_ngram_fraction
+    from access_mopper_spark.functions.text import word_shingles
+    import pyspark.sql.functions as F
+
+    rows = [(i, "the same boiler plate span tail%d word%d" % (i, i))
+            for i in range(200)]          # gram "the same boiler plate span" ×200
+    rows += [(1000 + i, "rare words only here item%d %d x y z" % (i, i))
+             for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    naive = dup_ngram_fraction(docs, n=5).orderBy("doc_id").collect()
+    hard = dup_ngram_fraction(docs, n=5, hot_threshold=100)
+    assert hard.orderBy("doc_id").collect() == naive
+
+    plan = hard._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan          # hot side broadcast
+
+    # cold side bound: no surviving join key reaches the threshold
+    grams = docs.select("doc_id",
+                        F.explode(word_shingles(F.col("text"), 5)).alias("gram"))
+    counts = grams.groupBy("gram").count()
+    cold_max = counts.where(F.col("count") < 100) \
+                     .agg(F.max("count")).first()[0]
+    assert cold_max < 100
+    hot_n = counts.where(F.col("count") >= 100).count()
+    assert hot_n >= 1                           # fixture really is skewed
