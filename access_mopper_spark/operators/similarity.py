@@ -147,6 +147,36 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     )
 
 
+def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
+                   threshold: float, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Semantic deduplication (the SemDedup recipe, Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, then WITHIN
+    each cluster drop every item whose cosine to a lower-id clustermate
+    is ≥ ``threshold`` — keeping one representative per semantic
+    near-duplicate group without any global pairwise compare.
+
+    Scale shape: this is exactly why SemDedup clusters first — the O(n²)
+    compare is confined to clusters (k ≈ √n keeps cluster sizes ~√n, so
+    the self-join does Σ|c|² ≪ n² work).  One broadcast of the centroid
+    table for assignment, one equi-join keyed on centroid_id (balanced
+    when k is sized right; a runaway cluster is an AQE skew split), one
+    anti-join back.  Lower-id-wins needs no iterative connected
+    components: membership is decided per pair, map-side after the
+    cluster join."""
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(F.col(id_col).alias("__ida"), "centroid_id",
+                        as_double(F.col(vec_col)).alias("__va"))
+    b = assigned.select(F.col(id_col).alias("__idb"), "centroid_id",
+                        as_double(F.col(vec_col)).alias("__vb"))
+    dropped = (a.join(b, "centroid_id")
+                .where(F.col("__idb") > F.col("__ida"))
+                .where(cosine(F.col("__va"), F.col("__vb"))
+                       >= F.lit(float(threshold)))
+                .select(F.col("__idb").alias(id_col)).distinct())
+    return corpus.join(dropped, id_col, "left_anti")
+
+
 # ------------------------------------------------- exact pairs via BLAS
 
 def cosine_pairs_exact(corpus: DataFrame, threshold: float, dim: int,

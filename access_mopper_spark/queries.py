@@ -2177,6 +2177,51 @@ def q_ivf_assign(spark, sf_dir):
 
 
 @query(
+    "q_semantic_dedup",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    asg AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             ARG_MAX(c.centroid_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv))
+               AS centroid_id
+      FROM embeddings e CROSS JOIN cents c
+      GROUP BY e.vec_id, v
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b
+        ON a.centroid_id = b.centroid_id AND b.vec_id > a.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    )
+    SELECT e.vec_id, e.centroid_id
+    FROM asg e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """Semantic dedup, SemDedup-style (operators/similarity.py
+    semantic_dedup; arXiv:2303.09540): coarse-cluster the embeddings,
+    drop every vector with a lower-id clustermate at cosine ≥ 0.45,
+    keep one representative per semantic near-dup group.  The pairwise
+    compare never leaves a cluster — the trick that makes embedding
+    dedup tractable at corpus scale; assignment is one centroid
+    broadcast, the pair scan one equi-join on centroid_id."""
+    from access_mopper_spark.operators.similarity import (ivf_assign,
+                                                          semantic_dedup)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8) \
+               .select(F.col("vec_id").alias("centroid_id"),
+                       F.col("embedding").alias("centroid"))
+    kept = semantic_dedup(emb, cents, threshold=0.45)
+    asg = ivf_assign(kept, cents)
+    return asg.select("vec_id", "centroid_id")
+
+
+@query(
     "q_grid_vertices",
     oracle="""
     SELECT event_id,

@@ -276,3 +276,23 @@ def test_dup_ngram_skew_hardened_path(spark):
     assert cold_max < 100
     hot_n = counts.where(F.col("count") >= 100).count()
     assert hot_n >= 1                           # fixture really is skewed
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    """Two tight semantic groups + one outlier, centroids = first vector
+    of each group: the lower id of each near-dup pair survives, the
+    outlier is untouched."""
+    from access_mopper_spark.operators.similarity import semantic_dedup
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]),   # group A (dup)
+        (2, [0.0, 1.0, 0.0]), (3, [0.01, 0.999, 0.0]),   # group B (dup)
+        (4, [0.0, 0.0, 1.0]),                            # outlier
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    import pyspark.sql.functions as F
+    cents = emb.where(F.col("vec_id").isin(0, 2, 4)) \
+               .select(F.col("vec_id").alias("centroid_id"),
+                       F.col("embedding").alias("centroid"))
+    kept = sorted(r.vec_id for r in
+                  semantic_dedup(emb, cents, threshold=0.9).collect())
+    assert kept == [0, 2, 4]

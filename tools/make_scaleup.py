@@ -1,0 +1,92 @@
+"""Synthetic ×K scale-up of the sf0.1 testdata for BENCH trend points.
+
+The driver ships sf{0.001,0.01,0.1} only; the scale question ("does the
+plan survive 10×?") needs a second bench point.  This replicates every
+sf0.1 table K times with DISJOINT key ranges (each key column offset by
+replica × (max+1) of its domain) so join fan-outs, group cardinalities
+and key distributions scale linearly instead of collapsing onto the
+same keys.  Dimension tables that are semantically fixed-size (region,
+nation) copy through unchanged — a 10× corpus still has 25 nations.
+
+Documents keep their text byte-identical across replicas: a web corpus
+at 10× the crawl IS mostly duplicates, which is exactly the workload
+the dedup operators must survive — near-dup growth here is signal, not
+an artifact.
+
+Output goes to /tmp (bench input only — NEVER an oracle input; the
+correctness gate runs exclusively on the driver's read-only testdata).
+
+Usage: python tools/make_scaleup.py [K] [src_dir] [dst_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# table -> {column: key domain} columns offset by replica * (domain max+1)
+OFFSETS = {
+    "lineitem": {"l_orderkey": "o", "l_partkey": "p", "l_suppkey": "s"},
+    "orders": {"o_orderkey": "o", "o_custkey": "c"},
+    "customer": {"c_custkey": "c"},
+    "supplier": {"s_suppkey": "s"},
+    "part": {"p_partkey": "p"},
+    "events": {"event_id": "e", "user_id": "u"},
+    "documents": {"doc_id": "d"},
+    "embeddings": {"vec_id": "v"},
+}
+COPY = ["region", "nation"]
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf1_scaleup"
+
+    from pyspark.sql import functions as F
+
+    from access_mopper_spark.session import get_spark
+    from access_mopper_spark.sources.readers import load_table
+
+    spark = get_spark(app_name="make_scaleup")
+
+    # key-domain maxima (one tiny agg per domain)
+    dom = {
+        "o": load_table(spark, src, "orders").agg(F.max("o_orderkey")).first()[0],
+        "p": load_table(spark, src, "part").agg(F.max("p_partkey")).first()[0],
+        "s": load_table(spark, src, "supplier").agg(F.max("s_suppkey")).first()[0],
+        "c": load_table(spark, src, "customer").agg(F.max("c_custkey")).first()[0],
+        "e": load_table(spark, src, "events").agg(F.max("event_id")).first()[0],
+        "u": load_table(spark, src, "events").agg(F.max("user_id")).first()[0],
+        "d": load_table(spark, src, "documents").agg(F.max("doc_id")).first()[0],
+        "v": load_table(spark, src, "embeddings").agg(F.max("vec_id")).first()[0],
+    }
+    os.makedirs(dst, exist_ok=True)
+
+    for t in COPY:
+        load_table(spark, src, t).write.mode("overwrite") \
+            .parquet(f"{dst}/{t}.parquet")
+        print(f"copied {t}")
+
+    for t, keys in OFFSETS.items():
+        base = load_table(spark, src, t)
+        reps = []
+        for r in range(k):
+            rep = base
+            for col, d in keys.items():
+                rep = rep.withColumn(col, (F.col(col)
+                                           + F.lit(r * (dom[d] + 1))
+                                           ).cast("long"))
+            reps.append(rep)
+        out = reps[0]
+        for rep in reps[1:]:
+            out = out.unionByName(rep)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        print(f"scaled {t} x{k}")
+
+
+if __name__ == "__main__":
+    main()
