@@ -364,22 +364,28 @@ def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
 
     grams = df.select(F.col(id_col),
                       F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
-    counts = grams.groupBy("gram").agg(F.count("*").alias("__gc"))
+    # aggregate to (doc, gram, n) FIRST: the groupBy inserts an Exchange
+    # that every downstream branch (global counts, hot/cold joins) reuses
+    # (ReusedExchange), so the expensive explode+shuffle runs ONCE — and
+    # the join inputs shrink to distinct (doc, gram) pairs, which on a
+    # duplication-heavy corpus is far smaller than raw occurrences
+    dg = grams.groupBy(id_col, "gram").agg(F.count("*").alias("__n"))
+    counts = dg.groupBy("gram").agg(F.sum("__n").alias("__gc"))
     if hot_threshold is None:
-        joined = grams.join(counts, "gram")
+        joined = dg.join(counts, "gram")
     else:
         hot = counts.where(F.col("__gc") >= hot_threshold)
         cold = counts.where(F.col("__gc") < hot_threshold)
-        hot_occ = grams.join(F.broadcast(hot), "gram")           # map-side
-        cold_occ = (grams.join(F.broadcast(hot.select("gram")),
-                               "gram", "left_anti")              # map-side
-                    .join(cold, "gram"))       # bounded ≤ threshold per key
+        hot_occ = dg.join(F.broadcast(hot), "gram")              # map-side
+        cold_occ = (dg.join(F.broadcast(hot.select("gram")),
+                            "gram", "left_anti")                 # map-side
+                    .join(cold, "gram"))       # bounded < threshold per key
         joined = hot_occ.unionByName(cold_occ)
     return (joined
             .groupBy(id_col)
-            .agg(F.count("*").alias("n_grams"),
-                 F.sum(F.when(F.col("__gc") >= min_count, 1).otherwise(0))
-                 .alias("n_dup"))
+            .agg(F.sum("__n").alias("n_grams"),
+                 F.sum(F.when(F.col("__gc") >= min_count, F.col("__n"))
+                       .otherwise(F.lit(0))).alias("n_dup"))
             .select(id_col, "n_grams", "n_dup",
                     pround(F.col("n_dup").cast("double") / F.col("n_grams"), 6)
                     .alias("dup_fraction")))

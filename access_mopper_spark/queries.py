@@ -2209,7 +2209,13 @@ def q_semantic_dedup(spark, sf_dir):
     keep one representative per semantic near-dup group.  The pairwise
     compare never leaves a cluster — the trick that makes embedding
     dedup tractable at corpus scale; assignment is one centroid
-    broadcast, the pair scan one equi-join on centroid_id."""
+    broadcast, the pair scan one equi-join on centroid_id.
+
+    k is pinned to 8 here ONLY so the DuckDB oracle can replay the
+    exact clustering; production sizes k ≈ √n (kmeans_train supplies
+    the centroid table), which keeps the within-cluster quadratic
+    bounded — with fixed k the pair scan grows quadratically in
+    corpus size."""
     from access_mopper_spark.operators.similarity import (ivf_assign,
                                                           semantic_dedup)
     emb = load_table(spark, sf_dir, "embeddings")

@@ -44,9 +44,10 @@ COMMENTARY = {
     "q_bm25_topk": "Inverted-index BM25: query terms filter the exploded "
         "tokens BEFORE the (doc, term) shuffle; df + corpus stats broadcast "
         "back; ranking via partial_topk (WindowGroupLimit, no global sort).",
-    "q_dup_ngrams": "Corpus-duplicated n-grams: gram counts aggregate with "
-        "map-side combine and join back on the gram key — no broadcast of "
-        "data-scale state, no driver collect.",
+    "q_dup_ngrams": "Corpus-duplicated n-grams, skew-hardened: hot grams "
+        "(corpus count ≥ threshold) broadcast and join map-side — their "
+        "occurrences never shuffle; the cold remainder joins keyed with "
+        "< threshold rows per key, so no reducer can see a hot partition.",
     "q_ivf_pq_search": "IVF-PQ composed ANN: assignment + codes are keyed "
         "shuffles; probes and the ADC lookup table broadcast; the candidate "
         "scan touches only int codes.",
@@ -73,6 +74,20 @@ COMMENTARY = {
     "q_scd2_merge": "SCD2 merge: one key-co-partitioned full-outer join; the "
         "three output branches reuse the same joined frame (union, no "
         "re-join).",
+    "q_netcdf3_decode": "REAL classic-NetCDF decode: the path list is pruned "
+        "and repartitioned, then ONE mapInPandas node parses the binary "
+        "files executor-side (vendored codec) — file-level parallelism, "
+        "no shuffle beyond the tiny path spread.",
+    "q_mop_process_e2e": "The full mop_process splice in one lazy plan: "
+        "real NetCDF scan → codegen calc → one resample shuffle → "
+        "executor-side NetCDF WRITE (applyInPandas, one task per output "
+        "file) → re-scan of the manifest paths.  No driver data hops.",
+    "q_stream_sink_replay": "Batch read-back of the checkpointed streaming "
+        "sink: the streaming side ran exactly-once into parquet; this plan "
+        "is a plain pruned scan + broadcast of the 1-row max-ts bound.",
+    "q_semantic_dedup": "SemDedup: centroid broadcast for assignment, "
+        "within-cluster pair scan as an equi-join on centroid_id (never "
+        "all-pairs), lower-id-wins via anti-join — cluster-bounded O(Σ|c|²).",
 }
 
 

@@ -66,9 +66,22 @@ def main():
     }
     os.makedirs(dst, exist_ok=True)
 
+    def write_single_file(df, t):
+        """Match the driver testdata layout: <dst>/<table>.parquet is a
+        single FILE, not a directory — the streaming source selects it
+        with pathGlobFilter on the leaf name, which a directory of
+        part-files would silently miss (empty stream)."""
+        import glob
+        import shutil
+
+        tmp = f"{dst}/__tmp_{t}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{dst}/{t}.parquet")
+        shutil.rmtree(tmp)
+
     for t in COPY:
-        load_table(spark, src, t).write.mode("overwrite") \
-            .parquet(f"{dst}/{t}.parquet")
+        write_single_file(load_table(spark, src, t), t)
         print(f"copied {t}")
 
     for t, keys in OFFSETS.items():
@@ -84,7 +97,7 @@ def main():
         out = reps[0]
         for rep in reps[1:]:
             out = out.unionByName(rep)
-        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        write_single_file(out, t)
         print(f"scaled {t} x{k}")
 
 
