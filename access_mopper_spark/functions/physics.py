@@ -76,9 +76,13 @@ def fix_packing_division(num: Column, den: Column, min_positive_quotient: Column
     computes it once (1-row agg) and broadcasts it back as a scalar.
 
     Contract: callers must guarantee ``den != 0``.  The reference's numpy
-    ``num/den`` yields ±inf at den==0 (nonzero, so kept as-is), while Spark
-    non-ANSI division yields NULL — the behaviors diverge, so a zero
-    denominator is outside this function's domain (filter or mask first)."""
+    ``num/den`` yields ±inf at den==0 (nonzero, so kept as-is); Spark
+    diverges either way — ANSI mode (the Spark 4 default, and what this
+    engine runs) RAISES SparkArithmeticException [DIVIDE_BY_ZERO], while
+    non-ANSI yields NULL.  A zero denominator is therefore outside this
+    function's domain: filter or mask first (the sole in-repo caller,
+    q_safe_division, divides by a strictly positive price column).
+    Pinned by tests/test_physics.py::test_fix_packing_division_den_zero_contract."""
     vout = num / den
     return F.when(vout == 0, min_positive_quotient * 0.5).otherwise(vout)
 

@@ -58,10 +58,7 @@ HEADLINE = [
     "q_netcdf3_decode",
     "q_mop_process_e2e",
     "q_dup_ngrams",
-    # q_semantic_dedup is NOT benched: its oracle pins k=8 centroids (so
-    # DuckDB can replay), which is quadratic-by-configuration once the
-    # corpus outgrows k≈√n — the operator takes any centroid table and
-    # production sizes k to the corpus (see semantic_dedup docstring)
+    "q_semantic_dedup",
     "q_stream_sink_replay",
 ]
 

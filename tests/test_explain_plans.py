@@ -210,3 +210,45 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     assert "day" in pf
     want = ev.where(F.col("day") == "2024-01-05").count()
     assert back.count() == want
+
+
+def test_semantic_dedup_broadcast_assign_no_cartesian(spark, sf_dir):
+    """SemDedup: centroid assignment broadcasts the centroid table (the
+    8-row cross shows as BroadcastNestedLoopJoin BuildRight — broadcast
+    side is the bounded one); the within-cluster compare is ONE grouped
+    Arrow stage (FlatMapGroupsInPandas) keyed on centroid_id — no
+    all-pairs join over the corpus anywhere."""
+    df = QUERIES["q_semantic_dedup"](spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "CartesianProduct" not in plan
+    # every nested-loop node is the broadcast centroid seed, never a
+    # corpus-side build
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight" in line
+
+
+def test_dup_ngrams_hardened_split_plan(spark, sf_dir):
+    """Skew-hardened dup-ngrams: the hot-gram filter joins map-side —
+    both the hot inner join and the left-anti exclusion build on the
+    broadcast (bounded) side, so no occurrence shuffles on a hot key."""
+    df = QUERIES["q_dup_ngrams"](spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    anti = [l for l in plan.splitlines()
+            if "LeftAnti" in l and "Join" in l]
+    assert anti and all("BuildRight" in l for l in anti)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mop_process_e2e_single_python_boundary_per_stage(spark, sf_dir):
+    """The e2e splice keeps Python at exactly its three honest seams
+    (NetCDF decode mapInPandas, NetCDF write applyInPandas, manifest
+    re-decode) — everything between is JVM: calc in codegen, one
+    resample exchange, no extra Arrow hops."""
+    df = QUERIES["q_mop_process_e2e"](spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert plan.count("MapInPandas") == 2          # decode + read-back
+    assert plan.count("FlatMapGroupsInPandas") == 1  # the file writer
+    assert "CartesianProduct" not in plan

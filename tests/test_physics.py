@@ -94,20 +94,25 @@ def test_fix_packing_division_reference_semantics(spark):
 
 def test_fix_packing_division_den_zero_contract(spark):
     """den==0 is OUTSIDE the documented domain (physics.py docstring):
-    the reference's numpy yields ±inf there and keeps the row, Spark
-    non-ANSI division yields NULL.  Pin the Spark behavior so the
+    the reference's numpy yields ±inf there and keeps the row; Spark
+    under ANSI mode (the Spark 4 default this engine runs with) RAISES
+    [DIVIDE_BY_ZERO].  Pin both halves of the contract so the
     divergence stays visible and callers keep guarding (q_safe_division
     guards via a strictly positive denominator column)."""
-    rows = [(1.0, 0.0), (-1.0, 0.0), (0.0, 0.0), (3.0, 2.0)]
-    df = spark.createDataFrame(rows, ["num", "den"])
-    out = df.select("num", "den",
-                    fix_packing_division(F.col("num"), F.col("den"),
-                                         F.lit(0.25)).alias("v")).collect()
-    got = {(r["num"], r["den"]): r["v"] for r in out}
-    assert got[(1.0, 0.0)] is None       # numpy would give +inf
-    assert got[(-1.0, 0.0)] is None      # numpy would give -inf
-    assert got[(0.0, 0.0)] is None       # numpy would give nan
+    import pytest
+    from pyspark.errors import ArithmeticException
+
+    bad = spark.createDataFrame([(1.0, 0.0)], ["num", "den"])
+    with pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
+        bad.select(fix_packing_division(F.col("num"), F.col("den"),
+                                        F.lit(0.25)).alias("v")).collect()
+
+    ok = spark.createDataFrame([(3.0, 2.0), (0.0, 8.0)], ["num", "den"])
+    got = {(r["num"], r["den"]): r["v"] for r in ok.select(
+        "num", "den", fix_packing_division(F.col("num"), F.col("den"),
+                                           F.lit(0.25)).alias("v")).collect()}
     assert got[(3.0, 2.0)] == 1.5        # in-domain rows untouched
+    assert got[(0.0, 8.0)] == 0.125      # zero RESULT replaced (0.5 * minpos)
 
 
 def test_sw_press_matches_reference_formula(spark):
