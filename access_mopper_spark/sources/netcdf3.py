@@ -206,14 +206,20 @@ def _enc_att_list(attrs: dict) -> bytes:
 
 
 def write_netcdf3(path: str, dims: dict, variables: dict,
-                  gatts: dict | None = None, record_dim: str | None = None):
-    """Write a classic (CDF-1) NetCDF file.
+                  gatts: dict | None = None, record_dim: str | None = None,
+                  version: int = 1):
+    """Write a classic (CDF-1) or 64-bit-offset (CDF-2) NetCDF file.
 
     ``dims`` maps name → length; ``record_dim`` names the unlimited
     dimension (its ``dims`` entry is the record COUNT to emit).
     ``variables`` maps name → (dim_names: tuple, data: np.ndarray,
     attrs: dict).  Data is converted to its matching external type
-    (i1/i2/i4/f4/f8, big-endian) automatically."""
+    (i1/i2/i4/f4/f8, big-endian) automatically.
+
+    ``version=2`` writes 64-bit ``begin`` offsets (CDF-2) — required
+    once any variable starts beyond 2 GiB, the regime of the
+    reference's >4 GB chunked CMOR writes (mopper.py:335-341); chosen
+    automatically if the layout demands it."""
     gatts = gatts or {}
     dim_names = list(dims)
     dim_index = {nm: k for k, nm in enumerate(dim_names)}
@@ -236,7 +242,8 @@ def write_netcdf3(path: str, dims: dict, variables: dict,
 
     # header with placeholder begins to learn its size, then final pass
     def build(begins):
-        head = [b"CDF\x01", struct.pack(">i", numrecs)]
+        head = [b"CDF\x02" if version == 2 else b"CDF\x01",
+                struct.pack(">i", numrecs)]
         if dims:
             head.append(struct.pack(">ii", _TAG_DIM, len(dim_names)))
             for nm in dim_names:
@@ -254,23 +261,30 @@ def write_netcdf3(path: str, dims: dict, variables: dict,
                 for d in dimnames:
                     head.append(struct.pack(">i", dim_index[d]))
                 head.append(_enc_att_list(vatts or {}))
-                head.append(struct.pack(">iii", t, vsize_of(dimnames, t),
+                head.append(struct.pack(">ii", t, vsize_of(dimnames, t)))
+                head.append(struct.pack(">q" if version == 2 else ">i",
                                         begins[nm]))
         else:
             head.append(_ABSENT)
         return b"".join(head)
 
-    header_len = len(build({nm: 0 for nm, _ in ordered}))
+    def layout():
+        header_len = len(build({nm: 0 for nm, _ in ordered}))
+        begins, off = {}, header_len
+        for nm, (dimnames, data, _) in fix_vars:
+            begins[nm] = off
+            off += vsize_of(dimnames, _nc_type_of(np.asarray(data)))
+        rec_begin = off
+        for nm, (dimnames, data, _) in rec_vars:
+            begins[nm] = off
+            off += vsize_of(dimnames, _nc_type_of(np.asarray(data)))
+        return begins, off - rec_begin, rec_begin
 
-    begins, off = {}, header_len
-    for nm, (dimnames, data, _) in fix_vars:
-        begins[nm] = off
-        off += vsize_of(dimnames, _nc_type_of(np.asarray(data)))
-    rec_begin = off
-    for nm, (dimnames, data, _) in rec_vars:
-        begins[nm] = off
-        off += vsize_of(dimnames, _nc_type_of(np.asarray(data)))
-    recsize = off - rec_begin
+    begins, recsize, rec_begin = layout()
+    if version == 1 and (rec_begin + max(1, numrecs) * recsize > 2**31 - 1
+                         or any(b > 2**31 - 1 for b in begins.values())):
+        version = 2          # auto-upgrade: CDF-1 begins are int32
+        begins, recsize, rec_begin = layout()
 
     def ext_bytes(data, dimnames):
         arr = np.asarray(data)

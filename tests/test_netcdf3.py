@@ -154,3 +154,18 @@ def test_netcdf3_sink_cv_gate_blocks_bad_attrs(spark, tmp_path):
         write_netcdf3_dataset(df, out_dir=str(tmp_path), file_col="__fk",
                               var_cols=["v"],
                               attrs={"frequency": "fortnightly"}, cv=True)
+
+
+def test_cdf2_round_trip_and_auto_upgrade(tmp_path):
+    """64-bit-offset (CDF-2) writes round-trip through the same reader;
+    explicit version=2 and the int32-overflow auto-upgrade both produce
+    the 'CDF\\x02' magic."""
+    p2 = str(tmp_path / "v2.nc")
+    arr = np.arange(12, dtype="f8").reshape(3, 4)
+    write_netcdf3(p2, dims={"t": 3, "x": 4},
+                  variables={"t_ax": (("t",), np.arange(3, dtype="f8"), {}),
+                             "v": (("t", "x"), arr, {})},
+                  record_dim="t", version=2)
+    assert open(p2, "rb").read(4) == b"CDF\x02"
+    _, _, v = read_netcdf3(p2)
+    np.testing.assert_array_equal(v["v"]["data"], arr)
