@@ -3282,7 +3282,9 @@ def q_netcdf3_decode(spark, sf_dir):
                + i * 0.5 AS salt
       FROM files, grid
     )
-    SELECT time, lev, j, i, ROUND(AVG(temp - 0.5 * salt), 6) AS sst
+    SELECT time, lev, j, i, ROUND(AVG(temp - 0.5 * salt), 6) AS sst,
+           CAST(1.0 - 0.5 * lev AS DOUBLE) AS b,
+           CAST(10 * j + i AS DOUBLE) AS orog
     FROM tall GROUP BY time, lev, j, i
     """,
 )
@@ -3329,10 +3331,26 @@ def q_mop_process_e2e(spark, sf_dir):
                           group_cols=["lev", "j", "i"],
                           closed="left", label="left")
 
+    # hybrid-height z-factors ride along into the written files: the
+    # per-level b coefficient and per-cell orography attach as broadcast
+    # ancillary joins (hybrid_axis, mop_utils.py:518-537) and become
+    # companion variables in each NetCDF file
+    from access_mopper_spark.sinks.writer import attach_zfactors
+    b_table = spark.createDataFrame(
+        [(l, 1.0 - 0.5 * l, 0.75 - 0.5 * l, 1.25 - 0.5 * l)
+         for l in range(2)],
+        "lev int, b double, b_lo double, b_hi double")
+    orog = spark.createDataFrame(
+        [(j, i, float(10 * j + i)) for j in range(3) for i in range(4)],
+        "j int, i int, orog double")
+    withz = attach_zfactors(daily.select("time", "lev", "j", "i", "sst"),
+                            "hybrid_height", b_table, orog,
+                            expected_levels=[0, 1])
+
     manifest = write_netcdf3_dataset(
-        daily.withColumn("__fk", F.date_format("time", "yyyyMMdd"))
-             .select("__fk", "time", "lev", "j", "i", "sst"),
-        out_dir=out_dir, file_col="__fk", var_cols=["sst"],
+        withz.withColumn("__fk", F.date_format("time", "yyyyMMdd"))
+             .select("__fk", "time", "lev", "j", "i", "sst", "b", "orog"),
+        out_dir=out_dir, file_col="__fk", var_cols=["sst", "b", "orog"],
         attrs={"source_id": "SPARK-GRAFT", "source": "access_mopper_spark",
                "experiment_id": "e2e", "frequency": "day", "realm": "ocean",
                "calendar": "proleptic_gregorian", "table_id": "Oday",
@@ -3340,9 +3358,10 @@ def q_mop_process_e2e(spark, sf_dir):
         path_template="{source_id}/{frequency}", cv=True,
     )
 
-    back = scan_netcdf(manifest.select("path"), ["sst"], opener=nc3_opener)
+    back = scan_netcdf(manifest.select("path"), ["sst", "b", "orog"],
+                       opener=nc3_opener)
     return back.select("time", "lev", "j", "i",
-                       R6(F.col("sst")).alias("sst"))
+                       R6(F.col("sst")).alias("sst"), "b", "orog")
 
 
 # =====================================================================

@@ -79,7 +79,8 @@ def main() -> None:
     smoke = "/root/testdata/sf0.001"
     QUERIES["q_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for warm in ("q_multimodal_features", "q_plevinterp_pandas", "q_stream_resample",
-                 "q_near_dup_pairs", "q_simhash", "q_lm_score", "q_cms_counts"):
+                 "q_near_dup_pairs", "q_simhash", "q_lm_score", "q_cms_counts",
+                 "q_semantic_dedup", "q_netcdf3_decode", "q_mop_process_e2e"):
         try:
             QUERIES[warm](spark, smoke).write.format("noop").mode("overwrite").save()
         except Exception:
