@@ -332,7 +332,8 @@ def dedup_clusters(pairs: DataFrame, nodes: DataFrame,
 def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 5,
                        min_count: int = 2,
-                       hot_threshold: int | None = None) -> DataFrame:
+                       hot_threshold: int | None = None,
+                       hot_top_n: int | None = None) -> DataFrame:
     """Per-document duplicated-n-gram fraction: the share of a document's
     word n-gram positions whose gram occurs ≥ ``min_count`` times in the
     WHOLE corpus — the distributed approximation of suffix-array exact-
@@ -359,7 +360,16 @@ def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
     gram with per-key cardinality < threshold, so no reducer can exceed
     threshold rows for any key: the hot partition cannot exist.  With
     ``None`` the single keyed join is kept and AQE skew-join splitting
-    is the runtime backstop."""
+    is the runtime backstop.
+
+    ``hot_top_n`` is the scale-safe variant of the same split: the hot
+    set is the N most frequent grams (TakeOrderedAndProject — a bounded
+    partial top-k, never a global sort), so the BROADCAST SIZE is capped
+    at N regardless of corpus size — an absolute ``hot_threshold`` lets
+    |hot| grow linearly with the corpus (every gram with count ≥ t),
+    which eventually overflows the broadcast.  Cold keys are then
+    bounded by the N-th largest count — the tightest bound any capped
+    broadcast can give.  Takes precedence over ``hot_threshold``."""
     from access_mopper_spark.functions.text import word_shingles
 
     grams = df.select(F.col(id_col),
@@ -371,15 +381,22 @@ def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
     # duplication-heavy corpus is far smaller than raw occurrences
     dg = grams.groupBy(id_col, "gram").agg(F.count("*").alias("__n"))
     counts = dg.groupBy("gram").agg(F.sum("__n").alias("__gc"))
-    if hot_threshold is None:
-        joined = dg.join(counts, "gram")
-    else:
+    if hot_top_n is not None:
+        hot = counts.orderBy(F.col("__gc").desc(), "gram").limit(hot_top_n)
+        cold = counts.join(F.broadcast(hot.select("gram")),
+                           "gram", "left_anti")
+    elif hot_threshold is not None:
         hot = counts.where(F.col("__gc") >= hot_threshold)
         cold = counts.where(F.col("__gc") < hot_threshold)
+    else:
+        hot = None
+    if hot is None:
+        joined = dg.join(counts, "gram")
+    else:
         hot_occ = dg.join(F.broadcast(hot), "gram")              # map-side
         cold_occ = (dg.join(F.broadcast(hot.select("gram")),
                             "gram", "left_anti")                 # map-side
-                    .join(cold, "gram"))       # bounded < threshold per key
+                    .join(cold, "gram"))       # bounded per-key cardinality
         joined = hot_occ.unionByName(cold_occ)
     return (joined
             .groupBy(id_col)

@@ -296,3 +296,18 @@ def test_semantic_dedup_keeps_one_per_group(spark):
     kept = sorted(r.vec_id for r in
                   semantic_dedup(emb, cents, threshold=0.9).collect())
     assert kept == [0, 2, 4]
+
+
+def test_dup_ngram_top_n_hot_set_matches_naive(spark):
+    """hot_top_n: broadcast capped at N most-frequent grams — results
+    identical to the naive join on the same skewed fixture."""
+    from access_mopper_spark.operators.dedup import dup_ngram_fraction
+    rows = [(i, "the same boiler plate span tail%d word%d" % (i, i))
+            for i in range(100)]
+    rows += [(500 + i, "rare words only here item%d %d q r s" % (i, i))
+             for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    naive = dup_ngram_fraction(docs, n=5).orderBy("doc_id").collect()
+    capped = dup_ngram_fraction(docs, n=5, hot_top_n=3) \
+        .orderBy("doc_id").collect()
+    assert capped == naive
