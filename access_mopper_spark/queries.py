@@ -1650,6 +1650,60 @@ def q_stream_sink_replay(spark, sf_dir):
 
 
 @query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           v.event_id AS view_id, p.event_id AS purchase_id,
+           ROUND(p.value - v.value, 6) AS value_delta
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP)
+                                     + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (view → purchase within
+    30 min, per user) — the attribution join over two unbounded inputs.
+    Both sides are file streams with event-time watermarks; the range
+    condition is what lets Spark evict buffered state once the other
+    side's watermark passes, so join state stays bounded on an infinite
+    stream.  Driven to completion with AvailableNow; DuckDB replays the
+    identical equi-key + interval predicate as a batch join, so the
+    driver value-hashes the full match set."""
+    from access_mopper_spark.streaming.resample import (events_stream,
+                                                        harness_shuffle,
+                                                        run_to_memory,
+                                                        stream_interval_join)
+    ev = events_stream(spark, sf_dir)
+    views = (ev.where(F.col("event_type") == "view")
+               .select("user_id", F.col("ts").alias("view_ts"),
+                       F.col("event_id").alias("view_id"),
+                       F.col("value").alias("__vv")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                   .select(F.col("user_id").alias("__pu"),
+                           F.col("ts").alias("purchase_ts"),
+                           F.col("event_id").alias("purchase_id"),
+                           F.col("value").alias("__pv")))
+    joined = stream_interval_join(
+        views.withColumnRenamed("user_id", "__ju"),
+        purchases.withColumnRenamed("__pu", "__ju"),
+        key="__ju", left_ts="view_ts", right_ts="purchase_ts",
+        within="30 MINUTE")
+    out = joined.select(F.col("l.__ju").alias("user_id"),
+                        "view_ts", "purchase_ts", "view_id", "purchase_id",
+                        R6(F.col("r.__pv") - F.col("l.__vv"))
+                        .alias("value_delta"))
+    with harness_shuffle(spark):
+        run_to_memory(out, "q_stream_stream_join_sink", mode="append")
+    return spark.table("q_stream_stream_join_sink")
+
+
+@query(
     "q_embedding_near_dup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

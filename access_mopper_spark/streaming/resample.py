@@ -120,3 +120,27 @@ def run_to_memory(resampled: DataFrame, name: str, mode: str = "complete") -> No
         .outputMode(mode).trigger(availableNow=True).start()
     )
     q.awaitTermination()
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         key: str, left_ts: str, right_ts: str,
+                         within: str, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with right events of the same key whose timestamp falls in
+    (left_ts, left_ts + within].  The canonical attribution shape
+    (view→purchase within 30 min) that batch interval joins express as
+    an equi-key + range predicate — identical semantics here, but over
+    unbounded inputs.
+
+    Both sides carry watermarks plus the range condition, which is what
+    lets Spark BOUND THE JOIN STATE: a buffered left row can be evicted
+    once the right watermark passes left_ts + within (state does not
+    grow with the stream).  The key equality carries the shuffle; the
+    interval is a post-match predicate — same plan skeleton as the
+    batch range join, so the two paths stay semantically aligned."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{right_ts} > l.{left_ts} "
+        f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {within}")
+    return lw.alias("l").join(rw.alias("r"), cond)
