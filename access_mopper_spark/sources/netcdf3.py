@@ -93,9 +93,16 @@ def read_netcdf3(path: str):
     Returns ``(dims, gatts, variables)`` where ``dims`` maps name →
     length (record dim reported at its actual record count), and
     ``variables`` maps name → dict(dims=tuple[str], attrs=dict,
-    data=np.ndarray in native little-endian)."""
+    data=np.ndarray in native little-endian).
+
+    The file is memory-mapped, not slurped: header parsing and the
+    per-record ``frombuffer`` gathers only page in the bytes they
+    touch, so decoding one variable of a multi-GB file costs that
+    variable's pages — the executor-side memory story for wide files."""
+    import mmap
+
     with open(path, "rb") as f:
-        buf = f.read()
+        buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError(f"{path!r} is not a classic NetCDF file")
     large = buf[3] == 2
