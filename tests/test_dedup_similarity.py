@@ -311,3 +311,27 @@ def test_dup_ngram_top_n_hot_set_matches_naive(spark):
     capped = dup_ngram_fraction(docs, n=5, hot_top_n=3) \
         .orderBy("doc_id").collect()
     assert capped == naive
+
+
+def test_semantic_dedup_gemm_matches_column_path(spark):
+    """Independent-semantics cross-check: the chunked-BLAS path and the
+    pure-Column self-join path are different executions of the same
+    definition — they must agree exactly on random inputs (the oracle
+    can't catch a bug shared by query and oracle; these two paths share
+    nothing but the contract)."""
+    import numpy as np
+    from access_mopper_spark.operators.similarity import semantic_dedup
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = emb.where(F.col("vec_id") < 5) \
+               .select(F.col("vec_id").alias("centroid_id"),
+                       F.col("embedding").alias("centroid"))
+    for tau in (0.3, 0.6):
+        a = sorted(r.vec_id for r in
+                   semantic_dedup(emb, cents, tau, use_gemm=True).collect())
+        b = sorted(r.vec_id for r in
+                   semantic_dedup(emb, cents, tau, use_gemm=False).collect())
+        assert a == b, (tau, set(a) ^ set(b))
