@@ -59,11 +59,13 @@ _DRIVER_PRIORITY = [
     "q_approx_distinct", "q_stream_trending", "q_dedup_keep_list",
     "q_chunk_tokens", "q_max_concurrency",
     # rotated IN: ADVICE-fixed + additional never-checked families
-    "q_zorder_key", "q_value_histogram", "q_quality_quantile_filter",
-    "q_chunk_documents", "q_cross_dedup", "q_safe_division",
+    "q_zorder_key", "q_value_histogram",
+    "q_chunk_documents", "q_cross_dedup",
     # round-4 new: real NetCDF-3 decode, full mop_process splice,
-    # exactly-once checkpointed streaming sink
+    # exactly-once checkpointed streaming sink, semantic dedup,
+    # stream-stream interval join
     "q_netcdf3_decode", "q_mop_process_e2e", "q_stream_sink_replay",
+    "q_semantic_dedup", "q_stream_stream_join",
 ]
 
 

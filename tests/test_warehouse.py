@@ -94,3 +94,16 @@ def test_zorder_sort_balances_minmax_spans(spark):
     assert ly > 200
     # z-order: BOTH dims well under full range -> either predicate skips
     assert zx < 128 and zy < 128 and zy < ly / 2
+
+
+def test_fixed_width_histogram_degenerate_range(spark):
+    """All values equal → hi == lo: the guard pins every row to bucket 0
+    (ADVICE r3: Spark 0/0 and IEEE inf would otherwise diverge between
+    engines on this input)."""
+    from access_mopper_spark.operators.aggregates import fixed_width_histogram
+    df = spark.createDataFrame([("a", 5.0)] * 7 + [("b", 5.0)] * 3,
+                               "k string, v double")
+    out = fixed_width_histogram(df, "v", 20, ["k"]).collect()
+    assert {r["bucket"] for r in out} == {0}
+    assert {(r["k"], r["n"]) for r in out} == {("a", 7), ("b", 3)}
+    assert all(r["bucket_min"] == 5.0 and r["bucket_max"] == 5.0 for r in out)
