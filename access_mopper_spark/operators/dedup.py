@@ -380,6 +380,16 @@ def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
     # the join inputs shrink to distinct (doc, gram) pairs, which on a
     # duplication-heavy corpus is far smaller than raw occurrences
     dg = grams.groupBy(id_col, "gram").agg(F.count("*").alias("__n"))
+    if hot_threshold is not None or hot_top_n is not None:
+        # diamond DAG: the hardened path consumes dg three times (global
+        # counts, hot join, cold join) and per-branch column pruning
+        # defeats Catalyst exchange reuse — each branch would re-run the
+        # explode.  Persist materializes the (doc, gram) aggregate once,
+        # disk-backed and bounded by the input's distinct pairs (the
+        # distributed analogue of the reference holding its counts dict).
+        from pyspark import StorageLevel
+
+        dg = dg.persist(StorageLevel.MEMORY_AND_DISK)
     counts = dg.groupBy("gram").agg(F.sum("__n").alias("__gc"))
     if hot_top_n is not None:
         hot = counts.orderBy(F.col("__gc").desc(), "gram").limit(hot_top_n)
