@@ -390,11 +390,19 @@ def quantize_int8(vec: Column) -> Column:
     amax = F.aggregate(vec, F.lit(0.0),
                        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))))
     scale = amax / F.lit(127.0)
-    q = F.when(scale > 0,
-               F.transform(vec, lambda v: pround(v.cast("double") / scale, 0)
-                           .cast("int"))) \
-        .otherwise(F.transform(vec, lambda v: F.lit(0)))
-    return F.struct(scale.alias("scale"), q.alias("q"))
+    # let-bind the scale via a 1-element transform: referencing `scale`
+    # (itself an aggregate over the vector) inside the per-element lambda
+    # would re-run that aggregate for EVERY element — O(d²) per vector
+    # (HOF lambdas are interpreted; captured trees re-evaluate).  As a
+    # lambda variable it is computed once.
+    return F.element_at(
+        F.transform(F.array(scale), lambda s: F.struct(
+            s.alias("scale"),
+            F.when(s > 0,
+                   F.transform(vec, lambda v: pround(v.cast("double") / s, 0)
+                               .cast("int")))
+             .otherwise(F.transform(vec, lambda v: F.lit(0))).alias("q"))),
+        1)
 
 
 def dequantize_int8(quant: Column) -> Column:

@@ -3714,11 +3714,15 @@ def q_top_ngrams(spark, sf_dir):
     from access_mopper_spark.operators.similarity import partial_topk
     docs = load_table(spark, sf_dir, "documents")
     w = tokens(F.col("text"))
+    # shifted-zip bigrams (see functions/text.word_shingles): the split
+    # is evaluated in the projection, never inside the per-element lambda
+    n = F.size(w)
+    pairs = F.arrays_zip(
+        F.slice(w, 1, F.greatest(n - 1, F.lit(1))).alias("__a"),
+        F.slice(w, 2, F.greatest(n - 1, F.lit(1))).alias("__b"))
     bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.concat_ws(" ", F.element_at(w, i),
-                                          F.element_at(w, i + 1)))
+        n >= 2,
+        F.transform(pairs, lambda s: F.concat_ws(" ", s["__a"], s["__b"]))
     ).otherwise(F.array().cast("array<string>"))
     counted = (docs.select(F.explode(bigrams).alias("ngram"))
                .groupBy("ngram").agg(F.count("*").alias("n")))
