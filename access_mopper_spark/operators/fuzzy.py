@@ -28,10 +28,17 @@ def dictionary_fuzzy_match(corpus: DataFrame, dictionary: DataFrame,
     levenshtein(corpus_col, dict_col) ≤ max_dist, plus the distance as
     ``edit_dist``.  The dictionary must be broadcast-small."""
     a, b = F.col(corpus_col), F.col(dict_col)
+    # 3-arg levenshtein = banded DP with early exit (returns -1 above the
+    # threshold): O(len·d) per pair instead of O(len²), and most
+    # non-matching pairs abandon after a few diagonals — the dominant
+    # cost of the scan on near-identical ID-like strings, where content
+    # blocking (q-grams, segment signatures) degenerates because every
+    # string shares the same hot prefix bucket
+    banded = F.levenshtein(a, b, max_dist)
     cond = ((F.abs(F.length(a) - F.length(b)) <= max_dist)
-            & (F.levenshtein(a, b) <= max_dist))
+            & (banded >= 0) & (banded <= max_dist))
     return (corpus.join(F.broadcast(dictionary), cond)
-            .withColumn("edit_dist", F.levenshtein(a, b)))
+            .withColumn("edit_dist", F.levenshtein(a, b, max_dist)))
 
 
 def blocked_entity_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -57,9 +64,9 @@ def blocked_entity_pairs(df: DataFrame, text_col: str, id_col: str,
                       F.substring(lowered, 1, block_prefix).alias("__blk"))
     a = keyed.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"), "__blk")
     b = keyed.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"), "__blk")
+    banded = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
     return (a.join(b, "__blk")
             .where(F.col("id_a") < F.col("id_b"))
             .where(F.abs(F.length("__ta") - F.length("__tb")) <= max_dist)
-            .where(F.levenshtein(F.col("__ta"), F.col("__tb")) <= max_dist)
-            .select("id_a", "id_b",
-                    F.levenshtein(F.col("__ta"), F.col("__tb")).alias("edit_dist")))
+            .where((banded >= 0) & (banded <= max_dist))
+            .select("id_a", "id_b", banded.alias("edit_dist")))
