@@ -92,6 +92,16 @@ def _portable_round_sql(sql: str) -> str:
     out, i = [], 0
     while True:
         m = _ROUND_CALL.search(sql, i)
+        # skip matches inside '…' string literals: copy any quoted span
+        # that starts before the match verbatim and rescan after it
+        q = sql.find("'", i)
+        while q != -1 and (m is None or q < m.start()):
+            q_end = sql.find("'", q + 1)
+            q_end = len(sql) - 1 if q_end == -1 else q_end
+            out.append(sql[i : q_end + 1])
+            i = q_end + 1
+            m = _ROUND_CALL.search(sql, i)
+            q = sql.find("'", i)
         if not m:
             out.append(sql[i:])
             break
