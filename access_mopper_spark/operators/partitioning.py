@@ -26,6 +26,10 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     in-memory/local sources fall through to the ``rdd`` probe, where the
     plan is trivial and the conversion is cheap.
     """
+    if df.isStreaming:
+        # parallelism of an unbounded source is the source's concern
+        # (micro-batch splits); inputFiles()/rdd probes don't apply
+        return df
     sc = df.sparkSession.sparkContext
     target = n or sc.defaultParallelism
     if len(df.inputFiles()) >= target:

@@ -1714,6 +1714,122 @@ def q_stream_stream_join(spark, sf_dir):
 
 
 @query(
+    "q_stream_dedup_ingest",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
+      FROM toks, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks) + 1)) AS i) g
+      WHERE g.i <= greatest(len(w) - 2, 1)
+    ),
+    sig AS (
+      SELECT doc_id,
+             MIN(substring(md5('seed0:' || s), 1, 8)) AS m0,
+             MIN(substring(md5('seed0:' || s), 9, 8)) AS m1,
+             MIN(substring(md5('seed0:' || s), 17, 8)) AS m2,
+             MIN(substring(md5('seed0:' || s), 25, 8)) AS m3,
+             MIN(substring(md5('seed1:' || s), 1, 8)) AS m4,
+             MIN(substring(md5('seed1:' || s), 9, 8)) AS m5
+      FROM sh GROUP BY doc_id
+    ),
+    band AS (SELECT doc_id, md5(m0 || '|' || m1) AS b0, md5(m2 || '|' || m3) AS b1,
+                    md5(m4 || '|' || m5) AS b2 FROM sig)
+    SELECT d.doc_id,
+           (CASE WHEN EXISTS (SELECT 1 FROM band a
+                              WHERE a.doc_id < d.doc_id AND a.b0 = d.b0)
+                 THEN 1 ELSE 0 END
+            + CASE WHEN EXISTS (SELECT 1 FROM band a
+                                WHERE a.doc_id < d.doc_id AND a.b1 = d.b1)
+                   THEN 1 ELSE 0 END
+            + CASE WHEN EXISTS (SELECT 1 FROM band a
+                                WHERE a.doc_id < d.doc_id AND a.b2 = d.b2)
+                   THEN 1 ELSE 0 END) AS n_dup_bands,
+           (CASE WHEN EXISTS (SELECT 1 FROM band a
+                              WHERE a.doc_id < d.doc_id AND a.b0 = d.b0)
+                 THEN 1 ELSE 0 END
+            + CASE WHEN EXISTS (SELECT 1 FROM band a
+                                WHERE a.doc_id < d.doc_id AND a.b1 = d.b1)
+                   THEN 1 ELSE 0 END
+            + CASE WHEN EXISTS (SELECT 1 FROM band a
+                                WHERE a.doc_id < d.doc_id AND a.b2 = d.b2)
+                   THEN 1 ELSE 0 END) = 0 AS kept
+    FROM band d
+    """,
+)
+def q_stream_dedup_ingest(spark, sf_dir):
+    """Streaming ingest-time dedup with KEYED STATE across micro-batches
+    (streaming/stateful.band_first_seen): the corpus arrives as four
+    id-ordered chunks processed as separate micro-batches
+    (maxFilesPerTrigger=1); each document's MinHash-LSH band keys are
+    checked against a per-band state store holding the smallest id ever
+    seen — today's documents dedup against ALL earlier batches, the
+    decontamination-at-ingest shape (state bounded by distinct band
+    keys, checkpointed).  Cross-batch collisions are real here: ~3/4 of
+    each chunk's duplicates collide with documents from EARLIER batches.
+    DuckDB replays the identical verdicts as a batch 'shares any band
+    with a smaller doc_id' predicate — the driver value-hashes per-doc
+    (n_dup_bands, kept)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from access_mopper_spark.operators.dedup import (lsh_band_keys,
+                                                     minhash_signature)
+    from access_mopper_spark.streaming.stateful import band_first_seen
+
+    # materialize four id-ordered chunk files (fingerprinted by source
+    # stat — regenerated testdata re-chunks fresh); staggered mtimes fix
+    # the micro-batch order.  Bounded driver-side fixture work, like the
+    # nc3 fixtures — production streams from arriving files directly.
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    import hashlib
+    tag = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()) \
+                 .hexdigest()[:12]
+    chunk_dir = os.path.join(tempfile.gettempdir(),
+                             f"access_mopper_spark_docchunks_{tag}")
+    if not os.path.isdir(chunk_dir):
+        os.makedirs(chunk_dir, exist_ok=True)
+        tbl = pq.read_table(src)
+        tbl = tbl.sort_by("doc_id")
+        n = tbl.num_rows
+        for c in range(4):
+            part = tbl.slice(c * n // 4, (c + 1) * n // 4 - c * n // 4)
+            p = os.path.join(chunk_dir, f"chunk{c}.parquet")
+            pq.write_table(part, p)
+            os.utime(p, (st.st_mtime + c * 10, st.st_mtime + c * 10))
+
+    schema = spark.read.parquet(chunk_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(chunk_dir))
+
+    sig = lsh_band_keys(
+        minhash_signature(stream, "text", n_hashes=6, shingle_k=3,
+                          shingle_kind="word", hash_kind="md5"),
+        n_hashes=6, band_size=2)
+    bands = sig.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(b).cast("int").alias("bi"),
+                 F.col(f"band_{b}").alias("bk"))
+        for b in range(3)])).alias("__b")) \
+        .select("doc_id", F.col("__b.bi").alias("bi"),
+                F.col("__b.bk").alias("bk"))
+
+    flagged = band_first_seen(bands, id_col="doc_id")
+    from access_mopper_spark.streaming.resample import harness_shuffle
+    from access_mopper_spark.streaming.stateful import run_stateful_to_memory
+    with harness_shuffle(spark):
+        run_stateful_to_memory(flagged, "q_stream_dedup_ingest_sink")
+
+    sink = spark.table("q_stream_dedup_ingest_sink")
+    per_doc = sink.groupBy("doc_id").agg(
+        F.sum(F.col("is_dup").cast("int")).alias("n_dup_bands"))
+    return per_doc.select("doc_id", "n_dup_bands",
+                          (F.col("n_dup_bands") == 0).alias("kept"))
+
+
+@query(
     "q_embedding_near_dup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

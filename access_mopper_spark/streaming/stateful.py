@@ -64,3 +64,53 @@ def run_stateful_to_memory(result: DataFrame, name: str) -> None:
         .outputMode("update").trigger(availableNow=True).start()
     )
     q.awaitTermination()
+
+
+def band_first_seen(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Streaming LSH decontamination state: per band key, remember the
+    smallest id ever seen; every arriving (band, id) row is flagged
+    ``is_dup`` when an earlier (smaller-id) document already occupied
+    the band — the minhash collision test of a batch dedup, carried as
+    keyed state across micro-batches so documents streaming in TODAY
+    are deduped against everything ingested before.
+
+    Input: long-format band rows (``bi`` int, ``bk`` string, id).
+    State per (bi, bk): one long — bounded by the number of distinct
+    band keys, checkpointed, restart-safe (same state-store story as
+    ``running_totals``).  Within a batch the group's rows process in id
+    order, so intra-batch earlier documents count too.  The flag equals
+    the batch semantics "some smaller id shares this band" when ids
+    arrive in nondecreasing batches — the ingest model (ids are
+    assigned monotonically at ingest; today's documents dedup against
+    all of history, never the reverse).  Out-of-order arrival degrades
+    gracefully: a late small id is kept and becomes the band's new
+    representative, but cannot retroactively drop already-emitted
+    docs."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, IntegerType, StringType
+
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("bi", IntegerType()),
+        StructField("is_dup", BooleanType()),
+    ])
+    state_schema = StructType([StructField("min_id", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        mn = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf[id_col].tolist(), pdf["bi"].tolist()))
+        rows.sort()
+        ids, bis, flags = [], [], []
+        for did, bi in rows:
+            ids.append(did)
+            bis.append(int(bi))
+            flags.append(mn is not None and did > mn)
+            mn = did if mn is None else min(mn, did)
+        state.update((mn,))
+        yield pd.DataFrame({id_col: ids, "bi": bis, "is_dup": flags})
+
+    return (bands.groupBy("bi", "bk")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
