@@ -149,3 +149,30 @@ def token_count_bpe(text: Column) -> Column:
     the closer-to-real-tokenizer cost estimate next to the whitespace
     proxy ``token_count``.  Non-overlapping regexp_count, map-only."""
     return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+def unicode_nfc_normalize(text: Column) -> Column:
+    """Unicode NFC normalization + lowercase + control-char strip +
+    whitespace collapse — the canonicalization pass a curation pipeline
+    runs before any fingerprint/dedup so visually-identical texts hash
+    identically ('é' composed vs 'e'+combining-acute decomposed).
+
+    NFC itself has no JVM built-in in Spark SQL, so it runs as an
+    Arrow-batched pandas UDF (``str.normalize`` is vectorized C inside
+    pandas); the surrounding lowercase/strip/collapse stay JVM-side
+    Column ops.  Both engines implement the same Unicode standard
+    (pandas/CPython unicodedata vs DuckDB utf8proc), so NFC output is
+    identical byte-for-byte."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        # type: (pd.Series) -> pd.Series  (hint via returnType: pandas
+        # Series in/out; string annotations don't resolve under
+        # `from __future__ import annotations` with a local import)
+        return s.str.normalize("NFC")
+
+    lowered = F.lower(_nfc(text))
+    stripped = F.regexp_replace(lowered, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    return F.trim(F.regexp_replace(stripped, "[ \t\n\r]+", " "))

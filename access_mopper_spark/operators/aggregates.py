@@ -146,3 +146,66 @@ def fixed_width_histogram(df, value_col: str, n_buckets: int,
               .agg(F.count("*").alias("n"),
                    F.min(value_col).alias("bucket_min"),
                    F.max(value_col).alias("bucket_max")))
+
+
+def time_range_mean(df: DataFrame, ts_col: str, value_col: str,
+                    part_cols: list[str], window_seconds: int,
+                    out_col: str = "moving_avg") -> DataFrame:
+    """Sliding event-time moving average: mean of ``value_col`` over the
+    trailing ``window_seconds`` (inclusive both ends), per partition key
+    — the time-RANGE window frame (not ROWS: irregular event spacing
+    means a fixed row count is the wrong window).  One keyed window
+    shuffle; the frame is evaluated with a sliding two-pointer inside
+    each partition, so cost is O(rows), not O(rows × frame).  Ordering
+    key is ``unix_micros`` — event timestamps carry sub-second parts, so
+    second-granular keys would mis-order peers and clip the frame."""
+    w = (W.partitionBy(*part_cols)
+          .orderBy(F.unix_micros(F.col(ts_col)))
+          .rangeBetween(-window_seconds * 1_000_000, 0))
+    return df.withColumn(out_col, F.avg(value_col).over(w)) \
+             .withColumn("n_in_window", F.count("*").over(w))
+
+
+def equi_depth_histogram(df: DataFrame, value_col: str, n_tiles: int,
+                         group_cols: list[str],
+                         tiebreak_col: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram via NTILE: per group, rank
+    rows by (value, tiebreak) and slice into ``n_tiles`` buckets of
+    near-equal population; report each bucket's boundaries and count.
+    The complement of ``fixed_width_histogram`` — equi-depth adapts
+    bucket edges to the distribution (what an optimizer's column stats
+    store).  NTILE is a keyed window (one shuffle + per-key sort); the
+    per-bucket rollup reuses the same partitioning key prefix so AQE
+    coalesces it without a second exchange."""
+    w = W.partitionBy(*group_cols).orderBy(F.col(value_col),
+                                           F.col(tiebreak_col))
+    tiled = df.withColumn("tile", F.ntile(n_tiles).over(w))
+    return tiled.groupBy(*group_cols, "tile").agg(
+        F.count("*").alias("n"),
+        F.min(value_col).alias("tile_min"),
+        F.max(value_col).alias("tile_max"))
+
+
+def group_linreg(df: DataFrame, x: Column, y: Column,
+                 group_cols: list[str]) -> DataFrame:
+    """Per-group simple linear regression from explicit first/second
+    moments — slope, intercept and r² computed from (n, Σx, Σy, Σxy,
+    Σx², Σy²) so the whole fit is ONE map-side-combined aggregation
+    (the textbook closed form; engines with regr_slope/regr_r2 built-ins
+    differ in null/denominator edge handling, so the explicit sums are
+    also what keeps the oracle bit-aligned).  Degenerate groups (single
+    point, zero x-variance) yield NULL slope rather than ±inf."""
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"))
+    n = F.col("n").cast("double")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(varx != 0, cov / varx)
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.when((varx != 0) & (vary != 0), cov * cov / (varx * vary))
+    return agg.select(*group_cols, "n", slope.alias("slope"),
+                      intercept.alias("intercept"), r2.alias("r2"))

@@ -5200,3 +5200,285 @@ def q_assembly_pipeline(spark, sf_dir):
     packed = pack_sequences(kept, "ntok", 2048, "source")
     return shard_assign(packed, 8).select(
         "doc_id", "source", "ntok", "bin_id", "bin_offset", "shard")
+
+
+# =====================================================================
+# round 4 extension: tokenizer training, bloom decontamination,
+# time-range windows, equi-depth stats, grouped regression,
+# unicode normalization, streaming exact dedup
+# =====================================================================
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Chained-CTE DuckDB replay of the exact per-round BPE loop
+    (operators/bpe.py): one (pair-count → argmax → replace) block per
+    merge step, identical delimiter/replace semantics, identical
+    (count DESC, sym_a, sym_b) tie-break."""
+    parts = [r"""
+    WITH w0 AS (
+      SELECT word, COUNT(*) AS wc FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS word
+        FROM documents
+      ) WHERE length(word) > 0 GROUP BY word
+    ),
+    mx AS (SELECT COALESCE(MAX(length(word)), 1) AS m FROM w0),
+    g AS (SELECT UNNEST(range(1, (SELECT m FROM mx))) AS i),
+    s0 AS (
+      SELECT word, wc,
+             chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g') AS seq
+      FROM w0
+    )"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+    p{k} AS (
+      SELECT arr[g.i] AS sym_a, arr[g.i + 1] AS sym_b, SUM(wc) AS pair_count
+      FROM (SELECT wc, string_split(trim(seq, chr(31)), chr(31)) AS arr
+            FROM s{k - 1}) t, g
+      WHERE g.i <= length(arr) - 1
+      GROUP BY 1, 2
+    ),
+    b{k} AS (
+      SELECT sym_a, sym_b, pair_count FROM p{k}
+      ORDER BY pair_count DESC, sym_a ASC, sym_b ASC LIMIT 1
+    ),
+    s{k} AS (
+      SELECT word, wc,
+             replace(seq, chr(31) || sym_a || chr(31) || sym_b || chr(31),
+                          chr(31) || sym_a || sym_b || chr(31)) AS seq
+      FROM s{k - 1}, b{k}
+    )""")
+    selects = [
+        f"SELECT {k} AS step, sym_a, sym_b, sym_a || sym_b AS merged,"
+        f" pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query("q_bpe_train", oracle=_bpe_oracle(6))
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer-merge training (operators/bpe.py;
+    Sennrich et al. 2016) — learn 6 merge rules over the corpus.  After
+    ONE corpus tokenize+count shuffle, every iteration runs on the
+    vocabulary-sized word-frequency table: a map-side-combined pair
+    count plus a 1-row argmax collect, then a map-only replace.  The
+    returned merge table is the artifact a tokenizer ships."""
+    from access_mopper_spark.operators.bpe import bpe_train
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(spark, docs, "text", n_merges=6)
+
+
+@query(
+    "q_bloom_decontaminate",
+    oracle="""
+    WITH fps AS (
+      SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents
+    ),
+    refpos AS (
+      SELECT (('0x' || substring(md5('b' || h.h || ':' || fp), 1, 8))::BIGINT
+              % 1024) AS pos
+      FROM fps, generate_series(0, 2) h(h)
+      WHERE doc_id < 40
+    ),
+    words AS (
+      SELECT CAST(pos // 32 AS INT) AS word_idx,
+             BIT_OR(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+      FROM refpos GROUP BY 1
+    ),
+    probes AS (
+      SELECT doc_id,
+             (('0x' || substring(md5('b' || h.h || ':' || fp), 1, 8))::BIGINT
+              % 1024) AS pos
+      FROM fps, generate_series(0, 2) h(h)
+    )
+    SELECT p.doc_id,
+           CAST(SUM(CASE WHEN ((w.bits >> CAST(p.pos % 32 AS INT)) & 1) = 1
+                         THEN 1 ELSE 0 END) AS INT) AS hits
+    FROM probes p
+    LEFT JOIN words w ON CAST(p.pos // 32 AS INT) = w.word_idx
+    GROUP BY p.doc_id
+    HAVING hits < 3
+    """,
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (operators/bloomfilter.py): the
+    held-out set (doc_id < 40) is compressed into a constant-size bit
+    array (m=1024, k=3) and broadcast; the corpus side is MAP-ONLY —
+    fingerprint, three bit probes against the packed map, keep docs
+    missing at least one bit.  The structure that replaces
+    q_decontaminate's exact fingerprint broadcast when the reference
+    set has billions of entries; the oracle builds the identical filter
+    so false-positive drops match bit-for-bit."""
+    from access_mopper_spark.operators.bloomfilter import (
+        bloom_build, bloom_decontaminate)
+    docs = load_table(spark, sf_dir, "documents")
+    bloom = bloom_build(docs.where(F.col("doc_id") < 40))
+    return bloom_decontaminate(docs, bloom, "doc_id")
+
+
+@query(
+    "q_moving_avg",
+    oracle="""
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           ROUND(AVG(value) OVER w, 6) AS moving_avg,
+           COUNT(*) OVER w AS n_in_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def q_moving_avg(spark, sf_dir):
+    """Trailing 30-minute moving average per user — the event-time
+    RANGE window frame (operators/aggregates.time_range_mean).  One
+    keyed window shuffle, O(rows) sliding-frame evaluation, ordering on
+    unix_micros so sub-second timestamps bound the frame exactly as
+    DuckDB's µs-precision interval frame does."""
+    from access_mopper_spark.operators.aggregates import time_range_mean
+    ev = load_table(spark, sf_dir, "events")
+    out = time_range_mean(ev, "ts", "value", ["user_id"], 1800)
+    return out.select("user_id", "ts",
+                      R6(F.col("moving_avg")).alias("moving_avg"),
+                      "n_in_window")
+
+
+@query(
+    "q_equi_depth",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS tile
+      FROM events
+    )
+    SELECT event_type, tile, COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS tile_min,
+           ROUND(MAX(value), 6) AS tile_max
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q_equi_depth(spark, sf_dir):
+    """Equi-depth 10-bucket histogram per event type (aggregates.
+    equi_depth_histogram) — adaptive bucket edges, the optimizer-stats
+    complement of q_value_histogram's fixed-width buckets.  NTILE ties
+    are totally ordered by (value, event_id) so both engines slice
+    identically."""
+    from access_mopper_spark.operators.aggregates import equi_depth_histogram
+    ev = load_table(spark, sf_dir, "events")
+    h = equi_depth_histogram(ev, "value", 10, ["event_type"], "event_id")
+    return h.select("event_type", "tile", "n",
+                    R6(F.col("tile_min")).alias("tile_min"),
+                    R6(F.col("tile_max")).alias("tile_max"))
+
+
+@query(
+    "q_group_regression",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+              - (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) FROM events))
+             / 86400000000.0 AS x,
+             value AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM base GROUP BY event_type
+    ),
+    r AS (
+      SELECT event_type, n, sx, sy, sxx, syy, sxy,
+             CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope
+      FROM m
+    )
+    SELECT event_type, n, ROUND(slope, 6) AS slope,
+           ROUND((sy - slope * sx) / CAST(n AS DOUBLE), 6) AS intercept,
+           ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                       AND CAST(n AS DOUBLE) * syy - sy * sy <> 0
+                      THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                           * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n AS DOUBLE) * syy - sy * sy)) END,
+                 6) AS r2
+    FROM r
+    """,
+)
+def q_group_regression(spark, sf_dir):
+    """Per-group linear trend fit (aggregates.group_linreg): slope /
+    intercept / r² of value vs time for each event type, from explicit
+    first and second moments — the whole fit is ONE map-side-combined
+    aggregation over the corpus, no second pass.  x is days since the
+    global min timestamp (µs-exact integers into identical doubles), so
+    moment magnitudes stay small enough that 6-dp rounding is stable."""
+    from access_mopper_spark.operators.aggregates import group_linreg
+    ev = load_table(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.unix_micros("ts")).alias("__mn"))
+    based = ev.crossJoin(F.broadcast(mn)).select(
+        "event_type",
+        ((F.unix_micros("ts") - F.col("__mn")) / 86400000000.0).alias("x"),
+        F.col("value").alias("y"))
+    out = group_linreg(based, F.col("x"), F.col("y"), ["event_type"])
+    return out.select("event_type", "n", R6(F.col("slope")).alias("slope"),
+                      R6(F.col("intercept")).alias("intercept"),
+                      R6(F.col("r2")).alias("r2"))
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           length(trim(regexp_replace(
+             regexp_replace(lower(nfc_normalize(text)),
+                            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
+             '[ \t\n\r]+', ' ', 'g'))) AS n_norm_chars,
+           md5(trim(regexp_replace(
+             regexp_replace(lower(nfc_normalize(text)),
+                            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
+             '[ \t\n\r]+', ' ', 'g'))) AS norm_fp
+    FROM documents
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """Unicode canonicalization pass (functions/text.
+    unicode_nfc_normalize): NFC → lowercase → control-strip →
+    whitespace-collapse, then fingerprint — what runs before any
+    dedup/decontamination so byte-different renderings of the same text
+    hash identically.  NFC is the one Arrow-batched Python step (no JVM
+    built-in); everything else stays in codegen."""
+    from access_mopper_spark.functions.text import unicode_nfc_normalize
+    docs = load_table(spark, sf_dir, "documents")
+    norm = unicode_nfc_normalize(F.col("text"))
+    return docs.select("doc_id", F.length(norm).alias("n_norm_chars"),
+                       F.md5(norm).alias("norm_fp"))
+
+
+@query(
+    "q_stream_dedup_exact",
+    oracle="""
+    SELECT event_id, event_type, ROUND(value, 6) AS value
+    FROM events
+    """,
+)
+def q_stream_dedup_exact(spark, sf_dir):
+    """Streaming EXACT dedup at ingest (streaming/resample.
+    stream_exact_dedup): the event stream is unioned with a second
+    delivery of itself (an at-least-once redelivery), and
+    dropDuplicatesWithinWatermark keeps exactly the first arrival per
+    event_id — state rows are evicted once older than the watermark, so
+    dedup state is bounded by rate × watermark, not stream history.
+    The oracle is simply the distinct original events."""
+    from access_mopper_spark.streaming.resample import (
+        events_stream, harness_shuffle, run_to_memory, stream_exact_dedup)
+    once = events_stream(spark, sf_dir)
+    again = events_stream(spark, sf_dir)
+    dup = once.unionByName(again)
+    deduped = stream_exact_dedup(dup, ["event_id"], "ts", watermark="1 hour")
+    out = deduped.select("event_id", "event_type",
+                         R6(F.col("value")).alias("value"))
+    with harness_shuffle(spark):
+        run_to_memory(out, "q_stream_dedup_exact_sink", mode="append")
+    return spark.table("q_stream_dedup_exact_sink")

@@ -144,3 +144,17 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
         f"l.{key} = r.{key} AND r.{right_ts} > l.{left_ts} "
         f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {within}")
     return lw.alias("l").join(rw.alias("r"), cond)
+
+
+def stream_exact_dedup(stream: DataFrame, id_cols: list[str], ts_col: str,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Ingest-time EXACT dedup over an unbounded stream:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key and
+    discards re-deliveries (at-least-once sources, overlapping backfills)
+    while the key is younger than the watermark — after which its state
+    row is EVICTED, so dedup state is bounded by (arrival rate ×
+    watermark), not by stream history.  The exact-key complement of
+    ``streaming``'s LSH near-dup ingest dedup: same keyed state-store
+    shape, hash key instead of band key."""
+    return (stream.withWatermark(ts_col, watermark)
+                  .dropDuplicatesWithinWatermark(id_cols))

@@ -1,0 +1,147 @@
+"""Round-4 extension operators: BPE merge training, bloom-filter
+decontamination, time-range windows, equi-depth histogram, grouped
+regression, unicode normalization."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- BPE
+
+def test_bpe_train_textbook_merges(spark):
+    """The classic Sennrich corpus shape: repeated prefixes merge first
+    and the tie-break is (count DESC, sym_a, sym_b)."""
+    from access_mopper_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [("low low low lower lowest",)], ["text"])
+    m = bpe_train(spark, docs, n_merges=3).collect()
+    assert [r.step for r in m] == [1, 2, 3]
+    # 'lo' pair (l,o) appears in low(x3 via wc), lower, lowest -> wc-weighted
+    # count = 3 words' wc: low wc=3, lower 1, lowest 1 => 5.  (l,o) and
+    # (o,w) both count 5; tie-break sym_a: 'l' < 'o'.
+    assert (m[0].sym_a, m[0].sym_b, m[0].merged) == ("l", "o", "lo")
+    assert m[0].pair_count == 5
+    # after merge 1 the top pair is (lo, w) with the same weight 5
+    assert (m[1].sym_a, m[1].sym_b, m[1].merged) == ("lo", "w", "low")
+    assert m[1].pair_count == 5
+
+
+def test_bpe_deferred_adjacent_merge(spark):
+    """Delimiter-sharing adjacent occurrences defer to the next round:
+    'aaaa' under merge (a,a) becomes aa|a|a after one replace pass (the
+    documented left-to-right non-overlap semantics both engines share)."""
+    from access_mopper_spark.operators.bpe import (_initial_sequences,
+                                                   _pair_counts, bpe_segment,
+                                                   word_frequency_table)
+    docs = spark.createDataFrame([("aaaa",)], ["text"])
+    seqs = _initial_sequences(word_frequency_table(docs))
+    d = "\x1f"
+    merged = seqs.withColumn(
+        "seq", F.replace(F.col("seq"), F.lit(d + "a" + d + "a" + d),
+                         F.lit(d + "aa" + d)))
+    [row] = bpe_segment(merged).collect()
+    assert row.symbols == ["aa", "a", "a"]
+    counts = {(r.sym_a, r.sym_b): r.pair_count
+              for r in _pair_counts(merged).collect()}
+    assert counts == {("aa", "a"): 1, ("a", "a"): 1}
+
+
+# -------------------------------------------------------------- bloom
+
+def test_bloom_recall_is_exact(spark):
+    """Every document actually in the reference set hits all k bits —
+    a contaminated doc can never survive the filter."""
+    from access_mopper_spark.operators.bloomfilter import (
+        bloom_build, bloom_decontaminate)
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(40)],
+        ["doc_id", "text"])
+    ref = docs.where(F.col("doc_id") < 20)
+    kept = bloom_decontaminate(docs, bloom_build(ref), "doc_id").collect()
+    kept_ids = {r.doc_id for r in kept}
+    assert kept_ids.isdisjoint(set(range(20)))
+    assert all(r.hits < 3 for r in kept)
+
+
+def test_bloom_probe_is_map_only(spark):
+    """The corpus side of the probe must not shuffle: no Exchange other
+    than the broadcast of the packed filter row."""
+    from access_mopper_spark.operators.bloomfilter import (
+        bloom_build, bloom_decontaminate)
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(30)], ["doc_id", "text"])
+    bloom = bloom_build(docs.where(F.col("doc_id") < 10))
+    plan = bloom_decontaminate(docs, bloom, "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the only exchanges allowed feed the tiny filter aggregation /
+    # broadcast; the corpus scan must not be followed by a hash exchange
+    # keyed on doc rows (no groupBy/repartition of the corpus)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # bloom build only
+
+
+# ---------------------------------------------------- range window
+
+def test_time_range_mean_boundary_inclusive(spark):
+    from access_mopper_spark.operators.aggregates import time_range_mean
+
+    t0 = datetime.datetime(2023, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + datetime.timedelta(minutes=30), 20.0),          # exactly -30m edge
+        (1, t0 + datetime.timedelta(minutes=30, seconds=1), 30.0),  # t0 now outside
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "v"])
+    out = {r.ts: (r.moving_avg, r.n_in_window)
+           for r in time_range_mean(df, "ts", "v", ["u"], 1800).collect()}
+    assert out[rows[0][1]] == (10.0, 1)
+    assert out[rows[1][1]] == (15.0, 2)      # edge row includes t0
+    assert out[rows[2][1]] == (25.0, 2)      # t0 aged out, edge row stays
+
+
+# ------------------------------------------------- equi-depth / linreg
+
+def test_equi_depth_counts_balanced(spark):
+    from access_mopper_spark.operators.aggregates import equi_depth_histogram
+
+    df = spark.createDataFrame([(1, i, float(i % 37)) for i in range(100)],
+                               ["g", "id", "v"])
+    rows = equi_depth_histogram(df, "v", 4, ["g"], "id").collect()
+    assert sorted(r.n for r in rows) == [25, 25, 25, 25]
+    by_tile = sorted(rows, key=lambda r: r.tile)
+    for lo, hi in zip(by_tile, by_tile[1:]):
+        assert lo.tile_max <= hi.tile_min
+
+
+def test_group_linreg_exact_line_and_degenerate(spark):
+    from access_mopper_spark.operators.aggregates import group_linreg
+
+    rows = [("a", float(x), 3.0 * x + 2.0) for x in range(10)]
+    rows += [("b", 5.0, 1.0)]            # single point: zero x-variance
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r.g: r for r in
+           group_linreg(df, F.col("x"), F.col("y"), ["g"]).collect()}
+    assert out["a"].slope == pytest.approx(3.0)
+    assert out["a"].intercept == pytest.approx(2.0)
+    assert out["a"].r2 == pytest.approx(1.0)
+    assert out["b"].slope is None and out["b"].r2 is None
+
+
+# ------------------------------------------------------- unicode NFC
+
+def test_nfc_composed_and_decomposed_fingerprint_equal(spark):
+    from access_mopper_spark.functions.text import unicode_nfc_normalize
+
+    composed = "r\u00e9sum\u00e9  text"          # \u00e9 as one codepoint
+    decomposed = "re\u0301sume\u0301 \t text"     # e + combining acute
+    df = spark.createDataFrame([(1, composed), (2, decomposed)],
+                               ["doc_id", "text"])
+    out = df.select(
+        "doc_id", F.md5(unicode_nfc_normalize(F.col("text"))).alias("fp"),
+        unicode_nfc_normalize(F.col("text")).alias("norm")).collect()
+    fps = {r.doc_id: r.fp for r in out}
+    assert fps[1] == fps[2]
+    assert all(r.norm == "résumé text" for r in out)
