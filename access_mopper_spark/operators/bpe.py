@@ -88,7 +88,12 @@ def bpe_train(spark: SparkSession, df: DataFrame, text_col: str = "text",
     merge table ``(step, sym_a, sym_b, merged, pair_count)`` — n_merges
     rows, the artifact a tokenizer ships.  Deterministic tie-break:
     highest count, then lexicographic (sym_a, sym_b)."""
-    seqs = _initial_sequences(word_frequency_table(df, text_col))
+    # the word table is vocabulary-sized (not corpus-sized) — persist it
+    # so the per-round pair counts re-run only the cheap map-only replace
+    # chain, never the corpus tokenize+count shuffle (on a cluster this
+    # is the difference between n_merges corpus scans and one)
+    base = _initial_sequences(word_frequency_table(df, text_col)).persist()
+    seqs = base
     merges = []
     for step in range(1, n_merges + 1):
         best = (_pair_counts(seqs)
@@ -103,6 +108,7 @@ def bpe_train(spark: SparkSession, df: DataFrame, text_col: str = "text",
             "seq",
             F.replace(F.col("seq"), F.lit(DELIM + a + DELIM + b + DELIM),
                       F.lit(DELIM + a + b + DELIM)))
+    base.unpersist()
     return spark.createDataFrame(
         merges, "step INT, sym_a STRING, sym_b STRING, merged STRING, "
                 "pair_count BIGINT")

@@ -5482,3 +5482,145 @@ def q_stream_dedup_exact(spark, sf_dir):
     with harness_shuffle(spark):
         run_to_memory(out, "q_stream_dedup_exact_sink", mode="append")
     return spark.table("q_stream_dedup_exact_sink")
+
+
+@query(
+    "q_pagerank",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM nodes),
+    r1 AS (
+      SELECT n.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE)
+               * COALESCE(SUM(r.rank / d.outdeg), 0) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN r0 r ON r.node = e.src
+      LEFT JOIN deg d ON d.node = e.src
+      GROUP BY n.node
+    ),
+    r2 AS (
+      SELECT n.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE)
+               * COALESCE(SUM(r.rank / d.outdeg), 0) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN r1 r ON r.node = e.src
+      LEFT JOIN deg d ON d.node = e.src
+      GROUP BY n.node
+    ),
+    r3 AS (
+      SELECT n.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE)
+               * COALESCE(SUM(r.rank / d.outdeg), 0) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN r2 r ON r.node = e.src
+      LEFT JOIN deg d ON d.node = e.src
+      GROUP BY n.node
+    )
+    SELECT node, ROUND(rank, 6) AS rank FROM r3
+    """,
+)
+def q_pagerank(spark, sf_dir):
+    """PageRank (operators/graph.pagerank), 3 iterations over the
+    symmetrized part↔supplier co-occurrence graph from lineitem — the
+    iterative-algorithm complement of dedup_clusters' connected
+    components.  Each round is one edges⋈ranks shuffle + one sum by
+    dst; N and the teleport term ride a broadcast 1-row aggregate, and
+    nothing ever collects to the driver."""
+    from access_mopper_spark.operators.graph import pagerank
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = e0.union(e0.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("node", R6(F.col("rank")).alias("rank"))
+
+
+@query(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT l.l_partkey,
+           ROUND(SUM(l.l_extendedprice), 2) AS small_lot_value,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    WHERE l.l_quantity < CAST(0.2 AS DOUBLE) *
+          (SELECT AVG(l2.l_quantity) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+    """,
+)
+def q_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery (the TPC-H Q17 'small-lot' shape),
+    submitted through the SQL front-end so CATALYST does the
+    decorrelation: the per-part average becomes one partial aggregate
+    joined back on l_partkey — the rewrite a user would otherwise
+    hand-write.  Boundary determinism: l_quantity is integer-valued, so
+    the per-part AVG is an exact double on both engines and the strict
+    < cannot flip with summation order.  2-dp rounding per the big-sum
+    convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem_q17")
+    out = spark.sql("""
+        SELECT l.l_partkey,
+               SUM(l.l_extendedprice) AS small_lot_value,
+               COUNT(*) AS n_small
+        FROM v_lineitem_q17 l
+        WHERE l.l_quantity < CAST(0.2 AS DOUBLE) *
+              (SELECT AVG(l2.l_quantity) FROM v_lineitem_q17 l2
+               WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l.l_partkey
+    """)
+    return out.select("l_partkey",
+                      pround(F.col("small_lot_value"), 2)
+                      .alias("small_lot_value"),
+                      "n_small")
+
+
+@query(
+    "q_having_global_share",
+    oracle="""
+    SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice) >
+           (SELECT SUM(l_extendedprice) FROM lineitem)
+           * CAST(0.00075 AS DOUBLE)
+    """,
+)
+def q_having_global_share(spark, sf_dir):
+    """HAVING against a global scalar subquery (the TPC-H Q11 value
+    concentration shape) through the SQL front-end: the corpus total
+    is one extra 1-row aggregate broadcast into the HAVING filter, not
+    a second grouped pass.  Threshold comparison is on the RAW sums
+    (both engines sum the same exact-integer-valued doubles... prices
+    have cents, so sums can differ in the last ulp between engines —
+    the 0.00075 share threshold sits far from any part's sum, which
+    the companion test asserts), output rounded at 2 dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem_q11")
+    out = spark.sql("""
+        SELECT l_partkey, SUM(l_extendedprice) AS part_value
+        FROM v_lineitem_q11
+        GROUP BY l_partkey
+        HAVING SUM(l_extendedprice) >
+               (SELECT SUM(l_extendedprice) FROM v_lineitem_q11)
+               * CAST(0.00075 AS DOUBLE)
+    """)
+    return out.select("l_partkey",
+                      pround(F.col("part_value"), 2).alias("part_value"))

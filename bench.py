@@ -60,6 +60,10 @@ HEADLINE = [
     "q_dup_ngrams",
     "q_semantic_dedup",
     "q_stream_sink_replay",
+    # round 4 extension: tokenizer training, bloom probe, range windows
+    "q_bpe_train",
+    "q_bloom_decontaminate",
+    "q_moving_avg",
 ]
 
 

@@ -145,3 +145,59 @@ def test_nfc_composed_and_decomposed_fingerprint_equal(spark):
     fps = {r.doc_id: r.fp for r in out}
     assert fps[1] == fps[2]
     assert all(r.norm == "résumé text" for r in out)
+
+
+# ------------------------------------------------------ graph / SQL
+
+def test_pagerank_mass_conserved_and_uniform_on_cycle(spark):
+    """On a symmetric (no-dangling) graph total rank mass stays 1; on a
+    regular cycle every node ends exactly uniform."""
+    from access_mopper_spark.operators.graph import pagerank
+
+    n = 8
+    cyc = [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)]
+    cyc += [(b, a) for a, b in cyc]
+    edges = spark.createDataFrame(cyc, ["src", "dst"])
+    ranks = pagerank(edges, iterations=4).collect()
+    total = sum(r.rank for r in ranks)
+    assert abs(total - 1.0) < 1e-9
+    assert all(abs(r.rank - 1.0 / n) < 1e-12 for r in ranks)
+
+
+def test_pagerank_degree_ordering(spark):
+    """A hub with more in-links outranks leaf nodes."""
+    from access_mopper_spark.operators.graph import pagerank
+
+    star = [(f"leaf{i}", "hub") for i in range(5)]
+    star += [("hub", f"leaf{i}") for i in range(5)]
+    ranks = {r.node: r.rank
+             for r in pagerank(spark.createDataFrame(
+                 star, ["src", "dst"]), iterations=5).collect()}
+    assert all(ranks["hub"] > ranks[f"leaf{i}"] for i in range(5))
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """Catalyst must rewrite the correlated scalar subquery into an
+    aggregate + join — no nested per-row subquery execution and no
+    cartesian product in the physical plan."""
+    from access_mopper_spark.queries import QUERIES
+
+    plan = QUERIES["q_correlated_subquery"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan and "Join" in plan
+
+
+def test_having_global_share_threshold_margin(spark, sf_dir):
+    """No part's value sits so close to the global-share threshold that
+    last-ulp summation differences between engines could flip its
+    membership (the determinism contract in the query docstring)."""
+    from access_mopper_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("s")).collect()
+    total = sum(r.s for r in sums)
+    thr = total * 0.00075
+    for r in sums:
+        assert abs(r.s - thr) > 1e-4 * max(thr, 1.0)
