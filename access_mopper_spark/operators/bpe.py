@@ -119,3 +119,19 @@ def bpe_segment(wf_seqs: DataFrame) -> DataFrame:
     arrays — what an encoder would broadcast to tokenize the corpus."""
     arr = F.split(F.expr(f"trim(BOTH chr(31) FROM seq)"), DELIM)
     return wf_seqs.select("word", "wc", arr.alias("symbols"))
+
+
+def bpe_apply(wf: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply an ordered merge list to the word table: the map-only
+    replace chain an encoder runs (broadcast the tiny merge table in
+    spirit — here it is baked into the plan as literals).  Returns the
+    word table with ``n_symbols``, the per-word token count under the
+    learned vocabulary."""
+    seqs = _initial_sequences(wf)
+    for a, b in merges:
+        seqs = seqs.withColumn(
+            "seq",
+            F.replace(F.col("seq"), F.lit(DELIM + a + DELIM + b + DELIM),
+                      F.lit(DELIM + a + b + DELIM)))
+    arr = F.split(F.expr(f"trim(BOTH chr(31) FROM seq)"), DELIM)
+    return seqs.select("word", "wc", F.size(arr).alias("n_symbols"))

@@ -211,3 +211,24 @@ def chunk_documents_tokens(df: DataFrame, size: int, overlap: int,
     return (out.withColumn("chunk", F.array_join(chunk_toks, " "))
                .withColumn("chunk_ntok", F.size(chunk_toks))
                .drop("__toks"))
+
+
+def token_budget_fill(df: DataFrame, token_col: str, budget: int,
+                      source_col: str, id_col: str) -> DataFrame:
+    """Per-source TOKEN-BUDGET mixture assembly: admit documents, in a
+    deterministic corpus-stable order (md5 of the id — a seeded shuffle
+    that never re-ranks when the corpus grows elsewhere), until each
+    source's cumulative token count reaches its budget.  This is the
+    budget-form of data mixing (give me exactly N tokens of web, M of
+    code…), the complement of ``mixture_sample``'s probability form.
+
+    One keyed window shuffle (cumsum per source); the filter is
+    map-side after it.  Keeps rows whose INCLUSIVE running total stays
+    within budget, so the output never overshoots by more than zero
+    docs and underfills only by the tail fragment — the deterministic
+    contract both engines replay exactly (integer cumsum, no fp)."""
+    w = (W.partitionBy(source_col)
+          .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    out = df.withColumn("cum_tokens", F.sum(token_col).over(w))
+    return out.where(F.col("cum_tokens") <= budget)

@@ -5208,11 +5208,13 @@ def q_assembly_pipeline(spark, sf_dir):
 # unicode normalization, streaming exact dedup
 # =====================================================================
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_oracle(n_merges: int, final: str | None = None) -> str:
     """Chained-CTE DuckDB replay of the exact per-round BPE loop
     (operators/bpe.py): one (pair-count → argmax → replace) block per
     merge step, identical delimiter/replace semantics, identical
-    (count DESC, sym_a, sym_b) tie-break."""
+    (count DESC, sym_a, sym_b) tie-break.  ``final`` overrides the
+    closing SELECT (default: the merge table) — q_bpe_encode points it
+    at the post-merge word table instead."""
     parts = [r"""
     WITH w0 AS (
       SELECT word, COUNT(*) AS wc FROM (
@@ -5251,7 +5253,8 @@ def _bpe_oracle(n_merges: int) -> str:
         f" pair_count FROM b{k}"
         for k in range(1, n_merges + 1)
     ]
-    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+    tail = final if final is not None else "\n    UNION ALL ".join(selects)
+    return "".join(parts) + "\n    " + tail
 
 
 @query("q_bpe_train", oracle=_bpe_oracle(6))
@@ -5624,3 +5627,97 @@ def q_having_global_share(spark, sf_dir):
     """)
     return out.select("l_partkey",
                       pround(F.col("part_value"), 2).alias("part_value"))
+
+
+@query(
+    "q_bpe_encode",
+    oracle=_bpe_oracle(6, final=""", docwords AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                        '[^a-z]+', ' ', 'g')), ' ')) AS word
+        FROM documents
+      ) WHERE length(word) > 0
+    ),
+    wsym AS (
+      SELECT word,
+             length(string_split(trim(seq, chr(31)), chr(31))) AS n_symbols
+      FROM s6
+    )
+    SELECT d.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(w.n_symbols) AS BIGINT) AS n_tokens
+    FROM docwords d JOIN wsym w USING (word)
+    GROUP BY d.doc_id"""),
+)
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION after training (operators/bpe.bpe_apply):
+    learn 6 merges, run the map-only replace chain over the word table,
+    then join each document's words against the per-word symbol counts
+    — per-doc token counts under the learned vocabulary (the
+    train→encode round trip; the merge table rides into the plan as six
+    literals, the moral equivalent of broadcasting it).  Oracle replays
+    the identical 6 rounds and the identical encode join.
+
+    Note the oracle's ``final`` tail must open as a CTE continuation —
+    _bpe_oracle splices it after the s6 block."""
+    from access_mopper_spark.operators.bpe import (bpe_apply, bpe_train,
+                                                   word_frequency_table)
+    docs = load_table(spark, sf_dir, "documents")
+    merge_rows = bpe_train(spark, docs, "text", n_merges=6).collect()
+    merges = [(r.sym_a, r.sym_b) for r in merge_rows]
+    wf = word_frequency_table(docs, "text")
+    wsym = bpe_apply(wf, merges).select("word", "n_symbols")
+    docwords = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                                  "[^a-z]+", " ")),
+                          " ")).alias("word"))
+        .where(F.length("word") > 0))
+    return (docwords.join(wsym, "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_symbols").alias("n_tokens")))
+
+
+@query(
+    "q_token_budget_fill",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS tn
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1
+             END AS ntok
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, source, ntok,
+             SUM(ntok) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM c
+    )
+    SELECT doc_id, source, ntok, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r WHERE cum_tokens <= 900
+    """,
+)
+def q_token_budget_fill(spark, sf_dir):
+    """Token-budget mixture assembly (operators/sampling.
+    token_budget_fill): admit docs per source, in a corpus-stable
+    md5(doc_id) order, until each source holds ≤900 tokens — the
+    budget form of training-data mixing ('exactly N tokens of web, M
+    of code'), next to mixture_sample's probability form.  One keyed
+    window cumsum; integer arithmetic end-to-end, so both engines cut
+    at the identical document."""
+    from access_mopper_spark.functions.text import token_count
+    from access_mopper_spark.operators.sampling import token_budget_fill
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source",
+                         token_count(F.col("text")).alias("ntok"))
+    return token_budget_fill(scored, "ntok", 900, "source", "doc_id") \
+        .select("doc_id", "source", "ntok", "cum_tokens")

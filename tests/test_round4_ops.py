@@ -201,3 +201,36 @@ def test_having_global_share_threshold_margin(spark, sf_dir):
     thr = total * 0.00075
     for r in sums:
         assert abs(r.s - thr) > 1e-4 * max(thr, 1.0)
+
+
+# ------------------------------------------- encode / budget fill
+
+def test_bpe_apply_compresses_frequent_words(spark):
+    """Applying the learned merges shrinks the symbol count of the words
+    that drove the merges (never increases any word's count)."""
+    from access_mopper_spark.operators.bpe import (bpe_apply, bpe_train,
+                                                   word_frequency_table)
+    docs = spark.createDataFrame([("low low low lower lowest",)], ["text"])
+    merges = [(r.sym_a, r.sym_b)
+              for r in bpe_train(spark, docs, n_merges=3).collect()]
+    wf = word_frequency_table(docs)
+    out = {r.word: r.n_symbols for r in bpe_apply(wf, merges).collect()}
+    assert out["low"] < 3                   # 'low' merged below char count
+    assert all(n >= 1 for n in out.values())
+
+
+def test_token_budget_fill_never_overshoots(spark):
+    from access_mopper_spark.operators.sampling import token_budget_fill
+
+    rows = [(i, "web" if i % 2 else "code", 10 + (i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "ntok"])
+    out = token_budget_fill(df, "ntok", 100, "source", "doc_id")
+    per_src = {r.source: r.total for r in
+               out.groupBy("source").agg(
+                   F.sum("ntok").alias("total")).collect()}
+    assert all(v <= 100 for v in per_src.values())
+    # deterministic: second run picks the identical documents
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in token_budget_fill(
+        df, "ntok", 100, "source", "doc_id").collect())
+    assert ids1 == ids2
