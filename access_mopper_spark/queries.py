@@ -5721,3 +5721,69 @@ def q_token_budget_fill(spark, sf_dir):
                          token_count(F.col("text")).alias("ntok"))
     return token_budget_fill(scored, "ntok", 900, "source", "doc_id") \
         .select("doc_id", "source", "ntok", "cum_tokens")
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(value), 2) AS sum,
+           COUNT(value) AS count,
+           ROUND(MIN(value), 6) AS min,
+           ROUND(MAX(value), 6) AS max,
+           ROUND(AVG(value), 6) AS mean
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Two-stage SALTED aggregation (operators/skew.salted_agg) checked
+    against the plain one-stage GROUP BY oracle — the skew-hardening
+    rewrite must be a pure physical transformation, invisible in the
+    results.  Stage 1 spreads each (possibly hot) key over 16 salt
+    shards, stage 2 merges shard partials; sum rounds at 2 dp because
+    the extra merge stage reorders double summation."""
+    from access_mopper_spark.operators.skew import salted_agg
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(ev, ["event_type"], "value")
+    return out.select("event_type",
+                      pround(F.col("sum"), 2).alias("sum"),
+                      "count",
+                      R6(F.col("min")).alias("min"),
+                      R6(F.col("max")).alias("max"),
+                      R6(F.col("mean")).alias("mean"))
+
+
+@query(
+    "q_time_gaps",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_t
+      FROM events
+    )
+    SELECT user_id, prev_t AS gap_start, t AS gap_end,
+           (epoch_us(t) - epoch_us(prev_t)) // 1000000 AS gap_seconds
+    FROM o
+    WHERE prev_t IS NOT NULL
+      AND epoch_us(t) - epoch_us(prev_t) > 3600::BIGINT * 1000000
+    """,
+)
+def q_time_gaps(spark, sf_dir):
+    """Per-user time-series GAP detection: flag successive-event pairs
+    more than an hour apart — the data-quality probe behind the
+    reference's frequency inference and file-interval planning (a gap
+    is a missing chunk).  One keyed window (lag), µs-integer
+    arithmetic end-to-end, deterministic tie order (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    o = ev.select("user_id", F.col("ts").alias("t"), "event_id",
+                  F.lag("ts").over(w).alias("prev_t"))
+    delta_us = F.unix_micros("t") - F.unix_micros("prev_t")
+    return (o.where(F.col("prev_t").isNotNull()
+                    & (delta_us > 3600 * 1000000))
+             .select("user_id", F.col("prev_t").alias("gap_start"),
+                     F.col("t").alias("gap_end"),
+                     F.expr("(unix_micros(t) - unix_micros(prev_t))"
+                            " div 1000000").alias("gap_seconds")))
