@@ -5787,3 +5787,86 @@ def q_time_gaps(spark, sf_dir):
                      F.col("t").alias("gap_end"),
                      F.expr("(unix_micros(t) - unix_micros(prev_t))"
                             " div 1000000").alias("gap_seconds")))
+
+
+@query(
+    "q_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS tn
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tn,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1
+             END AS n_words
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           ROUND(CASE WHEN n_words = 0 THEN 0
+                 ELSE CAST(length(tn) - (n_words - 1) AS DOUBLE) / n_words
+                 END, 6) AS mean_word_len,
+           (position(' the ' IN ' ' || tn || ' ') > 0
+            OR position(' a ' IN ' ' || tn || ' ') > 0
+            OR position(' of ' IN ' ' || tn || ' ') > 0) AS has_stopword,
+           (n_words BETWEEN 20 AND 100000
+            AND CASE WHEN n_words = 0 THEN 0
+                ELSE CAST(length(tn) - (n_words - 1) AS DOUBLE) / n_words
+                END BETWEEN 2 AND 12
+            AND (position(' the ' IN ' ' || tn || ' ') > 0
+                 OR position(' a ' IN ' ' || tn || ' ') > 0
+                 OR position(' of ' IN ' ' || tn || ' ') > 0)) AS keep
+    FROM c
+    """,
+)
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1
+    re-expressed on this corpus): word-count bounds, mean-word-length
+    band, stopword presence — each an explicit named flag plus the
+    conjunctive keep decision.  Pure Column arithmetic (the mean word
+    length is (chars − separators)/words — no split array), map-only at
+    any corpus size; the flags are what a curation report aggregates."""
+    from access_mopper_spark.functions.text import token_count, ws_normalized
+    docs = load_table(spark, sf_dir, "documents")
+    tn = ws_normalized(F.lower(F.col("text")))
+    n_words = token_count(F.col("text"))
+    # token_count lowercases via ws_normalized(text) without lower();
+    # word COUNT is case-insensitive so both agree — but mean length and
+    # stopword probes must use the lowercased normal form explicitly
+    mwl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        (F.length(tn) - (n_words - 1)).cast("double") / n_words)
+    padded = F.concat(F.lit(" "), tn, F.lit(" "))
+    has_stop = (F.instr(padded, " the ") > 0) | \
+               (F.instr(padded, " a ") > 0) | (F.instr(padded, " of ") > 0)
+    keep = n_words.between(20, 100000) & mwl.between(2, 12) & has_stop
+    return docs.select("doc_id", n_words.alias("n_words"),
+                       R6(mwl).alias("mean_word_len"),
+                       has_stop.alias("has_stopword"), keep.alias("keep"))
+
+
+@query(
+    "q_order_count_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM co GROUP BY n_orders
+    """,
+)
+def q_order_count_distribution(spark, sf_dir):
+    """Customer order-count distribution (the TPC-H Q13 shape): LEFT
+    OUTER join so zero-order customers stay in the histogram, then a
+    second tiny regroup on the count — outer-join aggregation, the one
+    join flavor no other registry query exercised.  First shuffle keys
+    by custkey (both sides), second by the ≤ dozens-valued n_orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    co = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+              .groupBy("c_custkey")
+              .agg(F.count("o_orderkey").alias("n_orders")))
+    return co.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
