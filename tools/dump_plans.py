@@ -88,6 +88,25 @@ COMMENTARY = {
     "q_semantic_dedup": "SemDedup: centroid broadcast for assignment, "
         "within-cluster pair scan as an equi-join on centroid_id (never "
         "all-pairs), lower-id-wins via anti-join — cluster-bounded O(Σ|c|²).",
+    "q_bpe_train": "BPE merge training: the corpus collapses to the persisted "
+        "vocabulary-sized word table after ONE tokenize+count shuffle; each "
+        "merge round is a small-table pair count + 1-row argmax + map-only "
+        "replace (no corpus re-scan).",
+    "q_bloom_decontaminate": "Bloom probe: the packed word-table row "
+        "broadcasts; the corpus side is a single map-only stage (fingerprint "
+        "+ three bit tests via F.aggregate) — zero corpus shuffle.",
+    "q_pagerank": "PageRank round: edges⋈ranks equi-join then sum-by-dst — "
+        "one shuffle per iteration; N/teleport ride a broadcast 1-row "
+        "aggregate, nothing collects.",
+    "q_moving_avg": "Time-RANGE moving average: one keyed window exchange; "
+        "the frame is a sliding two-pointer over the sorted partition "
+        "(O(rows), not O(rows × frame)).",
+    "q_correlated_subquery": "Correlated scalar subquery DECORRELATED by "
+        "Catalyst: the per-part average becomes a partial aggregate joined "
+        "back on l_partkey — no per-row subquery execution.",
+    "q_salted_agg": "Salted aggregation: stage-1 partials on (key, salt) "
+        "spread hot keys across reducers; stage-2 merges shards — the skew "
+        "rewrite is invisible in results (oracle = plain GROUP BY).",
 }
 
 
