@@ -35,11 +35,16 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     redistribution term; the oracle-checked query symmetrizes.
 
     Returns ``(node, rank)``."""
-    e = edges.select("src", "dst").distinct()
+    # the loop-invariant tables persist so each iteration's plan reads
+    # them from cache instead of re-running the distinct/degree shuffles
+    # (without this the k-th iteration replays k copies of the edge prep
+    # — visible as 3× the Exchange count in the physical plan)
+    e = edges.select("src", "dst").distinct().persist()
     nodes = (e.select(F.col("src").alias("node"))
-              .union(e.select(F.col("dst").alias("node"))).distinct())
-    deg = e.groupBy(F.col("src").alias("node")) \
-           .agg(F.count("*").alias("outdeg"))
+              .union(e.select(F.col("dst").alias("node"))).distinct()
+              .persist())
+    deg = (e.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("outdeg")).persist())
     # N and the teleport term are scalar: computed once, broadcast into
     # every iteration as a 1-row cross join (no driver round-trip)
     n_row = nodes.agg(F.count("*").alias("__n"))
