@@ -234,3 +234,49 @@ def test_token_budget_fill_never_overshoots(spark):
     ids2 = sorted(r.doc_id for r in token_budget_fill(
         df, "ntok", 100, "source", "doc_id").collect())
     assert ids1 == ids2
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Property check against an independent in-memory implementation
+    with the same documented semantics (str.replace is left-to-right
+    non-overlapping, exactly like Spark/DuckDB replace): the learned
+    merge tables must be identical on randomized corpora."""
+    import random
+
+    from access_mopper_spark.operators.bpe import bpe_train
+
+    def py_bpe(texts, n_merges):
+        import re
+        from collections import Counter
+        wc = Counter(w for t in texts
+                     for w in re.sub("[^a-z]+", " ", t.lower()).split())
+        d = "\x1f"
+        seqs = {w: d + d.join(w) + d for w in wc}
+        out = []
+        for step in range(1, n_merges + 1):
+            pc = Counter()
+            for w, seq in seqs.items():
+                syms = seq.strip(d).split(d)
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wc[w]
+            if not pc:
+                break
+            (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, a, b, a + b, c))
+            seqs = {w: s.replace(d + a + d + b + d, d + a + b + d)
+                    for w, s in seqs.items()}
+        return out
+
+    rng = random.Random(421)
+    for trial in range(3):
+        texts = [" ".join("".join(rng.choice("abcd")
+                                  for _ in range(rng.randint(1, 6)))
+                          for _ in range(rng.randint(3, 25)))
+                 for _ in range(12)]
+        expected = py_bpe(texts, 5)
+        got = [(r.step, r.sym_a, r.sym_b, r.merged, r.pair_count)
+               for r in bpe_train(spark,
+                                  spark.createDataFrame([(t,) for t in texts],
+                                                        ["text"]),
+                                  n_merges=5).collect()]
+        assert got == expected, f"trial {trial}"
