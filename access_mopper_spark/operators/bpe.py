@@ -45,7 +45,9 @@ def word_frequency_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     input.  Pre-tokenization keeps ``[a-z]+`` runs only (the role of a
     GPT-2-style pretokenizer class split); one explode + one count
     shuffle over the corpus, output is vocabulary-sized."""
-    words = df.select(
+    from access_mopper_spark.operators.partitioning import ensure_min_partitions
+
+    words = ensure_min_partitions(df).select(
         F.explode(
             F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                             "[^a-z]+", " ")), " ")

@@ -372,6 +372,7 @@ def dup_ngram_fraction(df: DataFrame, text_col: str = "text",
     broadcast can give.  Takes precedence over ``hot_threshold``."""
     from access_mopper_spark.functions.text import word_shingles
 
+    df = ensure_min_partitions(df)  # shingle build is CPU-bound: run wide
     grams = df.select(F.col(id_col),
                       F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
     # aggregate to (doc, gram, n) FIRST: the groupBy inserts an Exchange

@@ -37,7 +37,10 @@ def dictionary_fuzzy_match(corpus: DataFrame, dictionary: DataFrame,
     banded = F.levenshtein(a, b, max_dist)
     cond = ((F.abs(F.length(a) - F.length(b)) <= max_dist)
             & (banded >= 0) & (banded <= max_dist))
-    return (corpus.join(F.broadcast(dictionary), cond)
+    # the per-pair DP is the cost: run the corpus side wide when the
+    # source arrived as few splits (no-op on a many-file 100 TB scan)
+    from access_mopper_spark.operators.partitioning import ensure_min_partitions
+    return (ensure_min_partitions(corpus).join(F.broadcast(dictionary), cond)
             .withColumn("edit_dist", F.levenshtein(a, b, max_dist)))
 
 

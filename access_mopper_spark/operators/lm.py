@@ -49,7 +49,9 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text") -> tuple[DataFrame, D
     ``(bigram, c_big)``, ``(w1, c_uni)`` and a 1-row ``(v)`` — everything
     downstream smoothing needs.  One explode + map-side-combined count
     per table; all three share the single tokenization scan."""
-    toks = df.select(_tokens(F.col(text_col)).alias("__t"))
+    from access_mopper_spark.operators.partitioning import ensure_min_partitions
+
+    toks = ensure_min_partitions(df).select(_tokens(F.col(text_col)).alias("__t"))
     uni = (toks.select(F.explode("__t").alias("w1"))
                .groupBy("w1").agg(F.count("*").alias("c_uni")))
     big = (toks.select(F.explode(_bigrams(F.col("__t"))).alias("bigram"))
@@ -70,7 +72,9 @@ def score_bigram_logprob(df: DataFrame, bigram_counts: DataFrame,
     Documents with fewer than two tokens get a null score (no bigrams to
     judge).  Plan shape: explode → two equi-joins (bigram, then prefix)
     → one per-doc aggregate; the vocabulary size is a broadcast scalar."""
-    pairs = df.select(
+    from access_mopper_spark.operators.partitioning import ensure_min_partitions
+
+    pairs = ensure_min_partitions(df).select(
         id_col,
         F.explode(_bigrams(_tokens(F.col(text_col)))).alias("bigram"))
     pairs = pairs.withColumn("w1", F.split(F.col("bigram"), " ")[0])

@@ -34,11 +34,21 @@ def curate_documents(docs: DataFrame, id_col: str = "doc_id",
     id per fingerprint, and labelled 'train'/'val' by the same
     md5-threshold convention as ``operators/dedup.deterministic_sample``
     (reproducible on any engine or cluster size)."""
-    enriched = docs.select(
+    from access_mopper_spark.operators.partitioning import ensure_min_partitions
+
+    # the scoring scan is CPU-bound Column math — run it wide when the
+    # corpus arrived as few splits (no-op on a many-file 100 TB scan)
+    enriched = ensure_min_partitions(docs).select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
         pround(repetition_score(F.col(text_col), 3), 6).alias("repetition"),
         fingerprint(redact_pii(F.col(text_col))).alias("fp"))
+    # persist the slim stats table (id/counts/fp — ~1% of corpus bytes):
+    # without the boundary Catalyst pushes the quality filter BELOW the
+    # projection with full expression substitution, re-evaluating the
+    # shingle-array repetition score per row (measured 30.7 s → ~18 s at
+    # the ×10 sweep point; same class as the r3 HOF re-evaluation fixes)
+    enriched = enriched.persist()
     filtered = enriched.where((F.col("n_tokens") >= min_tokens)
                               & (F.col("repetition") <= max_repetition))
     kept = (filtered.groupBy("fp")

