@@ -39,6 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # basics, q_near_dup_pairs, q_cosine_topk, q_stream_resample …) rotate
 # OUT to the local-only tail; never-driver-checked families rotate IN;
 # the three r3 hash-flap rows stay until driver-green.
+# Round-5 rotation candidates (added late in r4, local-green at sf0.01
+# AND sf0.1 but never driver-checked): q_bpe_train, q_bpe_encode,
+# q_bloom_decontaminate, q_pagerank, q_moving_avg, q_equi_depth,
+# q_group_regression, q_text_normalize, q_stream_dedup_exact,
+# q_correlated_subquery, q_having_global_share, q_token_budget_fill,
+# q_salted_agg, q_time_gaps, q_gopher_rules, q_order_count_distribution.
 _DRIVER_PRIORITY = [
     # r3 hash-flaps — tie-proofed this round, must re-prove under the driver
     "q_ocnrmadvect", "q_dup_ngrams", "q_corpus_report",

@@ -37,6 +37,10 @@ def main():
             times[name] = round(time.time() - t0, 2)
         except Exception as exc:  # keep sweeping; report at the end
             times[name] = f"ERROR: {str(exc)[:200]}"
+        # queries that persist loop-invariant tables (bpe, pagerank,
+        # curation) would otherwise accumulate cache across the 155-query
+        # sweep and turn later timings into eviction-churn noise
+        spark.catalog.clearCache()
         print(name, times[name], flush=True)
 
     errs = {k: v for k, v in times.items() if isinstance(v, str)}
