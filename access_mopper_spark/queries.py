@@ -1029,7 +1029,8 @@ def q_simhash(spark, sf_dir):
 
 
 def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, seed: int = 7,
-                    k: int = 5, n_queries: int = 4) -> str:
+                    k: int = 5, n_queries: int = 4,
+                    final: str | None = None) -> str:
     """Generate the DuckDB oracle for q_ann_lsh: the hyperplanes are
     deterministic constants (no RNG state), so they inline into the SQL
     verbatim and DuckDB replays the ENTIRE LSH pipeline — bucketing,
@@ -1043,6 +1044,12 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, seed: int = 7,
             f" THEN {1 << (n_planes - 1 - p)} ELSE 0 END)")
     bucket = " + ".join(bucket_terms)
     probes = ", ".join(f"xor(qb, {1 << p})" for p in range(n_planes))
+    tail = final if final is not None else f"""SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    ) t WHERE rank <= {k}"""
     return f"""
     WITH b AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1062,12 +1069,7 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, seed: int = 7,
                       * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine_sim
       FROM probes p JOIN bk e USING (bucket)
     )
-    SELECT query_id, vec_id, cosine_sim, rank FROM (
-      SELECT query_id, vec_id, cosine_sim,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine_sim DESC, vec_id) AS rank
-      FROM scored
-    ) t WHERE rank <= {k}
+    {tail}
     """
 
 
@@ -5892,3 +5894,112 @@ def q_order_count_distribution(spark, sf_dir):
               .groupBy("c_custkey")
               .agg(F.count("o_orderkey").alias("n_orders")))
     return co.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(MIN(value), 6) AS vmin,
+           ROUND(MAX(value), 6) AS vmax
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance: a materialized daily rollup
+    built from a HISTORICAL state (events before the corpus midpoint)
+    merged with a DELTA batch (the rest) must equal the from-scratch
+    aggregation — the pattern that updates a 100 TB rollup by touching
+    only the new partition (count/sum/min/max are decomposable; avg
+    re-derives as sum/count).  The merge is state ∪ delta → re-agg on
+    the same (type, day) key: state stays partitioned by the group key,
+    so only the delta shuffles.  Oracle = the from-scratch GROUP BY,
+    proving the incremental path is result-invariant."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(F.timestamp_micros(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")).alias("__mid"))
+    tagged = ev.crossJoin(F.broadcast(mid))
+    day = F.date_trunc("day", F.col("ts"))
+
+    def rollup(df):
+        return df.groupBy("event_type", day.alias("day")).agg(
+            F.count("*").alias("n"), F.sum("value").alias("total"),
+            F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+
+    state = rollup(tagged.where(F.col("ts") < F.col("__mid")))
+    delta = rollup(tagged.where(F.col("ts") >= F.col("__mid")))
+    merged = (state.unionByName(delta)
+              .groupBy("event_type", "day")
+              .agg(F.sum("n").alias("n"), F.sum("total").alias("total"),
+                   F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax")))
+    return merged.select("event_type", "day", "n",
+                         pround(F.col("total"), 2).alias("total"),
+                         R6(F.col("vmin")).alias("vmin"),
+                         R6(F.col("vmax")).alias("vmax"))
+
+
+_ANN_RECALL_TAIL = """, ann AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM scored
+      ) t WHERE rank <= 5
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND(list_dot_product(e.v, q.qv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                 e.vec_id) AS rank
+        FROM q CROSS JOIN b e
+      ) t WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.vec_id) AS INT) AS n_hit,
+           ROUND(COUNT(a.vec_id) / 5.0, 6) AS recall_at_k
+    FROM exact e
+    LEFT JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id"""
+
+
+@query("q_ann_recall", oracle=_ann_lsh_oracle(final=_ANN_RECALL_TAIL))
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the hyperplane-LSH ANN path against brute-force
+    cosine ground truth, per query — the EVALUATION harness an ANN
+    deployment runs before trusting the approximate index (index-quality
+    measurement as a first-class query, not a unit test).  Both rankings
+    round to 6 dp with an id tie-break so the ground-truth SET is
+    engine-deterministic; the LSH side reuses the exact q_ann_lsh
+    construction.  Plan: candidates via the bucket join, truth via one
+    broadcast corpus pass, recall via a tiny per-query join."""
+    from access_mopper_spark.operators.similarity import (
+        ann_lsh_topk, as_double, cosine, partial_topk)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 4) \
+           .select(F.col("vec_id").alias("query_id"), "embedding")
+    ann = ann_lsh_topk(emb, q, dim=64, k=5, n_planes=6) \
+        .select("query_id", "vec_id")
+    qv = q.select("query_id", as_double(F.col("embedding")).alias("__qv"))
+    scored = (emb.select("vec_id", as_double(F.col("embedding")).alias("__cv"))
+                 .crossJoin(F.broadcast(qv))
+                 .select("query_id", "vec_id",
+                         pround(cosine(F.col("__cv"), F.col("__qv")), 6)
+                         .alias("cosine_sim")))
+    exact = partial_topk(scored, ["query_id"],
+                         [F.col("cosine_sim").desc(), F.col("vec_id")], 5) \
+        .select("query_id", "vec_id")
+    hit = exact.join(ann.withColumn("__hit", F.lit(1)),
+                     ["query_id", "vec_id"], "left")
+    return hit.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("int")
+        .alias("n_hit"),
+        pround(F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / 5.0, 6)
+        .alias("recall_at_k"))
