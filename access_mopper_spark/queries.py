@@ -6003,3 +6003,40 @@ def q_ann_recall(spark, sf_dir):
         .alias("n_hit"),
         pround(F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / 5.0, 6)
         .alias("recall_at_k"))
+
+
+@query(
+    "q_embedding_truncate",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product(e, e)), 6) AS norm_full,
+           ROUND(sqrt(list_dot_product(e[1:16], e[1:16])), 6) AS norm_16,
+           ROUND(list_dot_product(e[1:16], e[1:16])
+                 / list_dot_product(e, e), 6) AS energy_ratio
+    FROM v
+    """,
+)
+def q_embedding_truncate(spark, sf_dir):
+    """Matryoshka-style truncation probe (Kusupati et al. 2022): how
+    much of each embedding's energy the first 16 of 64 dims retain —
+    the measurement that decides whether an index can store truncated
+    vectors (4× memory/bandwidth saving) without retraining.  Map-only
+    `F.aggregate` dot products over the sliced array; the slice itself
+    is free (no copy in Tungsten)."""
+    from access_mopper_spark.operators.similarity import as_double
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    t = F.slice(e, 1, 16)
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    full = dot(e, e)
+    part = dot(t, t)
+    return emb.select(
+        "vec_id",
+        R6(F.sqrt(full)).alias("norm_full"),
+        R6(F.sqrt(part)).alias("norm_16"),
+        R6(part / full).alias("energy_ratio"))
