@@ -6040,3 +6040,62 @@ def q_embedding_truncate(spark, sf_dir):
         R6(F.sqrt(full)).alias("norm_full"),
         R6(F.sqrt(part)).alias("norm_16"),
         R6(part / full).alias("energy_ratio"))
+
+
+@query(
+    "q_phrase_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, g.i AS p, w[g.i] AS t1, w[g.i + 1] AS t2, w[g.i + 2] AS t3
+      FROM toks,
+           (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks)
+                                 + 1)) AS i) g
+      WHERE g.i <= length(w) - 2
+    ),
+    top AS (
+      SELECT t1, t2, t3 FROM pos
+      GROUP BY t1, t2, t3
+      -- tie-break on the SAME concatenated key the Spark side sorts
+      -- (byte-wise comparison parity; \x1f sorts below word chars)
+      ORDER BY COUNT(*) DESC, t1 || chr(31) || t2 || chr(31) || t3 LIMIT 1
+    )
+    SELECT p.doc_id, CAST(COUNT(*) AS INT) AS n_occurrences,
+           CAST(MIN(p.p) AS INT) AS first_pos
+    FROM pos p JOIN top USING (t1, t2, t3)
+    GROUP BY p.doc_id
+    """,
+)
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search over an inverted index: find every
+    occurrence of the corpus's most frequent word TRIGRAM (data-derived,
+    deterministic tie-break — no constant that breaks when testdata
+    regenerates) using (doc, position, term) postings — the adjacency
+    join (p, p+1, p+2) that phrase queries run on a positional index,
+    which BM25's bag-of-words scoring cannot express.  Plan: one
+    explode to postings, a map-side-combined trigram count for the
+    phrase, then the postings self-alignment via the precomputed
+    trigram keys (zero extra join — adjacency is baked into the
+    position table)."""
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.trim(F.col("text")), "[ \t\n\r]+")
+    n = F.size(w)
+    tri = F.zip_with(
+        F.slice(w, 1, F.greatest(n - 2, F.lit(0))),
+        F.zip_with(F.slice(w, 2, F.greatest(n - 2, F.lit(0))),
+                   F.slice(w, 3, F.greatest(n - 2, F.lit(0))),
+                   lambda b, c: F.concat_ws("\x1f", b, c)),
+        lambda a, bc: F.concat_ws("\x1f", a, bc))
+    pos = (docs.where(n >= 3)
+               .select("doc_id", F.posexplode(tri).alias("p0", "gram"))
+               .select("doc_id", (F.col("p0") + 1).alias("p"), "gram"))
+    top = (pos.groupBy("gram").agg(F.count("*").alias("c"))
+              .orderBy(F.desc("c"), F.asc("gram")).limit(1)
+              .select("gram"))
+    return (pos.join(F.broadcast(top), "gram")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("int").alias("n_occurrences"),
+                    F.min("p").cast("int").alias("first_pos")))
