@@ -6099,3 +6099,146 @@ def q_phrase_search(spark, sf_dir):
                .groupBy("doc_id")
                .agg(F.count("*").cast("int").alias("n_occurrences"),
                     F.min("p").cast("int").alias("first_pos")))
+
+
+@query(
+    "q_record_linkage",
+    oracle="""
+    WITH k AS (
+      SELECT c_custkey AS id, lower(c_name) AS nm, c_nationkey AS nat,
+             c_acctbal AS bal, c_mktsegment AS seg,
+             c_nationkey || ':' || CAST(FLOOR(c_acctbal / 500) AS BIGINT)
+               AS blk
+      FROM customer WHERE c_custkey < 600
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CASE WHEN levenshtein(a.nm, b.nm) <= 2 THEN 2.0 ELSE -1.0 END
+             + CASE WHEN a.nat = b.nat THEN 1.5 ELSE -0.5 END
+             + CASE WHEN ABS(a.bal - b.bal) < 250 THEN 1.0 ELSE -0.5 END
+             + CASE WHEN a.seg = b.seg THEN 0.5 ELSE -0.25 END AS score
+      FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+    )
+    SELECT id_a, id_b, ROUND(score, 6) AS score,
+           score >= 2.5 AS is_match
+    FROM pairs
+    """,
+)
+def q_record_linkage(spark, sf_dir):
+    """Fellegi–Sunter-style record-linkage scoring: blocked candidate
+    pairs get per-field agreement/disagreement weights (name edit
+    distance, nation equality, balance proximity, segment equality)
+    summed into a match score and thresholded — the probabilistic-
+    linkage layer ABOVE q_entity_blocks' candidate generation.  One
+    equi-join shuffle on the block key; every weight is Column
+    arithmetic on the joined row, so scoring adds zero extra exchanges
+    at any scale."""
+    cust = load_table(spark, sf_dir, "customer") \
+        .where(F.col("c_custkey") < 600)
+    # blocking key = (nation, balance band): TPC-H names share a long
+    # constant prefix, so a name-prefix block degenerates into one giant
+    # bucket (a full cross product in disguise) — the selective
+    # attribute pair bounds every block like real linkage blocking does
+    k = cust.select(F.col("c_custkey").alias("id"),
+                    F.lower(F.col("c_name")).alias("nm"),
+                    F.col("c_nationkey").alias("nat"),
+                    F.col("c_acctbal").alias("bal"),
+                    F.col("c_mktsegment").alias("seg"),
+                    F.concat(F.col("c_nationkey").cast("string"), F.lit(":"),
+                             F.floor(F.col("c_acctbal") / 500)
+                             .cast("string")).alias("blk"))
+    a = k.select(*[F.col(c).alias(f"{c}_a") for c in k.columns])
+    b = k.select(*[F.col(c).alias(f"{c}_b") for c in k.columns])
+    joined = a.join(b, (F.col("blk_a") == F.col("blk_b"))
+                    & (F.col("id_a") < F.col("id_b")))
+    score = (
+        F.when(F.levenshtein(F.col("nm_a"), F.col("nm_b")) <= 2, 2.0)
+         .otherwise(-1.0)
+        + F.when(F.col("nat_a") == F.col("nat_b"), 1.5).otherwise(-0.5)
+        + F.when(F.abs(F.col("bal_a") - F.col("bal_b")) < 250, 1.0)
+           .otherwise(-0.5)
+        + F.when(F.col("seg_a") == F.col("seg_b"), 0.5).otherwise(-0.25))
+    return joined.select("id_a", "id_b", R6(score).alias("score"),
+                         (score >= 2.5).alias("is_match"))
+
+
+@query(
+    "q_mutual_information",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS x,
+             CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) // 6 AS INT) AS y
+      FROM events
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+    jxy AS (SELECT x, y, COUNT(*) AS cxy FROM base GROUP BY x, y),
+    mx AS (SELECT x, COUNT(*) AS cx FROM base GROUP BY x),
+    my AS (SELECT y, COUNT(*) AS cy FROM base GROUP BY y)
+    SELECT j.x, j.y, CAST(j.cxy AS BIGINT) AS n_xy,
+           ROUND((j.cxy / n.n)
+                 * ln((j.cxy * n.n) / (CAST(m.cx AS DOUBLE) * t.cy)), 6)
+             AS mi_term
+    FROM jxy j
+    JOIN mx m USING (x) JOIN my t USING (y) CROSS JOIN n
+    """,
+)
+def q_mutual_information(spark, sf_dir):
+    """Mutual-information decomposition between event type and
+    time-of-day quadrant: the per-cell terms p(x,y)·ln(p(x,y)/p(x)p(y))
+    whose sum is MI — the dependence probe a feature-selection or
+    drift-detection pass runs over 100 TB of logs.  Three
+    map-side-combined counts (joint + two marginals, each keyed tiny)
+    joined on the ≤|X|·|Y| cell table; the corpus is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(F.col("event_type").alias("x"),
+                     (F.hour("ts") / 6).cast("int").alias("y"))
+    n = base.agg(F.count("*").cast("double").alias("n"))
+    jxy = base.groupBy("x", "y").agg(F.count("*").alias("cxy"))
+    mx = base.groupBy("x").agg(F.count("*").alias("cx"))
+    my = base.groupBy("y").agg(F.count("*").alias("cy"))
+    out = (jxy.join(mx, "x").join(my, "y").crossJoin(F.broadcast(n)))
+    term = (F.col("cxy") / F.col("n")) * F.log(
+        (F.col("cxy") * F.col("n"))
+        / (F.col("cx").cast("double") * F.col("cy")))
+    return out.select("x", "y", F.col("cxy").alias("n_xy"),
+                      R6(term).alias("mi_term"))
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH o AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             l_quantity AS qty,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey,
+                                            l_linenumber
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT flag, ROUND(MIN(price), 6) AS weighted_median,
+           ROUND(MIN(tot), 2) AS total_weight
+    FROM o WHERE cum >= tot / 2 GROUP BY flag
+    """,
+)
+def q_weighted_median(spark, sf_dir):
+    """Weighted median: the smallest price whose cumulative quantity
+    weight reaches half the group total — the weighted-quantile shape
+    (exact, one keyed window cumsum + the partition-total frame sharing
+    the same sort, then a tiny min-reduce).  Quantities are
+    integer-valued doubles, so the half-total threshold is exact on
+    both engines; the cumsum order is totally tie-broken."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wcum = W.partitionBy("l_returnflag") \
+            .orderBy("l_extendedprice", "l_orderkey", "l_linenumber") \
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+    wtot = W.partitionBy("l_returnflag")
+    o = li.select(F.col("l_returnflag").alias("flag"),
+                  F.col("l_extendedprice").alias("price"),
+                  F.sum("l_quantity").over(wcum).alias("cum"),
+                  F.sum("l_quantity").over(wtot).alias("tot"))
+    return (o.where(F.col("cum") >= F.col("tot") / 2)
+             .groupBy("flag")
+             .agg(R6(F.min("price")).alias("weighted_median"),
+                  pround(F.min("tot"), 2).alias("total_weight")))
