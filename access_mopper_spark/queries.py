@@ -6242,3 +6242,120 @@ def q_weighted_median(spark, sf_dir):
              .groupBy("flag")
              .agg(R6(F.min("price")).alias("weighted_median"),
                   pround(F.min("tot"), 2).alias("total_weight")))
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, CAST(e.ts AS TIMESTAMP) AS ts, e.event_id,
+             SUM(e.value - m.med) OVER (
+               PARTITION BY e.event_type
+               ORDER BY CAST(e.ts AS TIMESTAMP), e.event_id
+               ROWS UNBOUNDED PRECEDING) AS s
+      FROM events e JOIN med m USING (event_type)
+    )
+    SELECT event_type,
+           ARG_MAX(ts, ABS(s)) AS change_ts,
+           ROUND(MAX(ABS(s)), 6) AS max_cusum
+    FROM dev GROUP BY event_type
+    """,
+)
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection per event type: the running sum of
+    deviations from the type's MEDIAN peaks where the level shifts —
+    the classic mean-shift detector, as one keyed window cumsum plus an
+    argmax reduce.  The median (exact interpolated percentile) is used
+    as the reference instead of the mean deliberately: it is
+    arithmetic-exact on both engines, and the window cumsum then adds
+    bit-identical terms in the identical (ts, event_id) order, so even
+    the running sums agree to the last bit."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    w = (W.partitionBy("event_type").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    dev = (ev.join(F.broadcast(med), "event_type")
+             .withColumn("s", F.sum(F.col("value") - F.col("med")).over(w)))
+    return dev.groupBy("event_type").agg(
+        F.max_by("ts", F.abs(F.col("s"))).alias("change_ts"),
+        R6(F.max(F.abs(F.col("s")))).alias("max_cusum"))
+
+
+@query(
+    "q_quality_blend",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS tn
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1
+             END AS ntok,
+             length(tn) AS nch
+      FROM t
+    ),
+    ranked AS (
+      SELECT doc_id, ntok,
+             percent_rank() OVER (ORDER BY ntok, doc_id) AS pr_tok,
+             percent_rank() OVER (ORDER BY nch, doc_id) AS pr_len
+      FROM sig
+    )
+    SELECT doc_id, ntok,
+           ROUND(0.7 * pr_tok + 0.3 * pr_len, 6) AS blend
+    FROM ranked
+    ORDER BY blend DESC, doc_id LIMIT 100
+    """,
+)
+def q_quality_blend(spark, sf_dir):
+    """Multi-signal quality blending: each signal (token count, char
+    length) converts to a corpus percentile with a deterministic tie
+    order, signals combine as a weighted blend, and the top-100 docs
+    win — the composite-score selection every curation pipeline runs
+    over its individual quality signals.  percent_rank is exact integer
+    arithmetic ((rank−1)/(n−1)) so the blend is engine-identical;
+    CDF-broadcast + keyed-window formulation keeps every stage
+    distributed (no single-partition global window); percent_rank is
+    exact integer arithmetic ((rank−1)/(n−1)) so the blend is
+    engine-identical; final selection is TakeOrdered (partial top-k).
+    The corpus count is one driver-side scalar (bounded, like
+    dedup_clusters' round counts)."""
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    from access_mopper_spark.functions.text import token_count, ws_normalized
+    sig = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ntok"),
+        F.length(ws_normalized(F.col("text"))).alias("nch"))
+
+    def dist_percent_rank(df, col):
+        # percent_rank WITHOUT the single-partition global window: the
+        # per-value CDF is a tiny broadcast table (cum count of smaller
+        # values), the within-value tie rank a KEYED window — both
+        # distributed; identical integer arithmetic (rank-1)/(n-1)
+        cdf = (df.groupBy(col).agg(F.count("*").alias("__c"))
+                 .withColumn(f"__before_{col}",
+                             F.coalesce(F.sum("__c").over(
+                                 W.orderBy(col).rowsBetween(
+                                     W.unboundedPreceding, -1)),
+                                 F.lit(0)))
+                 .select(col, f"__before_{col}"))
+        within = F.row_number().over(
+            W.partitionBy(col).orderBy("doc_id")) - 1
+        return (df.join(F.broadcast(cdf), col)
+                  .withColumn(f"__pr_{col}",
+                              (F.col(f"__before_{col}") + within)))
+    n1 = sig.count() - 1
+    r1 = dist_percent_rank(sig, "ntok")
+    r2 = dist_percent_rank(r1, "nch")
+    blend = (0.7 * (F.col("__pr_ntok") / n1)
+             + 0.3 * (F.col("__pr_nch") / n1))
+    return (r2.select("doc_id", "ntok", R6(blend).alias("blend"))
+              .orderBy(F.desc("blend"), F.asc("doc_id")).limit(100))
