@@ -280,3 +280,69 @@ def test_bpe_train_matches_pure_python_reference(spark):
                                                         ["text"]),
                                   n_merges=5).collect()]
         assert got == expected, f"trial {trial}"
+
+
+# ------------------------------------------- analytics batch (late r4)
+
+def test_weighted_median_matches_numpy_definition(spark):
+    """Smallest value whose cumulative weight reaches half the total."""
+    from access_mopper_spark.queries import QUERIES
+    rows = QUERIES["q_weighted_median"](spark, "/root/testdata/sf0.001") \
+        .collect()
+    assert rows and all(r.weighted_median > 0 for r in rows)
+    import duckdb
+    con = duckdb.connect()
+    for r in rows:
+        got = con.execute("""
+          WITH o AS (
+            SELECT l_extendedprice AS p, l_quantity AS q,
+                   SUM(l_quantity) OVER (ORDER BY l_extendedprice,
+                       l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(l_quantity) OVER () AS tot
+            FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+            WHERE l_returnflag = ?)
+          SELECT MIN(p) FROM o WHERE cum >= tot / 2
+        """, [r.flag]).fetchone()[0]
+        assert abs(got - r.weighted_median) < 1e-6
+
+
+def test_record_linkage_blocks_are_bounded(spark, sf_dir):
+    """The (nation, balance-band) blocking key must keep candidate
+    pairs far below the all-pairs count — the degenerate name-prefix
+    block (all TPC-H names share a prefix) would emit C(n,2)."""
+    from access_mopper_spark.queries import QUERIES
+    n_pairs = QUERIES["q_record_linkage"](spark, sf_dir).count()
+    n = 600 if sf_dir.endswith("0.01") else 150
+    assert n_pairs < (n * (n - 1) // 2) * 0.05
+
+
+def test_mutual_information_terms_sum_nonnegative(spark, sf_dir):
+    """MI = Σ terms ≥ 0 (information inequality) — a structural check
+    the per-cell decomposition must satisfy."""
+    from access_mopper_spark.queries import QUERIES
+    rows = QUERIES["q_mutual_information"](spark, sf_dir).collect()
+    assert sum(r.mi_term for r in rows) >= -1e-9
+
+
+def test_quality_blend_is_monotone_in_signals(spark, sf_dir):
+    """A doc that dominates another on BOTH signals must blend higher."""
+    from access_mopper_spark.queries import QUERIES
+    rows = QUERIES["q_quality_blend"](spark, sf_dir).collect()
+    assert len(rows) == 100
+    assert all(rows[i].blend >= rows[i + 1].blend
+               for i in range(len(rows) - 1))
+
+
+def test_incremental_agg_equals_scratch(spark, sf_dir):
+    """The merged state∪delta rollup must equal a direct aggregation."""
+    from access_mopper_spark.queries import QUERIES
+    from access_mopper_spark.sources.readers import load_table
+    inc = {(r.event_type, r.day): (r.n, r.total)
+           for r in QUERIES["q_incremental_agg"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    direct = {(r.event_type, r.day): r.n for r in
+              ev.groupBy("event_type",
+                         F.date_trunc("day", "ts").alias("day"))
+                .agg(F.count("*").alias("n")).collect()}
+    assert {k: v[0] for k, v in inc.items()} == direct
