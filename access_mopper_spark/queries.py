@@ -6228,7 +6228,14 @@ def q_weighted_median(spark, sf_dir):
     (exact, one keyed window cumsum + the partition-total frame sharing
     the same sort, then a tiny min-reduce).  Quantities are
     integer-valued doubles, so the half-total threshold is exact on
-    both engines; the cumsum order is totally tie-broken."""
+    both engines; the cumsum order is totally tie-broken.
+
+    Scale note: an exact per-group weighted quantile sorts WITHIN each
+    group key, so parallelism = number of groups (3 here — the 10×
+    sweep's 10 s is that sort).  With few huge groups production uses
+    the two-phase bucket refinement (broadcast weight histogram → exact
+    pass over the one bucket containing the target mass) or
+    percentile_approx when ±ε is acceptable."""
     li = load_table(spark, sf_dir, "lineitem")
     wcum = W.partitionBy("l_returnflag") \
             .orderBy("l_extendedprice", "l_orderkey", "l_linenumber") \
