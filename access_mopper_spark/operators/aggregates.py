@@ -209,3 +209,53 @@ def group_linreg(df: DataFrame, x: Column, y: Column,
     r2 = F.when((varx != 0) & (vary != 0), cov * cov / (varx * vary))
     return agg.select(*group_cols, "n", slope.alias("slope"),
                       intercept.alias("intercept"), r2.alias("r2"))
+
+
+def weighted_median_2phase(df: DataFrame, value_col: str, weight_col: str,
+                           group_cols: list[str], tiebreak: list[str],
+                           bucket_width: float) -> DataFrame:
+    """Exact per-group weighted median with DISTRIBUTED parallelism in
+    both phases — the classic bucket-refinement answer to "an exact
+    quantile sorts within each group" (few huge groups → few busy
+    cores in the naive keyed-window formulation):
+
+    phase 1: a value-bucket weight histogram per group (one small
+    shuffle), cumulated over the TINY bucket table, locates the single
+    bucket containing the half-total mass;
+    phase 2: only that bucket's rows (≤ total_weight/width of the
+    group, by construction) are re-scanned, sorted and cumulated — a
+    sliver of the group, not the group.
+
+    Costs one extra pass over the input; every window runs over
+    bucket-level or sliver-level tables.  Result is identical to the
+    one-pass definition: smallest value whose cumulative weight (in
+    (value, tiebreak) order) reaches half the group total."""
+    val, wt = F.col(value_col), F.col(weight_col)
+    bucket = F.floor(val / bucket_width)
+    hist = (df.groupBy(*group_cols, bucket.alias("__b"))
+              .agg(F.sum(wt).alias("__bw")))
+    wcum = (W.partitionBy(*group_cols).orderBy("__b")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wtot = W.partitionBy(*group_cols)
+    cum = (hist.withColumn("__cum", F.sum("__bw").over(wcum))
+               .withColumn("__tot", F.sum("__bw").over(wtot)))
+    target = (cum.where(F.col("__cum") >= F.col("__tot") / 2)
+                 .groupBy(*group_cols)
+                 .agg(F.min("__b").alias("__tb"),
+                      F.min("__tot").alias("__tot")))
+    before = (cum.join(target.select(*group_cols, "__tb"), group_cols)
+                 .where(F.col("__b") < F.col("__tb"))
+                 .groupBy(*group_cols)
+                 .agg(F.sum("__bw").alias("__before")))
+    sliver = (df.join(F.broadcast(target), group_cols)
+                .where(bucket == F.col("__tb"))
+                .join(F.broadcast(before), group_cols, "left")
+                .na.fill({"__before": 0.0}))
+    scum = (W.partitionBy(*group_cols).orderBy(value_col, *tiebreak)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    hit = (sliver.withColumn("__cum", F.col("__before")
+                             + F.sum(wt).over(scum))
+                 .where(F.col("__cum") >= F.col("__tot") / 2))
+    return hit.groupBy(*group_cols).agg(
+        F.min(val).alias("weighted_median"),
+        F.min("__tot").alias("total_weight"))

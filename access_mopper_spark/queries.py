@@ -6366,3 +6366,40 @@ def q_quality_blend(spark, sf_dir):
              + 0.3 * (F.col("__pr_nch") / n1))
     return (r2.select("doc_id", "ntok", R6(blend).alias("blend"))
               .orderBy(F.desc("blend"), F.asc("doc_id")).limit(100))
+
+
+@query(
+    "q_weighted_median_2phase",
+    oracle="""
+    WITH o AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             l_quantity AS qty,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey,
+                                            l_linenumber
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT flag, ROUND(MIN(price), 6) AS weighted_median,
+           ROUND(MIN(tot), 2) AS total_weight
+    FROM o WHERE cum >= tot / 2 GROUP BY flag
+    """,
+)
+def q_weighted_median_2phase(spark, sf_dir):
+    """The SAME weighted median through the distributed two-phase
+    bucket refinement (aggregates.weighted_median_2phase): phase 1
+    locates the half-mass bucket from a tiny per-group histogram,
+    phase 2 sorts only that bucket's sliver — parallelism no longer
+    bounded by the number of groups, at the cost of a second input
+    pass.  Same oracle as q_weighted_median: the algorithm must be
+    result-invariant."""
+    from access_mopper_spark.operators.aggregates import weighted_median_2phase
+    li = load_table(spark, sf_dir, "lineitem")
+    out = weighted_median_2phase(
+        li.withColumn("flag", F.col("l_returnflag")),
+        "l_extendedprice", "l_quantity", ["flag"],
+        ["l_orderkey", "l_linenumber"], bucket_width=500.0)
+    return out.select("flag",
+                      R6(F.col("weighted_median")).alias("weighted_median"),
+                      pround(F.col("total_weight"), 2).alias("total_weight"))

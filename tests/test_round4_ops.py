@@ -346,3 +346,24 @@ def test_incremental_agg_equals_scratch(spark, sf_dir):
                          F.date_trunc("day", "ts").alias("day"))
                 .agg(F.count("*").alias("n")).collect()}
     assert {k: v[0] for k, v in inc.items()} == direct
+
+
+def test_weighted_median_2phase_equals_one_pass(spark, sf_dir):
+    """Algorithm invariance: bucket refinement must reproduce the
+    one-pass keyed-window result exactly, for several bucket widths
+    (including widths that land group medians on bucket edges)."""
+    from access_mopper_spark.operators.aggregates import weighted_median_2phase
+    from access_mopper_spark.queries import QUERIES
+    ref = {r.flag: (r.weighted_median, r.total_weight)
+           for r in QUERIES["q_weighted_median"](spark, sf_dir).collect()}
+    from access_mopper_spark.sources.readers import load_table
+    li = load_table(spark, sf_dir, "lineitem") \
+        .withColumn("flag", F.col("l_returnflag"))
+    for width in (500.0, 137.0, 10000.0):
+        got = {r.flag: (round(r.weighted_median, 6),
+                        round(r.total_weight, 2))
+               for r in weighted_median_2phase(
+                   li, "l_extendedprice", "l_quantity", ["flag"],
+                   ["l_orderkey", "l_linenumber"], width).collect()}
+        assert got == {k: (round(v[0], 6), round(v[1], 2))
+                       for k, v in ref.items()}, width
