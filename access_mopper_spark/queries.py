@@ -6403,3 +6403,106 @@ def q_weighted_median_2phase(spark, sf_dir):
     return out.select("flag",
                       R6(F.col("weighted_median")).alias("weighted_median"),
                       pround(F.col("total_weight"), 2).alias("total_weight"))
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CASE event_type WHEN 'view' THEN 0.1 WHEN 'click' THEN 0.5
+                  WHEN 'purchase' THEN 5.0 ELSE 1.0 END AS weight
+      FROM events
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           ROUND(SUM(e.value * d.weight), 2) AS weighted_total
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Salted skew join (operators/skew.explode_salt_join) checked
+    against the plain equi-join oracle: the big side's hot key (every
+    event shares one of 5 types — maximal key skew) spreads over 8
+    salt shards, the dim side replicates across the salts, and the
+    rewrite must be invisible in the results.  The explicit form of
+    what AQE skew-join does adaptively — used when the skew is known
+    up front or the join feeds a window AQE can't split."""
+    from access_mopper_spark.operators.skew import explode_salt_join
+    ev = load_table(spark, sf_dir, "events")
+    dim = (ev.select("event_type").distinct()
+             .withColumn("weight",
+                         F.when(F.col("event_type") == "view", 0.1)
+                          .when(F.col("event_type") == "click", 0.5)
+                          .when(F.col("event_type") == "purchase", 5.0)
+                          .otherwise(1.0)))
+    joined = explode_salt_join(ev, dim, "event_type", n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        pround(F.sum(F.col("value") * F.col("weight")), 2)
+        .alias("weighted_total"))
+
+
+@query(
+    "q_gap_fill_locf",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS h,
+             last(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS v
+      FROM events WHERE user_id < 40
+      GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM obs GROUP BY user_id
+    ),
+    spine AS (
+      SELECT s.user_id, s.lo + g.i * INTERVAL 1 HOUR AS h
+      FROM span s,
+           (SELECT UNNEST(range(0,
+              (SELECT CAST(MAX(epoch_us(hi) - epoch_us(lo))
+                           // 3600000000 AS BIGINT) + 1 FROM span))) AS i) g
+      WHERE g.i <= (epoch_us(s.hi) - epoch_us(s.lo)) // 3600000000
+    ),
+    joined AS (
+      SELECT sp.user_id, sp.h, o.v,
+             COUNT(o.v) OVER (PARTITION BY sp.user_id ORDER BY sp.h
+                              ROWS UNBOUNDED PRECEDING) AS grp
+      FROM spine sp LEFT JOIN obs o USING (user_id, h)
+    )
+    SELECT user_id, h,
+           ROUND(MAX(v) OVER (PARTITION BY user_id, grp), 6) AS v_filled,
+           v IS NOT NULL AS observed
+    FROM joined
+    """,
+)
+def q_gap_fill_locf(spark, sf_dir):
+    """Gap filling with last-observation-carried-forward: build each
+    user's hourly spine (sequence + explode — no cross join with a
+    global calendar), left-join the observed hourly values, and fill
+    holes with the latest earlier observation via last(ignoreNulls)
+    over the keyed order — the standard LOCF/ffill shape for sensor
+    and telemetry series, complementary to upsample's interpolation.
+    The oracle expresses the same fill as a count-of-observed grouping
+    (each observation opens a group; the group max is that
+    observation) — same semantics, engine-portable syntax."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    obs = (ev.groupBy("user_id",
+                      F.date_trunc("hour", "ts").alias("h"))
+             .agg(F.max_by("value",
+                           F.struct(F.col("ts"), F.col("event_id")))
+                  .alias("v")))
+    span = obs.groupBy("user_id").agg(F.min("h").alias("lo"),
+                                      F.max("h").alias("hi"))
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi",
+                             F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    joined = spine.join(obs, ["user_id", "h"], "left")
+    w = (W.partitionBy("user_id").orderBy("h")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return joined.select(
+        "user_id", "h",
+        R6(F.last("v", ignorenulls=True).over(w)).alias("v_filled"),
+        F.col("v").isNotNull().alias("observed"))
