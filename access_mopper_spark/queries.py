@@ -6410,8 +6410,12 @@ def q_weighted_median_2phase(spark, sf_dir):
     oracle="""
     WITH dim AS (
       SELECT DISTINCT event_type,
-             CASE event_type WHEN 'view' THEN 0.1 WHEN 'click' THEN 0.5
-                  WHEN 'purchase' THEN 5.0 ELSE 1.0 END AS weight
+             -- integer weights keep value*weight on the exact cent
+             -- grid: fractional weights (0.5, 0.1) put products on the
+             -- half-cent grid, which IS the 2-dp rounding tie — sums
+             -- then flip with engine summation order
+             CASE event_type WHEN 'view' THEN 1.0 WHEN 'click' THEN 2.0
+                  WHEN 'purchase' THEN 5.0 ELSE 3.0 END AS weight
       FROM events
     )
     SELECT e.event_type, COUNT(*) AS n,
@@ -6432,10 +6436,10 @@ def q_salted_join(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     dim = (ev.select("event_type").distinct()
              .withColumn("weight",
-                         F.when(F.col("event_type") == "view", 0.1)
-                          .when(F.col("event_type") == "click", 0.5)
+                         F.when(F.col("event_type") == "view", 1.0)
+                          .when(F.col("event_type") == "click", 2.0)
                           .when(F.col("event_type") == "purchase", 5.0)
-                          .otherwise(1.0)))
+                          .otherwise(3.0)))
     joined = explode_salt_join(ev, dim, "event_type", n_salts=8)
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -6506,3 +6510,54 @@ def q_gap_fill_locf(spark, sf_dir):
         "user_id", "h",
         R6(F.last("v", ignorenulls=True).over(w)).alias("v_filled"),
         F.col("v").isNotNull().alias("observed"))
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             -- integer weights keep value*weight on the exact cent
+             -- grid: fractional weights (0.5, 0.1) put products on the
+             -- half-cent grid, which IS the 2-dp rounding tie — sums
+             -- then flip with engine summation order
+             CASE event_type WHEN 'view' THEN 1.0 WHEN 'click' THEN 2.0
+                  WHEN 'purchase' THEN 5.0 ELSE 3.0 END AS weight
+      FROM events
+    )
+    SELECT CAST(date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS hour,
+           e.event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(e.value * d.weight), 2) AS weighted_total
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join: the unbounded event stream joins
+    a STATIC dimension (no watermark needed on the static side — it is
+    re-read per micro-batch, so dim updates between batches are picked
+    up), then aggregates per hour×type — ingest-time enrichment, the
+    most common production streaming join.  The static side broadcasts
+    into every micro-batch; state is only the windowed aggregate's."""
+    from access_mopper_spark.streaming.resample import (
+        events_stream, harness_shuffle, run_to_memory)
+    ev = events_stream(spark, sf_dir)
+    static_dim = (load_table(spark, sf_dir, "events")
+                  .select("event_type").distinct()
+                  .withColumn("weight",
+                              F.when(F.col("event_type") == "view", 1.0)
+                               .when(F.col("event_type") == "click", 2.0)
+                               .when(F.col("event_type") == "purchase", 5.0)
+                               .otherwise(3.0)))
+    enriched = ev.join(F.broadcast(static_dim), "event_type")
+    agg = (enriched.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("__w"), "event_type")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value") * F.col("weight")).alias("__wt"))
+           .select(F.col("__w.start").alias("hour"), "event_type", "n",
+                   pround(F.col("__wt"), 2).alias("weighted_total")))
+    with harness_shuffle(spark):
+        run_to_memory(agg, "q_stream_static_join_sink", mode="complete")
+    return spark.table("q_stream_static_join_sink")

@@ -60,10 +60,14 @@ HEADLINE = [
     "q_dup_ngrams",
     "q_semantic_dedup",
     "q_stream_sink_replay",
-    # round 4 extension: tokenizer training, bloom probe, range windows
+    # round 4 extension: tokenizer training, bloom probe, range windows,
+    # iterative graph, distributed percent-rank blend, 2-phase quantile
     "q_bpe_train",
     "q_bloom_decontaminate",
     "q_moving_avg",
+    "q_pagerank",
+    "q_quality_blend",
+    "q_weighted_median_2phase",
 ]
 
 
