@@ -6561,3 +6561,96 @@ def q_stream_static_join(spark, sf_dir):
     with harness_shuffle(spark):
         run_to_memory(agg, "q_stream_static_join_sink", mode="complete")
     return spark.table("q_stream_static_join_sink")
+
+
+@query(
+    "q_set_similarity_join",
+    oracle=r"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split(trim(lower(text)), ' '))
+               AS tok
+      FROM (SELECT doc_id,
+                   regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')
+                     AS text
+            FROM documents WHERE doc_id < 120)
+      WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT tok, COUNT(*) AS f FROM dt GROUP BY tok),
+    ranked AS (
+      SELECT d.doc_id, d.tok,
+             ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                                ORDER BY t.f, d.tok) AS pos,
+             COUNT(*) OVER (PARTITION BY d.doc_id) AS n
+      FROM dt d JOIN tf t USING (tok)
+    ),
+    prefix AS (
+      SELECT doc_id, tok, n FROM ranked
+      WHERE pos <= n - (n + 1) // 2 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ni
+      FROM cand c
+      JOIN dt x ON x.doc_id = c.id_a
+      JOIN dt y ON y.doc_id = c.id_b AND y.tok = x.tok
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id)
+    SELECT i.id_a, i.id_b, CAST(i.ni AS INT) AS n_shared,
+           ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
+    """,
+)
+def q_set_similarity_join(spark, sf_dir):
+    """Exact set-similarity join with PREFIX FILTERING (the AllPairs /
+    PPJoin family): order each document's distinct tokens rarest-first
+    by global frequency, join candidates only on the first
+    n−⌈t·n⌉+1 tokens (any pair with Jaccard ≥ t MUST share a prefix
+    token — the pigeonhole bound), then verify the exact Jaccard.
+    DETERMINISTIC exact-threshold output, unlike MinHash-LSH's
+    probabilistic recall — the two coexist in a dedup stack (LSH for
+    web scale, prefix join for exact SLAs on narrower slices).  Plan:
+    token-frequency count, one keyed window for per-doc rank, prefix
+    equi-join (rare tokens → tiny buckets), verification join on the
+    candidate pairs only.  Jaccard is a ratio of ints — engine-exact."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 120)
+    tn = F.trim(F.regexp_replace(F.lower(F.col("text")), "[ \t\n\r]+", " "))
+    dt = (docs.select("doc_id", F.explode(F.array_distinct(
+              F.split(tn, " "))).alias("tok"))
+              .where(F.length("tok") > 0)).distinct()
+    tf = dt.groupBy("tok").agg(F.count("*").alias("f"))
+    ranked = (dt.join(tf, "tok")
+                .withColumn("pos", F.row_number().over(
+                    W.partitionBy("doc_id").orderBy("f", "tok")))
+                .withColumn("n", F.count("*").over(
+                    W.partitionBy("doc_id"))))
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n") - ((F.col("n") + 1) / 2).cast("int") + 1)
+    a = prefix.select(F.col("doc_id").alias("id_a"), "tok")
+    b = prefix.select(F.col("doc_id").alias("id_b"), "tok")
+    cand = (a.join(b, "tok")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    x = dt.select(F.col("doc_id").alias("id_a"), "tok")
+    y = dt.select(F.col("doc_id").alias("id_b"), "tok")
+    inter = (cand.join(x, "id_a").join(y, ["id_b", "tok"])
+                 .groupBy("id_a", "id_b").agg(F.count("*").alias("ni")))
+    sizes = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
+    out = (inter
+           .join(sizes.select(F.col("doc_id").alias("id_a"),
+                              F.col("n").alias("na")), "id_a")
+           .join(sizes.select(F.col("doc_id").alias("id_b"),
+                              F.col("n").alias("nb")), "id_b"))
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb")
+                                        - F.col("ni"))
+    return (out.where(jac >= 0.5)
+               .select("id_a", "id_b", F.col("ni").cast("int")
+                       .alias("n_shared"), R6(jac).alias("jaccard")))
