@@ -6654,3 +6654,92 @@ def q_set_similarity_join(spark, sf_dir):
     return (out.where(jac >= 0.5)
                .select("id_a", "id_b", F.col("ni").cast("int")
                        .alias("n_shared"), R6(jac).alias("jaccard")))
+
+
+@query(
+    "q_point_in_time_join",
+    oracle="""
+    WITH hist AS (
+      SELECT s_suppkey,
+             'v1_' || s_name AS attr,
+             TIMESTAMP '2023-10-01' AS valid_from,
+             TIMESTAMP '2024-01-15' AS valid_to
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'v2_' || s_name,
+             TIMESTAMP '2024-01-15', TIMESTAMP '2024-04-01'
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'v3_' || s_name,
+             TIMESTAMP '2024-04-01', TIMESTAMP '9999-12-31'
+      FROM supplier
+    ),
+    ev AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(user_id % 100 + 1 AS BIGINT) AS s_suppkey, value
+      FROM events
+    )
+    SELECT e.event_id, e.s_suppkey, h.attr,
+           ROUND(e.value, 6) AS value
+    FROM ev e
+    JOIN hist h
+      ON h.s_suppkey = e.s_suppkey
+     AND e.ts >= h.valid_from AND e.ts < h.valid_to
+    """,
+)
+def q_point_in_time_join(spark, sf_dir):
+    """Point-in-time-correct dimension lookup (the feature-store /
+    warehouse PIT join): every event joins the SCD2 history version
+    that was valid AT the event's timestamp — equi-join on the key
+    carries the shuffle, the validity-interval predicate filters
+    post-match (same never-cartesian shape as q_range_join; each event
+    matches exactly one version, which the history's non-overlapping
+    intervals guarantee).  Training-data relevance: features must be
+    computed with point-in-time values or the dataset leaks the
+    future."""
+    sup = load_table(spark, sf_dir, "supplier")
+    ev = load_table(spark, sf_dir, "events")
+    versions = [("v1_", "2023-10-01", "2024-01-15"),
+                ("v2_", "2024-01-15", "2024-04-01"),
+                ("v3_", "2024-04-01", "9999-12-31")]
+    hist = None
+    for pre, lo, hi in versions:
+        v = sup.select(
+            "s_suppkey",
+            F.concat(F.lit(pre), F.col("s_name")).alias("attr"),
+            F.lit(lo).cast("timestamp").alias("valid_from"),
+            F.lit(hi).cast("timestamp").alias("valid_to"))
+        hist = v if hist is None else hist.unionByName(v)
+    e = ev.select("event_id", "ts",
+                  (F.col("user_id") % 100 + 1).alias("s_suppkey"), "value")
+    joined = e.join(hist,
+                    (e.s_suppkey == hist.s_suppkey)
+                    & (e.ts >= hist.valid_from) & (e.ts < hist.valid_to))
+    return joined.select("event_id", e.s_suppkey.alias("s_suppkey"),
+                         "attr", R6(F.col("value")).alias("value"))
+
+
+@query(
+    "q_daily_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS day,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_daily_percentiles(spark, sf_dir):
+    """Daily P50/P95 bands per event type — the SLO/latency-dashboard
+    aggregation, exact interpolated percentiles per (type, day) group
+    in one shuffle (many small groups → full parallelism; the
+    extreme-cardinality swap is percentile_approx, same plan shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type",
+                       F.date_trunc("day", "ts").alias("day"))
+              .agg(F.count("*").alias("n"),
+                   R6(F.expr("percentile(value, 0.5)")).alias("p50"),
+                   R6(F.expr("percentile(value, 0.95)")).alias("p95")))
