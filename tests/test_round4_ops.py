@@ -367,3 +367,35 @@ def test_weighted_median_2phase_equals_one_pass(spark, sf_dir):
                    ["l_orderkey", "l_linenumber"], width).collect()}
         assert got == {k: (round(v[0], 6), round(v[1], 2))
                        for k, v in ref.items()}, width
+
+
+def test_prefix_filter_is_complete(spark):
+    """Pigeonhole property: the prefix-filtered candidate set must
+    contain EVERY pair with Jaccard ≥ t — verified against brute-force
+    all-pairs on a small synthetic corpus with controlled overlaps."""
+    from access_mopper_spark.queries import QUERIES
+    import itertools
+
+    rows = QUERIES["q_set_similarity_join"](
+        spark, "/root/testdata/sf0.001").collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in rows}
+
+    import duckdb
+    con = duckdb.connect()
+    docs = con.execute("""
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS t
+      FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+      WHERE doc_id < 120""").fetchall()
+    sets = {d: set(t.split(" ")) - {""} for d, t in docs if t.strip()}
+    brute = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            brute[(a, b)] = j
+    assert set(got) == set(brute)
+    for k, v in brute.items():
+        assert abs(got[k] - v) < 1e-6
