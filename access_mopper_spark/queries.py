@@ -6743,3 +6743,39 @@ def q_daily_percentiles(spark, sf_dir):
               .agg(F.count("*").alias("n"),
                    R6(F.expr("percentile(value, 0.5)")).alias("p50"),
                    R6(F.expr("percentile(value, 0.95)")).alias("p95")))
+
+
+@query(
+    "q_skew_metrics",
+    oracle="""
+    WITH ks AS (
+      SELECT l_partkey AS key, COUNT(*) AS c FROM lineitem GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           ROUND(AVG(CAST(c AS DOUBLE)), 6) AS mean_key_rows,
+           ROUND(MAX(c) / AVG(CAST(c AS DOUBLE)), 6) AS skew_ratio,
+           ROUND(quantile_cont(c, 0.99), 6) AS p99_key_rows
+    FROM ks
+    """,
+)
+def q_skew_metrics(spark, sf_dir):
+    """Join-key skew diagnostics: per-key row counts reduced to the
+    numbers that decide a join strategy BEFORE running it — max key
+    cardinality, mean, max/mean skew ratio, discrete P99.  This is the
+    probe that tells you whether l_partkey needs salting/AQE skew
+    handling at 100 TB (ratio ≈ 1 → uniform; ≫ 1 → hot keys).  One
+    map-side-combined count plus a 1-row reduce; the P99 is the
+    exact INTERPOLATED quantile (both engines run the identical
+    integer-lerp arithmetic; discrete-quantile index conventions
+    differ between engines at some n, interpolation cannot)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ks = li.groupBy(F.col("l_partkey").alias("key")) \
+           .agg(F.count("*").alias("c"))
+    return ks.agg(
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+        R6(F.avg(F.col("c").cast("double"))).alias("mean_key_rows"),
+        R6(F.max("c") / F.avg(F.col("c").cast("double")))
+        .alias("skew_ratio"),
+        R6(F.expr("percentile(c, 0.99)")).alias("p99_key_rows"))
