@@ -6779,3 +6779,80 @@ def q_skew_metrics(spark, sf_dir):
         R6(F.max("c") / F.avg(F.col("c").cast("double")))
         .alias("skew_ratio"),
         R6(F.expr("percentile(c, 0.99)")).alias("p99_key_rows"))
+
+
+@query(
+    "q_pareto_class",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey, SUM(l_extendedprice) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS tot
+      FROM pr
+    )
+    SELECT CASE WHEN cum <= tot * 0.8 THEN 'A'
+                WHEN cum <= tot * 0.95 THEN 'B' ELSE 'C' END AS class,
+           COUNT(*) AS n_parts,
+           ROUND(SUM(rev), 2) AS class_revenue
+    FROM c GROUP BY 1
+    """,
+)
+def q_pareto_class(spark, sf_dir):
+    """ABC / Pareto classification: parts ranked by revenue, cumulative
+    share cut at 80 % / 95 % — the inventory-analysis shape (a few keys
+    carry most of the mass; the same skew the engine's salting handles,
+    here surfaced as a business rollup).  Part revenues aggregate in
+    one shuffle; the ranked cumsum runs over the part-level table (far
+    smaller than the fact table), deterministically tie-broken.
+    Boundary determinism: cum and tot sum the identical part-level
+    doubles in the identical order on both engines, so the 0.8·tot
+    comparisons cannot flip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("rev"))
+    wcum = (W.orderBy(F.desc("rev"), F.asc("l_partkey"))
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = pr.select(
+        "rev",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(W.partitionBy()).alias("tot"))
+    cls = F.when(F.col("cum") <= F.col("tot") * 0.8, "A") \
+           .when(F.col("cum") <= F.col("tot") * 0.95, "B").otherwise("C")
+    return c.groupBy(cls.alias("class")).agg(
+        F.count("*").alias("n_parts"),
+        pround(F.sum("rev"), 2).alias("class_revenue"))
+
+
+@query(
+    "q_null_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(value) AS null_value,
+           COUNT(*) - COUNT(props) AS null_props,
+           COUNT(DISTINCT event_type) AS card_event_type,
+           COUNT(DISTINCT user_id) AS card_user,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    """,
+)
+def q_null_profile(spark, sf_dir):
+    """Column profiling in one pass: row count, per-column null counts,
+    low-cardinality exact distincts, id range — the data-quality probe
+    a pipeline runs on every new partition before processing it (and
+    what an optimizer's ANALYZE collects).  Single aggregation, all
+    counters map-side combined; at extreme cardinality the distincts
+    swap to approx_count_distinct, same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("value")).alias("null_value"),
+        (F.count("*") - F.count("props")).alias("null_props"),
+        F.countDistinct("event_type").alias("card_event_type"),
+        F.countDistinct("user_id").alias("card_user"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"))
