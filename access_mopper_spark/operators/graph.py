@@ -63,4 +63,11 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                                + damping * F.coalesce(F.col("__in"),
                                                       F.lit(0.0)))
                               .alias("rank")))
-    return ranks
+    # materialize the final ranks (truncating the k-iteration lineage),
+    # then release the loop invariants — without this every invocation
+    # leaks three cached tables for the session lifetime (mirrors
+    # bpe_train's base.unpersist())
+    out = ranks.localCheckpoint(eager=True)
+    for t in (e, nodes, deg):
+        t.unpersist()
+    return out

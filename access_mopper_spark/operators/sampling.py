@@ -175,13 +175,16 @@ def weighted_sample_per_group(df: DataFrame, weight_col: str, k: int,
     top-k keys per group are exactly a weighted sample without
     replacement.  Membership is a pure function of (salt, id, weight) —
     reproducible across engines and cluster sizes.  One keyed window
-    shuffle (the same top-k-per-group shape as ``cap_per_group``);
-    weights must be strictly positive."""
+    shuffle (the same top-k-per-group shape as ``cap_per_group``).
+    Rows with NULL or non-positive weight are excluded — weight 0 means
+    "never sample" in E-S semantics, and 1/w on a zero weight is an
+    ANSI divide-by-zero (fuzz-caught on empty documents)."""
     key = F.pow(uniform_hash(F.col(id_col), salt),
                 F.lit(1.0) / F.col(weight_col))
     rn = F.row_number().over(
         W.partitionBy(group_col).orderBy(F.col("__wkey").desc(), F.col(id_col)))
-    return (df.withColumn("__wkey", key)
+    return (df.where(F.col(weight_col) > 0)
+              .withColumn("__wkey", key)
               .withColumn("__rn", rn)
               .where(F.col("__rn") <= k)
               .drop("__wkey", "__rn"))

@@ -6,6 +6,16 @@ order-insensitive values (columns sorted by name, rows sorted, cells
 canonicalized).  Usage::
 
     python tools/check_correctness.py [sf_dir] [query ...]
+
+Float canonicalization is FULL precision (``repr``): the driver hashes
+exact values, so a local gate that rounds to 9 dp can pass rows the
+driver fails (r4 verdict item 4).  The rounding convention
+(functions/rounding.pround on both engines) is what makes full-precision
+parity achievable; anything that diverges at ulp level here is a real
+cross-engine bug, not noise.
+
+``connect_oracle`` / ``compare_one`` are importable so tests and
+tools/fuzz_correctness.py run the identical gate on other data dirs.
 """
 
 from __future__ import annotations
@@ -16,6 +26,9 @@ import time
 from datetime import date, datetime
 
 sys.path.insert(0, "/root/repo")
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
 
 
 def canon(v):
@@ -28,7 +41,7 @@ def canon(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
@@ -42,9 +55,49 @@ def frame_repr(cols, rows):
     return [cols[i] for i in order], out
 
 
-def main():
+def connect_oracle(sf_dir: str):
+    """DuckDB connection with the standard table views over ``sf_dir``."""
     import duckdb
 
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def compare_one(spark, con, name, fn, oracle, sf_dir):
+    """Run one query both ways and compare.  Returns (status, detail):
+    status ∈ {'pass', 'rows-only', 'fail'}."""
+    try:
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+    except Exception as ex:
+        return "fail", f"spark error: {ex}"
+    if oracle is None:
+        return "rows-only", f"{len(srows)} rows"
+    try:
+        res = con.execute(oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    except Exception as ex:
+        return "fail", f"oracle error: {ex}"
+
+    sc, sr = frame_repr(scols, srows)
+    dc, dr = frame_repr(dcols, drows)
+    if sc != dc:
+        return "fail", f"schema mismatch: spark={sc} duck={dc}"
+    if len(sr) != len(dr):
+        return "fail", f"rowcount spark={len(sr)} duck={len(dr)}"
+    bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+    if bad:
+        return "fail", (f"{len(bad)}/{len(sr)} rows differ; first:\n"
+                        f"  spark: {bad[0][0]}\n  duck : {bad[0][1]}")
+    return "pass", f"{len(sr)} rows"
+
+
+def main():
     from access_mopper_spark.session import get_spark
     import __spark_entry__ as e
 
@@ -60,10 +113,7 @@ def main():
             .appName("check_correctness_vanilla").getOrCreate()
     else:
         spark = get_spark(app_name="check_correctness")
-    con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    con = connect_oracle(sf_dir)
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures, n_checked = [], 0
@@ -71,45 +121,17 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
-        except Exception as ex:
-            failures.append((name, f"SPARK ERROR: {ex}"))
-            print(f"FAIL  {name}: spark error: {ex}")
-            continue
-        if name not in oracles:
-            print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) — no oracle")
+        status, detail = compare_one(spark, con, name, fn,
+                                     oracles.get(name), sf_dir)
+        if status == "rows-only":
+            print(f"ok?   {name}: rows-only ({detail}, {time.time()-t0:.1f}s) — no oracle")
             continue
         n_checked += 1
-        try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as ex:
-            failures.append((name, f"ORACLE ERROR: {ex}"))
-            print(f"FAIL  {name}: oracle error: {ex}")
-            continue
-
-        sc, sr = frame_repr(scols, srows)
-        dc, dr = frame_repr(dcols, drows)
-        if sc != dc:
-            failures.append((name, f"schema mismatch: spark={sc} duck={dc}"))
-            print(f"FAIL  {name}: schema mismatch\n  spark={sc}\n  duck ={dc}")
-            continue
-        if len(sr) != len(dr):
-            failures.append((name, f"rowcount {len(sr)} vs {len(dr)}"))
-            print(f"FAIL  {name}: rowcount spark={len(sr)} duck={len(dr)}")
-            continue
-        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
-        if bad:
-            failures.append((name, f"{len(bad)} differing rows, first: {bad[0]}"))
-            print(f"FAIL  {name}: {len(bad)}/{len(sr)} rows differ")
-            print(f"  spark: {bad[0][0]}")
-            print(f"  duck : {bad[0][1]}")
-            continue
-        print(f"PASS  {name} ({len(sr)} rows, {time.time()-t0:.1f}s)")
+        if status == "fail":
+            failures.append((name, detail))
+            print(f"FAIL  {name}: {detail}")
+        else:
+            print(f"PASS  {name} ({detail}, {time.time()-t0:.1f}s)")
 
     print(f"\n{n_checked - len(failures)}/{n_checked} oracle-checked queries pass; "
           f"{len(qs)} queries total")

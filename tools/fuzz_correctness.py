@@ -1,0 +1,223 @@
+"""Seed-sweep adversarial differential fuzzer for the driver prefix.
+
+The driver regenerates ``documents``/``events`` every round, so a flap
+that never reproduces on the shipped testdata needs a local instrument
+(r4 verdict item 3).  This tool regenerates those two tables under N
+seeds with hostile properties —
+
+* documents: trailing ``\\t``/``\\n``, leading whitespace, embedded
+  ``\\x0B``/``\\f``/CRLF/NBSP, collapsed-run variants, blank and
+  whitespace-only docs, single-word docs, exact/near duplicate
+  families, NULL text/lang/source;
+* events: identical-µs timestamp ties, midnight-exact and 5-minute-grid
+  timestamps, repeated exact values (median/max ties), NULL value/props
+
+— then runs the 50-query driver prefix differentially (Spark vs DuckDB,
+full-precision compare from tools/check_correctness.py) on each seed.
+Only prefix queries whose oracle references a regenerated table run (the
+rest are invariant under the fuzz).  Exit 0 = zero diffs across all
+seeds.
+
+Usage::
+
+    python tools/fuzz_correctness.py [n_seeds] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import re
+import sys
+import time
+from datetime import datetime, timedelta
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(__file__))
+
+from check_correctness import TABLES, compare_one, connect_oracle  # noqa: E402
+
+VOCAB = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
+         "part", "hash", "merge", "batch", "spark", "a", "the", "line",
+         "sort", "window", "join", "filter", "group", "order", "query",
+         "stream", "vector", "column", "data", "big", "small", "dup",
+         "customer"]
+LANGS = ["en", "en", "en", "en", "fr", "de", "es", "zh"]
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def _embed(text: str, ch: str, rng: random.Random) -> str:
+    """Replace one interior space with ``ch`` (or append if no space)."""
+    spaces = [i for i, c in enumerate(text) if c == " "]
+    if not spaces:
+        return text + ch
+    i = rng.choice(spaces)
+    return text[:i] + ch + text[i + 1:]
+
+
+def _mutate_ws(text: str, rng: random.Random) -> str:
+    muts = [
+        lambda t: t + "\t",
+        lambda t: t + "\n",
+        lambda t: t + " \t ",
+        lambda t: "\t" + t,
+        lambda t: "  " + t,
+        lambda t: t.replace(" ", "  ", 3),
+        lambda t: _embed(t, "\x0b", rng),
+        lambda t: _embed(t, "\f", rng),
+        lambda t: _embed(t, "\r\n", rng),
+        lambda t: _embed(t, " ", rng),
+        lambda t: _embed(t, " \t ", rng),
+    ]
+    for m in rng.sample(muts, rng.randint(1, 3)):
+        text = m(text)
+    return text
+
+
+def gen_documents(seed: int, n: int = 500):
+    """Adversarial documents table as python column lists."""
+    rng = random.Random(1000 + seed)
+    rows = []
+    texts_so_far = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.02 and texts_so_far:
+            text = None  # NULL text
+        elif r < 0.05:
+            text = rng.choice(["", " \t ", "\x0b", " ", "\n\n"])
+        elif r < 0.08:
+            text = " ".join(rng.choices(VOCAB, k=rng.randint(1, 3)))
+        elif r < 0.20 and texts_so_far:
+            text = rng.choice(texts_so_far)  # exact duplicate family
+        elif r < 0.30 and texts_so_far:
+            base = rng.choice(texts_so_far).split(" ")
+            if base:
+                base[rng.randrange(len(base))] = rng.choice(VOCAB)
+            text = " ".join(base)  # near duplicate
+        else:
+            text = " ".join(rng.choices(VOCAB, k=rng.randint(8, 70)))
+        if text is not None and text.strip() and rng.random() < 0.30:
+            text = _mutate_ws(text, rng)
+        if text is not None:
+            texts_so_far.append(text)
+        lang = None if rng.random() < 0.02 else rng.choice(LANGS)
+        source = None if rng.random() < 0.02 else f"src{rng.randrange(20)}"
+        rows.append((i, text, lang, source,
+                     None if text is None else len(text)))
+    return rows
+
+
+def gen_events(seed: int, n: int = 10000):
+    rng = random.Random(2000 + seed)
+    base = datetime(2024, 1, 1)
+    rows = []
+    shared_ts = None
+    for i in range(n):
+        r = rng.random()
+        if r < 0.03 and shared_ts is not None:
+            ts = shared_ts  # identical-µs tie with an earlier event
+        elif r < 0.05:
+            ts = base + timedelta(days=rng.randrange(30))  # midnight exact
+        elif r < 0.08:
+            ts = base + timedelta(minutes=5 * rng.randrange(30 * 24 * 12))
+        else:
+            ts = base + timedelta(seconds=rng.uniform(0, 30 * 86400))
+            ts = ts.replace(microsecond=rng.randrange(1_000_000))
+        if rng.random() < 0.10:
+            shared_ts = ts
+        rv = rng.random()
+        if rv < 0.01:
+            value = None
+        elif rv < 0.10:
+            value = 250.0  # repeated exact value: median/max_by ties
+        elif rv < 0.15:
+            value = round(rng.uniform(0, 5), 2)  # near-zero cluster
+        else:
+            value = round(rng.uniform(0.01, 490.02), 2)
+        props = None if rng.random() < 0.01 else '{"k": %d}' % rng.randrange(100)
+        rows.append((i, ts, rng.randrange(150), rng.choice(EVENT_TYPES),
+                     value, props))
+    return rows
+
+
+def write_fuzz_dir(seed: int, base_sf: str, out_dir: str,
+                   n_docs: int = 500, n_events: int = 10000) -> str:
+    """Materialize a fuzz sf-dir: regenerated documents/events parquet,
+    symlinks to ``base_sf`` for every other table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = gen_documents(seed, n_docs)
+    doc_tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+        "text": pa.array([r[1] for r in docs], pa.string()),
+        "lang": pa.array([r[2] for r in docs], pa.string()),
+        "source": pa.array([r[3] for r in docs], pa.string()),
+        "n_chars": pa.array([r[4] for r in docs], pa.int64()),
+    })
+    pq.write_table(doc_tbl, os.path.join(out_dir, "documents.parquet"))
+
+    evs = gen_events(seed, n_events)
+    ev_tbl = pa.table({
+        "event_id": pa.array([r[0] for r in evs], pa.int64()),
+        "ts": pa.array([r[1] for r in evs], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in evs], pa.int64()),
+        "event_type": pa.array([r[3] for r in evs], pa.string()),
+        "value": pa.array([r[4] for r in evs], pa.float64()),
+        "props": pa.array([r[5] for r in evs], pa.string()),
+    })
+    pq.write_table(ev_tbl, os.path.join(out_dir, "events.parquet"))
+
+    for t in TABLES:
+        if t in ("documents", "events"):
+            continue
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base_sf, f"{t}.parquet"), dst)
+    return out_dir
+
+
+def main():
+    from access_mopper_spark.session import get_spark
+    import __spark_entry__ as e
+
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    only = set(sys.argv[2:])
+    base_sf = os.environ.get("SPARK_GRAFT_FUZZ_BASE", "/root/testdata/sf0.01")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    prefix = list(qs)[:50]
+    if only:
+        targets = [q for q in prefix if q in only] + \
+                  [q for q in only if q not in prefix]
+    else:
+        targets = [q for q in prefix
+                   if q in oracles
+                   and re.search(r"\b(documents|events)\b", oracles[q])]
+    print(f"fuzzing {len(targets)} queries × {n_seeds} seeds: {targets}")
+
+    spark = get_spark(app_name="fuzz_correctness")
+    failures = []
+    for seed in range(n_seeds):
+        out_dir = f"/tmp/fuzz_sf/seed{seed}"
+        write_fuzz_dir(seed, base_sf, out_dir)
+        con = connect_oracle(out_dir)
+        t0 = time.time()
+        for name in targets:
+            status, detail = compare_one(spark, con, name, qs[name],
+                                         oracles.get(name), out_dir)
+            if status == "fail":
+                failures.append((seed, name, detail))
+                print(f"FAIL  seed{seed} {name}: {detail}")
+        con.close()
+        print(f"seed{seed}: done in {time.time()-t0:.0f}s, "
+              f"{sum(1 for s, _, _ in failures if s == seed)} failures")
+
+    print(f"\n{len(failures)} total failures across {n_seeds} seeds")
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
