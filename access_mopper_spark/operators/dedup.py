@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from access_mopper_spark.functions.rounding import pround
@@ -61,6 +61,14 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 4,
     sh = (char_shingles(F.col(text_col), shingle_k) if shingle_kind == "char"
           else word_shingles(F.col(text_col), shingle_k))
 
+    # NULL text has no shingles → NULL signature (the oracle's MIN over
+    # an empty set); without this the fold's init sentinel leaks out
+    # because least()/array_min() skip the NULL hashes
+    def _null_on_null_text(out_df, col, typ):
+        return out_df.withColumn(
+            col, F.when(F.col(text_col).isNull(),
+                        F.lit(None).cast(typ)).otherwise(F.col(col)))
+
     if hash_kind == "xxhash64":
         def xx_fn(seed):  # factory: a default arg would read as the index param
             return lambda s: F.xxhash64(s, F.lit(seed))
@@ -69,6 +77,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 4,
         for i in range(n_hashes):
             out = out.withColumn(
                 f"minhash_{i}", F.array_min(F.transform(sh, xx_fn(i))))
+            out = _null_on_null_text(out, f"minhash_{i}", "long")
         return out
 
     # PySpark infers lambda arity from the signature, so closures must be
@@ -95,17 +104,27 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 4,
         out = out.withColumn(f"__mh{g}", F.aggregate(hashes, init, merge_fn(k)))
         for j in range(k):
             out = out.withColumn(f"minhash_{4 * g + j}", F.col(f"__mh{g}")[f"m{j}"])
+            out = _null_on_null_text(out, f"minhash_{4 * g + j}", "string")
         out = out.drop(f"__mh{g}")
     return out
 
 
 def lsh_band_keys(sig_df: DataFrame, n_hashes: int = 4, band_size: int = 2) -> DataFrame:
     """Concatenate signature rows into band keys (banding technique:
-    docs agreeing on ANY band become candidates)."""
+    docs agreeing on ANY band become candidates).
+
+    A NULL signature (NULL text — no shingles) yields NULL band keys,
+    so shingle-less docs never become candidates of each other: without
+    this, concat_ws skips the NULLs and every NULL doc lands in the
+    md5('') bucket (fuzz seed2: cross-corpus decontamination flagged
+    NULL docs as contaminated by the holdout's NULL docs)."""
     out = sig_df
     for b in range(0, n_hashes, band_size):
         cols = [F.col(f"minhash_{i}") for i in range(b, min(b + band_size, n_hashes))]
-        out = out.withColumn(f"band_{b // band_size}", F.md5(F.concat_ws("|", *cols)))
+        out = out.withColumn(
+            f"band_{b // band_size}",
+            F.when(cols[0].isNull(), F.lit(None).cast("string"))
+             .otherwise(F.md5(F.concat_ws("|", *cols))))
     return out
 
 
@@ -113,7 +132,8 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
                    n_hashes: int = 6, band_size: int = 2, shingle_k: int = 3,
                    jaccard_threshold: float = 0.5,
                    shingle_kind: str = "word",
-                   hash_kind: str = "md5") -> DataFrame:
+                   hash_kind: str = "md5",
+                   band_cap: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact Jaccard on distinct
     shingle sets.
 
@@ -121,7 +141,19 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     the shingle arrays never enter the band self-join shuffle; after
     id-pair dedup, shingle sets are re-joined by id (two linear joins)
     for the exact-Jaccard verify.  Bucket sizes stay bounded because
-    word-shingle minhashes are diverse (see minhash_signature note)."""
+    word-shingle minhashes are diverse (see minhash_signature note).
+
+    ``band_cap``: optional per-band candidate cap.  Duplicate FAMILIES
+    make bucket populations grow with corpus replication and the
+    intra-bucket pair count grows quadratically (the r4 ×10 sweep
+    measured 8.8× wall growth for 10× data from exactly this); capping
+    each (band_idx, band_key) bucket to its ``band_cap`` smallest ids
+    bounds every bucket's pair count at cap² with a documented recall
+    tradeoff: a pair is missed only if, in EVERY band the two docs
+    share, one of them falls outside the bucket's cap — family members
+    beyond the cap still dedup transitively through the kept
+    representatives.  The cap is deterministic (smallest ids), so an
+    oracle replays it exactly; ``None`` = exact LSH semantics."""
     from access_mopper_spark.functions.text import word_shingles
     df = ensure_min_partitions(df)
     sig = lsh_band_keys(
@@ -138,6 +170,10 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.struct(F.lit(b).alias("bi"), F.col(f"band_{b}").alias("bk"))
         for b in range(n_bands)])).alias("__b")) \
         .select(id_col, F.col("__b.bi").alias("bi"), F.col("__b.bk").alias("bk"))
+    if band_cap is not None:
+        wb = Window.partitionBy("bi", "bk").orderBy(F.asc(id_col))
+        ids = (ids.withColumn("__r", F.row_number().over(wb))
+                  .where(F.col("__r") <= band_cap).drop("__r"))
     a = ids.select(F.col(id_col).alias("id_a"), "bi", "bk")
     bdf = ids.select(F.col(id_col).alias("id_b"), "bi", "bk")
     cand = (a.join(bdf, ["bi", "bk"]).where(F.col("id_a") < F.col("id_b"))

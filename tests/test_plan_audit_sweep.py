@@ -1,7 +1,18 @@
 """Registry-wide physical-plan audit: build (don't execute) every batch
 query's plan and assert no unbounded CartesianProduct ever appears —
 broadcast nested-loop joins are permitted (bounded build side: tiny
-dictionaries, 1-row scalar aggregates), a shuffled cartesian never is."""
+dictionaries, 1-row scalar aggregates), a shuffled cartesian never is.
+
+Also asserts no UNPARTITIONED window runs over unbounded rows: a window
+with an empty partition spec serializes the whole input through one
+task.  Permitted exceptions: (a) plans where Spark pushed the rank
+filter down as Partial/Final WindowGroupLimit — every partition
+pre-prunes to top-k, so the final ordered pass sees ≤ partitions·k
+rows (the five global top-k queries); (b) the NetCDF time-axis lag in
+bounds derive/check — inherently sequential over a calendar-bounded
+coordinate table."""
+
+import re
 
 from access_mopper_spark.queries import QUERIES
 
@@ -13,12 +24,36 @@ STREAMING = {"q_stream_resample", "q_stateful_totals", "q_stream_curation",
              "q_stream_dedup_exact", "q_stream_static_join"}
 
 
-def test_no_cartesian_product_in_any_query(spark, sf_dir):
-    offenders = []
+#: unpartitioned windows over a BOUNDED sequential axis (time
+#: coordinates: cardinality = calendar length, not data volume)
+AXIS_WINDOW_OK = {"q_bounds_derive", "q_bounds_check"}
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    out = []
+    for line in plan.splitlines():
+        m = re.search(r"windowspecdefinition\(([^)]*)\)", line)
+        if not m:
+            continue
+        first = m.group(1).split(",")[0]
+        # partition columns precede the ordering spec; a spec that STARTS
+        # with an ordering column has no partition
+        if "ASC NULLS" in first or "DESC NULLS" in first:
+            out.append(line.strip()[:90])
+    return out
+
+
+def test_no_cartesian_product_or_global_window_in_any_query(spark, sf_dir):
+    cartesian, global_windows = [], []
     for name, fn in QUERIES.items():
         if name in STREAMING:
             continue
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert not offenders, f"cartesian products in: {offenders}"
+            cartesian.append(name)
+        if name not in AXIS_WINDOW_OK and _unpartitioned_windows(plan) \
+                and "WindowGroupLimit" not in plan:
+            global_windows.append(name)
+    assert not cartesian, f"cartesian products in: {cartesian}"
+    assert not global_windows, \
+        f"unbounded single-partition windows in: {global_windows}"
