@@ -35,43 +35,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # need hard driver signal.  Rows rotated out (all driver-green in r1 AND
 # r2, with their family still represented) remain oracle-checked by
 # tools/check_correctness.py (full registry).
-# Round-4 rotation: 2-round-green rows (scan/join/agg/resample/interp
-# basics, q_near_dup_pairs, q_cosine_topk, q_stream_resample …) rotate
-# OUT to the local-only tail; never-driver-checked families rotate IN;
-# the three r3 hash-flap rows stay until driver-green.
-# Round-5 rotation candidates (added late in r4, local-green at sf0.01
-# AND sf0.1 but never driver-checked): q_bpe_train, q_bpe_encode,
-# q_bloom_decontaminate, q_pagerank, q_moving_avg, q_equi_depth,
-# q_group_regression, q_text_normalize, q_stream_dedup_exact,
-# q_correlated_subquery, q_having_global_share, q_token_budget_fill,
-# q_salted_agg, q_time_gaps, q_gopher_rules, q_order_count_distribution.
+# Round-5 rotation: the 29 rows green in BOTH r3 and r4 rotate OUT to
+# the local-only tail (policy: two green driver rounds, family still
+# represented) — EXCEPT rows whose semantics changed this round
+# (q_simhash, q_lm_score, q_weighted_sample, q_curation_pipeline's
+# shared trim convention is covered by other in-prefix rows).  Rows
+# green only in r4 stay for their second round.  The three r4
+# hash-fails stay until driver-green.  Rotated IN: the 16 round-5
+# candidates from the r4 comment, the 11 rows whose operator/oracle
+# changed this round (tokenizer dialect, NULL-signature contract,
+# cusum tie order, distributed cumsum/CDF, band cap), and the two new
+# §2.1 oracle rows (varlist/dreq round trip, CV + z-factor attach).
 _DRIVER_PRIORITY = [
-    # r3 hash-flaps — tie-proofed this round, must re-prove under the driver
-    "q_ocnrmadvect", "q_dup_ngrams", "q_corpus_report",
-    # calendars (r3-new, one green round — keep for the second)
-    "q_cal360_resample", "q_cal_noleap_resample", "q_upsample_calendar",
-    # domain composites / ingest
-    "q_tslsi_tiles", "q_ice_transports", "q_ancillary_grids",
-    "q_netcdf_ingest",
-    # training-data pipeline carried rows
-    "q_dedup_clusters", "q_simhash", "q_ann_lsh", "q_cosine_pairs_blocked",
-    "q_bm25_topk", "q_pii_redact", "q_top_ngrams", "q_bpe_tokens",
-    "q_pq_encode", "q_pq_adc_topk", "q_ivf_pq_search", "q_fuzzy_match",
-    "q_curation_pipeline", "q_stream_curation", "q_mixture_sample",
-    "q_pack_sequences", "q_lm_score", "q_cms_counts", "q_funnel",
-    "q_scd2_merge", "q_assembly_pipeline", "q_weighted_sample",
-    # rotated IN: never driver-checked families (VERDICT r3 item 3)
+    # r4 hash-fails — root-caused this round (tokenizer dialect fixed;
+    # integer-only / DATE-only outputs), must prove under the driver
+    "q_dup_ngrams", "q_corpus_report", "q_max_concurrency",
+    # r4-green rows on their second driver round
+    "q_ocnrmadvect", "q_netcdf3_decode", "q_mop_process_e2e",
+    "q_stream_sink_replay", "q_semantic_dedup", "q_stream_stream_join",
     "q_ivf_train", "q_entity_blocks", "q_pivot", "q_unpivot",
     "q_approx_distinct", "q_stream_trending", "q_dedup_keep_list",
-    "q_chunk_tokens", "q_max_concurrency",
-    # rotated IN: ADVICE-fixed + additional never-checked families
-    "q_zorder_key", "q_value_histogram",
+    "q_chunk_tokens", "q_zorder_key", "q_value_histogram",
     "q_chunk_documents", "q_cross_dedup",
-    # round-4 new: real NetCDF-3 decode, full mop_process splice,
-    # exactly-once checkpointed streaming sink, semantic dedup,
-    # stream-stream interval join
-    "q_netcdf3_decode", "q_mop_process_e2e", "q_stream_sink_replay",
-    "q_semantic_dedup", "q_stream_stream_join",
+    # rotated IN: round-5 candidates (never driver-checked)
+    "q_bpe_train", "q_bpe_encode", "q_bloom_decontaminate", "q_pagerank",
+    "q_moving_avg", "q_equi_depth", "q_group_regression",
+    "q_text_normalize", "q_stream_dedup_exact", "q_correlated_subquery",
+    "q_having_global_share", "q_token_budget_fill", "q_salted_agg",
+    "q_time_gaps", "q_gopher_rules", "q_order_count_distribution",
+    # changed this round — re-prove under the driver
+    "q_repetition", "q_ngram_jaccard", "q_minhash_band",
+    "q_near_dup_pairs", "q_simhash", "q_lm_score", "q_weighted_sample",
+    "q_stream_dedup_ingest", "q_cusum_changepoint", "q_quality_blend",
+    "q_pareto_class",
+    # new §2.1 oracle rows (previously pytest-only seams)
+    "q_varlist_dreq_roundtrip", "q_cv_zfactor_attach",
 ]
 
 

@@ -6946,3 +6946,188 @@ def q_null_profile(spark, sf_dir):
         F.countDistinct("user_id").alias("card_user"),
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"))
+
+
+# =====================================================================
+# §2.1 catalog seams, oracle-ified (r4 verdict item 7): varlist CSV
+# round trip + map template + dreq workflow, and CV validation +
+# hybrid-height z-factor attachment — previously pytest-only evidence
+# =====================================================================
+
+@query(
+    "q_varlist_dreq_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('doc_id',  'documents', 'bigint',    'numeric',  'all'),
+      ('n_chars', 'documents', 'bigint',    'numeric',  'all'),
+      ('text',    'documents', 'string',    'text',     '1850-2014'),
+      ('ts',      'events',    'timestamp', 'temporal', 'all'))
+      AS t(cmor_name, table_name, dtype, tier, dreq_years)
+    """,
+)
+def q_varlist_dreq_roundtrip(spark, sf_dir):
+    """Catalog-format round trip + CMIP data-request workflow in one
+    driver-checked pipeline (sources/catalog_io.py; reference:
+    mopdb_utils.py:490-626 write/read varlist, :744-798 map template,
+    cmip_utils.py:33-146 dreq):
+
+    1. ``infer_varlist`` crawls the documents/events/lineitem schemas
+       into a variable inventory (no data scan — catalog metadata);
+    2. the inventory round-trips through the reference's ``;``-delimited
+       varlist CSV (write → read, multi-part with headers);
+    3. a match-tier column classifies dtypes and the table round-trips
+       through the tier-partitioned map template (write → read — the
+       distributed analogue of the reference's comment sections);
+    4. a tab-delimited dreq export (driver-written fixture, the
+       reference's file format) is scanned positionally,
+       ``read_dreq_vars`` filters to (table='Amon', activity='CMIP'),
+       and the broadcast semi-join of ``dreq_intersection`` restricts
+       the inventory to the requested variables.
+
+    The oracle is the static expected intersection — legitimate here
+    because the INPUT is table schemas (stable by contract) plus a
+    constant request fixture; every transformation is the thing under
+    test.  The whole flow is catalog-sized, but each step is expressed
+    as a DataFrame op so the identical code path serves a billion-row
+    inventory."""
+    import os
+    import tempfile
+
+    from access_mopper_spark.sources.catalog_io import (
+        dreq_intersection, infer_varlist, read_dreq, read_dreq_vars,
+        read_map_template, read_varlist, write_map_template, write_varlist)
+
+    tables = {t: load_table(spark, sf_dir, t)
+              for t in ("documents", "events", "lineitem")}
+    inv = infer_varlist(spark, tables) \
+        .withColumnRenamed("name", "cmor_name") \
+        .withColumnRenamed("table", "table_name")
+
+    base = os.path.join(tempfile.gettempdir(), "access_mopper_spark_varlist")
+    write_varlist(inv, os.path.join(base, "varlist"))
+    back = read_varlist(spark, os.path.join(base, "varlist"))
+
+    tier = (F.when(F.col("dtype").isin("bigint", "int", "smallint",
+                                       "double", "float"), "numeric")
+             .when(F.col("dtype").isin("timestamp", "date"), "temporal")
+             .when(F.col("dtype") == "string", "text")
+             .otherwise("other"))
+    tiered = back.withColumn("match_tier", tier)
+    write_map_template(tiered, os.path.join(base, "template"))
+    tmpl = read_map_template(spark, os.path.join(base, "template"))
+
+    # dreq fixture: the reference's 32-column tab-delimited export
+    # (col0 MIP table, col12 CMOR name, col28 requesting MIPs, col31
+    # requested years) with its header sentinels
+    dreq_path = os.path.join(base, "dreq.tsv")
+    os.makedirs(base, exist_ok=True)
+
+    def row(c0, c12, c28, c31):
+        cells = [""] * 32
+        cells[0], cells[12], cells[28], cells[31] = c0, c12, c28, c31
+        return "\t".join(cells)
+
+    with open(dreq_path, "w") as fh:
+        fh.write("\n".join([
+            row("Notes", "", "", ""),
+            row("MIP table", "CMOR Name", "", ""),
+            row("Amon", "doc_id", "CMIP,ScenarioMIP", "All years"),
+            row("Amon", "n_chars", "CMIP", "All years"),
+            row("Amon", "text", "CMIP", "1850-2014"),
+            row("Amon", "ts", "CMIP", "All years"),
+            row("Amon", "value", "ScenarioMIP", "All years"),
+            row("Omon", "l_extendedprice", "CMIP", "All years"),
+            row("Amon", "zzz_not_in_catalog", "CMIP", "All years"),
+        ]) + "\n")
+    dreq = read_dreq(spark, dreq_path)
+    req = read_dreq_vars(dreq, table_id="Amon", activity_id="CMIP")
+
+    matched = dreq_intersection(tmpl, req, name_col="cmor_name")
+    return (matched.join(F.broadcast(req), "cmor_name")
+            .select("cmor_name", "table_name", "dtype",
+                    F.col("match_tier").alias("tier"), "dreq_years"))
+
+
+@query(
+    "q_cv_zfactor_attach",
+    oracle="""
+    WITH g AS (
+      SELECT event_id % 5 AS lev, user_id % 10 AS j, event_id % 10 AS i,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    cell AS (
+      SELECT j, i, CAST(SUM(cents) AS DOUBLE) / 100.0 AS orog
+      FROM g GROUP BY j, i
+    ),
+    lv AS (
+      -- every literal CAST to DOUBLE: DuckDB binds 0.2 as DECIMAL and
+      -- computes 1.0-4*0.2 exactly, where Spark's double gives
+      -- 0.19999999999999996 — identical IEEE trees or nothing
+      SELECT DISTINCT lev,
+             CAST(1.0 AS DOUBLE) - lev * CAST(0.2 AS DOUBLE) AS b,
+             (CAST(1.0 AS DOUBLE) - lev * CAST(0.2 AS DOUBLE))
+               - CAST(0.1 AS DOUBLE) AS b_lo,
+             (CAST(1.0 AS DOUBLE) - lev * CAST(0.2 AS DOUBLE))
+               + CAST(0.1 AS DOUBLE) AS b_hi
+      FROM g
+    ),
+    d AS (SELECT lev, j, i, COUNT(*) AS n FROM g GROUP BY lev, j, i)
+    SELECT d.lev, d.j, d.i, d.n,
+           lv.b, lv.b_lo AS b_bnds_lo, lv.b_hi AS b_bnds_hi,
+           c.orog,
+           CAST(10.0 AS DOUBLE) * d.lev + lv.b * c.orog AS height,
+           'ACCESS-ESM1-5_Omon_r1i1p1f1' AS drs_name
+    FROM d JOIN lv USING (lev) JOIN cell c ON c.j = d.j AND c.i = d.i
+    """,
+)
+def q_cv_zfactor_attach(spark, sf_dir):
+    """CV-validated hybrid-height z-factor attachment (sinks/writer.py:
+    98 validate_attrs, :129 attach_zfactors; reference: setup_utils.py:
+    250-300 CV gate, mop_utils.py:518-537 hybrid_axis) — previously
+    pytest-only, now a driver-checked row:
+
+    - a CMIP6-shaped attribute set passes the controlled-vocabulary
+      gate (required attrs ∪ template placeholders, value sets) and
+      renders the DRS name into the output;
+    - events map onto a (lev, j, i) grid; the per-level coefficient
+      table (b with bounds) and the per-cell orography ancillary attach
+      as BROADCAST joins — the data table never shuffles;
+    - height = 10·lev + b·orog is the hybrid-height formula shape.
+
+    Determinism: orography sums integer cents (exact, order-free); b
+    and height are identical IEEE expression trees on both engines —
+    no rounding needed anywhere."""
+    from access_mopper_spark.sinks.writer import (attach_zfactors,
+                                                  render_template,
+                                                  validate_attrs)
+    attrs = {"source_id": "ACCESS-ESM1-5", "source": "ACCESS-ESM1.5 (2019)",
+             "experiment_id": "historical", "frequency": "mon",
+             "realm": "ocean", "calendar": "noleap", "table_id": "Omon",
+             "variant_label": "r1i1p1f1"}
+    validate_attrs(attrs, path_template="{source_id}/{table_id}/{variant_label}")
+    drs = render_template("{source_id}_{table_id}_{variant_label}", attrs)
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    g = ev.select((F.col("event_id") % 5).alias("lev"),
+                  (F.col("user_id") % 10).alias("j"),
+                  (F.col("event_id") % 10).alias("i"),
+                  cents.alias("cents"))
+    cell = g.groupBy("j", "i").agg(
+        (F.sum("cents").cast("double") / 100.0).alias("orog"))
+    b_expr = F.lit(1.0) - F.col("lev") * 0.2
+    lv = g.select("lev").distinct().select(
+        "lev", b_expr.alias("b"),
+        (b_expr - 0.1).alias("b_lo"), (b_expr + 0.1).alias("b_hi"))
+    d = g.groupBy("lev", "j", "i").agg(F.count("*").alias("n"))
+
+    out = attach_zfactors(d, "hybrid_height", lv, cell,
+                          lev_col="lev", cell_cols=("j", "i"),
+                          expected_levels=[0, 1, 2, 3, 4])
+    return out.select(
+        "lev", "j", "i", "n", "b",
+        "b_bnds_lo", "b_bnds_hi", "orog",
+        (F.lit(10.0) * F.col("lev") + F.col("b") * F.col("orog"))
+        .alias("height"),
+        F.lit(drs).alias("drs_name"))
