@@ -63,11 +63,14 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                                + damping * F.coalesce(F.col("__in"),
                                                       F.lit(0.0)))
                               .alias("rank")))
-    # materialize the final ranks (truncating the k-iteration lineage),
-    # then release the loop invariants — without this every invocation
-    # leaks three cached tables for the session lifetime (mirrors
-    # bpe_train's base.unpersist())
-    out = ranks.localCheckpoint(eager=True)
+    # materialize the final ranks into cache (one count job — the same
+    # single computation the caller's action would have paid), then
+    # release the loop invariants: without this every invocation leaks
+    # three cached tables for the session lifetime (mirrors bpe_train's
+    # base.unpersist()).  The returned ranks table itself stays cached
+    # (node-sized); callers that are done with it unpersist it.
+    out = ranks.persist()
+    out.count()
     for t in (e, nodes, deg):
         t.unpersist()
     return out

@@ -7131,3 +7131,203 @@ def q_cv_zfactor_attach(spark, sf_dir):
         (F.lit(10.0) * F.col("lev") + F.col("b") * F.col("orog"))
         .alias("height"),
         F.lit(drs).alias("drs_name"))
+
+
+# =====================================================================
+# beyond-reference analytics, round 5: retention cohorts, Markov event
+# transitions, rolling ML features, robust (MAD) anomaly flags — all
+# integer-exact by construction (counts / cents / doubled-unit medians)
+# so the driver hash has no float-ordering surface
+# =====================================================================
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS cohort
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS DATE) AS d,
+             f.cohort
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort, CAST(d - cohort AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM a GROUP BY cohort, d - cohort
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    on each later active day — THE product-analytics rollup (cohort ×
+    offset triangle).  Plan: first-seen is one keyed min-aggregate; the
+    cohort rides back on a broadcast join (user-dim sized); the
+    (user, day) distinct and the final count are map-side-combined
+    shuffles on compound keys.  All-integer output (DATE + counts) —
+    nothing to round."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort"))
+    a = (ev.join(F.broadcast(f), "user_id")
+           .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"),
+                   "cohort")
+           .distinct())
+    return a.groupBy("cohort",
+                     F.datediff("d", "cohort").cast("long")
+                      .alias("day_offset")) \
+            .agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP),
+                                             event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM t
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (the behavioral-model fit behind next-action prediction
+    and anomalous-session scoring): LEAD within the (user, time) order,
+    pair counts, row-normalized probabilities.  One keyed window
+    shuffle + one pair-keyed count; the normalizing sum is a window
+    over the TYPE×TYPE matrix (25 rows — dimension-sized, not
+    data-sized).  p is a single integer÷integer division — identical
+    IEEE result on both engines, no rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", "event_type",
+                  F.lead("event_type").over(w).alias("next_type"))
+    t = (s.where(F.col("next_type").isNotNull())
+          .groupBy(F.col("event_type").alias("from_type"),
+                   F.col("next_type").alias("to_type"))
+          .agg(F.count("*").alias("n")))
+    return t.select(
+        "from_type", "to_type", "n",
+        (F.col("n").cast("double")
+         / F.sum("n").over(W.partitionBy("from_type"))).alias("p"))
+
+
+@query(
+    "q_rolling_features",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id,
+           LAG(cents) OVER w AS lag1_cents,
+           CAST(SUM(cents) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll_sum_cents,
+           CAST(COUNT(cents) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll_n,
+           CAST(SUM(cents) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+             / (100.0 * COUNT(cents) OVER (w ROWS BETWEEN 4 PRECEDING
+                                           AND CURRENT ROW)) AS roll_mean
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_rolling_features(spark, sf_dir):
+    """Per-entity sliding-window ML features (lag + trailing-5 sum /
+    count / mean) — the feature-extraction pass a training pipeline
+    runs over event history before model fitting.  One keyed window
+    shuffle serves every feature; values are integer CENTS so the
+    rolling sums are exact and order-free (NULL values stay NULL in
+    lag, are skipped by sum/count on both engines), and the mean is a
+    single exact-integer division."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-4, W.currentRow)
+    return c.select(
+        "event_id",
+        F.lag("cents").over(w).alias("lag1_cents"),
+        F.sum("cents").over(wf).alias("roll_sum_cents"),
+        F.count("cents").over(wf).alias("roll_n"),
+        (F.sum("cents").over(wf).cast("double")
+         / (F.lit(100.0) * F.count("cents").over(wf))).alias("roll_mean"))
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      -- interpolated median of ints lands on the 1/2 grid: ×2 is exact
+      SELECT event_type,
+             CAST(FLOOR(quantile_cont(cents, 0.5) * 2 + 0.5) AS BIGINT)
+               AS med2
+      FROM c GROUP BY event_type
+    ),
+    d AS (
+      SELECT c.event_type, c.cents, m.med2,
+             ABS(2 * c.cents - m.med2) AS dev2
+      FROM c JOIN m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, med2,
+             CAST(FLOOR(quantile_cont(dev2, 0.5) * 2 + 0.5) AS BIGINT)
+               AS mad4
+      FROM d GROUP BY event_type, med2
+    )
+    SELECT d.event_type, s.med2, s.mad4,
+           SUM(CASE WHEN CAST(d.dev2 AS DOUBLE)
+                         > CAST(2.2239 AS DOUBLE) * s.mad4
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           COUNT(*) AS n
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type, s.med2, s.mad4
+    """,
+)
+def q_anomaly_mad(spark, sf_dir):
+    """Robust per-key anomaly detection: median + MAD (median absolute
+    deviation), flagging values beyond 3·1.4826·MAD — the
+    outlier-resistant alternative to z-scores for monitoring skewed
+    metrics.  Exactness: values are integer cents; an interpolated
+    median of N ints lands on the 1/2 grid, so med×2 and (|2x−med2|
+    median)×2 are exact BIGINTs; the single threshold multiply
+    (3·1.4826/2 = 2.2239, CAST to DOUBLE on both sides) is one
+    identical IEEE op.  Two grouped percentile passes + one flag
+    aggregate — all map-side-combined keyed shuffles."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("event_type", cents.alias("cents"))
+    m = c.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(cents, 0.5)") * 2 + F.lit(0.5))
+         .cast("long").alias("med2"))
+    d = c.join(F.broadcast(m), "event_type") \
+         .withColumn("dev2", F.abs(2 * F.col("cents") - F.col("med2")))
+    s = d.groupBy("event_type", "med2").agg(
+        F.floor(F.expr("percentile(dev2, 0.5)") * 2 + F.lit(0.5))
+         .cast("long").alias("mad4"))
+    return (d.join(F.broadcast(s.select("event_type", "mad4")), "event_type")
+             .groupBy("event_type", "med2", "mad4")
+             .agg(F.sum(F.when(F.col("dev2").cast("double")
+                               > F.lit(2.2239) * F.col("mad4"), 1)
+                        .otherwise(0)).cast("long").alias("n_outliers"),
+                  F.count("*").alias("n")))

@@ -3,6 +3,8 @@ opener gating, and tall-layout plumbing (sources/netcdf_io.py vs
 reference check_timestamp / _preselect / open_mfdataset,
 mop_utils.py:116-122, 238-295, 330-346)."""
 
+import importlib.util
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -47,10 +49,34 @@ def test_stamp_of_matches_spark_normalization():
         _stamp_of("no_digits_here.nc")
 
 
+HAVE_XARRAY = importlib.util.find_spec("xarray") is not None
+
+
+@pytest.mark.skipif(HAVE_XARRAY, reason="xarray installed — gate inactive")
 def test_xarray_opener_gated():
     # container has no xarray: the production opener must fail loud+clear
     with pytest.raises(NotImplementedError):
         xarray_opener("whatever_19950101.nc", ["temp"])
+
+
+@pytest.mark.skipif(not HAVE_XARRAY,
+                    reason="xarray not installed in this container")
+def test_xarray_opener_matches_nc3_codec(tmp_path):
+    """When the production lib IS present (CI with xarray+scipy/netCDF4),
+    the xarray opener must decode the classic-NetCDF-3 fixture to the
+    same arrays as the vendored codec — the documented production path
+    for NetCDF-4/HDF5 files the classic codec cannot read."""
+    import numpy as np
+
+    from access_mopper_spark.sources.netcdf_io import (nc3_opener,
+                                                       write_nc3_fixture)
+
+    p = str(tmp_path / "fx_19950101.nc")
+    write_nc3_fixture(p, ["temp"])
+    a = nc3_opener(p, ["temp"])
+    b = xarray_opener(p, ["temp"])
+    for k in ("time", "lev", "j", "i", "temp"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
 
 
 def test_scan_netcdf_tall_layout(spark):
