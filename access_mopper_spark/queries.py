@@ -6398,10 +6398,14 @@ def q_quality_blend(spark, sf_dir):
     dedup_clusters' round counts)."""
     docs = _wide(load_table(spark, sf_dir, "documents"))
     from access_mopper_spark.functions.text import token_count, ws_normalized
+    # persist the slim projected signals: the CDF range-join and the two
+    # rank stages each re-read this table, and recomputing the text
+    # scoring per consumer is the filter-pushdown-recompute pathology
+    # (see plans/curation.py) — the count() below materializes it
     sig = docs.select(
         "doc_id",
         token_count(F.col("text")).alias("ntok"),
-        F.length(ws_normalized(F.col("text"))).alias("nch"))
+        F.length(ws_normalized(F.col("text"))).alias("nch")).persist()
 
     def dist_percent_rank(df, col):
         # percent_rank WITHOUT any single-partition window: the
@@ -6412,7 +6416,10 @@ def q_quality_blend(spark, sf_dir):
         # arithmetic (rank-1)/(n-1) on both engines (r4 verdict item 5:
         # the previous ordered-window prefix was the last unpartitioned
         # WindowExec in the registry)
-        cdf0 = df.groupBy(col).agg(F.count("*").alias("__c"))
+        # the CDF always derives from the CACHED slim sig table (the
+        # value distribution is identical in any chained stage) so the
+        # second rank stage never re-evaluates the first stage's joins
+        cdf0 = sig.groupBy(col).agg(F.count("*").alias("__c"))
         cdf = (cdf0.alias("a")
                .join(F.broadcast(cdf0.select(F.col(col).alias("__v2"),
                                              F.col("__c").alias("__c2"))),
@@ -7331,3 +7338,97 @@ def q_anomaly_mad(spark, sf_dir):
                                > F.lit(2.2239) * F.col("mad4"), 1)
                         .otherwise(0)).cast("long").alias("n_outliers"),
                   F.count("*").alias("n")))
+
+
+@query(
+    "q_streak_islands",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, d,
+             CAST(d - DATE '1970-01-01' AS BIGINT)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS isl
+      FROM a
+    ),
+    s AS (SELECT user_id, isl, COUNT(*) AS len FROM r GROUP BY user_id, isl)
+    SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks,
+           SUM(len) AS active_days
+    FROM s GROUP BY user_id
+    """,
+)
+def q_streak_islands(spark, sf_dir):
+    """Gaps-and-islands: per-user consecutive-active-day streaks via the
+    classic (epoch_day − row_number) island key — the engagement-streak
+    rollup (and the same shape as partition-compaction run detection).
+    One distinct + one keyed window + two keyed aggregates; everything
+    integer (days, counts), so the hash is order-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("user_id",
+                  F.to_date(F.date_trunc("day", "ts")).alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    r = a.select(
+        "user_id",
+        (F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long")
+         - F.row_number().over(w)).alias("isl"))
+    s = r.groupBy("user_id", "isl").agg(F.count("*").alias("len"))
+    return s.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("active_days"))
+
+
+@query(
+    "q_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlabel
+      FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(
+               list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+               / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                               x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+               6) AS cosine_sim
+      FROM embeddings e, q
+      WHERE e.label <> q.qlabel
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar vectors of a DIFFERENT label — the
+    negatives that actually teach a retriever/embedding model (random
+    negatives are trivially easy).  Broadcast non-equi join (queries ×
+    corpus, label≠), JVM-side fold dot product, then per-query
+    partial_topk — per-partition local top-k + tiny merge, never a
+    global sort; sims R6-rounded before ranking so ulp drift can't flip
+    order, ties by id.  At 100 TB the broadcast side is the (small)
+    query batch and the corpus side streams map-only."""
+    from access_mopper_spark.operators.similarity import (as_double, cosine,
+                                                          partial_topk)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("qlabel"))
+    scored = (emb.join(F.broadcast(qs), F.col("label") != F.col("qlabel"))
+                 .select("query_id", "vec_id",
+                         R6(cosine(as_double(F.col("embedding")),
+                                   F.col("qv"))).alias("cosine_sim")))
+    return partial_topk(scored, ["query_id"],
+                        [F.col("cosine_sim").desc(), F.col("vec_id")], 5)
