@@ -6359,8 +6359,10 @@ def q_cusum_changepoint(spark, sf_dir):
     "q_quality_blend",
     oracle="""
     WITH t AS (
+      -- COALESCE: NULL text ranks like the empty document (0 signals);
+      -- without it the engines disagree on where NULLs sort
       SELECT doc_id,
-             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
+             trim(regexp_replace(COALESCE(text, ''), '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
       FROM documents
     ),
     sig AS (
@@ -6402,10 +6404,14 @@ def q_quality_blend(spark, sf_dir):
     # rank stages each re-read this table, and recomputing the text
     # scoring per consumer is the filter-pushdown-recompute pathology
     # (see plans/curation.py) — the count() below materializes it
+    # NULL text ranks like the empty document: 0 tokens / 0 chars (a
+    # NULL signal would silently drop out of the CDF equi-join on the
+    # Spark side while the oracle ranks it — fuzz-caught)
+    txt = F.coalesce(F.col("text"), F.lit(""))
     sig = docs.select(
         "doc_id",
-        token_count(F.col("text")).alias("ntok"),
-        F.length(ws_normalized(F.col("text"))).alias("nch")).persist()
+        token_count(txt).alias("ntok"),
+        F.length(ws_normalized(txt)).alias("nch")).persist()
 
     def dist_percent_rank(df, col):
         # percent_rank WITHOUT any single-partition window: the

@@ -10,7 +10,10 @@ seeds with hostile properties —
   whitespace-only docs, single-word docs, exact/near duplicate
   families, NULL text/lang/source;
 * events: identical-µs timestamp ties, midnight-exact and 5-minute-grid
-  timestamps, repeated exact values (median/max ties), NULL value/props
+  timestamps, repeated exact values (median/max ties), NULL value/props;
+* lineitem/orders: duplicate (l_orderkey, l_linenumber) pairs, exact
+  repeated prices/totals (argmax/median ties), heavy date ties —
+  foreign keys drawn from the real dimension tables' cardinalities
 
 — then runs the 50-query driver prefix differentially (Spark vs DuckDB,
 full-precision compare from tools/check_correctness.py) on each seed.
@@ -140,10 +143,58 @@ def gen_events(seed: int, n: int = 10000):
     return rows
 
 
+def gen_orders(seed: int, n: int = 15000, n_cust: int = 1500):
+    """Adversarial orders: unique keys, heavy date/price ties."""
+    rng = random.Random(3000 + seed)
+    base = datetime(1995, 1, 1)
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.10:
+            price = 50000.00  # repeated exact total: argmax/median ties
+        else:
+            price = round(rng.uniform(900.0, 200000.0), 2)
+        if rng.random() < 0.20:
+            od = base + timedelta(days=365 * rng.randrange(6))  # heavy ties
+        else:
+            od = base + timedelta(days=rng.randrange(2192))
+        rows.append((i, rng.randrange(n_cust),
+                     rng.choice(["F", "P", "O"]), price, od,
+                     rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                 "4-NOT SPECIFIED", "5-LOW"])))
+    return rows
+
+
+def gen_lineitem(seed: int, n: int = 60000, n_orders: int = 15000,
+                 n_part: int = 2000, n_supp: int = 100):
+    """Adversarial lineitem: duplicate (orderkey, linenumber) pairs,
+    exact price/quantity ties, discount/tax on coarse grids."""
+    rng = random.Random(4000 + seed)
+    base = datetime(1995, 1, 1)
+    rows = []
+    for _ in range(n):
+        ok = rng.randrange(n_orders)
+        ln = rng.randrange(1, 8)  # NOT unique per order — the repo's
+        # window tie-break contract must survive duplicate pairs
+        qty = float(rng.randrange(1, 51))
+        r = rng.random()
+        if r < 0.08:
+            price = 12345.67  # exact repeated price: min_by/median ties
+        else:
+            price = round(rng.uniform(901.0, 105000.0), 2)
+        rows.append((ok, rng.randrange(n_part), rng.randrange(n_supp), ln,
+                     qty, price,
+                     rng.randrange(11) / 100.0, rng.randrange(9) / 100.0,
+                     rng.choice(["A", "N", "R"]), rng.choice(["O", "F"]),
+                     base + timedelta(days=rng.randrange(2192))))
+    return rows
+
+
 def write_fuzz_dir(seed: int, base_sf: str, out_dir: str,
                    n_docs: int = 500, n_events: int = 10000) -> str:
-    """Materialize a fuzz sf-dir: regenerated documents/events parquet,
-    symlinks to ``base_sf`` for every other table."""
+    """Materialize a fuzz sf-dir: regenerated documents/events/lineitem/
+    orders parquet, symlinks to ``base_sf`` for every other table."""
+    import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -169,8 +220,44 @@ def write_fuzz_dir(seed: int, base_sf: str, out_dir: str,
     })
     pq.write_table(ev_tbl, os.path.join(out_dir, "events.parquet"))
 
+    # dimension cardinalities derived from the REAL base tables so the
+    # regenerated facts' foreign keys stay join-compatible
+    con = duckdb.connect()
+    card = {t: con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{base_sf}/{t}.parquet')"
+    ).fetchone()[0] for t in ("customer", "part", "supplier")}
+    con.close()
+
+    orders = gen_orders(seed, n_cust=card["customer"])
+    o_tbl = pa.table({
+        "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in orders], pa.string()),
+        "o_totalprice": pa.array([r[3] for r in orders], pa.float64()),
+        "o_orderdate": pa.array([r[4] for r in orders], pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[5] for r in orders], pa.string()),
+    })
+    pq.write_table(o_tbl, os.path.join(out_dir, "orders.parquet"))
+
+    li = gen_lineitem(seed, n_orders=len(orders),
+                      n_part=card["part"], n_supp=card["supplier"])
+    li_tbl = pa.table({
+        "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+        "l_linenumber": pa.array([r[3] for r in li], pa.int32()),
+        "l_quantity": pa.array([r[4] for r in li], pa.float64()),
+        "l_extendedprice": pa.array([r[5] for r in li], pa.float64()),
+        "l_discount": pa.array([r[6] for r in li], pa.float64()),
+        "l_tax": pa.array([r[7] for r in li], pa.float64()),
+        "l_returnflag": pa.array([r[8] for r in li], pa.string()),
+        "l_linestatus": pa.array([r[9] for r in li], pa.string()),
+        "l_shipdate": pa.array([r[10] for r in li], pa.timestamp("us")),
+    })
+    pq.write_table(li_tbl, os.path.join(out_dir, "lineitem.parquet"))
+
     for t in TABLES:
-        if t in ("documents", "events"):
+        if t in ("documents", "events", "orders", "lineitem"):
             continue
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
@@ -194,7 +281,8 @@ def main():
     else:
         targets = [q for q in prefix
                    if q in oracles
-                   and re.search(r"\b(documents|events)\b", oracles[q])]
+                   and re.search(r"\b(documents|events|lineitem|orders)\b",
+                                 oracles[q])]
     print(f"fuzzing {len(targets)} queries × {n_seeds} seeds: {targets}")
 
     spark = get_spark(app_name="fuzz_correctness")
