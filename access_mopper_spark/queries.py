@@ -7438,3 +7438,172 @@ def q_hard_negatives(spark, sf_dir):
                                    F.col("qv"))).alias("cosine_sim")))
     return partial_topk(scored, ["query_id"],
                         [F.col("cosine_sim").desc(), F.col("vec_id")], 5)
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() markers — the multi-level
+    report shape between rollup and cube (exactly the requested levels,
+    none of cube's 2^n blowup).  Submitted through the SQL front-end so
+    Catalyst plans it as ONE Expand + single aggregate (each input row
+    fans to its 3 set memberships map-side; no re-scan per level).
+    GROUPING() flags disambiguate 'NULL because aggregated away' from a
+    genuinely NULL key.  Revenue sums integer cents — exact at any
+    partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem_gsets")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM v_lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@query(
+    "q_percentile_disc",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(CEIL(n * CAST(0.25 AS DOUBLE)) AS BIGINT)
+                    THEN cents END) AS p25_cents,
+           MAX(CASE WHEN rn = CAST(CEIL(n * CAST(0.5 AS DOUBLE)) AS BIGINT)
+                    THEN cents END) AS p50_cents,
+           MAX(CASE WHEN rn = CAST(CEIL(n * CAST(0.75 AS DOUBLE)) AS BIGINT)
+                    THEN cents END) AS p75_cents
+    FROM r GROUP BY event_type
+    """,
+)
+def q_percentile_disc(spark, sf_dir):
+    """DISCRETE per-group percentiles (the value at rank ⌈p·n⌉ — always
+    an actual member, never interpolated): what optimizer histograms
+    and SLA reports want when the metric must be a real observation.
+    Spark has no percentile_disc builtin, so the rank selection is
+    spelled out — one keyed window + conditional aggregate — which also
+    pins identical tie semantics on both engines (cents, event_id
+    order).  All-integer output."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("event_type", "event_id", cents.alias("cents"))
+    wo = W.partitionBy("event_type").orderBy("cents", "event_id")
+    wp = W.partitionBy("event_type")
+    r = c.select("event_type", "cents",
+                 F.row_number().over(wo).alias("rn"),
+                 F.count("*").over(wp).alias("n"))
+
+    def at(p):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.col("n") * F.lit(p)).cast("long"),
+            F.col("cents")))
+
+    return r.groupBy("event_type").agg(
+        at(0.25).alias("p25_cents"),
+        at(0.5).alias("p50_cents"),
+        at(0.75).alias("p75_cents"))
+
+
+@query(
+    "q_bpe_vocab_coverage",
+    oracle=_bpe_oracle(6, final=""", cov AS (
+      SELECT word, wc,
+             length(string_split(trim(seq, chr(31)), chr(31))) AS n_symbols
+      FROM s6
+    )
+    SELECT SUM(wc) AS total_words,
+           SUM(CASE WHEN n_symbols = 1 THEN wc ELSE 0 END)
+             AS fully_merged_words,
+           SUM(CASE WHEN n_symbols <= 2 THEN wc ELSE 0 END) AS le2_words,
+           SUM(wc * n_symbols) AS total_symbols,
+           SUM(wc * length(word)) AS total_chars,
+           CAST(SUM(wc * n_symbols) AS DOUBLE)
+             / SUM(wc * length(word)) AS compression
+    FROM cov"""),
+)
+def q_bpe_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage report after BPE training — the
+    diagnostic a tokenizer team reads before shipping merges: what
+    share of word OCCURRENCES the learned vocabulary fully merges,
+    total symbol count vs raw characters (the compression the merges
+    buy).  Train 6 merges, replay the map-only encode over the
+    vocabulary-sized word table, aggregate occurrence-weighted integer
+    counters (exact, order-free); compression is one integer÷integer
+    division.  Scale: everything after the one corpus tokenize+count
+    shuffle is vocabulary-sized."""
+    from access_mopper_spark.operators.bpe import (bpe_apply, bpe_train,
+                                                   word_frequency_table)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [(r.sym_a, r.sym_b)
+              for r in bpe_train(spark, docs, "text", n_merges=6).collect()]
+    wf = word_frequency_table(docs, "text")
+    cov = bpe_apply(wf, merges)
+    return cov.agg(
+        F.sum("wc").alias("total_words"),
+        F.sum(F.when(F.col("n_symbols") == 1, F.col("wc")).otherwise(0))
+         .alias("fully_merged_words"),
+        F.sum(F.when(F.col("n_symbols") <= 2, F.col("wc")).otherwise(0))
+         .alias("le2_words"),
+        F.sum(F.col("wc") * F.col("n_symbols")).alias("total_symbols"),
+        F.sum(F.col("wc") * F.length("word")).alias("total_chars"),
+        (F.sum(F.col("wc") * F.col("n_symbols")).cast("double")
+         / F.sum(F.col("wc") * F.length("word"))).alias("compression"))
+
+
+@query(
+    "q_source_overlap",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_pairs
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_source_overlap(spark, sf_dir):
+    """Cross-source exact-duplicate overlap matrix — the corpus
+    governance report behind 'which feeds are re-crawling each other':
+    normalized-text fingerprints joined on the hash key (one uniform
+    shuffle, bounded per-fp fan-out = duplicate family size), pair
+    counts keyed by the (ordered-by-id) source pair.  NULL text rows
+    hash to NULL and never pair, identically on both engines.
+    All-integer output."""
+    from access_mopper_spark.functions.text import fingerprint
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("doc_id", "source",
+                    fingerprint(F.col("text")).alias("fp"))
+    a = f.select(F.col("doc_id").alias("id_a"),
+                 F.col("source").alias("source_a"), "fp")
+    b = f.select(F.col("doc_id").alias("id_b"),
+                 F.col("source").alias("source_b"), "fp")
+    return (a.join(b, "fp").where(F.col("id_a") < F.col("id_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count("*").alias("n_pairs")))

@@ -32,6 +32,7 @@ Round-3 additions:
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame
@@ -116,6 +117,35 @@ def validate_attrs(attrs: dict, path_template: str = "", cv: dict | None = None)
     if problems:
         raise ValueError("CV validation failed: " + "; ".join(problems))
     return attrs
+
+
+def edit_cv_document(cv: dict, attrs: dict) -> dict:
+    """Register an experiment in a CMIP6 CV document (edit_json_cv,
+    cmip_utils.py:149-202): ensure the activity_id is listed and write/
+    overwrite the experiment_id entry from the experiment attributes,
+    so a CMOR-style validator recognises custom experiments.  Pure
+    function over the parsed document (the reference mutates the file
+    in place; callers here json.dump the return value) — key order is
+    preserved like the reference's OrderedDict round trip."""
+    activity_id = attrs["activity_id"]
+    experiment_id = attrs["experiment_id"]
+    out = json.loads(json.dumps(cv))  # deep copy, order-preserving
+    root = out.setdefault("CV", {})
+    acts = root.setdefault("activity_id", {})
+    if activity_id not in acts:
+        acts[activity_id] = activity_id
+    exps = root.setdefault("experiment_id", {})
+    exps[experiment_id] = {
+        "activity_id": [activity_id],
+        "additional_allowed_model_components": ["AER", "CHEM", "BGC"],
+        "experiment": experiment_id,
+        "experiment_id": experiment_id,
+        "parent_activity_id": [attrs["parent_activity_id"]],
+        "parent_experiment_id": [attrs["parent_experiment_id"]],
+        "required_model_components": [attrs["source_type"]],
+        "sub_experiment_id": ["none"],
+    }
+    return out
 
 
 # hybrid-height vertical coordinates and their formula-term names

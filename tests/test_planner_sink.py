@@ -200,6 +200,30 @@ def test_validate_attrs_cv(spark):
         assert "realm" in str(e) and "martian" in str(e)
 
 
+def test_edit_cv_document(spark):
+    """edit_json_cv mirror (cmip_utils.py:149-202): new activity and
+    experiment entries register; existing experiments are overwritten;
+    the input document is never mutated."""
+    from access_mopper_spark.sinks.writer import edit_cv_document
+    cv = {"CV": {"activity_id": {"CMIP": "CMIP"},
+                 "experiment_id": {"historical": {"experiment": "historical"}}}}
+    attrs = {"activity_id": "FAFMIP", "experiment_id": "faf-passiveheat",
+             "parent_activity_id": "CMIP", "parent_experiment_id":
+             "piControl", "source_type": "AOGCM"}
+    out = edit_cv_document(cv, attrs)
+    assert out["CV"]["activity_id"]["FAFMIP"] == "FAFMIP"
+    e = out["CV"]["experiment_id"]["faf-passiveheat"]
+    assert e["parent_experiment_id"] == ["piControl"]
+    assert e["required_model_components"] == ["AOGCM"]
+    assert e["sub_experiment_id"] == ["none"]
+    # existing experiment overwritten (reference's 'found, updating' path)
+    again = edit_cv_document(out, {**attrs, "experiment_id": "historical"})
+    assert again["CV"]["experiment_id"]["historical"]["activity_id"] == ["FAFMIP"]
+    # input untouched
+    assert "FAFMIP" not in cv["CV"]["activity_id"]
+    assert list(out["CV"]) == ["activity_id", "experiment_id"]  # order kept
+
+
 def test_write_dataset_cv_gate(spark, tmp_path):
     from access_mopper_spark.sinks.writer import SchemaRegistry, write_dataset
     reg = SchemaRegistry()
