@@ -71,6 +71,11 @@ _DRIVER_PRIORITY = [
     # new §2.1 oracle rows (previously pytest-only seams)
     "q_varlist_dreq_roundtrip", "q_cv_zfactor_attach",
 ]
+# Round-6 rotation candidates (added late in r5, local-green at sf0.01
+# AND sf0.1 + seed-fuzzed, never driver-checked): q_retention_cohorts,
+# q_markov_transitions, q_rolling_features, q_anomaly_mad,
+# q_streak_islands, q_hard_negatives, q_grouping_sets,
+# q_percentile_disc, q_bpe_vocab_coverage, q_source_overlap.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

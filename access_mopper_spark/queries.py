@@ -7427,7 +7427,9 @@ def q_hard_negatives(spark, sf_dir):
     query batch and the corpus side streams map-only."""
     from access_mopper_spark.operators.similarity import (as_double, cosine,
                                                           partial_topk)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # 64-element fold dot products per (row × query) are CPU-bound:
+    # widen the single-file scan
+    emb = _wide(load_table(spark, sf_dir, "embeddings"))
     qs = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         as_double(F.col("embedding")).alias("qv"),
@@ -7597,7 +7599,8 @@ def q_source_overlap(spark, sf_dir):
     hash to NULL and never pair, identically on both engines.
     All-integer output."""
     from access_mopper_spark.functions.text import fingerprint
-    docs = load_table(spark, sf_dir, "documents")
+    # md5-per-doc is CPU-bound: widen the single-file scan
+    docs = _wide(load_table(spark, sf_dir, "documents"))
     f = docs.select("doc_id", "source",
                     fingerprint(F.col("text")).alias("fp"))
     a = f.select(F.col("doc_id").alias("id_a"),
