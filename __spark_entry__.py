@@ -75,7 +75,8 @@ _DRIVER_PRIORITY = [
 # AND sf0.1 + seed-fuzzed, never driver-checked): q_retention_cohorts,
 # q_markov_transitions, q_rolling_features, q_anomaly_mad,
 # q_streak_islands, q_hard_negatives, q_grouping_sets,
-# q_percentile_disc, q_bpe_vocab_coverage, q_source_overlap.
+# q_percentile_disc, q_bpe_vocab_coverage, q_source_overlap,
+# q_json_extract, q_dow_seasonality.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -7610,3 +7610,89 @@ def q_source_overlap(spark, sf_dir):
     return (a.join(b, "fp").where(F.col("id_a") < F.col("id_b"))
              .groupBy("source_a", "source_b")
              .agg(F.count("*").alias("n_pairs")))
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    WITH j AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE props IS NOT NULL
+    )
+    SELECT event_type, COUNT(*) AS n,
+           SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+           SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS n_high
+    FROM j GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """Semi-structured JSON-path extraction over a string payload
+    column (the event-properties pattern every telemetry pipeline
+    carries): pull ``$.k``, cast, aggregate, and filter on the
+    extracted value — all JVM-side (get_json_object is codegen'd; no
+    Python in the path), so the extraction cost rides the scan and the
+    plan is one map-side-combined keyed aggregate.  All-integer
+    output."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("long")
+    j = ev.select("event_type", k.alias("k"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).cast("long")
+         .alias("n_high"))
+
+
+@query(
+    "q_dow_seasonality",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, dow, COUNT(*) AS n, SUM(cents) AS sum_cents
+      FROM c GROUP BY event_type, dow
+    ),
+    t AS (
+      SELECT event_type, SUM(n) AS nt, SUM(sum_cents) AS st
+      FROM g GROUP BY event_type
+    )
+    SELECT g.event_type, g.dow, g.n, g.sum_cents,
+           CAST(g.sum_cents AS DOUBLE) / (100.0 * g.n) AS dow_mean,
+           CAST(g.sum_cents AS DOUBLE) / (100.0 * g.n)
+             - CAST(t.st AS DOUBLE) / (100.0 * t.nt) AS seasonal_delta
+    FROM g JOIN t USING (event_type)
+    """,
+)
+def q_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality profile: per (key, weekday) mean vs the
+    key's overall mean — the seasonal-index decomposition behind
+    anomaly baselines and forecast features.  Two map-side-combined
+    aggregates (weekday level, then key level) + a broadcast join back;
+    sums are integer cents (exact, order-free) and each mean/delta is
+    the identical short chain of IEEE ops on both engines.
+
+    Cross-engine note: Spark's dayofweek and DuckDB's dayofweek differ
+    by convention (Sun=1..Sat=7 vs Sun=0..Sat=6), so the Spark side
+    emits dayofweek-1 to land on DuckDB's numbering."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("event_type",
+                  (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+                  cents.alias("cents"))
+    g = c.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    t = g.groupBy("event_type").agg(
+        F.sum("n").alias("nt"), F.sum("sum_cents").alias("st"))
+    dmean = F.col("sum_cents").cast("double") / (F.lit(100.0) * F.col("n"))
+    omean = F.col("st").cast("double") / (F.lit(100.0) * F.col("nt"))
+    return (g.join(F.broadcast(t), "event_type")
+             .select("event_type", "dow", "n", "sum_cents",
+                     dmean.alias("dow_mean"),
+                     (dmean - omean).alias("seasonal_delta")))
