@@ -76,7 +76,8 @@ _DRIVER_PRIORITY = [
 # q_markov_transitions, q_rolling_features, q_anomaly_mad,
 # q_streak_islands, q_hard_negatives, q_grouping_sets,
 # q_percentile_disc, q_bpe_vocab_coverage, q_source_overlap,
-# q_json_extract, q_dow_seasonality.
+# q_json_extract, q_dow_seasonality, q_referential_profile,
+# q_churn_users, q_cumulative_active.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

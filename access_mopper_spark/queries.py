@@ -7696,3 +7696,140 @@ def q_dow_seasonality(spark, sf_dir):
              .select("event_type", "dow", "n", "sum_cents",
                      dmean.alias("dow_mean"),
                      (dmean - omean).alias("seasonal_delta")))
+
+
+@query(
+    "q_referential_profile",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*) AS n_orders,
+           SUM(CASE WHEN lc.l_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS childless_orders,
+           SUM(COALESCE(lc.n_lines, 0)) AS total_lines,
+           MAX(COALESCE(lc.n_lines, 0)) AS max_lines_per_order,
+           SUM(COALESCE(lc.line_cents, 0)) AS total_line_cents
+    FROM orders o LEFT JOIN lc ON lc.l_orderkey = o.o_orderkey
+    """,
+)
+def q_referential_profile(spark, sf_dir):
+    """Referential-integrity profile between a parent and child table
+    (the data-quality governance check before any pipeline trusts a
+    join): per-parent child counts, childless parents, fan-out maximum,
+    child-side money total — one map-side-combined child aggregate +
+    one keyed left join + one global reduce, all integer (cents/counts)
+    so the hash is order-proof.  The same shape at 100 TB: the child
+    pre-aggregation shrinks the join input to parent cardinality before
+    any wide row moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    lc = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"), F.sum(cents).alias("line_cents"))
+    j = orders.join(lc, orders["o_orderkey"] == lc["l_orderkey"], "left")
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+         .cast("long").alias("childless_orders"),
+        F.sum(F.coalesce("n_lines", F.lit(0))).alias("total_lines"),
+        F.max(F.coalesce("n_lines", F.lit(0))).alias("max_lines_per_order"),
+        F.sum(F.coalesce("line_cents", F.lit(0))).alias("total_line_cents"))
+
+
+@query(
+    "q_churn_users",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0, MAX(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events
+    ),
+    mid AS (
+      SELECT to_timestamp((epoch_us(t0) + (epoch_us(t1) - epoch_us(t0)) / 2)
+                          / 1000000.0) AS m
+      FROM span
+    ),
+    u AS (
+      SELECT user_id,
+             SUM(CASE WHEN CAST(e.ts AS TIMESTAMP) < mid.m
+                      THEN 1 ELSE 0 END) AS n_early,
+             SUM(CASE WHEN CAST(e.ts AS TIMESTAMP) >= mid.m
+                      THEN 1 ELSE 0 END) AS n_late
+      FROM events e, mid GROUP BY user_id
+    )
+    SELECT user_id, n_early, n_late,
+           CASE WHEN n_early > 0 AND n_late = 0 THEN 'churned'
+                WHEN n_early = 0 AND n_late > 0 THEN 'new'
+                ELSE 'retained' END AS status
+    FROM u
+    """,
+)
+def q_churn_users(spark, sf_dir):
+    """Period-over-period churn segmentation: split the observed span at
+    its midpoint (integer-µs arithmetic — DuckDB INTERVAL division
+    truncates, so both sides do the midpoint in epoch microseconds) and
+    classify each user by early/late activity — churned, new, or
+    retained.  One conditional aggregate over a single scan; the
+    midpoint is a broadcast 1-row scalar.  Counts only — order-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.unix_micros(F.min("ts")).alias("e0"),
+                  F.unix_micros(F.max("ts")).alias("e1"))
+    mid = span.select(
+        F.timestamp_micros(
+            (F.col("e0") + ((F.col("e1") - F.col("e0")) / 2).cast("long"))
+        ).alias("m"))
+    u = (ev.crossJoin(F.broadcast(mid))
+           .groupBy("user_id")
+           .agg(F.sum(F.when(F.col("ts") < F.col("m"), 1).otherwise(0))
+                .cast("long").alias("n_early"),
+                F.sum(F.when(F.col("ts") >= F.col("m"), 1).otherwise(0))
+                .cast("long").alias("n_late")))
+    status = (F.when((F.col("n_early") > 0) & (F.col("n_late") == 0),
+                     "churned")
+               .when((F.col("n_early") == 0) & (F.col("n_late") > 0), "new")
+               .otherwise("retained"))
+    return u.select("user_id", "n_early", "n_late", status.alias("status"))
+
+
+@query(
+    "q_cumulative_active",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS first_day
+      FROM events GROUP BY user_id
+    ),
+    nd AS (SELECT first_day, COUNT(*) AS n_new FROM f GROUP BY first_day)
+    SELECT a.first_day AS day, a.n_new,
+           a.n_new + COALESCE(SUM(b.n_new), 0) AS cumulative_users
+    FROM nd a LEFT JOIN nd b ON b.first_day < a.first_day
+    GROUP BY a.first_day, a.n_new
+    """,
+)
+def q_cumulative_active(spark, sf_dir):
+    """Cumulative distinct users by day (the growth curve): first-seen
+    day per user, new-user counts per day, and the running total — the
+    running total computed with the BROADCAST RANGE-JOIN prefix pattern
+    (same as q_quality_blend's CDF) instead of an unpartitioned ordered
+    window: integer counts are exact and order-free, and the day table
+    is calendar-bounded so the non-equi join is trivially small while
+    never serializing corpus-scale data through one task."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("first_day"))
+    nd = f.groupBy("first_day").agg(F.count("*").alias("n_new"))
+    b = nd.select(F.col("first_day").alias("__d2"),
+                  F.col("n_new").alias("__n2"))
+    return (nd.alias("a")
+              .join(F.broadcast(b), F.col("__d2") < F.col("a.first_day"),
+                    "left")
+              .groupBy("a.first_day", "a.n_new")
+              .agg((F.col("a.n_new").cast("long")
+                    + F.sum(F.coalesce("__n2", F.lit(0))).cast("long"))
+                   .alias("cumulative_users"))
+              .select(F.col("a.first_day").alias("day"),
+                      F.col("a.n_new").alias("n_new"), "cumulative_users"))
