@@ -7833,3 +7833,178 @@ def q_cumulative_active(spark, sf_dir):
                    .alias("cumulative_users"))
               .select(F.col("a.first_day").alias("day"),
                       F.col("a.n_new").alias("n_new"), "cumulative_users"))
+
+
+@query(
+    "q_rolling_distinct_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT g.d AS day, COUNT(DISTINCT u.user_id) AS users_7d
+    FROM days g JOIN ud u ON u.d >= g.d - 6 AND u.d <= g.d
+    GROUP BY g.d
+    """,
+)
+def q_rolling_distinct_users(spark, sf_dir):
+    """Exact 7-day sliding-window distinct users per day (rolling WAU) —
+    the sliding COUNT DISTINCT that a naive per-day window cannot
+    express without re-scanning.  Plan: dedupe to (user, day) once (one
+    shuffle, map-side combine), then join against the CALENDAR-BOUNDED
+    day grid (broadcast — its size grows with time, not data) with a
+    <=7-day band, and count distinct per grid day.  At 100 TB the
+    fanout is bounded by the window width (x7), the grid stays
+    broadcastable for decades of days, and no corpus-scale sort or
+    unpartitioned window appears.  All-integer output — order-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")).distinct()
+    days = ud.select(F.col("d").alias("g")).distinct()
+    return (ud.join(F.broadcast(days),
+                    (F.col("d") >= F.date_sub(F.col("g"), 6))
+                    & (F.col("d") <= F.col("g")))
+              .groupBy(F.col("g").alias("day"))
+              .agg(F.countDistinct("user_id").alias("users_7d")))
+
+
+@query(
+    "q_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, d
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(a.n AS DOUBLE) AS x, CAST(b.n AS DOUBLE) AS y
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d = a.d + 1
+    )
+    SELECT event_type, COUNT(*) AS n_pairs,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) /
+                 NULLIF(SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                           * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 0),
+                 6) AS acf1
+    FROM pairs GROUP BY event_type
+    """,
+)
+def q_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily event-count series per type —
+    the seasonality/trend probe of time-series monitoring.  Consecutive
+    days pair via an equi-join on ``d = d+1`` over the tiny daily table
+    (no window, no sort); the Pearson correlation is assembled from raw
+    moment sums (n, Σx, Σy, Σxy, Σx², Σy²).  Every sum term is an
+    INTEGER-VALUED double (daily counts), so the sums are exact in any
+    summation order on both engines; only the final division/sqrt is
+    float, rounded portably.  The daily table is calendar×type bounded,
+    so at 100 TB the only data-scale work is the map-side-combined
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    ).agg(F.count("*").alias("n"))
+    a = daily.select("event_type", F.col("d").alias("da"),
+                     F.col("n").cast("double").alias("x"))
+    b = daily.select(F.col("event_type").alias("et_b"),
+                     F.col("d").alias("db"),
+                     F.col("n").cast("double").alias("y"))
+    pairs = a.join(b, (F.col("event_type") == F.col("et_b"))
+                   & (F.col("db") == F.date_add(F.col("da"), 1)))
+    cnt = F.count("*").cast("double")
+    num = cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.sqrt((cnt * F.sum(F.col("x") * F.col("x"))
+                  - F.sum("x") * F.sum("x"))
+                 * (cnt * F.sum(F.col("y") * F.col("y"))
+                    - F.sum("y") * F.sum("y")))
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        R6(num / F.when(den != 0, den)).alias("acf1"))
+
+
+@query(
+    "q_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, d
+    )
+    SELECT a.event_type, a.d AS day,
+           ROUND(SUM(POW(CAST(0.8 AS DOUBLE), a.d - b.d) * b.n)
+                 / SUM(POW(CAST(0.8 AS DOUBLE), a.d - b.d)), 6) AS ewma14
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND b.d >= a.d - 13 AND b.d <= a.d
+    GROUP BY a.event_type, a.d
+    """,
+)
+def q_ewma_daily(spark, sf_dir):
+    """Truncated exponentially-weighted moving average (half-life ~3
+    days, 14-day horizon) of daily event counts per type.  EWMA's
+    recursive definition is hostile to distributed engines; the
+    truncated form is a BANDED SELF-JOIN on the calendar-bounded daily
+    table with weights ``0.8^(d-d2)`` computed identically on both
+    engines (same IEEE pow on the same integer day gaps).  The daily
+    table is type×calendar bounded, so the band join is broadcast-sized
+    forever; the corpus-scale work is one map-side-combined count.
+    <=14 similar-magnitude terms per output keeps summation-order noise
+    orders of magnitude inside the 1e-6 rounding grid."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    ).agg(F.count("*").alias("n"))
+    a = daily.select("event_type", F.col("d").alias("da"))
+    b = daily.select(F.col("event_type").alias("et_b"),
+                     F.col("d").alias("db"), "n")
+    gap = F.datediff(F.col("da"), F.col("db"))
+    w = F.pow(F.lit(0.8), gap)
+    pairs = a.join(F.broadcast(b),
+                   (F.col("event_type") == F.col("et_b"))
+                   & (F.col("db") >= F.date_sub(F.col("da"), 13))
+                   & (F.col("db") <= F.col("da")))
+    return pairs.groupBy("event_type", F.col("da").alias("day")).agg(
+        R6(F.sum(w * F.col("n")) / F.sum(w)).alias("ewma14"))
+
+
+@query(
+    "q_dict_encode",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source)
+    SELECT a.source, a.cnt, 1 + COUNT(b.source) AS code
+    FROM c a LEFT JOIN c b
+      ON (b.cnt > a.cnt)
+      OR (b.cnt = a.cnt
+          AND COALESCE(b.source, '') < COALESCE(a.source, ''))
+    GROUP BY a.source, a.cnt
+    """,
+)
+def q_dict_encode(spark, sf_dir):
+    """Frequency-ordered dictionary encoding of a categorical column:
+    assign code 1 to the most frequent ``source`` value, breaking count
+    ties by value — the dictionary build behind dictionary-encoded
+    storage and categorical feature hashing.  The rank is computed by a
+    BROADCAST SELF-JOIN count (rows strictly ahead of me) over the
+    aggregated dictionary instead of an unpartitioned window: the
+    dictionary is vocabulary-sized (grows with distinct values, not
+    rows), so the non-equi join is trivially small while the corpus
+    only pays one map-side-combined count.  NULL sources coalesce to ''
+    for a total order (testdata sources are non-empty).  All-integer
+    output — order-proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    b = c.select(F.col("source").alias("__s2"), F.col("cnt").alias("__c2"))
+    ahead = (F.col("__c2") > F.col("cnt")) | (
+        (F.col("__c2") == F.col("cnt"))
+        & (F.coalesce(F.col("__s2"), F.lit(""))
+           < F.coalesce(F.col("source"), F.lit(""))))
+    return (c.join(F.broadcast(b), ahead, "left")
+             .groupBy("source", "cnt")
+             .agg((F.lit(1) + F.count("__s2")).alias("code")))
