@@ -8008,3 +8008,138 @@ def q_dict_encode(spark, sf_dir):
     return (c.join(F.broadcast(b), ahead, "left")
              .groupBy("source", "cnt")
              .agg((F.lit(1) + F.count("__s2")).alias("code")))
+
+
+@query(
+    "q_shipping_priority",
+    oracle="""
+    WITH rev AS (
+      SELECT l_orderkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey
+    )
+    SELECT r.l_orderkey AS orderkey, r.rev_cents,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS priority
+    FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+    ORDER BY r.rev_cents DESC, r.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): revenue of orders placed
+    before a cutoff whose items ship after it, top-10 by revenue.
+    Per-line revenue snaps to integer cents via the identical
+    FLOOR(x*100+0.5) on both engines (one IEEE multiply each — exact
+    parity), so the BIGINT sum is order-free; the top-10 is a
+    TakeOrdered partial top-k (no global sort materializes), tie-broken
+    by orderkey.  The l_shipdate predicate pushes to the lineitem scan;
+    the order join keys on the already-aggregated per-order table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + F.lit(0.5)).cast("long")
+    rev = (li.where(F.col("l_shipdate") > "1998-01-01")
+             .groupBy("l_orderkey")
+             .agg(F.sum(cents).alias("rev_cents")))
+    return (rev.join(od.where(F.col("o_orderdate") < "1998-01-01"),
+                     rev["l_orderkey"] == od["o_orderkey"])
+               .select(F.col("l_orderkey").alias("orderkey"), "rev_cents",
+                       F.to_date("o_orderdate").alias("orderdate"),
+                       F.col("o_orderpriority").alias("priority"))
+               .orderBy(F.col("rev_cents").desc(), F.col("orderkey"))
+               .limit(10))
+
+
+@query(
+    "q_cooccur_parts",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, COUNT(*) AS n_orders
+    FROM pairs GROUP BY p1, p2
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def q_cooccur_parts(spark, sf_dir):
+    """Market-basket co-occurrence: the top part pairs bought together
+    in one order — the candidate-generation step of frequent-itemset
+    mining (A-Priori's pair pass).  Dedup to (order, part), self-join
+    keyed on the order (pair fan-out is bounded by the per-order item
+    count, ~7 in TPC-H shapes — a per-order top-B cap slots in where
+    baskets are unbounded), count pairs with map-side combine, partial
+    top-k.  All joins are key-partitioned on orderkey — no broadcast of
+    data-scale tables, no skew (orderkeys are unique-ish)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok2"),
+                     F.col("l_partkey").alias("p2"))
+    pairs = a.join(b, (F.col("l_orderkey") == F.col("ok2"))
+                   & (F.col("p1") < F.col("p2")))
+    return (pairs.groupBy("p1", "p2").agg(F.count("*").alias("n_orders"))
+                 .orderBy(F.col("n_orders").desc(), "p1", "p2")
+                 .limit(20))
+
+
+@query(
+    "q_conversion_latency",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v0,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p0
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT p0 - v0 AS lat_us FROM f
+      WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= v0
+    )
+    SELECT COUNT(*) AS n_converted,
+           MIN(lat_us) AS min_lat_us, MAX(lat_us) AS max_lat_us,
+           CAST(FLOOR(quantile_cont(CAST(lat_us AS DOUBLE), 0.5) * 20 + 0.5)
+                AS BIGINT) AS p50_x20,
+           CAST(FLOOR(quantile_cont(CAST(lat_us AS DOUBLE), 0.95) * 20 + 0.5)
+                AS BIGINT) AS p95_x20
+    FROM c
+    """,
+)
+def q_conversion_latency(spark, sf_dir):
+    """Funnel conversion latency: per user, time from FIRST view to
+    FIRST purchase (converters only), reduced to count / min / max /
+    exact interpolated P50+P95.  Latencies are integer microseconds
+    (epoch_us min-aggregates — one conditional agg, no window/sort per
+    user), so every surface is integer: the interpolated quantiles of
+    integers at q=k/20 land on the exact 1/20 grid, shipped ×20 as
+    BIGINT (the q_corpus_report recipe — the hash cannot flip on any
+    float).  One grouped shuffle over users, then a 1-row global
+    reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view",
+                     F.unix_micros(F.col("ts")))).alias("v0"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.unix_micros(F.col("ts")))).alias("p0"))
+    c = (f.where(F.col("v0").isNotNull() & F.col("p0").isNotNull()
+                 & (F.col("p0") >= F.col("v0")))
+          .select((F.col("p0") - F.col("v0")).alias("lat_us")))
+    lat_d = F.col("lat_us").cast("double")
+    return c.agg(
+        F.count("*").alias("n_converted"),
+        F.min("lat_us").alias("min_lat_us"),
+        F.max("lat_us").alias("max_lat_us"),
+        F.floor(F.expr("percentile(CAST(lat_us AS DOUBLE), 0.5)") * 20
+                + F.lit(0.5)).cast("long").alias("p50_x20"),
+        F.floor(F.expr("percentile(CAST(lat_us AS DOUBLE), 0.95)") * 20
+                + F.lit(0.5)).cast("long").alias("p95_x20"))
