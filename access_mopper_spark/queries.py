@@ -8143,3 +8143,191 @@ def q_conversion_latency(spark, sf_dir):
                 + F.lit(0.5)).cast("long").alias("p50_x20"),
         F.floor(F.expr("percentile(CAST(lat_us AS DOUBLE), 0.95)") * 20
                 + F.lit(0.5)).cast("long").alias("p95_x20"))
+
+
+@query(
+    "q_trimmed_mean",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, CAST(0.1 AS DOUBLE)) AS lo,
+             quantile_cont(value, CAST(0.9 AS DOUBLE)) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n_kept,
+           ROUND(AVG(e.value), 6) AS trimmed_mean
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value >= b.lo AND e.value <= b.hi
+    GROUP BY e.event_type
+    """,
+)
+def q_trimmed_mean(spark, sf_dir):
+    """10%-two-sided trimmed mean per event type — the outlier-robust
+    location estimate (between mean and median).  Exact interpolated
+    P10/P90 bounds per group (one grouped shuffle), broadcast back, and
+    a conditional re-aggregate over the in-band rows.  NULL values drop
+    identically on both engines (quantiles and AVG skip them; the band
+    predicate rejects them).  Two passes over the data but only one
+    shuffled — the second is a map-side-combined agg against broadcast
+    bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.1)").alias("lo"),
+        F.expr("percentile(value, 0.9)").alias("hi"))
+    return (ev.join(F.broadcast(b), "event_type")
+              .where((F.col("value") >= F.col("lo"))
+                     & (F.col("value") <= F.col("hi")))
+              .groupBy("event_type")
+              .agg(F.count("*").alias("n_kept"),
+                   R6(F.avg("value")).alias("trimmed_mean")))
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY event_type, dow
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r FROM c GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS k FROM c GROUP BY dow),
+    g AS (SELECT SUM(o) AS n FROM c)
+    SELECT c.event_type, SUM(c.o) AS n_obs,
+           ROUND(SUM(POW(CAST(c.o AS DOUBLE)
+                         - CAST(rt.r * ct.k AS DOUBLE) / g.n, 2)
+                     / (CAST(rt.r * ct.k AS DOUBLE) / g.n)), 6) AS chi2_part
+    FROM c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN g
+    GROUP BY c.event_type
+    """,
+)
+def q_chi_square(spark, sf_dir):
+    """Chi-square independence decomposition of the event_type ×
+    day-of-week contingency table: per-type contribution Σ(O−E)²/E —
+    the categorical drift/independence test of data monitoring.  The
+    contingency, row and column marginals, and the grand total are all
+    INTEGER counts (exact, order-free); ``r*k`` stays in BIGINT so the
+    only float ops are the final per-cell division/pow, identical on
+    both engines.  Marginals are vocabulary×7-sized → broadcast; the
+    corpus pays one map-side-combined count.  DuckDB↔Spark dayofweek
+    off-by-one pinned as in q_dow_seasonality."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type",
+                   (F.dayofweek("ts") - 1).cast("long").alias("dow")) \
+          .agg(F.count("*").alias("o"))
+    rt = c.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = c.groupBy("dow").agg(F.sum("o").alias("k"))
+    g = c.agg(F.sum("o").alias("n"))
+    e = (F.col("r") * F.col("k")).cast("double") / F.col("n")
+    term = F.pow(F.col("o").cast("double") - e, 2) / e
+    return (c.join(F.broadcast(rt), "event_type")
+             .join(F.broadcast(ct), "dow")
+             .crossJoin(F.broadcast(g))
+             .groupBy("event_type")
+             .agg(F.sum("o").alias("n_obs"),
+                  R6(F.sum(term)).alias("chi2_part")))
+
+
+@query(
+    "q_path_ngrams",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 15
+    """,
+)
+def q_path_ngrams(spark, sf_dir):
+    """Top user journey prefixes: each user's first three event types
+    (deterministic (ts, event_id) order) joined into a path string,
+    counted across users — the path-analysis complement to the Markov
+    pair matrix (q_markov_transitions).  The rank filter ``rn <= 3``
+    pushes down as WindowGroupLimit, so each user partition emits at
+    most 3 rows before the shuffle; the path assembles order-free via
+    array_sort on (rn, type) structs.  NULL event types drop from the
+    join on both engines (STRING_AGG / array_join skip NULL).  One
+    keyed window + one grouped count + partial top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (ev.select("user_id", "event_type", "ts", "event_id")
+           .withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= 3))
+    p = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"]),
+            ">").alias("path"))
+    return (p.groupBy("path").agg(F.count("*").alias("n_users"))
+             .orderBy(F.col("n_users").desc(), "path")
+             .limit(15))
+
+
+@query(
+    "q_ltv_cohorts",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey, MIN(CAST(o_orderdate AS TIMESTAMP)) AS first_dt
+      FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+      SELECT CAST(date_trunc('month', f.first_dt) AS DATE) AS cohort,
+             (YEAR(CAST(o.o_orderdate AS TIMESTAMP)) - YEAR(f.first_dt)) * 12
+             + (MONTH(CAST(o.o_orderdate AS TIMESTAMP)) - MONTH(f.first_dt))
+               AS offs,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+    ),
+    m AS (
+      SELECT cohort, offs, SUM(cents) AS rev_cents
+      FROM base GROUP BY cohort, offs
+    )
+    SELECT a.cohort AS cohort_month, a.offs AS month_offset, a.rev_cents,
+           a.rev_cents + COALESCE(SUM(b.rev_cents), 0) AS cum_rev_cents
+    FROM m a LEFT JOIN m b ON b.cohort = a.cohort AND b.offs < a.offs
+    GROUP BY a.cohort, a.offs, a.rev_cents
+    """,
+)
+def q_ltv_cohorts(spark, sf_dir):
+    """Customer lifetime-value curve by acquisition cohort: customers
+    cohort on their first order month; revenue accumulates along the
+    month offset — the LTV matrix behind payback-period analysis.
+    Integer months via year/month arithmetic (no float months_between),
+    integer cents (exact, order-free).  The cumulative runs as the
+    repo's broadcast prefix range-join over the CALENDAR²-bounded
+    (cohort × offset) matrix — never an unpartitioned window; corpus-
+    scale work is the first-order min-agg and one keyed join+agg."""
+    od = load_table(spark, sf_dir, "orders")
+    fo = od.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    offs = ((F.year("o_orderdate") - F.year("first_dt")) * 12
+            + (F.month("o_orderdate") - F.month("first_dt")))
+    base = od.join(fo, "o_custkey").select(
+        F.to_date(F.date_trunc("month", "first_dt")).alias("cohort"),
+        offs.cast("long").alias("offs"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+         .alias("cents"))
+    m = base.groupBy("cohort", "offs").agg(F.sum("cents").alias("rev_cents"))
+    b = m.select(F.col("cohort").alias("__co2"), F.col("offs").alias("__of2"),
+                 F.col("rev_cents").alias("__rv2"))
+    return (m.alias("a")
+             .join(F.broadcast(b), (F.col("__co2") == F.col("a.cohort"))
+                   & (F.col("__of2") < F.col("a.offs")), "left")
+             .groupBy("a.cohort", "a.offs", "a.rev_cents")
+             .agg((F.col("a.rev_cents")
+                   + F.sum(F.coalesce("__rv2", F.lit(0)))).alias("cum_rev_cents"))
+             .select(F.col("a.cohort").alias("cohort_month"),
+                     F.col("a.offs").alias("month_offset"),
+                     F.col("a.rev_cents").alias("rev_cents"),
+                     "cum_rev_cents"))

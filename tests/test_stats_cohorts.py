@@ -1,0 +1,60 @@
+"""Invariants for the round-5 statistics/cohort batch: trimmed mean,
+chi-square decomposition, path n-grams, LTV cohort curves."""
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from access_mopper_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_trimmed_mean_between_bounds(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    stats = {r["event_type"]: r for r in ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.1)").alias("lo"),
+        F.expr("percentile(value, 0.9)").alias("hi"),
+        F.count("value").alias("n")).collect()}
+    for r in QUERIES["q_trimmed_mean"](spark, SF).collect():
+        s = stats[r["event_type"]]
+        assert s["lo"] - 1e-9 <= r["trimmed_mean"] <= s["hi"] + 1e-9
+        # trimming removes at most ~20% (plus ties keep more)
+        assert r["n_kept"] >= 0.75 * s["n"]
+
+
+def test_chi_square_nonnegative_and_counts(spark):
+    rows = QUERIES["q_chi_square"](spark, SF).collect()
+    ev_n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["n_obs"] for r in rows) == ev_n
+    for r in rows:
+        assert r["chi2_part"] >= 0
+
+
+def test_path_ngrams_shape(spark):
+    rows = QUERIES["q_path_ngrams"](spark, SF).collect()
+    assert rows
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 1 <= len(r["path"].split(">")) <= 3
+
+
+def test_ltv_cumulative_monotone(spark):
+    rows = QUERIES["q_ltv_cohorts"](spark, SF).collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_month"]].append(r)
+    total = sum(r["rev_cents"] for r in rows)
+    # cents total reconciles with a direct scan
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    direct = od.select(F.sum(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .alias("s")).collect()[0]["s"]
+    assert total == direct
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["month_offset"])
+        cum = 0
+        for r in rs:
+            cum += r["rev_cents"]
+            assert r["cum_rev_cents"] == cum
