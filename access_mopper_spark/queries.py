@@ -8331,3 +8331,142 @@ def q_ltv_cohorts(spark, sf_dir):
                      F.col("a.offs").alias("month_offset"),
                      F.col("a.rev_cents").alias("rev_cents"),
                      "cum_rev_cents"))
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+    WITH a AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    b AS (SELECT lang, SUM(n_chars) AS total_chars
+          FROM documents GROUP BY lang)
+    SELECT a.lang, a.n_docs, b.total_chars
+    FROM a JOIN b ON a.lang IS NOT DISTINCT FROM b.lang
+    """,
+)
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (Spark ``<=>`` ↔ SQL IS NOT DISTINCT FROM):
+    two per-language aggregates rejoin on the nullable key WITHOUT
+    dropping the NULL-language group — the semantics gap that silently
+    loses the "unknown" bucket in a plain equi-join.  Catalyst plans
+    ``<=>`` as a hash join on a null-wrapped key (still a shuffled
+    equi-join, not a nested loop), so it scales like any keyed join;
+    both inputs here are vocabulary-sized aggregates.  All-integer
+    output."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    b = (docs.groupBy(F.col("lang").alias("lang_b"))
+             .agg(F.sum("n_chars").alias("total_chars")))
+    return (a.join(b, F.col("lang").eqNullSafe(F.col("lang_b")))
+             .select("lang", "n_docs", "total_chars"))
+
+
+@query(
+    "q_cdc_compact",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, ts_us AS last_ts_us,
+           event_id AS last_event_id, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def q_cdc_compact(spark, sf_dir):
+    """Latest-wins CDC compaction: one surviving record per
+    (user, event_type) key, picked by (ts, event_id) DESC — the
+    dedup/compaction step applied to a change stream before serving a
+    snapshot (the MERGE latest-record shape).  The ``rn = 1`` filter
+    pushes down as WindowGroupLimit, so each key group emits one row
+    map-side before the shuffle completes; no aggregation touches the
+    payload, so ``last_value`` is a raw cell (bit-exact on both
+    engines, no rounding surface).  Timestamps ship as integer epoch
+    µs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id", "event_type")
+          .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    return (ev.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1)
+              .select("user_id", "event_type",
+                      F.unix_micros("ts").alias("last_ts_us"),
+                      F.col("event_id").alias("last_event_id"),
+                      F.col("value").alias("last_value")))
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS tot FROM g)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / tot, 6) AS observed_p,
+           ROUND(LOG10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit), 6)
+             AS benford_p
+    FROM g CROSS JOIN t
+    """,
+)
+def q_benford(spark, sf_dir):
+    """Benford's-law first-digit profile of order totals — the fraud /
+    synthetic-data smell test: observed leading-digit shares next to
+    the log10(1+1/d) expectation.  The digit extracts through INTEGER
+    floor+string (no float log in the grouping key), counts are exact,
+    and the only float surfaces are the two final divisions — computed
+    with the identical IEEE ops on both engines.  One map-side-combined
+    count + a 1-row broadcast total."""
+    od = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.floor("o_totalprice").cast("long").cast("string"),
+                        1, 1).cast("long")
+    g = (od.where(F.col("o_totalprice") >= 1)
+           .groupBy(digit.alias("digit")).agg(F.count("*").alias("n")))
+    t = g.agg(F.sum("n").alias("tot"))
+    return (g.crossJoin(F.broadcast(t))
+             .select("digit", "n",
+                     R6(F.col("n").cast("double") / F.col("tot"))
+                     .alias("observed_p"),
+                     R6(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")))
+                     .alias("benford_p")))
+
+
+@query(
+    "q_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE)
+               AS month,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY month
+    )
+    SELECT a.month, a.rev_cents, b.rev_cents AS prev_cents,
+           a.rev_cents - b.rev_cents AS delta_cents
+    FROM m a LEFT JOIN m b ON b.month = CAST(a.month - INTERVAL 1 MONTH AS DATE)
+    """,
+)
+def q_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: monthly integer-cent totals
+    with the previous month attached by a CALENDAR-KEY SELF-JOIN on
+    ``month − 1`` instead of a LAG window — the month table is
+    calendar-bounded (broadcast forever), so no ordered window or
+    single-partition sort exists at any scale; months missing a
+    predecessor surface NULL prev/delta identically on both engines.
+    All-integer output."""
+    od = load_table(spark, sf_dir, "orders")
+    m = (od.groupBy(F.to_date(F.date_trunc("month", "o_orderdate"))
+                    .alias("month"))
+           .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                      .cast("long")).alias("rev_cents")))
+    b = m.select(F.col("month").alias("__m2"),
+                 F.col("rev_cents").alias("prev_cents"))
+    return (m.join(F.broadcast(b),
+                   F.col("__m2") == F.add_months(F.col("month"), -1), "left")
+             .select("month", "rev_cents", "prev_cents",
+                     (F.col("rev_cents") - F.col("prev_cents"))
+                     .alias("delta_cents")))
