@@ -8470,3 +8470,114 @@ def q_mom_growth(spark, sf_dir):
              .select("month", "rev_cents", "prev_cents",
                      (F.col("rev_cents") - F.col("prev_cents"))
                      .alias("delta_cents")))
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey AS part,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS cost_cents,
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_cents
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT a.part, a.cost_cents, a.qty_cents
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.cost_cents <= a.cost_cents AND b.qty_cents >= a.qty_cents
+        AND (b.cost_cents < a.cost_cents OR b.qty_cents > a.qty_cents)
+    )
+    """,
+)
+def q_skyline(spark, sf_dir):
+    """Skyline / Pareto-frontier operator (Börzsönyi ICDE'01): parts
+    where no other part is both cheaper (total spend) and
+    higher-volume — the multi-objective "best tradeoffs" query
+    optimizers lack a keyword for.  The ORACLE states the O(n²)
+    dominance anti-join; the Spark side runs
+    ``operators/skyline.skyline_2d`` — the two-phase bucket-refined
+    prefix-max (per-bucket y-max, broadcast earlier-bucket prefix,
+    bucket-PARTITIONED range-frame running max), so no global sort or
+    unpartitioned window exists even when the key table grows with the
+    catalog.  Integer cents on both axes — exact strictness, no float
+    surface."""
+    from access_mopper_spark.operators.skyline import skyline_2d
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+              .cast("long")).alias("cost_cents"),
+        F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+              .cast("long")).alias("qty_cents"))
+    return skyline_2d(p, "cost_cents", "qty_cents") \
+        .select("part", "cost_cents", "qty_cents")
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def q_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — bag intersection with multiplicity (each
+    customer appears min(n_1996, n_1997) times), the set-op corner
+    DISTINCT-based intersection silently collapses.  Spark plans
+    ``intersectAll`` as a single aggregate carrying both counts plus a
+    replicate-rows generate — one shuffle on the key, no join — and
+    both date slices push to the scan.  Complements q_set_except
+    (§2.7)."""
+    od = load_table(spark, sf_dir, "orders")
+    a = (od.where((F.col("o_orderdate") >= "1996-01-01")
+                  & (F.col("o_orderdate") < "1997-01-01"))
+           .select(F.col("o_custkey").alias("custkey")))
+    b = (od.where((F.col("o_orderdate") >= "1997-01-01")
+                  & (F.col("o_orderdate") < "1998-01-01"))
+           .select(F.col("o_custkey").alias("custkey")))
+    return a.intersectAll(b)
+
+
+@query(
+    "q_sliding_hour_sum",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS hr,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, hr
+    )
+    SELECT event_type, CAST(epoch(hr) // 3600 AS BIGINT) AS hour_idx, n,
+           SUM(n) OVER (PARTITION BY event_type
+                        ORDER BY CAST(epoch(hr) // 3600 AS BIGINT)
+                        RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+             AS sum_6h
+    FROM h
+    """,
+)
+def q_sliding_hour_sum(spark, sf_dir):
+    """Trailing 6-hour sliding event volume per type over SPARSE hourly
+    buckets — a RANGE-framed window on the integer hour index, which
+    (unlike a ROWS frame) stays correct when hours are missing: the
+    frame is value-based, so a gap narrows the window instead of
+    silently reaching further back.  The window partitions by
+    event_type over the calendar-bounded hourly table; the corpus pays
+    one map-side-combined count.  All-integer output."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+    ).agg(F.count("*").alias("n"))
+    idx = (F.unix_seconds(F.col("hr")) / 3600).cast("long")
+    w = (W.partitionBy("event_type").orderBy(idx)
+          .rangeBetween(-5, W.currentRow))
+    return h.select("event_type", idx.alias("hour_idx"), "n",
+                    F.sum("n").over(w).alias("sum_6h"))
