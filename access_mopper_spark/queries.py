@@ -8581,3 +8581,85 @@ def q_sliding_hour_sum(spark, sf_dir):
           .rangeBetween(-5, W.currentRow))
     return h.select("event_type", idx.alias("hour_idx"), "n",
                     F.sum("n").over(w).alias("sum_6h"))
+
+
+@query(
+    "q_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           YEAR(CAST(l.l_shipdate AS TIMESTAMP)) AS l_year,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS rev_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, YEAR(CAST(l.l_shipdate AS TIMESTAMP))
+    """,
+)
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping) exercised through the SQL
+    FRONT-END: temp views + one ``spark.sql`` statement with the nation
+    dimension self-aliased on both sides of the trade — the two-hop
+    dimension snowflake (lineitem→supplier→nation, lineitem→orders→
+    customer→nation) that join reordering and broadcast selection must
+    get right.  Catalyst broadcasts all four dim tables (AQE picks it
+    from size), the nation-name predicates prune BEFORE the fact joins,
+    and revenue snaps to integer cents — exact and order-free.  Same
+    declarative text both engines, so the oracle doubles as the parity
+    proof of the SQL surface."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               YEAR(l.l_shipdate) AS l_year,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                              + 0.5) AS BIGINT)) AS rev_cents
+        FROM v_lineitem l
+        JOIN v_supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN v_orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN v_customer c ON c.c_custkey = o.o_custkey
+        JOIN v_nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN v_nation n2  ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)
+    """)
+
+
+@query(
+    "q_embedding_norm_outliers",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS l2
+      FROM embeddings
+    ),
+    t AS (SELECT quantile_cont(l2, CAST(0.99 AS DOUBLE)) AS p99 FROM n)
+    SELECT vec_id, label, ROUND(l2, 6) AS l2_norm
+    FROM n CROSS JOIN t
+    WHERE l2 > p99
+    """,
+)
+def q_embedding_norm_outliers(spark, sf_dir):
+    """Embedding-norm outlier screen: vectors whose L2 norm exceeds the
+    corpus P99 — the cheap sanity filter run before indexing/training
+    (broken encoders produce norm spikes).  The norm is a JVM-side
+    ``F.aggregate`` fold over the double-cast array (no Python, no
+    explode — one row stays one row); the threshold is an exact global
+    percentile reduced to ONE broadcast row, so the filter pass is
+    map-only.  Embeddings CAST to DOUBLE[] in the oracle (DuckDB's
+    FLOAT[] fold diverges from Spark's double math — repo convention)."""
+    emb = _wide(load_table(spark, sf_dir, "embeddings"))
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
+    n = emb.select("vec_id", "label", l2.alias("l2"))
+    t = n.agg(F.expr("percentile(l2, 0.99)").alias("p99"))
+    return (n.crossJoin(F.broadcast(t))
+             .where(F.col("l2") > F.col("p99"))
+             .select("vec_id", "label", R6(F.col("l2")).alias("l2_norm")))
