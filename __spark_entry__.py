@@ -71,13 +71,18 @@ _DRIVER_PRIORITY = [
     # new §2.1 oracle rows (previously pytest-only seams)
     "q_varlist_dreq_roundtrip", "q_cv_zfactor_attach",
 ]
-# Round-6 rotation candidates (added late in r5, local-green at sf0.01
-# AND sf0.1 + seed-fuzzed, never driver-checked): q_retention_cohorts,
+# Round-6 rotation candidates (added in r5, local-green at sf0.01 AND
+# sf0.1 + seed-fuzzed, never driver-checked): q_retention_cohorts,
 # q_markov_transitions, q_rolling_features, q_anomaly_mad,
 # q_streak_islands, q_hard_negatives, q_grouping_sets,
 # q_percentile_disc, q_bpe_vocab_coverage, q_source_overlap,
 # q_json_extract, q_dow_seasonality, q_referential_profile,
-# q_churn_users, q_cumulative_active.
+# q_churn_users, q_cumulative_active, q_rolling_distinct_users,
+# q_autocorr_lag1, q_ewma_daily, q_dict_encode, q_shipping_priority,
+# q_cooccur_parts, q_conversion_latency, q_trimmed_mean, q_chi_square,
+# q_path_ngrams, q_ltv_cohorts, q_null_safe_join, q_cdc_compact,
+# q_benford, q_mom_growth, q_skyline, q_intersect_all,
+# q_sliding_hour_sum, q_volume_shipping, q_embedding_norm_outliers.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

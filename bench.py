@@ -68,6 +68,12 @@ HEADLINE = [
     "q_pagerank",
     "q_quality_blend",
     "q_weighted_median_2phase",
+    # round 5: distributed-global-sort replacements (skyline frontier,
+    # bucket-offset global rank), sliding distinct, market-basket pairs
+    "q_skyline",
+    "q_gini",
+    "q_rolling_distinct_users",
+    "q_cooccur_parts",
 ]
 
 
