@@ -8770,3 +8770,166 @@ def q_decile_lift(spark, sf_dir):
              .groupBy(decile.alias("decile"))
              .agg(F.count("*").alias("n_customers"),
                   F.sum("cents").alias("sum_cents")))
+
+
+@query(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+    tk AS (
+      SELECT t.doc_id // GREATEST(1, (mx.mid + 1 + 15) // 16) AS bucket,
+             u.t AS tok
+      FROM toks t CROSS JOIN mx, UNNEST(t.w) AS u(t)
+      WHERE u.t <> ''
+    ),
+    per_b AS (SELECT bucket, COUNT(*) AS n_tokens FROM tk GROUP BY bucket),
+    fb AS (SELECT tok, MIN(bucket) AS fb FROM tk GROUP BY tok),
+    nb AS (SELECT fb AS bucket, COUNT(*) AS new_types FROM fb GROUP BY fb),
+    m AS (
+      SELECT p.bucket, p.n_tokens, COALESCE(nb.new_types, 0) AS new_types
+      FROM per_b p LEFT JOIN nb USING (bucket)
+    )
+    SELECT a.bucket, a.n_tokens, a.new_types,
+           CAST(SUM(b.new_types) AS BIGINT) AS cum_types,
+           CAST(SUM(b.n_tokens) AS BIGINT) AS cum_tokens
+    FROM m a JOIN m b ON b.bucket <= a.bucket
+    GROUP BY a.bucket, a.n_tokens, a.new_types
+    """,
+)
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: the corpus in 16 doc-id
+    buckets, per-bucket token volume and NEW type count (types whose
+    FIRST occurrence falls in the bucket), plus cumulative axes — how
+    sublinearly the vocabulary grows with the corpus, the curve
+    tokenizer sizing is read off.  "First occurrence" is a min-agg on
+    the token key (one shuffle over the exploded corpus — never a
+    cumulative distinct over an ordered window); cumulation runs on the
+    16-row bucket table via the broadcast prefix join.  All-integer
+    output; tokens follow the repo's explicit-class normalizer
+    (functions/text.ws_normalized)."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    width = F.greatest(F.lit(1).cast("long"),
+                       F.floor((F.col("mid") + 1 + 15) / 16).cast("long"))
+    tk = (docs.crossJoin(F.broadcast(mx))
+              .select(F.floor(F.col("doc_id") / width).cast("long")
+                      .alias("bucket"),
+                      F.explode(tokens(F.col("text"))).alias("tok"))
+              .where(F.col("tok") != ""))
+    per_b = tk.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    fb = tk.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    nb = fb.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count("*").alias("new_types"))
+    m = (per_b.join(nb, "bucket", "left")
+              .select("bucket", "n_tokens",
+                      F.coalesce("new_types", F.lit(0)).alias("new_types")))
+    b2 = m.select(F.col("bucket").alias("__b2"),
+                  F.col("n_tokens").alias("__nt2"),
+                  F.col("new_types").alias("__ny2"))
+    return (m.join(F.broadcast(b2), F.col("__b2") <= F.col("bucket"))
+             .groupBy("bucket", "n_tokens", "new_types")
+             .agg(F.sum("__ny2").alias("cum_types"),
+                  F.sum("__nt2").alias("cum_tokens")))
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    g AS (
+      SELECT DISTINCT doc_id,
+             w[g.i] || chr(31) || w[g.i + 1] || chr(31) || w[g.i + 2] AS gram
+      FROM toks,
+           (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1)
+                                    FROM toks) + 1)) AS i) g
+      WHERE g.i <= len(w) - 2
+    ),
+    fd AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id, COUNT(*) AS n_distinct,
+           SUM(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             AS n_novel
+    FROM g JOIN fd USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty against all EARLIER documents (by
+    doc id): how many of a doc's distinct trigrams appear here first —
+    the incremental-crawl signal ("does this page add anything?") from
+    dataset-curation practice.  First-occurrence is a min-agg on the
+    gram key; the novelty join re-uses the same gram partitioning
+    (co-located equi-join, no broadcast of corpus-scale data).
+    All-integer output; shingle assembly uses the shifted-slice
+    zip (no per-row UDF) and the dialect-pinned tokenizer."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    tri = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 2, F.lit(0))),
+        F.zip_with(F.slice(w, 2, F.greatest(F.size(w) - 2, F.lit(0))),
+                   F.slice(w, 3, F.greatest(F.size(w) - 2, F.lit(0))),
+                   lambda b, c: F.concat(b, F.lit("\x1f"), c)),
+        lambda a, bc: F.concat(a, F.lit("\x1f"), bc))
+    g = (docs.select("doc_id", F.explode(tri).alias("gram")).distinct())
+    fd = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (g.join(fd, "gram")
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_distinct"),
+                  F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                        .otherwise(0)).cast("long").alias("n_novel")))
+
+
+@query(
+    "q_fim_split",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    t AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 3),
+    c AS (
+      SELECT doc_id, w, n,
+             1 + (doc_id % (n - 2)) AS c1
+      FROM t
+    ),
+    d AS (
+      SELECT doc_id, w, n, c1,
+             c1 + 1 + ((doc_id * 7 + 3) % (n - 1 - c1)) AS c2
+      FROM c
+    )
+    SELECT doc_id, n AS n_tokens, c1 AS n_prefix,
+           c2 - c1 AS n_middle, n - c2 AS n_suffix,
+           md5(array_to_string(w[c1 + 1 : c2], ' ')) AS middle_fp
+    FROM d
+    """,
+)
+def q_fim_split(spark, sf_dir):
+    """Fill-in-the-middle training-example construction: each document
+    deterministically splits into prefix/middle/suffix at cut points
+    DERIVED FROM THE DOC ID (pure integer modular arithmetic — no RNG,
+    so the split is reproducible on both engines and across reruns,
+    the property FIM pipelines need for resumable preprocessing).
+    Map-only: tokenize, two modular cuts, slice, fingerprint the middle
+    span (md5) — one row stays one row, no shuffle at all.  Docs
+    shorter than 3 tokens are excluded identically on both sides."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    t = (docs.select("doc_id", tokens(F.col("text")).alias("w"))
+             .withColumn("n", F.size("w").cast("long"))
+             .where(F.col("n") >= 3))
+    c1 = (F.lit(1) + F.col("doc_id") % (F.col("n") - 2)).cast("long")
+    t = t.withColumn("c1", c1)
+    c2 = (F.col("c1") + 1
+          + (F.col("doc_id") * 7 + 3) % (F.col("n") - 1 - F.col("c1"))
+          ).cast("long")
+    t = t.withColumn("c2", c2)
+    middle = F.slice(F.col("w"), (F.col("c1") + 1).cast("int"),
+                     (F.col("c2") - F.col("c1")).cast("int"))
+    return t.select(
+        "doc_id", F.col("n").alias("n_tokens"),
+        F.col("c1").alias("n_prefix"),
+        (F.col("c2") - F.col("c1")).alias("n_middle"),
+        (F.col("n") - F.col("c2")).alias("n_suffix"),
+        F.md5(F.array_join(middle, " ").cast("binary")).alias("middle_fp"))

@@ -1,0 +1,72 @@
+"""Invariants for the round-5 corpus-statistics batch: Heaps growth,
+n-gram novelty, FIM splits."""
+
+from pyspark.sql import functions as F
+
+from access_mopper_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_vocab_growth_monotone_and_reconciles(spark):
+    rows = sorted(QUERIES["q_vocab_growth"](spark, SF).collect(),
+                  key=lambda r: r["bucket"])
+    assert rows
+    cum_ty, cum_tk = 0, 0
+    for r in rows:
+        cum_ty += r["new_types"]
+        cum_tk += r["n_tokens"]
+        assert r["cum_types"] == cum_ty
+        assert r["cum_tokens"] == cum_tk
+        # a bucket can't introduce more types than it has tokens
+        assert r["new_types"] <= r["n_tokens"]
+    # final cum_types equals the corpus distinct-token count
+    from access_mopper_spark.operators.search import tokens
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_types = (docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+                   .where(F.col("t") != "").select("t").distinct().count())
+    assert rows[-1]["cum_types"] == n_types
+
+
+def test_ngram_novelty_bounds_and_first_doc_all_novel(spark):
+    rows = QUERIES["q_ngram_novelty"](spark, SF).collect()
+    assert rows
+    by_id = {r["doc_id"]: r for r in rows}
+    first = min(by_id)
+    # the earliest doc's grams are all first occurrences
+    assert by_id[first]["n_novel"] == by_id[first]["n_distinct"]
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_distinct"]
+    # every gram is novel in exactly one doc: novelty sums to the
+    # number of distinct grams corpus-wide
+    from access_mopper_spark.operators.search import tokens
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = tokens(F.col("text"))
+    sz = F.greatest(F.size(w) - 2, F.lit(0))
+    tri = F.zip_with(
+        F.slice(w, 1, sz),
+        F.zip_with(F.slice(w, 2, sz), F.slice(w, 3, sz),
+                   lambda b, c: F.concat(b, F.lit("\x1f"), c)),
+        lambda a, bc: F.concat(a, F.lit("\x1f"), bc))
+    n_grams = (docs.select(F.explode(tri).alias("g"))
+                   .select("g").distinct().count())
+    assert sum(r["n_novel"] for r in rows) == n_grams
+
+
+def test_fim_split_partitions_every_doc(spark):
+    rows = QUERIES["q_fim_split"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_prefix"] >= 1 and r["n_middle"] >= 1 \
+            and r["n_suffix"] >= 1
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] \
+            == r["n_tokens"]
+        assert len(r["middle_fp"]) == 32
+
+
+def test_fim_split_deterministic(spark):
+    a = {r["doc_id"]: r["middle_fp"]
+         for r in QUERIES["q_fim_split"](spark, SF).collect()}
+    b = {r["doc_id"]: r["middle_fp"]
+         for r in QUERIES["q_fim_split"](spark, SF).collect()}
+    assert a == b
