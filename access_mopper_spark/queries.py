@@ -8933,3 +8933,56 @@ def q_fim_split(spark, sf_dir):
         (F.col("c2") - F.col("c1")).alias("n_middle"),
         (F.col("n") - F.col("c2")).alias("n_suffix"),
         F.md5(F.array_join(middle, " ").cast("binary")).alias("middle_fp"))
+
+
+@query(
+    "q_stream_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+    ),
+    flagged AS (
+      SELECT user_id, t,
+             CASE WHEN epoch_us(t) - epoch_us(LAG(t) OVER w) >= 600000000
+                  OR LAG(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    sess AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, epoch_us(MIN(t)) AS session_start_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    -- append mode emits only sessions CLOSED by the final watermark
+    -- (= max event time under a 0-second delay): end = last event + gap
+    HAVING epoch_us(MAX(t)) + 600000000 <= (SELECT epoch_us(MAX(t)) FROM e)
+    """,
+)
+def q_stream_sessions(spark, sf_dir):
+    """STREAMING gap-based sessionization: ``session_window`` (10-min
+    inactivity gap) under a watermark in an actual micro-batch
+    execution — dynamic windows whose close is only known once the
+    watermark passes, the canonical stateful-streaming workload (state
+    = open sessions only, bounded by active users × gap, evicted on
+    close).  The batch q_sessionize pins the merge-rule parity; this
+    row proves the same semantics survive the streaming state machine
+    (availableNow trigger, update-free append of CLOSED sessions).
+    Session starts ship as integer epoch µs."""
+    from access_mopper_spark.streaming.resample import (
+        events_stream, harness_shuffle, run_to_memory)
+
+    src = events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    out = (src.groupBy("user_id",
+                       F.session_window("ts", "10 minutes").alias("__w"))
+              .agg(F.count("*").alias("n_events"))
+              .select("user_id",
+                      F.unix_micros(F.col("__w.start"))
+                      .alias("session_start_us"),
+                      "n_events"))
+    with harness_shuffle(spark):
+        run_to_memory(out, "q_stream_sessions_sink", mode="append")
+    return spark.table("q_stream_sessions_sink") \
+        .select("user_id", "session_start_us", "n_events")
