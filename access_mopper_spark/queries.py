@@ -8986,3 +8986,68 @@ def q_stream_sessions(spark, sf_dir):
         run_to_memory(out, "q_stream_sessions_sink", mode="append")
     return spark.table("q_stream_sessions_sink") \
         .select("user_id", "session_start_us", "n_events")
+
+
+@query(
+    "q_feature_vector",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS n_types,
+             CAST(COUNT(DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                      AS DATE)) AS DOUBLE) AS n_days,
+             CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS total_value
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT AVG(n_events) AS m1, stddev_pop(n_events) AS s1,
+             AVG(n_types) AS m2, stddev_pop(n_types) AS s2,
+             AVG(n_days) AS m3, stddev_pop(n_days) AS s3,
+             AVG(total_value) AS m4, stddev_pop(total_value) AS s4
+      FROM f
+    )
+    SELECT user_id,
+           ROUND((n_events - m1) / NULLIF(s1, 0), 6) AS z_events,
+           ROUND((n_types - m2) / NULLIF(s2, 0), 6) AS z_types,
+           ROUND((n_days - m3) / NULLIF(s3, 0), 6) AS z_days,
+           ROUND((total_value - m4) / NULLIF(s4, 0), 6) AS z_value
+    FROM f CROSS JOIN s
+    """,
+)
+def q_feature_vector(spark, sf_dir):
+    """Feature-store snapshot materialization: four per-user activity
+    features (volume, breadth, recency-days, monetary) standardized
+    against population statistics — the offline feature-engineering
+    pass before model training.  One grouped shuffle builds the raw
+    features (count-distincts share it); the population moments reduce
+    to ONE broadcast row, so standardization is map-only.  Sums go
+    through integer cents first (exact), z-scores round portably;
+    stddev is the population form computed from the same Welford-free
+    moment sums on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100
+                    + F.lit(0.5)).cast("long")
+    f = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.countDistinct("event_type").cast("double").alias("n_types"),
+        F.countDistinct(F.to_date(F.date_trunc("day", "ts")))
+         .cast("double").alias("n_days"),
+        (F.sum(cents).cast("double") / 100.0).alias("total_value"))
+    s = f.agg(
+        F.avg("n_events").alias("m1"), F.stddev_pop("n_events").alias("s1"),
+        F.avg("n_types").alias("m2"), F.stddev_pop("n_types").alias("s2"),
+        F.avg("n_days").alias("m3"), F.stddev_pop("n_days").alias("s3"),
+        F.avg("total_value").alias("m4"),
+        F.stddev_pop("total_value").alias("s4"))
+
+    def z(v, m, sd):
+        return R6((F.col(v) - F.col(m)) / F.when(F.col(sd) != 0, F.col(sd)))
+
+    return (f.crossJoin(F.broadcast(s))
+             .select("user_id",
+                     z("n_events", "m1", "s1").alias("z_events"),
+                     z("n_types", "m2", "s2").alias("z_types"),
+                     z("n_days", "m3", "s3").alias("z_days"),
+                     z("total_value", "m4", "s4").alias("z_value")))

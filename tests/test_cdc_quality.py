@@ -65,3 +65,17 @@ def test_mom_growth_delta_consistency(spark):
         r = rows[cur]
         if r["prev_cents"] is not None:
             assert r["delta_cents"] == r["rev_cents"] - r["prev_cents"]
+
+
+def test_feature_vector_zscores_standardized(spark):
+    """Across users each z-column has ~0 mean (exactly, up to rounding)
+    and every row covers every user."""
+    from access_mopper_spark.queries import QUERIES
+
+    rows = QUERIES["q_feature_vector"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert len(rows) == ev.select("user_id").distinct().count()
+    for col in ("z_events", "z_types", "z_days", "z_value"):
+        vals = [r[col] for r in rows if r[col] is not None]
+        if vals:
+            assert abs(sum(vals) / len(vals)) < 1e-3
