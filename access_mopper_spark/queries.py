@@ -9051,3 +9051,192 @@ def q_feature_vector(spark, sf_dir):
                      z("n_types", "m2", "s2").alias("z_types"),
                      z("n_days", "m3", "s3").alias("z_days"),
                      z("total_value", "m4", "s4").alias("z_value")))
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             CAST(epoch_us(MAX(CAST(o_orderdate AS TIMESTAMP))) // 86400000000
+                  AS DOUBLE) AS r_raw,
+             CAST(COUNT(*) AS DOUBLE) AS f_raw,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS m_raw
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(r_raw, [CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                                   CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE)])
+               AS rq,
+             quantile_cont(f_raw, [CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                                   CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE)])
+               AS fq,
+             quantile_cont(m_raw, [CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                                   CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE)])
+               AS mq
+      FROM f
+    )
+    SELECT o_custkey AS custkey,
+           1 + len(list_filter(cuts.rq, v -> f.r_raw > v)) AS r_score,
+           1 + len(list_filter(cuts.fq, v -> f.f_raw > v)) AS f_score,
+           1 + len(list_filter(cuts.mq, v -> f.m_raw > v)) AS m_score,
+           100 * (1 + len(list_filter(cuts.rq, v -> f.r_raw > v)))
+           + 10 * (1 + len(list_filter(cuts.fq, v -> f.f_raw > v)))
+           + (1 + len(list_filter(cuts.mq, v -> f.m_raw > v))) AS rfm_code
+    FROM f CROSS JOIN cuts
+    """,
+)
+def q_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency (last-order epoch day),
+    frequency (order count), monetary (integer cents) each scored into
+    quintiles by EXACT percentile cuts — the canonical CRM micro-
+    segmentation.  Like q_decile_lift, no global NTILE window exists:
+    all twelve cut points reduce to ONE broadcast row, and scoring is a
+    map-only strict-above count, so ties at a boundary land identically
+    on both engines.  Output is all-integer (scores + the composite
+    RFM code)."""
+    od = load_table(spark, sf_dir, "orders")
+    f = od.groupBy("o_custkey").agg(
+        F.floor(F.unix_micros(F.max("o_orderdate")) / 86400000000)
+         .cast("double").alias("r_raw"),
+        F.count("*").cast("double").alias("f_raw"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+         .cast("double").alias("m_raw"))
+    qs = "array(0.2D,0.4D,0.6D,0.8D)"
+    cuts = f.agg(F.expr(f"percentile(r_raw, {qs})").alias("rq"),
+                 F.expr(f"percentile(f_raw, {qs})").alias("fq"),
+                 F.expr(f"percentile(m_raw, {qs})").alias("mq"))
+
+    def score(raw, cut):
+        return (F.lit(1) + F.size(F.filter(
+            F.col(cut), lambda v: F.col(raw) > v))).cast("long")
+
+    out = (f.crossJoin(F.broadcast(cuts))
+            .select(F.col("o_custkey").alias("custkey"),
+                    score("r_raw", "rq").alias("r_score"),
+                    score("f_raw", "fq").alias("f_score"),
+                    score("m_raw", "mq").alias("m_score")))
+    return out.withColumn(
+        "rfm_code",
+        (100 * F.col("r_score") + 10 * F.col("f_score")
+         + F.col("m_score")).cast("long"))
+
+
+@query(
+    "q_demand_variability",
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey AS part,
+             CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS DATE)
+               AS mth,
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS q
+      FROM lineitem GROUP BY part, mth
+    ),
+    s AS (
+      SELECT part, COUNT(*) AS n_months,
+             SUM(q) AS sx, SUM(q * q) AS sxx
+      FROM pm GROUP BY part
+    )
+    SELECT part, n_months,
+           ROUND(SQRT(CAST(n_months * sxx - sx * sx AS DOUBLE))
+                 / CAST(sx AS DOUBLE), 6) AS cv,
+           CASE WHEN 4 * (n_months * sxx - sx * sx) < sx * sx THEN 'X'
+                WHEN n_months * sxx - sx * sx < sx * sx THEN 'Y'
+                ELSE 'Z' END AS xyz
+    FROM s WHERE sx > 0
+    """,
+)
+def q_demand_variability(spark, sf_dir):
+    """XYZ demand-variability classification (the companion of ABC /
+    q_pareto_class): per part, the coefficient of variation of monthly
+    demand decides X (steady, cv<0.5), Y (variable, cv<1) or Z
+    (erratic).  The class is decided in EXACT INTEGER arithmetic —
+    cv² = (n·Σx² − (Σx)²)/(Σx)², so ``cv < t`` becomes an integer
+    cross-multiplication (4·A < B for t=0.5) that cannot flip on float
+    summation order, while the reported cv itself is a portably-rounded
+    display value.  Two map-side-combined aggregations, no windows, no
+    joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.to_date(F.date_trunc("month", "l_shipdate")).alias("mth"),
+    ).agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+                .cast("long")).alias("q"))
+    s = pm.groupBy("part").agg(
+        F.count("*").alias("n_months"),
+        F.sum("q").alias("sx"),
+        F.sum(F.col("q") * F.col("q")).alias("sxx"))
+    a = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = F.col("sx") * F.col("sx")
+    xyz = (F.when(4 * a < b, "X").when(a < b, "Y").otherwise("Z"))
+    return (s.where(F.col("sx") > 0)
+             .select("part", "n_months",
+                     R6(F.sqrt(a.cast("double")) / F.col("sx").cast("double"))
+                     .alias("cv"),
+                     xyz.alias("xyz")))
+
+
+@query(
+    "q_basket_lift",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    sup AS (SELECT l_partkey, COUNT(*) AS s FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2
+    ),
+    top AS (
+      SELECT p1, p2, n_ab FROM pairs
+      ORDER BY n_ab DESC, p1, p2 LIMIT 20
+    )
+    SELECT t.p1, t.p2, t.n_ab, sa.s AS n_a, sb.s AS n_b,
+           ROUND(CAST(t.n_ab AS DOUBLE) * n.n_orders
+                 / (CAST(sa.s AS DOUBLE) * sb.s), 6) AS lift
+    FROM top t
+    JOIN sup sa ON sa.l_partkey = t.p1
+    JOIN sup sb ON sb.l_partkey = t.p2
+    CROSS JOIN n
+    """,
+)
+def q_basket_lift(spark, sf_dir):
+    """Association-rule lift for the top co-occurring part pairs:
+    lift = P(A∧B) / (P(A)·P(B)) — >1 means genuinely associated, not
+    just individually popular (the metric A-Priori candidates are
+    ranked by).  The pair counts reuse the shuffle-lean basket-array
+    expansion of q_cooccur_parts; the top-20 then BROADCASTS (20 rows)
+    into two support lookups, so the part-support table — which grows
+    with the catalog — is never broadcast itself.  Only the final lift
+    ratio is float."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select(
+        F.countDistinct("l_orderkey").alias("n_orders"))
+    sup = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    baskets = (items.groupBy("l_orderkey")
+                    .agg(F.array_sort(F.collect_set("l_partkey"))
+                         .alias("ps")))
+    pair_arr = F.flatten(F.transform(
+        F.col("ps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+            lambda y: F.struct(x.alias("p1"), y.alias("p2")))))
+    top = (baskets.where(F.size("ps") >= 2)
+                  .select(F.explode(pair_arr).alias("pr"))
+                  .select(F.col("pr.p1").alias("p1"),
+                          F.col("pr.p2").alias("p2"))
+                  .groupBy("p1", "p2").agg(F.count("*").alias("n_ab"))
+                  .orderBy(F.col("n_ab").desc(), "p1", "p2")
+                  .limit(20))
+    sa = sup.select(F.col("l_partkey").alias("p1"), F.col("s").alias("n_a"))
+    sb = sup.select(F.col("l_partkey").alias("p2"), F.col("s").alias("n_b"))
+    return (sa.join(F.broadcast(top), "p1")
+              .join(sb, "p2")
+              .crossJoin(F.broadcast(n_orders))
+              .select("p1", "p2", "n_ab", "n_a", "n_b",
+                      R6(F.col("n_ab").cast("double") * F.col("n_orders")
+                         / (F.col("n_a").cast("double") * F.col("n_b")))
+                      .alias("lift")))
