@@ -9240,3 +9240,107 @@ def q_basket_lift(spark, sf_dir):
                       R6(F.col("n_ab").cast("double") * F.col("n_orders")
                          / (F.col("n_a").cast("double") * F.col("n_b")))
                       .alias("lift")))
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS t, event_id,
+             CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, cents,
+             epoch_us(LEAD(t) OVER (PARTITION BY event_type
+                                    ORDER BY t, event_id))
+             - epoch_us(t) AS gap_us
+      FROM e
+    )
+    SELECT event_type, COUNT(*) AS n_intervals,
+           SUM(gap_us) AS total_us,
+           ROUND(CAST(SUM(cents * gap_us) AS DOUBLE)
+                 / (100.0 * SUM(gap_us)), 6) AS twap
+    FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY event_type
+    """,
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (TWAP): each observation holds until the
+    next one, so its weight is the integer-µs gap to the successor
+    (LEAD over the keyed (ts, event_id) order; the final open interval
+    is excluded, as is a zero gap from duplicate timestamps).  Because
+    weights are integer microseconds and values integer cents, the
+    weighted sum Σ(cents·µs) is BIGINT-EXACT in any summation order —
+    the float division happens once at the end.  One keyed window
+    shuffle + one grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100
+                    + F.lit(0.5)).cast("long")
+    g = (ev.select("event_type", "ts", "event_id", cents.alias("cents"))
+           .withColumn("gap_us",
+                       F.unix_micros(F.lead("ts").over(w))
+                       - F.unix_micros(F.col("ts"))))
+    return (g.where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n_intervals"),
+                  F.sum("gap_us").alias("total_us"),
+                  R6(F.sum(F.col("cents") * F.col("gap_us")).cast("double")
+                     / (100.0 * F.sum("gap_us"))).alias("twap")))
+
+
+@query(
+    "q_percent_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey AS regionkey, n.n_nationkey AS nationkey,
+             SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+               AS nation_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY regionkey, nationkey
+    ),
+    reg AS (
+      SELECT regionkey, SUM(nation_cents) AS region_cents
+      FROM rev GROUP BY regionkey
+    ),
+    tot AS (SELECT SUM(region_cents) AS total_cents FROM reg)
+    SELECT r.regionkey, r.nationkey, r.nation_cents, g.region_cents,
+           ROUND(CAST(r.nation_cents AS DOUBLE) / g.region_cents, 6)
+             AS share_of_region,
+           ROUND(CAST(g.region_cents AS DOUBLE) / t.total_cents, 6)
+             AS region_share_of_total
+    FROM rev r JOIN reg g USING (regionkey) CROSS JOIN tot t
+    """,
+)
+def q_percent_of_parent(spark, sf_dir):
+    """Percent-of-parent hierarchy rollup (nation→region→total): each
+    nation's share of its region and each region's share of the grand
+    total — the drill-path ratio every BI hierarchy renders.  Revenue
+    aggregates once at the leaf level in integer cents; the region and
+    total levels RE-AGGREGATE THE AGGREGATE (25-row table), so the fact
+    table is scanned exactly once and both parent levels broadcast.
+    Shares are the only floats, derived from exact integers."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rev = (od.join(cu, od["o_custkey"] == cu["c_custkey"])
+             .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+             .groupBy(F.col("n_regionkey").alias("regionkey"),
+                      F.col("n_nationkey").alias("nationkey"))
+             .agg(F.sum(cents).alias("nation_cents")))
+    reg = rev.groupBy("regionkey").agg(
+        F.sum("nation_cents").alias("region_cents"))
+    tot = reg.agg(F.sum("region_cents").alias("total_cents"))
+    return (rev.join(F.broadcast(reg), "regionkey")
+               .crossJoin(F.broadcast(tot))
+               .select("regionkey", "nationkey", "nation_cents",
+                       "region_cents",
+                       R6(F.col("nation_cents").cast("double")
+                          / F.col("region_cents")).alias("share_of_region"),
+                       R6(F.col("region_cents").cast("double")
+                          / F.col("total_cents"))
+                       .alias("region_share_of_total")))

@@ -58,3 +58,35 @@ def test_ltv_cumulative_monotone(spark):
         for r in rs:
             cum += r["rev_cents"]
             assert r["cum_rev_cents"] == cum
+
+
+def test_twap_within_value_bounds(spark):
+    """A convex (time-weighted) combination lies within the per-type
+    min/max of the contributing values."""
+    from access_mopper_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF, "events")
+    cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100
+                    + F.lit(0.5)).cast("long")
+    bounds = {r["event_type"]: r for r in ev.groupBy("event_type").agg(
+        (F.min(cents) / 100.0).alias("lo"),
+        (F.max(cents) / 100.0).alias("hi")).collect()}
+    for r in QUERIES["q_time_weighted_avg"](spark, SF).collect():
+        b = bounds[r["event_type"]]
+        assert b["lo"] - 1e-6 <= r["twap"] <= b["hi"] + 1e-6
+        assert r["total_us"] > 0 and r["n_intervals"] > 0
+
+
+def test_percent_of_parent_shares_sum_to_one(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["q_percent_of_parent"](spark, SF).collect()
+    by_region = defaultdict(list)
+    for r in rows:
+        by_region[r["regionkey"]].append(r)
+    region_shares = {}
+    for rk, rs in by_region.items():
+        assert abs(sum(x["share_of_region"] for x in rs) - 1.0) < 1e-4
+        assert sum(x["nation_cents"] for x in rs) == rs[0]["region_cents"]
+        region_shares[rk] = rs[0]["region_share_of_total"]
+    assert abs(sum(region_shares.values()) - 1.0) < 1e-4
