@@ -256,3 +256,40 @@ def test_mop_process_e2e_single_python_boundary_per_stage(spark, sf_dir):
     assert plan.count("MapInPandas") == 2          # decode + read-back
     assert plan.count("FlatMapGroupsInPandas") == 1  # the file writer
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark, sf_dir):
+    """Dynamic partition pruning: a fact table Hive-partitioned on a
+    derived key joined to a FILTERED dim must scan only the surviving
+    partitions — Catalyst injects a dynamicpruning subquery into the
+    fact scan at runtime.  This is the 100 TB star-join lever the
+    static PushedFilters test cannot see (the pruning value is only
+    known after the dim filter runs)."""
+    import shutil
+
+    from access_mopper_spark.sources.readers import load_table
+
+    base = "/tmp/dpp_lineitem_by_month"
+    shutil.rmtree(base, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    (li.withColumn("ship_month",
+                   F.date_format("l_shipdate", "yyyy-MM"))
+       .write.partitionBy("ship_month").mode("overwrite").parquet(base))
+
+    fact = spark.read.parquet(base)
+    months = (fact.select("ship_month").distinct()
+                  .withColumn("pick", F.length("ship_month")))
+    dim = months.where(F.col("ship_month") <= "1995-06")
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+                          "true")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        joined = fact.join(dim.hint("no_broadcast_hash"), "ship_month") \
+            .groupBy("ship_month").agg(F.count("*").alias("n"))
+        plan = plan_str(joined, mode="formatted").lower()
+        assert "dynamicpruning" in plan, plan[:4000]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+        shutil.rmtree(base, ignore_errors=True)
