@@ -9344,3 +9344,101 @@ def q_percent_of_parent(spark, sf_dir):
                        R6(F.col("region_cents").cast("double")
                           / F.col("total_cents"))
                        .alias("region_share_of_total")))
+
+
+@query(
+    "q_exact_ngram_decontam",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    g AS (
+      SELECT DISTINCT doc_id,
+             w[g.i] || chr(31) || w[g.i + 1] || chr(31) || w[g.i + 2]
+               || chr(31) || w[g.i + 3] AS gram
+      FROM toks,
+           (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1)
+                                    FROM toks) + 1)) AS i) g
+      WHERE g.i <= len(w) - 3
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+    SELECT g.doc_id, COUNT(*) AS n_shared
+    FROM g JOIN ev USING (gram)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def q_exact_ngram_decontam(spark, sf_dir):
+    """Exact n-gram overlap decontamination (the published GPT-3/PaLM
+    recipe): flag TRAINING documents sharing any exact 4-gram with the
+    held-out evaluation set, with the shared-gram count as the
+    contamination severity — catches PARTIAL contamination (a quoted
+    benchmark question inside an otherwise clean page) that the
+    whole-document fingerprint (q_decontaminate), bloom
+    (q_bloom_decontaminate) and MinHash-LSH (q_cross_dedup) variants
+    miss or only approximate.  Eval grams dedupe once; the flagging is
+    a gram-key equi-join co-partitioned with the corpus gram table —
+    at 100 TB both sides shuffle on the uniform gram hash, nothing
+    broadcasts at corpus scale."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    sz = F.greatest(F.size(w) - 3, F.lit(0))
+    sep = F.lit("\x1f")
+    quad = F.zip_with(
+        F.slice(w, 1, sz),
+        F.zip_with(F.slice(w, 2, sz),
+                   F.zip_with(F.slice(w, 3, sz), F.slice(w, 4, sz),
+                              lambda c, d: F.concat(c, sep, d)),
+                   lambda b, cd: F.concat(b, sep, cd)),
+        lambda a, bcd: F.concat(a, sep, bcd))
+    g = docs.select("doc_id", F.explode(quad).alias("gram")).distinct()
+    ev = (g.where(F.col("doc_id") % 97 == 0)
+           .select("gram").distinct())
+    return (g.where(F.col("doc_id") % 97 != 0)
+             .join(ev, "gram")
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_shared")))
+
+
+@query(
+    "q_doclen_log_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(regexp_replace(text, '[ \\t\\n\\r]+',
+                                                  ' ', 'g'), ' ')) = 0
+                  THEN 0
+                  ELSE length(trim(regexp_replace(text, '[ \\t\\n\\r]+',
+                                                  ' ', 'g'), ' '))
+                       - length(replace(trim(regexp_replace(text,
+                                             '[ \\t\\n\\r]+', ' ', 'g'),
+                                             ' '), ' ', '')) + 1
+             END AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(length(bin(n_tokens)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM t WHERE n_tokens > 0
+    GROUP BY log2_bucket
+    """,
+)
+def q_doclen_log_histogram(spark, sf_dir):
+    """Log₂-bucketed document-length histogram — the long-tail length
+    view (linear bins flatten the tail that decides packing efficiency
+    and truncation loss).  The bucket is ⌊log₂ n⌋+1 computed as the
+    BINARY-DIGIT COUNT (length of bin(n)) — pure integer arithmetic,
+    immune to the libm log2 boundary at exact powers of two where a
+    float formulation can flip a bucket between engines.  Token counts
+    use the arithmetic spaces-remaining identity (functions/
+    text.token_count) — no split, bit-identical.  One map-side-combined
+    aggregate."""
+    from access_mopper_spark.functions.text import token_count
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    t = (docs.where(F.col("text").isNotNull())
+             .select(token_count(F.col("text")).alias("n_tokens"))
+             .where(F.col("n_tokens") > 0))
+    bucket = F.length(F.bin(F.col("n_tokens"))).cast("long")
+    return (t.groupBy(bucket.alias("log2_bucket"))
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_tokens").alias("total_tokens")))

@@ -70,3 +70,49 @@ def test_fim_split_deterministic(spark):
     b = {r["doc_id"]: r["middle_fp"]
          for r in QUERIES["q_fim_split"](spark, SF).collect()}
     assert a == b
+
+
+def test_exact_ngram_decontam_flags_planted_contamination(spark):
+    """Plant a benchmark quote inside an otherwise-unique train doc and
+    check it is flagged with the right severity."""
+    from access_mopper_spark.operators.search import tokens
+
+    eval_txt = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(0, eval_txt),                       # doc 0 -> eval (0 % 97 == 0)
+         (1, "noise one two " + eval_txt),    # partial contamination
+         (2, "clean doc with its own words entirely")],
+        ["doc_id", "text"])
+    w = tokens(F.col("text"))
+    sz = F.greatest(F.size(w) - 3, F.lit(0))
+    sep = F.lit("\x1f")
+    quad = F.zip_with(
+        F.slice(w, 1, sz),
+        F.zip_with(F.slice(w, 2, sz),
+                   F.zip_with(F.slice(w, 3, sz), F.slice(w, 4, sz),
+                              lambda c, d: F.concat(c, sep, d)),
+                   lambda b, cd: F.concat(b, sep, cd)),
+        lambda a, bcd: F.concat(a, sep, bcd))
+    g = docs.select("doc_id", F.explode(quad).alias("gram")).distinct()
+    ev = g.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    out = {r["doc_id"]: r["n"] for r in
+           g.where(F.col("doc_id") % 97 != 0).join(ev, "gram")
+            .groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    # doc 1 shares the eval doc's three 4-grams; doc 2 is clean
+    assert out == {1: 3}
+
+
+def test_doclen_log_histogram_reconciles(spark):
+    rows = QUERIES["q_doclen_log_histogram"](spark, SF).collect()
+    from access_mopper_spark.functions.text import token_count
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = (docs.where(F.col("text").isNotNull())
+             .select(token_count(F.col("text")).alias("n"))
+             .where(F.col("n") > 0))
+    total = t.agg(F.count("*").alias("c"), F.sum("n").alias("s")).collect()[0]
+    assert sum(r["n_docs"] for r in rows) == total["c"]
+    assert sum(r["total_tokens"] for r in rows) == total["s"]
+    for r in rows:
+        lo, hi = 2 ** (r["log2_bucket"] - 1), 2 ** r["log2_bucket"] - 1
+        # bucket b holds counts with exactly b binary digits
+        assert r["n_docs"] > 0 and lo <= hi
