@@ -9442,3 +9442,133 @@ def q_doclen_log_histogram(spark, sf_dir):
     return (t.groupBy(bucket.alias("log2_bucket"))
              .agg(F.count("*").alias("n_docs"),
                   F.sum("n_tokens").alias("total_tokens")))
+
+
+@query(
+    "q_survival_km",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS d0,
+             CAST(date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS d1
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(d1) AS gmax FROM u),
+    lt AS (
+      SELECT user_id, d1 - d0 AS lt,
+             CASE WHEN u.d1 > mx.gmax - 3 THEN 1 ELSE 0 END AS censored
+      FROM u CROSS JOIN mx
+    ),
+    days AS (SELECT DISTINCT lt AS t FROM lt),
+    km AS (
+      SELECT d.t,
+             (SELECT COUNT(*) FROM lt WHERE lt.lt >= d.t) AS n_risk,
+             (SELECT COUNT(*) FROM lt
+              WHERE lt.lt = d.t AND lt.censored = 0) AS n_events
+      FROM days d
+    )
+    SELECT a.t AS day, a.n_risk, a.n_events,
+           ROUND(EXP(SUM(CASE WHEN b.n_events > 0 AND b.n_events < b.n_risk
+                              THEN LN(1 - CAST(b.n_events AS DOUBLE)
+                                          / b.n_risk)
+                              WHEN b.n_events >= b.n_risk
+                              THEN CAST('-infinity' AS DOUBLE)
+                              ELSE 0 END)), 6) AS survival
+    FROM km a JOIN km b ON b.t <= a.t
+    GROUP BY a.t, a.n_risk, a.n_events
+    """,
+)
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve of user lifetimes (first→last active
+    day; users still active in the final 3 days are right-CENSORED —
+    they leave the risk set without counting as churn events).  The
+    curve's running product Π(1−dᵢ/nᵢ) is computed as EXP(ΣLN(·)) over
+    the BROADCAST prefix join on the calendar-bounded lifetime axis —
+    the same no-global-window pattern as every cumulative in this repo,
+    with the identical float ops on both engines (dᵢ, nᵢ are exact
+    integers from one user-level aggregate).  The risk-set counts are
+    a tiny axis×axis comparison, never a corpus-scale sort."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"))
+    mx = u.agg(F.max("d1").alias("gmax"))
+    lt = (u.crossJoin(F.broadcast(mx))
+           .select(F.datediff("d1", "d0").alias("lt"),
+                   F.when(F.col("d1") > F.date_sub(F.col("gmax"), 3), 1)
+                    .otherwise(0).alias("censored")))
+    km = (lt.crossJoin(F.broadcast(
+              lt.select(F.col("lt").alias("t")).distinct()))
+            .groupBy("t")
+            .agg(F.sum(F.when(F.col("lt") >= F.col("t"), 1).otherwise(0))
+                 .alias("n_risk"),
+                 F.sum(F.when((F.col("lt") == F.col("t"))
+                              & (F.col("censored") == 0), 1).otherwise(0))
+                 .alias("n_events")))
+    b = km.select(F.col("t").alias("__t2"), F.col("n_risk").alias("__r2"),
+                  F.col("n_events").alias("__e2"))
+    term = (F.when((F.col("__e2") > 0) & (F.col("__e2") < F.col("__r2")),
+                   F.log(1 - F.col("__e2").cast("double") / F.col("__r2")))
+             .when(F.col("__e2") >= F.col("__r2"),
+                   F.lit(float("-inf")))
+             .otherwise(F.lit(0.0)))
+    return (km.join(F.broadcast(b), F.col("__t2") <= F.col("t"))
+              .groupBy(F.col("t").alias("day"), "n_risk", "n_events")
+              .agg(R6(F.exp(F.sum(term))).alias("survival")))
+
+
+@query(
+    "q_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ',
+                                              'g'), ' '), ' ') AS w,
+             source
+      FROM documents
+    ),
+    tk AS (
+      SELECT source, u.t AS tok
+      FROM toks, UNNEST(w) AS u(t) WHERE u.t <> ''
+    ),
+    c AS (
+      SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok
+    ),
+    s AS (
+      SELECT source, SUM(c) AS n, COUNT(*) AS n_types,
+             SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS clnc
+      FROM c GROUP BY source
+    )
+    SELECT source, n AS n_tokens, n_types,
+           ROUND(LN(CAST(n AS DOUBLE)) - clnc / n, 6) AS entropy_nats
+    FROM s
+    """,
+)
+def q_token_entropy(spark, sf_dir):
+    """Per-source unigram entropy (nats) — the lexical-diversity signal
+    that separates template/boilerplate farms (low H) from organic text
+    (high H) in corpus triage.  Uses the identity
+    H = ln N − (Σ c·ln c)/N so the data-scale pass is ONE
+    (source, token) count (map-side combined) and a per-source moment
+    sum; counts are exact integers and the ln terms are the identical
+    libm calls on identical integers, with the 6-dp portable round
+    absorbing summation-order ulps.  No broadcast of the vocabulary —
+    the moment aggregates where the counts already live."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    tk = (docs.select("source", F.explode(tokens(F.col("text")))
+                      .alias("tok"))
+              .where(F.col("tok") != ""))
+    c = tk.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    s = c.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c").cast("double")
+              * F.log(F.col("c").cast("double"))).alias("clnc"))
+    return s.select(
+        "source", F.col("n").alias("n_tokens"), "n_types",
+        R6(F.log(F.col("n").cast("double")) - F.col("clnc") / F.col("n"))
+        .alias("entropy_nats"))

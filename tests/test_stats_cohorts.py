@@ -90,3 +90,27 @@ def test_percent_of_parent_shares_sum_to_one(spark):
         assert sum(x["nation_cents"] for x in rs) == rs[0]["region_cents"]
         region_shares[rk] = rs[0]["region_share_of_total"]
     assert abs(sum(region_shares.values()) - 1.0) < 1e-4
+
+
+def test_survival_curve_monotone_nonincreasing(spark):
+    rows = sorted(QUERIES["q_survival_km"](spark, SF).collect(),
+                  key=lambda r: r["day"])
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev + 1e-9
+        prev = r["survival"]
+        assert r["n_events"] <= r["n_risk"]
+    # risk set shrinks along the axis
+    risks = [r["n_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_token_entropy_bounds(spark):
+    import math
+
+    for r in QUERIES["q_token_entropy"](spark, SF).collect():
+        # 0 <= H <= ln(n_types)
+        assert -1e-9 <= r["entropy_nats"] \
+            <= math.log(max(r["n_types"], 1)) + 1e-6
+        assert r["n_types"] <= r["n_tokens"]
