@@ -9572,3 +9572,55 @@ def q_token_entropy(spark, sf_dir):
         "source", F.col("n").alias("n_tokens"), "n_types",
         R6(F.log(F.col("n").cast("double")) - F.col("clnc") / F.col("n"))
         .alias("entropy_nats"))
+
+
+@query(
+    "q_audio_chunk_plan",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, n_chars * 100 AS n_samples
+      FROM documents WHERE n_chars > 0
+    ),
+    b AS (
+      SELECT doc_id, n_samples,
+             1 + GREATEST(0, CAST(CEIL(CAST(n_samples - 480000 AS DOUBLE)
+                                       / 464000) AS BIGINT)) AS n_chunks
+      FROM meta
+    )
+    SELECT doc_id, g.i AS chunk_idx,
+           g.i * 464000 AS start_sample,
+           LEAST(g.i * 464000 + 480000, n_samples) AS end_sample
+    FROM b,
+         (SELECT UNNEST(range(0, (SELECT COALESCE(MAX(n_chunks), 1)
+                                  FROM b))) AS i) g
+    WHERE g.i < b.n_chunks
+    """,
+)
+def q_audio_chunk_plan(spark, sf_dir):
+    """Audio chunking plan from typed metadata — the scheduling layer
+    of an ASR/embedding pipeline: long recordings split into 30-second
+    windows with 1-second overlap (sr 16 kHz → window 480 000 samples,
+    hop 464 000), WITHOUT touching payload bytes (the decode stub
+    boundary stays in operators/multimodal; planning is pure integer
+    arithmetic on metadata, here derived deterministically as
+    n_chars×100 samples).  Map-only: ceil-div chunk count + a bounded
+    ``sequence`` explode per blob — one row per chunk, no shuffle, and
+    the last short chunk clamps to the stream end.  The oracle's range
+    bound is data-derived (repo convention: never a constant cap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    window, hop = 480000, 464000
+    meta = (docs.where(F.col("n_chars") > 0)
+                .select("doc_id",
+                        (F.col("n_chars") * 100).alias("n_samples")))
+    n_chunks = (1 + F.greatest(
+        F.lit(0).cast("long"),
+        F.ceil((F.col("n_samples") - window).cast("double") / hop)
+         .cast("long")))
+    b = meta.withColumn("n_chunks", n_chunks)
+    idx = F.explode(F.sequence(F.lit(0).cast("long"),
+                               F.col("n_chunks") - 1))
+    return (b.select("doc_id", "n_samples", idx.alias("chunk_idx"))
+             .select("doc_id", "chunk_idx",
+                     (F.col("chunk_idx") * hop).alias("start_sample"),
+                     F.least(F.col("chunk_idx") * hop + window,
+                             F.col("n_samples")).alias("end_sample")))

@@ -116,3 +116,28 @@ def test_doclen_log_histogram_reconciles(spark):
         lo, hi = 2 ** (r["log2_bucket"] - 1), 2 ** r["log2_bucket"] - 1
         # bucket b holds counts with exactly b binary digits
         assert r["n_docs"] > 0 and lo <= hi
+
+
+def test_audio_chunk_plan_covers_stream_exactly(spark):
+    """Chunks tile each stream: first starts at 0, last ends at
+    n_samples, consecutive chunks overlap by exactly window-hop."""
+    from collections import defaultdict
+
+    rows = QUERIES["q_audio_chunk_plan"](spark, SF).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    docs = {r["doc_id"]: r["n_chars"] * 100
+            for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .where(F.col("n_chars") > 0).collect()}
+    assert set(by_doc) == set(docs)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        assert rs[0]["start_sample"] == 0
+        assert rs[-1]["end_sample"] == docs[d]
+        for a, b in zip(rs, rs[1:]):
+            assert b["start_sample"] - a["start_sample"] == 464000
+            assert a["end_sample"] > b["start_sample"] or \
+                a["end_sample"] == docs[d]
+        for r in rs:
+            assert r["end_sample"] - r["start_sample"] <= 480000
