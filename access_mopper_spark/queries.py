@@ -9624,3 +9624,84 @@ def q_audio_chunk_plan(spark, sf_dir):
                      (F.col("chunk_idx") * hop).alias("start_sample"),
                      F.least(F.col("chunk_idx") * hop + window,
                              F.col("n_samples")).alias("end_sample")))
+
+
+@query(
+    "q_top_p_vocab",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             string_split(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ',
+                                              'g'), ' '), ' ') AS w
+      FROM documents
+    ),
+    tk AS (
+      SELECT source, u.t AS tok FROM toks, UNNEST(w) AS u(t)
+      WHERE u.t <> ''
+    ),
+    c AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok),
+    h AS (SELECT source, c, COUNT(*) AS n_toks FROM c GROUP BY source, c),
+    t AS (SELECT source, SUM(c * n_toks) AS total FROM h GROUP BY source),
+    w AS (
+      SELECT source, c, n_toks,
+             SUM(c * n_toks) OVER (PARTITION BY source ORDER BY c DESC
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+             COALESCE(SUM(c * n_toks) OVER (PARTITION BY source
+                                            ORDER BY c DESC
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS above,
+             COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY c DESC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS types_above
+      FROM h
+    )
+    SELECT w.source, w.c AS c_star, w.types_above,
+           (9 * t.total - 10 * w.above + 10 * w.c - 1) // (10 * w.c)
+             AS k_ties,
+           w.types_above
+           + (9 * t.total - 10 * w.above + 10 * w.c - 1) // (10 * w.c)
+             AS n_types_p90,
+           t.total AS total_tokens
+    FROM w JOIN t USING (source)
+    WHERE w.cum * 10 >= t.total * 9 AND w.above * 10 < t.total * 9
+    """,
+)
+def q_top_p_vocab(spark, sf_dir):
+    """Top-p (p=0.9) vocabulary truncation per source: the smallest
+    most-frequent token set covering 90% of occurrences — the mass-
+    coverage cut tokenizer and nucleus-style vocabulary decisions rest
+    on.  The corpus-scale work is one (source, token) count; everything
+    after runs on the (source, count)-HISTOGRAM (distinct count values
+    — orders of magnitude smaller than the vocabulary), where a keyed
+    window finds the threshold count c*.  The 0.9 threshold and the
+    tie-split k are EXACT integer arithmetic (cum·10 ≥ total·9;
+    ceil-div on integers) — no float touches the output at all."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    tk = (docs.select("source", F.explode(tokens(F.col("text")))
+                      .alias("tok"))
+              .where(F.col("tok") != ""))
+    c = tk.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    h = c.groupBy("source", "c").agg(F.count("*").alias("n_toks"))
+    t = h.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("n_toks")).alias("total"))
+    w_all = (W.partitionBy("source").orderBy(F.col("c").desc())
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_prev = (W.partitionBy("source").orderBy(F.col("c").desc())
+               .rowsBetween(W.unboundedPreceding, -1))
+    mass = F.col("c") * F.col("n_toks")
+    ww = (h.withColumn("cum", F.sum(mass).over(w_all))
+           .withColumn("above", F.coalesce(F.sum(mass).over(w_prev),
+                                           F.lit(0)))
+           .withColumn("types_above",
+                       F.coalesce(F.sum("n_toks").over(w_prev), F.lit(0))))
+    j = ww.join(F.broadcast(t), "source")
+    k = F.floor((9 * F.col("total") - 10 * F.col("above")
+                 + 10 * F.col("c") - 1) / (10 * F.col("c"))).cast("long")
+    return (j.where((F.col("cum") * 10 >= F.col("total") * 9)
+                    & (F.col("above") * 10 < F.col("total") * 9))
+             .select("source", F.col("c").alias("c_star"), "types_above",
+                     k.alias("k_ties"),
+                     (F.col("types_above") + k).alias("n_types_p90"),
+                     F.col("total").alias("total_tokens")))

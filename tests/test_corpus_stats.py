@@ -141,3 +141,37 @@ def test_audio_chunk_plan_covers_stream_exactly(spark):
                 a["end_sample"] == docs[d]
         for r in rs:
             assert r["end_sample"] - r["start_sample"] <= 480000
+
+
+def test_top_p_vocab_is_smallest_cover(spark):
+    """Brute-force check per source: the reported n_types_p90 equals
+    the smallest prefix of the count-sorted vocabulary whose mass
+    reaches 90%."""
+    import math
+    from collections import Counter
+
+    from access_mopper_spark.operators.search import tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = (docs.select("source",
+                        F.explode(tokens(F.col("text"))).alias("t"))
+                .where(F.col("t") != "").collect())
+    per_src = {}
+    for r in toks:
+        per_src.setdefault(r["source"], Counter())[r["t"]] += 1
+    rows = {r["source"]: r for r in
+            QUERIES["q_top_p_vocab"](spark, SF).collect()}
+    assert set(rows) == set(per_src)
+    for src, cnt in per_src.items():
+        total = sum(cnt.values())
+        counts = sorted(cnt.values(), reverse=True)
+        cum = 0
+        for i, v in enumerate(counts, 1):
+            cum += v
+            if cum * 10 >= total * 9:
+                break
+        r = rows[src]
+        assert r["total_tokens"] == total
+        assert r["n_types_p90"] == i
+        # reported pieces reconcile
+        assert r["n_types_p90"] == r["types_above"] + r["k_ties"]
