@@ -9705,3 +9705,318 @@ def q_top_p_vocab(spark, sf_dir):
                      k.alias("k_ties"),
                      (F.col("types_above") + k).alias("n_types_p90"),
                      F.col("total").alias("total_tokens")))
+
+
+# =====================================================================
+# TPC-H join/agg shapes not yet in the registry: Q9/Q10/Q14/Q15/Q16/
+# Q18/Q19/Q22 adapted to the driver's columns (no partsupp table, no
+# l_commitdate/l_shipmode — the JOIN/AGG shape is what each row proves,
+# cf. SURVEY.md §2.3/§2.4; the reference's own joins are the catalog
+# equi/tiered matches in mopdb/utils.py, already covered — these rows
+# extend the SQL-analytics surface the way q_volume_shipping (Q7) and
+# q_correlated_subquery (Q17) already do).
+# =====================================================================
+
+@query(
+    "q_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           YEAR(CAST(l.l_shipdate AS TIMESTAMP)) AS o_year,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS profit_cents
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, YEAR(CAST(l.l_shipdate AS TIMESTAMP))
+    """,
+)
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit, minus the partsupp cost leg
+    this testdata lacks): fact⋈3 filtered dims grouped by (nation,
+    year).  The p_name LIKE filter prunes the part dim BEFORE the join
+    (Catalyst pushes it below the broadcast exchange), all three dims
+    broadcast, and the grouped money sum snaps to integer cents so the
+    hash is summation-order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + F.lit(0.5)).cast("long")
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+              .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+              .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("l_shipdate").alias("o_year"))
+              .agg(F.sum(cents).alias("profit_cents")))
+
+
+@query(
+    "q_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS rev_cents
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY rev_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): the 'which customers
+    returned the most last quarter' top-k over a 4-table join.  The
+    returnflag filter pushes to the lineitem scan, the orderdate window
+    prunes orders before its join, customer/nation broadcast, and the
+    final top-20 is TakeOrdered (partial top-k, no global sort) with a
+    custkey tie-break so the cut is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1998-07-01"))
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + F.lit(0.5)).cast("long")
+    return (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+              .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+              .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+              .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+              .agg(F.sum(cents).alias("rev_cents"))
+              .orderBy(F.desc("rev_cents"), "c_custkey")
+              .limit(20))
+
+
+@query(
+    "q_promo_revenue",
+    oracle="""
+    SELECT SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100 + 0.5) AS BIGINT) ELSE 0 END)
+             AS promo_cents,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS total_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-02-01'
+    """,
+)
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): conditional share of revenue
+    from PROMO-type parts in one ship month.  Emits the numerator and
+    denominator as integer cents instead of the classic 100*x/y float —
+    the ratio is derivable, the hash surface is integer-only (the
+    q_corpus_report recipe), and the plan is the same: date-window scan,
+    broadcast part join, one conditional aggregate, single output row."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01"))
+    p = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + F.lit(0.5)).cast("long")
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+              .agg(F.sum(F.when(F.col("p_type") == "PROMO", cents)
+                          .otherwise(F.lit(0))).alias("promo_cents"),
+                   F.sum(cents).alias("total_cents")))
+
+
+@query(
+    "q_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+    """,
+)
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): the revenue 'view' reused twice —
+    once for the per-supplier quarter totals, once reduced to the global
+    max — then an equality join back.  Integer-cents revenue makes the
+    max-equality exact (the classic float formulation can drop the true
+    top supplier to summation-order noise); the rev table is persisted
+    so the scan+agg runs once, the 1-row max broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + F.lit(0.5)).cast("long")
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+             .agg(F.sum(cents).alias("total_cents"))).persist()
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    out = (rev.crossJoin(F.broadcast(mx))
+              .where(F.col("total_cents") == F.col("mx"))
+              .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+              .select("s_suppkey", "s_name", "total_cents"))
+    return out
+
+
+@query(
+    "q_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'PROMO' AND p.p_size IN (1, 9, 19, 29, 39, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 50
+    """,
+)
+def q_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship) over the lineitem
+    association (this testdata has no partsupp): distinct-supplier
+    counts per (brand, type, size) bucket, excluding flagged suppliers
+    via NOT IN → broadcast anti-join.  The size IN-list and type
+    predicate prune the part dim before its broadcast; COUNT(DISTINCT)
+    is Spark's two-phase partial-distinct aggregate (no row explosion);
+    deterministic full tie-break on the top-50 cut."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 9, 19, 29, 39, 49))
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+              .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                    "left_anti")
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+              .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+              .limit(50))
+
+
+@query(
+    "q_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 180
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+           CAST(b.sum_qty AS BIGINT) AS sum_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customer): orders whose line
+    quantities sum past a threshold, joined back to orders+customer.
+    The HAVING pre-aggregate shrinks the fact side BEFORE any join
+    (~20% of orders at the 180 threshold), the filtered key set then
+    drives the orders join; quantities in this data are integral
+    doubles so the BIGINT cast is exact; day-grain key ships as DATE
+    not TIMESTAMP (the q_max_concurrency timezone lesson)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("sq"))
+             .where(F.col("sq") > 180))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+               .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+               .select("c_custkey", "c_name", "o_orderkey",
+                       F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                       F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                        .cast("long").alias("total_cents"),
+                       F.col("sq").cast("long").alias("sum_qty")))
+
+
+@query(
+    "q_discounted_brand_revenue",
+    oracle="""
+    SELECT SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS rev_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_discounted_brand_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue): three OR'd predicate
+    brackets mixing part attributes (brand, size) with lineitem
+    attributes (quantity) across the join.  Catalyst extracts the
+    common single-side conjuncts (brand IN-list, size ≤ 35, quantity ≤
+    30 bounds) below the join and evaluates the residual disjunction
+    post-join — the standard disjunctive-pushdown test.  Output is one
+    integer-only row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    br = (((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(1, 11))
+          | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+             & F.col("l_quantity").between(10, 20))
+          | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+             & F.col("l_quantity").between(20, 30)))
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + F.lit(0.5)).cast("long")
+    return j.where(br).agg(F.sum(cents).alias("rev_cents"),
+                           F.count("*").alias("n_lines"))
+
+
+@query(
+    "q_dormant_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_cents
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_dormant_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global-sales-opportunity): customers with
+    above-average positive balance and NO recent orders — a global
+    scalar subquery plus NOT EXISTS anti-join, grouped by nation.
+    (Classic Q22 keys on phone prefix and all-time orders; this data
+    has every customer ordering, so the anti-join keys on the recent
+    window instead — same decorrelated shape.)  The scalar avg reduces
+    to ONE broadcast row, the anti-join's right side is the pre-filtered
+    recent orderkey set, balances snap to integer cents."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    recent = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") >= "2000-01-01")
+              .select("o_custkey"))
+    return (c.crossJoin(F.broadcast(avg_bal))
+             .where(F.col("c_acctbal") > F.col("ab"))
+             .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+             .groupBy("c_nationkey")
+             .agg(F.count("*").alias("numcust"),
+                  F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+                        .cast("long")).alias("bal_cents")))
