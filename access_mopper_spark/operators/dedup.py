@@ -493,3 +493,76 @@ def cross_corpus_dedup(df_new: DataFrame, df_ref: DataFrame,
                           ["bi", "bk"], "left_semi")
                     .select(id_col).distinct())
     return df_new.join(contaminated, id_col, "left_anti")
+
+
+def prefix_filter_join(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       threshold: float = 0.6) -> DataFrame:
+    """EXACT-threshold Jaccard set-similarity self-join via prefix
+    filtering (the AllPairs/PPJoin family) — the deterministic
+    complement to MinHash-LSH ``near_dup_pairs``: every pair with
+    word-set Jaccard ≥ threshold is returned, guaranteed, no
+    probabilistic recall gap.
+
+    Prefix principle: order every document's distinct tokens by global
+    rarity (ascending document frequency, token as tie-break).  Two
+    sets X, Y with J(X,Y) ≥ t overlap in ≥ ceil(t/(1+t)·(|X|+|Y|))
+    elements, so each set need only index its first
+    |X| − ceil(t·|X|) + 1 tokens — if X and Y share NO prefix token
+    they cannot pass the threshold.  Rare-first ordering makes those
+    prefix postings the SHORTEST lists, so the candidate join fans out
+    on the cold tail of the token distribution, never on stopwords —
+    that is what keeps the bucket join bounded at 100 TB where a
+    naive token join explodes on 'the'.
+
+    Plan: doc-frequency agg (one shuffle) → per-doc rarity sort (keyed
+    window) → prefix postings explode → self-join on prefix token →
+    distinct candidate pairs → ONE intersection-count verify join on
+    the full (doc, token) table → exact Jaccard filter.  Everything
+    integer/count-based; no floats beyond the final ratio test, which
+    is evaluated as inter·(|X|+|Y|−inter)⁻¹ ≥ t rewritten integer-side
+    (inter ≥ t/(1+t)·(|X|+|Y|)) to dodge fp-boundary flaps.
+
+    Returns (id_a, id_b, inter, uni) with id_a < id_b, both BIGINT
+    counts.  threshold is a plain fraction (e.g. 0.6)."""
+    from access_mopper_spark.functions.text import ws_normalized
+
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(
+                          F.split(ws_normalized(F.col(text_col)), " ", -1)))
+                       .alias("tok"))
+              .where(F.col("tok") != "")
+              .distinct())
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    # rarity rank within each doc: one keyed window over doc id
+    ranked = (toks.join(dfreq, "tok")
+                  .withColumn("r", F.row_number().over(
+                      Window.partitionBy("id").orderBy("df", "tok"))))
+    pref = (ranked.join(sizes, "id")
+                  .where(F.col("r") <=
+                         F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
+                         + F.lit(1))
+                  .select("id", "tok"))
+    cand = (pref.alias("x").join(pref.alias("y"), "tok")
+                .where(F.col("x.id") < F.col("y.id"))
+                .select(F.col("x.id").alias("id_a"),
+                        F.col("y.id").alias("id_b"))
+                .distinct())
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (cand.join(ta, "id_a").join(tb, ["id_b", "tok"])
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb"))
+    out = (inter.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
+                # J >= t  <=>  inter >= t * uni; evaluate as a product
+                # comparison so both engines run one double multiply
+                .where(F.col("inter").cast("double")
+                       >= F.lit(threshold) * F.col("uni").cast("double"))
+                .select("id_a", "id_b",
+                        F.col("inter").cast("long").alias("inter"),
+                        F.col("uni").cast("long").alias("uni")))
+    return out

@@ -10020,3 +10020,91 @@ def q_dormant_rich_customers(spark, sf_dir):
              .agg(F.count("*").alias("numcust"),
                   F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
                         .cast("long")).alias("bal_cents")))
+
+
+@query(
+    "q_triangle_counts",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      WHERE l1.l_quantity > 25 AND l2.l_quantity > 25
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.b
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, COUNT(*) AS triangles FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) GROUP BY node
+    """,
+)
+def q_triangle_counts(spark, sf_dir):
+    """Per-part triangle counts in the co-purchase graph (parts bought
+    together in one order, both in volume) — the graph-structure metric
+    (clustering, community density) run over association graphs.
+
+    The Spark side is ``operators/graph.triangle_counts``: DEGREE
+    ORIENTATION, so wedge fan-out is bounded by oriented out-degree
+    ≤ √(2m) and the hot-hub quadratic blowup of the naive a<b<c
+    double-join cannot happen at 100 TB.  The oracle deliberately IS
+    the naive formulation (exact and fine at oracle scale) — the two
+    different algorithms agreeing on every per-node count is the
+    strongest check.  Edge build is one orderkey self-join (≤13 lines
+    per order, bounded fan-out); output is integer-only."""
+    from access_mopper_spark.operators.graph import triangle_counts
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 25)
+          .select("l_orderkey", "l_partkey"))
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_partkey").alias("b"))
+    edges = (li.join(l2, (F.col("l_orderkey") == F.col("o2"))
+                     & (F.col("l_partkey") < F.col("b")))
+               .select(F.col("l_partkey").alias("a"), "b"))
+    return triangle_counts(edges)
+
+
+@query(
+    "q_similarity_join_exact",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id AS id, UNNEST(string_split(tn, ' ')) AS tok
+      FROM t WHERE tn <> ''
+    ),
+    sz AS (SELECT id, COUNT(*) AS s FROM tok GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+           CAST(sa.s + sb.s - i AS BIGINT) AS uni
+    FROM inter
+    JOIN sz sa ON sa.id = id_a
+    JOIN sz sb ON sb.id = id_b
+    WHERE CAST(i AS DOUBLE) >= CAST(0.8 AS DOUBLE)
+                               * CAST(sa.s + sb.s - i AS DOUBLE)
+    """,
+)
+def q_similarity_join_exact(spark, sf_dir):
+    """Exact-threshold Jaccard set-similarity self-join (AllPairs/PPJoin
+    prefix filtering, `operators/dedup.prefix_filter_join`) at t=0.8 —
+    the guaranteed-recall complement to MinHash-LSH dedup.  The oracle
+    is the brute-force all-pairs token join (exact at oracle scale);
+    the Spark side only ever joins on each document's rare-token
+    prefix, so stopword postings never fan out — the two formulations
+    agreeing on every (pair, inter, uni) proves the filter loses no
+    pair.  Integer-only output."""
+    from access_mopper_spark.operators.dedup import prefix_filter_join
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    return prefix_filter_join(docs, "text", "doc_id", threshold=0.8)

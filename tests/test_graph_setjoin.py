@@ -1,0 +1,56 @@
+"""Hand-computed fixtures for the round-5 graph/set-join operators:
+degree-oriented triangle counting and the prefix-filter exact Jaccard
+self-join (operators/graph.triangle_counts, dedup.prefix_filter_join)."""
+
+from pyspark.sql import functions as F
+
+from access_mopper_spark.operators.dedup import prefix_filter_join
+from access_mopper_spark.operators.graph import triangle_counts
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge
+    # 4-5 (no triangle) and a disjoint triangle {6,7,8}.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (6, 7), (7, 8), (6, 8)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["triangles"]
+           for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+
+
+def test_triangle_counts_canonicalizes_input(spark):
+    # duplicates, reversed direction, and self-loops must not change
+    # the count: one triangle {1,2,3}
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["triangles"]
+           for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_prefix_filter_join_exact_pairs(spark):
+    # doc 1 vs 2: J = 3/5 = 0.6; doc 1 vs 3: J = 1 (same set, dup
+    # tokens collapse); doc 4 disjoint.  At t=0.6 pairs (1,2), (1,3),
+    # (2,3) qualify; at t=0.8 only the identical pair survives.
+    rows = [(1, "a b c d"), (2, "a b c e"), (3, "a b c d d a"),
+            (4, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lo = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+          for r in prefix_filter_join(df, threshold=0.6).collect()}
+    assert lo == {(1, 2): (3, 5), (1, 3): (4, 4), (2, 3): (3, 5)}
+    hi = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+          for r in prefix_filter_join(df, threshold=0.8).collect()}
+    assert hi == {(1, 3): (4, 4)}
+
+
+def test_prefix_filter_join_hostile_whitespace_and_nulls(spark):
+    # trailing tab, embedded vertical tab, NULL and empty docs: the
+    # tokenizer must follow the repo's explicit [ \t\n\r] convention
+    # and NULL/empty docs must simply produce no pairs.
+    rows = [(1, "alpha beta\tgamma\t"), (2, "alpha beta gamma"),
+            (3, None), (4, ""), (5, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+          for r in prefix_filter_join(df, threshold=0.8).collect()}
+    assert got == {(1, 2): (3, 3)}
