@@ -134,3 +134,45 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     out.count()
     o.unpersist()
     return out
+
+
+def k_core_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list
+    ``(a, b)``: each round drops every node whose CURRENT degree is
+    below k, plus all its edges, and recomputes degrees — the standard
+    iterative core-decomposition step (full convergence iterates until
+    stable; a FIXED round count keeps the computation a deterministic,
+    engine-replayable plan, same policy as the PageRank/dedup-cluster
+    bounded loops).  Returns ``(node, deg)`` for the nodes still
+    meeting the threshold after ``rounds`` peels, with their degree in
+    the surviving subgraph.
+
+    Scale: each round is one degree aggregation (shuffle on node id)
+    plus two semi-joins to drop edges — no step holds more than the
+    edge table, nothing is collected.  Each round's edge table goes
+    through an EAGER ``localCheckpoint()``: round i references e_{i-1}
+    three times (both union legs of the degree agg + the semi-join
+    source), so pure lineage re-evaluates the base subtree ~3^rounds
+    times, and even persist() is not enough — the cache keeps the FULL
+    logical plan for cache-key matching, whose canonicalization over
+    the 3^r-node tree OOMed the driver at 5 rounds.  localCheckpoint
+    truncates the plan itself to the materialized RDD, so every round
+    starts from a flat scan.  (Executor-loss caveat: localCheckpoint
+    blocks are not recomputable; a fault-tolerant production run uses
+    reliable checkpoint() to durable storage instead.)"""
+    e = (edges.select(F.least("a", "b").alias("a"),
+                      F.greatest("a", "b").alias("b"))
+              .where(F.col("a") != F.col("b"))
+              .distinct()).localCheckpoint()
+    for _ in range(rounds):
+        deg = (e.select(F.col("a").alias("node"))
+                .unionAll(e.select(F.col("b").alias("node")))
+                .groupBy("node").agg(F.count("*").alias("deg")))
+        keep = deg.where(F.col("deg") >= k).select("node")
+        e = (e.join(keep.withColumnRenamed("node", "a"), "a", "leftsemi")
+              .join(keep.withColumnRenamed("node", "b"), "b", "leftsemi")
+              .select("a", "b")).localCheckpoint()
+    deg = (e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("deg")))
+    return deg.where(F.col("deg") >= k)

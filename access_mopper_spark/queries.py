@@ -10108,3 +10108,67 @@ def q_similarity_join_exact(spark, sf_dir):
     from access_mopper_spark.operators.dedup import prefix_filter_join
     docs = _wide(load_table(spark, sf_dir, "documents"))
     return prefix_filter_join(docs, "text", "doc_id", threshold=0.8)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled fixed-round peel as a WITH chain (DuckDB has recursive
+    CTEs, but unrolling keeps the oracle the same bounded computation
+    the Spark side runs — no convergence-order ambiguity).  Every stage
+    is AS MATERIALIZED: DuckDB inlines plain CTEs, so the 3-references-
+    per-round chain re-evaluates the base self-join ~3^rounds times —
+    the same exponential blowup the Spark side dodges with
+    localCheckpoint (measured: 324 s inlined → sub-second materialized
+    at sf0.01)."""
+    parts = ["""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                      GREATEST(l1.l_partkey, l2.l_partkey) AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_partkey <> l2.l_partkey
+      WHERE l1.l_quantity > 25 AND l2.l_quantity > 25
+    )"""]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+      ) GROUP BY node
+    ),
+    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN k{i} x ON x.node = e.a
+      JOIN k{i} y ON y.node = e.b
+    )""")
+        prev = f"e{i}"
+    parts.append(f"""
+    SELECT node, deg FROM (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+      ) GROUP BY node
+    ) WHERE deg >= {k}""")
+    return "".join(parts)
+
+
+@query("q_k_core", oracle=_kcore_oracle(k=18, rounds=5))
+def q_k_core(spark, sf_dir):
+    """18-core of the co-purchase part graph after 5 fixed peel rounds
+    (`operators/graph.k_core_peel`) — the dense-community extraction
+    step (spam rings, template families, co-occurrence cliques) of
+    graph-shaped curation.  The oracle is the SAME bounded peel
+    unrolled as a 5-stage CTE chain, so both engines run an identical
+    deterministic computation; outputs are integer (node, deg).  Each
+    Spark round is one degree shuffle + two semi-joins; nothing
+    collects."""
+    from access_mopper_spark.operators.graph import k_core_peel
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 25)
+          .select("l_orderkey", "l_partkey"))
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_partkey").alias("b"))
+    edges = (li.join(l2, (F.col("l_orderkey") == F.col("o2"))
+                     & (F.col("l_partkey") != F.col("b")))
+               .select(F.col("l_partkey").alias("a"), "b"))
+    return k_core_peel(edges, k=18, rounds=5)

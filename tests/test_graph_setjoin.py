@@ -54,3 +54,16 @@ def test_prefix_filter_join_hostile_whitespace_and_nulls(spark):
     got = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
           for r in prefix_filter_join(df, threshold=0.8).collect()}
     assert got == {(1, 2): (3, 3)}
+
+
+def test_k_core_peel_known_graph(spark):
+    from access_mopper_spark.operators.graph import k_core_peel
+    # K4 {1,2,3,4} with a tail 4-5-6: the 3-core is exactly the K4
+    # (5 and 6 peel in rounds 1-2 and node 4's degree drops back to 3).
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["deg"] for r in k_core_peel(df, k=3, rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k larger than any degree → empty core, not an error
+    assert k_core_peel(df, k=10, rounds=2).count() == 0
