@@ -82,7 +82,12 @@ _DRIVER_PRIORITY = [
 # q_cooccur_parts, q_conversion_latency, q_trimmed_mean, q_chi_square,
 # q_path_ngrams, q_ltv_cohorts, q_null_safe_join, q_cdc_compact,
 # q_benford, q_mom_growth, q_skyline, q_intersect_all,
-# q_sliding_hour_sum, q_volume_shipping, q_embedding_norm_outliers.
+# q_sliding_hour_sum, q_volume_shipping, q_embedding_norm_outliers,
+# and the round-5-late additions: q_product_profit, q_returned_items,
+# q_promo_revenue, q_top_supplier, q_supplier_part_counts,
+# q_large_volume_customer, q_discounted_brand_revenue,
+# q_dormant_rich_customers, q_triangle_counts, q_similarity_join_exact,
+# q_k_core, q_leakage_free_split.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

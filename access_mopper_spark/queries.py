@@ -10172,3 +10172,39 @@ def q_k_core(spark, sf_dir):
                      & (F.col("l_partkey") != F.col("b")))
                .select(F.col("l_partkey").alias("a"), "b"))
     return k_core_peel(edges, k=18, rounds=5)
+
+
+_LEAKFREE_SPLIT_ORACLE = f"""
+    WITH clusters AS ({_DEDUP_CLUSTERS_ORACLE})
+    SELECT doc_id, cluster_id,
+           CASE WHEN substring(md5('split1:' || CAST(cluster_id AS VARCHAR)),
+                               1, 8) < '1999999a'
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM clusters
+"""
+
+
+@query("q_leakage_free_split", oracle=_LEAKFREE_SPLIT_ORACLE)
+def q_leakage_free_split(spark, sf_dir):
+    """Group-disjoint train/holdout split: documents are first clustered
+    by near-duplicate connected components (q_dedup_clusters' min-label
+    propagation), then the SPLIT DECISION hashes the CLUSTER id, not the
+    document id — so no near-duplicate family ever straddles the
+    boundary and the holdout cannot be contaminated by paraphrases of
+    training docs (the eval-leakage failure mode doc-level hashing
+    cannot prevent).  ~10% holdout via the repo's portable md5-hex
+    threshold (deterministic_sample convention: membership is a pure
+    function of the id — no RNG, engine/cluster-size invariant,
+    map-only after the cluster labels exist)."""
+    from access_mopper_spark.operators.dedup import dedup_clusters, near_dup_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, "text", "doc_id", n_hashes=6, band_size=2,
+                           shingle_k=3, jaccard_threshold=0.5,
+                           shingle_kind="word")
+    clusters = dedup_clusters(pairs, docs.select("doc_id"))
+    digest = F.md5(F.concat(F.lit("split1:"),
+                            F.col("cluster_id").cast("string")))
+    return clusters.select(
+        "doc_id", "cluster_id",
+        F.when(F.substring(digest, 1, 8) < "1999999a", F.lit("holdout"))
+         .otherwise(F.lit("train")).alias("split"))

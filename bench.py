@@ -74,6 +74,14 @@ HEADLINE = [
     "q_gini",
     "q_rolling_distinct_users",
     "q_cooccur_parts",
+    # round 5 extension: degree-oriented triangles, fixed-round k-core,
+    # prefix-filter exact similarity join, group-disjoint split, and the
+    # widest new TPC-H join shape (Q9)
+    "q_triangle_counts",
+    "q_k_core",
+    "q_similarity_join_exact",
+    "q_leakage_free_split",
+    "q_product_profit",
 ]
 
 
