@@ -630,3 +630,76 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame,
     return partial_topk(per_doc, [query_id_col],
                         [F.col("adc_dist").asc(), F.col(id_col)], k,
                         rank_col=rank_col)
+
+
+def embedding_covariance(corpus: DataFrame, dim: int,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Uncentered second-moment (Gram) matrix Σ xᵀx of the embedding
+    column as ONE distributed pass — the input to PCA / whitening /
+    covariance-shift monitoring over billion-row embedding tables.
+
+    Each Arrow batch contributes a dim×dim partial via a single BLAS
+    GEMM (``X.T @ X``); partials are dim² scalars regardless of row
+    count, so the reduce is a fixed-size tree aggregation — the
+    canonical outer-product-accumulation pattern that never shuffles
+    the data itself (contrast: exploding to (row, i, j, xᵢxⱼ) triples
+    shuffles dim² copies of the corpus).  Returns the upper triangle
+    ``(i, j, s)`` with i ≤ j (the matrix is symmetric); callers divide
+    by n or center externally if they need the true covariance.
+    Determinism note: per-batch GEMM sums floats in a fixed order but
+    batch partitioning varies, so downstream parity comparisons round
+    (same contract as every aggregated double in the repo)."""
+    import numpy as np
+    import pandas as pd
+
+    from access_mopper_spark.operators.partitioning import ensure_min_partitions
+
+    src = ensure_min_partitions(corpus.select(vec_col))
+
+    def partials(batches):
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf):
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]])
+                acc += x.T @ x
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame({"i": iu.astype("int32"), "j": ju.astype("int32"),
+                            "s": acc[iu, ju]})
+
+    part = src.mapInPandas(partials, "i int, j int, s double")
+    return part.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+
+def random_projection(corpus: DataFrame, dim: int, out_dim: int,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      seed: str = "rp0") -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` via a
+    DETERMINISTIC ±1 (Achlioptas) matrix derived from md5 parity —
+    R[i][k] = +1 if the first hex nibble of md5('seed:i:k') is even
+    else −1.  No RNG state ships anywhere: the matrix is a pure
+    function of (seed, i, k), so any engine (and any retry of any
+    task) regenerates exactly the same projection — the property that
+    makes the op replayable in a SQL oracle and idempotent under
+    speculative execution.
+
+    The matrix materializes ONCE as a dim×out_dim literal built
+    driver-side (bounded: e.g. 64×16) and is baked into the plan as a
+    Column expression — y_k = Σ_i R[i][k]·x_i via one ``aggregate``
+    fold per output coordinate, all JVM-side, map-only, no shuffle.
+    Scaling by 1/√out_dim keeps expected norms (standard JL)."""
+    import hashlib
+
+    signs = [[1.0 if int(hashlib.md5(
+                 f"{seed}:{i}:{k}".encode()).hexdigest()[0], 16) % 2 == 0
+              else -1.0 for k in range(out_dim)] for i in range(dim)]
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = 1.0 / float(out_dim) ** 0.5
+    comps = [
+        (F.aggregate(
+            F.zip_with(x, F.array(*[F.lit(signs[i][k]) for i in range(dim)]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, t: acc + t) * F.lit(scale)).alias(f"y{k}")
+        for k in range(out_dim)
+    ]
+    return corpus.select(F.col(id_col), *comps)

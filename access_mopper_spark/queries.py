@@ -10074,12 +10074,17 @@ def q_triangle_counts(spark, sf_dir):
     oracle=r"""
     WITH t AS (
       SELECT doc_id,
-             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
+             string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'),
+                               ' '), ' ') AS w
       FROM documents WHERE text IS NOT NULL
     ),
     tok AS (
-      SELECT DISTINCT doc_id AS id, UNNEST(string_split(tn, ' ')) AS tok
-      FROM t WHERE tn <> ''
+      SELECT DISTINCT doc_id AS id,
+             array_to_string(w[g.i : g.i + 2], ' ') AS tok
+      FROM t, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1)
+                                       FROM t) + 1)) AS i) g
+      WHERE g.i <= greatest(len(w) - 2, 1)
+        AND array_to_string(w[g.i : g.i + 2], ' ') <> ''
     ),
     sz AS (SELECT id, COUNT(*) AS s FROM tok GROUP BY id),
     inter AS (
@@ -10098,16 +10103,22 @@ def q_triangle_counts(spark, sf_dir):
 )
 def q_similarity_join_exact(spark, sf_dir):
     """Exact-threshold Jaccard set-similarity self-join (AllPairs/PPJoin
-    prefix filtering, `operators/dedup.prefix_filter_join`) at t=0.8 —
-    the guaranteed-recall complement to MinHash-LSH dedup.  The oracle
-    is the brute-force all-pairs token join (exact at oracle scale);
-    the Spark side only ever joins on each document's rare-token
-    prefix, so stopword postings never fan out — the two formulations
-    agreeing on every (pair, inter, uni) proves the filter loses no
-    pair.  Integer-only output."""
+    prefix filtering, `operators/dedup.prefix_filter_join`) at t=0.8
+    over 3-word SHINGLE sets — the guaranteed-recall complement to
+    MinHash-LSH dedup.  Shingles, not words: this corpus has ~31
+    distinct words, so word-set Jaccard is degenerate (nearly every
+    pair qualifies — measured 6.5M candidate pairs at sf0.1, output
+    itself quadratic); order-sensitive shingles restore selectivity
+    (25 true pairs at sf0.01).  The oracle is the brute-force
+    all-pairs shingle join (exact at oracle scale); the Spark side
+    only ever joins on each document's rare-shingle prefix plus the
+    PPJoin length filter — the two formulations agreeing on every
+    (pair, inter, uni) proves the filter loses no pair.  Integer-only
+    output."""
     from access_mopper_spark.operators.dedup import prefix_filter_join
     docs = _wide(load_table(spark, sf_dir, "documents"))
-    return prefix_filter_join(docs, "text", "doc_id", threshold=0.8)
+    return prefix_filter_join(docs, "text", "doc_id", threshold=0.8,
+                              shingle_k=3)
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
@@ -10208,3 +10219,83 @@ def q_leakage_free_split(spark, sf_dir):
         "doc_id", "cluster_id",
         F.when(F.substring(digest, 1, 8) < "1999999a", F.lit("holdout"))
          .otherwise(F.lit("train")).alias("split"))
+
+
+@query(
+    "q_embedding_covariance",
+    oracle="""
+    WITH src AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (
+      SELECT UNNEST(range(1, (SELECT MAX(len(v)) FROM src) + 1)) AS i
+    ),
+    el AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS i, v[i] AS x
+      FROM src CROSS JOIN dims
+    )
+    SELECT a.i AS i, b.i AS j, ROUND(SUM(a.x * b.x), 6) AS s
+    FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def q_embedding_covariance(spark, sf_dir):
+    """Uncentered 64×64 second-moment (Gram) matrix of the embedding
+    corpus in ONE distributed pass (`operators/similarity.
+    embedding_covariance`) — the PCA/whitening input.  Each Arrow batch
+    reduces to a dim² partial via one BLAS GEMM, so the shuffle carries
+    2080 scalars per partition REGARDLESS of row count; the oracle is
+    the exploded (row, i, j) self-join — quadratic in dim and shuffle-
+    heavy, exactly the formulation the operator exists to avoid, which
+    makes the agreement the point.  Upper triangle only (symmetric)."""
+    from access_mopper_spark.operators.similarity import embedding_covariance
+    emb = _wide(load_table(spark, sf_dir, "embeddings"))
+    cov = embedding_covariance(emb, dim=64)
+    return cov.select("i", "j", R6(F.col("s")).alias("s"))
+
+
+@query(
+    "q_random_projection",
+    oracle="""
+    WITH src AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (
+      SELECT UNNEST(range(1, (SELECT MAX(len(v)) FROM src) + 1)) AS i
+    ),
+    ks AS (SELECT UNNEST(range(0, 8)) AS k),
+    m AS (
+      SELECT CAST(i AS INT) AS i, CAST(k AS INT) AS k,
+             CASE WHEN strpos('02468ace',
+                    substring(md5('rp0:' || CAST(i - 1 AS VARCHAR) || ':'
+                                  || CAST(k AS VARCHAR)), 1, 1)) > 0
+                  THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn
+      FROM dims CROSS JOIN ks
+    )
+    SELECT s.vec_id, m.k,
+           ROUND(SUM(s.v[m.i] * m.sgn)
+                 * (CAST(1 AS DOUBLE) / SQRT(CAST(8 AS DOUBLE))), 6) AS y
+    FROM src s CROSS JOIN m
+    GROUP BY s.vec_id, m.k
+    """,
+)
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss projection 64→8 with a DETERMINISTIC
+    Achlioptas ±1 matrix from md5 parity (`operators/similarity.
+    random_projection`): no RNG state, so the projection is a pure
+    function of (seed, i, k) that any engine and any task retry
+    regenerates identically — the md5-threshold convention
+    (deterministic_sample) lifted to matrices.  Spark bakes the
+    bounded 64×8 sign matrix into the plan as literals (map-only,
+    JVM-side fold per output coordinate, no shuffle); the oracle
+    regenerates the same matrix IN SQL and replays the contraction as
+    an explode-join.  Long (vec_id, k, y) output."""
+    from access_mopper_spark.operators.similarity import random_projection
+    emb = _wide(load_table(spark, sf_dir, "embeddings"))
+    rp = random_projection(emb, dim=64, out_dim=8, seed="rp0")
+    pairs = ", ".join(f"{k}, y{k}" for k in range(8))
+    return rp.select(
+        "vec_id",
+        F.expr(f"stack(8, {pairs}) AS (k, y)")
+    ).select("vec_id", F.col("k").cast("int").alias("k"),
+             R6(F.col("y")).alias("y"))

@@ -67,3 +67,37 @@ def test_k_core_peel_known_graph(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
     # k larger than any degree → empty core, not an error
     assert k_core_peel(df, k=10, rounds=2).count() == 0
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+    from access_mopper_spark.operators.similarity import embedding_covariance
+    rng = [[float(((i * 7 + j * 3) % 11) - 5) / 4 for j in range(5)]
+           for i in range(9)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rng)],
+                               "vec_id long, embedding array<double>")
+    got = {(r["i"], r["j"]): r["s"]
+           for r in embedding_covariance(df, dim=5).collect()}
+    x = np.asarray(rng)
+    want = x.T @ x
+    assert len(got) == 15  # upper triangle of 5x5
+    for (i, j), s in got.items():
+        assert i <= j and abs(s - want[i, j]) < 1e-9
+
+
+def test_random_projection_deterministic_and_scaled(spark):
+    from access_mopper_spark.operators.similarity import random_projection
+    vecs = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 2.0, 0.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    a = sorted(random_projection(df, dim=4, out_dim=2).collect())
+    b = sorted(random_projection(df, dim=4, out_dim=2).collect())
+    assert a == b  # pure function of (seed, i, k): identical on re-run
+    # each output coordinate of a one-hot input is ±x/√out_dim exactly
+    import math
+    for r in a:
+        mag = abs(r["vec_id"]) * 1.0  # doc 1 → |x|=1, doc 2 → |x|=2
+        for k in ("y0", "y1"):
+            assert abs(abs(r[k]) - mag / math.sqrt(2.0)) < 1e-12
+    # a different seed flips at least one sign pattern
+    c = sorted(random_projection(df, dim=4, out_dim=2, seed="rp1").collect())
+    assert c != a
