@@ -87,7 +87,8 @@ _DRIVER_PRIORITY = [
 # q_promo_revenue, q_top_supplier, q_supplier_part_counts,
 # q_large_volume_customer, q_discounted_brand_revenue,
 # q_dormant_rich_customers, q_triangle_counts, q_similarity_join_exact,
-# q_k_core, q_leakage_free_split.
+# q_k_core, q_leakage_free_split, q_embedding_covariance,
+# q_random_projection.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

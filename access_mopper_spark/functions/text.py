@@ -183,3 +183,4 @@ def unicode_nfc_normalize(text: Column) -> Column:
     lowered = F.lower(_nfc(text))
     stripped = F.regexp_replace(lowered, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
     return F.trim(F.regexp_replace(stripped, "[ \t\n\r]+", " "))
+

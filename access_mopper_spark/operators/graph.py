@@ -176,3 +176,36 @@ def k_core_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             .unionAll(e.select(F.col("b").alias("node")))
             .groupBy("node").agg(F.count("*").alias("deg")))
     return deg.where(F.col("deg") >= k)
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Fixed-round synchronous label propagation (community detection)
+    over an undirected edge list ``(a, b)``: every node starts with its
+    own id as the label; each round it adopts the most frequent label
+    among its neighbours, ties broken toward the SMALLEST label — the
+    deterministic variant (plain LPA tie-breaks randomly, which no
+    cross-engine oracle could replay).  Fixed rounds, same policy as
+    ``k_core_peel``/``pagerank``.
+
+    Returns ``(node, label)``.  One shuffle per round: edges ⋈ labels
+    on the neighbour key, then a (node, label) count and a max_by
+    reduce — label tables are node-sized, nothing collects.  Lineage
+    is linear in rounds (each label table feeds the next exactly once)
+    so no checkpoint is required at bounded rounds."""
+    e = (edges.select(F.least("a", "b").alias("a"),
+                      F.greatest("a", "b").alias("b"))
+              .where(F.col("a") != F.col("b"))
+              .distinct())
+    sym = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(e.select(F.col("b").alias("src"),
+                               F.col("a").alias("dst"))))
+    lab = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("lbl", F.col("node")))
+    for _ in range(rounds):
+        votes = (sym.join(lab.withColumnRenamed("node", "dst"), "dst")
+                    .groupBy(F.col("src").alias("node"), "lbl")
+                    .agg(F.count("*").alias("c")))
+        lab = votes.groupBy("node").agg(
+            F.max_by("lbl", F.struct(F.col("c"),
+                                     (-F.col("lbl")).alias("n"))).alias("lbl"))
+    return lab.select("node", F.col("lbl").alias("label"))

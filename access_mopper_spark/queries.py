@@ -10299,3 +10299,102 @@ def q_random_projection(spark, sf_dir):
         F.expr(f"stack(8, {pairs}) AS (k, y)")
     ).select("vec_id", F.col("k").cast("int").alias("k"),
              R6(F.col("y")).alias("y"))
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled deterministic label propagation (min label among modal
+    neighbour labels), every stage MATERIALIZED (same exponential-
+    inlining hazard as the k-core oracle)."""
+    parts = ["""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                      GREATEST(l1.l_partkey, l2.l_partkey) AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_partkey <> l2.l_partkey
+      WHERE l1.l_quantity > 40 AND l2.l_quantity > 40
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    lab0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS lbl FROM sym
+    )"""]
+    prev = "lab0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    v{i} AS MATERIALIZED (
+      SELECT e.src AS node, l.lbl, COUNT(*) AS c
+      FROM sym e JOIN {prev} l ON l.node = e.dst
+      GROUP BY e.src, l.lbl
+    ),
+    lab{i} AS MATERIALIZED (
+      SELECT node, FIRST(lbl ORDER BY c DESC, lbl ASC) AS lbl
+      FROM v{i} GROUP BY node
+    )""")
+        prev = f"lab{i}"
+    parts.append(f"""
+    SELECT node, lbl AS label FROM {prev}""")
+    return "".join(parts)
+
+
+@query("q_label_propagation", oracle=_lpa_oracle(rounds=3))
+def q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation (3 rounds) on the
+    high-volume co-purchase graph (`operators/graph.label_propagation`)
+    — community detection for entity/template families.  Ties on the
+    modal neighbour label break toward the smallest label on BOTH
+    engines (struct max_by / ARG_MAX on (count, -label)), which is
+    what makes plain LPA — normally randomized — oracle-replayable.
+    The quantity > 40 cut thins the graph so communities are
+    non-trivial (the >25 graph is near-complete and collapses to one
+    label).  Integer-only output."""
+    from access_mopper_spark.operators.graph import label_propagation
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 40)
+          .select("l_orderkey", "l_partkey"))
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_partkey").alias("b"))
+    edges = (li.join(l2, (F.col("l_orderkey") == F.col("o2"))
+                     & (F.col("l_partkey") != F.col("b")))
+               .select(F.col("l_partkey").alias("a"), "b"))
+    return label_propagation(edges, rounds=3)
+
+
+@query(
+    "q_feature_hash_tf",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST(string_split(tn, ' ')) AS w
+      FROM t WHERE tn <> ''
+    )
+    SELECT doc_id,
+           substring(md5('fh0:' || w), 1, 2) AS bucket,
+           COUNT(*) AS tf
+    FROM tok GROUP BY doc_id, bucket
+    """,
+)
+def q_feature_hash_tf(spark, sf_dir):
+    """Hashing-trick TF vectorization (256 buckets): token → bucket =
+    first two hex chars of md5('fh0:' || token) — sparse model-free
+    features for dedup/classification at corpus scale.  Buckets stay
+    STRINGS (the repo's portable-hash convention: both engines md5
+    identically, and no portable hex→int cast exists); multiplicity is
+    preserved (term frequency, not set membership).  One explode + one
+    map-side-combined groupBy — the vectorizer is embarrassingly
+    parallel and the output is integer counts keyed by (doc, bucket)."""
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(ws_normalized(F.col("text")), " ", -1),
+                           lambda t: t != "")).alias("w"))
+    bucket = F.substring(F.md5(F.concat(F.lit("fh0:"), F.col("w"))), 1, 2)
+    return (toks.groupBy("doc_id", bucket.alias("bucket"))
+                .agg(F.count("*").alias("tf")))

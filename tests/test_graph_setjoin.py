@@ -101,3 +101,16 @@ def test_random_projection_deterministic_and_scaled(spark):
     # a different seed flips at least one sign pattern
     c = sorted(random_projection(df, dim=4, out_dim=2, seed="rp1").collect())
     assert c != a
+
+
+def test_label_propagation_two_communities(spark):
+    from access_mopper_spark.operators.graph import label_propagation
+    # two triangles bridged by one edge: each triangle converges to its
+    # own min label; deterministic min tie-break keeps 1 and 4 apart
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, rounds=3).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # the two triangles must not share a label
+    assert {got[1], got[2]} != {got[5], got[6]}
