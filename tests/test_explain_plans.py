@@ -293,3 +293,34 @@ def test_dynamic_partition_pruning_on_hive_layout(spark, sf_dir):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_tpch_shapes_broadcast_dims_and_push_filters(spark, sf_dir):
+    # Q9/Q10/Q19 shapes: every dimension side must broadcast (the fact
+    # table never shuffles for a dim join) and the dim predicates must
+    # prune below the broadcast exchange
+    for q in ("q_product_profit", "q_returned_items",
+              "q_discounted_brand_revenue"):
+        plan = plan_str(QUERIES[q](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+    p9 = plan_str(QUERIES["q_product_profit"](spark, sf_dir))
+    # the p_name LIKE filter sits on the part scan, not post-join
+    assert "PushedFilters: []" not in p9
+
+
+def test_similarity_join_verify_is_array_side_not_explode(spark, sf_dir):
+    # the verify stage must fetch token ARRAYS per candidate pair and
+    # intersect per-row — never re-explode candidates × tokens into a
+    # shuffle (the 103 s sf0.1 pathology this operator was rebuilt from)
+    plan = plan_str(QUERIES["q_similarity_join_exact"](spark, sf_dir))
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_feature_hash_tf_single_shuffle(spark, sf_dir):
+    # explode + one map-side-combined groupBy: exactly one exchange
+    plan = plan_str(QUERIES["q_feature_hash_tf"](spark, sf_dir))
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 2, plan[:2000]  # agg partial+final pair
+    assert "CartesianProduct" not in plan
