@@ -107,6 +107,25 @@ COMMENTARY = {
     "q_salted_agg": "Salted aggregation: stage-1 partials on (key, salt) "
         "spread hot keys across reducers; stage-2 merges shards — the skew "
         "rewrite is invisible in results (oracle = plain GROUP BY).",
+    "q_triangle_counts": "Degree-oriented triangles: wedge self-join fans "
+        "out by oriented out-degree ≤ √(2m) (hub-proof); one semi-join "
+        "closes each wedge; per-node reduce is map-side combined.",
+    "q_similarity_join_exact": "Prefix-filter exact Jaccard join: "
+        "candidates only from each doc's rare-shingle prefix + PPJoin "
+        "length filter; verify joins token ARRAYS per pair and intersects "
+        "per-row (array_intersect) — never candidates×tokens re-explosion.",
+    "q_product_profit": "TPC-H Q9 shape: all three dims broadcast, the "
+        "p_name LIKE filter prunes the part dim below its broadcast "
+        "exchange, integer-cents money sum is one map-side-combined agg.",
+    "q_embedding_covariance": "One-pass Gram matrix: each Arrow batch "
+        "contributes a dim² GEMM partial; the shuffle carries 2080 "
+        "scalars per partition regardless of row count.",
+    "q_random_projection": "JL projection: the ±1 md5-parity matrix is "
+        "baked into the plan as literals — map-only JVM folds, zero "
+        "shuffle, deterministic under task retry.",
+    "q_label_propagation": "Label propagation round: edges⋈labels "
+        "equi-join, (node,label) count, struct max_by reduce — one "
+        "shuffle per round, deterministic min tie-break.",
 }
 
 
