@@ -235,3 +235,65 @@ def token_budget_fill(df: DataFrame, token_col: str, budget: int,
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     out = df.withColumn("cum_tokens", F.sum(token_col).over(w))
     return out.where(F.col("cum_tokens") <= budget)
+
+
+def exact_stratified_split(df: DataFrame, id_col: str, stratum_col,
+                           train_frac: float = 0.8, val_frac: float = 0.1,
+                           salt: str = "strat0") -> DataFrame:
+    """EXACT-count stratified train/val/test split: within every stratum
+    the first ``floor(train_frac*n)`` documents of a deterministic
+    hash shuffle go to train, the next ``floor(val_frac*n)`` to val,
+    the rest to test — the exact-proportion contract hash-threshold
+    sampling cannot give (``deterministic_sample`` hits the fraction
+    only in expectation; eval-set sizing wants it exact).
+
+    The within-stratum rank is computed WITHOUT a per-stratum global
+    sort (strata are few and huge — a language is terabytes at corpus
+    scale): rows bucket by their hash's first two hex chars (256
+    lexicographic buckets), per-(stratum, bucket) counts give every
+    bucket its strictly-earlier offset via a broadcast non-equi join
+    over the tiny count table, and ``row_number`` runs over windows
+    PARTITIONED by (stratum, bucket) — 256× the parallelism of the
+    naive ``PARTITION BY stratum`` window, same answer
+    (``operators/ranking.global_rank``'s decomposition, keyed).
+
+    Deterministic: order key is (md5(salt||id), id) — total order, no
+    RNG state, identical on any engine or cluster size."""
+    sid = F.col(id_col).cast("string")
+    h = F.md5(F.concat(F.lit(salt + ":"), sid))
+    pts = (df.select(F.col(id_col), F.col(stratum_col).alias("__s"))
+             .withColumn("__h", h)
+             .withColumn("__b", F.substring(F.col("__h"), 1, 2)))
+
+    counts = (pts.groupBy("__s", "__b").agg(F.count("*").alias("__bn")))
+    earlier = counts.select(F.col("__s").alias("__s2"),
+                            F.col("__b").alias("__b2"),
+                            F.col("__bn").alias("__n2"))
+    offsets = (counts.join(F.broadcast(earlier),
+                           (F.col("__s").eqNullSafe(F.col("__s2")))
+                           & (F.col("__b2") < F.col("__b")), "left")
+                     .groupBy("__s", "__b")
+                     .agg(F.sum(F.coalesce("__n2", F.lit(0))).alias("__off")))
+    totals = (counts.groupBy(F.col("__s").alias("__s3"))
+                    .agg(F.sum("__bn").alias("__n")))
+
+    w = W.partitionBy("__s", "__b").orderBy("__h", id_col)
+    # stratum can be NULL (e.g. unlabeled language) — the offset join
+    # must be null-safe or those rows silently drop (fuzz seed0 caught
+    # the list-form equi-join doing exactly that)
+    off2 = offsets.select(F.col("__s").alias("__so"),
+                          F.col("__b").alias("__bo"), "__off")
+    ranked = (pts.join(F.broadcast(off2),
+                       F.col("__s").eqNullSafe(F.col("__so"))
+                       & (F.col("__b") == F.col("__bo")))
+                 .drop("__so", "__bo")
+                 .withColumn("__r", F.col("__off") + F.row_number().over(w))
+                 .join(F.broadcast(totals),
+                       F.col("__s3").eqNullSafe(F.col("__s")))
+                 .drop("__s3"))
+    k_train = F.floor(F.lit(train_frac) * F.col("__n"))
+    k_val = F.floor(F.lit(train_frac + val_frac) * F.col("__n"))
+    split = (F.when(F.col("__r") <= k_train, "train")
+              .when(F.col("__r") <= k_val, "val").otherwise("test"))
+    return ranked.select(F.col(id_col), F.col("__s").alias("stratum"),
+                         split.alias("split"))

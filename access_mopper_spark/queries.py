@@ -10738,3 +10738,174 @@ def q_waiting_suppliers(spark, sf_dir):
               .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
               .groupBy("s_name").agg(F.count("*").alias("numwait"))
               .orderBy(F.desc("numwait"), F.asc("s_name")).limit(10))
+
+
+# =====================================================================
+# Round-5 training-data additions: exact-count stratified split,
+# per-source Zipf slope, char-gram duplicated-span detection
+# =====================================================================
+
+@query(
+    "q_exact_stratified_split",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang AS stratum,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat0:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, stratum,
+           CASE WHEN rnk <= FLOOR(CAST(0.8 AS DOUBLE) * n) THEN 'train'
+                WHEN rnk <= FLOOR((CAST(0.8 AS DOUBLE)
+                                   + CAST(0.1 AS DOUBLE)) * n) THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def q_exact_stratified_split(spark, sf_dir):
+    """EXACT-count stratified train/val/test split (80/10/10 per
+    language): within every stratum the first ⌊0.8n⌋ docs of a
+    deterministic md5 shuffle are train — the exact-proportion
+    contract hash-threshold sampling (`q_stratified_sample`) only hits
+    in expectation.  Strata are few and HUGE at corpus scale, so the
+    within-stratum rank is bucket-decomposed (256 hash-prefix buckets,
+    broadcast offset join, windows partitioned by (stratum, bucket) —
+    `operators/sampling.exact_stratified_split`), never a single
+    per-language sort.  The oracle runs the naive one-window
+    formulation; equality IS the decomposition's correctness proof.
+    Split fractions enter as IEEE doubles on both sides so the floor
+    boundary cannot disagree."""
+    from access_mopper_spark.operators.sampling import exact_stratified_split
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_stratified_split(docs, "doc_id", "lang",
+                                  train_frac=0.8, val_frac=0.1,
+                                  salt="strat0")
+
+
+@query(
+    "q_zipf_alpha",
+    oracle=r"""
+    WITH toks AS (
+      SELECT trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn,
+             source
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tk AS (
+      SELECT source, u.t AS tok
+      FROM toks, UNNEST(string_split(tn, ' ')) AS u(t) WHERE u.t <> ''
+    ),
+    c AS (
+      SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok
+    ),
+    ranked AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, tok ASC) AS rnk
+      FROM c
+    ),
+    xy AS (
+      SELECT source, LN(CAST(rnk AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+      FROM ranked WHERE rnk <= 100
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n_used, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM xy GROUP BY source
+    )
+    SELECT source, n_used,
+           ROUND(-(n_used * sxy - sx * sy) / (n_used * sxx - sx * sx), 6)
+             AS alpha
+    FROM s WHERE n_used >= 2
+    """,
+)
+def q_zipf_alpha(spark, sf_dir):
+    """Per-source Zipf exponent: OLS slope of ln(frequency) on ln(rank)
+    over the top-100 token types — the classic corpus-health diagnostic
+    (natural text sits near α≈1; templated/spammy sources drift).  The
+    rank window is a per-source top-k (row_number + rnk≤100 filter →
+    WindowGroupLimit pushes the limit into the sort, no full-vocab
+    window materialization), then one tiny grouped regression — the
+    `group_linreg` moment pattern.  Tokenization follows the repo's
+    explicit `[ \\t\\n\\r]` class; ties on count rank by token text so
+    the top-100 cut is deterministic on both engines."""
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = (_wide(load_table(spark, sf_dir, "documents"))
+            .where(F.col("text").isNotNull()))
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(F.split(ws_normalized(F.col("text")), " ", -1),
+                           lambda t: t != "")).alias("tok"))
+    c = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    w = W.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    xy = (c.withColumn("rnk", F.row_number().over(w))
+           .where(F.col("rnk") <= 100)
+           .select("source",
+                   F.log(F.col("rnk").cast("double")).alias("x"),
+                   F.log(F.col("c").cast("double")).alias("y")))
+    s = xy.groupBy("source").agg(
+        F.count("*").alias("n_used"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    alpha = -(F.col("n_used") * F.col("sxy") - F.col("sx") * F.col("sy")) / \
+        (F.col("n_used") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (s.where(F.col("n_used") >= 2)
+             .select("source", "n_used", R6(alpha).alias("alpha")))
+
+
+@query(
+    "q_dup_span_chargrams",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
+      FROM documents WHERE text IS NOT NULL
+    ),
+    t2 AS (
+      SELECT doc_id, tn FROM t WHERE len(tn) >= 32
+    ),
+    g AS (
+      SELECT doc_id, md5(substring(tn, CAST(i AS INTEGER), 32)) AS h
+      FROM t2, (SELECT UNNEST(range(1,
+                 (SELECT COALESCE(MAX(len(tn)), 1) FROM t2) + 1, 16)) AS i) r
+      WHERE i <= len(tn) - 31
+    ),
+    d AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h
+    )
+    SELECT g.doc_id, COUNT(*) AS n_grams,
+           SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS n_dup_grams
+    FROM g JOIN d ON d.h = g.h
+    GROUP BY g.doc_id
+    """,
+)
+def q_dup_span_chargrams(spark, sf_dir):
+    """Cross-document duplicated-SPAN detection (ExactSubstr-lite, after
+    Lee et al.'s dedup-training-data observation): 32-char shingles at
+    stride 16 — any duplicated run ≥ 47 chars is guaranteed to produce
+    at least one shared gram — hashed and counted across documents.
+    Character level, so it catches copied passages word-n-gram dedup
+    misses under re-tokenization.  Stride bounds the blowup to
+    len/16 rows per doc (a true suffix automaton is superlinear state);
+    the shape is two hash-keyed shuffles (gram → doc-count, gram join
+    back) and never all-pairs.  Integer-only output."""
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = (_wide(load_table(spark, sf_dir, "documents"))
+            .where(F.col("text").isNotNull()))
+    t2 = (docs.select("doc_id", ws_normalized(F.col("text")).alias("tn"))
+              .where(F.length("tn") >= 32))
+    # Column.substr takes Column positions (F.substring is int-only)
+    grams = t2.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("tn") - 31, F.lit(16)),
+            lambda i: F.md5(F.col("tn").substr(i, F.lit(32))))).alias("h"))
+    d = grams.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd"))
+    return (grams.join(d, "h")
+                 .groupBy("doc_id")
+                 .agg(F.count("*").alias("n_grams"),
+                      F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                       .alias("n_dup_grams")))

@@ -268,3 +268,29 @@ def test_chunk_documents_tokens_tiles_words(spark, sf_dir):
         # every chunk token is a whole word from the document
         for _, c in chunks:
             assert all(w in vocab for w in c.split(" "))
+
+
+def test_exact_stratified_split_counts(spark, sf_dir):
+    """Per stratum the split sizes are EXACTLY floor(0.8n)/floor(0.9n)-
+    floor(0.8n)/rest, every input row appears exactly once (including
+    NULL strata), and membership is deterministic across invocations."""
+    import math
+    from access_mopper_spark.operators.sampling import exact_stratified_split
+    docs = load_table(spark, sf_dir, "documents")
+    out = exact_stratified_split(docs, "doc_id", "lang")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by = {}
+    for r in rows:
+        by.setdefault(r["stratum"], {}).setdefault(r["split"], 0)
+        by[r["stratum"]][r["split"]] += 1
+    for stratum, splits in by.items():
+        n = sum(splits.values())
+        k_train = math.floor(0.8 * n)
+        k_val = math.floor((0.8 + 0.1) * n) - k_train
+        assert splits.get("train", 0) == k_train, stratum
+        assert splits.get("val", 0) == k_val, stratum
+        assert splits.get("test", 0) == n - k_train - k_val, stratum
+    again = {(r["doc_id"], r["split"]) for r in
+             exact_stratified_split(docs, "doc_id", "lang").collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
