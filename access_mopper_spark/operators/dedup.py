@@ -274,28 +274,28 @@ def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
 
         return hashed.withColumn(out_col, _vote1(F.col("__h"))).drop("__h")
 
-    # md5 lanes: one digest per shingle, hi/lo 32-bit halves decoded on
-    # the JVM (conv is codegen'd), combined to uint64 in the vote kernel
-    hashed = (
-        df.withColumn("__d", F.transform(sh, lambda s: F.md5(s)))
-        .withColumn("__hi", F.transform(
-            F.col("__d"), lambda d: F.conv(F.substring(d, 1, 8), 16, 10).cast("long")))
-        .withColumn("__lo", F.transform(
-            F.col("__d"), lambda d: F.conv(F.substring(d, 9, 8), 16, 10).cast("long")))
-        .drop("__d")
-    )
+    # md5 lane: one digest per shingle, the top 64 bits decoded JVM-side
+    # in a SINGLE signed conv (base -10 = two's-complement long, verified
+    # bit-identical to the old (hi<<32)|lo two-lane split).  The whole
+    # shingle→digest→long chain runs in ONE transform pass (higher-order
+    # lambdas are interpreted, so every extra array pass is a per-element
+    # interpreter walk) and array_distinct then compares LONGS, not
+    # 5-char strings — md5 is injective here for dedup purposes.
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.conv(
+            F.substring(F.md5(t.substr(i, F.lit(shingle_k))), 1, 16),
+            16, -10).cast("long"))
+    hashed = df.withColumn("__h", F.array_distinct(grams))
 
     @F.pandas_udf("long")
-    def _vote2(hi: pd.Series, lo: pd.Series) -> pd.Series:
-        # flatten both lanes once, combine to uint64 in ONE global op —
-        # the hi/lo row layouts are identical (same transform source)
-        fhi, lens = _flatten_rows(hi)
-        flo, _ = _flatten_rows(lo)
-        flat = (fhi.astype(np.uint64) << np.uint64(32)) | flo.astype(np.uint64)
+    def _vote2(h: pd.Series) -> pd.Series:
+        flat, lens = _flatten_rows(h)
         return pd.Series(_vote_pack64(flat, lens))
 
-    return hashed.withColumn(out_col, _vote2(F.col("__hi"), F.col("__lo"))) \
-                 .drop("__hi", "__lo")
+    return hashed.withColumn(out_col, _vote2(F.col("__h"))).drop("__h")
 
 
 def simhash_hamming(a, b):
