@@ -10909,3 +10909,174 @@ def q_dup_span_chargrams(spark, sf_dir):
                  .agg(F.count("*").alias("n_grams"),
                       F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
                        .alias("n_dup_grams")))
+
+
+@query(
+    "q_sentence_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(regexp_split_to_array(tn, '[.!?]+'),
+                              x -> trim(x, ' ')),
+               x -> x <> '') AS segs
+      FROM t
+    )
+    SELECT doc_id, len(segs) AS n_sentences,
+           COALESCE(list_max(list_transform(segs, x -> len(x))), 0)
+             AS max_sentence_chars
+    FROM s
+    """,
+)
+def q_sentence_stats(spark, sf_dir):
+    """Sentence segmentation stats (the chunking/windowing primitive
+    RAG-style passage splitters build on): segments = runs between
+    ``[.!?]+`` enders, whitespace-trimmed, empties dropped.  Pure
+    Column pipeline — split/transform/filter/array_max — no explode
+    (per-doc stats don't need row expansion) and no UDF; the regex
+    class contains no ``\\s``-style dialect traps.  Integer-only
+    output."""
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = (_wide(load_table(spark, sf_dir, "documents"))
+            .where(F.col("text").isNotNull()))
+    segs = F.filter(
+        F.transform(F.split(ws_normalized(F.col("text")), r"[.!?]+", -1),
+                    lambda x: F.trim(x)),
+        lambda x: x != "")
+    return (docs.select("doc_id", segs.alias("segs"))
+                .select("doc_id", F.size("segs").alias("n_sentences"),
+                        F.coalesce(
+                            F.array_max(F.transform(
+                                F.col("segs"), lambda x: F.length(x))),
+                            F.lit(0)).alias("max_sentence_chars")))
+
+
+@query(
+    "q_code_detect",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(text) - len(replace(text, ';', '')) AS BIGINT) AS semis,
+             CAST(len(text) - len(replace(text, '{', '')) AS BIGINT)
+               + CAST(len(text) - len(replace(text, '}', '')) AS BIGINT)
+               AS braces,
+             CAST((len(text) - len(replace(text, '
+    ', ''))) / 5 AS BIGINT) AS indents,
+             CAST(len(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' '))
+                  - len(replace(trim(regexp_replace(text, '[ \t\n\r]+', ' ',
+                                                    'g'), ' '), ' ', ''))
+                  + CASE WHEN trim(regexp_replace(text, '[ \t\n\r]+', ' ',
+                                                  'g'), ' ') = '' THEN 0
+                         ELSE 1 END AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, 3 * braces + 2 * semis + indents AS code_score,
+           CASE WHEN (3 * braces + 2 * semis + indents) * 20 > n_tokens
+                THEN 1 ELSE 0 END AS is_code
+    FROM f
+    """,
+)
+def q_code_detect(spark, sf_dir):
+    """Code-vs-prose heuristic (corpus routing: code wants different
+    dedup/tokenization than prose): integer score from brace/semicolon
+    density and 4-space-indented newlines, thresholded against the
+    token count.  Every feature is a length-difference occurrence
+    count — the repo's dialect-portable counting idiom — so the rule
+    is exact integer math on both engines, map-only at any scale."""
+    from access_mopper_spark.functions.text import token_count
+    docs = (_wide(load_table(spark, sf_dir, "documents"))
+            .where(F.col("text").isNotNull()))
+    def occ(needle, width):
+        return ((F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit(needle),
+                                      F.lit(""))))
+                / width).cast("long")
+    semis = occ(";", 1)
+    braces = occ("{", 1) + occ("}", 1)
+    indents = occ("\n    ", 5)
+    score = (3 * braces + 2 * semis + indents).alias("code_score")
+    return docs.select(
+        "doc_id", score,
+        F.when((3 * braces + 2 * semis + indents) * 20
+               > token_count(F.col("text")), 1).otherwise(0)
+         .alias("is_code"))
+
+
+@query(
+    "q_kneser_ney_bigram",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(text,
+               '[ \t\n\r]+', ' ', 'g'), ' '), ' '), t -> t <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    big AS (
+      SELECT w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2
+      FROM toks, (SELECT UNNEST(range(1,
+             (SELECT COALESCE(MAX(len(w)), 1) FROM toks))) AS i) r
+      WHERE i <= len(w) - 1
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS cw1, COUNT(*) AS ntypes FROM c2 GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS nprec FROM c2 GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS nbig FROM c2),
+    top AS (
+      SELECT w1, w2, c FROM c2 ORDER BY c DESC, w1, w2 LIMIT 200
+    )
+    SELECT t.w1, t.w2, t.c,
+           ROUND((GREATEST(CAST(t.c AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                           CAST(0 AS DOUBLE)) / c1.cw1)
+                 + (CAST(0.75 AS DOUBLE) * c1.ntypes / c1.cw1)
+                   * (CAST(cont.nprec AS DOUBLE) / tot.nbig), 6) AS p_kn
+    FROM top t
+    JOIN c1 ON c1.w1 = t.w1
+    JOIN cont ON cont.w2 = t.w2
+    CROSS JOIN tot
+    """,
+)
+def q_kneser_ney_bigram(spark, sf_dir):
+    """Kneser-Ney smoothed bigram probabilities (the standard n-gram
+    LM smoothing; the repo's bigram LM uses add-k — KN's
+    continuation-count back-off is what production n-gram scoring
+    uses).  Every ingredient is a keyed aggregate of the bigram-count
+    table: c(w1,w2), c(w1)=Σc, distinct-successor and
+    distinct-predecessor type counts, and the global bigram-type
+    count as a broadcast scalar — the model NEVER collects to the
+    driver and joins stay on (w1)/(w2) keys.  Reported for the
+    top-200 bigrams (count-desc, word tie-break) so the output is a
+    stable, bounded slice; discount enters as an IEEE double on both
+    engines and the probability rounds via R6."""
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = (_wide(load_table(spark, sf_dir, "documents"))
+            .where(F.col("text").isNotNull()))
+    w = F.filter(F.split(ws_normalized(F.col("text")), " ", -1),
+                 lambda t: t != "")
+    pairs = docs.select(
+        F.explode(F.zip_with(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+            F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+        .alias("p"))
+    c2 = (pairs.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+               .groupBy("w1", "w2").agg(F.count("*").alias("c")))
+    c1 = c2.groupBy(F.col("w1").alias("k1")).agg(
+        F.sum("c").alias("cw1"), F.count("*").alias("ntypes"))
+    cont = c2.groupBy(F.col("w2").alias("k2")).agg(
+        F.count("*").alias("nprec"))
+    tot = c2.agg(F.count("*").alias("nbig"))
+    top = (c2.orderBy(F.desc("c"), "w1", "w2").limit(200))
+    D = F.lit(0.75)
+    p_kn = ((F.greatest(F.col("c").cast("double") - D, F.lit(0.0))
+             / F.col("cw1"))
+            + (D * F.col("ntypes") / F.col("cw1"))
+            * (F.col("nprec").cast("double") / F.col("nbig")))
+    return (top.join(c1, F.col("k1") == F.col("w1"))
+               .join(cont, F.col("k2") == F.col("w2"))
+               .crossJoin(F.broadcast(tot))
+               .select("w1", "w2", "c", R6(p_kn).alias("p_kn")))
