@@ -88,7 +88,12 @@ _DRIVER_PRIORITY = [
 # q_large_volume_customer, q_discounted_brand_revenue,
 # q_dormant_rich_customers, q_triangle_counts, q_similarity_join_exact,
 # q_k_core, q_leakage_free_split, q_embedding_covariance,
-# q_random_projection.
+# q_random_projection, and the TPC-H set completion + curation ops
+# added late in r5: q_min_cost_supplier, q_order_priority_check,
+# q_forecast_revenue, q_market_share, q_ship_delay_priority,
+# q_part_promotion, q_waiting_suppliers, q_exact_stratified_split,
+# q_zipf_alpha, q_dup_span_chargrams, q_sentence_stats, q_code_detect,
+# q_kneser_ney_bigram.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -82,6 +82,10 @@ HEADLINE = [
     "q_similarity_join_exact",
     "q_leakage_free_split",
     "q_product_profit",
+    # round 5 late: exact-count stratified split (bucket-decomposed
+    # per-stratum rank) and char-gram duplicated-span detection
+    "q_exact_stratified_split",
+    "q_dup_span_chargrams",
 ]
 
 
