@@ -11080,3 +11080,145 @@ def q_kneser_ney_bigram(spark, sf_dir):
                .join(cont, F.col("k2") == F.col("w2"))
                .crossJoin(F.broadcast(tot))
                .select("w1", "w2", "c", R6(p_kn).alias("p_kn")))
+
+
+@query(
+    "q_passage_windows",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sg AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(regexp_split_to_array(tn, '[.!?]+'),
+                              x -> trim(x, ' ')),
+               x -> x <> '') AS segs
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, segs[CAST(i AS INTEGER)] AS seg, i AS idx
+      FROM sg, (SELECT UNNEST(range(1,
+             (SELECT COALESCE(MAX(len(segs)), 0) FROM sg) + 1)) AS i) g
+      WHERE i <= len(segs)
+    ),
+    c AS (
+      SELECT doc_id, idx, len(seg) AS n_chars,
+             SUM(len(seg)) OVER (PARTITION BY doc_id ORDER BY idx
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    )
+    SELECT doc_id, CAST(FLOOR((cum - 1) / 200) AS BIGINT) AS passage_id,
+           COUNT(*) AS n_sentences, SUM(n_chars) AS n_chars
+    FROM c
+    GROUP BY doc_id, passage_id
+    """,
+)
+def q_passage_windows(spark, sf_dir):
+    """Sentence-boundary passage windowing (the RAG chunker contract:
+    never split mid-sentence, target ~200 chars/passage): sentences
+    index in document order, an inclusive character cumsum assigns
+    each to passage ⌊(cum−1)/200⌋ — deterministic integer math, no
+    greedy state.  One keyed window (cumsum per doc_id) is the only
+    shuffle; sentence explode carries ordinality via ``posexplode`` so
+    both engines agree on order without relying on array iteration
+    semantics.  Integer-only output."""
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = (_wide(load_table(spark, sf_dir, "documents"))
+            .where(F.col("text").isNotNull()))
+    segs = F.filter(
+        F.transform(F.split(ws_normalized(F.col("text")), r"[.!?]+", -1),
+                    lambda x: F.trim(x)),
+        lambda x: x != "")
+    s = (docs.select("doc_id", F.posexplode(segs).alias("idx0", "seg"))
+             .select("doc_id", (F.col("idx0") + 1).alias("idx"),
+                     F.length("seg").alias("n_chars")))
+    w = (W.partitionBy("doc_id").orderBy("idx")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = s.withColumn("cum", F.sum("n_chars").over(w))
+    return (c.groupBy("doc_id",
+                      F.floor((F.col("cum") - 1) / 200).cast("long")
+                       .alias("passage_id"))
+             .agg(F.count("*").alias("n_sentences"),
+                  F.sum("n_chars").alias("n_chars")))
+
+
+@query(
+    "q_dup_family_census",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             substring(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'),
+                            ' '), 1, 48) AS f
+      FROM documents WHERE text IS NOT NULL
+    ),
+    fam AS (
+      SELECT f, COUNT(*) AS family_size,
+             COUNT(DISTINCT source) AS n_sources
+      FROM fp GROUP BY f
+    )
+    SELECT family_size, n_sources, COUNT(*) AS n_families
+    FROM fam GROUP BY family_size, n_sources
+    """,
+)
+def q_dup_family_census(spark, sf_dir):
+    """Boilerplate FAMILY census: how many shared-prefix families (48
+    normalized chars — the templated-opening signature) exist at each
+    (size, cross-source spread) — the corpus-health summary dedup
+    planning starts from (a 2×-heavy family histogram means dedup
+    pays; wide n_sources means mirrors, not re-crawls).  Two
+    map-side-combined groupBys on the family key; output cardinality
+    is bounded by the histogram support, so the census is safe to
+    collect at any corpus size."""
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = (_wide(load_table(spark, sf_dir, "documents"))
+            .where(F.col("text").isNotNull()))
+    fam = (docs.select(ws_normalized(F.col("text"))
+                        .substr(F.lit(1), F.lit(48)).alias("f"), "source")
+               .groupBy("f")
+               .agg(F.count("*").alias("family_size"),
+                    F.count_distinct("source").alias("n_sources")))
+    return (fam.groupBy("family_size", "n_sources")
+               .agg(F.count("*").alias("n_families")))
+
+
+@query(
+    "q_boundary_overlap",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
+      FROM documents WHERE text IS NOT NULL
+    ),
+    t2 AS (SELECT doc_id, tn FROM t WHERE len(tn) >= 24),
+    pre AS (SELECT doc_id, substring(tn, 1, 12) AS k FROM t2),
+    suf AS (SELECT doc_id, substring(tn, len(tn) - 11, 12) AS k FROM t2)
+    SELECT s.doc_id AS head_doc, p.doc_id AS tail_doc
+    FROM suf s JOIN pre p ON p.k = s.k AND p.doc_id <> s.doc_id
+    """,
+)
+def q_boundary_overlap(spark, sf_dir):
+    """Split-document detection: doc A's boundary suffix equal to doc
+    B's boundary prefix flags a document pair that was probably ONE
+    document cut at a shard boundary (a real crawl-pipeline artifact;
+    repairing them beats deduping them).  One equi-join on the derived
+    boundary key — never a substring scan — and docs shorter than 2
+    keys opt out so prefix and suffix can't self-overlap.  Key width
+    12 matches this testdata's short synthetic docs (production crawls
+    would use 64+); the key stays raw text, not a hash — equality is
+    the semantics and the join key is fixed-width either way."""
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = (_wide(load_table(spark, sf_dir, "documents"))
+            .where(F.col("text").isNotNull()))
+    t2 = (docs.select("doc_id", ws_normalized(F.col("text")).alias("tn"))
+              .where(F.length("tn") >= 24))
+    pre = t2.select(F.col("doc_id").alias("tail_doc"),
+                    F.col("tn").substr(F.lit(1), F.lit(12)).alias("k"))
+    suf = t2.select(F.col("doc_id").alias("head_doc"),
+                    F.col("tn").substr(F.length("tn") - 11, F.lit(12))
+                     .alias("k"))
+    return (suf.join(pre, "k")
+               .where(F.col("head_doc") != F.col("tail_doc"))
+               .select("head_doc", "tail_doc"))
