@@ -11222,3 +11222,82 @@ def q_boundary_overlap(spark, sf_dir):
     return (suf.join(pre, "k")
                .where(F.col("head_doc") != F.col("tail_doc"))
                .select("head_doc", "tail_doc"))
+
+
+@query(
+    "q_ndcg_eval",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel
+          FROM e WHERE vec_id < 10),
+    lc AS (SELECT label, COUNT(*) AS c FROM e GROUP BY label),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id AS cid, e.label AS clabel,
+             ROUND(list_sum(list_transform(range(1, 65),
+                                           i -> e.v[i] * q.qv[i]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+                   6) AS sim
+      FROM e JOIN q ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, cid) AS rnk
+      FROM scored
+    ),
+    d AS (
+      SELECT qid, qlabel,
+             SUM(CASE WHEN clabel = qlabel
+                      THEN CAST(1 AS DOUBLE) / log2(rnk + 1)
+                      ELSE CAST(0 AS DOUBLE) END) AS dcg
+      FROM ranked WHERE rnk <= 10 GROUP BY qid, qlabel
+    )
+    SELECT d.qid AS query_id, lc.c - 1 AS n_rel,
+           ROUND(d.dcg / list_sum(list_transform(
+                   range(1, LEAST(10, lc.c - 1) + 1),
+                   i -> CAST(1 AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1))),
+                 6) AS ndcg
+    FROM d JOIN lc ON lc.label = d.qlabel
+    """,
+)
+def q_ndcg_eval(spark, sf_dir):
+    """NDCG@10 retrieval evaluation over the embedding corpus: cosine
+    ranking graded against label agreement — the eval-harness op that
+    closes the loop on the ANN/similarity family (recall@k exists;
+    NDCG adds position-weighted credit).  Ranking happens on ROUNDED
+    sims with id tie-breaks (the repo's cross-engine ranking
+    convention), per-query windows are WindowGroupLimit top-10, and
+    the ideal-DCG denominator folds a ≤10-element sequence — the only
+    broadcast is the tiny per-label count table.  Queries are a fixed
+    sample; at production scale candidates come from the IVF/LSH index
+    instead of the full cross join."""
+    from access_mopper_spark.operators.similarity import as_double, cosine
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"),
+                   "label")
+    q = (e.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                  F.col("label").alias("qlabel")))
+    lc = e.groupBy(F.col("label").alias("lbl")).agg(F.count("*").alias("c"))
+    scored = (e.crossJoin(F.broadcast(q))
+               .where(F.col("vec_id") != F.col("qid"))
+               .select("qid", "qlabel", F.col("vec_id").alias("cid"),
+                       F.col("label").alias("clabel"),
+                       R6(cosine(F.col("v"), F.col("qv"))).alias("sim")))
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    ranked = (scored.withColumn("rnk", F.row_number().over(w))
+                    .where(F.col("rnk") <= 10))
+    dcg = F.sum(F.when(F.col("clabel") == F.col("qlabel"),
+                       F.lit(1.0) / F.log2(F.col("rnk") + 1))
+                 .otherwise(F.lit(0.0))).alias("dcg")
+    d = ranked.groupBy("qid", "qlabel").agg(dcg)
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(10), F.col("c") - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1))
+    return (d.join(F.broadcast(lc), F.col("lbl") == F.col("qlabel"))
+             .select(F.col("qid").alias("query_id"),
+                     (F.col("c") - 1).alias("n_rel"),
+                     R6(F.col("dcg") / idcg).alias("ndcg")))
