@@ -11301,3 +11301,52 @@ def q_ndcg_eval(spark, sf_dir):
              .select(F.col("qid").alias("query_id"),
                      (F.col("c") - 1).alias("n_rel"),
                      R6(F.col("dcg") / idcg).alias("ndcg")))
+
+
+@query(
+    "q_idf_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(text,
+               '[ \t\n\r]+', ' ', 'g'), ' '), ' '), t -> t <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dt AS (
+      SELECT DISTINCT doc_id, u.t AS tok
+      FROM toks, UNNEST(w) AS u(t)
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM dt),
+    df AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok)
+    SELECT dt.doc_id, COUNT(*) AS n_types,
+           ROUND(SUM(LN((CAST(n.nd AS DOUBLE) + 1) / (df.df + 1)))
+                 / COUNT(*), 6) AS mean_idf
+    FROM dt JOIN df ON df.tok = dt.tok CROSS JOIN n
+    GROUP BY dt.doc_id
+    """,
+)
+def q_idf_novelty(spark, sf_dir):
+    """Information-density quality signal: a document's mean smoothed
+    IDF over its distinct tokens — boilerplate scores low (its tokens
+    appear everywhere), novel content high; the cheap complement to
+    the bigram-LM score for curation blending.  Shape: one distinct
+    (doc, token) pass, document frequencies as a map-combined groupBy,
+    join back on the token key, per-doc aggregate — the postings-join
+    skeleton the BM25 family already scales on; the corpus size is
+    the only broadcast scalar."""
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = (_wide(load_table(spark, sf_dir, "documents"))
+            .where(F.col("text").isNotNull()))
+    dt = (docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(
+                F.filter(F.split(ws_normalized(F.col("text")), " ", -1),
+                         lambda t: t != ""))).alias("tok")))
+    n = dt.agg(F.count_distinct("doc_id").alias("nd"))
+    df = dt.groupBy(F.col("tok").alias("k")).agg(F.count("*").alias("df"))
+    idf = F.log((F.col("nd").cast("double") + 1) / (F.col("df") + 1))
+    return (dt.join(df, F.col("k") == F.col("tok"))
+              .crossJoin(F.broadcast(n))
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_types"),
+                   R6(F.sum(idf) / F.count("*")).alias("mean_idf")))
