@@ -126,6 +126,20 @@ COMMENTARY = {
     "q_label_propagation": "Label propagation round: edges⋈labels "
         "equi-join, (node,label) count, struct max_by reduce — one "
         "shuffle per round, deterministic min tie-break.",
+    "q_exact_stratified_split": "Exact-count stratified split: the "
+        "per-stratum rank decomposes over 256 hash-prefix buckets — "
+        "windows partition on (stratum, bucket), offsets arrive by "
+        "broadcast join; no per-language global sort anywhere.",
+    "q_waiting_suppliers": "TPC-H Q21 shape: ONE shuffle of lineitem "
+        "on the order key feeds both the (order,supplier) flags and "
+        "the per-order rollup — the classic EXISTS/NOT-EXISTS double "
+        "self-join never materializes.",
+    "q_dup_span_chargrams": "ExactSubstr-lite: strided char-gram "
+        "hashes shuffle twice (gram→doc-count, join back) — bounded "
+        "rows per doc, never all-pairs.",
+    "q_kneser_ney_bigram": "Kneser-Ney: continuation/type counts are "
+        "keyed aggregates of one bigram-count table; the global type "
+        "count is the only broadcast scalar.",
 }
 
 
