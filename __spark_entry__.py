@@ -93,7 +93,8 @@ _DRIVER_PRIORITY = [
 # q_forecast_revenue, q_market_share, q_ship_delay_priority,
 # q_part_promotion, q_waiting_suppliers, q_exact_stratified_split,
 # q_zipf_alpha, q_dup_span_chargrams, q_sentence_stats, q_code_detect,
-# q_kneser_ney_bigram.
+# q_kneser_ney_bigram, q_passage_windows, q_dup_family_census,
+# q_boundary_overlap, q_ndcg_eval, q_idf_novelty.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

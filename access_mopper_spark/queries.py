@@ -11350,3 +11350,63 @@ def q_idf_novelty(spark, sf_dir):
               .groupBy("doc_id")
               .agg(F.count("*").alias("n_types"),
                    R6(F.sum(idf) / F.count("*")).alias("mean_idf")))
+
+
+def _diurnal_weights():
+    import math
+    s = [math.sin(2 * math.pi * h / 24) for h in range(24)]
+    c = [math.cos(2 * math.pi * h / 24) for h in range(24)]
+    return s, c
+
+
+def _diurnal_oracle():
+    s, c = _diurnal_weights()
+    scase = " ".join(f"WHEN {h} THEN CAST({s[h]!r} AS DOUBLE)"
+                     for h in range(24))
+    ccase = " ".join(f"WHEN {h} THEN CAST({c[h]!r} AS DOUBLE)"
+                     for h in range(24))
+    return f"""
+    WITH e AS (
+      SELECT event_type,
+             EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS h,
+             CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, h, SUM(cents) AS sc, COUNT(*) AS n
+      FROM e GROUP BY event_type, h
+    )
+    SELECT event_type, SUM(n) AS n_events,
+           ROUND(SUM((CAST(sc AS DOUBLE) / n / 100)
+                     * CASE h {scase} ELSE 0 END), 6) AS b1,
+           ROUND(SUM((CAST(sc AS DOUBLE) / n / 100)
+                     * CASE h {ccase} ELSE 0 END), 6) AS c1
+    FROM m GROUP BY event_type
+    """
+
+
+@query("q_diurnal_spectrum", oracle=_diurnal_oracle())
+def q_diurnal_spectrum(spark, sf_dir):
+    """First-harmonic DFT of the hourly activity profile per event
+    type: project the 24 hourly mean values onto sin/cos at period 24h
+    — the one-number seasonality diagnostic (|{b1,c1}| ≈ 0 means flat
+    load; large means a daily cycle with phase atan2(b1,c1)).  The 24
+    sin/cos weights are Python-repr literals baked into BOTH the Spark
+    plan and the oracle SQL (the md5-parity-JL trick), so no libm
+    divergence between engines can reach the hash; hourly means come
+    from integer-cent sums.  Two map-combined groupBys; the second is
+    24 rows per type."""
+    s, c = _diurnal_weights()
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100
+                    + F.lit(0.5)).cast("long")
+    m = (ev.select("event_type", F.hour("ts").alias("h"), cents.alias("cents"))
+           .groupBy("event_type", "h")
+           .agg(F.sum("cents").alias("sc"), F.count("*").alias("n")))
+    mean = F.col("sc").cast("double") / F.col("n") / 100
+    sw = F.element_at(F.array(*[F.lit(v) for v in s]), F.col("h") + 1)
+    cw = F.element_at(F.array(*[F.lit(v) for v in c]), F.col("h") + 1)
+    return (m.groupBy("event_type")
+             .agg(F.sum("n").alias("n_events"),
+                  R6(F.sum(mean * sw)).alias("b1"),
+                  R6(F.sum(mean * cw)).alias("c1")))
