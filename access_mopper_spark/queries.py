@@ -11410,3 +11410,74 @@ def q_diurnal_spectrum(spark, sf_dir):
              .agg(F.sum("n").alias("n_events"),
                   R6(F.sum(mean * sw)).alias("b1"),
                   R6(F.sum(mean * cw)).alias("c1")))
+
+
+@query(
+    "q_cms_merge_law",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'), ' '),
+               ' ')) AS term
+      FROM documents
+    ),
+    pairs AS (
+      SELECT source, term, g.d,
+             ('0x' || substring(md5('cms' || g.d || ':' || term), 1, 8))::BIGINT
+               % 512 AS bucket
+      FROM toks, generate_series(0, 3) g(d)
+    ),
+    per_src AS (
+      SELECT source, d, bucket, COUNT(*) AS cnt
+      FROM pairs GROUP BY source, d, bucket
+    ),
+    merged AS (
+      SELECT d, bucket, SUM(cnt) AS cnt FROM per_src GROUP BY d, bucket
+    ),
+    truth AS (SELECT term, COUNT(*) AS true_count FROM toks GROUP BY term),
+    probes AS (
+      SELECT t.term, g.d,
+             ('0x' || substring(md5('cms' || g.d || ':' || t.term), 1, 8))::BIGINT
+               % 512 AS bucket
+      FROM (SELECT DISTINCT term FROM toks) t, generate_series(0, 3) g(d)
+    ),
+    est AS (
+      SELECT p.term, MIN(COALESCE(m.cnt, 0)) AS est_count
+      FROM probes p LEFT JOIN merged m USING (d, bucket)
+      GROUP BY p.term
+    )
+    SELECT e.term, t.true_count, e.est_count
+    FROM est e JOIN truth t USING (term)
+    ORDER BY t.true_count DESC, e.term
+    LIMIT 20
+    """,
+)
+def q_cms_merge_law(spark, sf_dir):
+    """CMS merge law, end-to-end: build one sketch PER SOURCE, merge
+    them by cell-wise counter addition (``cms_merge``), and estimate
+    from the merged sketch — estimates must equal the single global
+    sketch's exactly (counter addition is exact integer math), which
+    is the property that lets per-day/per-corpus sketches combine at
+    100 TB without rescanning anything.  The per-source stage is one
+    grouped count keyed by (source, d, bucket); the merge is a second
+    tiny aggregate over depth×width×n_sources rows."""
+    from access_mopper_spark.operators.search import tokens as tok_fn
+    from access_mopper_spark.operators.sketch import cms_estimate
+    from access_mopper_spark.operators.sketch import _bucket
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(tok_fn(F.lower(F.col("text")))).alias("term"))
+    pairs = toks.select("source", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"), _bucket(F.col("term"), d, 512, "cms"))
+        for d in range(4)])).alias("__c")) \
+        .select("source", "__c.d", "__c.bucket")
+    per_src = (pairs.groupBy("source", "d", "bucket")
+                    .agg(F.count("*").alias("cnt")))
+    merged = per_src.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    est = cms_estimate(merged, toks, "term", depth=4, width=512)
+    truth = toks.groupBy("term").agg(F.count("*").alias("true_count"))
+    return (truth.join(est, "term")
+            .orderBy(F.col("true_count").desc(), F.col("term"))
+            .limit(20)
+            .select("term", "true_count", "est_count"))
