@@ -11481,3 +11481,68 @@ def q_cms_merge_law(spark, sf_dir):
             .orderBy(F.col("true_count").desc(), F.col("term"))
             .limit(20)
             .select("term", "true_count", "est_count"))
+
+
+@query(
+    "q_active_days_histogram",
+    oracle="""
+    WITH ad AS (
+      SELECT user_id,
+             COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days
+      FROM events GROUP BY user_id
+    )
+    SELECT n_days, COUNT(*) AS n_users FROM ad GROUP BY n_days
+    """,
+)
+def q_active_days_histogram(spark, sf_dir):
+    """Engagement distribution: users by number of distinct active
+    days — the DAU-stickiness histogram.  Two map-combined groupBys
+    (per-user distinct-day count, then the histogram); output
+    cardinality is bounded by the date span, so the result is
+    driver-safe at any user count.  Integer-only."""
+    ev = load_table(spark, sf_dir, "events")
+    ad = (ev.groupBy("user_id")
+            .agg(F.count_distinct(F.to_date("ts")).alias("n_days")))
+    return ad.groupBy("n_days").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    e AS (
+      SELECT e.user_id, CAST(CAST(e.ts AS TIMESTAMP) AS DATE) AS day,
+             f.first_day
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT day,
+           COUNT(DISTINCT CASE WHEN day = first_day THEN user_id END)
+             AS new_users,
+           COUNT(DISTINCT CASE WHEN day > first_day THEN user_id END)
+             AS returning_users,
+           COUNT(*) AS n_events
+    FROM e GROUP BY day
+    """,
+)
+def q_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning decomposition: each day's distinct users
+    split by whether it is their first active day.  The first-day
+    table is keyed by user and joins back on the SAME key its groupBy
+    just shuffled on (no new exchange); day cells ship as DATE per
+    the repo's hash convention.  Integer-only output."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+                .agg(F.min(F.to_date("ts")).alias("first_day")))
+    e = (ev.select("user_id", F.to_date("ts").alias("day"))
+           .join(firsts, "user_id"))
+    return (e.groupBy("day")
+             .agg(F.count_distinct(
+                      F.when(F.col("day") == F.col("first_day"),
+                             F.col("user_id"))).alias("new_users"),
+                  F.count_distinct(
+                      F.when(F.col("day") > F.col("first_day"),
+                             F.col("user_id"))).alias("returning_users"),
+                  F.count("*").alias("n_events")))
