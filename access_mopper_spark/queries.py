@@ -11546,3 +11546,67 @@ def q_new_vs_returning(spark, sf_dir):
                       F.when(F.col("day") > F.col("first_day"),
                              F.col("user_id"))).alias("returning_users"),
                   F.count("*").alias("n_events")))
+
+
+@query(
+    "q_quantile_sketch",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             GREATEST(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT),
+                      0) AS cents
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, LENGTH(BIN(cents + 1)) - 1 AS bucket,
+             COUNT(*) AS cnt
+      FROM e GROUP BY event_type, bucket
+    ),
+    c AS (
+      SELECT event_type, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM b
+    )
+    SELECT event_type, MAX(n) AS n_events,
+           MIN(CASE WHEN cum * 2 >= n THEN (1::BIGINT << bucket) - 1 END)
+             AS p50_lo_cents,
+           MIN(CASE WHEN cum * 20 >= 19 * n THEN (1::BIGINT << bucket) - 1 END)
+             AS p95_lo_cents
+    FROM c GROUP BY event_type
+    """,
+)
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch: a log2-bucket histogram (bucket =
+    bit-length of the non-negative integer cents (clamped at 0 so a
+    negative value can't produce a 64-bit two's-complement bucket),
+    computed via BIN string length —
+    exact integer math, no libm) whose per-group counters merge by
+    addition like CMS/HLL; quantiles read off as the lower edge of
+    the first bucket whose INTEGER cumulative count crosses the rank
+    target (cum·2 ≥ n for P50, cum·20 ≥ 19n for P95) — no float
+    anywhere, so the estimate is bit-identical on any engine and
+    under any merge order.  One grouped count + one ≤64-row window
+    per group; the sketch is ~64 counters per key at any data size."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.greatest(
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100
+                + F.lit(0.5)).cast("long"), F.lit(0).cast("long"))
+    b = (ev.select("event_type", cents.alias("cents"))
+           .withColumn("bucket", F.length(F.bin(F.col("cents") + 1)) - 1)
+           .groupBy("event_type", "bucket")
+           .agg(F.count("*").alias("cnt")))
+    wc = (W.partitionBy("event_type").orderBy("bucket")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wn = W.partitionBy("event_type")
+    c = (b.withColumn("cum", F.sum("cnt").over(wc))
+          .withColumn("n", F.sum("cnt").over(wn)))
+    edge = (F.lit(1).cast("long") * F.pow(F.lit(2.0), F.col("bucket"))
+            .cast("long") - 1)
+    return (c.groupBy("event_type")
+             .agg(F.max("n").alias("n_events"),
+                  F.min(F.when(F.col("cum") * 2 >= F.col("n"), edge))
+                   .alias("p50_lo_cents"),
+                  F.min(F.when(F.col("cum") * 20 >= 19 * F.col("n"), edge))
+                   .alias("p95_lo_cents")))
