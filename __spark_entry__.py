@@ -94,7 +94,9 @@ _DRIVER_PRIORITY = [
 # q_part_promotion, q_waiting_suppliers, q_exact_stratified_split,
 # q_zipf_alpha, q_dup_span_chargrams, q_sentence_stats, q_code_detect,
 # q_kneser_ney_bigram, q_passage_windows, q_dup_family_census,
-# q_boundary_overlap, q_ndcg_eval, q_idf_novelty.
+# q_boundary_overlap, q_ndcg_eval, q_idf_novelty, q_diurnal_spectrum,
+# q_cms_merge_law, q_quantile_sketch, q_active_days_histogram,
+# q_new_vs_returning.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
