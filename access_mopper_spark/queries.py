@@ -11610,3 +11610,83 @@ def q_quantile_sketch(spark, sf_dir):
                    .alias("p50_lo_cents"),
                   F.min(F.when(F.col("cum") * 20 >= 19 * F.col("n"), edge))
                    .alias("p95_lo_cents")))
+
+
+@query(
+    "q_first_touch_attribution",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             ARG_MIN(event_type,
+                     printf('%020d|%012d', epoch_us(ts), event_id))
+               AS first_touch,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    )
+    SELECT first_touch, COUNT(*) AS n_users,
+           COUNT(*) FILTER (WHERE converted = 1) AS n_converted
+    FROM u GROUP BY first_touch
+    """,
+)
+def q_first_touch_attribution(spark, sf_dir):
+    """First-touch attribution: each user's acquisition channel is the
+    event_type of their earliest event (tie-broken on event_id so the
+    argmin is total), credited with whether the user ever purchased.
+    Both the argmin and the converted flag come out of ONE user-keyed
+    groupBy via ``min_by(type, key)`` over a zero-padded
+    ``epoch_us|event_id`` string key (lexicographic = numeric, and this
+    DuckDB build's ``arg_min`` takes scalar keys only) — no window, no
+    second scan — then a 5-row channel rollup.  At 100 TB this is one
+    user-hash shuffle with map-side partial aggregation; the channel
+    re-agg is vocabulary-sized.  Integer-only output.  Mirrors the
+    reference's per-entity earliest-record dispatch
+    (mopper/setup_utils.py first-file selection), generalized to
+    marketing-style attribution."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.format_string("%020d|%012d",
+                          F.unix_micros("ts"), F.col("event_id"))
+    u = (ev.groupBy("user_id")
+           .agg(F.min_by("event_type", key).alias("first_touch"),
+                F.max(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("converted")))
+    return (u.groupBy("first_touch")
+             .agg(F.count("*").alias("n_users"),
+                  F.count(F.when(F.col("converted") == 1, F.lit(1)))
+                   .alias("n_converted")))
+
+
+@query(
+    "q_peak_hour",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, EXTRACT(hour FROM ts)::BIGINT AS hr,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, hr
+    )
+    SELECT event_type,
+           ARG_MAX(hr, cnt * 100 - hr) AS peak_hr,
+           MAX(cnt) AS peak_cnt,
+           SUM(cnt)::BIGINT AS n_events
+    FROM h GROUP BY event_type
+    """,
+)
+def q_peak_hour(spark, sf_dir):
+    """Peak activity hour per event type: hour-of-day histogram then a
+    total-ordered argmax (max count, smallest hour among ties, encoded
+    as the scalar key ``cnt*100 − hr`` — hr < 24 < 100 keeps the two
+    orders non-interfering, and scalar because this DuckDB build's
+    ``arg_max`` rejects struct keys).  Two shuffles, the second over ≤ types×24 rows;
+    at scale the hour histogram is the only data-sized agg and it
+    map-side combines.  Integer-only output (counts + hour), so the
+    cross-engine hash cannot flip on floats or timestamp rendering —
+    the repo's post-r4 hash-proof-by-construction convention."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.select("event_type", F.hour("ts").cast("long").alias("hr"))
+           .groupBy("event_type", "hr")
+           .agg(F.count("*").alias("cnt")))
+    return (h.groupBy("event_type")
+             .agg(F.max_by("hr", F.col("cnt") * 100 - F.col("hr"))
+                   .alias("peak_hr"),
+                  F.max("cnt").alias("peak_cnt"),
+                  F.sum("cnt").cast("long").alias("n_events")))
