@@ -11690,3 +11690,90 @@ def q_peak_hour(spark, sf_dir):
                    .alias("peak_hr"),
                   F.max("cnt").alias("peak_cnt"),
                   F.sum("cnt").cast("long").alias("n_events")))
+
+
+@query(
+    "q_last_touch",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY printf('%020d|%012d', epoch_us(ts), event_id))
+               AS prev_type
+      FROM events
+    )
+    SELECT COALESCE(prev_type, 'none') AS last_touch,
+           COUNT(*) AS n_purchases
+    FROM o WHERE event_type = 'purchase' GROUP BY last_touch
+    """,
+)
+def q_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's
+    immediately preceding event (LAG over a user-partitioned window
+    ordered by the total ``epoch_us|event_id`` key; first-session
+    purchases credit 'none').  The window is user-keyed — fully
+    parallel, no global sort — and the rollup after the purchase
+    filter is vocabulary-sized.  Integer-only counts.  Companion to
+    q_first_touch_attribution; together they bracket the standard
+    attribution models."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.format_string("%020d|%012d",
+                          F.unix_micros("ts"), F.col("event_id"))
+    w = W.partitionBy("user_id").orderBy(key)
+    o = ev.select("event_type",
+                  F.lag("event_type").over(w).alias("prev_type"))
+    return (o.where(F.col("event_type") == "purchase")
+             .groupBy(F.coalesce("prev_type", F.lit("none"))
+                       .alias("last_touch"))
+             .agg(F.count("*").alias("n_purchases")))
+
+
+@query(
+    "q_lang_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             (length(p) - length(replace(p, ' the ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' of ', ''))) / 4.0 AS s_en,
+             (length(p) - length(replace(p, ' le ', ''))) / 4.0
+               + (length(p) - length(replace(p, ' la ', ''))) / 4.0
+               + (length(p) - length(replace(p, ' et ', ''))) / 4.0 AS s_fr,
+             (length(p) - length(replace(p, ' der ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' und ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' die ', ''))) / 5.0 AS s_de,
+             (length(p) - length(replace(p, ' el ', ''))) / 4.0
+               + (length(p) - length(replace(p, ' los ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' y ', ''))) / 3.0 AS s_es
+      FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p
+            FROM documents) t
+    ),
+    g AS (
+      SELECT COALESCE(lang, '<null>') AS gold,
+             CASE WHEN s_en = greatest(s_en, s_fr, s_de, s_es) AND greatest(s_en, s_fr, s_de, s_es) > 0 THEN 'en'
+                  WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) AND greatest(s_en, s_fr, s_de, s_es) > 0 THEN 'fr'
+                  WHEN s_de = greatest(s_en, s_fr, s_de, s_es) AND greatest(s_en, s_fr, s_de, s_es) > 0 THEN 'de'
+                  WHEN s_es = greatest(s_en, s_fr, s_de, s_es) AND greatest(s_en, s_fr, s_de, s_es) > 0 THEN 'es'
+                  ELSE 'und' END AS guessed
+      FROM scored
+    )
+    SELECT gold, guessed, COUNT(*) AS n_docs
+    FROM g GROUP BY gold, guessed
+    """,
+)
+def q_lang_confusion(spark, sf_dir):
+    """Classifier-evaluation confusion matrix: the corpus's gold lang
+    label crossed with the marker-word language guess
+    (functions/text.lang_guess — the same replace-difference scoring
+    q_lang_guess already proves cross-engine-exact).  One map-side
+    scoring pass + one tiny (≤ langs²) grouped count; NULL gold labels
+    bucket as '<null>' and NULL text guesses 'und' on both engines.
+    Integer-only output."""
+    from access_mopper_spark.functions.text import lang_guess
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.coalesce("lang", F.lit("<null>")).alias("gold"),
+        lang_guess(F.col("text")).alias("guessed"))
+    return g.groupBy("gold", "guessed").agg(F.count("*").alias("n_docs"))
