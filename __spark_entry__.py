@@ -97,7 +97,7 @@ _DRIVER_PRIORITY = [
 # q_boundary_overlap, q_ndcg_eval, q_idf_novelty, q_diurnal_spectrum,
 # q_cms_merge_law, q_quantile_sketch, q_active_days_histogram,
 # q_new_vs_returning, q_first_touch_attribution, q_peak_hour,
-# q_last_touch, q_lang_confusion.
+# q_last_touch, q_lang_confusion, q_dup_rate_by_length.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

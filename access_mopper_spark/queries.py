@@ -11777,3 +11777,45 @@ def q_lang_confusion(spark, sf_dir):
         F.coalesce("lang", F.lit("<null>")).alias("gold"),
         lang_guess(F.col("text")).alias("guessed"))
     return g.groupBy("gold", "guessed").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "q_dup_rate_by_length",
+    oracle="""
+    WITH d AS (
+      SELECT (LENGTH(BIN(LENGTH(text) + 1)) - 1)::BIGINT AS len_bucket,
+             COUNT(*) OVER (
+               PARTITION BY md5(regexp_replace(lower(text),
+                                               '[^a-z0-9]', '', 'g'))
+             ) AS fam
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT len_bucket, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE fam > 1) AS dup_docs
+    FROM d GROUP BY len_bucket
+    """,
+)
+def q_dup_rate_by_length(spark, sf_dir):
+    """Curation diagnostic: exact-duplicate share per log2 document-
+    length bucket (short boilerplate duplicates at far higher rates
+    than long-form text, and this is the histogram that shows it).
+    Family size comes from ONE fingerprint-partitioned window count
+    (the md5-normalized fingerprint of functions/text.fingerprint;
+    raw lengths can differ within a family, so the bucket stays
+    per-doc), then an integer ≤64-bucket rollup; NULL text is
+    excluded on both engines rather than fingerprint-grouped.
+    Bucket = bit-length via BIN string length — exact integer math,
+    same recipe as q_quantile_sketch.  Integer-only output."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (docs.where(F.col("text").isNotNull())
+             .select((F.length(F.bin(F.length("text") + 1)) - 1)
+                      .cast("long").alias("len_bucket"),
+                     F.md5(F.regexp_replace(F.lower("text"),
+                                            "[^a-z0-9]", ""))
+                      .alias("fp")))
+    fam = F.count("*").over(W.partitionBy("fp"))
+    return (d.withColumn("fam", fam)
+             .groupBy("len_bucket")
+             .agg(F.count("*").alias("n_docs"),
+                  F.count(F.when(F.col("fam") > 1, F.lit(1)))
+                   .alias("dup_docs")))
