@@ -1,0 +1,127 @@
+"""Distributed classical-ML training/inference as DataFrame algebra.
+
+The reference pipeline stops at data curation; a training-data engine
+sitting in front of an LLM run also needs the cheap classical models
+that curation itself uses — a fastText-style linear quality classifier
+(trained ON the cluster, applied map-only) and a kNN labeler over the
+embedding table.  Both are expressed as pure DataFrame plans:
+
+- ``logreg_train``: full-batch gradient descent where each iteration is
+  ONE map-side-combined aggregation producing the (dim+1)-value
+  gradient; the weight vector lives in a 1-row DataFrame that is
+  broadcast back into the next pass (the pagerank pattern — no
+  ``collect``, no driver round-trip, so the same plan runs with 10⁹
+  rows).  Iterations are unrolled into a single lazy plan.
+- ``knn_classify``: brute-force cosine top-k via the salted two-phase
+  ``partial_topk`` (no single-reducer sort), then a per-query majority
+  vote — two bounded shuffles after the one corpus scan.
+
+Determinism contract (oracle parity): weights are snapped to the 1e-6
+grid (portable floor rounding) at every iteration boundary, so both
+engines thread EXACTLY the same weight vector into the next pass and
+the only float noise left is one aggregation's summation order —
+absorbed by the same rounding.  Sign tests (prediction = σ(z) > 0.5 ⇔
+z > 0) are exact, making accuracy counts integer-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from access_mopper_spark.functions.rounding import pround
+from access_mopper_spark.operators.similarity import (as_double, cosine,
+                                                      partial_topk)
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logreg_train(df: DataFrame, feature_cols: list[str], label_col: str,
+                 iterations: int = 3, lr: float = 0.5) -> DataFrame:
+    """Full-batch logistic-regression GD, iterations unrolled into one
+    plan.  Returns a 1-row DataFrame ``(w_0 … w_d, bias)`` (weights on
+    the 1e-6 grid).
+
+    Each iteration re-scans the (cached by the caller if desired)
+    feature table once and reduces to dim+1 numbers — the map-side
+    partial aggregation means only |partitions|·(dim+1) values ever
+    move, identical at 500 rows or 100 TB.  The 1-row weight table
+    joins back via broadcast crossJoin, never ``collect``.
+    """
+    d = len(feature_cols)
+    feats = df.select(*[F.col(c).cast("double").alias(f"x{i}")
+                        for i, c in enumerate(feature_cols)],
+                      F.col(label_col).cast("double").alias("y"))
+    # w starts at the exact zero vector — a literal 1-row frame
+    w = feats.sparkSession.range(1).select(
+        *[F.lit(0.0).alias(f"w{i}") for i in range(d)],
+        F.lit(0.0).alias("b"))
+    for _ in range(iterations):
+        joined = feats.crossJoin(F.broadcast(w))
+        z = F.col("b")
+        for i in range(d):
+            z = z + F.col(f"x{i}") * F.col(f"w{i}")
+        err = _sigmoid(z) - F.col("y")
+        grads = joined.agg(
+            *[pround(F.sum(err * F.col(f"x{i}"))
+                     / F.count("*").cast("double"), 6)
+              .alias(f"g{i}") for i in range(d)],
+            pround(F.sum(err) / F.count("*").cast("double"), 6).alias("gb"),
+            # carry the previous weights through the agg (constant per
+            # row — F.first is exact)
+            *[F.first(f"w{i}").alias(f"pw{i}") for i in range(d)],
+            F.first("b").alias("pb"))
+        w = grads.select(
+            *[pround(F.col(f"pw{i}") - F.lit(lr) * F.col(f"g{i}"), 6)
+              .alias(f"w{i}") for i in range(d)],
+            pround(F.col("pb") - F.lit(lr) * F.col("gb"), 6).alias("b"))
+    return w
+
+
+def logreg_apply(df: DataFrame, w: DataFrame, feature_cols: list[str],
+                 label_col: str, id_col: str) -> DataFrame:
+    """Map-only scoring with a broadcast 1-row weight table: returns
+    ``(id, y, pred)`` where pred = 1 iff z > 0 (exact sign test — no
+    float-boundary hash risk)."""
+    d = len(feature_cols)
+    feats = df.select(F.col(id_col), F.col(label_col).cast("int").alias("y"),
+                      *[F.col(c).cast("double").alias(f"x{i}")
+                        for i, c in enumerate(feature_cols)])
+    joined = feats.crossJoin(F.broadcast(w))
+    z = F.col("b")
+    for i in range(d):
+        z = z + F.col(f"x{i}") * F.col(f"w{i}")
+    return joined.select(id_col, "y",
+                         F.when(z > 0, 1).otherwise(0).alias("pred"))
+
+
+def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label",
+                 query_id_col: str = "query_id") -> DataFrame:
+    """kNN majority-vote labeling: each query's cosine top-k corpus
+    neighbours vote; ties break (votes DESC, label ASC).  Returns
+    ``(query_id, pred_label, n_votes)``.
+
+    Scale shape: ONE corpus scan scores all broadcast queries, the
+    salted two-phase top-k keeps every reducer at ≤ k·partitions rows,
+    and the vote is a ≤ |queries|·k aggregation.  Neighbour rank snaps
+    cosine to the 1e-6 grid with an id tie-break so both engines pick
+    identical neighbour sets."""
+    q = queries.select(F.col(query_id_col),
+                       as_double(F.col(vec_col)).alias("__qv"))
+    c = corpus.select(F.col(id_col), F.col(label_col),
+                      as_double(F.col(vec_col)).alias("__cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col, id_col, label_col,
+        pround(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"))
+    nn = partial_topk(scored, [query_id_col],
+                      [F.col("__sim").desc(), F.col(id_col)], k)
+    votes = nn.groupBy(query_id_col, label_col).agg(
+        F.count("*").alias("n_votes"))
+    best = partial_topk(votes, [query_id_col],
+                        [F.col("n_votes").desc(), F.col(label_col)], 1)
+    return best.select(query_id_col,
+                       F.col(label_col).alias("pred_label"), "n_votes")

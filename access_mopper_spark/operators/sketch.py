@@ -68,3 +68,65 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------
+# Portable HyperLogLog registers (Flajolet et al. 2007): unlike
+# F.approx_count_distinct (whose sketch lives inside the JVM and cannot
+# be replayed by another engine), these registers are plain md5 integer
+# arithmetic, so per-corpus sketches built by ANY engine merge with a
+# register-wise MAX — the property that lets a 100 TB corpus keep one
+# tiny (2^p rows) distinct-count summary per partition/day/source and
+# combine them without rescanning anything.
+# ---------------------------------------------------------------------
+
+def hll_registers(df: DataFrame, item_col: str, group_cols: list[str]
+                  | None = None, p: int = 6, salt: str = "hll") -> DataFrame:
+    """Per-group HLL registers over an item column: ``(…group, bucket,
+    rho)`` with bucket = first md5 word mod 2^p and rho = leading-zero
+    rank (position of the first set bit) of the second md5 word.  One
+    map-side-combined MAX aggregation; the result is ≤ groups×2^p rows
+    regardless of input size."""
+    group_cols = group_cols or []
+    digest = F.md5(F.concat(F.lit(salt + ":"), F.col(item_col).cast("string")))
+    bucket = (F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+              % F.lit(2 ** p))
+    w = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    # rho(w) over a 32-bit word via BIN string length (exact integer
+    # math, same cross-engine recipe as q_quantile_sketch); w == 0 →
+    # all 32 bits zero → rho = 33 by convention on both engines.
+    rho = F.when(w == 0, F.lit(33)).otherwise(33 - F.length(F.bin(w)))
+    return (df.select(*group_cols, bucket.alias("bucket"),
+                      rho.cast("long").alias("rho"))
+              .groupBy(*group_cols, "bucket")
+              .agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(sketch: DataFrame, group_cols: list[str] | None = None
+              ) -> DataFrame:
+    """Merge HLL register sets built with the same (p, salt): registers
+    combine with MAX — fold out ``group_cols`` to get the union
+    sketch."""
+    group_cols = group_cols or []
+    return sketch.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, group_cols: list[str] | None = None,
+                 p: int = 6) -> DataFrame:
+    """Cardinality estimate from registers: the raw HLL harmonic-mean
+    formula E = α·m² / Σ 2^(−M_j) with the small-range linear-counting
+    correction (V = empty registers; E_lc = m·ln(m/V)).  Registers that
+    never saw a value are absent from the sparse table, so V = m −
+    present."""
+    group_cols = group_cols or []
+    m = 2 ** p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
+        F.count("*").alias("__present"))
+    v = F.lit(m) - F.col("__present")
+    raw = F.lit(alpha * m * m) / (F.col("__s") + v.cast("double"))
+    est = F.when(v > 0, F.lit(float(m)) * F.log(F.lit(float(m)) / v))
+    return agg.select(*group_cols,
+                      F.coalesce(est, raw).alias("hll_estimate"))

@@ -25,8 +25,11 @@ STREAMING = {"q_stream_resample", "q_stateful_totals", "q_stream_curation",
 
 
 #: unpartitioned windows over a BOUNDED sequential axis (time
-#: coordinates: cardinality = calendar length, not data volume)
-AXIS_WINDOW_OK = {"q_bounds_derive", "q_bounds_check"}
+#: coordinates: cardinality = calendar length, not data volume).
+#: q_seasonal_decompose's 7-day moving average runs AFTER the corpus
+#: reduces to one row per day — |days| rows regardless of corpus size.
+AXIS_WINDOW_OK = {"q_bounds_derive", "q_bounds_check",
+                  "q_seasonal_decompose"}
 
 
 def _unpartitioned_windows(plan: str) -> list[str]:
