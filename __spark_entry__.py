@@ -35,41 +35,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # need hard driver signal.  Rows rotated out (all driver-green in r1 AND
 # r2, with their family still represented) remain oracle-checked by
 # tools/check_correctness.py (full registry).
-# Round-5 rotation: the 29 rows green in BOTH r3 and r4 rotate OUT to
-# the local-only tail (policy: two green driver rounds, family still
-# represented) — EXCEPT rows whose semantics changed this round
-# (q_simhash, q_lm_score, q_weighted_sample, q_curation_pipeline's
-# shared trim convention is covered by other in-prefix rows).  Rows
-# green only in r4 stay for their second round.  The three r4
-# hash-fails stay until driver-green.  Rotated IN: the 16 round-5
-# candidates from the r4 comment, the 11 rows whose operator/oracle
-# changed this round (tokenizer dialect, NULL-signature contract,
-# cusum tie order, distributed cumsum/CDF, band cap), and the two new
-# §2.1 oracle rows (varlist/dreq round trip, CV + z-factor attach).
+# Round-7 rotation: the 18 rows green in BOTH r4 and r6 rotate OUT
+# (policy: two green driver rounds, family still represented).  The 28
+# rows green in r6 on first exposure stay for their second round.  The
+# four persistent hash-fails (q_dup_ngrams, q_corpus_report,
+# q_max_concurrency 3rd round; q_bpe_train 2nd) stay — and are now
+# flanked by 15 BISECTION PROBES (queries.py "driver-divergence
+# bisection probes"): each failing query decomposed into its pipeline
+# stages as separate driver rows, because the divergence reproduces in
+# NO local instrument (full-precision gate, 25-seed adversarial fuzz,
+# hostile-unicode primitive differential, non-UTC session-timezone
+# re-run — see the probe section docstring).  The r07 per-probe
+# pass/fail vector localizes the seam in one driver round.
 _DRIVER_PRIORITY = [
-    # r4 hash-fails — root-caused this round (tokenizer dialect fixed;
-    # integer-only / DATE-only outputs), must prove under the driver
-    "q_dup_ngrams", "q_corpus_report", "q_max_concurrency",
-    # r4-green rows on their second driver round
-    "q_ocnrmadvect", "q_netcdf3_decode", "q_mop_process_e2e",
-    "q_stream_sink_replay", "q_semantic_dedup", "q_stream_stream_join",
-    "q_ivf_train", "q_entity_blocks", "q_pivot", "q_unpivot",
-    "q_approx_distinct", "q_stream_trending", "q_dedup_keep_list",
-    "q_chunk_tokens", "q_zorder_key", "q_value_histogram",
-    "q_chunk_documents", "q_cross_dedup",
-    # rotated IN: round-5 candidates (never driver-checked)
-    "q_bpe_train", "q_bpe_encode", "q_bloom_decontaminate", "q_pagerank",
+    # persistent driver hash-fails + their stage probes
+    "q_dup_ngrams", "q_probe_ngram_totals", "q_probe_gram_hist",
+    "q_probe_dup_ints",
+    "q_corpus_report", "q_probe_src_counts", "q_probe_src_tokens",
+    "q_probe_src_p50", "q_probe_src_p95", "q_probe_src_rank_stats",
+    "q_max_concurrency", "q_probe_day_counts", "q_probe_clip_counts",
+    "q_probe_max_conc_int",
+    "q_bpe_train", "q_probe_word_freq_top", "q_probe_pair1",
+    "q_bpe_train1", "q_bpe_train3",
+    # r6-green rows on their second driver round
+    "q_bpe_encode", "q_bloom_decontaminate", "q_pagerank",
     "q_moving_avg", "q_equi_depth", "q_group_regression",
     "q_text_normalize", "q_stream_dedup_exact", "q_correlated_subquery",
     "q_having_global_share", "q_token_budget_fill", "q_salted_agg",
     "q_time_gaps", "q_gopher_rules", "q_order_count_distribution",
-    # changed this round — re-prove under the driver
     "q_repetition", "q_ngram_jaccard", "q_minhash_band",
     "q_near_dup_pairs", "q_simhash", "q_lm_score", "q_weighted_sample",
     "q_stream_dedup_ingest", "q_cusum_changepoint", "q_quality_blend",
-    "q_pareto_class",
-    # new §2.1 oracle rows (previously pytest-only seams)
-    "q_varlist_dreq_roundtrip", "q_cv_zfactor_attach",
+    "q_pareto_class", "q_varlist_dreq_roundtrip", "q_cv_zfactor_attach",
+    # rotated IN: round-6 candidates (never driver-checked)
+    "q_grouping_sets", "q_retention_cohorts", "q_skyline",
 ]
 # Round-6 rotation candidates (added in r5, local-green at sf0.01 AND
 # sf0.1 + seed-fuzzed, never driver-checked): q_retention_cohorts,

@@ -116,17 +116,29 @@ def hll_estimate(sketch: DataFrame, group_cols: list[str] | None = None,
                  p: int = 6) -> DataFrame:
     """Cardinality estimate from registers: the raw HLL harmonic-mean
     formula E = α·m² / Σ 2^(−M_j) with the small-range linear-counting
-    correction (V = empty registers; E_lc = m·ln(m/V)).  Registers that
-    never saw a value are absent from the sparse table, so V = m −
-    present."""
+    correction gated on the STANDARD Flajolet et al. condition — apply
+    E_lc = m·ln(m/V) only when raw E ≤ 2.5·m AND V > 0 (a single empty
+    register must not force linear counting in the mid range).
+    Registers that never saw a value are absent from the sparse table,
+    so V = m − present.
+
+    ``p`` must match the p the registers were built with; a mismatch
+    silently skews V and α, so the estimate guards itself: any bucket
+    id ≥ 2^p raises at evaluation time (``assert_true``) instead of
+    returning a corrupted estimate."""
     group_cols = group_cols or []
     m = 2 ** p
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = sketch.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
-        F.count("*").alias("__present"))
+        F.count("*").alias("__present"),
+        F.max("bucket").alias("__maxb"))
     v = F.lit(m) - F.col("__present")
     raw = F.lit(alpha * m * m) / (F.col("__s") + v.cast("double"))
-    est = F.when(v > 0, F.lit(float(m)) * F.log(F.lit(float(m)) / v))
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    est = F.when((v > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
+    guard = F.assert_true(F.col("__maxb") < F.lit(m),
+                          F.lit(f"hll_estimate: bucket >= 2^{p} — "
+                                "sketch built with a larger p"))
     return agg.select(*group_cols,
-                      F.coalesce(est, raw).alias("hll_estimate"))
+                      F.when(guard.isNull(), est).alias("hll_estimate"))

@@ -11867,13 +11867,19 @@ def q_dup_rate_by_length(spark, sf_dir):
       FROM merged GROUP BY event_type
     ),
     card AS (
+      -- linear counting gated on the standard condition: raw E <= 2.5m
+      -- AND V > 0 (mirrors operators/sketch.hll_estimate)
       SELECT event_type,
-             CASE WHEN (64 - present) > 0
+             CASE WHEN (64 - present) > 0 AND raw_e <= 160.0
                   THEN 64.0 * ln(64.0 / (64 - present))
-                  ELSE (0.7213 / (1 + 1.079 / 64)) * 64 * 64
-                       / (s + CAST(64 - present AS DOUBLE))
+                  ELSE raw_e
              END AS hll_estimate
-      FROM est
+      FROM (
+        SELECT event_type, present,
+               (0.7213 / (1 + 1.079 / 64)) * 64 * 64
+                 / (s + CAST(64 - present AS DOUBLE)) AS raw_e
+        FROM est
+      )
     ),
     exact AS (
       SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
@@ -12043,8 +12049,12 @@ def q_knn_classify(spark, sf_dir):
     "q_ab_ttest",
     oracle=r"""
     WITH s AS (
-      SELECT event_type, COUNT(*) AS n, SUM(value) AS sx,
-             SUM(value * value) AS sxx
+      -- sx/sxx snap to the 2dp large-sum grid BEFORE the cancellation-
+      -- prone variance formula: summation-order noise on the raw sums
+      -- is amplified by (sxx - sx²/n) and 6dp output rounding cannot
+      -- absorb it at bench scale (rounding.py convention)
+      SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sx,
+             ROUND(SUM(value * value), 2) AS sxx
       FROM events WHERE event_type IN ('click', 'view')
       GROUP BY event_type
     ),
@@ -12080,9 +12090,12 @@ def q_ab_ttest(spark, sf_dir):
     grid-deterministic across engines."""
     ev = load_table(spark, sf_dir, "events") \
         .where(F.col("event_type").isin("click", "view"))
+    # sums snap to the 2dp large-sum grid before the variance formula
+    # (see the oracle comment / rounding.py convention)
     s = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.sum("value").alias("sx"),
-        F.sum(F.col("value") * F.col("value")).alias("sxx"))
+        F.count("*").alias("n"),
+        pround(F.sum("value"), 2).alias("sx"),
+        pround(F.sum(F.col("value") * F.col("value")), 2).alias("sxx"))
     m = s.select(
         "event_type", "n",
         R6(F.col("sx") / F.col("n")).alias("mean"),
@@ -12287,3 +12300,452 @@ def q_collocations_pmi(spark, sf_dir):
                                * (F.col("c2") / F.col("n_tok")))))
                    .alias("pmi")))
     return pmi.orderBy(F.col("pmi").desc(), "t1", "t2").limit(20)
+
+
+# =====================================================================
+# driver-divergence bisection probes (round 7)
+#
+# Four registry rows have hash-failed the driver's correctness gate for
+# 2-3 consecutive rounds (q_dup_ngrams, q_corpus_report,
+# q_max_concurrency, q_bpe_train in CORRECTNESS_r04/r06) while passing
+# the full-precision local gate, a 25-seed adversarial fuzz sweep
+# (tools/fuzz_correctness.py), a hostile-unicode primitive differential
+# (lower/length/token_count/split), and a non-UTC session-timezone
+# re-run — on data structurally identical to the driver's (clean
+# vocab-word documents, strictly-increasing-µs events).  The divergence
+# mechanism is not locally reproducible, so these probes decompose each
+# failing query into its pipeline stages, each a separate driver-facing
+# row: the per-stage pass/fail vector in CORRECTNESS_r07 localizes WHERE
+# the engines disagree (input parity → arithmetic → join → float/date
+# rendering) in one driver round.
+# =====================================================================
+
+
+@query(
+    "q_probe_src_counts",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q_probe_src_counts(spark, sf_dir):
+    """corpus_report stage 1: pure row counting per source — no text
+    functions at all.  If THIS fails, the engines disagree on the raw
+    documents rows (source/lang values), not on any computation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("en_docs"))
+
+
+@query(
+    "q_probe_src_tokens",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
+      FROM documents
+    )
+    SELECT source,
+           SUM(CASE WHEN tn IS NULL THEN NULL
+                    WHEN length(tn) = 0 THEN 0
+                    ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END)
+             AS total_tokens
+    FROM t GROUP BY source
+    """,
+)
+def q_probe_src_tokens(spark, sf_dir):
+    """corpus_report stage 2: token-count sum per source — isolates the
+    whitespace-normalize + length-arithmetic tokenizer from the
+    percentile.  Fails ⇒ token_count diverges on the driver corpus."""
+    from access_mopper_spark.functions.text import token_count
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("total_tokens"))
+
+
+@query(
+    "q_probe_src_p50",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
+      FROM documents
+    ), c AS (
+      SELECT source,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END
+               AS n_tokens
+      FROM t
+    )
+    SELECT source,
+           CAST(FLOOR(quantile_cont(n_tokens, 0.5) * 20 + 0.5) AS BIGINT)
+             AS p50_tokens_x20
+    FROM c GROUP BY source
+    """,
+)
+def q_probe_src_p50(spark, sf_dir):
+    """corpus_report stage 3a: the interpolated median alone (grid-
+    snapped ×20 BIGINT).  Fails while stages 1-2 pass ⇒ the percentile
+    aggregate itself is the cross-engine seam."""
+    from access_mopper_spark.functions.text import token_count
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select("source", token_count(F.col("text")).alias("n_tokens"))
+    return c.groupBy("source").agg(
+        F.floor(F.expr("percentile(n_tokens, 0.5)") * 20 + F.lit(0.5))
+        .cast("long").alias("p50_tokens_x20"))
+
+
+@query(
+    "q_probe_src_p95",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
+      FROM documents
+    ), c AS (
+      SELECT source,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END
+               AS n_tokens
+      FROM t
+    )
+    SELECT source,
+           CAST(FLOOR(quantile_cont(n_tokens, 0.95) * 20 + 0.5) AS BIGINT)
+             AS p95_tokens_x20
+    FROM c GROUP BY source
+    """,
+)
+def q_probe_src_p95(spark, sf_dir):
+    """corpus_report stage 3b: the p95 interpolation alone."""
+    from access_mopper_spark.functions.text import token_count
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select("source", token_count(F.col("text")).alias("n_tokens"))
+    return c.groupBy("source").agg(
+        F.floor(F.expr("percentile(n_tokens, 0.95)") * 20 + F.lit(0.5))
+        .cast("long").alias("p95_tokens_x20"))
+
+
+@query(
+    "q_probe_src_rank_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS tn
+      FROM documents
+    ), c AS (
+      SELECT source,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END
+               AS n_tokens
+      FROM t WHERE tn IS NOT NULL
+    ), r AS (
+      SELECT source, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM c
+    )
+    SELECT source,
+           MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN n_tokens END) AS p50_lo,
+           MAX(CASE WHEN rn = n - (n - 1) // 2 THEN n_tokens END) AS p50_hi,
+           MAX(CASE WHEN rn = (19 * (n - 1)) // 20 + 1 THEN n_tokens END)
+             AS p95_lo
+    FROM r GROUP BY source
+    """,
+)
+def q_probe_src_rank_stats(spark, sf_dir):
+    """corpus_report stage 3c: rank-SELECTED (non-interpolated) order
+    statistics — the median's two neighbour elements and p95's lower
+    neighbour, chosen by pure integer rank arithmetic.  Passing here
+    while the interpolated probes fail pins the divergence to the
+    interpolation formula, not the sorted data."""
+    from access_mopper_spark.functions.text import token_count
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.where(F.col("text").isNotNull()).select(
+        "source", token_count(F.col("text")).alias("n_tokens"))
+    r = c.select(
+        "source", "n_tokens",
+        F.row_number().over(
+            W.partitionBy("source").orderBy("n_tokens")).alias("rn"),
+        F.count("*").over(W.partitionBy("source")).alias("n"))
+    lo50 = F.expr("(n - 1) div 2") + 1
+    hi50 = F.col("n") - F.expr("(n - 1) div 2")
+    lo95 = F.expr("(19 * (n - 1)) div 20") + 1
+    return r.groupBy("source").agg(
+        F.max(F.when(F.col("rn") == lo50, F.col("n_tokens"))).alias("p50_lo"),
+        F.max(F.when(F.col("rn") == hi50, F.col("n_tokens"))).alias("p50_hi"),
+        F.max(F.when(F.col("rn") == lo95, F.col("n_tokens"))).alias("p95_lo"))
+
+
+@query(
+    "q_probe_ngram_totals",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'),
+                               ' '), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT UNNEST(range(1, (SELECT MAX(len(w)) FROM toks) + 1)) AS i
+    ),
+    sh AS (
+      SELECT doc_id FROM toks, g WHERE g.i <= greatest(len(w) - 4, 1)
+    )
+    SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY doc_id
+    """,
+)
+def q_probe_ngram_totals(spark, sf_dir):
+    """dup_ngrams stage 1: per-document 5-gram POSITION count through
+    the real shingle machinery (explode of word_shingles) — no corpus
+    join, no floats.  Fails ⇒ the engines tokenize/shingle the driver
+    corpus differently (the r4 dialect-bug class)."""
+    from access_mopper_spark.functions.text import word_shingles
+    docs = _wide(load_table(spark, sf_dir, "documents")) \
+        .where(F.col("text").isNotNull())
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("gram"))
+    return grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+
+
+@query(
+    "q_probe_gram_hist",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'),
+                               ' '), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT UNNEST(range(1, (SELECT MAX(len(w)) FROM toks) + 1)) AS i
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(w[g.i : g.i + 4], ' ') AS gram
+      FROM toks, g WHERE g.i <= greatest(len(w) - 4, 1)
+    ),
+    gc AS (SELECT gram, COUNT(*) AS c FROM sh GROUP BY gram)
+    SELECT c AS gram_count, COUNT(*) AS n_distinct_grams
+    FROM gc GROUP BY c
+    """,
+)
+def q_probe_gram_hist(spark, sf_dir):
+    """dup_ngrams stage 2: the GLOBAL gram-count histogram (how many
+    distinct 5-grams occur exactly c times) — a corpus-wide integer
+    fingerprint of the gram multiset.  Equal histograms ⇒ the gram
+    tables agree and any dup_ngrams failure is in the join/rollup or
+    the float cell; unequal ⇒ the corpora/gram construction differ."""
+    from access_mopper_spark.functions.text import word_shingles
+    docs = _wide(load_table(spark, sf_dir, "documents")) \
+        .where(F.col("text").isNotNull())
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("gram"))
+    gc = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    return gc.groupBy(F.col("c").alias("gram_count")).agg(
+        F.count("*").alias("n_distinct_grams"))
+
+
+@query(
+    "q_probe_dup_ints",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'),
+                               ' '), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT UNNEST(range(1, (SELECT MAX(len(w)) FROM toks) + 1)) AS i
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(w[g.i : g.i + 4], ' ') AS gram
+      FROM toks, g WHERE g.i <= greatest(len(w) - 4, 1)
+    ),
+    gc AS (SELECT gram, COUNT(*) AS c FROM sh GROUP BY gram)
+    SELECT sh.doc_id,
+           SUM(CASE WHEN gc.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+    FROM sh JOIN gc ON gc.gram = sh.gram
+    GROUP BY sh.doc_id
+    """,
+)
+def q_probe_dup_ints(spark, sf_dir):
+    """dup_ngrams stage 3: the count-join and per-doc duplicated-
+    position rollup, INTEGER columns only (no dup_fraction).  Fails
+    while stages 1-2 pass ⇒ the join/rollup; passes while q_dup_ngrams
+    fails ⇒ the float cell's cross-engine rendering is the last
+    suspect standing."""
+    from access_mopper_spark.operators.dedup import dup_ngram_fraction
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("text").isNotNull())
+    out = dup_ngram_fraction(docs, n=5, min_count=2, hot_threshold=50)
+    return out.select("doc_id", "n_dup")
+
+
+@query(
+    "q_probe_day_counts",
+    oracle="""
+    SELECT CAST(datediff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                              AS DATE)) AS BIGINT) AS day_num,
+           COUNT(*) AS n_events
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+    """,
+)
+def q_probe_day_counts(spark, sf_dir):
+    """max_concurrency stage 1: events per calendar day, day emitted as
+    EPOCH-DAY BIGINT — tests timestamp→day bucketing parity with zero
+    date/timestamp types in the output hash surface."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return ev.groupBy(
+        F.datediff(F.to_date(F.date_trunc("day", F.col("ts"))),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day_num")).agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "q_probe_clip_counts",
+    oracle="""
+    SELECT CAST(datediff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                              AS DATE)) AS BIGINT) AS day_num,
+           SUM(CASE WHEN CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+                         > CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                AS TIMESTAMP) + INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END) AS n_clipped
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+    """,
+)
+def q_probe_clip_counts(spark, sf_dir):
+    """max_concurrency stage 2: per-day count of intervals that clip at
+    midnight — tests the +5min / +1day interval arithmetic and the
+    strict comparison, integers only."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.date_trunc("day", F.col("ts"))
+    clipped = (F.col("ts") + F.expr("INTERVAL 5 MINUTE")
+               > day + F.expr("INTERVAL 1 DAY")).cast("long")
+    return ev.groupBy(
+        F.datediff(F.to_date(day), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day_num")).agg(
+            F.sum(clipped).alias("n_clipped"))
+
+
+@query(
+    "q_probe_max_conc_int",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id,
+             CAST(ts AS TIMESTAMP) AS s,
+             LEAST(CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   + INTERVAL 1 DAY) AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT event_id, CAST(date_trunc('day', s) AS TIMESTAMP) AS d,
+             s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_id, CAST(date_trunc('day', s) AS TIMESTAMP) AS d,
+             e AS t, -1 AS delta FROM iv
+    ),
+    sweep AS (
+      SELECT d, SUM(delta) OVER (PARTITION BY d ORDER BY t, delta DESC, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS running
+      FROM pts
+    )
+    SELECT CAST(datediff('day', DATE '1970-01-01', CAST(d AS DATE)) AS BIGINT)
+             AS day_num,
+           MAX(running) AS max_concurrent
+    FROM sweep GROUP BY d
+    """,
+)
+def q_probe_max_conc_int(spark, sf_dir):
+    """max_concurrency stage 3: the EXACT q_max_concurrency sweep, with
+    the day key shipped as epoch-day BIGINT instead of DATE.  Passing
+    here while q_max_concurrency fails isolates the DATE cell's
+    cross-engine rendering as the divergence; failing together points
+    at the sweep itself."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("s"))
+    iv = ev.select(
+        "event_id", F.col("ts").alias("s"),
+        F.least(F.col("ts") + F.expr("INTERVAL 5 MINUTE"),
+                F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY"))
+        .alias("e"))
+    pts = iv.select("event_id", day.alias("d"), F.col("s").alias("t"),
+                    F.lit(1).alias("delta")) \
+        .unionByName(iv.select("event_id", day.alias("d"),
+                               F.col("e").alias("t"),
+                               F.lit(-1).alias("delta")))
+    w = (W.partitionBy("d")
+         .orderBy(F.col("t"), F.col("delta").desc(), F.col("event_id"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    sweep = pts.withColumn("running", F.sum("delta").over(w))
+    return sweep.groupBy(
+        F.datediff(F.to_date("d"), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day_num")) \
+        .agg(F.max("running").alias("max_concurrent"))
+
+
+@query(
+    "q_probe_word_freq_top",
+    oracle=r"""
+    WITH w0 AS (
+      SELECT word, COUNT(*) AS wc FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z]+', ' ', 'g'), ' '), ' ')) AS word
+        FROM documents
+      ) WHERE length(word) > 0 GROUP BY word
+    )
+    SELECT word, wc FROM w0 ORDER BY wc DESC, word LIMIT 30
+    """,
+)
+def q_probe_word_freq_top(spark, sf_dir):
+    """bpe_train stage 1: the top-30 of the word-frequency table BPE
+    trains on.  Fails ⇒ the engines build different word tables from
+    the driver corpus (lower()/[^a-z] pre-tokenizer parity)."""
+    from access_mopper_spark.operators.bpe import word_frequency_table
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequency_table(docs, "text")
+    return wf.orderBy(F.desc("wc"), F.asc("word")).limit(30)
+
+
+@query(
+    "q_probe_pair1",
+    oracle=_bpe_oracle(
+        1, final="SELECT sym_a, sym_b, pair_count FROM p1 "
+                 "ORDER BY pair_count DESC, sym_a, sym_b LIMIT 20"),
+)
+def q_probe_pair1(spark, sf_dir):
+    """bpe_train stage 2: the top-20 adjacent-symbol pair counts BEFORE
+    any merge — the exact argmax input of merge step 1.  Fails ⇒ pair
+    counting diverges; passes while q_bpe_train1 fails ⇒ the argmax
+    tie-break is the seam."""
+    from access_mopper_spark.operators.bpe import (_initial_sequences,
+                                                   _pair_counts,
+                                                   word_frequency_table)
+    docs = load_table(spark, sf_dir, "documents")
+    seqs = _initial_sequences(word_frequency_table(docs, "text"))
+    return _pair_counts(seqs).orderBy(
+        F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b")).limit(20)
+
+
+@query("q_bpe_train1", oracle=_bpe_oracle(1))
+def q_bpe_train1(spark, sf_dir):
+    """bpe_train stage 3: a single merge step — the smallest iterative
+    unit (one pair count, one argmax, no replace applied to output)."""
+    from access_mopper_spark.operators.bpe import bpe_train
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(spark, docs, "text", n_merges=1)
+
+
+@query("q_bpe_train3", oracle=_bpe_oracle(3))
+def q_bpe_train3(spark, sf_dir):
+    """bpe_train stage 4: three merge steps — exercises the replace
+    chain (merge application) between iterations.  The r07 pass/fail
+    vector over {pair1, train1, train3, train6} localizes the first
+    diverging iteration."""
+    from access_mopper_spark.operators.bpe import bpe_train
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(spark, docs, "text", n_merges=3)

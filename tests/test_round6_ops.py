@@ -18,11 +18,14 @@ from access_mopper_spark.operators.sketch import (hll_estimate, hll_merge,
 # ---------------------------------------------------------------- HLL
 
 def test_hll_estimate_within_rse_bound(spark):
-    # p=6 → m=64 → RSE ≈ 1.04/8 = 13%; allow 3σ
+    # p=6 → m=64 → RSE ≈ 1.04/8 = 13%; bound = 3σ ≈ 0.39.  The md5
+    # hash is deterministic so the observed error is a fixed number —
+    # the assert pins it inside the statistical bound, it is not itself
+    # a statistical test.
     n = 5000
     df = spark.range(n).select(F.col("id").alias("item"))
     est = hll_estimate(hll_registers(df, "item", p=6), p=6).collect()[0][0]
-    assert abs(est - n) / n < 0.40
+    assert abs(est - n) / n < 0.39
 
 
 def test_hll_merge_equals_direct(spark):
