@@ -48,6 +48,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-run — see the probe section docstring).  The r07 per-probe
 # pass/fail vector localizes the seam in one driver round.
 _DRIVER_PRIORITY = [
+    # probe zero: per-bucket md5 row checksums of the two regenerated
+    # tables — if these fail, the engines are not reading the same
+    # bytes and every downstream documents/events divergence follows
+    "q_probe_docs_fingerprint", "q_probe_events_fingerprint",
     # persistent driver hash-fails + their stage probes
     "q_dup_ngrams", "q_probe_ngram_totals", "q_probe_gram_hist",
     "q_probe_dup_ints",
@@ -67,8 +71,8 @@ _DRIVER_PRIORITY = [
     "q_near_dup_pairs", "q_simhash", "q_lm_score", "q_weighted_sample",
     "q_stream_dedup_ingest", "q_cusum_changepoint", "q_quality_blend",
     "q_pareto_class", "q_varlist_dreq_roundtrip", "q_cv_zfactor_attach",
-    # rotated IN: round-6 candidates (never driver-checked)
-    "q_grouping_sets", "q_retention_cohorts", "q_skyline",
+    # rotated IN: round-6 candidate (never driver-checked)
+    "q_grouping_sets",
 ]
 # Round-6 rotation candidates (added in r5, local-green at sf0.01 AND
 # sf0.1 + seed-fuzzed, never driver-checked): q_retention_cohorts,

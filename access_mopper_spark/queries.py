@@ -12749,3 +12749,79 @@ def q_bpe_train3(spark, sf_dir):
     from access_mopper_spark.operators.bpe import bpe_train
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(spark, docs, "text", n_merges=3)
+
+
+@query(
+    "q_probe_docs_fingerprint",
+    oracle=r"""
+    SELECT doc_id % 16 AS bucket,
+           COUNT(*) AS n_rows,
+           SUM(('0x' || substring(md5(
+                 concat_ws(chr(1),
+                           CAST(doc_id AS VARCHAR),
+                           COALESCE(text, chr(2)),
+                           COALESCE(lang, chr(2)),
+                           COALESCE(source, chr(2)),
+                           COALESCE(CAST(n_chars AS VARCHAR), chr(2)))),
+               1, 8))::BIGINT) AS fp
+    FROM documents GROUP BY 1
+    """,
+)
+def q_probe_docs_fingerprint(spark, sf_dir):
+    """Probe ZERO for the documents-table failures: a per-bucket md5
+    checksum of every documents row as each engine reads it (all five
+    columns, NULLs marked with a control char no generator emits).  If
+    THIS row fails, the two engines are not being shown the same bytes
+    — which would explain every downstream documents divergence at once
+    (and implicate the harness data path, not any operator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat_ws(
+        "\x01",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit("\x02")),
+        F.coalesce(F.col("lang"), F.lit("\x02")),
+        F.coalesce(F.col("source"), F.lit("\x02")),
+        F.coalesce(F.col("n_chars").cast("string"), F.lit("\x02")))
+    fp = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+    return docs.groupBy((F.col("doc_id") % 16).alias("bucket")).agg(
+        F.count("*").alias("n_rows"), F.sum(fp).alias("fp"))
+
+
+@query(
+    "q_probe_events_fingerprint",
+    oracle="""
+    SELECT event_id % 16 AS bucket,
+           COUNT(*) AS n_rows,
+           SUM(('0x' || substring(md5(
+                 concat_ws(chr(1),
+                           CAST(event_id AS VARCHAR),
+                           COALESCE(CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                                         AS VARCHAR), chr(2)),
+                           COALESCE(CAST(user_id AS VARCHAR), chr(2)),
+                           COALESCE(event_type, chr(2)),
+                           COALESCE(CAST(CAST(FLOOR(value * 100 + 0.5)
+                                              AS BIGINT) AS VARCHAR), chr(2)),
+                           COALESCE(props, chr(2)))),
+               1, 8))::BIGINT) AS fp
+    FROM events GROUP BY 1
+    """,
+)
+def q_probe_events_fingerprint(spark, sf_dir):
+    """Probe ZERO for the events-table failure: per-bucket md5 checksum
+    of every events row (timestamps as epoch-µs integers, the 2dp value
+    snapped to integer cents so no float rendering enters the hash).
+    Fails ⇒ the engines read different event rows — the root-cause
+    class no per-operator fix can touch."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat_ws(
+        "\x01",
+        F.col("event_id").cast("string"),
+        F.coalesce(F.unix_micros(F.col("ts")).cast("string"), F.lit("\x02")),
+        F.coalesce(F.col("user_id").cast("string"), F.lit("\x02")),
+        F.coalesce(F.col("event_type"), F.lit("\x02")),
+        F.coalesce(F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("long").cast("string"), F.lit("\x02")),
+        F.coalesce(F.col("props"), F.lit("\x02")))
+    fp = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+    return ev.groupBy((F.col("event_id") % 16).alias("bucket")).agg(
+        F.count("*").alias("n_rows"), F.sum(fp).alias("fp"))
