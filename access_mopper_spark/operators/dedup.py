@@ -587,3 +587,47 @@ def prefix_filter_join(df: DataFrame, text_col: str = "text",
                        F.col("inter").cast("long").alias("inter"),
                        F.col("uni").cast("long").alias("uni")))
     return out
+
+
+def ngram_decontaminate(df_new: DataFrame, df_ref: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8) -> DataFrame:
+    """EXACT n-gram overlap decontamination (the GPT-3/PaLM method:
+    drop training documents sharing any word n-gram with an evaluation
+    benchmark) — the exact-match complement of the MinHash-band
+    ``cross_corpus_dedup``: LSH catches paraphrases, this catches
+    verbatim spans the banding can miss at low global similarity.
+
+    Returns ``(id, n_grams, n_shared)`` for CONTAMINATED new documents
+    only (n_shared ≥ 1), where n_shared counts the document's DISTINCT
+    n-grams that occur anywhere in the reference corpus.  Documents
+    shorter than the window contribute their single truncated shingle
+    (the ``word_shingles`` convention) — a short doc that verbatim-
+    matches benchmark text still flags.
+
+    Scale shape: the reference side is a benchmark (thousands of docs,
+    not TBs) — its distinct gram set BROADCASTS, so the corpus-side
+    probe is map-only: explode → distinct (doc, gram) → broadcast-hash
+    semi-join → per-doc count.  No corpus shuffle other than the
+    per-doc rollup; at a reference too large to broadcast the same plan
+    degrades to one keyed semi-join on the gram."""
+    from access_mopper_spark.functions.text import word_shingles
+    from access_mopper_spark.operators.partitioning import \
+        ensure_min_partitions
+
+    ref_grams = (df_ref.where(F.col(text_col).isNotNull())
+                 .select(F.explode(word_shingles(F.col(text_col), n))
+                         .alias("gram"))
+                 .distinct())
+    new_grams = (ensure_min_partitions(df_new)
+                 .where(F.col(text_col).isNotNull())
+                 .select(F.col(id_col),
+                         F.explode(word_shingles(F.col(text_col), n))
+                         .alias("gram"))
+                 .distinct())
+    hits = new_grams.join(F.broadcast(ref_grams), "gram", "left_semi")
+    totals = new_grams.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"))
+    shared = hits.groupBy(id_col).agg(F.count("*").alias("n_shared"))
+    return (shared.join(totals, id_col)
+                  .select(id_col, "n_grams", "n_shared"))

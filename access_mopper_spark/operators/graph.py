@@ -209,3 +209,80 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             F.max_by("lbl", F.struct(F.col("c"),
                                      (-F.col("lbl")).alias("n"))).alias("lbl"))
     return lab.select("node", F.col("lbl").alias("label"))
+
+
+def cc_large_small_star(edges: DataFrame, nodes: DataFrame | None = None,
+                        id_a: str = "a", id_b: str = "b",
+                        max_rounds: int = 12) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the O(log n)-round variant the min-label loop in
+    ``dedup.dedup_clusters`` defers to for high-diameter graphs: label
+    propagation needs DIAMETER rounds (a 10⁶-node path = 10⁶ shuffles),
+    star contraction squares progress each alternation.
+
+    large-star: every node u points its LARGER neighbours at
+    m = min(Γ(u) ∪ {u}); small-star: its smaller-or-equal neighbours.
+    The edge set contracts toward stars rooted at component minima; at
+    the fixpoint every edge is (root, member).
+
+    Returns ``(node, cluster_id)`` with cluster_id = the component's
+    minimum node id (singletons keep their own id — same contract as
+    ``dedup_clusters``).  Each half-round is one groupBy shuffle on the
+    node key plus one join; edge tables stay distributed end-to-end and
+    the only driver action is the bounded early-exit probe (one
+    ``limit(1).count()`` per round, the dedup_clusters convention).
+    ``localCheckpoint`` truncates the per-round lineage exactly as the
+    iterative operators in this module do."""
+    base = (edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+                 .where(F.col("u").isNotNull() & F.col("v").isNotNull()
+                        & (F.col("u") != F.col("v"))))
+    e = (base.select(F.least("u", "v").alias("u"),
+                     F.greatest("u", "v").alias("v"))
+             .distinct().persist())
+    e_cnt = e.count()
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        sym = cur.select("u", "v").unionAll(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (sym.groupBy("u").agg(F.min("v").alias("__mn"))
+                .select("u", F.least("u", "__mn").alias("m")))
+        nbrs = sym.join(m, "u")
+        keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = (nbrs.where(keep)
+                   .select(F.col("v").alias("a"), F.col("m").alias("b")))
+        if not large:
+            out = out.unionAll(m.select(F.col("u").alias("a"),
+                                        F.col("m").alias("b")))
+        return (out.where(F.col("a") != F.col("b"))
+                   .select(F.least("a", "b").alias("u"),
+                           F.greatest("a", "b").alias("v"))
+                   .distinct())
+
+    for _ in range(max_rounds):
+        nxt = _star(_star(e, large=True), large=False).localCheckpoint()
+        # equal-cardinality distinct sets with an empty one-sided
+        # difference ARE equal — one count (free on the checkpointed
+        # table) plus at most one bounded anti probe per round
+        nxt_cnt = nxt.count()
+        changed = (nxt_cnt != e_cnt
+                   or nxt.exceptAll(e).limit(1).count() > 0)
+        e.unpersist()
+        e, e_cnt = nxt, nxt_cnt
+        if not changed:
+            break
+    # at the fixpoint e is a star set: min(Γ(u) ∪ {u}) IS the component
+    # minimum for every member, and the root's own min is itself
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (sym.groupBy(F.col("u").alias("node"))
+                 .agg(F.min("v").alias("__mn"))
+                 .select("node", F.least("node", "__mn").alias("cluster_id")))
+    if nodes is not None:
+        labels = (nodes.select(F.col(nodes.columns[0]).alias("node"))
+                       .distinct()
+                       .join(labels, "node", "left")
+                       .select("node", F.coalesce("cluster_id", "node")
+                               .alias("cluster_id")))
+    e.unpersist()
+    return labels

@@ -297,3 +297,52 @@ def exact_stratified_split(df: DataFrame, id_col: str, stratum_col,
               .when(F.col("__r") <= k_val, "val").otherwise("test"))
     return ranked.select(F.col(id_col), F.col("__s").alias("stratum"),
                          split.alias("split"))
+
+
+def importance_weights(df: DataFrame, is_target, text_col: str = "text",
+                       id_col: str = "doc_id", n_buckets: int = 64,
+                       salt: str = "dsir") -> DataFrame:
+    """Hashed-n-gram importance weights (the DSIR recipe, Xie et al.
+    2023, arXiv:2302.03169): score every document by how much its
+    hashed unigram distribution looks like a TARGET subcorpus rather
+    than the raw corpus — the data-selection step that tilts a 100 TB
+    crawl toward a high-quality target domain without training a model.
+
+    ``is_target`` is a boolean Column over ``df`` defining the target
+    subcorpus.  Features are md5-hashed word buckets (mod n_buckets);
+    bucket log-ratios use add-1 smoothing.  The per-document weight
+    ships as ``imp_micro`` — the per-bucket log-ratio snapped to the
+    1e-6 micro-nat grid as BIGINT and summed EXACTLY (integer addition
+    is order-free, so the result is partition-layout-invariant and
+    cross-engine stable; a float sum of logs would not be).
+
+    Scale shape: one explode+count shuffle for the bucket tables (2 ×
+    n_buckets rows), the log-ratio table BROADCASTS, the per-document
+    score is a map-side lookup plus one keyed rollup.  Returns
+    ``(id, n_toks, imp_micro)`` for non-null-text documents."""
+    from access_mopper_spark.functions.text import ws_normalized
+
+    toks = (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col), is_target.alias("__t"),
+                      F.explode(F.split(ws_normalized(F.col(text_col)),
+                                        " ", -1)).alias("word"))
+              .where(F.length("word") > 0))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col("word"))), 1, 8), 16, 10)
+        .cast("long") % F.lit(n_buckets))
+    tb = toks.select(F.col(id_col), "__t", bucket.alias("b"))
+    counts = tb.groupBy("b").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
+        F.count("*").alias("cs"))
+    tot = counts.agg(F.sum("ct").alias("tt"), F.sum("cs").alias("ts"))
+    lr = (counts.crossJoin(F.broadcast(tot))
+          .select("b", F.floor(
+              (F.log((F.col("ct") + F.lit(1)).cast("double")
+                     / (F.col("tt") + F.lit(n_buckets)).cast("double"))
+               - F.log((F.col("cs") + F.lit(1)).cast("double")
+                       / (F.col("ts") + F.lit(n_buckets)).cast("double")))
+              * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lr_micro")))
+    return (tb.join(F.broadcast(lr), "b")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_toks"),
+                   F.sum("lr_micro").alias("imp_micro")))

@@ -12825,3 +12825,145 @@ def q_probe_events_fingerprint(spark, sf_dir):
     fp = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
     return ev.groupBy((F.col("event_id") % 16).alias("bucket")).agg(
         F.count("*").alias("n_rows"), F.sum(fp).alias("fp"))
+
+
+# =====================================================================
+# round 7 additions: exact n-gram decontamination, DSIR importance
+# weights, log-round connected components
+# =====================================================================
+
+
+@query(
+    "q_ngram_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'),
+                               ' '), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT UNNEST(range(1, (SELECT MAX(len(w)) FROM toks) + 1)) AS i
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(w[g.i : g.i + 7], ' ') AS gram
+      FROM toks, g WHERE g.i <= greatest(len(w) - 7, 1)
+    ),
+    refg AS (SELECT DISTINCT gram FROM sh WHERE doc_id < 40),
+    newg AS (SELECT DISTINCT doc_id, gram FROM sh WHERE doc_id >= 40),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM newg GROUP BY doc_id),
+    hit AS (
+      SELECT n.doc_id, COUNT(*) AS n_shared
+      FROM newg n JOIN refg r USING (gram) GROUP BY n.doc_id
+    )
+    SELECT h.doc_id, t.n_grams, h.n_shared
+    FROM hit h JOIN tot t USING (doc_id)
+    """,
+)
+def q_ngram_decontaminate(spark, sf_dir):
+    """Exact 8-gram overlap decontamination (operators/dedup.
+    ngram_decontaminate) — the GPT-3/PaLM published method: training
+    documents sharing ANY verbatim word 8-gram with the benchmark set
+    (docs 0-39 here) are flagged with their shared-gram count.  The
+    exact-match complement of q_cross_dedup's MinHash banding: LSH
+    catches paraphrases, this catches short verbatim spans below the
+    banding's similarity floor.  Reference grams broadcast (benchmarks
+    are small by construction); the corpus probe is map-only + one
+    per-doc rollup."""
+    from access_mopper_spark.operators.dedup import ngram_decontaminate
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") < 40)
+    new = docs.where(F.col("doc_id") >= 40)
+    return ngram_decontaminate(new, ref, "text", "doc_id", n=8)
+
+
+@query(
+    "q_importance_weights",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+             unnest(string_split(trim(regexp_replace(text, '[ \t\n\r]+',
+                                                     ' ', 'g'), ' '),
+                                 ' ')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tw AS (
+      SELECT doc_id, t,
+             ('0x' || substring(md5('dsir:' || word), 1, 8))::BIGINT % 64
+               AS b
+      FROM toks WHERE length(word) > 0
+    ),
+    counts AS (SELECT b, SUM(t) AS ct, COUNT(*) AS cs FROM tw GROUP BY b),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cs) AS ts FROM counts),
+    lr AS (
+      SELECT b,
+             CAST(FLOOR((ln((ct + 1) / CAST(tt + 64 AS DOUBLE))
+                         - ln((cs + 1) / CAST(ts + 64 AS DOUBLE)))
+                        * 1e6 + 0.5) AS BIGINT) AS lr_micro
+      FROM counts, tot
+    )
+    SELECT tw.doc_id, COUNT(*) AS n_toks, SUM(lr.lr_micro) AS imp_micro
+    FROM tw JOIN lr USING (b) GROUP BY tw.doc_id
+    """,
+)
+def q_importance_weights(spark, sf_dir):
+    """Hashed-unigram importance weights (DSIR, Xie et al. 2023) with
+    lang='en' as the target domain: every document scored by how much
+    its hashed word distribution resembles the target vs the raw corpus
+    (operators/sampling.importance_weights).  The per-bucket log-ratio
+    snaps to the 1e-6 micro-nat grid BEFORE the per-document sum, so
+    the score is an exact BIGINT — order-free, partition-invariant,
+    hash-stable.  One bucket-count shuffle; the 64-row ratio table
+    broadcasts; scoring is map-side + one per-doc rollup."""
+    from access_mopper_spark.operators.sampling import importance_weights
+    docs = load_table(spark, sf_dir, "documents")
+    return importance_weights(docs, F.col("lang") == "en",
+                              "text", "doc_id", n_buckets=64)
+
+
+@query(
+    "q_cc_large_small_star",
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT o_orderkey, o_orderkey % 50 AS grp,
+             o_custkey * 50 + (o_orderkey % 50) AS node
+      FROM orders WHERE o_orderkey % 16 = 0
+    ),
+    ed AS (
+      SELECT LAG(node) OVER (PARTITION BY grp ORDER BY o_orderkey) AS a,
+             node AS b
+      FROM o
+    ),
+    e AS (SELECT a, b FROM ed WHERE a IS NOT NULL AND a <> b),
+    und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(node, lbl) AS (
+      SELECT node, node AS lbl FROM (SELECT DISTINCT node FROM o)
+      UNION
+      SELECT u.a AS node, r.lbl
+      FROM und u JOIN reach r ON r.node = u.b
+    )
+    SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_cc_large_small_star(spark, sf_dir):
+    """Connected components in O(log n) rounds via alternating
+    large-star/small-star contraction (Kiveris et al. 2014;
+    operators/graph.cc_large_small_star) over an order-chain graph:
+    consecutive orders inside each of 50 hash groups link their
+    (customer, group) nodes, giving long chains whose diameter would
+    cost the min-label loop hundreds of shuffles — star contraction
+    converges in ~log rounds.  The oracle is a genuinely INDEPENDENT
+    algorithm: DuckDB's recursive transitive closure with min-label
+    aggregation, not a replay of the Spark loop."""
+    from access_mopper_spark.operators.graph import cc_large_small_star
+    o = load_table(spark, sf_dir, "orders") \
+        .where(F.col("o_orderkey") % 16 == 0) \
+        .select("o_orderkey", (F.col("o_orderkey") % 50).alias("grp"),
+                (F.col("o_custkey") * 50 + F.col("o_orderkey") % 50)
+                .alias("node"))
+    wlag = W.partitionBy("grp").orderBy("o_orderkey")
+    ed = o.select(F.lag("node").over(wlag).alias("a"),
+                  F.col("node").alias("b"))
+    edges = ed.where(F.col("a").isNotNull() & (F.col("a") != F.col("b")))
+    nodes = o.select("node").distinct()
+    return cc_large_small_star(edges, nodes, "a", "b", max_rounds=12)

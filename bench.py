@@ -86,6 +86,11 @@ HEADLINE = [
     # per-stratum rank) and char-gram duplicated-span detection
     "q_exact_stratified_split",
     "q_dup_span_chargrams",
+    # round 7: exact n-gram decontamination (broadcast benchmark probe),
+    # DSIR hashed importance weights, log-round star-contraction CC
+    "q_ngram_decontaminate",
+    "q_importance_weights",
+    "q_cc_large_small_star",
 ]
 
 

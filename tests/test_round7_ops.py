@@ -1,0 +1,120 @@
+"""Round-7 operators: large-star/small-star CC, exact n-gram
+decontamination, DSIR importance weights, driver-divergence probes."""
+
+import collections
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from access_mopper_spark.operators.dedup import ngram_decontaminate
+from access_mopper_spark.operators.graph import cc_large_small_star
+from access_mopper_spark.operators.sampling import importance_weights
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from access_mopper_spark.session import get_spark
+    return get_spark(app_name="test_round7")
+
+
+def _random_graph(seed, n_nodes=60, n_edges=55):
+    rng = random.Random(seed)
+    return [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)]
+
+
+def _python_cc_min_labels(edges):
+    """Independent in-memory connected components → min-id labels."""
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    seen, lbl = set(), {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            comp.append(x)
+            stack.extend(adj[x])
+        m = min(comp)
+        for x in comp:
+            lbl[x] = m
+    return lbl
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cc_star_matches_independent_cc(spark, seed):
+    """large-star/small-star labels == an independent in-memory CC
+    (component-minimum labels) on random graphs."""
+    edges = _random_graph(seed)
+    e = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    star = {r["node"]: r["cluster_id"]
+            for r in cc_large_small_star(e, None, "a", "b").collect()}
+    assert star == _python_cc_min_labels(edges)
+
+
+def test_cc_star_path_graph_log_rounds(spark):
+    """A 64-node path (diameter 63) converges inside 12 alternations —
+    the O(log n) property that justifies the operator."""
+    e = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                              "a BIGINT, b BIGINT")
+    out = cc_large_small_star(e, max_rounds=12).collect()
+    assert len(out) == 64
+    assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_cc_star_singletons_and_self_loops(spark):
+    e = spark.createDataFrame([(1, 1), (2, 3)], "a BIGINT, b BIGINT")
+    nodes = spark.createDataFrame([(9,), (1,), (2,), (3,)], "node BIGINT")
+    out = {r["node"]: r["cluster_id"]
+           for r in cc_large_small_star(e, nodes).collect()}
+    assert out == {9: 9, 1: 1, 2: 2, 3: 2}
+
+
+def test_ngram_decontaminate_flags_verbatim_span(spark):
+    ref = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id BIGINT, text STRING")
+    new = spark.createDataFrame(
+        [(10, "x alpha beta gamma delta epsilon zeta eta theta y"),
+         (11, "completely unrelated words with no shared span at all"),
+         (12, None)],
+        "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r["n_shared"]
+           for r in ngram_decontaminate(new, ref, n=8).collect()}
+    assert 10 in out and out[10] >= 1
+    assert 11 not in out and 12 not in out
+
+
+def test_ngram_decontaminate_short_doc_truncated_shingle(spark):
+    # a sub-window doc matches only via its whole-text truncated shingle
+    ref = spark.createDataFrame([(0, "tiny doc")], "doc_id BIGINT, text STRING")
+    new = spark.createDataFrame([(10, "tiny doc"), (11, "tiny")],
+                                "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r["n_shared"]
+           for r in ngram_decontaminate(new, ref, n=8).collect()}
+    assert out == {10: 1}
+
+
+def test_importance_weights_favors_target_vocab(spark):
+    rows = ([(i, "alpha alpha beta", "en") for i in range(20)]
+            + [(100 + i, "omega psi chi", "fr") for i in range(20)]
+            + [(200, "alpha alpha beta", "fr"), (201, "omega psi chi", "en"),
+               (202, None, "en")])
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+    out = {r["doc_id"]: r["imp_micro"]
+           for r in importance_weights(df, F.col("lang") == "en").collect()}
+    # target-looking text scores higher than source-typical text,
+    # REGARDLESS of the doc's own label (weights are distributional)
+    assert out[200] > out[100]
+    assert out[201] < out[0]
+    assert 202 not in out  # NULL text never scores
+    # exact integer determinism: same text => identical imp_micro
+    assert out[200] == out[0]
