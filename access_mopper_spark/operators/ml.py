@@ -125,3 +125,119 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
                         [F.col("n_votes").desc(), F.col(label_col)], 1)
     return best.select(query_id_col,
                        F.col(label_col).alias("pred_label"), "n_votes")
+
+
+def pca_power_iteration(gram_upper: DataFrame, dim: int,
+                        iterations: int = 3) -> DataFrame:
+    """Leading principal component by power iteration over a
+    PRE-REDUCED Gram matrix — the scale pattern for PCA on billion-row
+    embedding tables: the corpus is touched ONCE (similarity.
+    embedding_covariance's per-batch GEMM → dim² scalars) and every
+    iteration after that runs on the dim×dim matrix, never the data.
+
+    ``gram_upper`` is the (i, j, s) upper triangle with s ALREADY
+    snapped to the 1e-6 grid (the repo's aggregated-double contract);
+    each iteration re-snaps the matvec, the norm and the normalized
+    vector, so both engines walk identical grid points (the
+    logreg_train convention) and the result is cross-engine stable.
+
+    Returns ``(i, loading, eigenvalue)`` — the unit leading eigenvector
+    and its Rayleigh-quotient eigenvalue.  Everything is DataFrame
+    algebra on dim-sized tables: no collect, no driver math; on a
+    cluster the iteration cost is independent of corpus size."""
+    up = gram_upper.select("i", "j", "s")
+    m = up.unionByName(
+        up.where(F.col("i") < F.col("j"))
+          .select(F.col("j").alias("i"), F.col("i").alias("j"), "s")) \
+        .persist()
+    # v0 = uniform unit vector; 1/sqrt(dim) is exact for power-of-two dim
+    v = m.select(F.col("i").alias("idx")).distinct() \
+         .withColumn("val", F.lit(1.0 / (dim ** 0.5)))
+    for _ in range(iterations):
+        w = (m.join(v.withColumnRenamed("idx", "j"), "j")
+              .groupBy(F.col("i").alias("idx"))
+              .agg(pround(F.sum(F.col("s") * F.col("val")), 6).alias("w")))
+        n2 = w.agg(pround(F.sum(F.col("w") * F.col("w")), 6).alias("n2"))
+        v = (w.crossJoin(F.broadcast(n2))
+              .select("idx", pround(F.col("w") / F.sqrt(F.col("n2")), 6)
+                      .alias("val")))
+    wf = (m.join(v.withColumnRenamed("idx", "j"), "j")
+           .groupBy(F.col("i").alias("idx"))
+           .agg(pround(F.sum(F.col("s") * F.col("val")), 6).alias("w")))
+    lam = (v.join(wf, "idx")
+            .agg(pround(F.sum(F.col("val") * F.col("w")), 6)
+                 .alias("eigenvalue")))
+    out = (v.crossJoin(F.broadcast(lam))
+            .select(F.col("idx").alias("i"), F.col("val").alias("loading"),
+                    "eigenvalue"))
+    m.unpersist()
+    return out
+
+
+def kmeans_parallel_init(corpus: DataFrame, rounds: int = 2,
+                         oversample: int = 4, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         salt: str = "kmpp") -> DataFrame:
+    """k-means|| oversampling initialization (Bahmani et al., VLDB
+    2012) — the distributed replacement for k-means++'s inherently
+    sequential seeding: instead of k passes picking one center each,
+    O(log φ) rounds each sample ~``oversample`` points with probability
+    ∝ their squared distance to the current candidate set, then the
+    small weighted candidate set is handed to any local k-means++.
+
+    Determinism: the seed candidate is the minimum-id vector; the
+    per-round coin is the md5-uniform of (salt, round, id) against
+    u·φ < oversample·d² — a pure function of the data, so any engine
+    replays the identical candidate sequence (no RNG).  Per-pair d²
+    snaps to the 1e-6 grid before the min/φ/threshold arithmetic (the
+    PQ-oracle convention), keeping both engines on one grid.
+
+    Returns the candidate set with weights ``(cand_id, n_points)`` —
+    n_points = corpus points whose nearest candidate it is (ties to
+    the smaller candidate id), the weight k-means++ consumes.
+
+    Scale shape: candidates BROADCAST every round (|C| ≤ 1 +
+    rounds·O(oversample) by construction), distances are map-only, φ
+    is one scalar aggregate — the corpus shuffles ZERO times; the
+    final weighting is the same broadcast probe plus one grouped
+    count."""
+    from access_mopper_spark.operators.similarity import _sq_l2, as_double
+
+    pts = corpus.select(F.col(id_col).alias("pid"),
+                        as_double(F.col(vec_col)).alias("pv"))
+    cand = (pts.orderBy("pid").limit(1)
+               .select(F.col("pid").alias("cid"), F.col("pv").alias("cv")))
+    cached = []
+    for r in range(1, rounds + 1):
+        d2 = (pts.crossJoin(F.broadcast(cand))
+                 .select("pid", "pv",
+                         pround(_sq_l2(F.col("pv"), F.col("cv")), 6)
+                         .alias("d2"))
+                 .groupBy("pid", "pv").agg(F.min("d2").alias("dmin")))
+        phi = d2.agg(pround(F.sum("dmin"), 6).alias("phi"))
+        u = (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:{r}:"),
+                               F.col("pid").cast("string"))), 1, 8),
+                16, 10).cast("double") / F.lit(4294967296.0))
+        picked = (d2.crossJoin(F.broadcast(phi))
+                    .where(u * F.col("phi")
+                           < F.lit(float(oversample)) * F.col("dmin"))
+                    .select(F.col("pid").alias("cid"),
+                            F.col("pv").alias("cv")))
+        cand = cand.unionByName(picked).persist()
+        cached.append(cand)
+    assign = (pts.crossJoin(F.broadcast(cand))
+                 .select("pid", "cid",
+                         pround(_sq_l2(F.col("pv"), F.col("cv")), 6)
+                         .alias("d2")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("pid").orderBy("d2", "cid")
+    nearest = (assign.withColumn("rn", F.row_number().over(w))
+                     .where(F.col("rn") == 1))
+    out = (nearest.groupBy(F.col("cid").alias("cand_id"))
+                  .agg(F.count("*").alias("n_points"))
+                  .persist())
+    out.count()  # materialize, then release the per-round candidate caches
+    for c in cached:
+        c.unpersist()
+    return out

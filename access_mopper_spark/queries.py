@@ -12967,3 +12967,138 @@ def q_cc_large_small_star(spark, sf_dir):
     edges = ed.where(F.col("a").isNotNull() & (F.col("a") != F.col("b")))
     nodes = o.select("node").distinct()
     return cc_large_small_star(edges, nodes, "a", "b", max_rounds=12)
+
+
+_GRAM_SQL = """src AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (
+      SELECT UNNEST(range(1, (SELECT MAX(len(v)) FROM src) + 1)) AS i
+    ),
+    el AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS i, v[i] AS x
+      FROM src CROSS JOIN dims
+    ),
+    gut AS (
+      SELECT a.i AS i, b.i AS j, ROUND(SUM(a.x * b.x), 6) AS s
+      FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    m AS (
+      SELECT i, j, s FROM gut
+      UNION ALL
+      SELECT j AS i, i AS j, s FROM gut WHERE i < j
+    )"""
+
+
+def _pca_iter_sql(k: int) -> str:
+    return f""",
+    w{k} AS (
+      SELECT m.i AS idx, ROUND(SUM(m.s * v.val), 6) AS w
+      FROM m JOIN v{k - 1} v ON v.idx = m.j GROUP BY m.i
+    ),
+    n{k} AS (SELECT sqrt(ROUND(SUM(w * w), 6)) AS nrm FROM w{k}),
+    v{k} AS (
+      SELECT idx, ROUND(w / (SELECT nrm FROM n{k}), 6) AS val FROM w{k}
+    )"""
+
+
+@query(
+    "q_pca_power",
+    oracle="WITH " + _GRAM_SQL + """,
+    v0 AS (SELECT DISTINCT i AS idx, 0.125 AS val FROM m)"""
+    + "".join(_pca_iter_sql(k) for k in (1, 2, 3)) + """,
+    wf AS (
+      SELECT m.i AS idx, ROUND(SUM(m.s * v.val), 6) AS w
+      FROM m JOIN v3 v ON v.idx = m.j GROUP BY m.i
+    ),
+    lam AS (
+      SELECT ROUND(SUM(v.val * w.w), 6) AS eigenvalue
+      FROM v3 v JOIN wf w USING (idx)
+    )
+    SELECT v3.idx AS i, v3.val AS loading,
+           (SELECT eigenvalue FROM lam) AS eigenvalue
+    FROM v3
+    """,
+)
+def q_pca_power(spark, sf_dir):
+    """Leading principal component of the embedding corpus: ONE
+    distributed pass reduces the data to the 64×64 Gram matrix
+    (per-batch BLAS GEMM, q_embedding_covariance), then power iteration
+    runs entirely on that dim-sized table (operators/ml.
+    pca_power_iteration) — the PCA-at-scale pattern where iteration
+    cost is independent of corpus size.  Every matvec/norm/normalize
+    snaps to the 1e-6 grid (the logreg convention), so both engines
+    walk identical grid points; v0 = 1/√64 = 0.125 is exact."""
+    from access_mopper_spark.operators.ml import pca_power_iteration
+    from access_mopper_spark.operators.similarity import embedding_covariance
+    emb = _wide(load_table(spark, sf_dir, "embeddings"))
+    gut = embedding_covariance(emb, dim=64).select(
+        "i", "j", R6(F.col("s")).alias("s"))
+    return pca_power_iteration(gut, dim=64, iterations=3)
+
+
+def _kmpp_round_sql(r: int) -> str:
+    return f""",
+    d{r}p AS (
+      SELECT s.vec_id AS pid, c.cid,
+             ROUND(SUM((s.v[g.i] - c.cv[g.i]) * (s.v[g.i] - c.cv[g.i])), 6)
+               AS d2
+      FROM src s CROSS JOIN c{r - 1} c, g
+      GROUP BY s.vec_id, c.cid
+    ),
+    d{r} AS (SELECT pid, MIN(d2) AS dmin FROM d{r}p GROUP BY pid),
+    phi{r} AS (SELECT ROUND(SUM(dmin), 6) AS phi FROM d{r}),
+    p{r} AS (
+      SELECT d.pid FROM d{r} d, phi{r}
+      WHERE (('0x' || substring(md5('kmpp:{r}:' || CAST(d.pid AS VARCHAR)),
+                                1, 8))::BIGINT / 4294967296.0) * phi
+            < 4.0 * d.dmin
+    ),
+    c{r} AS (
+      SELECT cid, cv FROM c{r - 1}
+      UNION ALL
+      SELECT s.vec_id AS cid, s.v AS cv FROM src s JOIN p{r} ON p{r}.pid = s.vec_id
+    )"""
+
+
+@query(
+    "q_kmeans_parallel_init",
+    oracle="""
+    WITH src AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    g AS (
+      SELECT UNNEST(range(1, (SELECT MAX(len(v)) FROM src) + 1)) AS i
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM src ORDER BY vec_id LIMIT 1
+    )""" + "".join(_kmpp_round_sql(r) for r in (1, 2)) + """,
+    asg AS (
+      SELECT s.vec_id AS pid, c.cid,
+             ROUND(SUM((s.v[g.i] - c.cv[g.i]) * (s.v[g.i] - c.cv[g.i])), 6)
+               AS d2
+      FROM src s CROSS JOIN c2 c, g
+      GROUP BY s.vec_id, c.cid
+    ),
+    rn AS (
+      SELECT pid, cid,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, cid) AS r
+      FROM asg
+    )
+    SELECT cid AS cand_id, COUNT(*) AS n_points
+    FROM rn WHERE r = 1 GROUP BY cid
+    """,
+)
+def q_kmeans_parallel_init(spark, sf_dir):
+    """k-means|| oversampling (Bahmani et al., VLDB 2012;
+    operators/ml.kmeans_parallel_init) over the embedding corpus: two
+    rounds sample points with probability ∝ oversample·d²/φ against a
+    deterministic md5 coin, the candidate set broadcasts every round,
+    and the corpus never shuffles — the distributed fix for k-means++'s
+    k sequential passes.  Output is the weighted candidate set
+    (integer weights = nearest-point counts, ties to the smaller id)
+    that a local k-means++ consumes."""
+    from access_mopper_spark.operators.ml import kmeans_parallel_init
+    emb = _wide(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_parallel_init(emb, rounds=2, oversample=4)

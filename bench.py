@@ -91,6 +91,9 @@ HEADLINE = [
     "q_ngram_decontaminate",
     "q_importance_weights",
     "q_cc_large_small_star",
+    # round 7: corpus-size-independent iterations on one-pass reductions
+    "q_pca_power",
+    "q_kmeans_parallel_init",
 ]
 
 

@@ -118,3 +118,45 @@ def test_importance_weights_favors_target_vocab(spark):
     assert 202 not in out  # NULL text never scores
     # exact integer determinism: same text => identical imp_micro
     assert out[200] == out[0]
+
+
+def test_pca_power_matches_numpy_eig(spark):
+    """Power-iteration loadings ≈ numpy's leading eigenvector of the
+    same (snapped) Gram matrix, up to the 3-iteration convergence and
+    the 1e-6 grid."""
+    import numpy as np
+    from access_mopper_spark.operators.ml import pca_power_iteration
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(200, 8)) @ np.diag([5, 3, 1, 1, 1, 1, 1, 1])
+    gram = x.T @ x
+    rows = [(i, j, round(float(gram[i, j]), 6))
+            for i in range(8) for j in range(i, 8)]
+    gdf = spark.createDataFrame(rows, "i INT, j INT, s DOUBLE")
+    out = pca_power_iteration(gdf, dim=8, iterations=8).collect()
+    v = np.zeros(8)
+    for r in out:
+        v[r["i"]] = r["loading"]
+    evals, evecs = np.linalg.eigh(gram)
+    lead = evecs[:, -1]
+    if np.dot(lead, v) < 0:
+        lead = -lead
+    assert np.abs(np.dot(v, lead)) > 0.999
+    assert abs(out[0]["eigenvalue"] - evals[-1]) / evals[-1] < 1e-3
+
+
+def test_kmeans_parallel_init_weights_partition_corpus(spark):
+    import numpy as np
+    from access_mopper_spark.operators.ml import kmeans_parallel_init
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[0.0] * 4, [10.0] * 4, [-10.0, 10.0, 0.0, 5.0]])
+    rows = [(i, (centers[i % 3] + rng.normal(scale=0.1, size=4)).tolist())
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = kmeans_parallel_init(df, rounds=2, oversample=4).collect()
+    # weights partition the corpus exactly; the seed (min id) is present
+    assert sum(r["n_points"] for r in out) == 120
+    assert any(r["cand_id"] == 0 for r in out)
+    # oversampling found at least one candidate outside the seed cluster
+    assert len(out) >= 2
