@@ -13102,3 +13102,197 @@ def q_kmeans_parallel_init(spark, sf_dir):
     from access_mopper_spark.operators.ml import kmeans_parallel_init
     emb = _wide(load_table(spark, sf_dir, "embeddings"))
     return kmeans_parallel_init(emb, rounds=2, oversample=4)
+
+
+#: category → phrases (1-2 words) for broadcast lexicon tagging; a
+#: FlashText-style dictionary pass (the lexicon is tiny and broadcast,
+#: the corpus is scanned once, map-only until the per-doc rollup)
+_TAG_LEXICON = [
+    ("db", "table"), ("db", "row"), ("db", "column"), ("db", "query"),
+    ("db", "join"), ("db", "hash join"), ("db", "sort merge"),
+    ("perf", "fast"), ("perf", "slow"), ("perf", "batch"),
+    ("compute", "spark"), ("compute", "stream"), ("compute", "vector"),
+    ("compute", "window"),
+]
+
+
+@query(
+    "q_keyword_tagging",
+    oracle=r"""
+    WITH lex(category, phrase) AS (VALUES
+      ('db', 'table'), ('db', 'row'), ('db', 'column'), ('db', 'query'),
+      ('db', 'join'), ('db', 'hash join'), ('db', 'sort merge'),
+      ('perf', 'fast'), ('perf', 'slow'), ('perf', 'batch'),
+      ('compute', 'spark'), ('compute', 'stream'), ('compute', 'vector'),
+      ('compute', 'window')
+    ),
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r]+',
+                                              ' ', 'g'), ' '), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT UNNEST(range(1, (SELECT MAX(len(w)) FROM toks) + 1)) AS i
+    ),
+    uni AS (
+      SELECT doc_id, w[g.i] AS phrase FROM toks, g WHERE g.i <= len(w)
+    ),
+    bi AS (
+      SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS phrase
+      FROM toks, g WHERE g.i <= len(w) - 1
+    ),
+    hits AS (
+      SELECT t.doc_id, l.category
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) t
+      JOIN lex l USING (phrase)
+    )
+    SELECT doc_id, category, COUNT(*) AS n_matches
+    FROM hits GROUP BY doc_id, category
+    """,
+)
+def q_keyword_tagging(spark, sf_dir):
+    """Broadcast phrase-lexicon tagging (the FlashText/Aho-Corasick
+    dictionary pass of a curation pipeline, taxonomy/topic labelling at
+    corpus scale): every unigram+bigram position joins the BROADCAST
+    category lexicon; output is per-(doc, category) match counts.  The
+    corpus never shuffles except the per-doc rollup; the lexicon is
+    constant-size by construction.  Overlapping phrases count per
+    position (a 'hash join' occurrence also matches 'join' — the
+    positional contract, identical in the oracle)."""
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = _wide(load_table(spark, sf_dir, "documents")) \
+        .where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.split(ws_normalized(F.lower(F.col("text"))), " ", -1).alias("w"))
+    n = F.size("w")
+    uni = toks.select("doc_id", F.explode("w").alias("phrase"))
+    bi = toks.select("doc_id", F.explode(F.zip_with(
+        F.slice(F.col("w"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("w"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))).alias("phrase"))
+    lex = spark.createDataFrame(_TAG_LEXICON, "category STRING, phrase STRING")
+    hits = uni.unionByName(bi).join(F.broadcast(lex), "phrase")
+    return hits.groupBy("doc_id", "category").agg(
+        F.count("*").alias("n_matches"))
+
+
+@query(
+    "q_survival_curve",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE ts IS NOT NULL
+    ),
+    horizon AS (SELECT MAX(us) AS tmax FROM ev),
+    t0 AS (
+      SELECT user_id, MIN(us) AS view_us FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t1 AS (
+      SELECT e.user_id, MIN(e.us) AS buy_us
+      FROM ev e JOIN t0 ON t0.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.us >= t0.view_us
+      GROUP BY e.user_id
+    ),
+    spans AS (
+      SELECT t0.user_id,
+             CASE WHEN t1.buy_us IS NOT NULL
+                  THEN (t1.buy_us - t0.view_us) // 86400000000
+                  ELSE ((SELECT tmax FROM horizon) - t0.view_us)
+                       // 86400000000 END AS day,
+             CASE WHEN t1.buy_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t0 LEFT JOIN t1 ON t1.user_id = t0.user_id
+    ),
+    days AS (SELECT DISTINCT day FROM spans)
+    SELECT d.day,
+           (SELECT COUNT(*) FROM spans s WHERE s.day >= d.day) AS n_at_risk,
+           SUM(CASE WHEN s.ev = 1 THEN 1 ELSE 0 END) AS n_events,
+           SUM(CASE WHEN s.ev = 0 THEN 1 ELSE 0 END) AS n_censored
+    FROM days d JOIN spans s ON s.day = d.day
+    GROUP BY d.day
+    """,
+)
+def q_survival_curve(spark, sf_dir):
+    """Kaplan-Meier survival-curve INPUTS for time-from-first-view to
+    first-purchase per user, right-censored at the observation horizon:
+    per duration day, the risk-set size, event count and censor count —
+    the exact (nᵢ, dᵢ) table S(t) = Π(1 − dᵢ/nᵢ) consumes, kept
+    INTEGER-ONLY so the hash surface is exact (the product itself is
+    one map over this ≤horizon-days table).  Durations are epoch-µs
+    integer arithmetic; the risk set is a broadcast range join against
+    the distinct-day axis (bounded by the observation window), never a
+    global window."""
+    ev = load_table(spark, sf_dir, "events") \
+        .where(F.col("ts").isNotNull()) \
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    t0 = ev.where(F.col("event_type") == "view") \
+        .groupBy("user_id").agg(F.min("us").alias("view_us"))
+    t1 = (ev.where(F.col("event_type") == "purchase")
+            .join(t0, "user_id")
+            .where(F.col("us") >= F.col("view_us"))
+            .groupBy("user_id").agg(F.min("us").alias("buy_us")))
+    horizon = ev.agg(F.max("us").alias("tmax"))
+    spans = (t0.join(t1, "user_id", "left")
+               .crossJoin(F.broadcast(horizon))
+               .select("user_id",
+                       F.when(F.col("buy_us").isNotNull(),
+                              F.expr("(buy_us - view_us) div 86400000000"))
+                       .otherwise(F.expr("(tmax - view_us) div 86400000000"))
+                       .alias("day"),
+                       F.when(F.col("buy_us").isNotNull(), F.lit(1))
+                       .otherwise(F.lit(0)).alias("ev")))
+    days = spans.select("day").distinct()
+    risk = (days.alias("d")
+            .join(F.broadcast(spans.alias("s")),
+                  F.col("s.day") >= F.col("d.day"))
+            .groupBy(F.col("d.day").alias("day"))
+            .agg(F.count("*").alias("n_at_risk")))
+    per_day = spans.groupBy("day").agg(
+        F.sum(F.when(F.col("ev") == 1, 1).otherwise(0)).alias("n_events"),
+        F.sum(F.when(F.col("ev") == 0, 1).otherwise(0)).alias("n_censored"))
+    return risk.join(per_day, "day").select(
+        "day", "n_at_risk", "n_events", "n_censored")
+
+
+@query(
+    "q_token_fertility",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang, length(text) AS n_chars,
+             CASE WHEN length(tn) = 0 THEN 0
+                  ELSE length(tn) - length(replace(tn, ' ', '')) + 1 END
+               AS n_tokens
+      FROM (SELECT lang, text,
+                   trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ')
+                     AS tn
+            FROM documents WHERE text IS NOT NULL) x
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           SUM(n_tokens) AS total_tokens,
+           CASE WHEN SUM(n_tokens) = 0 THEN NULL
+                ELSE (SUM(n_chars) * 100) // SUM(n_tokens) END
+             AS chars_per_100_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — the dataset-card ratio
+    (chars per 100 whitespace tokens, integer-floored) that prices
+    multilingual corpora in tokens and flags languages where the
+    tokenizer over-fragments.  One tiny grouped aggregate; INTEGER-ONLY
+    output (the repo convention for driver-hash-proof stats)."""
+    from access_mopper_spark.functions.text import token_count
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("text").isNotNull())
+    t = docs.select("lang", F.length("text").alias("n_chars"),
+                    token_count(F.col("text")).alias("n_tokens"))
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.when(F.sum("n_tokens") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(sum(n_chars) * 100) div sum(n_tokens)"))
+        .alias("chars_per_100_tokens"))
