@@ -140,6 +140,27 @@ COMMENTARY = {
     "q_kneser_ney_bigram": "Kneser-Ney: continuation/type counts are "
         "keyed aggregates of one bigram-count table; the global type "
         "count is the only broadcast scalar.",
+    "q_ngram_decontaminate": "Exact 8-gram decontamination: the "
+        "benchmark's distinct grams BROADCAST; the corpus probe is a "
+        "map-side left-semi + one per-doc rollup — zero corpus "
+        "shuffles before the count.",
+    "q_importance_weights": "DSIR weights: one bucket-count shuffle "
+        "(64 rows out), the log-ratio table broadcasts, scoring is a "
+        "map-side lookup + per-doc rollup; integer micro-nat sums.",
+    "q_cc_large_small_star": "Star-contraction CC: each half-round is "
+        "one groupBy(node) shuffle + one equi-join; edges contract "
+        "toward stars in O(log n) alternations vs min-label's "
+        "O(diameter) rounds.",
+    "q_pca_power": "PCA power iteration: the corpus reduces ONCE via "
+        "per-batch GEMM to the 64×64 Gram; every matvec after that is "
+        "dim-sized algebra — iteration cost independent of corpus "
+        "size.",
+    "q_kmeans_parallel_init": "k-means||: candidates broadcast every "
+        "round, distances map-only, φ is one scalar aggregate — the "
+        "corpus shuffles zero times across all rounds.",
+    "q_survival_curve": "Kaplan-Meier inputs: two keyed user rollups, "
+        "then a broadcast range join against the bounded day axis — "
+        "no global window, integer-only output.",
 }
 
 
