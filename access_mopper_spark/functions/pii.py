@@ -37,3 +37,26 @@ def redact_pii(text: Column, token: str = "<PII>") -> Column:
     for pat in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum over a digits-only string Column — the validation
+    gate that separates real payment-card numbers from arbitrary digit
+    runs, so a curation redactor can scrub true positives aggressively
+    without eating order ids / timestamps (regex alone cannot tell).
+
+    Pure integer Column math: per position i (1-based from the RIGHT),
+    d = digit(i), doubled on even positions with the classic −9 fold,
+    all inside one ``aggregate`` over ``sequence(1, length)`` — map-
+    only, engine-portable (the oracle mirrors it with a bounded
+    positions join; integer sums are order-free so the parity cannot
+    drift).  NULL/empty input → NULL."""
+    n = F.length(digits)
+
+    def step(acc, i):
+        d = F.substring(digits, (n - i + 1).cast("int"), 1).cast("int")
+        dbl = F.when(i % 2 == 0, d * 2).otherwise(d)
+        return acc + F.when(dbl > 9, dbl - 9).otherwise(dbl)
+
+    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), step)
+    return F.when(n > 0, total % 10 == 0)

@@ -13296,3 +13296,63 @@ def q_token_fertility(spark, sf_dir):
         F.when(F.sum("n_tokens") == 0, F.lit(None).cast("long"))
         .otherwise(F.expr("(sum(n_chars) * 100) div sum(n_tokens)"))
         .alias("chars_per_100_tokens"))
+
+
+@query(
+    "q_pii_luhn",
+    oracle="""
+    WITH cand AS (
+      SELECT c_custkey,
+             substring(regexp_replace(c_name, '[^0-9]', '', 'g')
+                       || CAST(c_custkey AS VARCHAR) || '000000000000000', 1, 15) AS c
+      FROM customer
+    ),
+    g AS (SELECT UNNEST(range(1, 16)) AS i),
+    digs AS (
+      SELECT c_custkey,
+             CAST(substring(c, 16 - g.i, 1) AS INT) AS d, g.i
+      FROM cand, g
+    ),
+    sums AS (
+      SELECT c_custkey,
+             SUM(CASE WHEN i % 2 = 0 THEN
+                        CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+                      ELSE d END) AS luhn_sum
+      FROM digs GROUP BY c_custkey
+    )
+    SELECT c_custkey, luhn_sum, (luhn_sum % 10 = 0) AS card_valid
+    FROM sums
+    """,
+)
+def q_pii_luhn(spark, sf_dir):
+    """Luhn-checksum PII validation (functions/pii.luhn_valid): the
+    gate that separates true payment-card numbers from arbitrary digit
+    runs, so a redactor can scrub validated hits aggressively without
+    eating order ids — regex alone cannot make that distinction.  The
+    15-digit candidates are derived deterministically from customer
+    name digits + key (the corpus carries no card-like runs; the
+    q_fuzzy_match fixture convention).  Pure integer Column math inside
+    one ``aggregate`` over the digit positions — map-only, no shuffle;
+    the oracle replays it with a bounded positions join (integer sums
+    are order-free)."""
+    from access_mopper_spark.functions.pii import luhn_valid
+    cust = load_table(spark, sf_dir, "customer")
+    cand = cust.select(
+        "c_custkey",
+        F.substring(F.concat(F.regexp_replace(F.col("c_name"),
+                                              "[^0-9]", ""),
+                             F.col("c_custkey").cast("string"),
+                             F.lit("000000000000000")), 1, 15).alias("c"))
+    n = F.length("c")
+
+    def step(acc, i):
+        d = F.substring(F.col("c"), (n - i + 1).cast("int"), 1).cast("int")
+        dbl = F.when(i % 2 == 0, d * 2).otherwise(d)
+        return acc + F.when(dbl > 9, dbl - 9).otherwise(dbl)
+
+    out = cand.select(
+        "c_custkey",
+        F.aggregate(F.sequence(F.lit(1), n), F.lit(0), step)
+        .alias("luhn_sum"),
+        luhn_valid(F.col("c")).alias("card_valid"))
+    return out.select("c_custkey", "luhn_sum", "card_valid")

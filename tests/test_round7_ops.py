@@ -160,3 +160,15 @@ def test_kmeans_parallel_init_weights_partition_corpus(spark):
     assert any(r["cand_id"] == 0 for r in out)
     # oversampling found at least one candidate outside the seed cluster
     assert len(out) >= 2
+
+
+def test_luhn_valid_known_cards(spark):
+    from access_mopper_spark.functions.pii import luhn_valid
+    df = spark.createDataFrame(
+        [("4111111111111111",),   # classic Visa test number — valid
+         ("4111111111111112",),   # off-by-one checksum — invalid
+         ("79927398713",),        # the canonical Luhn example — valid
+         ("",), (None,)],
+        "d STRING")
+    out = [r[0] for r in df.select(luhn_valid(F.col("d"))).collect()]
+    assert out == [True, False, True, None, None]
