@@ -13356,3 +13356,74 @@ def q_pii_luhn(spark, sf_dir):
         .alias("luhn_sum"),
         luhn_valid(F.col("c")).alias("card_valid"))
     return out.select("c_custkey", "luhn_sum", "card_valid")
+
+
+@query(
+    "q_stream_join_outer",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+             event_id AS view_id
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+             event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(view_ts) FROM v),
+                   (SELECT MAX(purchase_ts) FROM p))
+             - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+      SELECT v.user_id, v.view_ts, v.view_id, p.purchase_id
+      FROM v JOIN p
+        ON p.user_id = v.user_id
+       AND p.purchase_ts > v.view_ts
+       AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+    ),
+    unmatched AS (
+      SELECT v.user_id, v.view_ts, v.view_id,
+             CAST(NULL AS BIGINT) AS purchase_id
+      FROM v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.purchase_ts > v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+        AND v.view_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def q_stream_join_outer(spark, sf_dir):
+    """LEFT OUTER watermarked stream-stream interval join — attribution
+    that also reports NON-converting views.  The outer semantics are
+    inseparable from state eviction: an unmatched view null-emits only
+    once the global watermark (min over both inputs of max event time −
+    1 h) passes view_ts + 30 min; younger views are still awaiting a
+    match when the finite run ends and are withheld.  The oracle
+    replays the inner matches as a batch join PLUS exactly that
+    eviction cutoff for the null rows — pinning Spark's outer-join
+    watermark contract cross-engine."""
+    from access_mopper_spark.streaming.resample import (
+        events_stream, harness_shuffle, run_to_memory,
+        stream_interval_join_outer)
+    ev = events_stream(spark, sf_dir)
+    views = (ev.where(F.col("event_type") == "view")
+               .select(F.col("user_id").alias("__ju"),
+                       F.col("ts").alias("view_ts"),
+                       F.col("event_id").alias("view_id")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                   .select(F.col("user_id").alias("__ju"),
+                           F.col("ts").alias("purchase_ts"),
+                           F.col("event_id").alias("purchase_id")))
+    joined = stream_interval_join_outer(
+        views, purchases, key="__ju", left_ts="view_ts",
+        right_ts="purchase_ts", within="30 MINUTE")
+    out = joined.select(F.col("l.__ju").alias("user_id"),
+                        "view_ts", "view_id", "purchase_id")
+    with harness_shuffle(spark):
+        run_to_memory(out, "q_stream_join_outer_sink", mode="append")
+    return spark.table("q_stream_join_outer_sink")

@@ -146,6 +146,29 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
     return lw.alias("l").join(rw.alias("r"), cond)
 
 
+def stream_interval_join_outer(left: DataFrame, right: DataFrame,
+                               key: str, left_ts: str, right_ts: str,
+                               within: str,
+                               watermark: str = "1 hour") -> DataFrame:
+    """LEFT OUTER watermarked interval join: like
+    ``stream_interval_join`` but unmatched left rows are ALSO emitted
+    (right columns null) — the attribution shape that must report
+    non-converting views, not only conversions.
+
+    The outer semantics are tied to state eviction: an unmatched left
+    row is null-emitted only once the global watermark (min over both
+    inputs of max-event-time − delay) passes ``left_ts + within`` —
+    rows younger than that horizon are still awaiting a possible match
+    when a finite run ends and are NOT emitted.  Any batch oracle must
+    replicate exactly that cutoff (see q_stream_join_outer)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{right_ts} > l.{left_ts} "
+        f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {within}")
+    return lw.alias("l").join(rw.alias("r"), cond, "leftOuter")
+
+
 def stream_exact_dedup(stream: DataFrame, id_cols: list[str], ts_col: str,
                        watermark: str = "1 hour") -> DataFrame:
     """Ingest-time EXACT dedup over an unbounded stream:
