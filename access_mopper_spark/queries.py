@@ -13427,3 +13427,69 @@ def q_stream_join_outer(spark, sf_dir):
     with harness_shuffle(spark):
         run_to_memory(out, "q_stream_join_outer_sink", mode="append")
     return spark.table("q_stream_join_outer_sink")
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(1), COALESCE(text, chr(2)),
+                           COALESCE(lang, chr(2)),
+                           COALESCE(source, chr(2)),
+                           COALESCE(CAST(n_chars AS VARCHAR), chr(2)))) AS fp
+      FROM documents WHERE doc_id < 480
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(concat_ws(chr(1),
+                           COALESCE(CASE WHEN doc_id % 37 = 0
+                                         THEN upper(text) ELSE text END,
+                                    chr(2)),
+                           COALESCE(lang, chr(2)),
+                           COALESCE(source, chr(2)),
+                           COALESCE(CAST(n_chars AS VARCHAR), chr(2)))) AS fp
+      FROM documents WHERE doc_id >= 20
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.fp <> v2.fp
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff between two corpus versions — the table-level CDC
+    primitive (what changed between yesterday's crawl and today's):
+    full outer join on the key, rows classified added / removed /
+    changed by a full-payload md5 fingerprint so the payload compare is
+    one string per side regardless of column count.  Version 2 is
+    derived deterministically (drop ids < 20, add ids ≥ 480, uppercase
+    every 37th text — the fixture convention).  One keyed shuffle; at
+    100 TB both sides bucket by the key and the join is co-located.
+    Unchanged rows never leave the join."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def fp(text_col):
+        return F.md5(F.concat_ws(
+            "\x01", F.coalesce(text_col, F.lit("\x02")),
+            F.coalesce(F.col("lang"), F.lit("\x02")),
+            F.coalesce(F.col("source"), F.lit("\x02")),
+            F.coalesce(F.col("n_chars").cast("string"), F.lit("\x02"))))
+
+    v1 = docs.where(F.col("doc_id") < 480).select(
+        "doc_id", fp(F.col("text")).alias("fp"))
+    v2 = docs.where(F.col("doc_id") >= 20).select(
+        "doc_id",
+        fp(F.when(F.col("doc_id") % 37 == 0, F.upper("text"))
+           .otherwise(F.col("text"))).alias("fp"))
+    j = v1.alias("a").join(v2.alias("b"),
+                           F.col("a.doc_id") == F.col("b.doc_id"), "full")
+    return (j.where(F.col("a.doc_id").isNull() | F.col("b.doc_id").isNull()
+                    | (F.col("a.fp") != F.col("b.fp")))
+             .select(F.coalesce(F.col("a.doc_id"), F.col("b.doc_id"))
+                     .alias("doc_id"),
+                     F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+                     .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+                     .otherwise(F.lit("changed")).alias("change_type")))
