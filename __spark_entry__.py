@@ -54,7 +54,7 @@ _DRIVER_PRIORITY = [
     "q_probe_docs_fingerprint", "q_probe_events_fingerprint",
     # persistent driver hash-fails + their stage probes
     "q_dup_ngrams", "q_probe_ngram_totals", "q_probe_gram_hist",
-    "q_probe_dup_ints",
+    "q_probe_dup_ints", "q_probe_dup_fraction_micro",
     "q_corpus_report", "q_probe_src_counts", "q_probe_src_tokens",
     "q_probe_src_p50", "q_probe_src_p95", "q_probe_src_rank_stats",
     "q_max_concurrency", "q_probe_day_counts", "q_probe_clip_counts",
@@ -71,8 +71,6 @@ _DRIVER_PRIORITY = [
     "q_near_dup_pairs", "q_simhash", "q_lm_score", "q_weighted_sample",
     "q_stream_dedup_ingest", "q_cusum_changepoint", "q_quality_blend",
     "q_pareto_class", "q_varlist_dreq_roundtrip", "q_cv_zfactor_attach",
-    # rotated IN: round-6 candidate (never driver-checked)
-    "q_grouping_sets",
 ]
 # Round-6 rotation candidates (added in r5, local-green at sf0.01 AND
 # sf0.1 + seed-fuzzed, never driver-checked): q_retention_cohorts,

@@ -13493,3 +13493,46 @@ def q_snapshot_diff(spark, sf_dir):
                      F.when(F.col("a.doc_id").isNull(), F.lit("added"))
                      .when(F.col("b.doc_id").isNull(), F.lit("removed"))
                      .otherwise(F.lit("changed")).alias("change_type")))
+
+
+@query(
+    "q_probe_dup_fraction_micro",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'),
+                               ' '), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT UNNEST(range(1, (SELECT MAX(len(w)) FROM toks) + 1)) AS i
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(w[g.i : g.i + 4], ' ') AS gram
+      FROM toks, g WHERE g.i <= greatest(len(w) - 4, 1)
+    ),
+    gc AS (SELECT gram, COUNT(*) AS c FROM sh GROUP BY gram)
+    SELECT sh.doc_id,
+           CAST(FLOOR(CAST(SUM(CASE WHEN gc.c >= 2 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*) * 1e6 + 0.5) AS BIGINT)
+             AS dup_frac_micro
+    FROM sh JOIN gc ON gc.gram = sh.gram
+    GROUP BY sh.doc_id
+    """,
+)
+def q_probe_dup_fraction_micro(spark, sf_dir):
+    """dup_ngrams stage 4: the dup_fraction DIVISION itself, shipped as
+    a ×1e6 BIGINT (identical floor recipe, no float in the hash
+    surface).  With stages 1-3 green, this failing would mean the
+    engines disagree on the n_dup/n_grams double division or the snap;
+    this passing while q_dup_ngrams fails leaves only the raw float
+    CELL RENDERING in the driver's hasher as the divergence."""
+    from access_mopper_spark.operators.dedup import dup_ngram_fraction
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("text").isNotNull())
+    out = dup_ngram_fraction(docs, n=5, min_count=2, hot_threshold=50)
+    return out.select(
+        "doc_id",
+        F.floor(F.col("n_dup").cast("double") / F.col("n_grams")
+                * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("dup_frac_micro"))
