@@ -58,6 +58,17 @@ def _embed(text: str, ch: str, rng: random.Random) -> str:
     return text[:i] + ch + text[i + 1:]
 
 
+#: unicode hostiles: NBSP / em space / zero-width space (NOT in the
+#: [ \t\n\r] class -- must survive as token chars on both engines),
+#: combining accent, Turkish dotted I, sharp ss, non-BMP emoji, CJK,
+#: fullwidth latin, ligature -- the lower()/length()/split() dialect
+#: corners a real crawl exercises (primitive differential verified
+#: identical cross-engine in round 7; this keeps whole QUERIES honest)
+_UNICODE_HOSTILES = ["\u00a0", "\u2003", "\u200b", "e\u0301",
+                     "\u0130", "\u00df", "\U0001f600", "\u4e2d\u6587",
+                     "\uff21\uff22", "\ufb01"]
+
+
 def _mutate_ws(text: str, rng: random.Random) -> str:
     muts = [
         lambda t: t + "\t",
@@ -71,6 +82,9 @@ def _mutate_ws(text: str, rng: random.Random) -> str:
         lambda t: _embed(t, "\r\n", rng),
         lambda t: _embed(t, " ", rng),
         lambda t: _embed(t, " \t ", rng),
+        lambda t: _embed(t, rng.choice(_UNICODE_HOSTILES), rng),
+        lambda t: t + rng.choice(_UNICODE_HOSTILES),
+        lambda t: rng.choice(_UNICODE_HOSTILES) + " " + t,
     ]
     for m in rng.sample(muts, rng.randint(1, 3)):
         text = m(text)
