@@ -49,7 +49,7 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    padded = F.concat(F.lit(" "), portable_lower(text), F.lit(" "))
     return {
         lang: sum(occurrence_count(padded, m) for m in markers).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()
@@ -91,7 +91,7 @@ def quality_features(text: Column) -> dict[str, Column]:
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over the normalized text (lowercase,
     alnum-only).  Deterministic across engines (md5 of UTF-8 bytes)."""
-    return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+    return F.md5(F.regexp_replace(portable_lower(text), "[^a-z0-9]", ""))
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:
@@ -180,7 +180,34 @@ def unicode_nfc_normalize(text: Column) -> Column:
         # `from __future__ import annotations` with a local import)
         return s.str.normalize("NFC")
 
-    lowered = F.lower(_nfc(text))
+    lowered = portable_lower(_nfc(text))
     stripped = F.regexp_replace(lowered, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
     return F.trim(F.regexp_replace(stripped, "[ \t\n\r]+", " "))
 
+
+
+#: every codepoint (full scan U+0020..U+2FFFF, round 7) where Spark's
+#: JVM ``lower()`` disagrees with DuckDB 1.0's utf8proc ``lower()``:
+#: U+0130 İ (Java full-casing emits i + combining dot, utf8proc simple-
+#: casing emits bare i), 13 post-utf8proc Unicode additions the JVM
+#: lowers but DuckDB leaves unchanged, 57 Vithkuqi/Garay letters the
+#: two map to different targets, plus GREEK CAPITAL SIGMA whose Java
+#: lowering is CONTEXTUAL (word-final ς) while utf8proc's is not (σ).
+_LOWER_DIVERGENT = "\u0130\u1c89\u2c2f\ua7c0\ua7c7\ua7c9\ua7cb\ua7cc\ua7d0\ua7d6\ua7d8\ua7da\ua7dc\ua7f5\U00010570\U00010571\U00010572\U00010573\U00010574\U00010575\U00010576\U00010577\U00010578\U00010579\U0001057a\U0001057c\U0001057d\U0001057e\U0001057f\U00010580\U00010581\U00010582\U00010583\U00010584\U00010585\U00010586\U00010587\U00010588\U00010589\U0001058a\U0001058c\U0001058d\U0001058e\U0001058f\U00010590\U00010591\U00010592\U00010594\U00010595\U00010d50\U00010d51\U00010d52\U00010d53\U00010d54\U00010d55\U00010d56\U00010d57\U00010d58\U00010d59\U00010d5a\U00010d5b\U00010d5c\U00010d5d\U00010d5e\U00010d5f\U00010d60\U00010d61\U00010d62\U00010d63\U00010d64\U00010d65\u03a3"
+#: what DuckDB's lower() emits for each (all single codepoints)
+_LOWER_PORTABLE = "\u0069\u1c89\u2c2f\ua7c0\ua7c7\ua7c9\ua7cb\ua7cc\ua7d0\ua7d6\ua7d8\ua7da\ua7dc\ua7f5\U00010570\U00010571\U00010572\U00010573\U00010574\U00010575\U00010576\U00010577\U00010578\U00010579\U0001057a\U0001057c\U0001057d\U0001057e\U0001057f\U00010580\U00010581\U00010582\U00010583\U00010584\U00010585\U00010586\U00010587\U00010588\U00010589\U0001058a\U0001058c\U0001058d\U0001058e\U0001058f\U00010590\U00010591\U00010592\U00010594\U00010595\U00010d50\U00010d51\U00010d52\U00010d53\U00010d54\U00010d55\U00010d56\U00010d57\U00010d58\U00010d59\U00010d5a\U00010d5b\U00010d5c\U00010d5d\U00010d5e\U00010d5f\U00010d60\U00010d61\U00010d62\U00010d63\U00010d64\U00010d65\u03c3"
+#: private-use sentinels that survive JVM lower() unchanged
+_LOWER_PUA = "\ue000\ue001\ue002\ue003\ue004\ue005\ue006\ue007\ue008\ue009\ue00a\ue00b\ue00c\ue00d\ue00e\ue00f\ue010\ue011\ue012\ue013\ue014\ue015\ue016\ue017\ue018\ue019\ue01a\ue01b\ue01c\ue01d\ue01e\ue01f\ue020\ue021\ue022\ue023\ue024\ue025\ue026\ue027\ue028\ue029\ue02a\ue02b\ue02c\ue02d\ue02e\ue02f\ue030\ue031\ue032\ue033\ue034\ue035\ue036\ue037\ue038\ue039\ue03a\ue03b\ue03c\ue03d\ue03e\ue03f\ue040\ue041\ue042\ue043\ue044\ue045\ue046\ue047"
+
+
+def portable_lower(text: Column) -> Column:
+    """Engine-portable lowercase: byte-identical to DuckDB ``lower()``
+    on every codepoint (see ``_LOWER_DIVERGENT`` — verified by a full
+    U+0020..U+2FFFF differential scan).  The divergent characters hide
+    behind private-use sentinels across the JVM lower, then emit
+    exactly DuckDB's mapping.  Boundary: corpus text containing the
+    72 PUA sentinels U+E000.. themselves would alias — private-use
+    content has no case semantics and no legitimate place in a text
+    pipeline.  Three JVM string ops, still map-only/codegen."""
+    hidden = F.translate(text, _LOWER_DIVERGENT, _LOWER_PUA)
+    return F.translate(F.lower(hidden), _LOWER_PUA, _LOWER_PORTABLE)

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from access_mopper_spark.functions.text import portable_lower
+
 DELIM = "\x1f"
 
 
@@ -49,7 +51,7 @@ def word_frequency_table(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     words = ensure_min_partitions(df).select(
         F.explode(
-            F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+            F.split(F.trim(F.regexp_replace(portable_lower(F.col(text_col)),
                                             "[^a-z]+", " ")), " ")
         ).alias("word")
     ).where(F.length("word") > 0)

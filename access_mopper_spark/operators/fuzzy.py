@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from access_mopper_spark.functions.text import portable_lower
+
 
 def dictionary_fuzzy_match(corpus: DataFrame, dictionary: DataFrame,
                            corpus_col: str, dict_col: str,
@@ -62,7 +64,7 @@ def blocked_entity_pairs(df: DataFrame, text_col: str, id_col: str,
     the oracle replay simple here and the union is the same plan shape.
 
     Returns ``(id_a, id_b, edit_dist)`` with ``id_a < id_b``."""
-    lowered = F.lower(F.col(text_col))
+    lowered = portable_lower(F.col(text_col))
     keyed = df.select(F.col(id_col), lowered.alias("__t"),
                       F.substring(lowered, 1, block_prefix).alias("__blk"))
     a = keyed.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"), "__blk")

@@ -23,13 +23,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from access_mopper_spark.functions.text import portable_lower
 from pyspark.sql.column import Column
 
 
 def _tokens(text: Column) -> Column:
     """Whitespace tokens of lowercased text (empty array for blank docs).
     Split on the explicit [ \\t\\n\\r] class — no \\s dialect drift."""
-    t = F.trim(F.regexp_replace(F.lower(text), "[ \t\n\r]+", " "))
+    t = F.trim(F.regexp_replace(portable_lower(text), "[ \t\n\r]+", " "))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
             .otherwise(F.split(t, " "))
 

@@ -34,6 +34,7 @@ import re
 from access_mopper_spark.sources.readers import load_table
 from access_mopper_spark.functions.calc_dsl import CalcContext, compile_calc
 from access_mopper_spark.functions.rounding import pround
+from access_mopper_spark.functions.text import portable_lower
 from access_mopper_spark.operators.resample import time_resample
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -4681,7 +4682,7 @@ def q_cms_counts(spark, sf_dir):
     from access_mopper_spark.operators.search import tokens as tok_fn
     from access_mopper_spark.operators.sketch import cms_build, cms_estimate
     docs = _wide(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(F.explode(tok_fn(F.lower(F.col("text")))).alias("term"))
+    toks = docs.select(F.explode(tok_fn(portable_lower(F.col("text")))).alias("term"))
     sketch = cms_build(toks, "term", depth=4, width=512)
     est = cms_estimate(sketch, toks, "term", depth=4, width=512)
     truth = toks.groupBy("term").agg(F.count("*").alias("true_count"))
@@ -5110,7 +5111,7 @@ def q_stream_trending(spark, sf_dir):
         StructField("n_chars", LongType()),
     ])
     raw = stream_source(spark, sf_dir, schema, glob="documents.parquet")
-    counts = (raw.select(F.explode(tok_fn(F.lower(F.col("text")))).alias("term"))
+    counts = (raw.select(F.explode(tok_fn(portable_lower(F.col("text")))).alias("term"))
               .groupBy("term").agg(F.count("*").alias("n")))
     with harness_shuffle(spark):
         run_to_memory(counts, "q_stream_trending_sink", mode="complete")
@@ -5729,7 +5730,7 @@ def q_bpe_encode(spark, sf_dir):
     wsym = bpe_apply(wf, merges).select("word", "n_symbols")
     docwords = (docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.regexp_replace(F.lower(F.col("text")),
+        F.explode(F.split(F.trim(F.regexp_replace(portable_lower(F.col("text")),
                                                   "[^a-z]+", " ")),
                           " ")).alias("word"))
         .where(F.length("word") > 0))
@@ -5894,7 +5895,7 @@ def q_gopher_rules(spark, sf_dir):
     # downstream flag re-evaluates the regexp per flag (the r3
     # captured-expression lesson, commit 6ef811f: 5× wall time at ×10)
     staged = docs.select(
-        "doc_id", ws_normalized(F.lower(F.col("text"))).alias("__tn"))
+        "doc_id", ws_normalized(portable_lower(F.col("text"))).alias("__tn"))
     counted = staged.select(
         "doc_id", "__tn",
         F.when(F.length("__tn") == 0, F.lit(0)).otherwise(
@@ -6701,7 +6702,7 @@ def q_set_similarity_join(spark, sf_dir):
     candidate pairs only.  Jaccard is a ratio of ints — engine-exact."""
     docs = load_table(spark, sf_dir, "documents") \
         .where(F.col("doc_id") < 120)
-    tn = F.trim(F.regexp_replace(F.lower(F.col("text")), "[ \t\n\r]+", " "))
+    tn = F.trim(F.regexp_replace(portable_lower(F.col("text")), "[ \t\n\r]+", " "))
     dt = (docs.select("doc_id", F.explode(F.array_distinct(
               F.split(tn, " "))).alias("tok"))
               .where(F.length("tok") > 0)).distinct()
@@ -11467,7 +11468,7 @@ def q_cms_merge_law(spark, sf_dir):
     from access_mopper_spark.operators.sketch import _bucket
     docs = _wide(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
-        "source", F.explode(tok_fn(F.lower(F.col("text")))).alias("term"))
+        "source", F.explode(tok_fn(portable_lower(F.col("text")))).alias("term"))
     pairs = toks.select("source", F.explode(F.array(*[
         F.struct(F.lit(d).alias("d"), _bucket(F.col("term"), d, 512, "cms"))
         for d in range(4)])).alias("__c")) \
@@ -11810,7 +11811,7 @@ def q_dup_rate_by_length(spark, sf_dir):
     d = (docs.where(F.col("text").isNotNull())
              .select((F.length(F.bin(F.length("text") + 1)) - 1)
                       .cast("long").alias("len_bucket"),
-                     F.md5(F.regexp_replace(F.lower("text"),
+                     F.md5(F.regexp_replace(portable_lower(F.col("text")),
                                             "[^a-z0-9]", ""))
                       .alias("fp")))
     fam = F.count("*").over(W.partitionBy("fp"))
@@ -12275,7 +12276,7 @@ def q_collocations_pmi(spark, sf_dir):
     docs = _wide(load_table(spark, sf_dir, "documents"))
     toks = docs.where(F.col("text").isNotNull()
                       & (F.trim(F.col("text")) != "")) \
-        .select(F.split(ws_normalized(F.lower(F.col("text"))), " ", -1)
+        .select(F.split(ws_normalized(portable_lower(F.col("text"))), " ", -1)
                 .alias("w"))
     uni = toks.select(F.explode("w").alias("t"))
     ucnt = uni.groupBy("t").agg(F.count("*").alias("c"))
@@ -13165,7 +13166,7 @@ def q_keyword_tagging(spark, sf_dir):
         .where(F.col("text").isNotNull())
     toks = docs.select(
         "doc_id",
-        F.split(ws_normalized(F.lower(F.col("text"))), " ", -1).alias("w"))
+        F.split(ws_normalized(portable_lower(F.col("text"))), " ", -1).alias("w"))
     n = F.size("w")
     uni = toks.select("doc_id", F.explode("w").alias("phrase"))
     bi = toks.select("doc_id", F.explode(F.zip_with(

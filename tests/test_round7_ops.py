@@ -172,3 +172,24 @@ def test_luhn_valid_known_cards(spark):
         "d STRING")
     out = [r[0] for r in df.select(luhn_valid(F.col("d"))).collect()]
     assert out == [True, False, True, None, None]
+
+
+def test_portable_lower_matches_duckdb_on_divergent_codepoints(spark):
+    """portable_lower == DuckDB lower() on the full divergence table
+    (Java full-casing İ, contextual final sigma, post-utf8proc Unicode
+    additions, Vithkuqi/Garay remaps) AND on ordinary text."""
+    import duckdb
+    from access_mopper_spark.functions.text import (_LOWER_DIVERGENT,
+                                                    portable_lower)
+    cases = (["MiXeD CaSe", "İstanbul", "aİb", "ΑΣ", "ΣΑ Σ", "ǅungla ẞ"]
+             + [f"x{c}y" for c in _LOWER_DIVERGENT])
+    import pandas as pd
+    pdf = pd.DataFrame({"i": range(len(cases)), "t": cases})
+    con = duckdb.connect()
+    con.register("tt", pdf)
+    duck = dict(con.execute("SELECT i, lower(t) FROM tt").fetchall())
+    rows = spark.createDataFrame(pdf).select(
+        "i", portable_lower(F.col("t")).alias("lo")).collect()
+    bad = [(cases[r["i"]], r["lo"], duck[r["i"]])
+           for r in rows if r["lo"] != duck[r["i"]]]
+    assert not bad, bad[:5]
