@@ -121,9 +121,12 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
     from access_mopper_spark.operators.partitioning import \
         ensure_min_partitions
 
+    from access_mopper_spark.operators.similarity import nonzero_norm
+
     max_queries = 100_000
     qrows = (queries.select(F.col(query_id_col),
                             as_double(F.col(vec_col)).alias("__qv"))
+             .where(nonzero_norm(F.col("__qv")))
              .limit(max_queries + 1).collect())
     if len(qrows) > max_queries:
         raise ValueError(
@@ -134,9 +137,13 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
     qmat = np.array([r[1] for r in qrows], dtype="float64")
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
 
+    # an unlabeled corpus row cannot vote (and a NULL label in the
+    # vote tie-break orders NULLS FIRST on Spark, NULLS LAST on DuckDB)
     c = ensure_min_partitions(
         corpus.select(F.col(id_col), F.col(label_col),
-                      as_double(F.col(vec_col)).alias("__cv")))
+                      as_double(F.col(vec_col)).alias("__cv"))
+              .where(nonzero_norm(F.col("__cv"))
+                     & F.col(label_col).isNotNull()))
 
     def score_batches(batches):
         for pdf in batches:

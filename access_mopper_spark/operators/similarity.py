@@ -33,7 +33,22 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for zero-norm inputs: a zero vector has no direction, and
+    under Spark 4's ANSI default a raw division would ERROR the whole
+    query on one degenerate row (caught by the round-7 adversarial
+    embedding fuzz).  Callers that rank by cosine filter zero-norm rows
+    at the operator edge (`nonzero_norm`) so NULLs never reach a
+    top-k ordering."""
+    den = norm(a) * norm(b)
+    return F.when(den != 0, dot(a, b) / den)
+
+
+def nonzero_norm(a: Column) -> Column:
+    """Predicate: the vector carries directional information (any
+    nonzero coordinate).  The shared zero-vector contract of every
+    cosine-ranked operator — L2/PQ distance operators keep zero
+    vectors (euclidean distance is well-defined for them)."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v) > 0
 
 
 def as_double(a: Column) -> Column:
@@ -75,8 +90,10 @@ def cosine_topk(corpus: DataFrame, query: DataFrame, k: int = 5,
     ``partial_topk`` — per-partition local top-k then a k·p-row merge —
     so no reducer ever sees more than its partition's scores."""
     q = query.select(F.col(query_id_col),
-                     as_double(F.col(vec_col)).alias("__qv"))
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+                     as_double(F.col(vec_col)).alias("__qv")) \
+              .where(nonzero_norm(F.col("__qv")))
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv")) \
+              .where(nonzero_norm(F.col("__cv")))
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col, id_col, cosine(F.col("__cv"), F.col("__qv")).alias("cosine_sim"))
     return partial_topk(scored, [query_id_col],
@@ -112,6 +129,8 @@ def ann_lsh_topk(corpus: DataFrame, query: DataFrame, dim: int, k: int = 5,
     """Approximate top-k: only corpus vectors in the query's hyperplane
     bucket (plus Hamming-1 neighbor buckets) are scored.  Recall trades
     against bucket fan-out via n_planes."""
+    corpus = corpus.where(nonzero_norm(as_double(F.col(vec_col))))
+    query = query.where(nonzero_norm(as_double(F.col(vec_col))))
     c = corpus.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes))
     q = query.withColumn("__qb", hyperplane_bucket(F.col(vec_col), dim, n_planes))
     # query probes: own bucket + all Hamming-1 buckets
@@ -136,13 +155,21 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                cent_vec: str = "centroid") -> DataFrame:
     """Assign each vector to its nearest centroid (broadcast join + min_by)
     — the build side of an IVF index, as a plain DataFrame op."""
-    c = corpus.select(id_col, vec_col)
-    cents = centroids.select(cent_id, as_double(F.col(cent_vec)).alias("__cent"))
+    c = corpus.select(id_col, vec_col) \
+              .where(nonzero_norm(as_double(F.col(vec_col))))
+    cents = centroids.select(cent_id, as_double(F.col(cent_vec)).alias("__cent")) \
+                     .where(nonzero_norm(F.col("__cent")))
     joined = c.crossJoin(F.broadcast(cents)).select(
         id_col, vec_col, cent_id,
         cosine(as_double(F.col(vec_col)), F.col("__cent")).alias("__sim"))
+    # ties (exact-duplicate centroids are REAL in corpus data) break
+    # toward the LOWEST centroid id — max_by on a bare double is
+    # partition-order nondeterministic and flipped 410 assignments when
+    # an upstream filter reordered the plan (round-7 finding)
     return joined.groupBy(id_col).agg(
-        F.max_by(cent_id, "__sim").alias(cent_id),
+        F.max_by(cent_id, F.struct(F.col("__sim"),
+                                   (-F.col(cent_id)).alias("__nc")))
+        .alias(cent_id),
         F.first(vec_col).alias(vec_col),
     )
 
@@ -231,6 +258,7 @@ def cosine_pairs_exact(corpus: DataFrame, threshold: float, dim: int,
     """
     import numpy as np
 
+    corpus = corpus.where(nonzero_norm(as_double(F.col(vec_col))))
     spark = corpus.sparkSession
     n = corpus.count()
     if n > max_broadcast_rows:
@@ -289,7 +317,9 @@ def cosine_pairs_blocked(corpus: DataFrame, threshold: float,
     """
     import numpy as np
 
-    src = corpus.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v"))
+    src = corpus.where(nonzero_norm(as_double(F.col(vec_col)))) \
+                .select(F.col(id_col).cast("long").alias("__id"),
+                        F.col(vec_col).alias("__v"))
     blk = src.withColumn(
         "__blk", F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int"))
 
@@ -358,8 +388,10 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
     across engines."""
     from pyspark.sql import Window as W
 
-    cents = centroids.select(cent_id, as_double(F.col(cent_vec)).alias("__cv"))
-    q = query.select(query_id_col, as_double(F.col(vec_col)).alias("__qv"))
+    cents = centroids.select(cent_id, as_double(F.col(cent_vec)).alias("__cv")) \
+                     .where(nonzero_norm(F.col("__cv")))
+    q = query.select(query_id_col, as_double(F.col(vec_col)).alias("__qv")) \
+             .where(nonzero_norm(F.col("__qv")))
     qc = q.crossJoin(F.broadcast(cents)).select(
         query_id_col, "__qv", cent_id,
         pround(cosine(F.col("__qv"), F.col("__cv")), 6).alias("__csim"))
@@ -548,7 +580,8 @@ def kmeans_train(corpus: DataFrame, k: int, n_iter: int = 2,
     from pyspark.sql import Window as W
 
     c = corpus.select(F.col(id_col).alias("__id"),
-                      as_double(F.col(vec_col)).alias("__v"))
+                      as_double(F.col(vec_col)).alias("__v")) \
+              .where(nonzero_norm(F.col("__v")))
     cents = (c.orderBy("__id").limit(k)
              .select(F.col("__id").alias(cent_id), F.col("__v").alias("__c")))
 
@@ -602,8 +635,10 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame,
     codes = pq_encode(corpus, codebooks, m, dsub, id_col=id_col,
                       vec_col=vec_col).join(assigned, id_col)
 
-    cents = centroids.select(cent_id, as_double(F.col(cent_vec)).alias("__cv"))
-    q = query.select(query_id_col, as_double(F.col(vec_col)).alias("__qv"))
+    cents = centroids.select(cent_id, as_double(F.col(cent_vec)).alias("__cv")) \
+                     .where(nonzero_norm(F.col("__cv")))
+    q = query.select(query_id_col, as_double(F.col(vec_col)).alias("__qv")) \
+             .where(nonzero_norm(F.col("__qv")))
     qc = q.crossJoin(F.broadcast(cents)).select(
         query_id_col, "__qv", cent_id,
         pround(cosine(F.col("__qv"), F.col("__cv")), 6).alias("__csim"))

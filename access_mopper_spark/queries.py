@@ -962,7 +962,8 @@ def q_lang_guess(spark, sf_dir):
 @query(
     "q_cosine_topk",
     oracle="""
-    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = 0 AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
     scored AS (
       SELECT e.vec_id,
              ROUND(
@@ -970,7 +971,7 @@ def q_lang_guess(spark, sf_dir):
                / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
                   * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS cosine_sim
       FROM embeddings e, q
-      WHERE e.vec_id <> 0
+      WHERE e.vec_id <> 0 AND list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0
     )
     SELECT vec_id, cosine_sim, rank FROM (
       SELECT vec_id, cosine_sim,
@@ -1071,7 +1072,10 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, seed: int = 7,
     ) t WHERE rank <= {k}"""
     return f"""
     WITH b AS (
+      -- zero-norm vectors carry no direction: excluded per the shared
+      -- cosine-operator contract (similarity.nonzero_norm)
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
     ),
     bk AS (SELECT vec_id, v, {bucket} AS bucket FROM b),
     q AS (
@@ -2371,14 +2375,18 @@ def q_stateful_totals(spark, sf_dir):
     oracle="""
     WITH cents AS (
       SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings WHERE vec_id < 8 AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
     )
-    SELECT e.vec_id,
-           ARG_MAX(c.centroid_id,
-                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv))
-             AS centroid_id
-    FROM embeddings e CROSS JOIN cents c
-    GROUP BY e.vec_id
+    SELECT vec_id, centroid_id FROM (
+      SELECT e.vec_id, c.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               c.cv) DESC,
+                        c.centroid_id) AS r
+      FROM embeddings e CROSS JOIN cents c
+      WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0
+    ) t WHERE r = 1
     """,
 )
 def q_ivf_assign(spark, sf_dir):
@@ -2403,12 +2411,16 @@ def q_ivf_assign(spark, sf_dir):
       FROM embeddings WHERE vec_id < 8
     ),
     asg AS (
-      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-             ARG_MAX(c.centroid_id,
-                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv))
-               AS centroid_id
-      FROM embeddings e CROSS JOIN cents c
-      GROUP BY e.vec_id, v
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cv) DESC,
+                          c.centroid_id) AS r
+        FROM embeddings e CROSS JOIN cents c
+        WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0
+      ) t WHERE r = 1
     ),
     dropped AS (
       SELECT DISTINCT b.vec_id
@@ -2681,13 +2693,14 @@ def q_physics_scalars(spark, sf_dir):
     oracle="""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 3
+      FROM embeddings WHERE vec_id < 3 AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
     ),
     scored AS (
       SELECT q.query_id, e.vec_id,
              ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
                AS cosine_sim
       FROM embeddings e CROSS JOIN q
+      WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0
     ),
     ranked AS (
       SELECT query_id, vec_id, cosine_sim,
@@ -3669,7 +3682,8 @@ def _kmeans_oracle(k: int = 4, n_iter: int = 2, dim: int = 64) -> str:
     (6dp-rounded sims + cid tiebreak, 6dp-rounded means), so DuckDB
     replays the exact training trajectory."""
     parts = [f"""
-    WITH src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                 WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
     c0 AS (SELECT vec_id AS cid, v AS c FROM src ORDER BY vec_id LIMIT {k})"""]
     for it in range(1, n_iter + 1):
         prev = f"c{it - 1}"
@@ -4073,14 +4087,21 @@ def q_bpe_tokens(spark, sf_dir):
     "q_ivf_pq_search",
     oracle=f"""
     WITH {_PQ_CODES_SQL},
-    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM src WHERE vec_id < 4),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM src
+              WHERE vec_id < 4 AND list_dot_product(v, v) > 0),
     asg AS (
-      SELECT s.vec_id,
-             ARG_MAX(c.centroid_id, list_cosine_similarity(s.v, c.cv))
-               AS centroid_id
-      FROM src s CROSS JOIN cents c GROUP BY s.vec_id
+      SELECT vec_id, centroid_id FROM (
+        SELECT s.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY list_cosine_similarity(s.v, c.cv) DESC,
+                          c.centroid_id) AS r
+        FROM src s CROSS JOIN cents c
+        WHERE list_dot_product(s.v, s.v) > 0
+      ) t WHERE r = 1
     ),
-    qv AS (SELECT v FROM src WHERE vec_id = 0),
+    qv AS (SELECT v FROM src
+           WHERE vec_id = 0 AND list_dot_product(v, v) > 0),
     probe AS (
       SELECT centroid_id FROM (
         SELECT c.centroid_id,
@@ -6062,8 +6083,11 @@ def q_ann_recall(spark, sf_dir):
     SELECT vec_id,
            ROUND(sqrt(list_dot_product(e, e)), 6) AS norm_full,
            ROUND(sqrt(list_dot_product(e[1:16], e[1:16])), 6) AS norm_16,
-           ROUND(list_dot_product(e[1:16], e[1:16])
-                 / list_dot_product(e, e), 6) AS energy_ratio
+           -- zero-energy vectors have no defined ratio (NULL on both
+           -- engines; an unguarded division ERRORS under Spark ANSI)
+           CASE WHEN list_dot_product(e, e) = 0 THEN NULL
+                ELSE ROUND(list_dot_product(e[1:16], e[1:16])
+                           / list_dot_product(e, e), 6) END AS energy_ratio
     FROM v
     """,
 )
@@ -6087,7 +6111,7 @@ def q_embedding_truncate(spark, sf_dir):
         "vec_id",
         R6(F.sqrt(full)).alias("norm_full"),
         R6(F.sqrt(part)).alias("norm_16"),
-        R6(part / full).alias("energy_ratio"))
+        F.when(full != 0, R6(part / full)).alias("energy_ratio"))
 
 
 @query(
@@ -7394,7 +7418,7 @@ def q_streak_islands(spark, sf_dir):
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
              label AS qlabel
-      FROM embeddings WHERE vec_id < 3
+      FROM embeddings WHERE vec_id < 3 AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
     ),
     scored AS (
       SELECT q.query_id, e.vec_id,
@@ -7406,7 +7430,7 @@ def q_streak_islands(spark, sf_dir):
                   * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
                6) AS cosine_sim
       FROM embeddings e, q
-      WHERE e.label <> q.qlabel
+      WHERE e.label <> q.qlabel AND list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0
     )
     SELECT query_id, vec_id, cosine_sim, rank FROM (
       SELECT query_id, vec_id, cosine_sim,
@@ -11230,6 +11254,7 @@ def q_boundary_overlap(spark, sf_dir):
     oracle="""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+      WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
     ),
     q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel
           FROM e WHERE vec_id < 10),
@@ -11274,10 +11299,13 @@ def q_ndcg_eval(spark, sf_dir):
     broadcast is the tiny per-label count table.  Queries are a fixed
     sample; at production scale candidates come from the IVF/LSH index
     instead of the full cross join."""
-    from access_mopper_spark.operators.similarity import as_double, cosine
+    from access_mopper_spark.operators.similarity import (as_double,
+                                                           cosine,
+                                                           nonzero_norm)
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"),
-                   "label")
+                   "label") \
+           .where(nonzero_norm(F.col("v")))
     q = (e.where(F.col("vec_id") < 10)
           .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                   F.col("label").alias("qlabel")))
@@ -11997,11 +12025,12 @@ def q_logreg_train(spark, sf_dir):
     oracle=r"""
     WITH c AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings WHERE vec_id % 25 <> 0
+      FROM embeddings
+      WHERE vec_id % 25 <> 0 AND label IS NOT NULL AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
     ),
     q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings WHERE vec_id % 25 = 0
+      FROM embeddings WHERE vec_id % 25 = 0 AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
     ),
     scored AS (
       SELECT q.query_id, c.vec_id, c.label,

@@ -204,6 +204,33 @@ def gen_lineitem(seed: int, n: int = 60000, n_orders: int = 15000,
     return rows
 
 
+
+
+def gen_embeddings(seed: int, n: int = 4000, dim: int = 64):
+    """Adversarial embeddings: exact duplicate vectors (top-k ties that
+    must fall to the id tie-break), zero vectors (norm-0 division —
+    NaN/inf contracts must agree cross-engine), tiny-norm vectors,
+    near-duplicates differing in one coordinate, NULL labels."""
+    rng = random.Random(5000 + seed)
+    rows, pool = [], []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.01:
+            v = [0.0] * dim
+        elif r < 0.02:
+            v = [round(rng.gauss(0, 1e-6), 9) for _ in range(dim)]
+        elif r < 0.14 and pool:
+            v = list(rng.choice(pool))
+        elif r < 0.24 and pool:
+            v = list(rng.choice(pool))
+            v[rng.randrange(dim)] = round(v[rng.randrange(dim)] + 0.5, 3)
+        else:
+            v = [round(rng.gauss(0, 1), 3) for _ in range(dim)]
+        pool.append(v)
+        label = None if rng.random() < 0.02 else rng.randrange(5)
+        rows.append((i, v, label))
+    return rows
+
 def write_fuzz_dir(seed: int, base_sf: str, out_dir: str,
                    n_docs: int = 500, n_events: int = 10000) -> str:
     """Materialize a fuzz sf-dir: regenerated documents/events/lineitem/
@@ -270,8 +297,18 @@ def write_fuzz_dir(seed: int, base_sf: str, out_dir: str,
     })
     pq.write_table(li_tbl, os.path.join(out_dir, "lineitem.parquet"))
 
+    emb = gen_embeddings(seed)
+    emb_tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in emb], pa.int64()),
+        "embedding": pa.array([r[1] for r in emb],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in emb], pa.int32()),
+    })
+    pq.write_table(emb_tbl, os.path.join(out_dir, "embeddings.parquet"))
+
     for t in TABLES:
-        if t in ("documents", "events", "orders", "lineitem"):
+        if t in ("documents", "events", "orders", "lineitem",
+                 "embeddings"):
             continue
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
