@@ -13566,3 +13566,77 @@ def q_probe_dup_fraction_micro(spark, sf_dir):
         F.floor(F.col("n_dup").cast("double") / F.col("n_grams")
                 * F.lit(1e6) + F.lit(0.5)).cast("long")
         .alias("dup_frac_micro"))
+
+
+@query(
+    "q_position_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             event_id
+      FROM events WHERE ts IS NOT NULL
+    ),
+    conv AS (
+      SELECT user_id, MIN(us) AS buy_us FROM ev
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    path AS (
+      SELECT e.user_id, e.event_type,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                ORDER BY e.us, e.event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY e.user_id) AS n
+      FROM ev e JOIN conv c ON c.user_id = e.user_id
+      WHERE e.us < c.buy_us AND e.event_type <> 'purchase'
+    ),
+    credited AS (
+      SELECT event_type,
+             CASE WHEN n = 1 THEN 10000
+                  WHEN n = 2 THEN 5000
+                  WHEN pos = 1 OR pos = n THEN 4000
+                  WHEN pos = 2 THEN 2000 // (n - 2) + 2000 % (n - 2)
+                  ELSE 2000 // (n - 2) END AS credit_bp
+      FROM path
+    )
+    SELECT event_type AS channel,
+           SUM(credit_bp) AS total_credit_bp,
+           COUNT(*) AS n_touches
+    FROM credited GROUP BY event_type
+    """,
+)
+def q_position_attribution(spark, sf_dir):
+    """U-shaped (position-based) conversion attribution — the third
+    classic next to first/last-touch (q_first_touch_attribution,
+    q_last_touch): each user's pre-purchase path credits 40% to the
+    first touch, 40% to the last, 20% split across the middles.
+    Credits are INTEGER basis points with the split remainder pinned to
+    the first middle touch, so per-channel sums are exact and
+    order-free (every path's credits add to exactly 10000).  One
+    user-keyed window shuffle + a channel-sized rollup."""
+    ev = load_table(spark, sf_dir, "events") \
+        .where(F.col("ts").isNotNull()) \
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"),
+                "event_id")
+    conv = ev.where(F.col("event_type") == "purchase") \
+        .groupBy("user_id").agg(F.min("us").alias("buy_us"))
+    path = (ev.join(conv, "user_id")
+              .where((F.col("us") < F.col("buy_us"))
+                     & (F.col("event_type") != "purchase"))
+              .select("user_id", "event_type",
+                      F.row_number().over(
+                          W.partitionBy("user_id")
+                          .orderBy("us", "event_id")).alias("pos"),
+                      F.count("*").over(
+                          W.partitionBy("user_id")).alias("n")))
+    n, pos = F.col("n"), F.col("pos")
+    mid = F.expr("2000 div (n - 2)")
+    rem = F.expr("2000 % (n - 2)")
+    credit = (F.when(n == 1, F.lit(10000))
+               .when(n == 2, F.lit(5000))
+               .when((pos == 1) | (pos == n), F.lit(4000))
+               .when(pos == 2, mid + rem)
+               .otherwise(mid))
+    return (path.select(F.col("event_type").alias("channel"),
+                        credit.alias("credit_bp"))
+                .groupBy("channel")
+                .agg(F.sum("credit_bp").alias("total_credit_bp"),
+                     F.count("*").alias("n_touches")))
