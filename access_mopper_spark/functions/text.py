@@ -211,3 +211,26 @@ def portable_lower(text: Column) -> Column:
     pipeline.  Three JVM string ops, still map-only/codegen."""
     hidden = F.translate(text, _LOWER_DIVERGENT, _LOWER_PUA)
     return F.translate(F.lower(hidden), _LOWER_PUA, _LOWER_PORTABLE)
+
+
+def utf8_bytes_as_latin1(text: Column) -> Column:
+    """Re-decode the UTF-8 bytes as ISO-8859-1 so every BYTE becomes one
+    codepoint — the bridge that makes byte-level string algorithms
+    expressible with Spark's codepoint-based builtins."""
+    return F.decode(F.encode(text, "UTF-8"), "ISO-8859-1")
+
+
+def portable_levenshtein(a: Column, b: Column,
+                         threshold: int | None = None) -> Column:
+    """Engine-portable edit distance: DuckDB's ``levenshtein`` counts
+    BYTE edits while Spark's counts CODEPOINT edits — 'café'→'cafe' is
+    1 on Spark, 2 on DuckDB (é is two UTF-8 bytes).  Both engines agree
+    on the BYTE metric, so the inputs re-decode through
+    ``utf8_bytes_as_latin1`` first (verified by a unicode differential:
+    accents, CJK, non-BMP emoji all match).  ``threshold`` keeps
+    Spark's 3-arg banded DP (O(len·d) with early exit, −1 above the
+    band)."""
+    ab, bb = utf8_bytes_as_latin1(a), utf8_bytes_as_latin1(b)
+    if threshold is not None:
+        return F.levenshtein(ab, bb, threshold)
+    return F.levenshtein(ab, bb)

@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from access_mopper_spark.functions.text import portable_lower
+from access_mopper_spark.functions.text import (portable_levenshtein,
+                                                portable_lower)
 
 
 def dictionary_fuzzy_match(corpus: DataFrame, dictionary: DataFrame,
@@ -36,14 +37,14 @@ def dictionary_fuzzy_match(corpus: DataFrame, dictionary: DataFrame,
     # cost of the scan on near-identical ID-like strings, where content
     # blocking (q-grams, segment signatures) degenerates because every
     # string shares the same hot prefix bucket
-    banded = F.levenshtein(a, b, max_dist)
+    banded = portable_levenshtein(a, b, max_dist)
     cond = ((F.abs(F.length(a) - F.length(b)) <= max_dist)
             & (banded >= 0) & (banded <= max_dist))
     # the per-pair DP is the cost: run the corpus side wide when the
     # source arrived as few splits (no-op on a many-file 100 TB scan)
     from access_mopper_spark.operators.partitioning import ensure_min_partitions
     return (ensure_min_partitions(corpus).join(F.broadcast(dictionary), cond)
-            .withColumn("edit_dist", F.levenshtein(a, b, max_dist)))
+            .withColumn("edit_dist", portable_levenshtein(a, b, max_dist)))
 
 
 def blocked_entity_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -69,7 +70,7 @@ def blocked_entity_pairs(df: DataFrame, text_col: str, id_col: str,
                       F.substring(lowered, 1, block_prefix).alias("__blk"))
     a = keyed.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"), "__blk")
     b = keyed.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"), "__blk")
-    banded = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+    banded = portable_levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
     return (a.join(b, "__blk")
             .where(F.col("id_a") < F.col("id_b"))
             .where(F.abs(F.length("__ta") - F.length("__tb")) <= max_dist)

@@ -34,7 +34,8 @@ import re
 from access_mopper_spark.sources.readers import load_table
 from access_mopper_spark.functions.calc_dsl import CalcContext, compile_calc
 from access_mopper_spark.functions.rounding import pround
-from access_mopper_spark.functions.text import portable_lower
+from access_mopper_spark.functions.text import (portable_levenshtein,
+                                                portable_lower)
 from access_mopper_spark.operators.resample import time_resample
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -6226,7 +6227,7 @@ def q_record_linkage(spark, sf_dir):
     joined = a.join(b, (F.col("blk_a") == F.col("blk_b"))
                     & (F.col("id_a") < F.col("id_b")))
     score = (
-        F.when(F.levenshtein(F.col("nm_a"), F.col("nm_b")) <= 2, 2.0)
+        F.when(portable_levenshtein(F.col("nm_a"), F.col("nm_b")) <= 2, 2.0)
          .otherwise(-1.0)
         + F.when(F.col("nat_a") == F.col("nat_b"), 1.5).otherwise(-0.5)
         + F.when(F.abs(F.col("bal_a") - F.col("bal_b")) < 250, 1.0)

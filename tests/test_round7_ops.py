@@ -193,3 +193,23 @@ def test_portable_lower_matches_duckdb_on_divergent_codepoints(spark):
     bad = [(cases[r["i"]], r["lo"], duck[r["i"]])
            for r in rows if r["lo"] != duck[r["i"]]]
     assert not bad, bad[:5]
+
+
+def test_portable_levenshtein_matches_duckdb_byte_metric(spark):
+    import duckdb
+    import pandas as pd
+    from access_mopper_spark.functions.text import portable_levenshtein
+    cases = [("café", "cafe"), ("中文", "中又"), ("aİb", "aib"),
+             ("\U0001F600x", "x"), ("naïve", "naive"), ("abc", "abd"),
+             ("", "xy"), ("same", "same")]
+    pdf = pd.DataFrame({"i": range(len(cases)),
+                        "a": [c[0] for c in cases],
+                        "b": [c[1] for c in cases]})
+    con = duckdb.connect()
+    con.register("tt", pdf)
+    duck = dict(con.execute("SELECT i, levenshtein(a, b) FROM tt").fetchall())
+    rows = spark.createDataFrame(pdf).select(
+        "i", portable_levenshtein(F.col("a"), F.col("b")).alias("d")).collect()
+    assert all(r["d"] == duck[r["i"]] for r in rows), \
+        [(cases[r["i"]], r["d"], duck[r["i"]]) for r in rows
+         if r["d"] != duck[r["i"]]]
