@@ -13475,7 +13475,8 @@ def q_stream_join_outer(spark, sf_dir):
       SELECT doc_id,
              md5(concat_ws(chr(1),
                            COALESCE(CASE WHEN doc_id % 37 = 0
-                                         THEN upper(text) ELSE text END,
+                                         THEN text || ' [v2-edit]'
+                                         ELSE text END,
                                     chr(2)),
                            COALESCE(lang, chr(2)),
                            COALESCE(source, chr(2)),
@@ -13496,8 +13497,10 @@ def q_snapshot_diff(spark, sf_dir):
     full outer join on the key, rows classified added / removed /
     changed by a full-payload md5 fingerprint so the payload compare is
     one string per side regardless of column count.  Version 2 is
-    derived deterministically (drop ids < 20, add ids ≥ 480, uppercase
-    every 37th text — the fixture convention).  One keyed shuffle; at
+    derived deterministically (drop ids < 20, add ids ≥ 480, append an
+    edit marker to every 37th text — the fixture convention;
+    upper() is NOT dialect-portable: Java full-cases ß→SS while
+    utf8proc maps ß→ẞ).  One keyed shuffle; at
     100 TB both sides bucket by the key and the join is co-located.
     Unchanged rows never leave the join."""
     docs = load_table(spark, sf_dir, "documents")
@@ -13513,7 +13516,8 @@ def q_snapshot_diff(spark, sf_dir):
         "doc_id", fp(F.col("text")).alias("fp"))
     v2 = docs.where(F.col("doc_id") >= 20).select(
         "doc_id",
-        fp(F.when(F.col("doc_id") % 37 == 0, F.upper("text"))
+        fp(F.when(F.col("doc_id") % 37 == 0,
+                  F.concat(F.col("text"), F.lit(" [v2-edit]")))
            .otherwise(F.col("text"))).alias("fp"))
     j = v1.alias("a").join(v2.alias("b"),
                            F.col("a.doc_id") == F.col("b.doc_id"), "full")
