@@ -56,7 +56,8 @@ def test_write_fuzz_dir_materializes_all_tables(tmp_path):
     from check_correctness import TABLES
     for t in TABLES:
         assert os.path.exists(os.path.join(out, f"{t}.parquet")), t
-    regenerated = {"documents", "events", "lineitem", "orders"}
+    regenerated = {"documents", "events", "lineitem", "orders",
+                   "embeddings"}
     for t in TABLES:
         is_link = os.path.islink(os.path.join(out, f"{t}.parquet"))
         assert is_link == (t not in regenerated), t
