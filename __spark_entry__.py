@@ -35,42 +35,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # need hard driver signal.  Rows rotated out (all driver-green in r1 AND
 # r2, with their family still represented) remain oracle-checked by
 # tools/check_correctness.py (full registry).
-# Round-7 rotation: the 18 rows green in BOTH r4 and r6 rotate OUT
-# (policy: two green driver rounds, family still represented).  The 28
-# rows green in r6 on first exposure stay for their second round.  The
-# four persistent hash-fails (q_dup_ngrams, q_corpus_report,
-# q_max_concurrency 3rd round; q_bpe_train 2nd) stay — and are now
-# flanked by 15 BISECTION PROBES (queries.py "driver-divergence
-# bisection probes"): each failing query decomposed into its pipeline
-# stages as separate driver rows, because the divergence reproduces in
-# NO local instrument (full-precision gate, 25-seed adversarial fuzz,
-# hostile-unicode primitive differential, non-UTC session-timezone
-# re-run — see the probe section docstring).  The r07 per-probe
-# pass/fail vector localizes the seam in one driver round.
+# Round-8 rotation.  The r07 probe vector SOLVED the 3-round driver
+# divergence: every hash-fail in rounds 3-7 (23 exposures, 23 fails, 0
+# passes) had a bare integer SUM in its oracle — DuckDB returns HUGEINT
+# (int128) for SUM over any integer type, pandas renders it float64, so
+# "3.0" hashes against Spark's "3" (rows+schema still match — the exact
+# observed shape; the pure-counting probe failed while CAST-AS-BIGINT
+# probes passed, 14/14 correlation).  Fix: queries._ORACLE_OUTPUT_CASTS
+# wraps all 60 affected oracles in SELECT * REPLACE(CAST .. AS BIGINT)
+# (+ 2 DECIMAL plev literals → DOUBLE); tests/test_oracle_types.py +
+# tools/gen_oracle_casts.py --check keep the registry clean.
+# Prefix policy this round: (a) the 14 r07 hash-fails stay to CONFIRM
+# the fix at the driver; (b) q_knn_classify / q_pca_power re-enter
+# (r8 touched their kernels: oracle-order sims formula, eager Gram);
+# (c) 34 never-driver-exposed rows whose oracles were HUGEINT-affected
+# rotate IN (all would have failed before the fix — they need hard
+# driver signal most).  The 8 green probes and the 28 twice-green r6/r7
+# rows rotate OUT (families all still represented); remaining
+# HUGEINT-affected TPC-H-revenue rows queue for r9.
 _DRIVER_PRIORITY = [
-    # probe zero: per-bucket md5 row checksums of the two regenerated
-    # tables — if these fail, the engines are not reading the same
-    # bytes and every downstream documents/events divergence follows
+    # (a) r07 hash-fails — all HUGEINT-oracle rows, now cast-wrapped
     "q_probe_docs_fingerprint", "q_probe_events_fingerprint",
-    # persistent driver hash-fails + their stage probes
-    "q_dup_ngrams", "q_probe_ngram_totals", "q_probe_gram_hist",
-    "q_probe_dup_ints", "q_probe_dup_fraction_micro",
+    "q_dup_ngrams", "q_probe_dup_ints",
     "q_corpus_report", "q_probe_src_counts", "q_probe_src_tokens",
-    "q_probe_src_p50", "q_probe_src_p95", "q_probe_src_rank_stats",
-    "q_max_concurrency", "q_probe_day_counts", "q_probe_clip_counts",
-    "q_probe_max_conc_int",
-    "q_bpe_train", "q_probe_word_freq_top", "q_probe_pair1",
-    "q_bpe_train1", "q_bpe_train3",
-    # r6-green rows on their second driver round
-    "q_bpe_encode", "q_bloom_decontaminate", "q_pagerank",
-    "q_moving_avg", "q_equi_depth", "q_group_regression",
-    "q_text_normalize", "q_stream_dedup_exact", "q_correlated_subquery",
-    "q_having_global_share", "q_token_budget_fill", "q_salted_agg",
-    "q_time_gaps", "q_gopher_rules", "q_order_count_distribution",
-    "q_repetition", "q_ngram_jaccard", "q_minhash_band",
-    "q_near_dup_pairs", "q_simhash", "q_lm_score", "q_weighted_sample",
-    "q_stream_dedup_ingest", "q_cusum_changepoint", "q_quality_blend",
-    "q_pareto_class", "q_varlist_dreq_roundtrip", "q_cv_zfactor_attach",
+    "q_max_concurrency", "q_probe_clip_counts", "q_probe_max_conc_int",
+    "q_bpe_train", "q_probe_pair1", "q_bpe_train1", "q_bpe_train3",
+    # (b) r8-touched kernels
+    "q_knn_classify", "q_pca_power",
+    # (c) never-exposed HUGEINT-affected rows
+    "q_anomaly_mad", "q_streak_islands", "q_bpe_vocab_coverage",
+    "q_json_extract", "q_dow_seasonality", "q_referential_profile",
+    "q_churn_users", "q_cumulative_active", "q_chi_square",
+    "q_ltv_cohorts", "q_null_safe_join", "q_mom_growth", "q_skyline",
+    "q_sliding_hour_sum", "q_volume_shipping", "q_gini",
+    "q_decile_lift", "q_ngram_novelty", "q_time_weighted_avg",
+    "q_percent_of_parent", "q_doclen_log_histogram", "q_token_entropy",
+    "q_top_p_vocab", "q_dup_span_chargrams", "q_passage_windows",
+    "q_diurnal_spectrum", "q_cms_merge_law", "q_quantile_sketch",
+    "q_compaction_plan", "q_importance_weights", "q_survival_curve",
+    "q_token_fertility", "q_pii_luhn", "q_position_attribution",
 ]
 # Round-6 rotation candidates (added in r5, local-green at sf0.01 AND
 # sf0.1 + seed-fuzzed, never driver-checked): q_retention_cohorts,

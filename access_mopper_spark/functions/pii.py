@@ -50,13 +50,17 @@ def luhn_valid(digits: Column) -> Column:
     all inside one ``aggregate`` over ``sequence(1, length)`` — map-
     only, engine-portable (the oracle mirrors it with a bounded
     positions join; integer sums are order-free so the parity cannot
-    drift).  NULL/empty input → NULL."""
+    drift).  NULL/empty/non-digit input → NULL: a validation gate that
+    sits behind regex candidate extraction must degrade a malformed
+    candidate to NULL, not error the whole job — under Spark 4's ANSI
+    default a bare ``.cast('int')`` on a stray non-digit character
+    would do exactly that (r7 ADVICE)."""
     n = F.length(digits)
 
     def step(acc, i):
-        d = F.substring(digits, (n - i + 1).cast("int"), 1).cast("int")
+        d = F.substring(digits, (n - i + 1).cast("int"), 1).try_cast("int")
         dbl = F.when(i % 2 == 0, d * 2).otherwise(d)
         return acc + F.when(dbl > 9, dbl - 9).otherwise(dbl)
 
     total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), step)
-    return F.when(n > 0, total % 10 == 0)
+    return F.when(digits.rlike("^[0-9]+$"), total % 10 == 0)

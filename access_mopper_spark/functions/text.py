@@ -196,19 +196,29 @@ def unicode_nfc_normalize(text: Column) -> Column:
 _LOWER_DIVERGENT = "\u0130\u1c89\u2c2f\ua7c0\ua7c7\ua7c9\ua7cb\ua7cc\ua7d0\ua7d6\ua7d8\ua7da\ua7dc\ua7f5\U00010570\U00010571\U00010572\U00010573\U00010574\U00010575\U00010576\U00010577\U00010578\U00010579\U0001057a\U0001057c\U0001057d\U0001057e\U0001057f\U00010580\U00010581\U00010582\U00010583\U00010584\U00010585\U00010586\U00010587\U00010588\U00010589\U0001058a\U0001058c\U0001058d\U0001058e\U0001058f\U00010590\U00010591\U00010592\U00010594\U00010595\U00010d50\U00010d51\U00010d52\U00010d53\U00010d54\U00010d55\U00010d56\U00010d57\U00010d58\U00010d59\U00010d5a\U00010d5b\U00010d5c\U00010d5d\U00010d5e\U00010d5f\U00010d60\U00010d61\U00010d62\U00010d63\U00010d64\U00010d65\u03a3"
 #: what DuckDB's lower() emits for each (all single codepoints)
 _LOWER_PORTABLE = "\u0069\u1c89\u2c2f\ua7c0\ua7c7\ua7c9\ua7cb\ua7cc\ua7d0\ua7d6\ua7d8\ua7da\ua7dc\ua7f5\U00010570\U00010571\U00010572\U00010573\U00010574\U00010575\U00010576\U00010577\U00010578\U00010579\U0001057a\U0001057c\U0001057d\U0001057e\U0001057f\U00010580\U00010581\U00010582\U00010583\U00010584\U00010585\U00010586\U00010587\U00010588\U00010589\U0001058a\U0001058c\U0001058d\U0001058e\U0001058f\U00010590\U00010591\U00010592\U00010594\U00010595\U00010d50\U00010d51\U00010d52\U00010d53\U00010d54\U00010d55\U00010d56\U00010d57\U00010d58\U00010d59\U00010d5a\U00010d5b\U00010d5c\U00010d5d\U00010d5e\U00010d5f\U00010d60\U00010d61\U00010d62\U00010d63\U00010d64\U00010d65\u03c3"
-#: private-use sentinels that survive JVM lower() unchanged
-_LOWER_PUA = "\ue000\ue001\ue002\ue003\ue004\ue005\ue006\ue007\ue008\ue009\ue00a\ue00b\ue00c\ue00d\ue00e\ue00f\ue010\ue011\ue012\ue013\ue014\ue015\ue016\ue017\ue018\ue019\ue01a\ue01b\ue01c\ue01d\ue01e\ue01f\ue020\ue021\ue022\ue023\ue024\ue025\ue026\ue027\ue028\ue029\ue02a\ue02b\ue02c\ue02d\ue02e\ue02f\ue030\ue031\ue032\ue033\ue034\ue035\ue036\ue037\ue038\ue039\ue03a\ue03b\ue03c\ue03d\ue03e\ue03f\ue040\ue041\ue042\ue043\ue044\ue045\ue046\ue047"
+#: sentinels that survive lower() unchanged on BOTH engines: 72
+#: codepoints from the UNASSIGNED plane-14 range U+E0080..U+E00C7
+#: (between the Tags block and Variation Selectors Supplement).
+#: Chosen over U+E000.. private-use (r7 ADVICE): PUA chars DO occur
+#: in real crawls (icon fonts), and a genuine sentinel occurrence
+#: would silently alias into a divergent-case character; no font,
+#: keyboard or tokenizer emits unassigned plane-14 codepoints, so
+#: the residual collision surface is malformed/adversarial bytes
+#: only (documented in portable_lower).
+_LOWER_PUA = "\U000e0080\U000e0081\U000e0082\U000e0083\U000e0084\U000e0085\U000e0086\U000e0087\U000e0088\U000e0089\U000e008a\U000e008b\U000e008c\U000e008d\U000e008e\U000e008f\U000e0090\U000e0091\U000e0092\U000e0093\U000e0094\U000e0095\U000e0096\U000e0097\U000e0098\U000e0099\U000e009a\U000e009b\U000e009c\U000e009d\U000e009e\U000e009f\U000e00a0\U000e00a1\U000e00a2\U000e00a3\U000e00a4\U000e00a5\U000e00a6\U000e00a7\U000e00a8\U000e00a9\U000e00aa\U000e00ab\U000e00ac\U000e00ad\U000e00ae\U000e00af\U000e00b0\U000e00b1\U000e00b2\U000e00b3\U000e00b4\U000e00b5\U000e00b6\U000e00b7\U000e00b8\U000e00b9\U000e00ba\U000e00bb\U000e00bc\U000e00bd\U000e00be\U000e00bf\U000e00c0\U000e00c1\U000e00c2\U000e00c3\U000e00c4\U000e00c5\U000e00c6\U000e00c7"
 
 
 def portable_lower(text: Column) -> Column:
     """Engine-portable lowercase: byte-identical to DuckDB ``lower()``
     on every codepoint (see ``_LOWER_DIVERGENT`` — verified by a full
     U+0020..U+2FFFF differential scan).  The divergent characters hide
-    behind private-use sentinels across the JVM lower, then emit
-    exactly DuckDB's mapping.  Boundary: corpus text containing the
-    72 PUA sentinels U+E000.. themselves would alias — private-use
-    content has no case semantics and no legitimate place in a text
-    pipeline.  Three JVM string ops, still map-only/codegen."""
+    behind sentinels across the JVM lower, then emit exactly DuckDB's
+    mapping.  Sentinels are UNASSIGNED plane-14 codepoints
+    U+E0080..U+E00C7 (not PUA: icon-font private-use text does occur
+    in real crawls and would silently alias — r7 ADVICE); no font,
+    keyboard or tokenizer emits unassigned plane-14, so the residual
+    collision surface is malformed/adversarial bytes only.  Three JVM
+    string ops, still map-only/codegen."""
     hidden = F.translate(text, _LOWER_DIVERGENT, _LOWER_PUA)
     return F.translate(F.lower(hidden), _LOWER_PUA, _LOWER_PORTABLE)
 

@@ -123,6 +123,12 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     from access_mopper_spark.operators.similarity import nonzero_norm
 
+    label_type = dict(corpus.dtypes)[label_col]
+    cid_type = dict(corpus.dtypes)[id_col]
+    qid_type = dict(queries.dtypes)[query_id_col]
+    out_schema = (f"{query_id_col} {qid_type}, {id_col} {cid_type}, "
+                  f"{label_col} {label_type}, __sim double")
+
     max_queries = 100_000
     qrows = (queries.select(F.col(query_id_col),
                             as_double(F.col(vec_col)).alias("__qv"))
@@ -133,9 +139,14 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
             f"knn_classify: > {max_queries} queries — broadcast GEMM "
             "scoring no longer applies; block the query side "
             "(similarity.cosine_pairs_blocked) instead")
-    qids = np.array([r[0] for r in qrows], dtype="int64")
+    if not qrows:
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.select(query_id_col,
+                            F.col(label_col).alias("pred_label"),
+                            F.lit(0).cast("long").alias("n_votes"))
+    qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype="float64")
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(qmat, axis=1)
 
     # an unlabeled corpus row cannot vote (and a NULL label in the
     # vote tie-break orders NULLS FIRST on Spark, NULLS LAST on DuckDB)
@@ -150,15 +161,23 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
             if not len(pdf):
                 continue
             x = np.array(list(pdf["__cv"]), dtype="float64")
-            x = x / np.linalg.norm(x, axis=1, keepdims=True)
-            sims = np.floor(x @ qmat.T * 1e6 + 0.5) / 1e6  # pround grid
-            cids = pdf[id_col].to_numpy(dtype="int64")
+            # dot(x,q)/(|x||q|) in the ORACLE's formula order (divide the
+            # GEMM dot by the norm product, not pre-normalized rows) so
+            # the 1e-6 snap sees the same float as DuckDB's
+            # list_cosine_similarity replay; residual exposure is only
+            # BLAS summation order inside the dot itself.
+            xnorm = np.linalg.norm(x, axis=1)
+            sims = np.floor((x @ qmat.T) / np.outer(xnorm, qnorm)
+                            * 1e6 + 0.5) / 1e6  # pround grid
+            cids = pdf[id_col].to_numpy()
             labels = pdf[label_col].to_numpy()
             kk = min(k, len(pdf))
             # batch-local top-k per query under the GLOBAL order
-            # (sim desc, id asc): global top-k ⊆ union of batch top-ks
-            order = np.lexsort((cids[:, None].repeat(len(qids), 1), -sims),
-                               axis=0)[:kk]
+            # (sim desc, id asc): global top-k ⊆ union of batch top-ks.
+            # lexsort can't take object arrays — sort string ids as 'U'.
+            sort_ids = (cids.astype("U") if cids.dtype == object else cids)
+            order = np.lexsort((sort_ids[:, None].repeat(len(qids), 1),
+                                -sims), axis=0)[:kk]
             out_q = np.repeat(qids[None, :], kk, axis=0).ravel()
             rows = order.ravel()
             cols = np.tile(np.arange(len(qids)), kk)
@@ -168,11 +187,7 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 label_col: labels[rows],
                 "__sim": sims[rows, cols]})
 
-    label_type = dict(corpus.dtypes)[label_col]
-    scored = c.mapInPandas(
-        score_batches,
-        f"{query_id_col} long, {id_col} long, {label_col} {label_type}, "
-        "__sim double")
+    scored = c.mapInPandas(score_batches, out_schema)
     nn = partial_topk(scored, [query_id_col],
                       [F.col("__sim").desc(), F.col(id_col)], k)
     votes = nn.groupBy(query_id_col, label_col).agg(
@@ -202,10 +217,16 @@ def pca_power_iteration(gram_upper: DataFrame, dim: int,
     algebra on dim-sized tables: no collect, no driver math; on a
     cluster the iteration cost is independent of corpus size."""
     up = gram_upper.select("i", "j", "s")
+    # localCheckpoint(eager) MATERIALIZES the ≤ dim² mirrored Gram now:
+    # a lazy persist would leave the corpus-scanning Gram subtree live
+    # in the returned plan, and the ~2·iterations+2 references below
+    # would each re-scan the corpus when the caller finally materializes
+    # (the r7 PLANS.md repeated-MapInPandas bug).  After this line every
+    # iteration is dim-sized algebra, corpus touched exactly once.
     m = up.unionByName(
         up.where(F.col("i") < F.col("j"))
           .select(F.col("j").alias("i"), F.col("i").alias("j"), "s")) \
-        .persist()
+        .localCheckpoint(eager=True)
     # v0 = uniform unit vector; 1/sqrt(dim) is exact for power-of-two dim
     v = m.select(F.col("i").alias("idx")).distinct() \
          .withColumn("val", F.lit(1.0 / (dim ** 0.5)))

@@ -63,10 +63,15 @@ def _embed(text: str, ch: str, rng: random.Random) -> str:
 #: combining accent, Turkish dotted I, sharp ss, non-BMP emoji, CJK,
 #: fullwidth latin, ligature -- the lower()/length()/split() dialect
 #: corners a real crawl exercises (primitive differential verified
-#: identical cross-engine in round 7; this keeps whole QUERIES honest)
+#: identical cross-engine in round 7; this keeps whole QUERIES honest).
+#: U+E000/U+E047: private-use chars (icon-font text DOES occur in real
+#: crawls) \u2014 before round 8 these were portable_lower's sentinels and
+#: silently ALIASED into case-mapped letters on the Spark side only
+#: (r7 ADVICE); sentinels now live in unassigned plane-14, so PUA text
+#: must round-trip identically on both engines.
 _UNICODE_HOSTILES = ["\u00a0", "\u2003", "\u200b", "e\u0301",
                      "\u0130", "\u00df", "\U0001f600", "\u4e2d\u6587",
-                     "\uff21\uff22", "\ufb01"]
+                     "\uff21\uff22", "\ufb01", "\ue000", "\ue047"]
 
 
 def _mutate_ws(text: str, rng: random.Random) -> str:
