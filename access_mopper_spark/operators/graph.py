@@ -24,6 +24,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pagerank_invariants(edges: DataFrame):
+    """The three loop-invariant tables, persisted so each iteration's
+    plan reads cache instead of re-running the distinct/degree shuffles
+    (without this the k-th iteration replays k copies of the edge prep
+    — visible as 3× the Exchange count in the physical plan).
+
+    ``e`` additionally persists HASH-PARTITIONED ON src: distinct()
+    leaves it partitioned on (src, dst), which does NOT satisfy the
+    per-iteration join's HashPartitioning(src) requirement, so every
+    iteration would re-shuffle the FULL edge table — the one table that
+    is huge at scale.  Cached with the right outputPartitioning,
+    EnsureRequirements reuses it (verified: zero Exchange above the
+    edge InMemoryTableScan in the executed sort-merge plan) and each
+    iteration shuffles only the node-sized rank/deg tables.
+    tests/test_explain_plans.py pins the cached partitioning."""
+    e = edges.select("src", "dst").distinct().repartition("src").persist()
+    nodes = (e.select(F.col("src").alias("node"))
+              .union(e.select(F.col("dst").alias("node"))).distinct()
+              .persist())
+    deg = (e.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("outdeg")).persist())
+    return e, nodes, deg
+
+
 def pagerank(edges: DataFrame, iterations: int = 3,
              damping: float = 0.85) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)``.
@@ -35,16 +59,7 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     redistribution term; the oracle-checked query symmetrizes.
 
     Returns ``(node, rank)``."""
-    # the loop-invariant tables persist so each iteration's plan reads
-    # them from cache instead of re-running the distinct/degree shuffles
-    # (without this the k-th iteration replays k copies of the edge prep
-    # — visible as 3× the Exchange count in the physical plan)
-    e = edges.select("src", "dst").distinct().persist()
-    nodes = (e.select(F.col("src").alias("node"))
-              .union(e.select(F.col("dst").alias("node"))).distinct()
-              .persist())
-    deg = (e.groupBy(F.col("src").alias("node"))
-            .agg(F.count("*").alias("outdeg")).persist())
+    e, nodes, deg = _pagerank_invariants(edges)
     # N and the teleport term are scalar: computed once, broadcast into
     # every iteration as a 1-row cross join (no driver round-trip)
     n_row = nodes.agg(F.count("*").alias("__n"))

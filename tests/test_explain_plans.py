@@ -324,3 +324,36 @@ def test_feature_hash_tf_single_shuffle(spark, sf_dir):
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange <= 2, plan[:2000]  # agg partial+final pair
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_edge_cache_partitioned_on_join_key(spark, sf_dir):
+    # The per-iteration contrib join requires HashPartitioning(src).
+    # distinct() alone caches e partitioned on (src, dst) and every
+    # iteration re-shuffles the FULL edge table; _pagerank_invariants
+    # repartitions on src before persisting so the cached table's
+    # outputPartitioning satisfies the join: in the executed
+    # (non-broadcast) join plan there is NO Exchange above the edge
+    # InMemoryTableScan -- the section of the plan tree printed before
+    # the cached relation body is exchange-free.
+    from access_mopper_spark.operators.graph import _pagerank_invariants
+    edges = spark.range(2000).select(
+        (F.col("id") % 53).cast("string").alias("src"),
+        (F.col("id") % 17).cast("string").alias("dst"))
+    e, nodes, deg = _pagerank_invariants(edges)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        e.count()  # materialize the cache
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ranks = spark.range(53).select(
+            F.col("id").cast("string").alias("src"),
+            F.lit(1.0).alias("rank"))
+        j = e.join(ranks, "src")
+        j.write.format("noop").mode("overwrite").save()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        head = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in head, head
+        assert "Exchange" not in head, head
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for t in (e, nodes, deg):
+            t.unpersist()
