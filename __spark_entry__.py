@@ -48,11 +48,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Prefix policy this round: (a) the 14 r07 hash-fails stay to CONFIRM
 # the fix at the driver; (b) q_knn_classify / q_pca_power re-enter
 # (r8 touched their kernels: oracle-order sims formula, eager Gram);
-# (c) 34 never-driver-exposed rows whose oracles were HUGEINT-affected
+# (c) 33 never-driver-exposed rows whose oracles were HUGEINT-affected
 # rotate IN (all would have failed before the fix — they need hard
-# driver signal most).  The 8 green probes and the 28 twice-green r6/r7
-# rows rotate OUT (families all still represented); remaining
-# HUGEINT-affected TPC-H-revenue rows queue for r9.
+# driver signal most) plus q_probe_date_render: DATE outputs are a
+# SECOND suspected rendering seam (DuckDB DATE → pandas datetime64
+# midnight vs Spark datetime.date; no DATE-output query ever
+# driver-passed in r1-r7), so every real query now ships DATE as
+# midnight TIMESTAMP on both engines (_apply_spark_date_casts) while
+# the probe deliberately ships a raw DATE cell to MEASURE the seam.
+# The 8 green probes and the 28 twice-green r6/r7 rows rotate OUT
+# (families all still represented); remaining HUGEINT-affected
+# TPC-H-revenue rows + q_diurnal_spectrum queue for r9.
 _DRIVER_PRIORITY = [
     # (a) r07 hash-fails — all HUGEINT-oracle rows, now cast-wrapped
     "q_probe_docs_fingerprint", "q_probe_events_fingerprint",
@@ -71,7 +77,7 @@ _DRIVER_PRIORITY = [
     "q_decile_lift", "q_ngram_novelty", "q_time_weighted_avg",
     "q_percent_of_parent", "q_doclen_log_histogram", "q_token_entropy",
     "q_top_p_vocab", "q_dup_span_chargrams", "q_passage_windows",
-    "q_diurnal_spectrum", "q_cms_merge_law", "q_quantile_sketch",
+    "q_probe_date_render", "q_cms_merge_law", "q_quantile_sketch",
     "q_compaction_plan", "q_importance_weights", "q_survival_curve",
     "q_token_fertility", "q_pii_luhn", "q_position_attribution",
 ]

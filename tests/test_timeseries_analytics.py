@@ -15,7 +15,10 @@ def test_rolling_distinct_dominates_daily(spark):
     """users_7d on day d must be >= the exact 1-day distinct for d (the
     window contains the day) and <= total distinct users (it is a
     subset of everyone)."""
-    roll = {r["day"]: r["users_7d"]
+    # the registry ships `day` as midnight timestamp (round-8 DATE
+    # rendering canonicalization, queries._apply_spark_date_casts) —
+    # normalize back to date for the key comparison
+    roll = {r["day"].date(): r["users_7d"]
             for r in QUERIES["q_rolling_distinct_users"](spark, SF).collect()}
     ev = spark.read.parquet(f"{SF}/events.parquet")
     daily = {r["day"]: r["n"] for r in ev.groupBy(
@@ -38,7 +41,7 @@ def test_rolling_distinct_window_is_union(spark):
     brute = (ud.where((F.col("d") <= F.lit(target))
                       & (F.col("d") >= F.date_sub(F.lit(target), 6)))
                .select("user_id").distinct().count())
-    roll = {r["day"]: r["users_7d"]
+    roll = {r["day"].date(): r["users_7d"]
             for r in QUERIES["q_rolling_distinct_users"](spark, SF).collect()}
     assert roll[target] == brute
 

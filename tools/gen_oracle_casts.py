@@ -36,9 +36,21 @@ TABLES = ("region nation customer supplier part orders lineitem "
 
 # DuckDB types whose pandas rendering diverges from the Spark column type
 # the paired query produces.  HUGEINT/UHUGEINT -> float64 in pandas;
-# DECIMAL -> Decimal objects / float64 depending on width.
-CAST_TO = {"HUGEINT": "BIGINT", "UHUGEINT": "BIGINT"}
+# DECIMAL -> Decimal objects / float64 depending on width; DATE ->
+# datetime64[ns] which renders "2024-01-02 00:00:00" against Spark's
+# datetime.date "2024-01-02" — the SAME rendering-seam shape as HUGEINT
+# and completely unverified at the driver (no DATE-output query has ever
+# driver-passed; TIMESTAMP outputs pass routinely), so DATE outputs ship
+# as midnight TIMESTAMP on BOTH engines (the Spark side carries the
+# matching .cast("timestamp")).
+CAST_TO = {"HUGEINT": "BIGINT", "UHUGEINT": "BIGINT",
+           "DATE": "TIMESTAMP"}
 DECIMAL_TO = "DOUBLE"
+
+#: deliberately UN-wrapped driver probes that measure a rendering seam
+#: (q_probe_date_render ships a raw DATE cell so CORRECTNESS_r{N}
+#: records whether DATE was a second seam next to HUGEINT)
+PROBE_EXEMPT = {"q_probe_date_render"}
 
 
 def connect():
@@ -72,7 +84,8 @@ def main():
     check = "--check" in sys.argv
     if check:
         from __spark_entry__ import oracle_sql
-        bad = scan(oracle_sql())
+        bad = scan({k: v for k, v in oracle_sql().items()
+                    if k not in PROBE_EXEMPT})
         if bad:
             for n, f in bad.items():
                 print(f"NON-PORTABLE ORACLE OUTPUT {n}: {f}")
