@@ -8731,8 +8731,16 @@ def q_gini(spark, sf_dir):
     prefix counts) + bucket-PARTITIONED row_number, the distributed
     answer to an unpartitioned sort.  Rank ties are totalized by
     custkey so both engines produce the identical permutation;
-    Σ(r·x), n, Σx are all BIGINT-exact, and only the final ratio is
-    float (portably rounded)."""
+    Σ(r·x), n, Σx are all integer-exact, and only the final ratio is
+    float (portably rounded).
+
+    Scale note: Σ(rk·cents) grows as n²·x̄ — a BIGINT accumulator
+    overflows around n ≈ 10⁷ customers (caught by the ×100 sweep:
+    ARITHMETIC_OVERFLOW under ANSI).  The per-row product stays well
+    inside int64, but the SUM runs in decimal(38,0) — exact to 1e38,
+    mirroring DuckDB's automatic int128 (HUGEINT) SUM, so both engines
+    still compute the identical exact integer before the one float
+    division."""
     from access_mopper_spark.operators.ranking import global_rank
 
     od = load_table(spark, sf_dir, "orders")
@@ -8741,10 +8749,11 @@ def q_gini(spark, sf_dir):
               .cast("long")).alias("cents"))
     r = global_rank(c, "cents", ["o_custkey"], out_col="rk")
     n = F.count("*")
+    s_rc = F.sum((F.col("rk") * F.col("cents")).cast("decimal(38,0)"))
     return r.agg(
         n.alias("n_customers"),
         F.sum("cents").alias("total_cents"),
-        R6((2 * F.sum(F.col("rk") * F.col("cents"))).cast("double")
+        R6((2 * s_rc).cast("double")
            / (n.cast("double") * F.sum("cents"))
            - (n + 1).cast("double") / n).alias("gini"))
 
@@ -9182,19 +9191,28 @@ def q_demand_variability(spark, sf_dir):
     cross-multiplication (4·A < B for t=0.5) that cannot flip on float
     summation order, while the reported cv itself is a portably-rounded
     display value.  Two map-side-combined aggregations, no windows, no
-    joins."""
+    joins.
+
+    Scale note (the q_gini overflow class, ×100 sweep): Σx², n·Σx² and
+    (Σx)² are quadratic in per-part volume — int64 dies once monthly
+    cents pass ~3e9, so the moment algebra runs in decimal(38,0),
+    mirroring DuckDB's automatic HUGEINT widening.  Exact integers in,
+    exact integers compared, one float at the end — unchanged
+    semantics, 1e38 headroom."""
     li = load_table(spark, sf_dir, "lineitem")
     pm = li.groupBy(
         F.col("l_partkey").alias("part"),
         F.to_date(F.date_trunc("month", "l_shipdate")).alias("mth"),
     ).agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
                 .cast("long")).alias("q"))
+    qd = F.col("q").cast("decimal(19,0)")
     s = pm.groupBy("part").agg(
         F.count("*").alias("n_months"),
         F.sum("q").alias("sx"),
-        F.sum(F.col("q") * F.col("q")).alias("sxx"))
-    a = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
-    b = F.col("sx") * F.col("sx")
+        F.sum(qd * qd).alias("sxx"))
+    sxd = F.col("sx").cast("decimal(19,0)")
+    a = F.col("n_months") * F.col("sxx") - sxd * sxd
+    b = sxd * sxd
     xyz = (F.when(4 * a < b, "X").when(a < b, "Y").otherwise("Z"))
     return (s.where(F.col("sx") > 0)
              .select("part", "n_months",
