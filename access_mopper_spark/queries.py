@@ -13699,6 +13699,55 @@ def q_probe_date_render(spark, sf_dir):
 
 
 # =====================================================================
+# round 8: one-pass table profiling (ANALYZE-style statistics)
+# =====================================================================
+
+
+def _profile_col_oracle(c, kind):
+    num = {"num": f"CAST(MIN({c}) AS DOUBLE)", "str": "CAST(NULL AS DOUBLE)"}
+    nmx = {"num": f"CAST(MAX({c}) AS DOUBLE)", "str": "CAST(NULL AS DOUBLE)"}
+    smn = {"num": "CAST(NULL AS VARCHAR)", "str": f"MIN({c})"}
+    smx = {"num": "CAST(NULL AS VARCHAR)", "str": f"MAX({c})"}
+    return (f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"{num[kind]} AS min_num, {nmx[kind]} AS max_num, "
+            f"{smn[kind]} AS min_str, {smx[kind]} AS max_str "
+            f"FROM documents")
+
+
+_PROFILE_ORACLE = " UNION ALL ".join([
+    _profile_col_oracle("doc_id", "num"),
+    _profile_col_oracle("text", "str"),
+    _profile_col_oracle("lang", "str"),
+    _profile_col_oracle("source", "str"),
+    _profile_col_oracle("n_chars", "num"),
+])
+
+
+@query("q_table_profile", oracle=_PROFILE_ORACLE)
+def q_table_profile(spark, sf_dir):
+    """ANALYZE-style one-pass profile of the documents table
+    (operators/profile.profile_table): per column the non-NULL/NULL
+    split, exact distinct count, typed min/max (numeric vs string
+    lanes — no stringified doubles in the hash surface).  ONE scan:
+    every statistic is an aggregate expression in a single agg; the
+    multi-column exact COUNT(DISTINCT) compiles to one Expand + a
+    two-level hash aggregate with map-side partials, and the tidy
+    unpivot is a JVM-side ``stack``.  At petabyte scale the same
+    operator runs with approx=True (HyperLogLog++ distinct, no
+    Expand) — the mode a 100 TB pre-curation ANALYZE would use; the
+    exact mode is the oracle-checked one because HLL estimates are
+    engine-specific.  Reference parity: mopdb's ad-hoc per-mapping
+    row counts + variable domain scans before CMORisation planning."""
+    from access_mopper_spark.operators.profile import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = profile_table(docs)
+    return out.withColumnRenamed("column", "col_name")
+
+
+# =====================================================================
 # Oracle output-type canonicalization (round 8)
 #
 # Root cause of EVERY driver hash-fail in rounds 3-7 (23 exposures of
@@ -13785,6 +13834,7 @@ _ORACLE_OUTPUT_CASTS = {
     "q_sliding_hour_sum": [("sum_6h", "BIGINT")],
     "q_streak_islands": [("active_days", "BIGINT")],
     "q_survival_curve": [("n_events", "BIGINT"), ("n_censored", "BIGINT")],
+    "q_table_profile": [("n_null", "BIGINT")],
     "q_time_weighted_avg": [("total_us", "BIGINT")],
     "q_token_entropy": [("n_tokens", "BIGINT")],
     "q_token_fertility": [("total_chars", "BIGINT"), ("total_tokens", "BIGINT"), ("chars_per_100_tokens", "BIGINT")],
