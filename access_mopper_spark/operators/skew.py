@@ -56,3 +56,51 @@ def explode_salt_join(big: DataFrame, small: DataFrame, key: str,
                                         F.lit(n_salts)))
     s = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return b.join(s, [key, "__salt"]).drop("__salt")
+
+
+def skew_profile(df: DataFrame, key_cols: list[str],
+                 top_n: int = 20) -> DataFrame:
+    """Heavy-key diagnostic for join/aggregation planning — the report
+    read before choosing broadcast vs salting vs AQE skew-join: for
+    each candidate key column, the ``top_n`` heaviest keys with count,
+    basis-point share, and rank.
+
+    Returns ``(col_name, key_value, cnt, share_bp, rank)`` — key values
+    cast to string so one tidy frame covers heterogeneous key types;
+    share_bp = FLOOR(cnt·10000/n_rows) is integer-exact (no float in
+    the hash surface); ties break (cnt DESC, key_value ASC).
+
+    Scale shape: ALL columns profile in ONE pass and ONE shuffle — the
+    (col_name, key_value) pairs explode map-side (×|key_cols| row
+    multiplier, like Expand), the grouped count combines map-side, and
+    the per-column top-n runs through ``partial_topk`` (local top-n per
+    physical partition, then a ≤ n·p merge) — never a full sort, never
+    a per-column re-scan.  NULL keys are real rows (a NULL-heavy join
+    key is exactly what this report must surface) and profile as the
+    string sentinel '<NULL>'."""
+    from access_mopper_spark.operators.similarity import partial_topk
+
+    # the per-column denominator is CONSTANT: every base row emits
+    # exactly one (col, value) pair per profiled column (NULLs
+    # included), so total-per-column = |df|.  A parquet count() is
+    # footer-stats only — no data scan; the profile itself then costs
+    # exactly one scan + one shuffle (a derived-totals branch would
+    # duplicate the scan subtree instead: dedup attribute rewriting
+    # defeats exchange reuse across self-join branches).
+    n_rows = df.count()
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                 .alias("key_value"))
+        for c in key_cols])).alias("kv")) \
+        .select("kv.col_name", "kv.key_value")
+    counts = pairs.groupBy("col_name", "key_value").agg(
+        F.count("*").alias("cnt"))
+    top = partial_topk(counts, ["col_name"],
+                       [F.col("cnt").desc(), F.col("key_value").asc()],
+                       top_n)
+    return top.select(
+        "col_name", "key_value", "cnt",
+        F.floor(F.col("cnt") * 10000 / F.lit(n_rows)).cast("long")
+        .alias("share_bp"),
+        F.col("rank").cast("long").alias("rank"))

@@ -13747,6 +13747,47 @@ def q_table_profile(spark, sf_dir):
     return out.withColumnRenamed("column", "col_name")
 
 
+@query(
+    "q_skew_profile",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'user_id' AS col_name,
+             COALESCE(CAST(user_id AS VARCHAR), '<NULL>') AS key_value
+      FROM events
+      UNION ALL
+      SELECT 'event_type', COALESCE(event_type, '<NULL>') FROM events
+      UNION ALL
+      SELECT 'props', COALESCE(props, '<NULL>') FROM events
+    ),
+    c AS (SELECT col_name, key_value, COUNT(*) AS cnt
+          FROM pairs GROUP BY 1, 2),
+    t AS (SELECT col_name, SUM(cnt) AS n FROM c GROUP BY 1),
+    r AS (SELECT c.col_name, c.key_value, c.cnt, t.n,
+                 row_number() OVER (PARTITION BY c.col_name
+                                    ORDER BY c.cnt DESC, c.key_value)
+                   AS rank
+          FROM c JOIN t USING (col_name))
+    SELECT col_name, key_value, cnt,
+           CAST(FLOOR(cnt * 10000 / n) AS BIGINT) AS share_bp, rank
+    FROM r WHERE rank <= 15
+    """,
+)
+def q_skew_profile(spark, sf_dir):
+    """Heavy-key diagnostic (operators/skew.skew_profile): top-15
+    heaviest keys of three candidate join/agg columns of events —
+    including NULL-as-a-key, the classic silent skew source — with
+    integer basis-point shares.  The report a planner reads before
+    choosing broadcast vs salting (skew.salted_agg /
+    explode_salt_join) vs AQE skew-join.  One scan, one shuffle for
+    ALL columns (map-side exploded (col, value) pairs + combined
+    count), per-column top-n via the two-phase partial_topk — no full
+    sort, no per-column re-scan."""
+    from access_mopper_spark.operators.skew import skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_profile(ev, ["user_id", "event_type", "props"], top_n=15)
+
+
 # =====================================================================
 # Oracle output-type canonicalization (round 8)
 #

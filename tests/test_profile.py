@@ -67,3 +67,33 @@ def test_profile_single_scan(spark):
         profile_table(df).explain()
     # one pass: exactly one scan of the parquet source
     assert buf.getvalue().count("Scan parquet") == 1
+
+
+def test_skew_profile_shapes_and_nulls(spark):
+    from access_mopper_spark.operators.skew import skew_profile
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    out = skew_profile(df, ["event_type", "props"], top_n=5).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r["col_name"], []).append(r)
+    for c, rows in by_col.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        cnts = [r["cnt"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cnts == sorted(cnts, reverse=True)
+        assert all(0 <= r["share_bp"] <= 10000 for r in rows)
+    # NULL props are a real (often the heaviest) key
+    n_null = df.where(F.col("props").isNull()).count()
+    if n_null:
+        top_props = {r["key_value"]: r["cnt"] for r in by_col["props"]}
+        if "<NULL>" in top_props:
+            assert top_props["<NULL>"] == n_null
+
+
+def test_skew_profile_single_scan(spark):
+    from access_mopper_spark.operators.skew import skew_profile
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        skew_profile(df, ["user_id", "event_type"]).explain()
+    assert buf.getvalue().count("Scan parquet") == 1
