@@ -58,7 +58,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the probe deliberately ships a raw DATE cell to MEASURE the seam.
 # The 8 green probes and the 28 twice-green r6/r7 rows rotate OUT
 # (families all still represented); remaining HUGEINT-affected
-# TPC-H-revenue rows + q_diurnal_spectrum queue for r9.
+# TPC-H-revenue rows + q_diurnal_spectrum queue for r9, as do the two
+# round-8 additions q_table_profile / q_skew_profile (local-green,
+# never driver-exposed).
 _DRIVER_PRIORITY = [
     # (a) r07 hash-fails — all HUGEINT-oracle rows, now cast-wrapped
     "q_probe_docs_fingerprint", "q_probe_events_fingerprint",
