@@ -1671,7 +1671,7 @@ def q_stream_sink_replay(spark, sf_dir):
     tag = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()) \
                  .hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(),
-                        f"access_mopper_spark_sink_{tag}")
+                        f"access_mopper_spark_sink_{tag}_{os.getpid()}")
     out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
 
     stream = events_stream(spark, sf_dir).select("event_type", "ts", "value")
@@ -1824,8 +1824,9 @@ def q_stream_dedup_ingest(spark, sf_dir):
     import hashlib
     tag = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()) \
                  .hexdigest()[:12]
-    chunk_dir = os.path.join(tempfile.gettempdir(),
-                             f"access_mopper_spark_docchunks_{tag}")
+    chunk_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"access_mopper_spark_docchunks_{tag}_{os.getpid()}")
     if not os.path.isdir(chunk_dir):
         os.makedirs(chunk_dir, exist_ok=True)
         tbl = pq.read_table(src)
@@ -3476,8 +3477,9 @@ def q_netcdf3_decode(spark, sf_dir):
     from access_mopper_spark.sources.netcdf_io import (nc3_opener,
                                                        scan_netcdf,
                                                        write_nc3_fixture)
-    fix_dir = os.path.join(tempfile.gettempdir(),
-                           "access_mopper_spark_nc3_fixtures")
+    fix_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"access_mopper_spark_nc3_fixtures_{os.getpid()}")
     os.makedirs(fix_dir, exist_ok=True)
     paths = []
     for day in range(1, 9):  # 19960101..19960108
@@ -3542,10 +3544,12 @@ def q_mop_process_e2e(spark, sf_dir):
     from access_mopper_spark.sources.netcdf_io import (nc3_opener,
                                                        scan_netcdf,
                                                        write_nc3_fixture)
-    fix_dir = os.path.join(tempfile.gettempdir(),
-                           "access_mopper_spark_nc3_fixtures")
-    out_dir = os.path.join(tempfile.gettempdir(),
-                           "access_mopper_spark_nc3_out")
+    fix_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"access_mopper_spark_nc3_fixtures_{os.getpid()}")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"access_mopper_spark_nc3_out_{os.getpid()}")
     os.makedirs(fix_dir, exist_ok=True)
     paths = []
     for day in range(1, 5):
@@ -7042,7 +7046,8 @@ def q_varlist_dreq_roundtrip(spark, sf_dir):
         .withColumnRenamed("name", "cmor_name") \
         .withColumnRenamed("table", "table_name")
 
-    base = os.path.join(tempfile.gettempdir(), "access_mopper_spark_varlist")
+    base = os.path.join(tempfile.gettempdir(),
+                        f"access_mopper_spark_varlist_{os.getpid()}")
     write_varlist(inv, os.path.join(base, "varlist"))
     back = read_varlist(spark, os.path.join(base, "varlist"))
 
