@@ -631,3 +631,79 @@ def ngram_decontaminate(df_new: DataFrame, df_ref: DataFrame,
     shared = hits.groupBy(id_col).agg(F.count("*").alias("n_shared"))
     return (shared.join(totals, id_col)
                   .select(id_col, "n_grams", "n_shared"))
+
+
+def lsh_calibration(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n_hashes: int = 6,
+                    band_size: int = 2, shingle_k: int = 3) -> DataFrame:
+    """MinHash-LSH parameter calibration: measured band-collision rates
+    against exact Jaccard, per similarity decile — the report that
+    picks (bands, rows) BEFORE a 100 TB dedup run commits to a
+    configuration.  Theory says a pair at Jaccard s collides on ≥1 of
+    b bands of r rows with p = 1−(1−s^r)^b; this measures how the
+    deployed signature scheme actually tracks that S-curve on real
+    corpus text.
+
+    Output per decile d (= ⌊10·J⌋ of the exact word-shingle Jaccard):
+    ``(s_decile, n_pairs, n_candidates, sum_collide_bands,
+    theory_ppm)`` — n_candidates = pairs colliding on ≥1 band (what
+    LSH would surface), sum_collide_bands the total matching bands,
+    theory_ppm = ⌊10⁶·p(midpoint)⌋ evaluated once in the driver and
+    shipped as a literal (no cross-engine pow in the hash surface).
+
+    Scale shape: the quadratic all-pairs Jaccard is replaced by a
+    DETERMINISTIC linear pair sample — docs bucket by the first band
+    key's 2-hex prefix (256 buckets) and each pairs with its
+    (band_0, md5(text), id)-order neighbour inside the bucket.
+    Near-duplicates share band_0, so family members sort adjacent and
+    populate the high-similarity deciles, while docs that merely share
+    a band prefix give the low-similarity mass — the sample spans the
+    S-curve's range at n−256 pairs and replays identically on any
+    engine.  Everything else is map-side column math over the paired
+    rows; the only shuffles are the 256-bucket window and the final
+    ≤11-row rollup."""
+    b = n_hashes // band_size
+    from pyspark.sql import Window as W
+
+    from access_mopper_spark.functions.text import word_shingles
+
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+        .alias("__sh"))
+    sig = lsh_band_keys(
+        minhash_signature(df, text_col, n_hashes=n_hashes,
+                          shingle_k=shingle_k, shingle_kind="word"),
+        n_hashes, band_size)
+    base = (sig.join(sets, id_col)
+               .where(F.size("__sh") > 0)
+               .select(id_col, "__sh",
+                       *[f"band_{i}" for i in range(b)],
+                       F.md5(F.col(text_col)).alias("__h")))
+    bucketed = base.withColumn("__bk", F.substring("band_0", 1, 2))
+    w = W.partitionBy("__bk").orderBy("band_0", "__h", id_col)
+    rn = bucketed.withColumn("__rn", F.row_number().over(w))
+    a, c = rn.alias("a"), rn.alias("c")
+    pairs = a.join(
+        c, (F.col("a.__bk") == F.col("c.__bk"))
+        & (F.col("c.__rn") == F.col("a.__rn") + 1))
+    collide = sum(
+        (F.col(f"a.band_{i}") == F.col(f"c.band_{i}")).cast("int")
+        for i in range(b))
+    scored = pairs.select(
+        F.expr("(10 * size(array_intersect(a.__sh, c.__sh))) div "
+               "size(array_union(a.__sh, c.__sh))").alias("s_decile"),
+        collide.alias("__nc"))
+    import math
+    theory = {d: math.floor(1e6 * (1.0 - (1.0 - (1.0 if d == 10 else
+                                                 (d + 0.5) / 10.0)
+                                          ** band_size) ** b))
+              for d in range(11)}
+    tmap = F.create_map(*[F.lit(x) for kv in theory.items() for x in kv])
+    return (scored.groupBy(F.col("s_decile").cast("long").alias("s_decile"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum((F.col("__nc") >= 1).cast("long"))
+                 .alias("n_candidates"),
+                 F.sum("__nc").cast("long").alias("sum_collide_bands"))
+            .withColumn("theory_ppm",
+                        tmap[F.col("s_decile").cast("int")].cast("long")))

@@ -13793,6 +13793,93 @@ def q_skew_profile(spark, sf_dir):
     return skew_profile(ev, ["user_id", "event_type", "props"], top_n=15)
 
 
+@query(
+    "q_lsh_calibration",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'),
+                               ' '), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
+      FROM toks, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1)
+                                          FROM toks) + 1)) AS i) g
+      WHERE g.i <= greatest(len(w) - 2, 1)
+    ),
+    ds AS (SELECT DISTINCT doc_id, s FROM sh),
+    sets AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             MIN(substring(md5('seed0:' || s), 1, 8)) AS m0,
+             MIN(substring(md5('seed0:' || s), 9, 8)) AS m1,
+             MIN(substring(md5('seed0:' || s), 17, 8)) AS m2,
+             MIN(substring(md5('seed0:' || s), 25, 8)) AS m3,
+             MIN(substring(md5('seed1:' || s), 1, 8)) AS m4,
+             MIN(substring(md5('seed1:' || s), 9, 8)) AS m5
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT s.doc_id,
+             md5(m0 || '|' || m1) AS b0, md5(m2 || '|' || m3) AS b1,
+             md5(m4 || '|' || m5) AS b2, md5(t.text) AS h
+      FROM sig s JOIN toks t USING (doc_id) JOIN sets st USING (doc_id)
+      WHERE st.n_sh > 0
+    ),
+    rn AS (
+      SELECT *, substring(b0, 1, 2) AS bk,
+             row_number() OVER (PARTITION BY substring(b0, 1, 2)
+                                ORDER BY b0, h, doc_id) AS r
+      FROM bands
+    ),
+    prs AS (
+      SELECT a.doc_id AS ia, c.doc_id AS ic,
+             (CASE WHEN a.b0 = c.b0 THEN 1 ELSE 0 END
+              + CASE WHEN a.b1 = c.b1 THEN 1 ELSE 0 END
+              + CASE WHEN a.b2 = c.b2 THEN 1 ELSE 0 END) AS nc
+      FROM rn a JOIN rn c ON a.bk = c.bk AND c.r = a.r + 1
+    ),
+    ix AS (
+      SELECT p.ia, p.ic, COUNT(*) AS i
+      FROM prs p JOIN ds x ON x.doc_id = p.ia
+                 JOIN ds y ON y.doc_id = p.ic AND y.s = x.s
+      GROUP BY p.ia, p.ic
+    ),
+    jac AS (
+      SELECT p.nc,
+             (10 * COALESCE(ix.i, 0))
+               // (sa.n_sh + sc.n_sh - COALESCE(ix.i, 0)) AS s_decile
+      FROM prs p
+      LEFT JOIN ix ON ix.ia = p.ia AND ix.ic = p.ic
+      JOIN sets sa ON sa.doc_id = p.ia
+      JOIN sets sc ON sc.doc_id = p.ic
+    )
+    SELECT s_decile, COUNT(*) AS n_pairs,
+           SUM(CASE WHEN nc >= 1 THEN 1 ELSE 0 END) AS n_candidates,
+           SUM(nc) AS sum_collide_bands,
+           CAST(CASE s_decile WHEN 0 THEN 7481 WHEN 1 THEN 65992 WHEN 2 THEN 176025 WHEN 3 THEN 324319 WHEN 4 THEN 492785 WHEN 5 THEN 660661 WHEN 6 THEN 807400 WHEN 7 THEN 916259 WHEN 8 THEN 978630 WHEN 9 THEN 999073 WHEN 10 THEN 1000000 END AS BIGINT) AS theory_ppm
+    FROM jac GROUP BY s_decile
+    """,
+)
+def q_lsh_calibration(spark, sf_dir):
+    """MinHash-LSH parameter calibration (operators/dedup.
+    lsh_calibration): measured band-collision rates vs exact word-3
+    Jaccard per similarity decile, against the closed-form S-curve
+    p = 1-(1-s^r)^b for the deployed b=3 x r=2 scheme — the report
+    that picks (bands, rows) BEFORE a 100 TB dedup commits to a
+    configuration.  The quadratic all-pairs comparison is replaced by
+    a deterministic linear neighbour sample keyed on the first band
+    (near-dup families sort adjacent and populate the high deciles;
+    band-prefix strangers give the low-similarity mass).  Theory ppm
+    values are driver-evaluated literals on BOTH engines — no
+    cross-engine pow in the hash surface."""
+    from access_mopper_spark.operators.dedup import lsh_calibration
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_calibration(docs)
+
+
 # =====================================================================
 # Oracle output-type canonicalization (round 8)
 #
@@ -13846,6 +13933,7 @@ _ORACLE_OUTPUT_CASTS = {
     "q_interp_sql": [("plev", "DOUBLE")],
     "q_json_extract": [("sum_k", "BIGINT"), ("n_high", "BIGINT")],
     "q_large_volume_customer": [("o_orderdate", "TIMESTAMP")],
+    "q_lsh_calibration": [("n_candidates", "BIGINT"), ("sum_collide_bands", "BIGINT")],
     "q_ltv_cohorts": [("cohort_month", "TIMESTAMP"), ("rev_cents", "BIGINT"), ("cum_rev_cents", "BIGINT")],
     "q_market_share": [("nation_cents", "BIGINT"), ("total_cents", "BIGINT")],
     "q_max_concurrency": [("day", "TIMESTAMP"), ("max_concurrent", "BIGINT")],

@@ -97,3 +97,27 @@ def test_skew_profile_single_scan(spark):
     with contextlib.redirect_stdout(buf):
         skew_profile(df, ["user_id", "event_type"]).explain()
     assert buf.getvalue().count("Scan parquet") == 1
+
+
+def test_lsh_calibration_tracks_theory(spark):
+    """High-similarity deciles must show (near-)certain candidacy and
+    low deciles near-zero — the S-curve separation the (b, r) choice
+    exists to produce; plus the theory literals bracket [0, 1e6] and
+    the sample is deterministic across runs."""
+    from access_mopper_spark.operators.dedup import lsh_calibration
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = {r["s_decile"]: r for r in lsh_calibration(docs).collect()}
+    assert rows, "sample produced no pairs"
+    for d, r in rows.items():
+        assert 0 <= r["theory_ppm"] <= 1_000_000
+        assert 0 <= r["n_candidates"] <= r["n_pairs"]
+        assert r["sum_collide_bands"] >= r["n_candidates"]
+    if 0 in rows:
+        assert rows[0]["n_candidates"] <= max(1, rows[0]["n_pairs"] // 20)
+    hi = [d for d in rows if d >= 9]
+    for d in hi:
+        assert rows[d]["n_candidates"] == rows[d]["n_pairs"]
+    again = {r["s_decile"]: (r["n_pairs"], r["n_candidates"])
+             for r in lsh_calibration(docs).collect()}
+    assert again == {d: (r["n_pairs"], r["n_candidates"])
+                     for d, r in rows.items()}
