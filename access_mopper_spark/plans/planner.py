@@ -28,6 +28,22 @@ from pyspark.sql import functions as F
 FREQ_LADDER = ["10yr", "yr", "mon", "10day", "7day", "day",
                "12hr", "6hr", "3hr", "1hr", "30min", "10min"]
 
+#: Timesteps per day for each output frequency — the reference's
+#: ``nstep_day`` table verbatim (compute_fsize, setup_utils.py:446-449).
+NSTEP_DAY = {"10min": 144.0, "30min": 48.0, "1hr": 24.0, "3hr": 8.0,
+             "6hr": 4.0, "day": 1.0, "10day": 0.1, "mon": 1.0 / 30.0,
+             "yr": 1.0 / 365.0, "dec": 1.0 / 3652.0, "fx": 1.0 / 5000.0}
+
+#: Candidate file intervals, longest → shortest, as (label, days) — the
+#: reference's selection order (setup_utils.py:478-481).  The reference
+#: builds each size from size['days=1'] (months=1 → ×30, years=1 → ×360,
+#: years=10 → ×3600, years=100 → ×36000), so the multipliers below are
+#: its *approximate-calendar* days, not astronomical ones.
+INTERVAL_LADDER = [("years=100", 36000.0), ("years=10", 3600.0),
+                   ("years=1", 360.0), ("months=1", 30.0),
+                   ("days=7", 7.0), ("days=1", 1.0),
+                   ("days=0.5", 0.5), ("days=0.25", 0.25)]
+
 
 def ladder_rank() -> DataFrame | None:
     """Returned as a list of (freq, rank); callers build a broadcast dim."""
@@ -71,6 +87,66 @@ def nearest_frequency(requests: DataFrame, available: DataFrame,
                  .otherwise(F.col("__src_rank") != F.col("__req_rank"))
                  .alias("needs_resample"))
     )
+
+
+def adjust_plev_size(size_col, calc_col, levnum_col):
+    """Calculation-aware per-step size estimate — reference ``adjust_size``
+    (setup_utils.py:405-424): when the mapping's calculation is a
+    level-changing ``plevinterp(var, plev, N)`` macro, the output grid has
+    N pressure levels instead of the source's ``levnum`` model levels, so
+    the byte estimate rescales by ``N / levnum`` *before* the file-interval
+    choice.  Any other calculation leaves the estimate unchanged (the
+    reference returns ``insize`` untouched for them).
+
+    Pure Column math (no UDF): the target level count is the last
+    comma-separated token of the calculation string with the closing
+    paren stripped — exactly the reference's
+    ``float(calc.split(',')[-1].replace(')', ''))``.  ``try_cast`` keeps
+    malformed calculations NULL-safe under ANSI mode.
+    """
+    plevnum = F.regexp_replace(
+        F.element_at(F.split(F.col(calc_col), ","), -1), r"[)\s]", ""
+    ).try_cast("double")
+    return F.when(
+        F.col(calc_col).contains("plevinterp"),
+        F.col(size_col) / F.col(levnum_col) * plevnum,
+    ).otherwise(F.col(size_col))
+
+
+def choose_file_interval(vars_df: DataFrame, grid_size_col: str,
+                         freq_col: str, span_days_col: str,
+                         max_size: float) -> DataFrame:
+    """Pick the output-file calendar interval per variable — reference
+    ``compute_fsize`` (setup_utils.py:428-482): per-timestep size in MB is
+    ``int(grid_size) / 1024**2`` (bytes, truncated); a whole-span single
+    file wins if its size fits ``max_size * 1.1``; otherwise the first
+    interval from longest to shortest (years=100 … days=0.25) that fits;
+    if nothing fits the reference's loop falls through holding days=0.25.
+
+    Adds ``interval`` (label) and ``interval_size_mb``.  ``span_days_col``
+    is the whole-run extent in days (the reference's ``delta``).  All
+    selection logic is one chained CASE per row — map-only at any scale.
+    """
+    thresh = F.lit(max_size * 1.1)
+    nstep = F.lit(None).cast("double")
+    for f, n in NSTEP_DAY.items():
+        nstep = F.when(F.col(freq_col) == f, F.lit(n)).otherwise(nstep)
+    size_tstep = F.floor(F.col(grid_size_col)).cast("double") / F.lit(1048576.0)
+    size_day1 = size_tstep * nstep
+    span_size = size_day1 * F.col(span_days_col).cast("double")
+
+    label = F.when(span_size <= thresh,
+                   F.concat(F.lit("days="), F.col(span_days_col).cast("string")))
+    size = F.when(span_size <= thresh, span_size)
+    for name, days in INTERVAL_LADDER:
+        cand = size_day1 * F.lit(days)
+        label = label.when(cand <= thresh, F.lit(name))
+        size = size.when(cand <= thresh, cand)
+    # reference for-loop exhausts leaving interval='days=0.25'
+    label = label.otherwise(F.lit("days=0.25"))
+    size = size.otherwise(size_day1 * F.lit(0.25))
+    return vars_df.withColumn("interval", label) \
+                  .withColumn("interval_size_mb", size)
 
 
 def plan_output_files(vars_df: DataFrame, size_col: str, nsteps_col: str,

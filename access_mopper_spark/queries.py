@@ -13880,6 +13880,106 @@ def q_lsh_calibration(spark, sf_dir):
     return lsh_calibration(docs)
 
 
+@query(
+    "q_file_plan_plev",
+    oracle=r"""
+    WITH vars AS (
+      SELECT p_partkey AS var_id,
+             CAST((1 + p_partkey % 97) * 100000 AS DOUBLE) AS insize,
+             1 + p_partkey % 70 AS levnum,
+             CASE p_partkey % 3
+               WHEN 0 THEN 'plevinterp(var, plev, '
+                           || CAST(3 + p_partkey % 24 AS VARCHAR) || ')'
+               WHEN 1 THEN 'mask(var)'
+               ELSE '' END AS calculation,
+             list_extract(['10min','30min','1hr','3hr','6hr','day',
+                           '10day','mon','yr','dec','fx'],
+                          CAST(p_partkey % 11 AS INTEGER) + 1) AS frequency,
+             30 + (p_partkey * 7) % 3600 AS span_days
+      FROM part WHERE p_partkey <= 300
+    ),
+    adj AS (
+      SELECT *, CASE WHEN calculation LIKE '%plevinterp%'
+                     THEN insize / levnum * TRY_CAST(
+                            regexp_replace(string_split(calculation, ',')[-1],
+                                           '[)\s]', '', 'g') AS DOUBLE)
+                     ELSE insize END AS grid_size
+      FROM vars
+    ),
+    sized AS (
+      SELECT var_id, frequency, span_days, grid_size,
+             CAST(FLOOR(grid_size) AS DOUBLE) / 1048576.0 *
+             CASE frequency WHEN '10min' THEN 144.0 WHEN '30min' THEN 48.0
+               WHEN '1hr' THEN 24.0 WHEN '3hr' THEN 8.0 WHEN '6hr' THEN 4.0
+               WHEN 'day' THEN 1.0 WHEN '10day' THEN 0.1
+               WHEN 'mon' THEN 1.0/30.0 WHEN 'yr' THEN 1.0/365.0
+               WHEN 'dec' THEN 1.0/3652.0 WHEN 'fx' THEN 1.0/5000.0 END
+             AS day1
+      FROM adj
+    )
+    SELECT var_id, frequency, ROUND(grid_size, 6) AS grid_size,
+           CASE WHEN day1 * span_days <= 100.0 * 1.1
+                  THEN 'days=' || CAST(span_days AS VARCHAR)
+                WHEN day1 * 36000.0 <= 100.0 * 1.1 THEN 'years=100'
+                WHEN day1 * 3600.0 <= 100.0 * 1.1 THEN 'years=10'
+                WHEN day1 * 360.0 <= 100.0 * 1.1 THEN 'years=1'
+                WHEN day1 * 30.0 <= 100.0 * 1.1 THEN 'months=1'
+                WHEN day1 * 7.0 <= 100.0 * 1.1 THEN 'days=7'
+                WHEN day1 * 1.0 <= 100.0 * 1.1 THEN 'days=1'
+                WHEN day1 * 0.5 <= 100.0 * 1.1 THEN 'days=0.5'
+                ELSE 'days=0.25' END AS interval,
+           ROUND(CASE WHEN day1 * span_days <= 100.0 * 1.1
+                        THEN day1 * span_days
+                      WHEN day1 * 36000.0 <= 100.0 * 1.1 THEN day1 * 36000.0
+                      WHEN day1 * 3600.0 <= 100.0 * 1.1 THEN day1 * 3600.0
+                      WHEN day1 * 360.0 <= 100.0 * 1.1 THEN day1 * 360.0
+                      WHEN day1 * 30.0 <= 100.0 * 1.1 THEN day1 * 30.0
+                      WHEN day1 * 7.0 <= 100.0 * 1.1 THEN day1 * 7.0
+                      WHEN day1 * 1.0 <= 100.0 * 1.1 THEN day1 * 1.0
+                      WHEN day1 * 0.5 <= 100.0 * 1.1 THEN day1 * 0.5
+                      ELSE day1 * 0.25 END, 6) AS interval_size_mb
+    FROM sized
+    """,
+)
+def q_file_plan_plev(spark, sf_dir):
+    """Calculation-aware output-size planning (reference adjust_size +
+    compute_fsize, setup_utils.py:405-482): a plevinterp(var, plev, N)
+    calculation rescales the per-step byte estimate by N/levnum BEFORE
+    the file-interval choice, then the interval ladder (whole-span file
+    if it fits max_size*1.1, else years=100 ... days=0.25 longest-first,
+    reference fall-through to days=0.25) picks the sink partitioning.
+    Pure Column math, map-only at any scale — at 100 TB this is the
+    policy that stops interpolated variables from mis-sizing their
+    output files."""
+    from access_mopper_spark.plans.planner import (adjust_plev_size,
+                                                   choose_file_interval)
+    freqs = F.array(*[F.lit(f) for f in
+                      ["10min", "30min", "1hr", "3hr", "6hr", "day",
+                       "10day", "mon", "yr", "dec", "fx"]])
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    plev_n = (F.lit(3) + k % 24).cast("string")
+    calc = (F.when(k % 3 == 0,
+                   F.concat(F.lit("plevinterp(var, plev, "), plev_n, F.lit(")")))
+             .when(k % 3 == 1, F.lit("mask(var)"))
+             .otherwise(F.lit("")))
+    vars_df = part.where(k <= 300).select(
+        k.alias("var_id"),
+        ((F.lit(1) + k % 97) * F.lit(100000)).cast("double").alias("insize"),
+        (F.lit(1) + k % 70).alias("levnum"),
+        calc.alias("calculation"),
+        F.element_at(freqs, (k % 11).cast("int") + 1).alias("frequency"),
+        (F.lit(30) + (k * 7) % 3600).alias("span_days"))
+    adj = vars_df.withColumn(
+        "grid_size", adjust_plev_size("insize", "calculation", "levnum"))
+    out = choose_file_interval(adj, "grid_size", "frequency", "span_days",
+                               max_size=100.0)
+    return out.select("var_id", "frequency",
+                      R6(F.col("grid_size")).alias("grid_size"),
+                      "interval",
+                      R6(F.col("interval_size_mb")).alias("interval_size_mb"))
+
+
 # =====================================================================
 # Oracle output-type canonicalization (round 8)
 #

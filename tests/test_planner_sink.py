@@ -58,6 +58,55 @@ def test_plan_output_files_bounds(spark):
     assert segs == [(0, 2), (2, 4)]
 
 
+def test_adjust_plev_size_reference_semantics(spark):
+    # reference adjust_size (setup_utils.py:405-424): plevinterp rescales
+    # insize by target-levels/source-levels; anything else is untouched
+    from access_mopper_spark.plans.planner import adjust_plev_size
+    df = spark.createDataFrame(
+        [("plevinterp(var, plev, 19)", 7000.0, 70),
+         ("plevinterp(ta, plev8, 8)", 1000.0, 50),
+         ("mask(var)", 1234.0, 70),
+         ("", 999.0, 10),
+         ("plevinterp(broken", 4200.0, 42)],   # no comma -> NULL-safe
+        ["calculation", "insize", "levnum"])
+    out = df.withColumn(
+        "g", adjust_plev_size("insize", "calculation", "levnum")).collect()
+    assert out[0]["g"] == pytest.approx(7000.0 / 70 * 19)
+    assert out[1]["g"] == pytest.approx(1000.0 / 50 * 8)
+    assert out[2]["g"] == 1234.0
+    assert out[3]["g"] == 999.0
+    assert out[4]["g"] is None   # malformed plev parses NULL, not error
+
+
+def test_choose_file_interval_ladder(spark):
+    # reference compute_fsize (setup_utils.py:428-482)
+    from access_mopper_spark.plans.planner import choose_file_interval
+    mb = 1048576.0
+    df = spark.createDataFrame(
+        [  # (grid bytes/step, freq, span days)
+         ("whole_span", 1.0 * mb, "day", 30),     # 30 MB total -> one file
+         ("monthly",    3.0 * mb, "day", 3000),   # day1=3MB: months=1 (90<=110)
+         ("weekly",    15.0 * mb, "day", 3000),   # day1=15: days=7 (105<=110)
+         ("fallthrough", 600.0 * mb, "1hr", 30),  # even 0.25d = 3600MB > cap
+         ("fx_one_file", 500.0 * mb, "fx", 1000), # fx nstep tiny -> whole span
+        ],
+        ["var", "grid_size", "frequency", "span_days"])
+    out = {r["var"]: r for r in
+           choose_file_interval(df, "grid_size", "frequency", "span_days",
+                                max_size=100.0).collect()}
+    assert out["whole_span"]["interval"] == "days=30"
+    assert out["whole_span"]["interval_size_mb"] == pytest.approx(30.0)
+    assert out["monthly"]["interval"] == "months=1"
+    assert out["monthly"]["interval_size_mb"] == pytest.approx(90.0)
+    assert out["weekly"]["interval"] == "days=7"
+    # reference loop exhausts still holding days=0.25
+    assert out["fallthrough"]["interval"] == "days=0.25"
+    assert out["fallthrough"]["interval_size_mb"] == pytest.approx(3600.0)
+    # 'set small number for fx frequency so it always create only one file'
+    # (fx nstep=1/5000 -> 500 MB/step x 1000 days = 100 MB <= 110 cap)
+    assert out["fx_one_file"]["interval"] == "days=1000"
+
+
 def test_task_ledger_idempotent(spark):
     plan = spark.createDataFrame([(1,), (2,), (3,)], ["task_id"])
     ledger = TaskLedger(plan)
