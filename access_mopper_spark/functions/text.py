@@ -244,3 +244,30 @@ def portable_levenshtein(a: Column, b: Column,
     if threshold is not None:
         return F.levenshtein(ab, bb, threshold)
     return F.levenshtein(ab, bb)
+
+
+#: HTML entity unescape order matters: '&amp;' LAST, or '&amp;lt;'
+#: double-unescapes into '<'.  Keep the list tiny and deterministic —
+#: the full named-entity table is a broadcast dim in production.
+HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                 ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+
+def strip_html(text: Column) -> Column:
+    """Boilerplate-strip an HTML payload to visible text: drop
+    <script>/<style> elements WITH their contents (lazy spans, (?s) so
+    embedded newlines don't stop the match), drop every remaining tag,
+    unescape the core entities, collapse whitespace.  The first stage of
+    any web-crawl curation pipeline.
+
+    Dialect notes: no regex backreferences (RE2/DuckDB lacks them — the
+    script and style elements get separate patterns instead of
+    <(script|style)>..</\\1>); lazy quantifiers and inline (?s) are
+    common to Java regex and RE2.  Pure Column math, map-only.
+    """
+    t = F.regexp_replace(text, r"(?s)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?s)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return ws_normalized(t)

@@ -13980,6 +13980,204 @@ def q_file_plan_plev(spark, sf_dir):
                       R6(F.col("interval_size_mb")).alias("interval_size_mb"))
 
 
+# ---------------------------------------------------------------------
+# Web-curation stage (operators/web.py): URL canonicalization, registered
+# domains, deterministic per-host caps.  The URL fixture is derived from
+# doc_id with identical expressions on both engines (documents has no url
+# column, same derivation pattern as the customer digit fixtures).
+# ---------------------------------------------------------------------
+
+_URL_HOSTS = ["WWW.Example.COM", "news.site.co.uk", "CDN.Assets.org",
+              "blog.example.com", "shop.example.co.uk", "Api.Service.IO",
+              "www.archive.net"]
+
+_URL_FIXTURE_SQL = (
+    "CASE doc_id % 2 WHEN 0 THEN 'https' ELSE 'HTTP' END || '://' "
+    "|| list_extract([" + ",".join(f"'{h}'" for h in _URL_HOSTS) + "], "
+    "CAST(doc_id % 7 AS INTEGER) + 1) "
+    "|| CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80' "
+    "WHEN 2 THEN ':8080' ELSE '' END "
+    "|| CASE doc_id % 4 WHEN 0 THEN '/articles/' || CAST(doc_id AS VARCHAR) || '/' "
+    "WHEN 1 THEN '' WHEN 2 THEN '/index.html' ELSE '/a/b/c/' END "
+    "|| CASE doc_id % 3 WHEN 0 THEN '?utm_source=x&b=2&a=1' "
+    "WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y&fbclid=z' "
+    "ELSE '' END "
+    "|| CASE doc_id % 2 WHEN 0 THEN '#frag' ELSE '' END")
+
+_URL_TRACK_FILTER = (
+    "p -> p <> '' AND NOT starts_with(p, 'utm_')"
+    + "".join(f" AND p <> '{t}' AND NOT starts_with(p, '{t}=')"
+              for t in ("fbclid", "gclid", "msclkid", "mc_eid", "igshid")))
+
+_URL_MULTI_TLD_SQL = ("('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',"
+                      "'org.au','co.jp','co.nz','co.in','com.br','com.cn',"
+                      "'com.mx','co.za')")
+
+_URL_CANON_CTES = f"""
+    u AS (SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents),
+    parsed AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS host,
+        regexp_extract(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$', 1) AS port,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+      FROM u
+    ),
+    pieces AS (
+      SELECT *,
+        CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS p2,
+        CASE WHEN rawq = '' THEN ''
+             ELSE array_to_string(list_sort(list_filter(
+                    string_split(rawq, '&'), {_URL_TRACK_FILTER})), '&')
+        END AS q2,
+        string_split(host, '.') AS labels
+      FROM parsed
+    ),
+    canon AS (
+      SELECT doc_id, url,
+        scheme || '://' || host
+        || CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+                              AND NOT (scheme = 'http' AND port = '80')
+                THEN ':' || port ELSE '' END
+        || CASE WHEN p2 LIKE '_%/' THEN substring(p2, 1, length(p2) - 1) ELSE p2 END
+        || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canonical_url,
+        CASE WHEN len(labels) >= 3
+              AND array_to_string(list_slice(labels,
+                    greatest(len(labels) - 1, 1), len(labels)), '.')
+                  IN {_URL_MULTI_TLD_SQL}
+             THEN array_to_string(list_slice(labels,
+                    greatest(len(labels) - 2, 1), len(labels)), '.')
+             ELSE array_to_string(list_slice(labels,
+                    greatest(len(labels) - 1, 1), len(labels)), '.')
+        END AS domain
+      FROM pieces
+    )"""
+
+
+def _url_fixture(docs):
+    k = F.col("doc_id")
+    hosts = F.array(*[F.lit(h) for h in _URL_HOSTS])
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.element_at(hosts, (k % 7).cast("int") + 1),
+        F.when(k % 5 == 0, F.lit(":443")).when(k % 5 == 1, F.lit(":80"))
+         .when(k % 5 == 2, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(k % 4 == 0, F.concat(F.lit("/articles/"), k.cast("string"), F.lit("/")))
+         .when(k % 4 == 1, F.lit("")).when(k % 4 == 2, F.lit("/index.html"))
+         .otherwise(F.lit("/a/b/c/")),
+        F.when(k % 3 == 0, F.lit("?utm_source=x&b=2&a=1"))
+         .when(k % 3 == 1, F.concat(F.lit("?id="), k.cast("string"),
+                                    F.lit("&utm_campaign=y&fbclid=z")))
+         .otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    return docs.select("doc_id", url.alias("url"))
+
+
+@query(
+    "q_url_canonical",
+    oracle=f"""
+    WITH {_URL_CANON_CTES}
+    SELECT doc_id, canonical_url, domain FROM canon
+    """,
+)
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization + registered-domain extraction
+    (operators/web.py): lower scheme/host, strip default ports and
+    fragments, drop tracking params, sort survivors, drop non-root
+    trailing slash; domain = last 2 labels (3 over multi-label TLDs).
+    The key-normalization stage every exact-dup and host-policy pass
+    depends on.  Pure Column math, map-only at any scale."""
+    from access_mopper_spark.operators.web import (canonicalize_url,
+                                                   registered_domain,
+                                                   url_host)
+    docs = load_table(spark, sf_dir, "documents")
+    u = _url_fixture(docs)
+    return u.select("doc_id",
+                    canonicalize_url(F.col("url")).alias("canonical_url"),
+                    registered_domain(url_host(F.col("url"))).alias("domain"))
+
+
+@query(
+    "q_host_cap",
+    oracle=f"""
+    WITH {_URL_CANON_CTES}
+    SELECT doc_id, domain, canonical_url FROM (
+      SELECT doc_id, domain, canonical_url,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY md5(canonical_url), doc_id) AS rk
+      FROM canon
+    ) WHERE rk <= 20
+    """,
+)
+def q_host_cap(spark, sf_dir):
+    """Deterministic per-domain document cap (operators/web.per_host_cap):
+    keep <= 20 docs per registered domain under the md5(canonical_url)
+    pseudo-random order, id tiebreak.  Rank-pushed window
+    (WindowGroupLimit): map tasks forward at most cap rows per domain,
+    so one megasite never sorts its full row set in a single task."""
+    from access_mopper_spark.operators.web import per_host_cap
+    docs = load_table(spark, sf_dir, "documents")
+    u = _url_fixture(docs)
+    out = per_host_cap(u, "url", cap=20, id_col="doc_id")
+    return out.select("doc_id", "domain", "canonical_url")
+
+
+@query(
+    "q_html_strip",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        || '</title><style>p { color: red }</style></head><body><h1 class="t">Doc '
+        || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+        || ' &amp; tail</p><script type="text/javascript">var x = 1; if (x < 2) { x = 3; }</script></body></html>'
+        AS html
+      FROM documents
+    ),
+    tagless AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(html,
+          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]+>', ' ', 'g') AS t1
+      FROM h
+    ),
+    clean AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(t1,
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+          '[ \t\n\r]+', ' ', 'g'), ' ') AS clean
+      FROM tagless
+    )
+    SELECT doc_id, clean, length(clean) AS clean_chars FROM clean
+    """,
+)
+def q_html_strip(spark, sf_dir):
+    """HTML boilerplate strip (functions/text.strip_html): drop
+    script/style elements with contents, drop tags, unescape core
+    entities, collapse whitespace — the first stage of web-crawl
+    curation.  No regex backreferences (RE2-portable), lazy spans with
+    inline (?s).  Pure Column math over _wide partitions."""
+    from access_mopper_spark.functions.text import strip_html
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    k = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), k,
+        F.lit('</title><style>p { color: red }</style></head>'
+              '<body><h1 class="t">Doc '), k,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit(' &amp; tail</p><script type="text/javascript">'
+              "var x = 1; if (x < 2) { x = 3; }</script></body></html>"))
+    return (docs.withColumn("clean", strip_html(html))
+            .select("doc_id", "clean", F.length("clean").alias("clean_chars")))
+
+
 # =====================================================================
 # Oracle output-type canonicalization (round 8)
 #

@@ -357,3 +357,26 @@ def test_pagerank_edge_cache_partitioned_on_join_key(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for t in (e, nodes, deg):
             t.unpersist()
+
+
+def test_host_cap_window_is_rank_pushed(spark, sf_dir):
+    # per-domain cap must partial-limit map-side (WindowGroupLimit) so a
+    # megasite never funnels its full row set through one task's sort
+    df = QUERIES["q_host_cap"](spark, sf_dir)
+    plan = plan_str(df)
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    # and the web stage stays codegen Column math (no Python workers)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_and_html_stages_are_map_only(spark, sf_dir):
+    # q_url_canonical: zero exchanges; q_html_strip: only the deliberate
+    # _wide round-robin widen (CPU-bound text stage), never a hash shuffle
+    plan = plan_str(QUERIES["q_url_canonical"](spark, sf_dir))
+    assert "Exchange" not in plan
+    plan = plan_str(QUERIES["q_html_strip"](spark, sf_dir))
+    assert "RoundRobinPartitioning" in plan      # the widen is there
+    assert "hashpartitioning" not in plan        # and nothing else shuffles
+    for name in ("q_url_canonical", "q_html_strip"):
+        plan = plan_str(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,80 @@
+"""Web-curation operators: URL canonicalization, registered domains,
+per-host caps (operators/web.py) and HTML boilerplate strip
+(functions/text.strip_html)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from access_mopper_spark.operators.web import (canonicalize_url,
+                                               per_host_cap,
+                                               registered_domain, url_host)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [r["c"] for r in
+            df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonicalize_url_cases(spark):
+    got = _canon(spark, [
+        "HTTPS://WWW.Example.COM:443/Path/#frag",        # scheme+host lower, default port, fragment
+        "http://site.org:8080/a/",                        # non-default port kept, trailing slash
+        "https://x.io?utm_source=a&b=2&a=1&fbclid=zz",    # trackers out, rest sorted
+        "http://x.io:80/index.html?gclid=1",              # default http port, all-tracker query
+        "https://a.b/",                                   # root slash preserved
+    ])
+    assert got == [
+        "https://www.example.com/Path",
+        "http://site.org:8080/a",
+        "https://x.io/?a=1&b=2",
+        "http://x.io/index.html",
+        "https://a.b/",
+    ]
+
+
+def test_canonicalize_null_safe(spark):
+    df = spark.createDataFrame([(None,)], "url string")
+    assert df.select(canonicalize_url(F.col("url")).alias("c")) \
+             .collect()[0]["c"] is None
+
+
+def test_registered_domain(spark):
+    df = spark.createDataFrame(
+        [("www.example.com",), ("a.b.news.co.uk",), ("localhost",),
+         ("example.co.za",), ("deep.sub.cdn.assets.org",)], ["h"])
+    got = [r["d"] for r in
+           df.select(registered_domain(F.col("h")).alias("d")).collect()]
+    assert got == ["example.com", "news.co.uk", "localhost",
+                   "example.co.za", "assets.org"]
+
+
+def test_per_host_cap_bound_and_determinism(spark):
+    rows = [(i, f"https://h{i % 3}.example.com/p/{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out1 = per_host_cap(df, "url", cap=5, id_col="doc_id")
+    got1 = sorted(r["doc_id"] for r in out1.collect())
+    assert len(got1) == 5  # h0/h1/h2 share registered domain example.com
+    # deterministic across replans/reruns
+    got2 = sorted(r["doc_id"] for r in
+                  per_host_cap(df, "url", cap=5, id_col="doc_id").collect())
+    assert got1 == got2
+    doms = {r["domain"] for r in out1.collect()}
+    assert doms == {"example.com"}
+
+
+def test_strip_html(spark):
+    from access_mopper_spark.functions.text import strip_html
+    cases = [
+        ('<p>a</p> <script>if (1 < 2) { x("</p>"); }</script>b', "a b"),
+        ("<style>h1 { color: red }</style>plain", "plain"),
+        ("x &amp;lt; y", "x &lt; y"),           # &amp; unescapes LAST
+        ("a&nbsp;&nbsp;b\n\n  c", "a b c"),
+        ("<div class='x'><b>keep</b>-me</div>", "keep -me"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "t string")
+    got = [r["s"] for r in
+           df.select(strip_html(F.col("t")).alias("s")).collect()]
+    assert got == [c[1] for c in cases]
