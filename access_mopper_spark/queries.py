@@ -14178,6 +14178,121 @@ def q_html_strip(spark, sf_dir):
             .select("doc_id", "clean", F.length("clean").alias("clean_chars")))
 
 
+@query(
+    "q_line_boilerplate",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+        'COOKIE NOTICE' || chr(10) || text || chr(10)
+        || CASE doc_id % 4 WHEN 0 THEN 'Subscribe to our newsletter'
+           ELSE 'Footer note ' || CAST(doc_id AS VARCHAR) END
+        || chr(10) || 'Copyright 2024 Example Corp' AS txt
+      FROM documents
+    ),
+    sp AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM d),
+    lines AS (
+      SELECT doc_id, g.i AS pos, list_extract(ls, g.i) AS line
+      FROM sp, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(ls)), 1)
+                                        FROM sp) + 1)) AS i) g
+      WHERE g.i <= len(ls)
+    ),
+    boiler AS (
+      SELECT line FROM (SELECT DISTINCT line, doc_id FROM lines)
+      GROUP BY line HAVING COUNT(*) >= 50
+    ),
+    kept AS (SELECT l.* FROM lines l ANTI JOIN boiler b ON l.line = b.line),
+    tot AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id)
+    SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS clean,
+           COUNT(*) AS n_kept, MIN(t.n_total) - COUNT(*) AS n_dropped
+    FROM kept k JOIN tot t ON t.doc_id = k.doc_id
+    GROUP BY k.doc_id
+    """,
+)
+def q_line_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate-line removal (operators/lines.
+    remove_boilerplate_lines — the CCNet/RefinedWeb line-dedup pass):
+    any line appearing in >= 50 distinct documents (cookie banners,
+    footers, nav) is dropped from every document; survivors re-join in
+    order.  Hot lines collapse map-side in the distinct/count partial
+    aggregates, so a banner on a billion pages reaches the reducer once
+    per task."""
+    from access_mopper_spark.operators.lines import remove_boilerplate_lines
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    k = F.col("doc_id")
+    txt = F.concat(
+        F.lit("COOKIE NOTICE\n"), F.col("text"), F.lit("\n"),
+        F.when(k % 4 == 0, F.lit("Subscribe to our newsletter"))
+         .otherwise(F.concat(F.lit("Footer note "), k.cast("string"))),
+        F.lit("\nCopyright 2024 Example Corp"))
+    fix = docs.select("doc_id", txt.alias("txt"))
+    return remove_boilerplate_lines(fix, "doc_id", "txt", min_docs=50)
+
+
+@query(
+    "q_c4_line_filter",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+        'This is a good sentence number ' || CAST(doc_id AS VARCHAR) || '.'
+        || chr(10)
+        || CASE doc_id % 3 WHEN 0 THEN 'short line'
+             WHEN 1 THEN 'Another fine sentence with many words here.'
+             ELSE 'no terminal punctuation in this line' END
+        || chr(10)
+        || CASE doc_id % 7 WHEN 0 THEN 'Lorem Ipsum dolor sit amet placeholder.'
+             ELSE 'A third proper sentence appears right here!' END
+        || chr(10)
+        || CASE doc_id % 5 WHEN 0 THEN 'function() { return 1; }'
+             ELSE 'Final words make a valid closing statement.' END AS txt
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, txt,
+        list_filter(string_split(txt, chr(10)), ln ->
+          (ends_with(trim(ln, ' '), '.') OR ends_with(trim(ln, ' '), '!')
+           OR ends_with(trim(ln, ' '), '?') OR ends_with(trim(ln, ' '), '"'))
+          AND (CASE WHEN length(regexp_replace(trim(ln, ' '),
+                                               '[ \t\r]+', ' ', 'g')) = 0
+                    THEN 0
+                    ELSE length(regexp_replace(trim(ln, ' '),
+                                               '[ \t\r]+', ' ', 'g'))
+                         - length(replace(regexp_replace(trim(ln, ' '),
+                                          '[ \t\r]+', ' ', 'g'), ' ', ''))
+                         + 1 END) >= 5) AS kept
+      FROM d
+    )
+    SELECT doc_id, array_to_string(kept, chr(10)) AS clean,
+           len(kept) AS n_kept
+    FROM f
+    WHERE len(kept) >= 3 AND NOT contains(lower(txt), 'lorem ipsum')
+      AND NOT contains(txt, '{') AND NOT contains(txt, '}')
+    """,
+)
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line cleaning (operators/lines.c4_line_filter, Raffel
+    et al. 2020 §2.2): keep lines ending in terminal punctuation with
+    >= 5 words; drop documents with < 3 surviving lines or containing
+    curly braces / 'lorem ipsum'.  Map-only — the per-line predicate
+    runs in a higher-order filter over the split array, no explode, no
+    shuffle, one corpus scan."""
+    from access_mopper_spark.operators.lines import c4_line_filter
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    k = F.col("doc_id")
+    txt = F.concat(
+        F.lit("This is a good sentence number "), k.cast("string"), F.lit(".\n"),
+        F.when(k % 3 == 0, F.lit("short line"))
+         .when(k % 3 == 1, F.lit("Another fine sentence with many words here."))
+         .otherwise(F.lit("no terminal punctuation in this line")),
+        F.lit("\n"),
+        F.when(k % 7 == 0, F.lit("Lorem Ipsum dolor sit amet placeholder."))
+         .otherwise(F.lit("A third proper sentence appears right here!")),
+        F.lit("\n"),
+        F.when(k % 5 == 0, F.lit("function() { return 1; }"))
+         .otherwise(F.lit("Final words make a valid closing statement.")))
+    fix = docs.select("doc_id", txt.alias("txt"))
+    return c4_line_filter(fix, "doc_id", "txt", min_words=5, min_lines=3)
+
+
 # =====================================================================
 # Oracle output-type canonicalization (round 8)
 #

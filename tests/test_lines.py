@@ -1,0 +1,61 @@
+"""Line-level curation: boilerplate-line removal and C4 line filtering
+(operators/lines.py)."""
+
+from pyspark.sql import functions as F
+
+from access_mopper_spark.operators.lines import (c4_line_filter,
+                                                 remove_boilerplate_lines)
+
+
+def test_remove_boilerplate_lines(spark):
+    docs = spark.createDataFrame(
+        [(i, f"BANNER\nbody text {i}\nFOOTER") for i in range(10)]
+        + [(99, "BANNER\nBANNER\nonly unique line here")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(docs, min_docs=5).collect()}
+    # banner+footer cross >=5 docs -> dropped everywhere; bodies survive
+    assert out[0]["clean"] == "body text 0"
+    assert out[0]["n_kept"] == 1 and out[0]["n_dropped"] == 2
+    # duplicate line inside ONE doc is not boilerplate (distinct doc count)
+    # but BANNER is (11 docs); doc 99 keeps its unique line only
+    assert out[99]["clean"] == "only unique line here"
+    assert out[99]["n_dropped"] == 2
+
+
+def test_remove_boilerplate_drops_all_lines_doc(spark):
+    docs = spark.createDataFrame(
+        [(i, "SAME") for i in range(6)] + [(42, "SAME\nmine")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(docs, min_docs=5).collect()}
+    # docs whose every line is boilerplate disappear from the output
+    assert set(out) == {42}
+    assert out[42]["clean"] == "mine"
+
+
+def test_c4_line_filter_rules(spark):
+    good = ("One proper sentence with enough words here.\n"
+            "Another proper sentence with enough words too!\n"
+            "And a third one rounds out the document?")
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, good + "\nlorem IPSUM inside"),        # placeholder signal
+         (3, good + "\nif (x) { y(); }"),           # code signal
+         (4, "Too few surviving sentences here today.\nshort.\nnope"),
+         (5, None)],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_kept"] == 3
+    assert out[1]["clean"] == good
+
+
+def test_c4_line_keeps_terminal_quote(spark):
+    docs = spark.createDataFrame(
+        [(1, 'He said the words would carry plenty of weight."\n'
+             "A second full sentence lands right here today.\n"
+             "Third sentence closes out the entire document now.")],
+        ["doc_id", "text"])
+    out = c4_line_filter(docs).collect()
+    assert len(out) == 1 and out[0]["n_kept"] == 3
