@@ -198,6 +198,97 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
                        F.col(label_col).alias("pred_label"), "n_votes")
 
 
+def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   anchor_id_col: str = "anchor_id") -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the cosine top-k corpus rows whose label DIFFERS from the anchor's —
+    the near-miss negatives that carry the gradient signal (the
+    retrieval/embedding-training companion to ``knn_classify``).
+    Returns ``(anchor_id, vec_id, label, sim)``, k rows per anchor.
+
+    Scale shape mirrors knn_classify: anchors (bounded, guarded)
+    broadcast into a single-corpus-scan Arrow GEMM; same-label pairs are
+    masked BEFORE the batch-local top-k, so each batch emits ≤
+    |anchors|·k rows and the global top-k is a salted two-phase merge —
+    the |corpus|×|anchors| pair table never materializes.  Similarity
+    snaps to the 1e-6 grid with an id tie-break (identical neighbour
+    sets on both engines)."""
+    import numpy as np
+    import pandas as pd
+
+    from access_mopper_spark.operators.partitioning import \
+        ensure_min_partitions
+    from access_mopper_spark.operators.similarity import nonzero_norm
+
+    label_type = dict(corpus.dtypes)[label_col]
+    cid_type = dict(corpus.dtypes)[id_col]
+    aid_type = dict(anchors.dtypes)[anchor_id_col]
+    out_schema = (f"{anchor_id_col} {aid_type}, {id_col} {cid_type}, "
+                  f"{label_col} {label_type}, sim double")
+
+    max_anchors = 100_000
+    arows = (anchors.select(F.col(anchor_id_col), F.col(label_col),
+                            as_double(F.col(vec_col)).alias("__av"))
+             .where(nonzero_norm(F.col("__av"))
+                    & F.col(label_col).isNotNull())
+             .limit(max_anchors + 1).collect())
+    if len(arows) > max_anchors:
+        raise ValueError(
+            f"hard_negatives: > {max_anchors} anchors — broadcast GEMM "
+            "no longer applies; block the anchor side "
+            "(similarity.cosine_pairs_blocked) instead")
+    spark = corpus.sparkSession
+    if not arows:
+        return spark.createDataFrame([], out_schema)
+    aids = np.array([r[0] for r in arows])
+    alabels = np.array([r[1] for r in arows])
+    amat = np.array([r[2] for r in arows], dtype="float64")
+    anorm = np.linalg.norm(amat, axis=1)
+
+    c = ensure_min_partitions(
+        corpus.select(F.col(id_col), F.col(label_col),
+                      as_double(F.col(vec_col)).alias("__cv"))
+              .where(nonzero_norm(F.col("__cv"))
+                     & F.col(label_col).isNotNull()))
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["__cv"]), dtype="float64")
+            xnorm = np.linalg.norm(x, axis=1)
+            # oracle formula order (dot / norm-product), then 1e-6 snap
+            sims = np.floor((x @ amat.T) / np.outer(xnorm, anorm)
+                            * 1e6 + 0.5) / 1e6
+            labels = pdf[label_col].to_numpy()
+            # mask SAME-label pairs below any real cosine so they can
+            # never enter the top-k; leftovers are filtered after select
+            sims = np.where(labels[:, None] == alabels[None, :],
+                            -9.0, sims)
+            cids = pdf[id_col].to_numpy()
+            kk = min(k, len(pdf))
+            sort_ids = (cids.astype("U") if cids.dtype == object else cids)
+            order = np.lexsort((sort_ids[:, None].repeat(len(aids), 1),
+                                -sims), axis=0)[:kk]
+            rows = order.ravel()
+            cols = np.tile(np.arange(len(aids)), kk)
+            picked = sims[rows, cols]
+            ok = picked > -2.0  # batches with < k different-label rows
+            yield pd.DataFrame({
+                anchor_id_col: np.repeat(aids[None, :], kk, axis=0)
+                                 .ravel()[ok],
+                id_col: cids[rows][ok],
+                label_col: labels[rows][ok],
+                "sim": picked[ok]})
+
+    scored = c.mapInPandas(score_batches, out_schema)
+    return partial_topk(scored, [anchor_id_col],
+                        [F.col("sim").desc(), F.col(id_col)], k) \
+        .select(anchor_id_col, id_col, label_col, "sim")
+
+
 def pca_power_iteration(gram_upper: DataFrame, dim: int,
                         iterations: int = 3) -> DataFrame:
     """Leading principal component by power iteration over a

@@ -14293,6 +14293,100 @@ def q_c4_line_filter(spark, sf_dir):
     return c4_line_filter(fix, "doc_id", "txt", min_words=5, min_lines=3)
 
 
+@query(
+    "q_jsonl_roundtrip",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MIN(md5(CAST(doc_id AS VARCHAR) || ':' || text)) AS fp_min,
+           MAX(md5(CAST(doc_id AS VARCHAR) || ':' || text)) AS fp_max
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+    """,
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink + source roundtrip — the standard interchange format
+    for LLM corpora (one JSON object per line, splittable, append-able).
+    The corpus writes to newline-delimited JSON and reads back with an
+    EXPLICIT schema (no inference scan — at 100 TB schema inference is a
+    full extra pass); the oracle aggregates the ORIGINAL parquet, so the
+    match proves the roundtrip byte-lossless (per-source counts, char
+    sums, and min/max row fingerprints over id:text).  Scratch dir is
+    keyed by source stat + pid (process-private, replays fresh on
+    regenerated testdata)."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()) \
+                 .hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"access_mopper_spark_jsonl_{tag}_{os.getpid()}")
+    docs.coalesce(8).write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+    fp = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                        F.col("text")))
+    return (back.where(F.col("text").isNotNull())
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).cast("long").alias("total_chars"),
+                 F.min(fp).alias("fp_min"),
+                 F.max(fp).alias("fp_max")))
+
+
+@query(
+    "q_hard_negatives_gemm",
+    oracle=r"""
+    WITH c AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+      WHERE vec_id % 25 <> 0 AND label IS NOT NULL
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+    ),
+    a AS (
+      SELECT vec_id AS anchor_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+      WHERE vec_id % 25 = 0 AND label IS NOT NULL
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+    ),
+    scored AS (
+      SELECT a.anchor_id, c.vec_id, c.label,
+             ROUND(list_dot_product(c.e, a.e)
+                   / (sqrt(list_dot_product(c.e, c.e))
+                      * sqrt(list_dot_product(a.e, a.e))), 6) AS sim
+      FROM c JOIN a ON c.label <> a.label
+    )
+    SELECT anchor_id, vec_id, label, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY sim DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q_hard_negatives_gemm(spark, sf_dir):
+    """Hard-negative mining at ANNOTATION-BATCH scale (operators/ml.
+    hard_negatives — the GEMM path; q_hard_negatives is the small-batch
+    broadcast-join variant): every 25th vector anchors a search for its
+    cosine top-5 DIFFERENT-label corpus rows — the near-miss negatives
+    that carry gradient signal.  One corpus scan, Arrow-batch GEMM
+    against the broadcast anchors with same-label masking BEFORE the
+    batch-local top-k; salted two-phase merge — the full pair table
+    never materializes (the per-pair fold-dot join is the 246 s
+    q_knn_classify pathology at this anchor count)."""
+    from access_mopper_spark.operators.ml import hard_negatives
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 25 != 0)
+    anchors = emb.where(F.col("vec_id") % 25 == 0) \
+        .select(F.col("vec_id").alias("anchor_id"), "embedding", "label")
+    return hard_negatives(corpus, anchors, k=5)
+
+
 # =====================================================================
 # Oracle output-type canonicalization (round 8)
 #

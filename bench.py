@@ -94,6 +94,13 @@ HEADLINE = [
     # round 7: corpus-size-independent iterations on one-pass reductions
     "q_pca_power",
     "q_kmeans_parallel_init",
+    # round 8: web + line curation stage (map-only Column math except the
+    # rank-pushed host cap and the line-dedup partial aggregates)
+    "q_url_canonical",
+    "q_host_cap",
+    "q_html_strip",
+    "q_line_boilerplate",
+    "q_c4_line_filter",
 ]
 
 

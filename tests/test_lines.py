@@ -59,3 +59,41 @@ def test_c4_line_keeps_terminal_quote(spark):
         ["doc_id", "text"])
     out = c4_line_filter(docs).collect()
     assert len(out) == 1 and out[0]["n_kept"] == 3
+
+
+# --- hard-negative mining (operators/ml.hard_negatives) ---------------
+
+def test_hard_negatives_masks_same_label(spark):
+    from access_mopper_spark.operators.ml import hard_negatives
+    # 2 labels; anchor is label 0 -> only label-1 rows may be mined
+    rows = [(i, [1.0, float(i % 3)], i % 2) for i in range(1, 9)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    anchors = spark.createDataFrame([(100, [1.0, 0.0], 0)],
+                                    ["anchor_id", "embedding", "label"])
+    got = hard_negatives(corpus, anchors, k=3).collect()
+    assert len(got) == 3
+    assert all(r["label"] == 1 for r in got)
+    # exact top by cosine to [1,0]: label-1 rows with second dim 0 first
+    assert got[0]["sim"] >= got[-1]["sim"]
+
+
+def test_hard_negatives_empty_anchor_set(spark):
+    from access_mopper_spark.operators.ml import hard_negatives
+    corpus = spark.createDataFrame([(1, [1.0, 0.0], 0)],
+                                   ["vec_id", "embedding", "label"])
+    anchors = spark.createDataFrame(
+        [(9, [0.0, 0.0], 0)],  # zero-norm -> filtered -> empty
+        ["anchor_id", "embedding", "label"])
+    assert hard_negatives(corpus, anchors, k=3).count() == 0
+
+
+def test_hard_negatives_fewer_negatives_than_k(spark):
+    from access_mopper_spark.operators.ml import hard_negatives
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.5, 0.5], 0), (3, [1.0, 0.1], 1)],
+        ["vec_id", "embedding", "label"])
+    anchors = spark.createDataFrame([(7, [1.0, 0.0], 0)],
+                                    ["anchor_id", "embedding", "label"])
+    got = hard_negatives(corpus, anchors, k=5).collect()
+    # only one different-label row exists; sentinel rows must not leak
+    assert len(got) == 1 and got[0]["vec_id"] == 3 and got[0]["sim"] > -1.5
