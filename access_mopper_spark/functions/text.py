@@ -271,3 +271,37 @@ def strip_html(text: Column) -> Column:
     for ent, ch in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return ws_normalized(t)
+
+
+#: BMP codepoint ranges per script — deliberately BMP-only so the same
+#: character class counts identically under Java regex (UTF-16 code
+#: units) and RE2 (codepoints); astral chars match neither and fall
+#: into the 'other' remainder on both engines.
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿぀-ヿ",
+    "hangul": "가-힣ᄀ-ᇿ",
+}
+
+
+def script_count(text: Column, script: str) -> Column:
+    """Codepoints of ``text`` in the script's BMP ranges, counted by
+    length difference after removing them — dialect-portable (the same
+    class + arithmetic runs on any engine), map-only."""
+    return (F.length(text)
+            - F.length(F.regexp_replace(text, f"[{SCRIPT_RANGES[script]}]", "")))
+
+
+def dominant_script(text: Column) -> Column:
+    """Script with the max codepoint count; ties resolve in the fixed
+    SCRIPT_RANGES order (deterministic on any engine); 'none' when no
+    script character occurs."""
+    counts = {s: script_count(text, s) for s in SCRIPT_RANGES}
+    m = F.greatest(*counts.values())
+    out = F.lit("none")
+    for s in reversed(list(SCRIPT_RANGES)):
+        out = F.when((m > 0) & (counts[s] == m), F.lit(s)).otherwise(out)
+    return out

@@ -14387,6 +14387,51 @@ def q_hard_negatives_gemm(spark, sf_dir):
     return hard_negatives(corpus, anchors, k=5)
 
 
+from access_mopper_spark.functions.text import SCRIPT_RANGES as _SCRIPTS
+
+_SCRIPT_COUNT_SQL = ",\n           ".join(
+    f"length(text) - length(regexp_replace(text, '[{r}]', '', 'g')) AS {s}"
+    for s, r in _SCRIPTS.items())
+_SCRIPT_DOM_SQL = ("CASE "
+                   + " ".join(f"WHEN m > 0 AND {s} = m THEN '{s}'"
+                              for s in _SCRIPTS)
+                   + " ELSE 'none' END")
+
+
+@query(
+    "q_script_profile",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n_chars,
+           {_SCRIPT_COUNT_SQL}
+      FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (SELECT *, greatest({", ".join(_SCRIPTS)}) AS m FROM c)
+    SELECT doc_id, n_chars, {", ".join(_SCRIPTS)},
+           {_SCRIPT_DOM_SQL} AS dominant
+    FROM m
+    """,
+)
+def q_script_profile(spark, sf_dir):
+    """Unicode script profiling (functions/text.script_count /
+    dominant_script): per-document codepoint counts for latin /
+    cyrillic / greek / arabic / cjk / hangul BMP ranges plus the
+    dominant script — the multilingual routing signal ahead of
+    language-ID (scripts are cheap and unambiguous; langid models are
+    per-script).  Counting is remove-and-length-diff arithmetic, so the
+    same class runs identically under Java regex and RE2; BMP-only by
+    design (astral chars fall to 'other' on both engines).  Map-only,
+    one scan."""
+    from access_mopper_spark.functions.text import (dominant_script,
+                                                    script_count)
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    cols = [script_count(t, s).cast("long").alias(s) for s in _SCRIPTS]
+    return (docs.where(t.isNotNull())
+            .select("doc_id", F.length(t).cast("long").alias("n_chars"),
+                    *cols, dominant_script(t).alias("dominant")))
+
+
 # =====================================================================
 # Oracle output-type canonicalization (round 8)
 #

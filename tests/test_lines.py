@@ -97,3 +97,22 @@ def test_hard_negatives_fewer_negatives_than_k(spark):
     got = hard_negatives(corpus, anchors, k=5).collect()
     # only one different-label row exists; sentinel rows must not leak
     assert len(got) == 1 and got[0]["vec_id"] == 3 and got[0]["sim"] > -1.5
+
+
+# --- unicode script profiling (functions/text) -------------------------
+
+def test_script_detection(spark):
+    from access_mopper_spark.functions.text import (dominant_script,
+                                                    script_count)
+    from pyspark.sql import functions as SF
+    cases = [("Привет мир", "cyrillic"), ("hello мир", "latin"),
+             ("日本語のテキスト", "cjk"), ("안녕하세요", "hangul"),
+             ("مرحبا بالعالم", "arabic"), ("Καλημέρα", "greek"),
+             ("abcабв", "latin"),        # 3-3 tie -> fixed-order pick
+             ("123 !!!", "none"), ("😀🎉", "none")]  # astral -> no script
+    df = spark.createDataFrame([(c[0],) for c in cases], "t string")
+    got = [r["d"] for r in
+           df.select(dominant_script(SF.col("t")).alias("d")).collect()]
+    assert got == [c[1] for c in cases]
+    n = df.select(script_count(SF.col("t"), "cyrillic").alias("n")).collect()
+    assert n[0]["n"] == 9  # 'Привет мир' minus the space

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 import sys
+import tempfile
 import time
 from datetime import date, datetime
 
@@ -135,6 +136,14 @@ def main():
 
     print(f"\n{n_checked - len(failures)}/{n_checked} oracle-checked queries pass; "
           f"{len(qs)} queries total")
+    # durable record: a piped/truncated stdout must never lose WHICH row
+    # failed (an early vanilla-gate flap's name was eaten by `| tail`)
+    import json
+    with open(os.path.join(tempfile.gettempdir(),
+                           f"gate_last_{os.getpid()}.json"), "w") as fh:
+        json.dump({"sf_dir": sf_dir, "n_checked": n_checked,
+                   "failures": [{"name": n, "detail": str(d)}
+                                for n, d in failures]}, fh, indent=1)
     if failures:
         sys.exit(1)
 
