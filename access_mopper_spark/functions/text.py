@@ -305,3 +305,24 @@ def dominant_script(text: Column) -> Column:
     for s in reversed(list(SCRIPT_RANGES)):
         out = F.when((m > 0) & (counts[s] == m), F.lit(s)).otherwise(out)
     return out
+
+
+#: UTF-8 bytes re-decoded as Latin-1/cp1252 leave characteristic lead
+#: sequences: 'Ã' + letter (2-byte seqs: é→Ã©, ü→Ã¼), 'â€' (3-byte
+#: punctuation: '→â€™, "→â€œ), 'Ð'/'Ñ' + letter (Cyrillic), 'ï¿½'
+#: (replacement char).  Counting LITERAL markers keeps the detector
+#: dialect-portable (no regex), map-only, and cheap enough to run on
+#: every document of a crawl.
+MOJIBAKE_MARKERS = ("Ã", "â€", "ï¿½", "Ð¾", "Ð°", "Ñ‚")
+
+
+def mojibake_score(text: Column) -> Column:
+    """Count of mojibake marker occurrences — 0 on clean text; any
+    positive value on a crawl document is a strong double-encoding
+    signal (route to re-decode, don't train on it).  Literal substring
+    counting via length difference (occurrence_count), identical
+    arithmetic on any engine."""
+    total = F.lit(0).cast("long")
+    for m in MOJIBAKE_MARKERS:
+        total = total + occurrence_count(text, m).cast("long")
+    return total

@@ -14057,10 +14057,10 @@ _URL_CANON_CTES = f"""
     )"""
 
 
-def _url_fixture(docs):
+def _url_expr():
     k = F.col("doc_id")
     hosts = F.array(*[F.lit(h) for h in _URL_HOSTS])
-    url = F.concat(
+    return F.concat(
         F.when(k % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
         F.lit("://"),
         F.element_at(hosts, (k % 7).cast("int") + 1),
@@ -14074,7 +14074,10 @@ def _url_fixture(docs):
                                     F.lit("&utm_campaign=y&fbclid=z")))
          .otherwise(F.lit("")),
         F.when(k % 2 == 0, F.lit("#frag")).otherwise(F.lit("")))
-    return docs.select("doc_id", url.alias("url"))
+
+
+def _url_fixture(docs):
+    return docs.select("doc_id", _url_expr().alias("url"))
 
 
 @query(
@@ -14387,7 +14390,86 @@ def q_hard_negatives_gemm(spark, sf_dir):
     return hard_negatives(corpus, anchors, k=5)
 
 
+from access_mopper_spark.functions.text import MOJIBAKE_MARKERS as _MOJI
 from access_mopper_spark.functions.text import SCRIPT_RANGES as _SCRIPTS
+
+_MOJI_SUM_SQL = " + ".join(
+    f"CAST((length(t) - length(replace(t, '{m}', ''))) / {len(m)} AS BIGINT)"
+    for m in _MOJI)
+
+
+@query(
+    "q_mojibake_flags",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE doc_id % 5
+               WHEN 0 THEN ' Ã©tÃ© â€œquotedâ€ here'
+               WHEN 1 THEN ' perfectly clean suffix text' ELSE '' END AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, {_MOJI_SUM_SQL} AS moji_score,
+           ({_MOJI_SUM_SQL}) > 0 AS is_mojibake
+    FROM d
+    """,
+)
+def q_mojibake_flags(spark, sf_dir):
+    """Mojibake (double-encoded UTF-8) detection (functions/text.
+    mojibake_score, the ftfy-heuristic signal): literal marker counting
+    — 'Ã'+letter, 'â€' punctuation leads, replacement chars, Cyrillic
+    lead pairs — via length-difference arithmetic, so the identical
+    expression runs on any engine.  Any positive score on a crawl doc
+    routes it to re-decode instead of training.  Map-only, one scan."""
+    from access_mopper_spark.functions.text import mojibake_score
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    k = F.col("doc_id")
+    t = F.concat(F.col("text"),
+                 F.when(k % 5 == 0, F.lit(" Ã©tÃ© â€œquotedâ€ here"))
+                  .when(k % 5 == 1, F.lit(" perfectly clean suffix text"))
+                  .otherwise(F.lit("")))
+    score = mojibake_score(t)
+    return (docs.where(F.col("text").isNotNull())
+            .select("doc_id", score.alias("moji_score"),
+                    (score > 0).alias("is_mojibake")))
+
+
+@query(
+    "q_domain_scorecard",
+    oracle=f"""
+    WITH {_URL_CANON_CTES},
+    scored AS (
+      SELECT c.domain, d.text
+      FROM canon c JOIN documents d USING (doc_id)
+      WHERE d.text IS NOT NULL
+    )
+    SELECT domain, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short
+    FROM scored GROUP BY domain
+    """,
+)
+def q_domain_scorecard(spark, sf_dir):
+    """Per-registered-domain quality scorecard — the aggregation a
+    crawl pipeline feeds into host blocklists and per-domain sampling
+    rates (the web stage's decision output): document counts, total
+    text volume, short-doc counts keyed by operators/web.
+    registered_domain.  Domain derivation is map-side Column math on
+    the same scan; ONE shuffle (the groupBy), partial-aggregated."""
+    from access_mopper_spark.operators.web import (registered_domain,
+                                                   url_host)
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    # the url (and so the domain) is row-local — derived inline on the
+    # same scan, no self-join
+    return (docs.where(t.isNotNull())
+            .select("doc_id", "text",
+                    registered_domain(url_host(_url_expr())).alias("domain"))
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length(t)).cast("long").alias("total_chars"),
+                 F.sum(F.when(F.length(t) < 100, 1).otherwise(0))
+                  .cast("long").alias("n_short")))
 
 _SCRIPT_COUNT_SQL = ",\n           ".join(
     f"length(text) - length(regexp_replace(text, '[{r}]', '', 'g')) AS {s}"
