@@ -60,7 +60,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (families all still represented); remaining HUGEINT-affected
 # TPC-H-revenue rows + q_diurnal_spectrum queue for r9, as do the two
 # round-8 additions q_table_profile / q_skew_profile (local-green,
-# never driver-exposed).
+# never driver-exposed) and the 14 round-8-late rows (planner
+# q_file_plan_plev; web/line curation q_url_canonical q_host_cap
+# q_html_strip q_line_boilerplate q_c4_line_filter q_domain_scorecard;
+# text q_script_profile q_mojibake_flags; sources q_jsonl_roundtrip;
+# ML q_hard_negatives_gemm; order q_epoch_shuffle — all local-green
+# first run + fuzz-clean).
 _DRIVER_PRIORITY = [
     # (a) r07 hash-fails — all HUGEINT-oracle rows, now cast-wrapped
     "q_probe_docs_fingerprint", "q_probe_events_fingerprint",

@@ -14354,7 +14354,7 @@ def q_jsonl_roundtrip(spark, sf_dir):
     a AS (
       SELECT vec_id AS anchor_id, label, CAST(embedding AS DOUBLE[]) AS e
       FROM embeddings
-      WHERE vec_id % 25 = 0 AND label IS NOT NULL
+      WHERE vec_id % 25 = 0 AND vec_id < 12500 AND label IS NOT NULL
         AND list_dot_product(CAST(embedding AS DOUBLE[]),
                              CAST(embedding AS DOUBLE[])) > 0
     ),
@@ -14385,7 +14385,12 @@ def q_hard_negatives_gemm(spark, sf_dir):
     from access_mopper_spark.operators.ml import hard_negatives
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") % 25 != 0)
-    anchors = emb.where(F.col("vec_id") % 25 == 0) \
+    # anchors are a BOUNDED annotation batch by contract — the fixture
+    # caps them (vec_id < 12500: all of sf0.01, ~500 at x100) instead of
+    # growing linearly with the corpus, which would contradict the
+    # operator's contract and quadratic-ize the sweep
+    anchors = emb.where((F.col("vec_id") % 25 == 0)
+                        & (F.col("vec_id") < 12500)) \
         .select(F.col("vec_id").alias("anchor_id"), "embedding", "label")
     return hard_negatives(corpus, anchors, k=5)
 
@@ -14512,6 +14517,36 @@ def q_script_profile(spark, sf_dir):
     return (docs.where(t.isNotNull())
             .select("doc_id", F.length(t).cast("long").alias("n_chars"),
                     *cols, dominant_script(t).alias("dominant")))
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY ('0x' || substring(md5('ep1:' || CAST(doc_id AS VARCHAR)),
+                                         1, 15))::BIGINT,
+                      doc_id) AS epoch_rank
+    FROM documents
+    """,
+)
+def q_epoch_shuffle(spark, sf_dir):
+    """Epoch-deterministic corpus shuffle — the training-order
+    permutation (seeded hash rank, so every worker/rerun/engine
+    materializes the SAME epoch order without coordination).  The rank
+    is computed with operators/ranking.global_rank's bucket-offset
+    decomposition: no unpartitioned window, no single-task sort — the
+    permutation of a 100 TB corpus sorts in ~n_buckets parallel
+    ranges.  The oracle replays the same order with a plain global
+    ROW_NUMBER."""
+    from access_mopper_spark.operators.ranking import global_rank
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.conv(F.substring(
+        F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long")
+    keyed = docs.select("doc_id", key.alias("__shuf"))
+    ranked = global_rank(keyed, "__shuf", ["doc_id"], out_col="epoch_rank")
+    return ranked.select("doc_id", "epoch_rank")
 
 
 # =====================================================================

@@ -161,6 +161,30 @@ COMMENTARY = {
     "q_survival_curve": "Kaplan-Meier inputs: two keyed user rollups, "
         "then a broadcast range join against the bounded day axis — "
         "no global window, integer-only output.",
+    "q_host_cap": "Per-domain document cap: rank-pushed window "
+        "(WindowGroupLimit partial+final) — each map task forwards at "
+        "most cap rows per domain, so a megasite never sorts its full "
+        "row set in one task; URL canonicalization is inline Column "
+        "math on the same scan.",
+    "q_line_boilerplate": "Cross-document line dedup: hot boilerplate "
+        "lines collapse in the map-side partial aggregates of "
+        "distinct/count, anti-join back, one reassembly shuffle on the "
+        "doc key — a banner on a billion pages reaches the reducer "
+        "once per task.",
+    "q_hard_negatives_gemm": "Hard-negative mining: one corpus scan, "
+        "Arrow-batch GEMM vs guarded broadcast anchors, same-label "
+        "masking BEFORE the batch-local top-k, salted two-phase merge "
+        "— the |corpus|x|anchors| pair table never materializes.",
+    "q_epoch_shuffle": "Epoch-deterministic corpus permutation via "
+        "bucket-offset global rank: per-bucket counts broadcast as "
+        "offsets, row_number windows PARTITIONED by bucket — no "
+        "unpartitioned window, no single-task sort.",
+    "q_domain_scorecard": "Domain scorecard: registered domain derived "
+        "inline on the scan (no self-join), one partial-aggregated "
+        "shuffle on the domain key.",
+    "q_file_plan_plev": "Calculation-aware size planning: plev rescale "
+        "+ interval ladder are one chained CASE per row — map-only at "
+        "any catalog size.",
 }
 
 
