@@ -667,15 +667,17 @@ def lsh_calibration(df: DataFrame, text_col: str = "text",
 
     from access_mopper_spark.functions.text import word_shingles
 
-    sets = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k))
-        .alias("__sh"))
     sig = lsh_band_keys(
         minhash_signature(df, text_col, n_hashes=n_hashes,
                           shingle_k=shingle_k, shingle_kind="word"),
         n_hashes, band_size)
-    base = (sig.join(sets, id_col)
+    # the shingle SET derives from the same row the signature rides on —
+    # project it inline instead of self-joining a second derivation of
+    # the corpus back on doc_id (the join shuffled the shingle arrays
+    # both ways; this is map-only)
+    base = (sig.withColumn(
+                "__sh",
+                F.array_distinct(word_shingles(F.col(text_col), shingle_k)))
                .where(F.size("__sh") > 0)
                .select(id_col, "__sh",
                        *[f"band_{i}" for i in range(b)],

@@ -61,3 +61,46 @@ def test_write_fuzz_dir_materializes_all_tables(tmp_path):
     for t in TABLES:
         is_link = os.path.islink(os.path.join(out, f"{t}.parquet"))
         assert is_link == (t not in regenerated), t
+
+
+def test_write_fuzz_dir_never_writes_through_stale_symlinks(tmp_path):
+    """Round-8 incident regression: a stale fuzz dir held
+    embeddings.parquet as a SYMLINK into base_sf (from an older layout
+    where embeddings wasn't regenerated); pq.write_table then wrote
+    THROUGH the link and overwrote the driver's read-only testdata.
+    write_fuzz_dir must replace the link, never its target."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from fuzz_correctness import write_fuzz_dir
+
+    base = tmp_path / "base_sf"
+    base.mkdir()
+    # valid tiny parquet for the dims write_fuzz_dir READS for
+    # cardinalities; byte sentinels for everything it must only link
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for t, col in (("customer", "c_custkey"), ("part", "p_partkey"),
+                   ("supplier", "s_suppkey")):
+        pq.write_table(pa.table({col: pa.array([1, 2, 3], pa.int64())}),
+                       base / f"{t}.parquet")
+    sentinel = b"ORIGINAL DRIVER BYTES - MUST SURVIVE"
+    for t in ("region", "nation", "orders", "lineitem", "events",
+              "documents", "embeddings"):
+        (base / f"{t}.parquet").write_bytes(sentinel)
+
+    out = tmp_path / "fuzz" / "seed0"
+    out.mkdir(parents=True)
+    # the stale-layout hazard: a regenerated-table name symlinked to base
+    os.symlink(base / "embeddings.parquet", out / "embeddings.parquet")
+    os.symlink(base / "documents.parquet", out / "documents.parquet")
+
+    write_fuzz_dir(0, str(base), str(out), n_docs=5, n_events=5)
+
+    # the driver's files are byte-identical
+    assert (base / "embeddings.parquet").read_bytes() == sentinel
+    assert (base / "documents.parquet").read_bytes() == sentinel
+    # and the fuzz dir now holds REAL files, not links
+    assert not os.path.islink(out / "embeddings.parquet")
+    assert not os.path.islink(out / "documents.parquet")
+    assert (out / "embeddings.parquet").stat().st_size > 100

@@ -236,10 +236,36 @@ def gen_embeddings(seed: int, n: int = 4000, dim: int = 64):
         rows.append((i, v, label))
     return rows
 
+#: Bump when the regenerated-vs-symlinked table split changes: fuzz dirs
+#: persist under /tmp and a STALE dir from an older layout can hold a
+#: table as a symlink into base_sf that the new layout wants to WRITE —
+#: pyarrow then writes THROUGH the symlink and overwrites the driver's
+#: read-only testdata (this corrupted sf0.01/embeddings.parquet in
+#: round 8).  A layout-versioned path can never meet a stale dir.
+FUZZ_LAYOUT = "v2"
+
+
+def _safe_write_table(pq, tbl, out_dir: str, name: str, base_sf: str) -> None:
+    """Write a regenerated table without ANY possibility of the bytes
+    landing outside ``out_dir``: drop a stale symlink first, refuse a
+    destination that resolves into ``base_sf``, and write tmp+rename
+    (rename replaces the link itself, never its target)."""
+    dst = os.path.join(out_dir, name)
+    if os.path.islink(dst):
+        os.unlink(dst)
+    real_base = os.path.realpath(base_sf)
+    if os.path.realpath(dst).startswith(real_base + os.sep):
+        raise RuntimeError(f"fuzz write would land in base_sf: {dst}")
+    tmp = dst + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, dst)
+
+
 def write_fuzz_dir(seed: int, base_sf: str, out_dir: str,
                    n_docs: int = 500, n_events: int = 10000) -> str:
     """Materialize a fuzz sf-dir: regenerated documents/events/lineitem/
-    orders parquet, symlinks to ``base_sf`` for every other table."""
+    orders/embeddings parquet, symlinks to ``base_sf`` for every other
+    table."""
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -253,7 +279,7 @@ def write_fuzz_dir(seed: int, base_sf: str, out_dir: str,
         "source": pa.array([r[3] for r in docs], pa.string()),
         "n_chars": pa.array([r[4] for r in docs], pa.int64()),
     })
-    pq.write_table(doc_tbl, os.path.join(out_dir, "documents.parquet"))
+    _safe_write_table(pq, doc_tbl, out_dir, "documents.parquet", base_sf)
 
     evs = gen_events(seed, n_events)
     ev_tbl = pa.table({
@@ -264,7 +290,7 @@ def write_fuzz_dir(seed: int, base_sf: str, out_dir: str,
         "value": pa.array([r[4] for r in evs], pa.float64()),
         "props": pa.array([r[5] for r in evs], pa.string()),
     })
-    pq.write_table(ev_tbl, os.path.join(out_dir, "events.parquet"))
+    _safe_write_table(pq, ev_tbl, out_dir, "events.parquet", base_sf)
 
     # dimension cardinalities derived from the REAL base tables so the
     # regenerated facts' foreign keys stay join-compatible
@@ -283,7 +309,7 @@ def write_fuzz_dir(seed: int, base_sf: str, out_dir: str,
         "o_orderdate": pa.array([r[4] for r in orders], pa.timestamp("us")),
         "o_orderpriority": pa.array([r[5] for r in orders], pa.string()),
     })
-    pq.write_table(o_tbl, os.path.join(out_dir, "orders.parquet"))
+    _safe_write_table(pq, o_tbl, out_dir, "orders.parquet", base_sf)
 
     li = gen_lineitem(seed, n_orders=len(orders),
                       n_part=card["part"], n_supp=card["supplier"])
@@ -300,7 +326,7 @@ def write_fuzz_dir(seed: int, base_sf: str, out_dir: str,
         "l_linestatus": pa.array([r[9] for r in li], pa.string()),
         "l_shipdate": pa.array([r[10] for r in li], pa.timestamp("us")),
     })
-    pq.write_table(li_tbl, os.path.join(out_dir, "lineitem.parquet"))
+    _safe_write_table(pq, li_tbl, out_dir, "lineitem.parquet", base_sf)
 
     emb = gen_embeddings(seed)
     emb_tbl = pa.table({
@@ -309,7 +335,7 @@ def write_fuzz_dir(seed: int, base_sf: str, out_dir: str,
                               pa.list_(pa.float32())),
         "label": pa.array([r[2] for r in emb], pa.int32()),
     })
-    pq.write_table(emb_tbl, os.path.join(out_dir, "embeddings.parquet"))
+    _safe_write_table(pq, emb_tbl, out_dir, "embeddings.parquet", base_sf)
 
     for t in TABLES:
         if t in ("documents", "events", "orders", "lineitem",
@@ -344,7 +370,7 @@ def main():
     spark = get_spark(app_name="fuzz_correctness")
     failures = []
     for seed in range(n_seeds):
-        out_dir = f"/tmp/fuzz_sf/seed{seed}"
+        out_dir = f"/tmp/fuzz_sf/{FUZZ_LAYOUT}/seed{seed}"
         write_fuzz_dir(seed, base_sf, out_dir)
         con = connect_oracle(out_dir)
         t0 = time.time()
