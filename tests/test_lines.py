@@ -116,3 +116,28 @@ def test_script_detection(spark):
     assert got == [c[1] for c in cases]
     n = df.select(script_count(SF.col("t"), "cyrillic").alias("n")).collect()
     assert n[0]["n"] == 9  # 'Привет мир' minus the space
+
+
+# --- xxhash64 minhash production path ----------------------------------
+
+def test_minhash_xxhash64_exact_dups_collide(spark):
+    # any hash function must give EXACT duplicates identical signatures;
+    # and the NULL-text contract (NULL signature) must hold on the
+    # production path exactly as on the md5 oracle path
+    from access_mopper_spark.operators.dedup import minhash_signature
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"),
+         (2, "the quick brown fox jumps over the dog"),   # exact dup
+         (3, "a completely different document body here"),
+         (4, None)],
+        ["doc_id", "text"])
+    sig = {r["doc_id"]: r for r in
+           minhash_signature(docs, "text", n_hashes=4, shingle_k=5,
+                             hash_kind="xxhash64").collect()}
+    for i in range(4):
+        assert sig[1][f"minhash_{i}"] == sig[2][f"minhash_{i}"]
+        assert sig[4][f"minhash_{i}"] is None
+    assert any(sig[1][f"minhash_{i}"] != sig[3][f"minhash_{i}"]
+               for i in range(4))
+    # production path emits LONGs (codegen), not hex strings
+    assert isinstance(sig[1]["minhash_0"], int)
