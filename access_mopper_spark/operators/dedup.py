@@ -713,3 +713,28 @@ def lsh_calibration(df: DataFrame, text_col: str = "text",
                  F.sum("__nc").cast("long").alias("sum_collide_bands"))
             .withColumn("theory_ppm",
                         tmap[F.col("s_decile").cast("int")].cast("long")))
+
+
+def dedup_keep_best(clusters: DataFrame, scored: DataFrame,
+                    id_col: str = "doc_id", cluster_col: str = "cluster_id",
+                    score_col: str = "score") -> DataFrame:
+    """CCNet-style representative selection: keep the HIGHEST-quality
+    document per near-dup cluster (score DESC, id tiebreak) instead of
+    the arbitrary min-id — the policy real pipelines use (CCNet keeps
+    the lowest-perplexity member; any quality score column works).
+
+    ``clusters`` is dedup_clusters output (doc_id, cluster_id);
+    ``scored`` carries (doc_id, score).  Returns one row per cluster
+    with >=1 scored member: (cluster_id, keep_id, score, n_members).
+    Plan: one join shuffle + a rank-pushed per-cluster top-1
+    (partial_topk — no cluster ever sorts more than k rows per task)
+    + a broadcast-size cluster-count join."""
+    from access_mopper_spark.operators.similarity import partial_topk
+    j = clusters.join(scored, id_col)
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count("*").alias("n_members"))
+    best = partial_topk(j, [cluster_col],
+                        [F.col(score_col).desc(), F.col(id_col)], 1)
+    return (best.select(cluster_col, F.col(id_col).alias("keep_id"),
+                        score_col)
+            .join(sizes, cluster_col))

@@ -14570,6 +14570,80 @@ def q_minhash_xxhash64(spark, sf_dir):
                       "minhash_2", "minhash_3")
 
 
+@query(
+    "q_decay_engagement",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mt FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * exp(
+                 -(CAST(epoch_us(mx.mt) - epoch_us(CAST(ts AS TIMESTAMP))
+                        AS DOUBLE) / 1000000.0) / 604800.0)
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+    FROM events, mx
+    WHERE value IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_decay_engagement(spark, sf_dir):
+    """Exponential time-decay engagement score per user (tau = 7 days)
+    — the recency-weighted aggregate behind freshness-aware sampling
+    and user activity ranking.  Each term value*exp(-age/tau) snaps to
+    integer micro-units BEFORE summation (the repo's integer-sum
+    convention: the per-user sum is then exact and order-free on both
+    engines — no float summation-order exposure).  Broadcast 1-row max
+    timestamp; one keyed shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("__mt"))
+    age_s = (F.unix_micros(F.col("__mt")) - F.unix_micros(F.col("ts"))) \
+        .cast("double") / F.lit(1000000.0)
+    term_micro = F.floor(F.col("value") * F.exp(-age_s / F.lit(604800.0))
+                         * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (events.where(F.col("value").isNotNull())
+            .crossJoin(F.broadcast(mx))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(term_micro).alias("score_micro")))
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH clus AS ({_DEDUP_CLUSTERS_ORACLE}),
+    sizes AS (SELECT cluster_id, COUNT(*) AS n_members
+              FROM clus GROUP BY cluster_id),
+    d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS qlen
+          FROM documents WHERE text IS NOT NULL),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, d.qlen,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.qlen DESC, c.doc_id) AS rk
+      FROM clus c JOIN d USING (doc_id)
+    )
+    SELECT r.cluster_id, r.doc_id AS keep_id, r.qlen, s.n_members
+    FROM ranked r JOIN sizes s USING (cluster_id) WHERE r.rk = 1
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-ranked cluster representative selection (operators/dedup.
+    dedup_keep_best — the CCNet policy: keep the BEST member of each
+    near-dup cluster, not the arbitrary min-id; here quality = text
+    length, production swaps in any score column e.g. lm_score).
+    Clusters come from the same LSH-pairs + connected-components chain
+    as q_dedup_clusters; selection is a rank-pushed per-cluster top-1.
+    The oracle replays closure + ranking as a recursive CTE."""
+    from access_mopper_spark.operators.dedup import (dedup_clusters,
+                                                     dedup_keep_best,
+                                                     near_dup_pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, "text", "doc_id", n_hashes=6, band_size=2,
+                           shingle_k=3, jaccard_threshold=0.5,
+                           shingle_kind="word")
+    clusters = dedup_clusters(pairs, docs.select("doc_id"))
+    scored = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.length("text").cast("long").alias("qlen"))
+    return dedup_keep_best(clusters, scored, score_col="qlen")
+
+
 # =====================================================================
 # Oracle output-type canonicalization (round 8)
 #

@@ -141,3 +141,23 @@ def test_minhash_xxhash64_exact_dups_collide(spark):
                for i in range(4))
     # production path emits LONGs (codegen), not hex strings
     assert isinstance(sig[1]["minhash_0"], int)
+
+
+# --- quality-ranked cluster representatives ----------------------------
+
+def test_dedup_keep_best_policy(spark):
+    from access_mopper_spark.operators.dedup import dedup_keep_best
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9), (10, 10)],
+        ["doc_id", "cluster_id"])
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (9, 5)],     # doc 10 unscored (NULL text)
+        ["doc_id", "score"])
+    out = {r["cluster_id"]: r for r in
+           dedup_keep_best(clusters, scored).collect()}
+    # highest score wins; 99-99 tie breaks to the LOWER id
+    assert out[1]["keep_id"] == 2 and out[1]["n_members"] == 3
+    # singleton keeps itself
+    assert out[9]["keep_id"] == 9 and out[9]["n_members"] == 1
+    # clusters with no scored member produce no row
+    assert 10 not in out
