@@ -185,6 +185,14 @@ COMMENTARY = {
     "q_file_plan_plev": "Calculation-aware size planning: plev rescale "
         "+ interval ladder are one chained CASE per row — map-only at "
         "any catalog size.",
+    "q_decay_engagement": "Recency-weighted engagement: per-term "
+        "integer micro-unit snap BEFORE the sum (order-free exact "
+        "aggregation), broadcast 1-row max timestamp, one keyed "
+        "shuffle.",
+    "q_dedup_keep_best": "Quality-ranked cluster representatives: the "
+        "near-dup CC chain feeds a rank-pushed per-cluster top-1 "
+        "(partial_topk) — no cluster ever sorts its full membership in "
+        "one task.",
 }
 
 
