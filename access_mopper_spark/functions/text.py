@@ -326,3 +326,39 @@ def mojibake_score(text: Column) -> Column:
     for m in MOJIBAKE_MARKERS:
         total = total + occurrence_count(text, m).cast("long")
     return total
+
+
+def syllable_proxy(text: Column) -> Column:
+    """Vowel-GROUP count — the standard cheap syllable estimate for
+    readability formulas.  Each [aeiouy]+ run collapses to one marker
+    control char, counted by length difference; identical regex +
+    arithmetic on any engine (a marker collision in hostile text skews
+    both engines equally, so cross-engine parity is unconditional)."""
+    g = F.regexp_replace(F.lower(text), "[aeiouy]+", "\x04")
+    return (F.length(g)
+            - F.length(F.replace(g, F.lit("\x04"), F.lit("")))).cast("long")
+
+
+def sentence_count_proxy(text: Column) -> Column:
+    """Terminal-punctuation count ('.', '!', '?') — the sentence proxy
+    readability formulas use; literal counting via length difference."""
+    n = F.lit(0).cast("long")
+    for ch in (".", "!", "?"):
+        n = n + (F.length(text)
+                 - F.length(F.replace(text, F.lit(ch), F.lit("")))).cast("long")
+    return n
+
+
+def flesch_reading_ease(text: Column) -> Column:
+    """Flesch reading ease: 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), with the proxies above; sentences clamp to
+    ≥1 (fragment documents), wordless documents score NULL.  Pure
+    Column math — the per-document quality signal edu-quality corpus
+    filters threshold on."""
+    words = token_count(text).cast("double")
+    sents = F.greatest(F.lit(1).cast("long"),
+                       sentence_count_proxy(text)).cast("double")
+    syls = syllable_proxy(text).cast("double")
+    return F.when(words > 0,
+                  F.lit(206.835) - F.lit(1.015) * (words / sents)
+                  - F.lit(84.6) * (syls / words))

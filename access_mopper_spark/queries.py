@@ -14644,6 +14644,71 @@ def q_dedup_keep_best(spark, sf_dir):
     return dedup_keep_best(clusters, scored, score_col="qlen")
 
 
+@query(
+    "q_readability",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' Final sentence lands here. Another one follows!'
+               WHEN 1 THEN ' One closing question appears?' ELSE '' END AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(regexp_replace(t, '[ \t\n\r]+', ' ', 'g'), ' ')) = 0
+             THEN 0
+             ELSE length(trim(regexp_replace(t, '[ \t\n\r]+', ' ', 'g'), ' '))
+                  - length(replace(trim(regexp_replace(t, '[ \t\n\r]+', ' ', 'g'),
+                                        ' '), ' ', '')) + 1 END AS n_words,
+        greatest(1, (length(t) - length(replace(t, '.', '')))
+                   + (length(t) - length(replace(t, '!', '')))
+                   + (length(t) - length(replace(t, '?', '')))) AS n_sents,
+        length(regexp_replace(lower(t), '[aeiouy]+', chr(4), 'g'))
+          - length(replace(regexp_replace(lower(t), '[aeiouy]+', chr(4), 'g'),
+                           chr(4), '')) AS n_syls
+      FROM d
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sentences,
+           CAST(n_syls AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+                                      / CAST(n_sents AS DOUBLE))
+                   - 84.6 * (CAST(n_syls AS DOUBLE)
+                             / CAST(n_words AS DOUBLE)), 6)
+           END AS flesch
+    FROM m
+    """,
+)
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease scoring (functions/text.flesch_reading_ease
+    — the readability signal edu-quality corpus filters threshold on):
+    whitespace-word count, terminal-punctuation sentence proxy
+    (clamped >= 1), vowel-group syllable proxy — all length-difference
+    arithmetic, identical on any engine.  Fixture appends deterministic
+    sentence tails so the sentence branch is exercised on the
+    word-salad corpus.  Map-only, one scan."""
+    from access_mopper_spark.functions.text import (flesch_reading_ease,
+                                                    sentence_count_proxy,
+                                                    syllable_proxy,
+                                                    token_count)
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    k = F.col("doc_id")
+    t = F.concat(F.col("text"),
+                 F.when(k % 3 == 0,
+                        F.lit(" Final sentence lands here. Another one follows!"))
+                  .when(k % 3 == 1, F.lit(" One closing question appears?"))
+                  .otherwise(F.lit("")))
+    return (docs.where(F.col("text").isNotNull())
+            .select("doc_id",
+                    token_count(t).cast("long").alias("n_words"),
+                    F.greatest(F.lit(1).cast("long"),
+                               sentence_count_proxy(t)).alias("n_sentences"),
+                    syllable_proxy(t).alias("n_syllables"),
+                    R6(flesch_reading_ease(t)).alias("flesch")))
+
+
 # =====================================================================
 # Oracle output-type canonicalization (round 8)
 #

@@ -161,3 +161,24 @@ def test_dedup_keep_best_policy(spark):
     assert out[9]["keep_id"] == 9 and out[9]["n_members"] == 1
     # clusters with no scored member produce no row
     assert 10 not in out
+
+
+# --- readability scoring ------------------------------------------------
+
+def test_flesch_reading_ease(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as SF
+    from access_mopper_spark.functions.text import (flesch_reading_ease,
+                                                    sentence_count_proxy,
+                                                    syllable_proxy)
+    df = spark.createDataFrame(
+        [("The cat sat on the mat.",),   # 6 words, 1 sent, 6 syllables
+         ("",), ("no terminal punctuation here",)], "t string")
+    rows = df.select(
+        syllable_proxy(SF.col("t")).alias("sy"),
+        sentence_count_proxy(SF.col("t")).alias("se"),
+        flesch_reading_ease(SF.col("t")).alias("f")).collect()
+    assert rows[0]["sy"] == 6 and rows[0]["se"] == 1
+    assert rows[0]["f"] == _pt.approx(206.835 - 1.015 * 6 - 84.6 * 1.0)
+    assert rows[1]["f"] is None          # wordless -> NULL
+    assert rows[2]["se"] == 0            # proxy 0; formula clamps to 1

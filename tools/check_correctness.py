@@ -102,6 +102,17 @@ def main():
     from access_mopper_spark.session import get_spark
     import __spark_entry__ as e
 
+    # PySpark collect() renders TimestampType through Python's OS-LOCAL
+    # fromtimestamp — no Spark conf can change that — while DuckDB
+    # fetches naive wall times; on a non-UTC box every timestamp-output
+    # query hash-shifts by the UTC offset (measured: TZ=Australia/
+    # Adelaide shifts 37 queries by +9:30 with values otherwise exact).
+    # The driver box runs UTC; this gate requires the same.
+    if time.localtime().tm_gmtoff != 0:
+        print("WARNING: non-UTC OS timezone — timestamp renderings will "
+              "diverge from DuckDB regardless of Spark session confs. "
+              "Re-run with TZ=UTC for meaningful results.")
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
