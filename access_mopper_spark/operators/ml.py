@@ -409,3 +409,49 @@ def kmeans_parallel_init(corpus: DataFrame, rounds: int = 2,
     for c in cached:
         c.unpersist()
     return out
+
+
+def bt_rating(comps: DataFrame, iterations: int = 3, lr: float = 1.0,
+              a_col: str = "a", b_col: str = "b",
+              w_col: str = "w") -> DataFrame:
+    """Bradley-Terry rating from pairwise preferences — the model
+    behind RLHF preference-data curation (rank responses/annotators
+    from win/loss pairs; p(a beats b) = sigmoid(r_a - r_b)).  Full-batch
+    gradient ascent, ``iterations`` unrolled: each round joins the
+    comparisons against the BROADCAST rating table (items are few,
+    comparisons are the 100 TB side), explodes each comparison into two
+    signed residuals, and reduces them map-side to one mean gradient
+    per item.  Ratings snap to the 1e-6 grid per round (the
+    logreg_train convention) so an oracle replay threads bit-identical
+    doubles; each round's rating table is eagerly localCheckpoint-ed
+    (the pca_power pattern — the comparison scan runs once per round,
+    never once per downstream reference).
+
+    ``comps``: (a, b, w) with w = 1.0 when a wins, 0.0 when b wins.
+    Returns one row per item: (item, r).
+    """
+    items = (comps.select(F.col(a_col).alias("item"))
+             .unionByName(comps.select(F.col(b_col).alias("item")))
+             .distinct())
+    r = items.withColumn("r", F.lit(0.0)).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        ra = r.select(F.col("item").alias(a_col), F.col("r").alias("__ra"))
+        rb = r.select(F.col("item").alias(b_col), F.col("r").alias("__rb"))
+        e = comps.join(F.broadcast(ra), a_col).join(F.broadcast(rb), b_col)
+        err = (F.col(w_col)
+               - F.lit(1.0) / (F.lit(1.0)
+                               + F.exp(-(F.col("__ra") - F.col("__rb")))))
+        signed = (e.select(F.col(a_col).alias("item"), err.alias("__e"))
+                  .unionByName(e.select(F.col(b_col).alias("item"),
+                                        (-err).alias("__e"))))
+        g = signed.groupBy("item").agg(
+            pround(F.sum("__e") / F.count("*").cast("double"), 6)
+            .alias("__g"))
+        r = (r.join(g, "item", "left")
+             .select("item",
+                     pround(F.col("r")
+                            + F.lit(lr) * F.coalesce(F.col("__g"),
+                                                     F.lit(0.0)),
+                            6).alias("r"))
+             .localCheckpoint(eager=True))
+    return r

@@ -14709,6 +14709,76 @@ def q_readability(spark, sf_dir):
                     R6(flesch_reading_ease(t)).alias("flesch")))
 
 
+def _bt_oracle_sql(iters: int = 3, lr: float = 1.0) -> str:
+    """Unrolled Bradley-Terry gradient replay for DuckDB — per-round
+    mean gradients and ratings snap to the 1e-6 grid exactly as the
+    Spark plan does (logreg_train convention), so both engines thread
+    identical doubles into each sigmoid pass."""
+    parts = [
+        "WITH comps AS (SELECT CAST(l_partkey % 20 AS BIGINT) AS a, "
+        "CAST(l_suppkey % 20 AS BIGINT) AS b, "
+        "CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS w "
+        "FROM lineitem WHERE l_partkey % 20 <> l_suppkey % 20),\n"
+        "items AS (SELECT DISTINCT a AS item FROM comps "
+        "UNION SELECT DISTINCT b FROM comps),\n"
+        "r0 AS (SELECT item, 0.0 AS r FROM items)"]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"e{k} AS (SELECT c.a, c.b, c.w, "
+            f"(c.w - 1.0/(1.0 + exp(-(ra.r - rb.r)))) AS err "
+            f"FROM comps c JOIN r{k - 1} ra ON ra.item = c.a "
+            f"JOIN r{k - 1} rb ON rb.item = c.b)")
+        parts.append(
+            f"g{k} AS (SELECT item, "
+            f"ROUND(SUM(err)/CAST(COUNT(*) AS DOUBLE), 6) AS g "
+            f"FROM (SELECT a AS item, err FROM e{k} "
+            f"UNION ALL SELECT b, -err FROM e{k}) GROUP BY item)")
+        parts.append(
+            f"r{k} AS (SELECT r.item, "
+            f"ROUND(r.r + {lr} * COALESCE(g.g, 0.0), 6) AS r "
+            f"FROM r{k - 1} r LEFT JOIN g{k} g USING (item))")
+    parts.append(
+        "stats AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_comps, "
+        "CAST(SUM(win) AS BIGINT) AS n_wins FROM ("
+        "SELECT a AS item, CAST(w AS BIGINT) AS win FROM comps "
+        "UNION ALL SELECT b, CAST(1.0 - w AS BIGINT) FROM comps) "
+        "GROUP BY item)")
+    return (",\n".join(parts)
+            + f"\nSELECT r.item, r.r AS rating, s.n_comps, s.n_wins "
+            f"FROM r{iters} r JOIN stats s USING (item)")
+
+
+@query("q_bt_rating", oracle=_bt_oracle_sql())
+def q_bt_rating(spark, sf_dir):
+    """Bradley-Terry preference rating (operators/ml.bt_rating — the
+    RLHF preference-data model: rank items from pairwise win/loss
+    records, p(a beats b) = sigmoid(r_a - r_b)).  3 unrolled full-batch
+    rounds: comparisons join the BROADCAST 20-row rating table, each
+    comparison explodes into two signed residuals, and the gradient is
+    a map-side-combined per-item mean — at 100 TB of comparisons each
+    round moves |items| values, nothing else.  Ratings snap to the
+    1e-6 grid per round; the oracle replays the identical trajectory."""
+    from access_mopper_spark.operators.ml import bt_rating
+    li = load_table(spark, sf_dir, "lineitem")
+    comps = (li.where((F.col("l_partkey") % 20) != (F.col("l_suppkey") % 20))
+             .select((F.col("l_partkey") % 20).alias("a"),
+                     (F.col("l_suppkey") % 20).alias("b"),
+                     F.when(F.col("l_quantity") > 25, F.lit(1.0))
+                      .otherwise(F.lit(0.0)).alias("w")))
+    r = bt_rating(comps, iterations=3, lr=1.0)
+    stats = (comps.select(F.col("a").alias("item"),
+                          F.col("w").cast("long").alias("win"))
+             .unionByName(comps.select(F.col("b").alias("item"),
+                                       (F.lit(1.0) - F.col("w"))
+                                       .cast("long").alias("win")))
+             .groupBy("item")
+             .agg(F.count("*").alias("n_comps"),
+                  F.sum("win").alias("n_wins")))
+    return (r.join(stats, "item")
+            .select("item", F.col("r").alias("rating"),
+                    "n_comps", "n_wins"))
+
+
 # =====================================================================
 # Oracle output-type canonicalization (round 8)
 #

@@ -182,3 +182,25 @@ def test_flesch_reading_ease(spark):
     assert rows[0]["f"] == _pt.approx(206.835 - 1.015 * 6 - 84.6 * 1.0)
     assert rows[1]["f"] is None          # wordless -> NULL
     assert rows[2]["se"] == 0            # proxy 0; formula clamps to 1
+
+
+# --- Bradley-Terry preference rating ------------------------------------
+
+def test_bt_rating_orders_by_strength(spark):
+    from access_mopper_spark.operators.ml import bt_rating
+    # item 0 beats everyone; item 2 loses to everyone; 1 is mixed
+    comps = spark.createDataFrame(
+        [(0, 1, 1.0)] * 8 + [(0, 2, 1.0)] * 8
+        + [(1, 2, 1.0)] * 6 + [(1, 2, 0.0)] * 2,
+        ["a", "b", "w"])
+    r = {row["item"]: row["r"] for row in bt_rating(comps).collect()}
+    assert r[0] > r[1] > r[2]
+
+
+def test_bt_rating_symmetric_is_zero(spark):
+    from access_mopper_spark.operators.ml import bt_rating
+    comps = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 1, 0.0), (1, 0, 1.0), (1, 0, 0.0)],
+        ["a", "b", "w"])
+    r = {row["item"]: row["r"] for row in bt_rating(comps).collect()}
+    assert r[0] == 0.0 and r[1] == 0.0  # perfectly balanced evidence
