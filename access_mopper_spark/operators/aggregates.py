@@ -262,3 +262,37 @@ def weighted_median_2phase(df: DataFrame, value_col: str, weight_col: str,
     return hit.groupBy(*group_cols).agg(
         F.min(val).alias("weighted_median"),
         F.min("__tot").alias("total_weight"))
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) over two binary label
+    columns — the QC gate preference/annotation pipelines run before
+    trusting pairwise labels: kappa = (p_o − p_e)/(1 − p_e), observed
+    vs chance agreement.  All inputs reduce to INTEGER counts in one
+    map-side-combined aggregation (n, n11, n00, marginals), so the only
+    float work is the final snapped division — order-free and exact at
+    any scale.  Perfect-chance marginals (p_e = 1) yield NULL.
+    Returns one row per group: (*group_cols, n_items, n_agree, kappa).
+    """
+    from access_mopper_spark.functions.rounding import pround
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    agg = gb.agg(
+        F.count("*").alias("__n"),
+        F.sum(a * b).alias("__n11"),
+        F.sum((1 - a) * (1 - b)).alias("__n00"),
+        F.sum(a).alias("__sa"),
+        F.sum(b).alias("__sb"))
+    n = F.col("__n").cast("double")
+    po = (F.col("__n11") + F.col("__n00")).cast("double") / n
+    pa1, pb1 = F.col("__sa").cast("double") / n, F.col("__sb").cast("double") / n
+    pe = pa1 * pb1 + (F.lit(1.0) - pa1) * (F.lit(1.0) - pb1)
+    out_cols = (list(group_cols) if group_cols else [])
+    return agg.select(
+        *out_cols,
+        F.col("__n").alias("n_items"),
+        (F.col("__n11") + F.col("__n00")).alias("n_agree"),
+        F.when(pe < 1.0, pround((po - pe) / (F.lit(1.0) - pe), 6))
+         .alias("kappa"))

@@ -14709,6 +14709,57 @@ def q_readability(spark, sf_dir):
                     R6(flesch_reading_ease(t)).alias("flesch")))
 
 
+@query(
+    "q_annotator_agreement",
+    oracle="""
+    WITH lab AS (
+      SELECT l_returnflag,
+             CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS a,
+             CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END AS b
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+             CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb
+      FROM lab GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n AS n_items, n11 + n00 AS n_agree,
+           CASE WHEN (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+                   + (1.0 - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) < 1.0
+             THEN ROUND(
+               ((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+                - ((CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+                   + (1.0 - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))))
+               / (1.0 - ((CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+                         + (1.0 - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))),
+               6)
+           END AS kappa
+    FROM agg
+    """,
+)
+def q_annotator_agreement(spark, sf_dir):
+    """Inter-annotator agreement (operators/aggregates.cohens_kappa —
+    the QC gate preference/annotation pipelines run before trusting
+    pairwise labels): kappa per group from one map-side-combined
+    integer-count aggregation; the only float work is the final
+    snapped division, order-free at any scale."""
+    from access_mopper_spark.operators.aggregates import cohens_kappa
+    li = load_table(spark, sf_dir, "lineitem")
+    lab = li.select(
+        "l_returnflag",
+        F.when(F.col("l_quantity") > 25, 1).otherwise(0).alias("a"),
+        F.when(F.col("l_extendedprice") > 30000, 1).otherwise(0).alias("b"))
+    return cohens_kappa(lab, "a", "b", group_cols=["l_returnflag"])
+
+
 def _bt_oracle_sql(iters: int = 3, lr: float = 1.0) -> str:
     """Unrolled Bradley-Terry gradient replay for DuckDB — per-round
     mean gradients and ratings snap to the 1e-6 grid exactly as the

@@ -204,3 +204,25 @@ def test_bt_rating_symmetric_is_zero(spark):
         ["a", "b", "w"])
     r = {row["item"]: row["r"] for row in bt_rating(comps).collect()}
     assert r[0] == 0.0 and r[1] == 0.0  # perfectly balanced evidence
+
+
+# --- inter-annotator agreement ------------------------------------------
+
+def test_cohens_kappa_known_values(spark):
+    import pytest as _pt
+    from access_mopper_spark.operators.aggregates import cohens_kappa
+    # perfect agreement -> kappa 1; perfect disagreement -> negative;
+    # one annotator constant -> pe has a 0 marginal, kappa defined
+    perfect = spark.createDataFrame([(1, 1)] * 6 + [(0, 0)] * 4, ["a", "b"])
+    assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+    opposite = spark.createDataFrame([(1, 0)] * 5 + [(0, 1)] * 5, ["a", "b"])
+    assert cohens_kappa(opposite, "a", "b").collect()[0]["kappa"] == -1.0
+    # textbook 2x2: n=100, n11=40, n00=30, sa=50, sb=60
+    rows = ([(1, 1)] * 40 + [(0, 0)] * 30 + [(1, 0)] * 10 + [(0, 1)] * 20)
+    mixed = spark.createDataFrame(rows, ["a", "b"])
+    got = cohens_kappa(mixed, "a", "b").collect()[0]
+    po, pe = 0.70, 0.5 * 0.6 + 0.5 * 0.4
+    assert got["kappa"] == _pt.approx((po - pe) / (1 - pe), abs=1e-6)
+    # both annotators constant-and-equal: pe = 1 -> NULL (undefined)
+    const = spark.createDataFrame([(1, 1)] * 5, ["a", "b"])
+    assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None
