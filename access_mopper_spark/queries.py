@@ -14760,6 +14760,87 @@ def q_annotator_agreement(spark, sf_dir):
     return cohens_kappa(lab, "a", "b", group_cols=["l_returnflag"])
 
 
+@query(
+    "q_length_bias",
+    oracle="""
+    WITH comps AS (
+      SELECT CAST(l_quantity AS BIGINT) AS len_a,
+             CAST(l_linenumber * 10 AS BIGINT) AS len_b,
+             CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END AS a_wins
+      FROM lineitem
+    ),
+    b AS (
+      SELECT CASE WHEN len_a - len_b < -20 THEN -2
+                  WHEN len_a - len_b < 0 THEN -1
+                  WHEN len_a = len_b THEN 0
+                  WHEN len_a - len_b <= 20 THEN 1 ELSE 2 END AS delta_bucket,
+             a_wins
+      FROM comps
+    )
+    SELECT delta_bucket, COUNT(*) AS n_pairs,
+           CAST(SUM(a_wins) AS BIGINT) AS n_a_wins,
+           CAST(SUM(a_wins) * 10000 // COUNT(*) AS BIGINT) AS win_rate_bp
+    FROM b GROUP BY delta_bucket
+    """,
+)
+def q_length_bias(spark, sf_dir):
+    """Length-bias diagnostic for preference data (the RLHF QC readout:
+    does the LONGER response win regardless of content? — reward models
+    trained on length-biased pairs learn verbosity).  Pairs bucket by
+    length delta; win rates ship as integer basis points (integer
+    division — no float in the hash surface).  One scan, one
+    partial-aggregated shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    len_a = F.col("l_quantity").cast("long")
+    len_b = (F.col("l_linenumber") * 10).cast("long")
+    a_wins = F.when(F.col("l_extendedprice") > 30000, 1).otherwise(0)
+    d = len_a - len_b
+    bucket = (F.when(d < -20, -2).when(d < 0, -1)
+              .when(len_a == len_b, 0).when(d <= 20, 1).otherwise(2))
+    return (li.select(bucket.alias("delta_bucket"), a_wins.alias("a_wins"))
+            .groupBy("delta_bucket")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum("a_wins").cast("long").alias("n_a_wins"),
+                 F.expr("CAST(SUM(a_wins) * 10000 DIV COUNT(*) AS BIGINT)")
+                 .alias("win_rate_bp")))
+
+
+@query(
+    "q_label_conflicts",
+    oracle="""
+    WITH comps AS (
+      SELECT CAST(l_partkey % 100 AS BIGINT) AS pair_key,
+             CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS a_wins
+      FROM lineitem
+    )
+    SELECT pair_key, COUNT(*) AS n_votes,
+           CAST(SUM(a_wins) AS BIGINT) AS n_a,
+           CAST(LEAST(SUM(a_wins), COUNT(*) - SUM(a_wins)) AS BIGINT)
+             AS n_minority,
+           (SUM(a_wins) > 0 AND SUM(a_wins) < COUNT(*)) AS conflicted
+    FROM comps GROUP BY pair_key
+    """,
+)
+def q_label_conflicts(spark, sf_dir):
+    """Contradictory-label detection over repeated preference pairs
+    (the same pair judged both ways — annotation noise that poisons a
+    reward model): per pair key, vote counts, minority size, and a
+    conflict flag.  Pure integer aggregation, one partial-combined
+    shuffle on the pair key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    comps = li.select(
+        (F.col("l_partkey") % 100).alias("pair_key"),
+        F.when(F.col("l_quantity") > 25, 1).otherwise(0).alias("a_wins"))
+    return (comps.groupBy("pair_key")
+            .agg(F.count("*").alias("n_votes"),
+                 F.sum("a_wins").cast("long").alias("n_a"),
+                 F.least(F.sum("a_wins"),
+                         F.count("*") - F.sum("a_wins"))
+                  .cast("long").alias("n_minority"),
+                 ((F.sum("a_wins") > 0)
+                  & (F.sum("a_wins") < F.count("*"))).alias("conflicted")))
+
+
 def _bt_oracle_sql(iters: int = 3, lr: float = 1.0) -> str:
     """Unrolled Bradley-Terry gradient replay for DuckDB — per-round
     mean gradients and ratings snap to the 1e-6 grid exactly as the
