@@ -362,3 +362,16 @@ def flesch_reading_ease(text: Column) -> Column:
     return F.when(words > 0,
                   F.lit(206.835) - F.lit(1.015) * (words / sents)
                   - F.lit(84.6) * (syls / words))
+
+
+def instruction_template(text: Column) -> Column:
+    """Template normalization for instruction/synthetic data dedup:
+    lowercase, replace number runs with <num>, double-quoted spans with
+    <quote>, collapse whitespace.  Self-Instruct-style corpora repeat
+    one template with varied slot fillers ("Write a story about X in X
+    words") — exact dedup misses them, near-dup over the whole text is
+    diluted by the fillers; the template key is the right dedup/cap
+    unit.  RE2-portable patterns (no backreferences/lookaround)."""
+    t = F.regexp_replace(portable_lower(text), '"[^"]*"', "<quote>")
+    t = F.regexp_replace(t, "[0-9]+(\\.[0-9]+)?", "<num>")
+    return ws_normalized(t)

@@ -14841,6 +14841,84 @@ def q_label_conflicts(spark, sf_dir):
                   & (F.sum("a_wins") < F.count("*"))).alias("conflicted")))
 
 
+@query(
+    "q_template_dedup",
+    oracle=r"""
+    WITH ins AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Write a story about "' || source || '" in '
+                      || CAST(50 + doc_id % 200 AS VARCHAR) || ' words'
+          WHEN 1 THEN 'Translate "' || lang || '" sample number '
+                      || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN 'Summarize the following: ' || text
+          ELSE 'List ' || CAST(3 + doc_id % 7 AS VARCHAR)
+               || ' facts about "' || source || '"' END AS instr
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+    ),
+    tpl AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(regexp_replace(lower(instr),
+                 '"[^"]*"', '<quote>', 'g'),
+                 '[0-9]+(\.[0-9]+)?', '<num>', 'g'),
+               '[ \t\n\r]+', ' ', 'g'), ' ')) AS template_fp
+      FROM ins
+    ),
+    counts AS (SELECT template_fp, COUNT(*) AS n_docs
+               FROM tpl GROUP BY template_fp),
+    kept AS (
+      SELECT template_fp, doc_id,
+             row_number() OVER (PARTITION BY template_fp
+                                ORDER BY doc_id) AS rk
+      FROM tpl
+    )
+    SELECT k.template_fp, k.doc_id, c.n_docs
+    FROM kept k JOIN counts c USING (template_fp) WHERE k.rk <= 10
+    """,
+)
+def q_template_dedup(spark, sf_dir):
+    """Instruction-template dedup/capping (functions/text.
+    instruction_template — the Self-Instruct-era diversity control):
+    instructions normalize to templates (<num>/<quote> slots, case and
+    whitespace folded) so a template repeated with varied slot fillers
+    — which exact dedup misses and whole-text near-dup dilutes — caps
+    at 10 representatives.  Rank-pushed per-template window + one
+    partial-combined count; map-only normalization."""
+    from access_mopper_spark.functions.text import instruction_template
+    from pyspark.sql.window import Window
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    k = F.col("doc_id")
+    instr = (F.when(k % 4 == 0,
+                    F.concat(F.lit('Write a story about "'), F.col("source"),
+                             F.lit('" in '),
+                             (F.lit(50) + k % 200).cast("string"),
+                             F.lit(" words")))
+             .when(k % 4 == 1,
+                   F.concat(F.lit('Translate "'), F.col("lang"),
+                            F.lit('" sample number '), k.cast("string")))
+             .when(k % 4 == 2,
+                   F.concat(F.lit("Summarize the following: "),
+                            F.col("text")))
+             .otherwise(
+                   F.concat(F.lit("List "),
+                            (F.lit(3) + k % 7).cast("string"),
+                            F.lit(' facts about "'), F.col("source"),
+                            F.lit('"'))))
+    tpl = (docs.where(F.col("text").isNotNull()
+                      & F.col("lang").isNotNull()
+                      & F.col("source").isNotNull())
+           .select("doc_id",
+                   F.md5(instruction_template(instr)).alias("template_fp")))
+    counts = tpl.groupBy("template_fp").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("template_fp").orderBy("doc_id")
+    kept = tpl.withColumn("__rk", F.row_number().over(w)) \
+              .where(F.col("__rk") <= 10).drop("__rk")
+    return kept.join(counts, "template_fp") \
+               .select("template_fp", "doc_id", "n_docs")
+
+
 def _bt_oracle_sql(iters: int = 3, lr: float = 1.0) -> str:
     """Unrolled Bradley-Terry gradient replay for DuckDB — per-round
     mean gradients and ratings snap to the 1e-6 grid exactly as the

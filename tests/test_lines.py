@@ -226,3 +226,20 @@ def test_cohens_kappa_known_values(spark):
     # both annotators constant-and-equal: pe = 1 -> NULL (undefined)
     const = spark.createDataFrame([(1, 1)] * 5, ["a", "b"])
     assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None
+
+
+# --- instruction-template normalization ----------------------------------
+
+def test_instruction_template_collapses_slots(spark):
+    from pyspark.sql import functions as SF
+    from access_mopper_spark.functions.text import instruction_template
+    df = spark.createDataFrame(
+        [('Write a story about "dogs" in 50 words',),
+         ('Write a  story about "SPACE TRAVEL" in 1250 words',),
+         ('write a story about "x" in 3.5 words',),
+         ('List 5 facts about "cats"',)], "t string")
+    got = [r["n"] for r in
+           df.select(instruction_template(SF.col("t")).alias("n")).collect()]
+    assert got[0] == got[1] == got[2] == \
+        "write a story about <quote> in <num> words"
+    assert got[3] == "list <num> facts about <quote>"
