@@ -663,9 +663,13 @@ def lsh_calibration(df: DataFrame, text_col: str = "text",
     populate the high-similarity deciles, while docs that merely share
     a band prefix give the low-similarity mass — the sample spans the
     S-curve's range at n−256 pairs and replays identically on any
-    engine.  Everything else is map-side column math over the paired
-    rows; the only shuffles are the 256-bucket window and the final
-    ≤11-row rollup."""
+    engine.  The 256-bucket neighbour sort runs over SLIM KEYS ONLY
+    (id, band_i, md5(text)) — the shingle sets join back onto the ~n
+    sampled pairs afterwards through two hash joins at full
+    parallelism.  (r8 verdict: projecting the shingle arrays before
+    the window dragged O(corpus tokens) through a 256-partition sort
+    — 14.5× wall for 10× data at ×100; the fat sort was the only
+    superlinear point in the sweep.)"""
     b = n_hashes // band_size
     from pyspark.sql import Window as W
 
@@ -675,31 +679,42 @@ def lsh_calibration(df: DataFrame, text_col: str = "text",
         minhash_signature(df, text_col, n_hashes=n_hashes,
                           shingle_k=shingle_k, shingle_kind="word"),
         n_hashes, band_size)
-    # the shingle SET derives from the same row the signature rides on —
-    # project it inline instead of self-joining a second derivation of
-    # the corpus back on doc_id (the join shuffled the shingle arrays
-    # both ways; this is map-only)
-    base = (sig.withColumn(
-                "__sh",
-                F.array_distinct(word_shingles(F.col(text_col), shingle_k)))
-               .where(F.size("__sh") > 0)
-               .select(id_col, "__sh",
+    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+    # slim sort payload: the shingle filter evaluates map-side and the
+    # array is DISCARDED before the exchange — only ids, band keys and
+    # one md5 ride the window shuffle
+    slim = (sig.where(F.size(shingles) > 0)
+               .select(id_col,
                        *[f"band_{i}" for i in range(b)],
                        F.md5(F.col(text_col)).alias("__h")))
-    bucketed = base.withColumn("__bk", F.substring("band_0", 1, 2))
+    bucketed = slim.withColumn("__bk", F.substring("band_0", 1, 2))
     w = W.partitionBy("__bk").orderBy("band_0", "__h", id_col)
     rn = bucketed.withColumn("__rn", F.row_number().over(w))
     a, c = rn.alias("a"), rn.alias("c")
-    pairs = a.join(
-        c, (F.col("a.__bk") == F.col("c.__bk"))
-        & (F.col("c.__rn") == F.col("a.__rn") + 1))
     collide = sum(
         (F.col(f"a.band_{i}") == F.col(f"c.band_{i}")).cast("int")
         for i in range(b))
-    scored = pairs.select(
-        F.expr("(10 * size(array_intersect(a.__sh, c.__sh))) div "
-               "size(array_union(a.__sh, c.__sh))").alias("s_decile"),
-        collide.alias("__nc"))
+    pair_keys = (a.join(
+        c, (F.col("a.__bk") == F.col("c.__bk"))
+        & (F.col("c.__rn") == F.col("a.__rn") + 1))
+        .select(F.col(f"a.{id_col}").alias("__ida"),
+                F.col(f"c.{id_col}").alias("__idc"),
+                collide.alias("__nc")))
+    # join the shingle sets back for the sampled pairs only: two slim
+    # hash joins (arrays shuffle once per side, hashed across the full
+    # shuffle parallelism) instead of a fat 256-partition sort
+    sh = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), shingles.alias("__sh"))
+            .where(F.size("__sh") > 0))
+    paired = (pair_keys
+              .join(sh.select(F.col(id_col).alias("__ida"),
+                              F.col("__sh").alias("__sha")), "__ida")
+              .join(sh.select(F.col(id_col).alias("__idc"),
+                              F.col("__sh").alias("__shc")), "__idc"))
+    scored = paired.select(
+        F.expr("(10 * size(array_intersect(__sha, __shc))) div "
+               "size(array_union(__sha, __shc))").alias("s_decile"),
+        F.col("__nc"))
     import math
     theory = {d: math.floor(1e6 * (1.0 - (1.0 - (1.0 if d == 10 else
                                                  (d + 0.5) / 10.0)

@@ -29,12 +29,15 @@ from pyspark.sql import functions as F
 
 
 def explode_lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per (doc, position, line).  Lines are exact ``\\n``
-    splits — no normalization, so counting and reassembly are
-    bit-deterministic on any engine."""
+    """One row per (doc, position, line).  Lines split on ``\\r?\\n``
+    (CRLF-tolerant — crawled web text mixes line conventions; an exact
+    ``\\n`` split left every CRLF line with a trailing ``\\r`` that
+    defeated exact-match boilerplate detection, r8 ADVICE).  Reassembly
+    joins with ``\\n``, so CRLF documents normalize to LF — the standard
+    line-curation contract.  Deterministic on any engine."""
     return docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("pos", "line"))
 
 
 def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
@@ -86,9 +89,13 @@ def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
     punctuation and have >= ``min_words`` whitespace words; drop the
     whole document when fewer than ``min_lines`` lines survive or when
     it contains a curly brace or 'lorem ipsum' (code/placeholder
-    signals).  Map-only: the per-line predicate runs inside a
-    higher-order ``filter`` over the split array — no explode, no
-    shuffle, one corpus scan.
+    signals).  Lines split on ``\\r?\\n`` so a CRLF document's lines
+    don't carry a trailing ``\\r`` into the terminal-punctuation check
+    (an exact ``\\n`` split silently failed every CRLF doc's
+    ``min_lines`` gate, r8 ADVICE); survivors re-join with ``\\n``.
+    Map-only: the per-line predicate runs inside a higher-order
+    ``filter`` over the split array — no explode, no shuffle, one
+    corpus scan.
     """
     text = F.col(text_col)
 
@@ -104,7 +111,7 @@ def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
             F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + 1)
         return ends & (words >= min_words)
 
-    kept = F.filter(F.split(text, "\n"), line_ok)
+    kept = F.filter(F.split(text, r"\r?\n"), line_ok)
     doc_ok = ((F.size(kept) >= min_lines)
               & ~F.lower(text).contains("lorem ipsum")
               & ~text.contains("{") & ~text.contains("}"))

@@ -455,3 +455,73 @@ def bt_rating(comps: DataFrame, iterations: int = 3, lr: float = 1.0,
                             6).alias("r"))
              .localCheckpoint(eager=True))
     return r
+
+
+def annotator_bias(votes: DataFrame, item_col: str = "item",
+                   annotator_col: str = "annotator",
+                   vote_col: str = "vote") -> DataFrame:
+    """Per-annotator bias vs consensus — the preference-data QC readout
+    next to inter-annotator kappa (cohens_kappa) and label-conflict
+    detection: for each annotator, how often do they agree with the
+    strict-majority consensus of the items they judged, and how much
+    more (or less) often do they vote positive than that consensus?
+    An annotator whose agree rate is low or whose positive-rate delta
+    is large is mislabeling or gaming — drop or reweight before reward
+    training (builder brief: preference-data QC).
+
+    ``votes``: one row per (item, annotator) binary judgment
+    (``vote`` ∈ {0, 1}).  Consensus per item is the STRICT majority
+    (ties → 0 — deterministic on any engine).  Output one row per
+    annotator: ``(annotator, n_votes, n_agree, agree_bp, pos_bp,
+    consensus_pos_bp, bias_bp)`` — all INTEGER (basis points via
+    integer division), so the hash surface is order-free.
+
+    Scale shape: one shuffle keyed by item for the consensus aggregate
+    (items are the wide side but the aggregate is map-side combined);
+    the consensus table rides back on the item key the votes already
+    hash by, and the per-annotator rollup is a second map-side-combined
+    aggregate on a small key space.  No windows, no floats."""
+    cons = (votes.groupBy(item_col)
+            .agg(((F.sum(vote_col) * 2 > F.count("*")).cast("int"))
+                 .alias("__cons")))
+    j = votes.join(cons, item_col)
+    agree = (F.col(vote_col) == F.col("__cons")).cast("long")
+    return (j.groupBy(annotator_col)
+            .agg(F.count("*").alias("n_votes"),
+                 F.sum(agree).alias("n_agree"),
+                 F.expr(f"CAST(SUM(CAST(({vote_col} = __cons) AS LONG)) "
+                        "* 10000 DIV COUNT(*) AS BIGINT)").alias("agree_bp"),
+                 F.expr(f"CAST(SUM({vote_col}) * 10000 DIV COUNT(*) "
+                        "AS BIGINT)").alias("pos_bp"),
+                 F.expr("CAST(SUM(__cons) * 10000 DIV COUNT(*) AS BIGINT)")
+                 .alias("consensus_pos_bp"))
+            .withColumn("bias_bp",
+                        (F.col("pos_bp") - F.col("consensus_pos_bp"))
+                        .cast("long"))
+            .withColumn("n_agree", F.col("n_agree").cast("long")))
+
+
+def position_bias(comps: DataFrame, first_col: str = "a_shown_first",
+                  winner_col: str = "a_wins",
+                  group_cols: list[str] | None = None) -> DataFrame:
+    """Position-bias readout for preference data: the first-shown
+    response's win rate.  Unbiased annotation wins ~50% for the
+    first-shown side under randomized presentation; a higher rate means
+    annotators favor whatever they read first, and a reward model
+    trained on it inherits the artifact (builder brief:
+    preference-data QC).
+
+    ``comps``: one row per pairwise comparison with ``a_shown_first``
+    (1 = response A presented first) and ``a_wins`` (1 = A chosen).
+    The first-shown side wins when the two flags agree.  Output per
+    group: ``(..., n_pairs, n_first_wins, first_win_bp)`` — integer
+    basis points, order-free.  One scan, one map-side-combined
+    aggregate on the (small) group key."""
+    first_wins = (F.col(first_col) == F.col(winner_col)).cast("long")
+    keys = [F.col(c) for c in (group_cols or [])]
+    g = comps.groupBy(*keys) if keys else comps.groupBy()
+    return g.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(first_wins).cast("long").alias("n_first_wins"),
+        F.expr(f"CAST(SUM(CAST(({first_col} = {winner_col}) AS LONG)) "
+               "* 10000 DIV COUNT(*) AS BIGINT)").alias("first_win_bp"))

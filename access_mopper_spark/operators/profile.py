@@ -61,7 +61,9 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
     cols = list(cols) if cols is not None else list(df.columns)
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
-        col = F.col(c)
+        # quote + double embedded backticks: bare F.col(c)/df[c] parse
+        # backticks in quirky column names as quoting syntax (r8 ADVICE)
+        col = F.col(f"`{c.replace('`', '``')}`")
         nd = (F.approx_count_distinct(col) if approx
               else F.countDistinct(col))
         aggs += [
@@ -85,9 +87,15 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
     wide = df.agg(*aggs)
     stack_args = []
     for c in cols:
-        stack_args += [f"'{c}'", f"`__null__{c}`", f"`__nd__{c}`",
-                       f"`__min__{c}`", f"`__max__{c}`",
-                       f"`__mins__{c}`", f"`__maxs__{c}`"]
+        # injection-safe interpolation: SQL string literals double
+        # embedded single quotes, backtick identifiers double embedded
+        # backticks (a quirky column name must not produce a malformed
+        # or mislabeled stack() expression, r8 ADVICE)
+        lbl = c.replace("'", "''")
+        bt = c.replace("`", "``")
+        stack_args += [f"'{lbl}'", f"`__null__{bt}`", f"`__nd__{bt}`",
+                       f"`__min__{bt}`", f"`__max__{bt}`",
+                       f"`__mins__{bt}`", f"`__maxs__{bt}`"]
     stacked = wide.select(
         F.col("__n_rows").alias("n_rows"),
         F.expr(f"stack({len(cols)}, {', '.join(stack_args)}) AS "

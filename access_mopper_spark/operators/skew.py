@@ -59,7 +59,7 @@ def explode_salt_join(big: DataFrame, small: DataFrame, key: str,
 
 
 def skew_profile(df: DataFrame, key_cols: list[str],
-                 top_n: int = 20) -> DataFrame:
+                 top_n: int = 20, n_rows: int | None = None) -> DataFrame:
     """Heavy-key diagnostic for join/aggregation planning — the report
     read before choosing broadcast vs salting vs AQE skew-join: for
     each candidate key column, the ``top_n`` heaviest keys with count,
@@ -82,12 +82,17 @@ def skew_profile(df: DataFrame, key_cols: list[str],
 
     # the per-column denominator is CONSTANT: every base row emits
     # exactly one (col, value) pair per profiled column (NULLs
-    # included), so total-per-column = |df|.  A parquet count() is
-    # footer-stats only — no data scan; the profile itself then costs
-    # exactly one scan + one shuffle (a derived-totals branch would
-    # duplicate the scan subtree instead: dedup attribute rewriting
-    # defeats exchange reuse across self-join branches).
-    n_rows = df.count()
+    # included), so total-per-column = |df|.  NOTE: when ``n_rows`` is
+    # not supplied this runs an EAGER df.count() at call time — free
+    # (footer-stats only) when df is a raw parquet scan, but a full
+    # extra pass when df carries upstream filters/joins (r8 ADVICE);
+    # callers profiling a derived frame should pass a precomputed
+    # ``n_rows``.  The profile itself then costs exactly one scan + one
+    # shuffle (a derived-totals branch would duplicate the scan subtree
+    # instead: dedup attribute rewriting defeats exchange reuse across
+    # self-join branches).
+    if n_rows is None:
+        n_rows = df.count()
     pairs = df.select(F.explode(F.array(*[
         F.struct(F.lit(c).alias("col_name"),
                  F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))

@@ -44,16 +44,30 @@ def url_scheme(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
 
 
-def url_host(url: Column) -> Column:
-    """Lower-cased host with any ``:port`` removed."""
+def _url_hostport(url: Column) -> Column:
+    """Authority with any ``user:pass@`` userinfo stripped (userinfo is
+    everything up to the LAST '@' per RFC 3986 — the host may not
+    contain one) — 'https://user:pass@h/x' keyed on 'user' before this
+    (r8 ADVICE)."""
     auth = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    return F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    return F.regexp_replace(auth, r"^.*@", "")
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host with userinfo and any ``:port`` removed.
+    Bracketed IPv6 literals keep their brackets: '[::1]:8080' →
+    '[::1]' (the ':' inside the brackets is not a port separator)."""
+    hp = _url_hostport(url)
+    return F.lower(
+        F.when(hp.startswith("["),
+               F.regexp_extract(hp, r"^(\[[^\]]*\])", 1))
+         .otherwise(F.regexp_extract(hp, r"^([^:]*)", 1)))
 
 
 def url_port(url: Column) -> Column:
-    """Explicit port as a string ('' when absent)."""
-    auth = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    return F.regexp_extract(auth, r":([0-9]+)$", 1)
+    """Explicit port as a string ('' when absent); userinfo-safe and
+    IPv6-safe (':' inside '[…]' never reads as a port)."""
+    return F.regexp_extract(_url_hostport(url), r":([0-9]+)$", 1)
 
 
 def url_path(url: Column) -> Column:

@@ -149,6 +149,32 @@ def _wide(df):
     return ensure_min_partitions(df)
 
 
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _pid_scratch(stem: str) -> str:
+    """Process-private scratch dir path under the system tmpdir.
+
+    pid-keyed so concurrent gate processes never clobber each other's
+    fixtures/checkpoints (the r8 concurrency fix), and registered for
+    atexit removal so long-lived sweep boxes don't accumulate one
+    fixture tree per process run (r8 ADVICE).  Within a process the
+    same stem returns the same path, so intentional same-process
+    replays (q_stream_sink_replay) keep their semantics."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"{stem}_{os.getpid()}")
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True)
+                     for p in list(_SCRATCH_DIRS)])
+    _SCRATCH_DIRS.add(path)
+    return path
+
+
 # =====================================================================
 # §2.1/§2.2 scans, projections, filters, predicates
 # =====================================================================
@@ -1670,8 +1696,7 @@ def q_stream_sink_replay(spark, sf_dir):
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     tag = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()) \
                  .hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(),
-                        f"access_mopper_spark_sink_{tag}_{os.getpid()}")
+    base = _pid_scratch(f"access_mopper_spark_sink_{tag}")
     out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
 
     stream = events_stream(spark, sf_dir).select("event_type", "ts", "value")
@@ -1824,9 +1849,7 @@ def q_stream_dedup_ingest(spark, sf_dir):
     import hashlib
     tag = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()) \
                  .hexdigest()[:12]
-    chunk_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"access_mopper_spark_docchunks_{tag}_{os.getpid()}")
+    chunk_dir = _pid_scratch(f"access_mopper_spark_docchunks_{tag}")
     if not os.path.isdir(chunk_dir):
         os.makedirs(chunk_dir, exist_ok=True)
         tbl = pq.read_table(src)
@@ -3477,9 +3500,7 @@ def q_netcdf3_decode(spark, sf_dir):
     from access_mopper_spark.sources.netcdf_io import (nc3_opener,
                                                        scan_netcdf,
                                                        write_nc3_fixture)
-    fix_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"access_mopper_spark_nc3_fixtures_{os.getpid()}")
+    fix_dir = _pid_scratch("access_mopper_spark_nc3_fixtures")
     os.makedirs(fix_dir, exist_ok=True)
     paths = []
     for day in range(1, 9):  # 19960101..19960108
@@ -3544,12 +3565,8 @@ def q_mop_process_e2e(spark, sf_dir):
     from access_mopper_spark.sources.netcdf_io import (nc3_opener,
                                                        scan_netcdf,
                                                        write_nc3_fixture)
-    fix_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"access_mopper_spark_nc3_fixtures_{os.getpid()}")
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"access_mopper_spark_nc3_out_{os.getpid()}")
+    fix_dir = _pid_scratch("access_mopper_spark_nc3_fixtures")
+    out_dir = _pid_scratch("access_mopper_spark_nc3_out")
     os.makedirs(fix_dir, exist_ok=True)
     paths = []
     for day in range(1, 5):
@@ -7046,8 +7063,7 @@ def q_varlist_dreq_roundtrip(spark, sf_dir):
         .withColumnRenamed("name", "cmor_name") \
         .withColumnRenamed("table", "table_name")
 
-    base = os.path.join(tempfile.gettempdir(),
-                        f"access_mopper_spark_varlist_{os.getpid()}")
+    base = _pid_scratch("access_mopper_spark_varlist")
     write_varlist(inv, os.path.join(base, "varlist"))
     back = read_varlist(spark, os.path.join(base, "varlist"))
 
@@ -13682,18 +13698,18 @@ def q_position_attribution(spark, sf_dir):
     """,
 )
 def q_probe_date_render(spark, sf_dir):
-    """Round-8 rendering probe: EXACTLY the driver-green
-    q_probe_day_counts aggregation plus a raw DATE output cell.  DuckDB
-    DATE lands in pandas as datetime64[ns] midnight while Spark DATE
-    collects as datetime.date — the same strict-rendering seam shape as
-    the (now solved) HUGEINT divergence, and unverified: no DATE-output
-    query ever driver-passed in rounds 1-7.  This row is DELIBERATELY
-    exempt from the DATE→TIMESTAMP canonicalization that every real
-    query gets (_apply_spark_date_casts / tools/gen_oracle_casts.py
-    PROBE_EXEMPT): pass ⇒ DATE is safe and the canonicalization can be
-    retired; fail (with day_num/n_events matching the green
-    q_probe_day_counts shape) ⇒ DATE was a second rendering seam and
-    the canonicalization stays."""
+    """Round-8 rendering probe, now the DATE regression SENTINEL:
+    EXACTLY the driver-green q_probe_day_counts aggregation plus a raw
+    DATE output cell.  DuckDB DATE lands in pandas as datetime64[ns]
+    midnight while Spark DATE collects as datetime.date — the suspected
+    second strict-rendering seam next to the (solved) HUGEINT
+    divergence.  VERDICT (r8 driver): PASS — rows+schema+hash green on
+    the raw DATE cell, so the seam does not exist; the r8
+    DATE→TIMESTAMP canonicalization (_apply_spark_date_casts) was
+    retired in r9 and every real query ships native DATE.  This probe
+    stays in the driver prefix so any future harness change that
+    re-opens the seam is caught on a 1-row diagnostic, not a real
+    query."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     day = F.to_date(F.date_trunc("day", F.col("ts")))
     return (ev.groupBy(
@@ -14192,7 +14208,7 @@ def q_html_strip(spark, sf_dir):
         || chr(10) || 'Copyright 2024 Example Corp' AS txt
       FROM documents
     ),
-    sp AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM d),
+    sp AS (SELECT doc_id, regexp_split_to_array(txt, '\\r?\\n') AS ls FROM d),
     lines AS (
       SELECT doc_id, g.i AS pos, list_extract(ls, g.i) AS line
       FROM sp, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(ls)), 1)
@@ -14251,7 +14267,7 @@ def q_line_boilerplate(spark, sf_dir):
     ),
     f AS (
       SELECT doc_id, txt,
-        list_filter(string_split(txt, chr(10)), ln ->
+        list_filter(regexp_split_to_array(txt, '\\r?\\n'), ln ->
           (ends_with(trim(ln, ' '), '.') OR ends_with(trim(ln, ' '), '!')
            OR ends_with(trim(ln, ' '), '?') OR ends_with(trim(ln, ' '), '"'))
           AND (CASE WHEN length(regexp_replace(trim(ln, ' '),
@@ -14325,8 +14341,7 @@ def q_jsonl_roundtrip(spark, sf_dir):
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     tag = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()) \
                  .hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(),
-                        f"access_mopper_spark_jsonl_{tag}_{os.getpid()}")
+    path = _pid_scratch(f"access_mopper_spark_jsonl_{tag}")
     docs.coalesce(8).write.mode("overwrite").json(path)
     back = spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
@@ -14842,6 +14857,86 @@ def q_label_conflicts(spark, sf_dir):
 
 
 @query(
+    "q_annotator_bias",
+    oracle="""
+    WITH votes AS (
+      SELECT CAST(l_partkey % 200 AS BIGINT) AS item,
+             CAST(l_suppkey % 11 AS BIGINT) AS annotator,
+             CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS vote
+      FROM lineitem
+    ),
+    cons AS (
+      SELECT item,
+             CASE WHEN SUM(vote) * 2 > COUNT(*) THEN 1 ELSE 0 END AS c
+      FROM votes GROUP BY item
+    )
+    SELECT v.annotator, COUNT(*) AS n_votes,
+           CAST(SUM(CASE WHEN v.vote = c.c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           CAST(SUM(CASE WHEN v.vote = c.c THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS agree_bp,
+           CAST(SUM(v.vote) * 10000 // COUNT(*) AS BIGINT) AS pos_bp,
+           CAST(SUM(c.c) * 10000 // COUNT(*) AS BIGINT) AS consensus_pos_bp,
+           CAST(SUM(v.vote) * 10000 // COUNT(*)
+                - SUM(c.c) * 10000 // COUNT(*) AS BIGINT) AS bias_bp
+    FROM votes v JOIN cons c USING (item)
+    GROUP BY v.annotator
+    """,
+)
+def q_annotator_bias(spark, sf_dir):
+    """Per-annotator bias vs consensus (operators/ml.annotator_bias —
+    the preference-QC readout next to kappa/label-conflicts, verdict r8
+    item 7): each annotator's agreement rate with the strict-majority
+    consensus of the items they judged, plus their positive-rate delta
+    against that consensus — all integer basis points.  Two map-side-
+    combined aggregations and one item-keyed join; no floats, no
+    windows."""
+    from access_mopper_spark.operators.ml import annotator_bias
+    li = load_table(spark, sf_dir, "lineitem")
+    votes = li.select(
+        (F.col("l_partkey") % 200).cast("long").alias("item"),
+        (F.col("l_suppkey") % 11).cast("long").alias("annotator"),
+        F.when(F.col("l_quantity") > 25, 1).otherwise(0).alias("vote"))
+    return annotator_bias(votes, "item", "annotator", "vote")
+
+
+@query(
+    "q_position_bias",
+    oracle="""
+    WITH comps AS (
+      SELECT l_returnflag,
+             CAST((l_orderkey + l_linenumber) % 2 AS INT) AS a_shown_first,
+             CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END AS a_wins
+      FROM lineitem
+    )
+    SELECT l_returnflag, COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN a_shown_first = a_wins THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_first_wins,
+           CAST(SUM(CASE WHEN a_shown_first = a_wins THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS first_win_bp
+    FROM comps GROUP BY l_returnflag
+    """,
+)
+def q_position_bias(spark, sf_dir):
+    """Position-bias (first-response win rate) per annotation cohort
+    (operators/ml.position_bias, verdict r8 item 7): under randomized
+    presentation the first-shown response should win ~50%; a higher
+    basis-point rate flags order-anchored annotators.  Presentation
+    order derives deterministically from the pair key; one scan, one
+    map-side-combined aggregate, integer-only output."""
+    from access_mopper_spark.operators.ml import position_bias
+    li = load_table(spark, sf_dir, "lineitem")
+    comps = li.select(
+        "l_returnflag",
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 2)
+        .cast("int").alias("a_shown_first"),
+        F.when(F.col("l_extendedprice") > 30000, 1).otherwise(0)
+        .alias("a_wins"))
+    return position_bias(comps, "a_shown_first", "a_wins",
+                         group_cols=["l_returnflag"])
+
+
+@query(
     "q_template_dedup",
     oracle=r"""
     WITH ins AS (
@@ -15026,7 +15121,7 @@ _ORACLE_OUTPUT_CASTS = {
     "q_cms_merge_law": [("est_count", "BIGINT")],
     "q_compaction_plan": [("total_chars", "BIGINT")],
     "q_corpus_report": [("total_tokens", "BIGINT"), ("en_docs", "BIGINT")],
-    "q_cumulative_active": [("day", "TIMESTAMP"), ("cumulative_users", "BIGINT")],
+    "q_cumulative_active": [("cumulative_users", "BIGINT")],
     "q_decile_lift": [("sum_cents", "BIGINT")],
     "q_discounted_brand_revenue": [("rev_cents", "BIGINT")],
     "q_diurnal_spectrum": [("n_events", "BIGINT")],
@@ -15035,19 +15130,16 @@ _ORACLE_OUTPUT_CASTS = {
     "q_dow_seasonality": [("sum_cents", "BIGINT")],
     "q_dup_ngrams": [("n_dup", "BIGINT")],
     "q_dup_span_chargrams": [("n_dup_grams", "BIGINT")],
-    "q_ewma_daily": [("day", "TIMESTAMP")],
     "q_forecast_revenue": [("revenue_cents", "BIGINT")],
     "q_gini": [("total_cents", "BIGINT")],
     "q_importance_weights": [("imp_micro", "BIGINT")],
     "q_interp_sql": [("plev", "DOUBLE")],
     "q_json_extract": [("sum_k", "BIGINT"), ("n_high", "BIGINT")],
-    "q_large_volume_customer": [("o_orderdate", "TIMESTAMP")],
     "q_lsh_calibration": [("n_candidates", "BIGINT"), ("sum_collide_bands", "BIGINT")],
-    "q_ltv_cohorts": [("cohort_month", "TIMESTAMP"), ("rev_cents", "BIGINT"), ("cum_rev_cents", "BIGINT")],
+    "q_ltv_cohorts": [("rev_cents", "BIGINT"), ("cum_rev_cents", "BIGINT")],
     "q_market_share": [("nation_cents", "BIGINT"), ("total_cents", "BIGINT")],
-    "q_max_concurrency": [("day", "TIMESTAMP"), ("max_concurrent", "BIGINT")],
-    "q_mom_growth": [("month", "TIMESTAMP"), ("rev_cents", "BIGINT"), ("prev_cents", "BIGINT"), ("delta_cents", "BIGINT")],
-    "q_new_vs_returning": [("day", "TIMESTAMP")],
+    "q_max_concurrency": [("max_concurrent", "BIGINT")],
+    "q_mom_growth": [("rev_cents", "BIGINT"), ("prev_cents", "BIGINT"), ("delta_cents", "BIGINT")],
     "q_ngram_novelty": [("n_novel", "BIGINT")],
     "q_null_safe_join": [("total_chars", "BIGINT")],
     "q_passage_windows": [("n_chars", "BIGINT")],
@@ -15067,12 +15159,9 @@ _ORACLE_OUTPUT_CASTS = {
     "q_promo_revenue": [("promo_cents", "BIGINT"), ("total_cents", "BIGINT")],
     "q_quantile_sketch": [("n_events", "BIGINT")],
     "q_referential_profile": [("childless_orders", "BIGINT"), ("total_lines", "BIGINT"), ("total_line_cents", "BIGINT")],
-    "q_retention_cohorts": [("cohort", "TIMESTAMP")],
     "q_returned_items": [("rev_cents", "BIGINT")],
-    "q_rolling_distinct_users": [("day", "TIMESTAMP")],
-    "q_seasonal_decompose": [("day", "TIMESTAMP")],
     "q_ship_delay_priority": [("high_line_count", "BIGINT"), ("low_line_count", "BIGINT")],
-    "q_shipping_priority": [("rev_cents", "BIGINT"), ("orderdate", "TIMESTAMP")],
+    "q_shipping_priority": [("rev_cents", "BIGINT")],
     "q_skyline": [("cost_cents", "BIGINT"), ("qty_cents", "BIGINT")],
     "q_sliding_hour_sum": [("sum_6h", "BIGINT")],
     "q_streak_islands": [("active_days", "BIGINT")],
@@ -15096,38 +15185,11 @@ def _apply_oracle_casts():
                        f"{ORACLES[_n]}\n) AS __oracle_widen")
 
 
-def _apply_spark_date_casts():
-    """DATE outputs ship as midnight TIMESTAMP on the SPARK side too.
-
-    Rationale: DuckDB DATE arrives in pandas as datetime64[ns]
-    ("2024-01-02 00:00:00") while Spark DATE collects as datetime.date
-    ("2024-01-02") — the same strict-rendering seam shape as HUGEINT,
-    and completely unverified at the driver: across rounds 1-7 NO query
-    with a DATE output column ever driver-passed (the only exposed one,
-    q_max_concurrency, failed 3×, confounded with its HUGEINT column),
-    while TIMESTAMP outputs pass routinely.  _ORACLE_OUTPUT_CASTS
-    widens the DuckDB side DATE→TIMESTAMP; this wrapper applies the
-    matching .cast("timestamp") to the Spark result so both engines
-    ship the proven-green temporal type.  q_probe_date_render is
-    deliberately exempt — it ships a raw DATE cell so the next
-    CORRECTNESS round MEASURES whether DATE was a second seam."""
-    for _n, _cols in _ORACLE_OUTPUT_CASTS.items():
-        _ts = [c for c, t in _cols if t == "TIMESTAMP"]
-        if not _ts or _n not in QUERIES:
-            continue
-
-        def _mk(fn, cols):
-            def wrapped(spark, sf_dir):
-                df = fn(spark, sf_dir)
-                for c in cols:
-                    df = df.withColumn(c, F.col(c).cast("timestamp"))
-                return df
-            wrapped.__name__ = fn.__name__
-            wrapped.__doc__ = fn.__doc__
-            return wrapped
-
-        QUERIES[_n] = _mk(QUERIES[_n], _ts)
-
-
 _apply_oracle_casts()
-_apply_spark_date_casts()
+# NOTE (r9): the r8 _apply_spark_date_casts midnight-TIMESTAMP coercion of
+# DATE outputs is REMOVED — q_probe_date_render shipped a raw DATE cell
+# through the r8 driver and PASSED (rows+schema+hash green in
+# CORRECTNESS_r08), adjudicating that the suspected DuckDB-DATE->pandas
+# vs Spark-date rendering seam does not exist.  DATE outputs now ship as
+# native DATE on both engines (simpler schemas, one less portability
+# shim); the probe stays in the driver prefix as the regression sentinel.

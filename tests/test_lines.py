@@ -243,3 +243,31 @@ def test_instruction_template_collapses_slots(spark):
     assert got[0] == got[1] == got[2] == \
         "write a story about <quote> in <num> words"
     assert got[3] == "list <num> facts about <quote>"
+
+
+def test_c4_line_filter_crlf_docs_survive(spark):
+    """CRLF documents pass the terminal-punctuation check (r8 ADVICE:
+    an exact '\\n' split left '.\\r' line endings that silently failed
+    every CRLF doc); output normalizes to LF."""
+    lf = ("One proper sentence with enough words here.\n"
+          "Another proper sentence with enough words too!\n"
+          "And a third one rounds out the document?")
+    crlf = lf.replace("\n", "\r\n")
+    docs = spark.createDataFrame([(1, lf), (2, crlf)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["n_kept"] == 3
+    assert out[2]["clean"] == lf  # reassembly normalizes CRLF -> LF
+
+
+def test_boilerplate_matches_across_line_conventions(spark):
+    """A banner line is the SAME boilerplate key whether the doc uses
+    LF or CRLF (split on \\r?\\n keeps no trailing \\r in the key)."""
+    docs = spark.createDataFrame(
+        [(i, f"BANNER\r\nbody text {i}") for i in range(3)]
+        + [(i, f"BANNER\nbody text {i}") for i in range(3, 6)],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(docs, min_docs=5).collect()}
+    assert all(out[i]["clean"] == f"body text {i}" for i in range(6))
+    assert all(out[i]["n_dropped"] == 1 for i in range(6))

@@ -35,20 +35,16 @@ def con():
     return c
 
 
-#: deliberately un-wrapped rendering probes (measure a seam, see
-#: tools/gen_oracle_casts.PROBE_EXEMPT)
-EXEMPT = {"q_probe_date_render"}
-
-
-def test_no_hugeint_decimal_or_date_oracle_outputs(con):
+def test_no_hugeint_decimal_oracle_outputs(con):
+    """DATE is deliberately NOT flagged: the r8 q_probe_date_render
+    driver exposure PASSED on a raw DATE cell, adjudicating that the
+    DuckDB-DATE->pandas rendering is hash-compatible with Spark's
+    datetime.date — DATE outputs ship natively since r9."""
     offenders = {}
     for name, sql in ORACLES.items():
-        if name in EXEMPT:
-            continue
         cols = con.execute(f"DESCRIBE {sql}").fetchall()
         bad = [(c[0], c[1]) for c in cols
-               if c[1] in NON_PORTABLE or c[1].startswith("DECIMAL")
-               or c[1] == "DATE"]
+               if c[1] in NON_PORTABLE or c[1].startswith("DECIMAL")]
         if bad:
             offenders[name] = bad
     assert not offenders, (
@@ -57,18 +53,18 @@ def test_no_hugeint_decimal_or_date_oracle_outputs(con):
         f"{offenders}")
 
 
-def test_spark_side_ships_timestamp_not_date(con):
-    """The Spark result of a DATE-canonicalized query must also emit
-    timestamp (the registry wrapper _apply_spark_date_casts), or the
-    two engines would diverge the other way."""
-    from access_mopper_spark.queries import QUERIES, _ORACLE_OUTPUT_CASTS
-    date_wrapped = [n for n, cols in _ORACLE_OUTPUT_CASTS.items()
-                    if any(t == "TIMESTAMP" for _, t in cols)]
-    assert "q_max_concurrency" in date_wrapped
+def test_spark_side_ships_native_date(con):
+    """Since r9 DATE outputs ship as DATE on BOTH engines (the r8
+    midnight-TIMESTAMP coercion is retired — the driver probe proved
+    the rendering seam does not exist).  Both sides must agree."""
+    from access_mopper_spark.queries import QUERIES, ORACLES
     from access_mopper_spark.session import get_spark
     spark = get_spark(app_name="oracle_types_test")
     df = QUERIES["q_max_concurrency"](spark, SF_DIR)
-    assert dict(df.dtypes)["day"] == "timestamp", df.dtypes
+    assert dict(df.dtypes)["day"] == "date", df.dtypes
+    desc = {c[0]: c[1] for c in
+            con.execute(f"DESCRIBE {ORACLES['q_max_concurrency']}").fetchall()}
+    assert desc["day"] == "DATE", desc
 
 
 def test_strict_pandas_rendering_matches_bigint(con):

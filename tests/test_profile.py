@@ -121,3 +121,26 @@ def test_lsh_calibration_tracks_theory(spark):
              for r in lsh_calibration(docs).collect()}
     assert again == {d: (r["n_pairs"], r["n_candidates"])
                      for d, r in rows.items()}
+
+
+def test_profile_quirky_column_names(spark):
+    """Column names containing quotes/backticks survive the stack()
+    interpolation (r8 ADVICE: injection-safe escaping)."""
+    from access_mopper_spark.operators.profile import profile_table
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None)], ["it's", "back`tick"])
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"it's", "back`tick"}
+    assert out["back`tick"]["n_null"] == 1
+    assert out["it's"]["min_num"] == 1.0 and out["it's"]["max_num"] == 2.0
+
+
+def test_skew_profile_precomputed_n_rows(spark):
+    """Passing n_rows skips the eager count and yields identical
+    shares (r8 ADVICE: derived frames shouldn't pay a second scan)."""
+    from access_mopper_spark.operators.skew import skew_profile
+    df = spark.createDataFrame([(i % 3,) for i in range(30)], ["k"])
+    a = sorted(map(tuple, skew_profile(df, ["k"]).collect()))
+    b = sorted(map(tuple, skew_profile(df, ["k"], n_rows=30).collect()))
+    assert a == b
+    assert a[0][3] == 3333  # 10/30 in basis points

@@ -36,21 +36,21 @@ TABLES = ("region nation customer supplier part orders lineitem "
 
 # DuckDB types whose pandas rendering diverges from the Spark column type
 # the paired query produces.  HUGEINT/UHUGEINT -> float64 in pandas;
-# DECIMAL -> Decimal objects / float64 depending on width; DATE ->
-# datetime64[ns] which renders "2024-01-02 00:00:00" against Spark's
-# datetime.date "2024-01-02" — the SAME rendering-seam shape as HUGEINT
-# and completely unverified at the driver (no DATE-output query has ever
-# driver-passed; TIMESTAMP outputs pass routinely), so DATE outputs ship
-# as midnight TIMESTAMP on BOTH engines (the Spark side carries the
-# matching .cast("timestamp")).
-CAST_TO = {"HUGEINT": "BIGINT", "UHUGEINT": "BIGINT",
-           "DATE": "TIMESTAMP"}
+# DECIMAL -> Decimal objects / float64 depending on width.
+# DATE was SUSPECTED to be a second seam (DuckDB DATE -> pandas
+# datetime64 midnight vs Spark datetime.date) and was widened to
+# TIMESTAMP on both engines in r8 — ADJUDICATED NOT A SEAM:
+# q_probe_date_render deliberately shipped a raw DATE cell through the
+# r8 driver and PASSED (rows+schema+hash), so DATE outputs now ship as
+# native DATE on both sides (the midnight-TIMESTAMP coercion and
+# _apply_spark_date_casts were removed in r9; the probe stays in the
+# driver prefix as the sentinel).
+CAST_TO = {"HUGEINT": "BIGINT", "UHUGEINT": "BIGINT"}
 DECIMAL_TO = "DOUBLE"
 
-#: deliberately UN-wrapped driver probes that measure a rendering seam
-#: (q_probe_date_render ships a raw DATE cell so CORRECTNESS_r{N}
-#: records whether DATE was a second seam next to HUGEINT)
-PROBE_EXEMPT = {"q_probe_date_render"}
+#: driver probes exempt from --check (none currently — the DATE probe
+#: no longer needs an exemption now that DATE is a portable output)
+PROBE_EXEMPT: set[str] = set()
 
 
 def connect():
