@@ -1,0 +1,2776 @@
+"""Catalog seams + round-5 analytics (cohorts, Markov, rolling features).
+
+Split from the monolithic queries.py registry (r9 verdict item 6):
+same @query registrations, byte-identical bodies; shared helpers
+live in queries._core.
+"""
+
+from access_mopper_spark.queries._core import *  # noqa: F401,F403
+from access_mopper_spark.queries.clusters_search import _TOKS_SQL  # noqa: F401
+from access_mopper_spark.queries.tokenizer_round4 import _bpe_oracle  # noqa: F401
+
+
+# =====================================================================
+# §2.1 catalog seams, oracle-ified (r4 verdict item 7): varlist CSV
+# round trip + map template + dreq workflow, and CV validation +
+# hybrid-height z-factor attachment — previously pytest-only evidence
+# =====================================================================
+
+@query(
+    "q_varlist_dreq_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('doc_id',  'documents', 'bigint',    'numeric',  'all'),
+      ('n_chars', 'documents', 'bigint',    'numeric',  'all'),
+      ('text',    'documents', 'string',    'text',     '1850-2014'),
+      ('ts',      'events',    'timestamp', 'temporal', 'all'))
+      AS t(cmor_name, table_name, dtype, tier, dreq_years)
+    """,
+)
+def q_varlist_dreq_roundtrip(spark, sf_dir):
+    """Catalog-format round trip + CMIP data-request workflow in one
+    driver-checked pipeline (sources/catalog_io.py; reference:
+    mopdb_utils.py:490-626 write/read varlist, :744-798 map template,
+    cmip_utils.py:33-146 dreq):
+
+    1. ``infer_varlist`` crawls the documents/events/lineitem schemas
+       into a variable inventory (no data scan — catalog metadata);
+    2. the inventory round-trips through the reference's ``;``-delimited
+       varlist CSV (write → read, multi-part with headers);
+    3. a match-tier column classifies dtypes and the table round-trips
+       through the tier-partitioned map template (write → read — the
+       distributed analogue of the reference's comment sections);
+    4. a tab-delimited dreq export (driver-written fixture, the
+       reference's file format) is scanned positionally,
+       ``read_dreq_vars`` filters to (table='Amon', activity='CMIP'),
+       and the broadcast semi-join of ``dreq_intersection`` restricts
+       the inventory to the requested variables.
+
+    The oracle is the static expected intersection — legitimate here
+    because the INPUT is table schemas (stable by contract) plus a
+    constant request fixture; every transformation is the thing under
+    test.  The whole flow is catalog-sized, but each step is expressed
+    as a DataFrame op so the identical code path serves a billion-row
+    inventory."""
+    import os
+    import tempfile
+
+    from access_mopper_spark.sources.catalog_io import (
+        dreq_intersection, infer_varlist, read_dreq, read_dreq_vars,
+        read_map_template, read_varlist, write_map_template, write_varlist)
+
+    tables = {t: load_table(spark, sf_dir, t)
+              for t in ("documents", "events", "lineitem")}
+    inv = infer_varlist(spark, tables) \
+        .withColumnRenamed("name", "cmor_name") \
+        .withColumnRenamed("table", "table_name")
+
+    base = _pid_scratch("access_mopper_spark_varlist")
+    write_varlist(inv, os.path.join(base, "varlist"))
+    back = read_varlist(spark, os.path.join(base, "varlist"))
+
+    tier = (F.when(F.col("dtype").isin("bigint", "int", "smallint",
+                                       "double", "float"), "numeric")
+             .when(F.col("dtype").isin("timestamp", "date"), "temporal")
+             .when(F.col("dtype") == "string", "text")
+             .otherwise("other"))
+    tiered = back.withColumn("match_tier", tier)
+    write_map_template(tiered, os.path.join(base, "template"))
+    tmpl = read_map_template(spark, os.path.join(base, "template"))
+
+    # dreq fixture: the reference's 32-column tab-delimited export
+    # (col0 MIP table, col12 CMOR name, col28 requesting MIPs, col31
+    # requested years) with its header sentinels
+    dreq_path = os.path.join(base, "dreq.tsv")
+    os.makedirs(base, exist_ok=True)
+
+    def row(c0, c12, c28, c31):
+        cells = [""] * 32
+        cells[0], cells[12], cells[28], cells[31] = c0, c12, c28, c31
+        return "\t".join(cells)
+
+    with open(dreq_path, "w") as fh:
+        fh.write("\n".join([
+            row("Notes", "", "", ""),
+            row("MIP table", "CMOR Name", "", ""),
+            row("Amon", "doc_id", "CMIP,ScenarioMIP", "All years"),
+            row("Amon", "n_chars", "CMIP", "All years"),
+            row("Amon", "text", "CMIP", "1850-2014"),
+            row("Amon", "ts", "CMIP", "All years"),
+            row("Amon", "value", "ScenarioMIP", "All years"),
+            row("Omon", "l_extendedprice", "CMIP", "All years"),
+            row("Amon", "zzz_not_in_catalog", "CMIP", "All years"),
+        ]) + "\n")
+    dreq = read_dreq(spark, dreq_path)
+    req = read_dreq_vars(dreq, table_id="Amon", activity_id="CMIP")
+
+    matched = dreq_intersection(tmpl, req, name_col="cmor_name")
+    return (matched.join(F.broadcast(req), "cmor_name")
+            .select("cmor_name", "table_name", "dtype",
+                    F.col("match_tier").alias("tier"), "dreq_years"))
+
+
+@query(
+    "q_cv_zfactor_attach",
+    oracle="""
+    WITH g AS (
+      SELECT event_id % 5 AS lev, user_id % 10 AS j, event_id % 10 AS i,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    cell AS (
+      SELECT j, i, CAST(SUM(cents) AS DOUBLE) / 100.0 AS orog
+      FROM g GROUP BY j, i
+    ),
+    lv AS (
+      -- every literal CAST to DOUBLE: DuckDB binds 0.2 as DECIMAL and
+      -- computes 1.0-4*0.2 exactly, where Spark's double gives
+      -- 0.19999999999999996 — identical IEEE trees or nothing
+      SELECT DISTINCT lev,
+             CAST(1.0 AS DOUBLE) - lev * CAST(0.2 AS DOUBLE) AS b,
+             (CAST(1.0 AS DOUBLE) - lev * CAST(0.2 AS DOUBLE))
+               - CAST(0.1 AS DOUBLE) AS b_lo,
+             (CAST(1.0 AS DOUBLE) - lev * CAST(0.2 AS DOUBLE))
+               + CAST(0.1 AS DOUBLE) AS b_hi
+      FROM g
+    ),
+    d AS (SELECT lev, j, i, COUNT(*) AS n FROM g GROUP BY lev, j, i)
+    SELECT d.lev, d.j, d.i, d.n,
+           lv.b, lv.b_lo AS b_bnds_lo, lv.b_hi AS b_bnds_hi,
+           c.orog,
+           CAST(10.0 AS DOUBLE) * d.lev + lv.b * c.orog AS height,
+           'ACCESS-ESM1-5_Omon_r1i1p1f1' AS drs_name
+    FROM d JOIN lv USING (lev) JOIN cell c ON c.j = d.j AND c.i = d.i
+    """,
+)
+def q_cv_zfactor_attach(spark, sf_dir):
+    """CV-validated hybrid-height z-factor attachment (sinks/writer.py:
+    98 validate_attrs, :129 attach_zfactors; reference: setup_utils.py:
+    250-300 CV gate, mop_utils.py:518-537 hybrid_axis) — previously
+    pytest-only, now a driver-checked row:
+
+    - a CMIP6-shaped attribute set passes the controlled-vocabulary
+      gate (required attrs ∪ template placeholders, value sets) and
+      renders the DRS name into the output;
+    - events map onto a (lev, j, i) grid; the per-level coefficient
+      table (b with bounds) and the per-cell orography ancillary attach
+      as BROADCAST joins — the data table never shuffles;
+    - height = 10·lev + b·orog is the hybrid-height formula shape.
+
+    Determinism: orography sums integer cents (exact, order-free); b
+    and height are identical IEEE expression trees on both engines —
+    no rounding needed anywhere."""
+    from access_mopper_spark.sinks.writer import (attach_zfactors,
+                                                  render_template,
+                                                  validate_attrs)
+    attrs = {"source_id": "ACCESS-ESM1-5", "source": "ACCESS-ESM1.5 (2019)",
+             "experiment_id": "historical", "frequency": "mon",
+             "realm": "ocean", "calendar": "noleap", "table_id": "Omon",
+             "variant_label": "r1i1p1f1"}
+    validate_attrs(attrs, path_template="{source_id}/{table_id}/{variant_label}")
+    drs = render_template("{source_id}_{table_id}_{variant_label}", attrs)
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    g = ev.select((F.col("event_id") % 5).alias("lev"),
+                  (F.col("user_id") % 10).alias("j"),
+                  (F.col("event_id") % 10).alias("i"),
+                  cents.alias("cents"))
+    cell = g.groupBy("j", "i").agg(
+        (F.sum("cents").cast("double") / 100.0).alias("orog"))
+    b_expr = F.lit(1.0) - F.col("lev") * 0.2
+    lv = g.select("lev").distinct().select(
+        "lev", b_expr.alias("b"),
+        (b_expr - 0.1).alias("b_lo"), (b_expr + 0.1).alias("b_hi"))
+    d = g.groupBy("lev", "j", "i").agg(F.count("*").alias("n"))
+
+    out = attach_zfactors(d, "hybrid_height", lv, cell,
+                          lev_col="lev", cell_cols=("j", "i"),
+                          expected_levels=[0, 1, 2, 3, 4])
+    return out.select(
+        "lev", "j", "i", "n", "b",
+        "b_bnds_lo", "b_bnds_hi", "orog",
+        (F.lit(10.0) * F.col("lev") + F.col("b") * F.col("orog"))
+        .alias("height"),
+        F.lit(drs).alias("drs_name"))
+
+
+# =====================================================================
+# beyond-reference analytics, round 5: retention cohorts, Markov event
+# transitions, rolling ML features, robust (MAD) anomaly flags — all
+# integer-exact by construction (counts / cents / doubled-unit medians)
+# so the driver hash has no float-ordering surface
+# =====================================================================
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS cohort
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS DATE) AS d,
+             f.cohort
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort, CAST(d - cohort AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM a GROUP BY cohort, d - cohort
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    on each later active day — THE product-analytics rollup (cohort ×
+    offset triangle).  Plan: first-seen is one keyed min-aggregate; the
+    cohort rides back on a broadcast join (user-dim sized); the
+    (user, day) distinct and the final count are map-side-combined
+    shuffles on compound keys.  All-integer output (DATE + counts) —
+    nothing to round."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort"))
+    a = (ev.join(F.broadcast(f), "user_id")
+           .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"),
+                   "cohort")
+           .distinct())
+    return a.groupBy("cohort",
+                     F.datediff("d", "cohort").cast("long")
+                      .alias("day_offset")) \
+            .agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP),
+                                             event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM t
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (the behavioral-model fit behind next-action prediction
+    and anomalous-session scoring): LEAD within the (user, time) order,
+    pair counts, row-normalized probabilities.  One keyed window
+    shuffle + one pair-keyed count; the normalizing sum is a window
+    over the TYPE×TYPE matrix (25 rows — dimension-sized, not
+    data-sized).  p is a single integer÷integer division — identical
+    IEEE result on both engines, no rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", "event_type",
+                  F.lead("event_type").over(w).alias("next_type"))
+    t = (s.where(F.col("next_type").isNotNull())
+          .groupBy(F.col("event_type").alias("from_type"),
+                   F.col("next_type").alias("to_type"))
+          .agg(F.count("*").alias("n")))
+    return t.select(
+        "from_type", "to_type", "n",
+        (F.col("n").cast("double")
+         / F.sum("n").over(W.partitionBy("from_type"))).alias("p"))
+
+
+@query(
+    "q_rolling_features",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id,
+           LAG(cents) OVER w AS lag1_cents,
+           CAST(SUM(cents) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll_sum_cents,
+           CAST(COUNT(cents) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll_n,
+           CAST(SUM(cents) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+             / (100.0 * COUNT(cents) OVER (w ROWS BETWEEN 4 PRECEDING
+                                           AND CURRENT ROW)) AS roll_mean
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_rolling_features(spark, sf_dir):
+    """Per-entity sliding-window ML features (lag + trailing-5 sum /
+    count / mean) — the feature-extraction pass a training pipeline
+    runs over event history before model fitting.  One keyed window
+    shuffle serves every feature; values are integer CENTS so the
+    rolling sums are exact and order-free (NULL values stay NULL in
+    lag, are skipped by sum/count on both engines), and the mean is a
+    single exact-integer division."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-4, W.currentRow)
+    return c.select(
+        "event_id",
+        F.lag("cents").over(w).alias("lag1_cents"),
+        F.sum("cents").over(wf).alias("roll_sum_cents"),
+        F.count("cents").over(wf).alias("roll_n"),
+        (F.sum("cents").over(wf).cast("double")
+         / (F.lit(100.0) * F.count("cents").over(wf))).alias("roll_mean"))
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      -- interpolated median of ints lands on the 1/2 grid: ×2 is exact
+      SELECT event_type,
+             CAST(FLOOR(quantile_cont(cents, 0.5) * 2 + 0.5) AS BIGINT)
+               AS med2
+      FROM c GROUP BY event_type
+    ),
+    d AS (
+      SELECT c.event_type, c.cents, m.med2,
+             ABS(2 * c.cents - m.med2) AS dev2
+      FROM c JOIN m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, med2,
+             CAST(FLOOR(quantile_cont(dev2, 0.5) * 2 + 0.5) AS BIGINT)
+               AS mad4
+      FROM d GROUP BY event_type, med2
+    )
+    SELECT d.event_type, s.med2, s.mad4,
+           SUM(CASE WHEN CAST(d.dev2 AS DOUBLE)
+                         > CAST(2.2239 AS DOUBLE) * s.mad4
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           COUNT(*) AS n
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type, s.med2, s.mad4
+    """,
+)
+def q_anomaly_mad(spark, sf_dir):
+    """Robust per-key anomaly detection: median + MAD (median absolute
+    deviation), flagging values beyond 3·1.4826·MAD — the
+    outlier-resistant alternative to z-scores for monitoring skewed
+    metrics.  Exactness: values are integer cents; an interpolated
+    median of N ints lands on the 1/2 grid, so med×2 and (|2x−med2|
+    median)×2 are exact BIGINTs; the single threshold multiply
+    (3·1.4826/2 = 2.2239, CAST to DOUBLE on both sides) is one
+    identical IEEE op.  Two grouped percentile passes + one flag
+    aggregate — all map-side-combined keyed shuffles."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("event_type", cents.alias("cents"))
+    m = c.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(cents, 0.5)") * 2 + F.lit(0.5))
+         .cast("long").alias("med2"))
+    d = c.join(F.broadcast(m), "event_type") \
+         .withColumn("dev2", F.abs(2 * F.col("cents") - F.col("med2")))
+    s = d.groupBy("event_type", "med2").agg(
+        F.floor(F.expr("percentile(dev2, 0.5)") * 2 + F.lit(0.5))
+         .cast("long").alias("mad4"))
+    return (d.join(F.broadcast(s.select("event_type", "mad4")), "event_type")
+             .groupBy("event_type", "med2", "mad4")
+             .agg(F.sum(F.when(F.col("dev2").cast("double")
+                               > F.lit(2.2239) * F.col("mad4"), 1)
+                        .otherwise(0)).cast("long").alias("n_outliers"),
+                  F.count("*").alias("n")))
+
+
+@query(
+    "q_streak_islands",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, d,
+             CAST(d - DATE '1970-01-01' AS BIGINT)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS isl
+      FROM a
+    ),
+    s AS (SELECT user_id, isl, COUNT(*) AS len FROM r GROUP BY user_id, isl)
+    SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks,
+           SUM(len) AS active_days
+    FROM s GROUP BY user_id
+    """,
+)
+def q_streak_islands(spark, sf_dir):
+    """Gaps-and-islands: per-user consecutive-active-day streaks via the
+    classic (epoch_day − row_number) island key — the engagement-streak
+    rollup (and the same shape as partition-compaction run detection).
+    One distinct + one keyed window + two keyed aggregates; everything
+    integer (days, counts), so the hash is order-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("user_id",
+                  F.to_date(F.date_trunc("day", "ts")).alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    r = a.select(
+        "user_id",
+        (F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long")
+         - F.row_number().over(w)).alias("isl"))
+    s = r.groupBy("user_id", "isl").agg(F.count("*").alias("len"))
+    return s.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("active_days"))
+
+
+@query(
+    "q_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlabel
+      FROM embeddings WHERE vec_id < 3 AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(
+               list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+               / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                               x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+               6) AS cosine_sim
+      FROM embeddings e, q
+      WHERE e.label <> q.qlabel AND list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar vectors of a DIFFERENT label — the
+    negatives that actually teach a retriever/embedding model (random
+    negatives are trivially easy).  Broadcast non-equi join (queries ×
+    corpus, label≠), JVM-side fold dot product, then per-query
+    partial_topk — per-partition local top-k + tiny merge, never a
+    global sort; sims R6-rounded before ranking so ulp drift can't flip
+    order, ties by id.  At 100 TB the broadcast side is the (small)
+    query batch and the corpus side streams map-only."""
+    from access_mopper_spark.operators.similarity import (as_double, cosine,
+                                                          partial_topk)
+    # 64-element fold dot products per (row × query) are CPU-bound:
+    # widen the single-file scan
+    emb = _wide(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("qlabel"))
+    scored = (emb.join(F.broadcast(qs), F.col("label") != F.col("qlabel"))
+                 .select("query_id", "vec_id",
+                         R6(cosine(as_double(F.col("embedding")),
+                                   F.col("qv"))).alias("cosine_sim")))
+    return partial_topk(scored, ["query_id"],
+                        [F.col("cosine_sim").desc(), F.col("vec_id")], 5)
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() markers — the multi-level
+    report shape between rollup and cube (exactly the requested levels,
+    none of cube's 2^n blowup).  Submitted through the SQL front-end so
+    Catalyst plans it as ONE Expand + single aggregate (each input row
+    fans to its 3 set memberships map-side; no re-scan per level).
+    GROUPING() flags disambiguate 'NULL because aggregated away' from a
+    genuinely NULL key.  Revenue sums integer cents — exact at any
+    partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem_gsets")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM v_lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@query(
+    "q_percentile_disc",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(CEIL(n * CAST(0.25 AS DOUBLE)) AS BIGINT)
+                    THEN cents END) AS p25_cents,
+           MAX(CASE WHEN rn = CAST(CEIL(n * CAST(0.5 AS DOUBLE)) AS BIGINT)
+                    THEN cents END) AS p50_cents,
+           MAX(CASE WHEN rn = CAST(CEIL(n * CAST(0.75 AS DOUBLE)) AS BIGINT)
+                    THEN cents END) AS p75_cents
+    FROM r GROUP BY event_type
+    """,
+)
+def q_percentile_disc(spark, sf_dir):
+    """DISCRETE per-group percentiles (the value at rank ⌈p·n⌉ — always
+    an actual member, never interpolated): what optimizer histograms
+    and SLA reports want when the metric must be a real observation.
+    Spark has no percentile_disc builtin, so the rank selection is
+    spelled out — one keyed window + conditional aggregate — which also
+    pins identical tie semantics on both engines (cents, event_id
+    order).  All-integer output."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("event_type", "event_id", cents.alias("cents"))
+    wo = W.partitionBy("event_type").orderBy("cents", "event_id")
+    wp = W.partitionBy("event_type")
+    r = c.select("event_type", "cents",
+                 F.row_number().over(wo).alias("rn"),
+                 F.count("*").over(wp).alias("n"))
+
+    def at(p):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.col("n") * F.lit(p)).cast("long"),
+            F.col("cents")))
+
+    return r.groupBy("event_type").agg(
+        at(0.25).alias("p25_cents"),
+        at(0.5).alias("p50_cents"),
+        at(0.75).alias("p75_cents"))
+
+
+@query(
+    "q_bpe_vocab_coverage",
+    oracle=_bpe_oracle(6, final=""", cov AS (
+      SELECT word, wc,
+             length(string_split(trim(seq, chr(31)), chr(31))) AS n_symbols
+      FROM s6
+    )
+    SELECT SUM(wc) AS total_words,
+           SUM(CASE WHEN n_symbols = 1 THEN wc ELSE 0 END)
+             AS fully_merged_words,
+           SUM(CASE WHEN n_symbols <= 2 THEN wc ELSE 0 END) AS le2_words,
+           SUM(wc * n_symbols) AS total_symbols,
+           SUM(wc * length(word)) AS total_chars,
+           CAST(SUM(wc * n_symbols) AS DOUBLE)
+             / SUM(wc * length(word)) AS compression
+    FROM cov"""),
+)
+def q_bpe_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage report after BPE training — the
+    diagnostic a tokenizer team reads before shipping merges: what
+    share of word OCCURRENCES the learned vocabulary fully merges,
+    total symbol count vs raw characters (the compression the merges
+    buy).  Train 6 merges, replay the map-only encode over the
+    vocabulary-sized word table, aggregate occurrence-weighted integer
+    counters (exact, order-free); compression is one integer÷integer
+    division.  Scale: everything after the one corpus tokenize+count
+    shuffle is vocabulary-sized."""
+    from access_mopper_spark.operators.bpe import (bpe_apply, bpe_train,
+                                                   word_frequency_table)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [(r.sym_a, r.sym_b)
+              for r in bpe_train(spark, docs, "text", n_merges=6).collect()]
+    wf = word_frequency_table(docs, "text")
+    cov = bpe_apply(wf, merges)
+    return cov.agg(
+        F.sum("wc").alias("total_words"),
+        F.sum(F.when(F.col("n_symbols") == 1, F.col("wc")).otherwise(0))
+         .alias("fully_merged_words"),
+        F.sum(F.when(F.col("n_symbols") <= 2, F.col("wc")).otherwise(0))
+         .alias("le2_words"),
+        F.sum(F.col("wc") * F.col("n_symbols")).alias("total_symbols"),
+        F.sum(F.col("wc") * F.length("word")).alias("total_chars"),
+        (F.sum(F.col("wc") * F.col("n_symbols")).cast("double")
+         / F.sum(F.col("wc") * F.length("word"))).alias("compression"))
+
+
+@query(
+    "q_source_overlap",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_pairs
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_source_overlap(spark, sf_dir):
+    """Cross-source exact-duplicate overlap matrix — the corpus
+    governance report behind 'which feeds are re-crawling each other':
+    normalized-text fingerprints joined on the hash key (one uniform
+    shuffle, bounded per-fp fan-out = duplicate family size), pair
+    counts keyed by the (ordered-by-id) source pair.  NULL text rows
+    hash to NULL and never pair, identically on both engines.
+    All-integer output."""
+    from access_mopper_spark.functions.text import fingerprint
+    # md5-per-doc is CPU-bound: widen the single-file scan
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    f = docs.select("doc_id", "source",
+                    fingerprint(F.col("text")).alias("fp"))
+    a = f.select(F.col("doc_id").alias("id_a"),
+                 F.col("source").alias("source_a"), "fp")
+    b = f.select(F.col("doc_id").alias("id_b"),
+                 F.col("source").alias("source_b"), "fp")
+    return (a.join(b, "fp").where(F.col("id_a") < F.col("id_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count("*").alias("n_pairs")))
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    WITH j AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE props IS NOT NULL
+    )
+    SELECT event_type, COUNT(*) AS n,
+           SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+           SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS n_high
+    FROM j GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """Semi-structured JSON-path extraction over a string payload
+    column (the event-properties pattern every telemetry pipeline
+    carries): pull ``$.k``, cast, aggregate, and filter on the
+    extracted value — all JVM-side (get_json_object is codegen'd; no
+    Python in the path), so the extraction cost rides the scan and the
+    plan is one map-side-combined keyed aggregate.  All-integer
+    output."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("long")
+    j = ev.select("event_type", k.alias("k"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).cast("long")
+         .alias("n_high"))
+
+
+@query(
+    "q_dow_seasonality",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, dow, COUNT(*) AS n, SUM(cents) AS sum_cents
+      FROM c GROUP BY event_type, dow
+    ),
+    t AS (
+      SELECT event_type, SUM(n) AS nt, SUM(sum_cents) AS st
+      FROM g GROUP BY event_type
+    )
+    SELECT g.event_type, g.dow, g.n, g.sum_cents,
+           CAST(g.sum_cents AS DOUBLE) / (100.0 * g.n) AS dow_mean,
+           CAST(g.sum_cents AS DOUBLE) / (100.0 * g.n)
+             - CAST(t.st AS DOUBLE) / (100.0 * t.nt) AS seasonal_delta
+    FROM g JOIN t USING (event_type)
+    """,
+)
+def q_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality profile: per (key, weekday) mean vs the
+    key's overall mean — the seasonal-index decomposition behind
+    anomaly baselines and forecast features.  Two map-side-combined
+    aggregates (weekday level, then key level) + a broadcast join back;
+    sums are integer cents (exact, order-free) and each mean/delta is
+    the identical short chain of IEEE ops on both engines.
+
+    Cross-engine note: Spark's dayofweek and DuckDB's dayofweek differ
+    by convention (Sun=1..Sat=7 vs Sun=0..Sat=6), so the Spark side
+    emits dayofweek-1 to land on DuckDB's numbering."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("event_type",
+                  (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+                  cents.alias("cents"))
+    g = c.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    t = g.groupBy("event_type").agg(
+        F.sum("n").alias("nt"), F.sum("sum_cents").alias("st"))
+    dmean = F.col("sum_cents").cast("double") / (F.lit(100.0) * F.col("n"))
+    omean = F.col("st").cast("double") / (F.lit(100.0) * F.col("nt"))
+    return (g.join(F.broadcast(t), "event_type")
+             .select("event_type", "dow", "n", "sum_cents",
+                     dmean.alias("dow_mean"),
+                     (dmean - omean).alias("seasonal_delta")))
+
+
+@query(
+    "q_referential_profile",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*) AS n_orders,
+           SUM(CASE WHEN lc.l_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS childless_orders,
+           SUM(COALESCE(lc.n_lines, 0)) AS total_lines,
+           MAX(COALESCE(lc.n_lines, 0)) AS max_lines_per_order,
+           SUM(COALESCE(lc.line_cents, 0)) AS total_line_cents
+    FROM orders o LEFT JOIN lc ON lc.l_orderkey = o.o_orderkey
+    """,
+)
+def q_referential_profile(spark, sf_dir):
+    """Referential-integrity profile between a parent and child table
+    (the data-quality governance check before any pipeline trusts a
+    join): per-parent child counts, childless parents, fan-out maximum,
+    child-side money total — one map-side-combined child aggregate +
+    one keyed left join + one global reduce, all integer (cents/counts)
+    so the hash is order-proof.  The same shape at 100 TB: the child
+    pre-aggregation shrinks the join input to parent cardinality before
+    any wide row moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    lc = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"), F.sum(cents).alias("line_cents"))
+    j = orders.join(lc, orders["o_orderkey"] == lc["l_orderkey"], "left")
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+         .cast("long").alias("childless_orders"),
+        F.sum(F.coalesce("n_lines", F.lit(0))).alias("total_lines"),
+        F.max(F.coalesce("n_lines", F.lit(0))).alias("max_lines_per_order"),
+        F.sum(F.coalesce("line_cents", F.lit(0))).alias("total_line_cents"))
+
+
+@query(
+    "q_churn_users",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(CAST(ts AS TIMESTAMP)) AS t0, MAX(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events
+    ),
+    mid AS (
+      SELECT to_timestamp((epoch_us(t0) + (epoch_us(t1) - epoch_us(t0)) / 2)
+                          / 1000000.0) AS m
+      FROM span
+    ),
+    u AS (
+      SELECT user_id,
+             SUM(CASE WHEN CAST(e.ts AS TIMESTAMP) < mid.m
+                      THEN 1 ELSE 0 END) AS n_early,
+             SUM(CASE WHEN CAST(e.ts AS TIMESTAMP) >= mid.m
+                      THEN 1 ELSE 0 END) AS n_late
+      FROM events e, mid GROUP BY user_id
+    )
+    SELECT user_id, n_early, n_late,
+           CASE WHEN n_early > 0 AND n_late = 0 THEN 'churned'
+                WHEN n_early = 0 AND n_late > 0 THEN 'new'
+                ELSE 'retained' END AS status
+    FROM u
+    """,
+)
+def q_churn_users(spark, sf_dir):
+    """Period-over-period churn segmentation: split the observed span at
+    its midpoint (integer-µs arithmetic — DuckDB INTERVAL division
+    truncates, so both sides do the midpoint in epoch microseconds) and
+    classify each user by early/late activity — churned, new, or
+    retained.  One conditional aggregate over a single scan; the
+    midpoint is a broadcast 1-row scalar.  Counts only — order-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.unix_micros(F.min("ts")).alias("e0"),
+                  F.unix_micros(F.max("ts")).alias("e1"))
+    mid = span.select(
+        F.timestamp_micros(
+            (F.col("e0") + ((F.col("e1") - F.col("e0")) / 2).cast("long"))
+        ).alias("m"))
+    u = (ev.crossJoin(F.broadcast(mid))
+           .groupBy("user_id")
+           .agg(F.sum(F.when(F.col("ts") < F.col("m"), 1).otherwise(0))
+                .cast("long").alias("n_early"),
+                F.sum(F.when(F.col("ts") >= F.col("m"), 1).otherwise(0))
+                .cast("long").alias("n_late")))
+    status = (F.when((F.col("n_early") > 0) & (F.col("n_late") == 0),
+                     "churned")
+               .when((F.col("n_early") == 0) & (F.col("n_late") > 0), "new")
+               .otherwise("retained"))
+    return u.select("user_id", "n_early", "n_late", status.alias("status"))
+
+
+@query(
+    "q_cumulative_active",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS first_day
+      FROM events GROUP BY user_id
+    ),
+    nd AS (SELECT first_day, COUNT(*) AS n_new FROM f GROUP BY first_day)
+    SELECT a.first_day AS day, a.n_new,
+           a.n_new + COALESCE(SUM(b.n_new), 0) AS cumulative_users
+    FROM nd a LEFT JOIN nd b ON b.first_day < a.first_day
+    GROUP BY a.first_day, a.n_new
+    """,
+)
+def q_cumulative_active(spark, sf_dir):
+    """Cumulative distinct users by day (the growth curve): first-seen
+    day per user, new-user counts per day, and the running total — the
+    running total computed with the BROADCAST RANGE-JOIN prefix pattern
+    (same as q_quality_blend's CDF) instead of an unpartitioned ordered
+    window: integer counts are exact and order-free, and the day table
+    is calendar-bounded so the non-equi join is trivially small while
+    never serializing corpus-scale data through one task."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("first_day"))
+    nd = f.groupBy("first_day").agg(F.count("*").alias("n_new"))
+    b = nd.select(F.col("first_day").alias("__d2"),
+                  F.col("n_new").alias("__n2"))
+    return (nd.alias("a")
+              .join(F.broadcast(b), F.col("__d2") < F.col("a.first_day"),
+                    "left")
+              .groupBy("a.first_day", "a.n_new")
+              .agg((F.col("a.n_new").cast("long")
+                    + F.sum(F.coalesce("__n2", F.lit(0))).cast("long"))
+                   .alias("cumulative_users"))
+              .select(F.col("a.first_day").alias("day"),
+                      F.col("a.n_new").alias("n_new"), "cumulative_users"))
+
+
+@query(
+    "q_rolling_distinct_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT g.d AS day, COUNT(DISTINCT u.user_id) AS users_7d
+    FROM days g JOIN ud u ON u.d >= g.d - 6 AND u.d <= g.d
+    GROUP BY g.d
+    """,
+)
+def q_rolling_distinct_users(spark, sf_dir):
+    """Exact 7-day sliding-window distinct users per day (rolling WAU) —
+    the sliding COUNT DISTINCT that a naive per-day window cannot
+    express without re-scanning.  Plan: dedupe to (user, day) once (one
+    shuffle, map-side combine), then join against the CALENDAR-BOUNDED
+    day grid (broadcast — its size grows with time, not data) with a
+    <=7-day band, and count distinct per grid day.  At 100 TB the
+    fanout is bounded by the window width (x7), the grid stays
+    broadcastable for decades of days, and no corpus-scale sort or
+    unpartitioned window appears.  All-integer output — order-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")).distinct()
+    days = ud.select(F.col("d").alias("g")).distinct()
+    return (ud.join(F.broadcast(days),
+                    (F.col("d") >= F.date_sub(F.col("g"), 6))
+                    & (F.col("d") <= F.col("g")))
+              .groupBy(F.col("g").alias("day"))
+              .agg(F.countDistinct("user_id").alias("users_7d")))
+
+
+@query(
+    "q_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, d
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(a.n AS DOUBLE) AS x, CAST(b.n AS DOUBLE) AS y
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d = a.d + 1
+    )
+    SELECT event_type, COUNT(*) AS n_pairs,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) /
+                 NULLIF(SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                           * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 0),
+                 6) AS acf1
+    FROM pairs GROUP BY event_type
+    """,
+)
+def q_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily event-count series per type —
+    the seasonality/trend probe of time-series monitoring.  Consecutive
+    days pair via an equi-join on ``d = d+1`` over the tiny daily table
+    (no window, no sort); the Pearson correlation is assembled from raw
+    moment sums (n, Σx, Σy, Σxy, Σx², Σy²).  Every sum term is an
+    INTEGER-VALUED double (daily counts), so the sums are exact in any
+    summation order on both engines; only the final division/sqrt is
+    float, rounded portably.  The daily table is calendar×type bounded,
+    so at 100 TB the only data-scale work is the map-side-combined
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    ).agg(F.count("*").alias("n"))
+    a = daily.select("event_type", F.col("d").alias("da"),
+                     F.col("n").cast("double").alias("x"))
+    b = daily.select(F.col("event_type").alias("et_b"),
+                     F.col("d").alias("db"),
+                     F.col("n").cast("double").alias("y"))
+    pairs = a.join(b, (F.col("event_type") == F.col("et_b"))
+                   & (F.col("db") == F.date_add(F.col("da"), 1)))
+    cnt = F.count("*").cast("double")
+    num = cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.sqrt((cnt * F.sum(F.col("x") * F.col("x"))
+                  - F.sum("x") * F.sum("x"))
+                 * (cnt * F.sum(F.col("y") * F.col("y"))
+                    - F.sum("y") * F.sum("y")))
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        R6(num / F.when(den != 0, den)).alias("acf1"))
+
+
+@query(
+    "q_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, d
+    )
+    SELECT a.event_type, a.d AS day,
+           ROUND(SUM(POW(CAST(0.8 AS DOUBLE), a.d - b.d) * b.n)
+                 / SUM(POW(CAST(0.8 AS DOUBLE), a.d - b.d)), 6) AS ewma14
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND b.d >= a.d - 13 AND b.d <= a.d
+    GROUP BY a.event_type, a.d
+    """,
+)
+def q_ewma_daily(spark, sf_dir):
+    """Truncated exponentially-weighted moving average (half-life ~3
+    days, 14-day horizon) of daily event counts per type.  EWMA's
+    recursive definition is hostile to distributed engines; the
+    truncated form is a BANDED SELF-JOIN on the calendar-bounded daily
+    table with weights ``0.8^(d-d2)`` computed identically on both
+    engines (same IEEE pow on the same integer day gaps).  The daily
+    table is type×calendar bounded, so the band join is broadcast-sized
+    forever; the corpus-scale work is one map-side-combined count.
+    <=14 similar-magnitude terms per output keeps summation-order noise
+    orders of magnitude inside the 1e-6 rounding grid."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    ).agg(F.count("*").alias("n"))
+    a = daily.select("event_type", F.col("d").alias("da"))
+    b = daily.select(F.col("event_type").alias("et_b"),
+                     F.col("d").alias("db"), "n")
+    gap = F.datediff(F.col("da"), F.col("db"))
+    w = F.pow(F.lit(0.8), gap)
+    pairs = a.join(F.broadcast(b),
+                   (F.col("event_type") == F.col("et_b"))
+                   & (F.col("db") >= F.date_sub(F.col("da"), 13))
+                   & (F.col("db") <= F.col("da")))
+    return pairs.groupBy("event_type", F.col("da").alias("day")).agg(
+        R6(F.sum(w * F.col("n")) / F.sum(w)).alias("ewma14"))
+
+
+@query(
+    "q_dict_encode",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source)
+    SELECT a.source, a.cnt, 1 + COUNT(b.source) AS code
+    FROM c a LEFT JOIN c b
+      ON (b.cnt > a.cnt)
+      OR (b.cnt = a.cnt
+          AND COALESCE(b.source, '') < COALESCE(a.source, ''))
+    GROUP BY a.source, a.cnt
+    """,
+)
+def q_dict_encode(spark, sf_dir):
+    """Frequency-ordered dictionary encoding of a categorical column:
+    assign code 1 to the most frequent ``source`` value, breaking count
+    ties by value — the dictionary build behind dictionary-encoded
+    storage and categorical feature hashing.  The rank is computed by a
+    BROADCAST SELF-JOIN count (rows strictly ahead of me) over the
+    aggregated dictionary instead of an unpartitioned window: the
+    dictionary is vocabulary-sized (grows with distinct values, not
+    rows), so the non-equi join is trivially small while the corpus
+    only pays one map-side-combined count.  NULL sources coalesce to ''
+    for a total order (testdata sources are non-empty).  All-integer
+    output — order-proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    b = c.select(F.col("source").alias("__s2"), F.col("cnt").alias("__c2"))
+    ahead = (F.col("__c2") > F.col("cnt")) | (
+        (F.col("__c2") == F.col("cnt"))
+        & (F.coalesce(F.col("__s2"), F.lit(""))
+           < F.coalesce(F.col("source"), F.lit(""))))
+    return (c.join(F.broadcast(b), ahead, "left")
+             .groupBy("source", "cnt")
+             .agg((F.lit(1) + F.count("__s2")).alias("code")))
+
+
+@query(
+    "q_shipping_priority",
+    oracle="""
+    WITH rev AS (
+      SELECT l_orderkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey
+    )
+    SELECT r.l_orderkey AS orderkey, r.rev_cents,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS priority
+    FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+    ORDER BY r.rev_cents DESC, r.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): revenue of orders placed
+    before a cutoff whose items ship after it, top-10 by revenue.
+    Per-line revenue snaps to integer cents via the identical
+    FLOOR(x*100+0.5) on both engines (one IEEE multiply each — exact
+    parity), so the BIGINT sum is order-free; the top-10 is a
+    TakeOrdered partial top-k (no global sort materializes), tie-broken
+    by orderkey.  The l_shipdate predicate pushes to the lineitem scan;
+    the order join keys on the already-aggregated per-order table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + F.lit(0.5)).cast("long")
+    rev = (li.where(F.col("l_shipdate") > "1998-01-01")
+             .groupBy("l_orderkey")
+             .agg(F.sum(cents).alias("rev_cents")))
+    return (rev.join(od.where(F.col("o_orderdate") < "1998-01-01"),
+                     rev["l_orderkey"] == od["o_orderkey"])
+               .select(F.col("l_orderkey").alias("orderkey"), "rev_cents",
+                       F.to_date("o_orderdate").alias("orderdate"),
+                       F.col("o_orderpriority").alias("priority"))
+               .orderBy(F.col("rev_cents").desc(), F.col("orderkey"))
+               .limit(10))
+
+
+@query(
+    "q_cooccur_parts",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, COUNT(*) AS n_orders
+    FROM pairs GROUP BY p1, p2
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def q_cooccur_parts(spark, sf_dir):
+    """Market-basket co-occurrence: the top part pairs bought together
+    in one order — the candidate-generation step of frequent-itemset
+    mining (A-Priori's pair pass).  The oracle states the textbook
+    order-keyed self-join; the Spark plan collapses it to ONE basket
+    aggregation (collect_set per order — dedup and grouping in the same
+    shuffle) followed by MAP-SIDE pair expansion from the sorted array
+    (nested ``transform`` + slice: p1 < p2 by construction), then the
+    pair count with map-side combine and a partial top-k.  That is two
+    shuffles total vs four for the join formulation (×10 sweep: 7.1 s →
+    the join never materializes).  Basket fan-out is bounded by the
+    per-order item count (~7 in TPC-H shapes); an `slice` cap on the
+    basket array slots in where baskets are unbounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+                 .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    n = F.size(F.col("ps"))
+    pair_arr = F.flatten(F.transform(
+        F.col("ps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+            lambda y: F.struct(x.alias("p1"), y.alias("p2")))))
+    pairs = (baskets.where(n >= 2)
+                    .select(F.explode(pair_arr).alias("pr"))
+                    .select(F.col("pr.p1").alias("p1"),
+                            F.col("pr.p2").alias("p2")))
+    return (pairs.groupBy("p1", "p2").agg(F.count("*").alias("n_orders"))
+                 .orderBy(F.col("n_orders").desc(), "p1", "p2")
+                 .limit(20))
+
+
+@query(
+    "q_conversion_latency",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v0,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p0
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT p0 - v0 AS lat_us FROM f
+      WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= v0
+    )
+    SELECT COUNT(*) AS n_converted,
+           MIN(lat_us) AS min_lat_us, MAX(lat_us) AS max_lat_us,
+           CAST(FLOOR(quantile_cont(CAST(lat_us AS DOUBLE), 0.5) * 20 + 0.5)
+                AS BIGINT) AS p50_x20,
+           CAST(FLOOR(quantile_cont(CAST(lat_us AS DOUBLE), 0.95) * 20 + 0.5)
+                AS BIGINT) AS p95_x20
+    FROM c
+    """,
+)
+def q_conversion_latency(spark, sf_dir):
+    """Funnel conversion latency: per user, time from FIRST view to
+    FIRST purchase (converters only), reduced to count / min / max /
+    exact interpolated P50+P95.  Latencies are integer microseconds
+    (epoch_us min-aggregates — one conditional agg, no window/sort per
+    user), so every surface is integer: the interpolated quantiles of
+    integers at q=k/20 land on the exact 1/20 grid, shipped ×20 as
+    BIGINT (the q_corpus_report recipe — the hash cannot flip on any
+    float).  One grouped shuffle over users, then a 1-row global
+    reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view",
+                     F.unix_micros(F.col("ts")))).alias("v0"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.unix_micros(F.col("ts")))).alias("p0"))
+    c = (f.where(F.col("v0").isNotNull() & F.col("p0").isNotNull()
+                 & (F.col("p0") >= F.col("v0")))
+          .select((F.col("p0") - F.col("v0")).alias("lat_us")))
+    lat_d = F.col("lat_us").cast("double")
+    return c.agg(
+        F.count("*").alias("n_converted"),
+        F.min("lat_us").alias("min_lat_us"),
+        F.max("lat_us").alias("max_lat_us"),
+        F.floor(F.expr("percentile(CAST(lat_us AS DOUBLE), 0.5)") * 20
+                + F.lit(0.5)).cast("long").alias("p50_x20"),
+        F.floor(F.expr("percentile(CAST(lat_us AS DOUBLE), 0.95)") * 20
+                + F.lit(0.5)).cast("long").alias("p95_x20"))
+
+
+@query(
+    "q_trimmed_mean",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, CAST(0.1 AS DOUBLE)) AS lo,
+             quantile_cont(value, CAST(0.9 AS DOUBLE)) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n_kept,
+           ROUND(AVG(e.value), 6) AS trimmed_mean
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value >= b.lo AND e.value <= b.hi
+    GROUP BY e.event_type
+    """,
+)
+def q_trimmed_mean(spark, sf_dir):
+    """10%-two-sided trimmed mean per event type — the outlier-robust
+    location estimate (between mean and median).  Exact interpolated
+    P10/P90 bounds per group (one grouped shuffle), broadcast back, and
+    a conditional re-aggregate over the in-band rows.  NULL values drop
+    identically on both engines (quantiles and AVG skip them; the band
+    predicate rejects them).  Two passes over the data but only one
+    shuffled — the second is a map-side-combined agg against broadcast
+    bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.1)").alias("lo"),
+        F.expr("percentile(value, 0.9)").alias("hi"))
+    return (ev.join(F.broadcast(b), "event_type")
+              .where((F.col("value") >= F.col("lo"))
+                     & (F.col("value") <= F.col("hi")))
+              .groupBy("event_type")
+              .agg(F.count("*").alias("n_kept"),
+                   R6(F.avg("value")).alias("trimmed_mean")))
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY event_type, dow
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r FROM c GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS k FROM c GROUP BY dow),
+    g AS (SELECT SUM(o) AS n FROM c)
+    SELECT c.event_type, SUM(c.o) AS n_obs,
+           ROUND(SUM(POW(CAST(c.o AS DOUBLE)
+                         - CAST(rt.r * ct.k AS DOUBLE) / g.n, 2)
+                     / (CAST(rt.r * ct.k AS DOUBLE) / g.n)), 6) AS chi2_part
+    FROM c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN g
+    GROUP BY c.event_type
+    """,
+)
+def q_chi_square(spark, sf_dir):
+    """Chi-square independence decomposition of the event_type ×
+    day-of-week contingency table: per-type contribution Σ(O−E)²/E —
+    the categorical drift/independence test of data monitoring.  The
+    contingency, row and column marginals, and the grand total are all
+    INTEGER counts (exact, order-free); ``r*k`` stays in BIGINT so the
+    only float ops are the final per-cell division/pow, identical on
+    both engines.  Marginals are vocabulary×7-sized → broadcast; the
+    corpus pays one map-side-combined count.  DuckDB↔Spark dayofweek
+    off-by-one pinned as in q_dow_seasonality."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type",
+                   (F.dayofweek("ts") - 1).cast("long").alias("dow")) \
+          .agg(F.count("*").alias("o"))
+    rt = c.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = c.groupBy("dow").agg(F.sum("o").alias("k"))
+    g = c.agg(F.sum("o").alias("n"))
+    e = (F.col("r") * F.col("k")).cast("double") / F.col("n")
+    term = F.pow(F.col("o").cast("double") - e, 2) / e
+    return (c.join(F.broadcast(rt), "event_type")
+             .join(F.broadcast(ct), "dow")
+             .crossJoin(F.broadcast(g))
+             .groupBy("event_type")
+             .agg(F.sum("o").alias("n_obs"),
+                  R6(F.sum(term)).alias("chi2_part")))
+
+
+@query(
+    "q_path_ngrams",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 15
+    """,
+)
+def q_path_ngrams(spark, sf_dir):
+    """Top user journey prefixes: each user's first three event types
+    (deterministic (ts, event_id) order) joined into a path string,
+    counted across users — the path-analysis complement to the Markov
+    pair matrix (q_markov_transitions).  The rank filter ``rn <= 3``
+    pushes down as WindowGroupLimit, so each user partition emits at
+    most 3 rows before the shuffle; the path assembles order-free via
+    array_sort on (rn, type) structs.  NULL event types drop from the
+    join on both engines (STRING_AGG / array_join skip NULL).  One
+    keyed window + one grouped count + partial top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (ev.select("user_id", "event_type", "ts", "event_id")
+           .withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= 3))
+    p = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"]),
+            ">").alias("path"))
+    return (p.groupBy("path").agg(F.count("*").alias("n_users"))
+             .orderBy(F.col("n_users").desc(), "path")
+             .limit(15))
+
+
+@query(
+    "q_ltv_cohorts",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey, MIN(CAST(o_orderdate AS TIMESTAMP)) AS first_dt
+      FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+      SELECT CAST(date_trunc('month', f.first_dt) AS DATE) AS cohort,
+             (YEAR(CAST(o.o_orderdate AS TIMESTAMP)) - YEAR(f.first_dt)) * 12
+             + (MONTH(CAST(o.o_orderdate AS TIMESTAMP)) - MONTH(f.first_dt))
+               AS offs,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+    ),
+    m AS (
+      SELECT cohort, offs, SUM(cents) AS rev_cents
+      FROM base GROUP BY cohort, offs
+    )
+    SELECT a.cohort AS cohort_month, a.offs AS month_offset, a.rev_cents,
+           a.rev_cents + COALESCE(SUM(b.rev_cents), 0) AS cum_rev_cents
+    FROM m a LEFT JOIN m b ON b.cohort = a.cohort AND b.offs < a.offs
+    GROUP BY a.cohort, a.offs, a.rev_cents
+    """,
+)
+def q_ltv_cohorts(spark, sf_dir):
+    """Customer lifetime-value curve by acquisition cohort: customers
+    cohort on their first order month; revenue accumulates along the
+    month offset — the LTV matrix behind payback-period analysis.
+    Integer months via year/month arithmetic (no float months_between),
+    integer cents (exact, order-free).  The cumulative runs as the
+    repo's broadcast prefix range-join over the CALENDAR²-bounded
+    (cohort × offset) matrix — never an unpartitioned window; corpus-
+    scale work is the first-order min-agg and one keyed join+agg."""
+    od = load_table(spark, sf_dir, "orders")
+    fo = od.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    offs = ((F.year("o_orderdate") - F.year("first_dt")) * 12
+            + (F.month("o_orderdate") - F.month("first_dt")))
+    base = od.join(fo, "o_custkey").select(
+        F.to_date(F.date_trunc("month", "first_dt")).alias("cohort"),
+        offs.cast("long").alias("offs"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+         .alias("cents"))
+    m = base.groupBy("cohort", "offs").agg(F.sum("cents").alias("rev_cents"))
+    b = m.select(F.col("cohort").alias("__co2"), F.col("offs").alias("__of2"),
+                 F.col("rev_cents").alias("__rv2"))
+    return (m.alias("a")
+             .join(F.broadcast(b), (F.col("__co2") == F.col("a.cohort"))
+                   & (F.col("__of2") < F.col("a.offs")), "left")
+             .groupBy("a.cohort", "a.offs", "a.rev_cents")
+             .agg((F.col("a.rev_cents")
+                   + F.sum(F.coalesce("__rv2", F.lit(0)))).alias("cum_rev_cents"))
+             .select(F.col("a.cohort").alias("cohort_month"),
+                     F.col("a.offs").alias("month_offset"),
+                     F.col("a.rev_cents").alias("rev_cents"),
+                     "cum_rev_cents"))
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+    WITH a AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    b AS (SELECT lang, SUM(n_chars) AS total_chars
+          FROM documents GROUP BY lang)
+    SELECT a.lang, a.n_docs, b.total_chars
+    FROM a JOIN b ON a.lang IS NOT DISTINCT FROM b.lang
+    """,
+)
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (Spark ``<=>`` ↔ SQL IS NOT DISTINCT FROM):
+    two per-language aggregates rejoin on the nullable key WITHOUT
+    dropping the NULL-language group — the semantics gap that silently
+    loses the "unknown" bucket in a plain equi-join.  Catalyst plans
+    ``<=>`` as a hash join on a null-wrapped key (still a shuffled
+    equi-join, not a nested loop), so it scales like any keyed join;
+    both inputs here are vocabulary-sized aggregates.  All-integer
+    output."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    b = (docs.groupBy(F.col("lang").alias("lang_b"))
+             .agg(F.sum("n_chars").alias("total_chars")))
+    return (a.join(b, F.col("lang").eqNullSafe(F.col("lang_b")))
+             .select("lang", "n_docs", "total_chars"))
+
+
+@query(
+    "q_cdc_compact",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, ts_us AS last_ts_us,
+           event_id AS last_event_id, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def q_cdc_compact(spark, sf_dir):
+    """Latest-wins CDC compaction: one surviving record per
+    (user, event_type) key, picked by (ts, event_id) DESC — the
+    dedup/compaction step applied to a change stream before serving a
+    snapshot (the MERGE latest-record shape).  The ``rn = 1`` filter
+    pushes down as WindowGroupLimit, so each key group emits one row
+    map-side before the shuffle completes; no aggregation touches the
+    payload, so ``last_value`` is a raw cell (bit-exact on both
+    engines, no rounding surface).  Timestamps ship as integer epoch
+    µs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id", "event_type")
+          .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    return (ev.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1)
+              .select("user_id", "event_type",
+                      F.unix_micros("ts").alias("last_ts_us"),
+                      F.col("event_id").alias("last_event_id"),
+                      F.col("value").alias("last_value")))
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS tot FROM g)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / tot, 6) AS observed_p,
+           ROUND(LOG10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit), 6)
+             AS benford_p
+    FROM g CROSS JOIN t
+    """,
+)
+def q_benford(spark, sf_dir):
+    """Benford's-law first-digit profile of order totals — the fraud /
+    synthetic-data smell test: observed leading-digit shares next to
+    the log10(1+1/d) expectation.  The digit extracts through INTEGER
+    floor+string (no float log in the grouping key), counts are exact,
+    and the only float surfaces are the two final divisions — computed
+    with the identical IEEE ops on both engines.  One map-side-combined
+    count + a 1-row broadcast total."""
+    od = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.floor("o_totalprice").cast("long").cast("string"),
+                        1, 1).cast("long")
+    g = (od.where(F.col("o_totalprice") >= 1)
+           .groupBy(digit.alias("digit")).agg(F.count("*").alias("n")))
+    t = g.agg(F.sum("n").alias("tot"))
+    return (g.crossJoin(F.broadcast(t))
+             .select("digit", "n",
+                     R6(F.col("n").cast("double") / F.col("tot"))
+                     .alias("observed_p"),
+                     R6(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")))
+                     .alias("benford_p")))
+
+
+@query(
+    "q_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE)
+               AS month,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY month
+    )
+    SELECT a.month, a.rev_cents, b.rev_cents AS prev_cents,
+           a.rev_cents - b.rev_cents AS delta_cents
+    FROM m a LEFT JOIN m b ON b.month = CAST(a.month - INTERVAL 1 MONTH AS DATE)
+    """,
+)
+def q_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: monthly integer-cent totals
+    with the previous month attached by a CALENDAR-KEY SELF-JOIN on
+    ``month − 1`` instead of a LAG window — the month table is
+    calendar-bounded (broadcast forever), so no ordered window or
+    single-partition sort exists at any scale; months missing a
+    predecessor surface NULL prev/delta identically on both engines.
+    All-integer output."""
+    od = load_table(spark, sf_dir, "orders")
+    m = (od.groupBy(F.to_date(F.date_trunc("month", "o_orderdate"))
+                    .alias("month"))
+           .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                      .cast("long")).alias("rev_cents")))
+    b = m.select(F.col("month").alias("__m2"),
+                 F.col("rev_cents").alias("prev_cents"))
+    return (m.join(F.broadcast(b),
+                   F.col("__m2") == F.add_months(F.col("month"), -1), "left")
+             .select("month", "rev_cents", "prev_cents",
+                     (F.col("rev_cents") - F.col("prev_cents"))
+                     .alias("delta_cents")))
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey AS part,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS cost_cents,
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_cents
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT a.part, a.cost_cents, a.qty_cents
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.cost_cents <= a.cost_cents AND b.qty_cents >= a.qty_cents
+        AND (b.cost_cents < a.cost_cents OR b.qty_cents > a.qty_cents)
+    )
+    """,
+)
+def q_skyline(spark, sf_dir):
+    """Skyline / Pareto-frontier operator (Börzsönyi ICDE'01): parts
+    where no other part is both cheaper (total spend) and
+    higher-volume — the multi-objective "best tradeoffs" query
+    optimizers lack a keyword for.  The ORACLE states the O(n²)
+    dominance anti-join; the Spark side runs
+    ``operators/skyline.skyline_2d`` — the two-phase bucket-refined
+    prefix-max (per-bucket y-max, broadcast earlier-bucket prefix,
+    bucket-PARTITIONED range-frame running max), so no global sort or
+    unpartitioned window exists even when the key table grows with the
+    catalog.  Integer cents on both axes — exact strictness, no float
+    surface."""
+    from access_mopper_spark.operators.skyline import skyline_2d
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+              .cast("long")).alias("cost_cents"),
+        F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+              .cast("long")).alias("qty_cents"))
+    return skyline_2d(p, "cost_cents", "qty_cents") \
+        .select("part", "cost_cents", "qty_cents")
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def q_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — bag intersection with multiplicity (each
+    customer appears min(n_1996, n_1997) times), the set-op corner
+    DISTINCT-based intersection silently collapses.  Spark plans
+    ``intersectAll`` as a single aggregate carrying both counts plus a
+    replicate-rows generate — one shuffle on the key, no join — and
+    both date slices push to the scan.  Complements q_set_except
+    (§2.7)."""
+    od = load_table(spark, sf_dir, "orders")
+    a = (od.where((F.col("o_orderdate") >= "1996-01-01")
+                  & (F.col("o_orderdate") < "1997-01-01"))
+           .select(F.col("o_custkey").alias("custkey")))
+    b = (od.where((F.col("o_orderdate") >= "1997-01-01")
+                  & (F.col("o_orderdate") < "1998-01-01"))
+           .select(F.col("o_custkey").alias("custkey")))
+    return a.intersectAll(b)
+
+
+@query(
+    "q_sliding_hour_sum",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS hr,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, hr
+    )
+    SELECT event_type, CAST(epoch(hr) // 3600 AS BIGINT) AS hour_idx, n,
+           SUM(n) OVER (PARTITION BY event_type
+                        ORDER BY CAST(epoch(hr) // 3600 AS BIGINT)
+                        RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+             AS sum_6h
+    FROM h
+    """,
+)
+def q_sliding_hour_sum(spark, sf_dir):
+    """Trailing 6-hour sliding event volume per type over SPARSE hourly
+    buckets — a RANGE-framed window on the integer hour index, which
+    (unlike a ROWS frame) stays correct when hours are missing: the
+    frame is value-based, so a gap narrows the window instead of
+    silently reaching further back.  The window partitions by
+    event_type over the calendar-bounded hourly table; the corpus pays
+    one map-side-combined count.  All-integer output."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+    ).agg(F.count("*").alias("n"))
+    idx = (F.unix_seconds(F.col("hr")) / 3600).cast("long")
+    w = (W.partitionBy("event_type").orderBy(idx)
+          .rangeBetween(-5, W.currentRow))
+    return h.select("event_type", idx.alias("hour_idx"), "n",
+                    F.sum("n").over(w).alias("sum_6h"))
+
+
+@query(
+    "q_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           YEAR(CAST(l.l_shipdate AS TIMESTAMP)) AS l_year,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS rev_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, YEAR(CAST(l.l_shipdate AS TIMESTAMP))
+    """,
+)
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping) exercised through the SQL
+    FRONT-END: temp views + one ``spark.sql`` statement with the nation
+    dimension self-aliased on both sides of the trade — the two-hop
+    dimension snowflake (lineitem→supplier→nation, lineitem→orders→
+    customer→nation) that join reordering and broadcast selection must
+    get right.  Catalyst broadcasts all four dim tables (AQE picks it
+    from size), the nation-name predicates prune BEFORE the fact joins,
+    and revenue snaps to integer cents — exact and order-free.  Same
+    declarative text both engines, so the oracle doubles as the parity
+    proof of the SQL surface."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               YEAR(l.l_shipdate) AS l_year,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                              + 0.5) AS BIGINT)) AS rev_cents
+        FROM v_lineitem l
+        JOIN v_supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN v_orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN v_customer c ON c.c_custkey = o.o_custkey
+        JOIN v_nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN v_nation n2  ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)
+    """)
+
+
+@query(
+    "q_embedding_norm_outliers",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS l2
+      FROM embeddings
+    ),
+    t AS (SELECT quantile_cont(l2, CAST(0.99 AS DOUBLE)) AS p99 FROM n)
+    SELECT vec_id, label, ROUND(l2, 6) AS l2_norm
+    FROM n CROSS JOIN t
+    WHERE l2 > p99
+    """,
+)
+def q_embedding_norm_outliers(spark, sf_dir):
+    """Embedding-norm outlier screen: vectors whose L2 norm exceeds the
+    corpus P99 — the cheap sanity filter run before indexing/training
+    (broken encoders produce norm spikes).  The norm is a JVM-side
+    ``F.aggregate`` fold over the double-cast array (no Python, no
+    explode — one row stays one row); the threshold is an exact global
+    percentile reduced to ONE broadcast row, so the filter pass is
+    map-only.  Embeddings CAST to DOUBLE[] in the oracle (DuckDB's
+    FLOAT[] fold diverges from Spark's double math — repo convention)."""
+    emb = _wide(load_table(spark, sf_dir, "embeddings"))
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
+    n = emb.select("vec_id", "label", l2.alias("l2"))
+    t = n.agg(F.expr("percentile(l2, 0.99)").alias("p99"))
+    return (n.crossJoin(F.broadcast(t))
+             .where(F.col("l2") > F.col("p99"))
+             .select("vec_id", "label", R6(F.col("l2")).alias("l2_norm")))
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rk
+      FROM c
+    )
+    SELECT COUNT(*) AS n_customers, SUM(cents) AS total_cents,
+           ROUND(CAST(2 * SUM(rk * cents) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * SUM(cents))
+                 - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+    FROM r
+    """,
+)
+def q_gini(spark, sf_dir):
+    """Gini coefficient of customer spend — the inequality /
+    concentration metric (revenue-concentration risk, corpus-source
+    imbalance).  The rank-based identity G = 2·Σ(r·x)/(n·Σx) − (n+1)/n
+    needs a GLOBAL rank; the oracle states it with the single-node
+    ``row_number() OVER (ORDER BY …)``, while the Spark side runs
+    ``operators/ranking.global_rank`` — bucket offsets (broadcast
+    prefix counts) + bucket-PARTITIONED row_number, the distributed
+    answer to an unpartitioned sort.  Rank ties are totalized by
+    custkey so both engines produce the identical permutation;
+    Σ(r·x), n, Σx are all integer-exact, and only the final ratio is
+    float (portably rounded).
+
+    Scale note: Σ(rk·cents) grows as n²·x̄ — a BIGINT accumulator
+    overflows around n ≈ 10⁷ customers (caught by the ×100 sweep:
+    ARITHMETIC_OVERFLOW under ANSI).  The per-row product stays well
+    inside int64, but the SUM runs in decimal(38,0) — exact to 1e38,
+    mirroring DuckDB's automatic int128 (HUGEINT) SUM, so both engines
+    still compute the identical exact integer before the one float
+    division."""
+    from access_mopper_spark.operators.ranking import global_rank
+
+    od = load_table(spark, sf_dir, "orders")
+    c = od.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+              .cast("long")).alias("cents"))
+    r = global_rank(c, "cents", ["o_custkey"], out_col="rk")
+    n = F.count("*")
+    s_rc = F.sum((F.col("rk") * F.col("cents")).cast("decimal(38,0)"))
+    return r.agg(
+        n.alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        R6((2 * s_rc).cast("double")
+           / (n.cast("double") * F.sum("cents"))
+           - (n + 1).cast("double") / n).alias("gini"))
+
+
+@query(
+    "q_decile_lift",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(CAST(cents AS DOUBLE),
+                           [CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE),
+                            CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                            CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                            CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+                            CAST(0.9 AS DOUBLE)]) AS q
+      FROM c
+    )
+    SELECT 1 + len(list_filter(cuts.q, v -> CAST(c.cents AS DOUBLE) > v))
+             AS decile,
+           COUNT(*) AS n_customers, SUM(c.cents) AS sum_cents
+    FROM c CROSS JOIN cuts
+    GROUP BY 1
+    """,
+)
+def q_decile_lift(spark, sf_dir):
+    """Decile lift table: customers bucketed into spend deciles by
+    EXACT percentile cuts — the model-evaluation / campaign-targeting
+    lift chart.  A global NTILE would be an unpartitioned window; here
+    the nine cut points reduce to ONE broadcast row (exact interpolated
+    percentiles) and decile assignment is a map-only count of cuts
+    below the value — same cut doubles on both engines, integer cents
+    compared against them identically.  Tied boundary values land in
+    the same decile on both sides by construction (strict >)."""
+    od = load_table(spark, sf_dir, "orders")
+    c = od.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+              .cast("long")).alias("cents"))
+    cuts = c.agg(F.expr(
+        "percentile(CAST(cents AS DOUBLE), "
+        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))").alias("q"))
+    decile = (F.lit(1) + F.size(F.filter(
+        F.col("q"), lambda v: F.col("cents").cast("double") > v))
+    ).cast("long")
+    return (c.crossJoin(F.broadcast(cuts))
+             .groupBy(decile.alias("decile"))
+             .agg(F.count("*").alias("n_customers"),
+                  F.sum("cents").alias("sum_cents")))
+
+
+@query(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+    tk AS (
+      SELECT t.doc_id // GREATEST(1, (mx.mid + 1 + 15) // 16) AS bucket,
+             u.t AS tok
+      FROM toks t CROSS JOIN mx, UNNEST(t.w) AS u(t)
+      WHERE u.t <> ''
+    ),
+    per_b AS (SELECT bucket, COUNT(*) AS n_tokens FROM tk GROUP BY bucket),
+    fb AS (SELECT tok, MIN(bucket) AS fb FROM tk GROUP BY tok),
+    nb AS (SELECT fb AS bucket, COUNT(*) AS new_types FROM fb GROUP BY fb),
+    m AS (
+      SELECT p.bucket, p.n_tokens, COALESCE(nb.new_types, 0) AS new_types
+      FROM per_b p LEFT JOIN nb USING (bucket)
+    )
+    SELECT a.bucket, a.n_tokens, a.new_types,
+           CAST(SUM(b.new_types) AS BIGINT) AS cum_types,
+           CAST(SUM(b.n_tokens) AS BIGINT) AS cum_tokens
+    FROM m a JOIN m b ON b.bucket <= a.bucket
+    GROUP BY a.bucket, a.n_tokens, a.new_types
+    """,
+)
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: the corpus in 16 doc-id
+    buckets, per-bucket token volume and NEW type count (types whose
+    FIRST occurrence falls in the bucket), plus cumulative axes — how
+    sublinearly the vocabulary grows with the corpus, the curve
+    tokenizer sizing is read off.  "First occurrence" is a min-agg on
+    the token key (one shuffle over the exploded corpus — never a
+    cumulative distinct over an ordered window); cumulation runs on the
+    16-row bucket table via the broadcast prefix join.  All-integer
+    output; tokens follow the repo's explicit-class normalizer
+    (functions/text.ws_normalized)."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    width = F.greatest(F.lit(1).cast("long"),
+                       F.floor((F.col("mid") + 1 + 15) / 16).cast("long"))
+    tk = (docs.crossJoin(F.broadcast(mx))
+              .select(F.floor(F.col("doc_id") / width).cast("long")
+                      .alias("bucket"),
+                      F.explode(tokens(F.col("text"))).alias("tok"))
+              .where(F.col("tok") != ""))
+    per_b = tk.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    fb = tk.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    nb = fb.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count("*").alias("new_types"))
+    m = (per_b.join(nb, "bucket", "left")
+              .select("bucket", "n_tokens",
+                      F.coalesce("new_types", F.lit(0)).alias("new_types")))
+    b2 = m.select(F.col("bucket").alias("__b2"),
+                  F.col("n_tokens").alias("__nt2"),
+                  F.col("new_types").alias("__ny2"))
+    return (m.join(F.broadcast(b2), F.col("__b2") <= F.col("bucket"))
+             .groupBy("bucket", "n_tokens", "new_types")
+             .agg(F.sum("__ny2").alias("cum_types"),
+                  F.sum("__nt2").alias("cum_tokens")))
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    g AS (
+      SELECT DISTINCT doc_id,
+             w[g.i] || chr(31) || w[g.i + 1] || chr(31) || w[g.i + 2] AS gram
+      FROM toks,
+           (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1)
+                                    FROM toks) + 1)) AS i) g
+      WHERE g.i <= len(w) - 2
+    ),
+    fd AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id, COUNT(*) AS n_distinct,
+           SUM(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             AS n_novel
+    FROM g JOIN fd USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty against all EARLIER documents (by
+    doc id): how many of a doc's distinct trigrams appear here first —
+    the incremental-crawl signal ("does this page add anything?") from
+    dataset-curation practice.  First-occurrence is a min-agg on the
+    gram key; the novelty join re-uses the same gram partitioning
+    (co-located equi-join, no broadcast of corpus-scale data).
+    All-integer output; shingle assembly uses the shifted-slice
+    zip (no per-row UDF) and the dialect-pinned tokenizer."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    tri = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 2, F.lit(0))),
+        F.zip_with(F.slice(w, 2, F.greatest(F.size(w) - 2, F.lit(0))),
+                   F.slice(w, 3, F.greatest(F.size(w) - 2, F.lit(0))),
+                   lambda b, c: F.concat(b, F.lit("\x1f"), c)),
+        lambda a, bc: F.concat(a, F.lit("\x1f"), bc))
+    g = (docs.select("doc_id", F.explode(tri).alias("gram")).distinct())
+    fd = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (g.join(fd, "gram")
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_distinct"),
+                  F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                        .otherwise(0)).cast("long").alias("n_novel")))
+
+
+@query(
+    "q_fim_split",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    t AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 3),
+    c AS (
+      SELECT doc_id, w, n,
+             1 + (doc_id % (n - 2)) AS c1
+      FROM t
+    ),
+    d AS (
+      SELECT doc_id, w, n, c1,
+             c1 + 1 + ((doc_id * 7 + 3) % (n - 1 - c1)) AS c2
+      FROM c
+    )
+    SELECT doc_id, n AS n_tokens, c1 AS n_prefix,
+           c2 - c1 AS n_middle, n - c2 AS n_suffix,
+           md5(array_to_string(w[c1 + 1 : c2], ' ')) AS middle_fp
+    FROM d
+    """,
+)
+def q_fim_split(spark, sf_dir):
+    """Fill-in-the-middle training-example construction: each document
+    deterministically splits into prefix/middle/suffix at cut points
+    DERIVED FROM THE DOC ID (pure integer modular arithmetic — no RNG,
+    so the split is reproducible on both engines and across reruns,
+    the property FIM pipelines need for resumable preprocessing).
+    Map-only: tokenize, two modular cuts, slice, fingerprint the middle
+    span (md5) — one row stays one row, no shuffle at all.  Docs
+    shorter than 3 tokens are excluded identically on both sides."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    t = (docs.select("doc_id", tokens(F.col("text")).alias("w"))
+             .withColumn("n", F.size("w").cast("long"))
+             .where(F.col("n") >= 3))
+    c1 = (F.lit(1) + F.col("doc_id") % (F.col("n") - 2)).cast("long")
+    t = t.withColumn("c1", c1)
+    c2 = (F.col("c1") + 1
+          + (F.col("doc_id") * 7 + 3) % (F.col("n") - 1 - F.col("c1"))
+          ).cast("long")
+    t = t.withColumn("c2", c2)
+    middle = F.slice(F.col("w"), (F.col("c1") + 1).cast("int"),
+                     (F.col("c2") - F.col("c1")).cast("int"))
+    return t.select(
+        "doc_id", F.col("n").alias("n_tokens"),
+        F.col("c1").alias("n_prefix"),
+        (F.col("c2") - F.col("c1")).alias("n_middle"),
+        (F.col("n") - F.col("c2")).alias("n_suffix"),
+        F.md5(F.array_join(middle, " ").cast("binary")).alias("middle_fp"))
+
+
+@query(
+    "q_stream_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+    ),
+    flagged AS (
+      SELECT user_id, t,
+             CASE WHEN epoch_us(t) - epoch_us(LAG(t) OVER w) >= 600000000
+                  OR LAG(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    sess AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, epoch_us(MIN(t)) AS session_start_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    -- append mode emits only sessions CLOSED by the final watermark
+    -- (= max event time under a 0-second delay): end = last event + gap
+    HAVING epoch_us(MAX(t)) + 600000000 <= (SELECT epoch_us(MAX(t)) FROM e)
+    """,
+)
+def q_stream_sessions(spark, sf_dir):
+    """STREAMING gap-based sessionization: ``session_window`` (10-min
+    inactivity gap) under a watermark in an actual micro-batch
+    execution — dynamic windows whose close is only known once the
+    watermark passes, the canonical stateful-streaming workload (state
+    = open sessions only, bounded by active users × gap, evicted on
+    close).  The batch q_sessionize pins the merge-rule parity; this
+    row proves the same semantics survive the streaming state machine
+    (availableNow trigger, update-free append of CLOSED sessions).
+    Session starts ship as integer epoch µs."""
+    from access_mopper_spark.streaming.resample import (
+        events_stream, harness_shuffle, run_to_memory)
+
+    src = events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    out = (src.groupBy("user_id",
+                       F.session_window("ts", "10 minutes").alias("__w"))
+              .agg(F.count("*").alias("n_events"))
+              .select("user_id",
+                      F.unix_micros(F.col("__w.start"))
+                      .alias("session_start_us"),
+                      "n_events"))
+    with harness_shuffle(spark):
+        run_to_memory(out, "q_stream_sessions_sink", mode="append")
+    return spark.table("q_stream_sessions_sink") \
+        .select("user_id", "session_start_us", "n_events")
+
+
+@query(
+    "q_feature_vector",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS n_types,
+             CAST(COUNT(DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                      AS DATE)) AS DOUBLE) AS n_days,
+             CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS total_value
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT AVG(n_events) AS m1, stddev_pop(n_events) AS s1,
+             AVG(n_types) AS m2, stddev_pop(n_types) AS s2,
+             AVG(n_days) AS m3, stddev_pop(n_days) AS s3,
+             AVG(total_value) AS m4, stddev_pop(total_value) AS s4
+      FROM f
+    )
+    SELECT user_id,
+           ROUND((n_events - m1) / NULLIF(s1, 0), 6) AS z_events,
+           ROUND((n_types - m2) / NULLIF(s2, 0), 6) AS z_types,
+           ROUND((n_days - m3) / NULLIF(s3, 0), 6) AS z_days,
+           ROUND((total_value - m4) / NULLIF(s4, 0), 6) AS z_value
+    FROM f CROSS JOIN s
+    """,
+)
+def q_feature_vector(spark, sf_dir):
+    """Feature-store snapshot materialization: four per-user activity
+    features (volume, breadth, recency-days, monetary) standardized
+    against population statistics — the offline feature-engineering
+    pass before model training.  One grouped shuffle builds the raw
+    features (count-distincts share it); the population moments reduce
+    to ONE broadcast row, so standardization is map-only.  Sums go
+    through integer cents first (exact), z-scores round portably;
+    stddev is the population form computed from the same Welford-free
+    moment sums on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100
+                    + F.lit(0.5)).cast("long")
+    f = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.countDistinct("event_type").cast("double").alias("n_types"),
+        F.countDistinct(F.to_date(F.date_trunc("day", "ts")))
+         .cast("double").alias("n_days"),
+        (F.sum(cents).cast("double") / 100.0).alias("total_value"))
+    s = f.agg(
+        F.avg("n_events").alias("m1"), F.stddev_pop("n_events").alias("s1"),
+        F.avg("n_types").alias("m2"), F.stddev_pop("n_types").alias("s2"),
+        F.avg("n_days").alias("m3"), F.stddev_pop("n_days").alias("s3"),
+        F.avg("total_value").alias("m4"),
+        F.stddev_pop("total_value").alias("s4"))
+
+    def z(v, m, sd):
+        return R6((F.col(v) - F.col(m)) / F.when(F.col(sd) != 0, F.col(sd)))
+
+    return (f.crossJoin(F.broadcast(s))
+             .select("user_id",
+                     z("n_events", "m1", "s1").alias("z_events"),
+                     z("n_types", "m2", "s2").alias("z_types"),
+                     z("n_days", "m3", "s3").alias("z_days"),
+                     z("total_value", "m4", "s4").alias("z_value")))
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             CAST(epoch_us(MAX(CAST(o_orderdate AS TIMESTAMP))) // 86400000000
+                  AS DOUBLE) AS r_raw,
+             CAST(COUNT(*) AS DOUBLE) AS f_raw,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS m_raw
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(r_raw, [CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                                   CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE)])
+               AS rq,
+             quantile_cont(f_raw, [CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                                   CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE)])
+               AS fq,
+             quantile_cont(m_raw, [CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                                   CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE)])
+               AS mq
+      FROM f
+    )
+    SELECT o_custkey AS custkey,
+           1 + len(list_filter(cuts.rq, v -> f.r_raw > v)) AS r_score,
+           1 + len(list_filter(cuts.fq, v -> f.f_raw > v)) AS f_score,
+           1 + len(list_filter(cuts.mq, v -> f.m_raw > v)) AS m_score,
+           100 * (1 + len(list_filter(cuts.rq, v -> f.r_raw > v)))
+           + 10 * (1 + len(list_filter(cuts.fq, v -> f.f_raw > v)))
+           + (1 + len(list_filter(cuts.mq, v -> f.m_raw > v))) AS rfm_code
+    FROM f CROSS JOIN cuts
+    """,
+)
+def q_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency (last-order epoch day),
+    frequency (order count), monetary (integer cents) each scored into
+    quintiles by EXACT percentile cuts — the canonical CRM micro-
+    segmentation.  Like q_decile_lift, no global NTILE window exists:
+    all twelve cut points reduce to ONE broadcast row, and scoring is a
+    map-only strict-above count, so ties at a boundary land identically
+    on both engines.  Output is all-integer (scores + the composite
+    RFM code)."""
+    od = load_table(spark, sf_dir, "orders")
+    f = od.groupBy("o_custkey").agg(
+        F.floor(F.unix_micros(F.max("o_orderdate")) / 86400000000)
+         .cast("double").alias("r_raw"),
+        F.count("*").cast("double").alias("f_raw"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+         .cast("double").alias("m_raw"))
+    qs = "array(0.2D,0.4D,0.6D,0.8D)"
+    cuts = f.agg(F.expr(f"percentile(r_raw, {qs})").alias("rq"),
+                 F.expr(f"percentile(f_raw, {qs})").alias("fq"),
+                 F.expr(f"percentile(m_raw, {qs})").alias("mq"))
+
+    def score(raw, cut):
+        return (F.lit(1) + F.size(F.filter(
+            F.col(cut), lambda v: F.col(raw) > v))).cast("long")
+
+    out = (f.crossJoin(F.broadcast(cuts))
+            .select(F.col("o_custkey").alias("custkey"),
+                    score("r_raw", "rq").alias("r_score"),
+                    score("f_raw", "fq").alias("f_score"),
+                    score("m_raw", "mq").alias("m_score")))
+    return out.withColumn(
+        "rfm_code",
+        (100 * F.col("r_score") + 10 * F.col("f_score")
+         + F.col("m_score")).cast("long"))
+
+
+@query(
+    "q_demand_variability",
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey AS part,
+             CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS DATE)
+               AS mth,
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS q
+      FROM lineitem GROUP BY part, mth
+    ),
+    s AS (
+      SELECT part, COUNT(*) AS n_months,
+             SUM(q) AS sx, SUM(q * q) AS sxx
+      FROM pm GROUP BY part
+    )
+    SELECT part, n_months,
+           ROUND(SQRT(CAST(n_months * sxx - sx * sx AS DOUBLE))
+                 / CAST(sx AS DOUBLE), 6) AS cv,
+           CASE WHEN 4 * (n_months * sxx - sx * sx) < sx * sx THEN 'X'
+                WHEN n_months * sxx - sx * sx < sx * sx THEN 'Y'
+                ELSE 'Z' END AS xyz
+    FROM s WHERE sx > 0
+    """,
+)
+def q_demand_variability(spark, sf_dir):
+    """XYZ demand-variability classification (the companion of ABC /
+    q_pareto_class): per part, the coefficient of variation of monthly
+    demand decides X (steady, cv<0.5), Y (variable, cv<1) or Z
+    (erratic).  The class is decided in EXACT INTEGER arithmetic —
+    cv² = (n·Σx² − (Σx)²)/(Σx)², so ``cv < t`` becomes an integer
+    cross-multiplication (4·A < B for t=0.5) that cannot flip on float
+    summation order, while the reported cv itself is a portably-rounded
+    display value.  Two map-side-combined aggregations, no windows, no
+    joins.
+
+    Scale note (the q_gini overflow class, ×100 sweep): Σx², n·Σx² and
+    (Σx)² are quadratic in per-part volume — int64 dies once monthly
+    cents pass ~3e9, so the moment algebra runs in decimal(38,0),
+    mirroring DuckDB's automatic HUGEINT widening.  Exact integers in,
+    exact integers compared, one float at the end — unchanged
+    semantics, 1e38 headroom."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.to_date(F.date_trunc("month", "l_shipdate")).alias("mth"),
+    ).agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+                .cast("long")).alias("q"))
+    qd = F.col("q").cast("decimal(19,0)")
+    s = pm.groupBy("part").agg(
+        F.count("*").alias("n_months"),
+        F.sum("q").alias("sx"),
+        F.sum(qd * qd).alias("sxx"))
+    sxd = F.col("sx").cast("decimal(19,0)")
+    a = F.col("n_months") * F.col("sxx") - sxd * sxd
+    b = sxd * sxd
+    xyz = (F.when(4 * a < b, "X").when(a < b, "Y").otherwise("Z"))
+    return (s.where(F.col("sx") > 0)
+             .select("part", "n_months",
+                     R6(F.sqrt(a.cast("double")) / F.col("sx").cast("double"))
+                     .alias("cv"),
+                     xyz.alias("xyz")))
+
+
+@query(
+    "q_basket_lift",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    sup AS (SELECT l_partkey, COUNT(*) AS s FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2
+    ),
+    top AS (
+      SELECT p1, p2, n_ab FROM pairs
+      ORDER BY n_ab DESC, p1, p2 LIMIT 20
+    )
+    SELECT t.p1, t.p2, t.n_ab, sa.s AS n_a, sb.s AS n_b,
+           ROUND(CAST(t.n_ab AS DOUBLE) * n.n_orders
+                 / (CAST(sa.s AS DOUBLE) * sb.s), 6) AS lift
+    FROM top t
+    JOIN sup sa ON sa.l_partkey = t.p1
+    JOIN sup sb ON sb.l_partkey = t.p2
+    CROSS JOIN n
+    """,
+)
+def q_basket_lift(spark, sf_dir):
+    """Association-rule lift for the top co-occurring part pairs:
+    lift = P(A∧B) / (P(A)·P(B)) — >1 means genuinely associated, not
+    just individually popular (the metric A-Priori candidates are
+    ranked by).  The pair counts reuse the shuffle-lean basket-array
+    expansion of q_cooccur_parts; the top-20 then BROADCASTS (20 rows)
+    into two support lookups, so the part-support table — which grows
+    with the catalog — is never broadcast itself.  Only the final lift
+    ratio is float."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select(
+        F.countDistinct("l_orderkey").alias("n_orders"))
+    sup = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    baskets = (items.groupBy("l_orderkey")
+                    .agg(F.array_sort(F.collect_set("l_partkey"))
+                         .alias("ps")))
+    pair_arr = F.flatten(F.transform(
+        F.col("ps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+            lambda y: F.struct(x.alias("p1"), y.alias("p2")))))
+    top = (baskets.where(F.size("ps") >= 2)
+                  .select(F.explode(pair_arr).alias("pr"))
+                  .select(F.col("pr.p1").alias("p1"),
+                          F.col("pr.p2").alias("p2"))
+                  .groupBy("p1", "p2").agg(F.count("*").alias("n_ab"))
+                  .orderBy(F.col("n_ab").desc(), "p1", "p2")
+                  .limit(20))
+    sa = sup.select(F.col("l_partkey").alias("p1"), F.col("s").alias("n_a"))
+    sb = sup.select(F.col("l_partkey").alias("p2"), F.col("s").alias("n_b"))
+    return (sa.join(F.broadcast(top), "p1")
+              .join(sb, "p2")
+              .crossJoin(F.broadcast(n_orders))
+              .select("p1", "p2", "n_ab", "n_a", "n_b",
+                      R6(F.col("n_ab").cast("double") * F.col("n_orders")
+                         / (F.col("n_a").cast("double") * F.col("n_b")))
+                      .alias("lift")))
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS t, event_id,
+             CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, cents,
+             epoch_us(LEAD(t) OVER (PARTITION BY event_type
+                                    ORDER BY t, event_id))
+             - epoch_us(t) AS gap_us
+      FROM e
+    )
+    SELECT event_type, COUNT(*) AS n_intervals,
+           SUM(gap_us) AS total_us,
+           ROUND(CAST(SUM(cents * gap_us) AS DOUBLE)
+                 / (100.0 * SUM(gap_us)), 6) AS twap
+    FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY event_type
+    """,
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (TWAP): each observation holds until the
+    next one, so its weight is the integer-µs gap to the successor
+    (LEAD over the keyed (ts, event_id) order; the final open interval
+    is excluded, as is a zero gap from duplicate timestamps).  Because
+    weights are integer microseconds and values integer cents, the
+    weighted sum Σ(cents·µs) is BIGINT-EXACT in any summation order —
+    the float division happens once at the end.  One keyed window
+    shuffle + one grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100
+                    + F.lit(0.5)).cast("long")
+    g = (ev.select("event_type", "ts", "event_id", cents.alias("cents"))
+           .withColumn("gap_us",
+                       F.unix_micros(F.lead("ts").over(w))
+                       - F.unix_micros(F.col("ts"))))
+    return (g.where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n_intervals"),
+                  F.sum("gap_us").alias("total_us"),
+                  R6(F.sum(F.col("cents") * F.col("gap_us")).cast("double")
+                     / (100.0 * F.sum("gap_us"))).alias("twap")))
+
+
+@query(
+    "q_percent_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey AS regionkey, n.n_nationkey AS nationkey,
+             SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+               AS nation_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY regionkey, nationkey
+    ),
+    reg AS (
+      SELECT regionkey, SUM(nation_cents) AS region_cents
+      FROM rev GROUP BY regionkey
+    ),
+    tot AS (SELECT SUM(region_cents) AS total_cents FROM reg)
+    SELECT r.regionkey, r.nationkey, r.nation_cents, g.region_cents,
+           ROUND(CAST(r.nation_cents AS DOUBLE) / g.region_cents, 6)
+             AS share_of_region,
+           ROUND(CAST(g.region_cents AS DOUBLE) / t.total_cents, 6)
+             AS region_share_of_total
+    FROM rev r JOIN reg g USING (regionkey) CROSS JOIN tot t
+    """,
+)
+def q_percent_of_parent(spark, sf_dir):
+    """Percent-of-parent hierarchy rollup (nation→region→total): each
+    nation's share of its region and each region's share of the grand
+    total — the drill-path ratio every BI hierarchy renders.  Revenue
+    aggregates once at the leaf level in integer cents; the region and
+    total levels RE-AGGREGATE THE AGGREGATE (25-row table), so the fact
+    table is scanned exactly once and both parent levels broadcast.
+    Shares are the only floats, derived from exact integers."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rev = (od.join(cu, od["o_custkey"] == cu["c_custkey"])
+             .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+             .groupBy(F.col("n_regionkey").alias("regionkey"),
+                      F.col("n_nationkey").alias("nationkey"))
+             .agg(F.sum(cents).alias("nation_cents")))
+    reg = rev.groupBy("regionkey").agg(
+        F.sum("nation_cents").alias("region_cents"))
+    tot = reg.agg(F.sum("region_cents").alias("total_cents"))
+    return (rev.join(F.broadcast(reg), "regionkey")
+               .crossJoin(F.broadcast(tot))
+               .select("regionkey", "nationkey", "nation_cents",
+                       "region_cents",
+                       R6(F.col("nation_cents").cast("double")
+                          / F.col("region_cents")).alias("share_of_region"),
+                       R6(F.col("region_cents").cast("double")
+                          / F.col("total_cents"))
+                       .alias("region_share_of_total")))
+
+
+@query(
+    "q_exact_ngram_decontam",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    g AS (
+      SELECT DISTINCT doc_id,
+             w[g.i] || chr(31) || w[g.i + 1] || chr(31) || w[g.i + 2]
+               || chr(31) || w[g.i + 3] AS gram
+      FROM toks,
+           (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1)
+                                    FROM toks) + 1)) AS i) g
+      WHERE g.i <= len(w) - 3
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+    SELECT g.doc_id, COUNT(*) AS n_shared
+    FROM g JOIN ev USING (gram)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def q_exact_ngram_decontam(spark, sf_dir):
+    """Exact n-gram overlap decontamination (the published GPT-3/PaLM
+    recipe): flag TRAINING documents sharing any exact 4-gram with the
+    held-out evaluation set, with the shared-gram count as the
+    contamination severity — catches PARTIAL contamination (a quoted
+    benchmark question inside an otherwise clean page) that the
+    whole-document fingerprint (q_decontaminate), bloom
+    (q_bloom_decontaminate) and MinHash-LSH (q_cross_dedup) variants
+    miss or only approximate.  Eval grams dedupe once; the flagging is
+    a gram-key equi-join co-partitioned with the corpus gram table —
+    at 100 TB both sides shuffle on the uniform gram hash, nothing
+    broadcasts at corpus scale."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    sz = F.greatest(F.size(w) - 3, F.lit(0))
+    sep = F.lit("\x1f")
+    quad = F.zip_with(
+        F.slice(w, 1, sz),
+        F.zip_with(F.slice(w, 2, sz),
+                   F.zip_with(F.slice(w, 3, sz), F.slice(w, 4, sz),
+                              lambda c, d: F.concat(c, sep, d)),
+                   lambda b, cd: F.concat(b, sep, cd)),
+        lambda a, bcd: F.concat(a, sep, bcd))
+    g = docs.select("doc_id", F.explode(quad).alias("gram")).distinct()
+    ev = (g.where(F.col("doc_id") % 97 == 0)
+           .select("gram").distinct())
+    return (g.where(F.col("doc_id") % 97 != 0)
+             .join(ev, "gram")
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_shared")))
+
+
+@query(
+    "q_doclen_log_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(regexp_replace(text, '[ \\t\\n\\r]+',
+                                                  ' ', 'g'), ' ')) = 0
+                  THEN 0
+                  ELSE length(trim(regexp_replace(text, '[ \\t\\n\\r]+',
+                                                  ' ', 'g'), ' '))
+                       - length(replace(trim(regexp_replace(text,
+                                             '[ \\t\\n\\r]+', ' ', 'g'),
+                                             ' '), ' ', '')) + 1
+             END AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(length(bin(n_tokens)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM t WHERE n_tokens > 0
+    GROUP BY log2_bucket
+    """,
+)
+def q_doclen_log_histogram(spark, sf_dir):
+    """Log₂-bucketed document-length histogram — the long-tail length
+    view (linear bins flatten the tail that decides packing efficiency
+    and truncation loss).  The bucket is ⌊log₂ n⌋+1 computed as the
+    BINARY-DIGIT COUNT (length of bin(n)) — pure integer arithmetic,
+    immune to the libm log2 boundary at exact powers of two where a
+    float formulation can flip a bucket between engines.  Token counts
+    use the arithmetic spaces-remaining identity (functions/
+    text.token_count) — no split, bit-identical.  One map-side-combined
+    aggregate."""
+    from access_mopper_spark.functions.text import token_count
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    t = (docs.where(F.col("text").isNotNull())
+             .select(token_count(F.col("text")).alias("n_tokens"))
+             .where(F.col("n_tokens") > 0))
+    bucket = F.length(F.bin(F.col("n_tokens"))).cast("long")
+    return (t.groupBy(bucket.alias("log2_bucket"))
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_tokens").alias("total_tokens")))
+
+
+@query(
+    "q_survival_km",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS d0,
+             CAST(date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS d1
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(d1) AS gmax FROM u),
+    lt AS (
+      SELECT user_id, d1 - d0 AS lt,
+             CASE WHEN u.d1 > mx.gmax - 3 THEN 1 ELSE 0 END AS censored
+      FROM u CROSS JOIN mx
+    ),
+    days AS (SELECT DISTINCT lt AS t FROM lt),
+    km AS (
+      SELECT d.t,
+             (SELECT COUNT(*) FROM lt WHERE lt.lt >= d.t) AS n_risk,
+             (SELECT COUNT(*) FROM lt
+              WHERE lt.lt = d.t AND lt.censored = 0) AS n_events
+      FROM days d
+    )
+    SELECT a.t AS day, a.n_risk, a.n_events,
+           ROUND(EXP(SUM(CASE WHEN b.n_events > 0 AND b.n_events < b.n_risk
+                              THEN LN(1 - CAST(b.n_events AS DOUBLE)
+                                          / b.n_risk)
+                              WHEN b.n_events >= b.n_risk
+                              THEN CAST('-infinity' AS DOUBLE)
+                              ELSE 0 END)), 6) AS survival
+    FROM km a JOIN km b ON b.t <= a.t
+    GROUP BY a.t, a.n_risk, a.n_events
+    """,
+)
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve of user lifetimes (first→last active
+    day; users still active in the final 3 days are right-CENSORED —
+    they leave the risk set without counting as churn events).  The
+    curve's running product Π(1−dᵢ/nᵢ) is computed as EXP(ΣLN(·)) over
+    the BROADCAST prefix join on the calendar-bounded lifetime axis —
+    the same no-global-window pattern as every cumulative in this repo,
+    with the identical float ops on both engines (dᵢ, nᵢ are exact
+    integers from one user-level aggregate).  The risk-set counts are
+    a tiny axis×axis comparison, never a corpus-scale sort."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"))
+    mx = u.agg(F.max("d1").alias("gmax"))
+    lt = (u.crossJoin(F.broadcast(mx))
+           .select(F.datediff("d1", "d0").alias("lt"),
+                   F.when(F.col("d1") > F.date_sub(F.col("gmax"), 3), 1)
+                    .otherwise(0).alias("censored")))
+    km = (lt.crossJoin(F.broadcast(
+              lt.select(F.col("lt").alias("t")).distinct()))
+            .groupBy("t")
+            .agg(F.sum(F.when(F.col("lt") >= F.col("t"), 1).otherwise(0))
+                 .alias("n_risk"),
+                 F.sum(F.when((F.col("lt") == F.col("t"))
+                              & (F.col("censored") == 0), 1).otherwise(0))
+                 .alias("n_events")))
+    b = km.select(F.col("t").alias("__t2"), F.col("n_risk").alias("__r2"),
+                  F.col("n_events").alias("__e2"))
+    term = (F.when((F.col("__e2") > 0) & (F.col("__e2") < F.col("__r2")),
+                   F.log(1 - F.col("__e2").cast("double") / F.col("__r2")))
+             .when(F.col("__e2") >= F.col("__r2"),
+                   F.lit(float("-inf")))
+             .otherwise(F.lit(0.0)))
+    return (km.join(F.broadcast(b), F.col("__t2") <= F.col("t"))
+              .groupBy(F.col("t").alias("day"), "n_risk", "n_events")
+              .agg(R6(F.exp(F.sum(term))).alias("survival")))
+
+
+@query(
+    "q_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ',
+                                              'g'), ' '), ' ') AS w,
+             source
+      FROM documents
+    ),
+    tk AS (
+      SELECT source, u.t AS tok
+      FROM toks, UNNEST(w) AS u(t) WHERE u.t <> ''
+    ),
+    c AS (
+      SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok
+    ),
+    s AS (
+      SELECT source, SUM(c) AS n, COUNT(*) AS n_types,
+             SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS clnc
+      FROM c GROUP BY source
+    )
+    SELECT source, n AS n_tokens, n_types,
+           ROUND(LN(CAST(n AS DOUBLE)) - clnc / n, 6) AS entropy_nats
+    FROM s
+    """,
+)
+def q_token_entropy(spark, sf_dir):
+    """Per-source unigram entropy (nats) — the lexical-diversity signal
+    that separates template/boilerplate farms (low H) from organic text
+    (high H) in corpus triage.  Uses the identity
+    H = ln N − (Σ c·ln c)/N so the data-scale pass is ONE
+    (source, token) count (map-side combined) and a per-source moment
+    sum; counts are exact integers and the ln terms are the identical
+    libm calls on identical integers, with the 6-dp portable round
+    absorbing summation-order ulps.  No broadcast of the vocabulary —
+    the moment aggregates where the counts already live."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    tk = (docs.select("source", F.explode(tokens(F.col("text")))
+                      .alias("tok"))
+              .where(F.col("tok") != ""))
+    c = tk.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    s = c.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c").cast("double")
+              * F.log(F.col("c").cast("double"))).alias("clnc"))
+    return s.select(
+        "source", F.col("n").alias("n_tokens"), "n_types",
+        R6(F.log(F.col("n").cast("double")) - F.col("clnc") / F.col("n"))
+        .alias("entropy_nats"))
+
+
+@query(
+    "q_audio_chunk_plan",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, n_chars * 100 AS n_samples
+      FROM documents WHERE n_chars > 0
+    ),
+    b AS (
+      SELECT doc_id, n_samples,
+             1 + GREATEST(0, CAST(CEIL(CAST(n_samples - 480000 AS DOUBLE)
+                                       / 464000) AS BIGINT)) AS n_chunks
+      FROM meta
+    )
+    SELECT doc_id, g.i AS chunk_idx,
+           g.i * 464000 AS start_sample,
+           LEAST(g.i * 464000 + 480000, n_samples) AS end_sample
+    FROM b,
+         (SELECT UNNEST(range(0, (SELECT COALESCE(MAX(n_chunks), 1)
+                                  FROM b))) AS i) g
+    WHERE g.i < b.n_chunks
+    """,
+)
+def q_audio_chunk_plan(spark, sf_dir):
+    """Audio chunking plan from typed metadata — the scheduling layer
+    of an ASR/embedding pipeline: long recordings split into 30-second
+    windows with 1-second overlap (sr 16 kHz → window 480 000 samples,
+    hop 464 000), WITHOUT touching payload bytes (the decode stub
+    boundary stays in operators/multimodal; planning is pure integer
+    arithmetic on metadata, here derived deterministically as
+    n_chars×100 samples).  Map-only: ceil-div chunk count + a bounded
+    ``sequence`` explode per blob — one row per chunk, no shuffle, and
+    the last short chunk clamps to the stream end.  The oracle's range
+    bound is data-derived (repo convention: never a constant cap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    window, hop = 480000, 464000
+    meta = (docs.where(F.col("n_chars") > 0)
+                .select("doc_id",
+                        (F.col("n_chars") * 100).alias("n_samples")))
+    n_chunks = (1 + F.greatest(
+        F.lit(0).cast("long"),
+        F.ceil((F.col("n_samples") - window).cast("double") / hop)
+         .cast("long")))
+    b = meta.withColumn("n_chunks", n_chunks)
+    idx = F.explode(F.sequence(F.lit(0).cast("long"),
+                               F.col("n_chunks") - 1))
+    return (b.select("doc_id", "n_samples", idx.alias("chunk_idx"))
+             .select("doc_id", "chunk_idx",
+                     (F.col("chunk_idx") * hop).alias("start_sample"),
+                     F.least(F.col("chunk_idx") * hop + window,
+                             F.col("n_samples")).alias("end_sample")))
+
+
+@query(
+    "q_top_p_vocab",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             string_split(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ',
+                                              'g'), ' '), ' ') AS w
+      FROM documents
+    ),
+    tk AS (
+      SELECT source, u.t AS tok FROM toks, UNNEST(w) AS u(t)
+      WHERE u.t <> ''
+    ),
+    c AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok),
+    h AS (SELECT source, c, COUNT(*) AS n_toks FROM c GROUP BY source, c),
+    t AS (SELECT source, SUM(c * n_toks) AS total FROM h GROUP BY source),
+    w AS (
+      SELECT source, c, n_toks,
+             SUM(c * n_toks) OVER (PARTITION BY source ORDER BY c DESC
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+             COALESCE(SUM(c * n_toks) OVER (PARTITION BY source
+                                            ORDER BY c DESC
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS above,
+             COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY c DESC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS types_above
+      FROM h
+    )
+    SELECT w.source, w.c AS c_star, w.types_above,
+           (9 * t.total - 10 * w.above + 10 * w.c - 1) // (10 * w.c)
+             AS k_ties,
+           w.types_above
+           + (9 * t.total - 10 * w.above + 10 * w.c - 1) // (10 * w.c)
+             AS n_types_p90,
+           t.total AS total_tokens
+    FROM w JOIN t USING (source)
+    WHERE w.cum * 10 >= t.total * 9 AND w.above * 10 < t.total * 9
+    """,
+)
+def q_top_p_vocab(spark, sf_dir):
+    """Top-p (p=0.9) vocabulary truncation per source: the smallest
+    most-frequent token set covering 90% of occurrences — the mass-
+    coverage cut tokenizer and nucleus-style vocabulary decisions rest
+    on.  The corpus-scale work is one (source, token) count; everything
+    after runs on the (source, count)-HISTOGRAM (distinct count values
+    — orders of magnitude smaller than the vocabulary), where a keyed
+    window finds the threshold count c*.  The 0.9 threshold and the
+    tie-split k are EXACT integer arithmetic (cum·10 ≥ total·9;
+    ceil-div on integers) — no float touches the output at all."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    tk = (docs.select("source", F.explode(tokens(F.col("text")))
+                      .alias("tok"))
+              .where(F.col("tok") != ""))
+    c = tk.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    h = c.groupBy("source", "c").agg(F.count("*").alias("n_toks"))
+    t = h.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("n_toks")).alias("total"))
+    w_all = (W.partitionBy("source").orderBy(F.col("c").desc())
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_prev = (W.partitionBy("source").orderBy(F.col("c").desc())
+               .rowsBetween(W.unboundedPreceding, -1))
+    mass = F.col("c") * F.col("n_toks")
+    ww = (h.withColumn("cum", F.sum(mass).over(w_all))
+           .withColumn("above", F.coalesce(F.sum(mass).over(w_prev),
+                                           F.lit(0)))
+           .withColumn("types_above",
+                       F.coalesce(F.sum("n_toks").over(w_prev), F.lit(0))))
+    j = ww.join(F.broadcast(t), "source")
+    k = F.floor((9 * F.col("total") - 10 * F.col("above")
+                 + 10 * F.col("c") - 1) / (10 * F.col("c"))).cast("long")
+    return (j.where((F.col("cum") * 10 >= F.col("total") * 9)
+                    & (F.col("above") * 10 < F.col("total") * 9))
+             .select("source", F.col("c").alias("c_star"), "types_above",
+                     k.alias("k_ties"),
+                     (F.col("types_above") + k).alias("n_types_p90"),
+                     F.col("total").alias("total_tokens")))
+
+

@@ -101,6 +101,11 @@ HEADLINE = [
     "q_html_strip",
     "q_line_boilerplate",
     "q_c4_line_filter",
+    # round 9: preference-QC completions (integer-bp aggregations) and
+    # the re-planned slim-sort LSH calibration report
+    "q_annotator_bias",
+    "q_position_bias",
+    "q_lsh_calibration",
 ]
 
 

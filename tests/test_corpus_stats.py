@@ -175,3 +175,39 @@ def test_top_p_vocab_is_smallest_cover(spark):
         assert r["n_types_p90"] == i
         # reported pieces reconcile
         assert r["n_types_p90"] == r["types_above"] + r["k_ties"]
+
+
+def test_psi_identical_sides_is_zero(spark):
+    """Equal distributions -> every smoothed PSI term is exactly 0."""
+    from access_mopper_spark.operators.drift import psi_buckets
+    rows = [(v, s) for v in (10, 100, 300) for s in (0, 1) for _ in range(4)]
+    df = spark.createDataFrame(rows, ["val", "side"])
+    out = psi_buckets(df, "val", "side", bucket_width=64).collect()
+    assert len(out) == 3
+    assert all(r["psi_term"] == 0.0 for r in out)
+    assert all(r["n_ref"] == 4 and r["n_cur"] == 4 for r in out)
+
+
+def test_psi_shift_detected(spark):
+    """Mass moving to a higher bucket yields positive PSI total."""
+    from access_mopper_spark.operators.drift import psi_buckets
+    ref = [(10, 0)] * 8 + [(300, 0)] * 2
+    cur = [(10, 1)] * 2 + [(300, 1)] * 8
+    df = spark.createDataFrame(ref + cur, ["val", "side"])
+    out = psi_buckets(df, "val", "side", bucket_width=64).collect()
+    total = sum(r["psi_term"] for r in out)
+    assert total > 0.1  # textbook PSI for a 60-point mass shift
+
+
+def test_unigram_kl_zero_and_positive(spark):
+    from access_mopper_spark.operators.drift import unigram_kl
+    same = [("a", s) for s in (0, 1) for _ in range(3)] + \
+           [("b", s) for s in (0, 1) for _ in range(2)]
+    df = spark.createDataFrame(same, ["tok", "side"])
+    r = unigram_kl(df, "tok", "side").collect()[0]
+    assert r["kl_nats"] == 0.0
+    assert r["vocab"] == 2 and r["n_tokens_ref"] == 5 == r["n_tokens_cur"]
+    skew = [("a", 0)] * 9 + [("b", 0)] + [("a", 1)] + [("b", 1)] * 9
+    r2 = unigram_kl(spark.createDataFrame(skew, ["tok", "side"]),
+                    "tok", "side").collect()[0]
+    assert r2["kl_nats"] > 0.5  # strong vocabulary flip

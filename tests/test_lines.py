@@ -271,3 +271,48 @@ def test_boilerplate_matches_across_line_conventions(spark):
            remove_boilerplate_lines(docs, min_docs=5).collect()}
     assert all(out[i]["clean"] == f"body text {i}" for i in range(6))
     assert all(out[i]["n_dropped"] == 1 for i in range(6))
+
+
+def test_annotator_bias_known_values(spark):
+    """3 items, 3 annotators; annotator 2 always votes 1 (positive
+    bias), annotators 0/1 define the consensus."""
+    from access_mopper_spark.operators.ml import annotator_bias
+    rows = []
+    for item, truth in [(0, 1), (1, 0), (2, 0)]:
+        rows += [(item, 0, truth), (item, 1, truth), (item, 2, 1)]
+    votes = spark.createDataFrame(rows, ["item", "annotator", "vote"])
+    out = {r["annotator"]: r for r in
+           annotator_bias(votes, "item", "annotator", "vote").collect()}
+    # consensus = strict majority = truth (2 of 3 agree except item 0
+    # where all three vote 1)
+    assert out[0]["agree_bp"] == 10000 and out[0]["bias_bp"] == 0
+    assert out[1]["agree_bp"] == 10000
+    # annotator 2 agrees only on item 0 -> 1/3
+    assert out[2]["n_votes"] == 3 and out[2]["n_agree"] == 1
+    assert out[2]["agree_bp"] == 3333
+    assert out[2]["pos_bp"] == 10000 and out[2]["consensus_pos_bp"] == 3333
+    assert out[2]["bias_bp"] == 6667
+
+
+def test_annotator_bias_tie_is_negative_consensus(spark):
+    """Even vote splits -> consensus 0 (strict majority, deterministic)."""
+    from access_mopper_spark.operators.ml import annotator_bias
+    votes = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 0)], ["item", "annotator", "vote"])
+    out = {r["annotator"]: r for r in annotator_bias(votes).collect()}
+    assert out[1]["agree_bp"] == 10000  # the 0-voter matches consensus
+    assert out[0]["agree_bp"] == 0
+
+
+def test_position_bias_known_values(spark):
+    from access_mopper_spark.operators.ml import position_bias
+    # 4 pairs: first-shown wins 3 of 4
+    comps = spark.createDataFrame(
+        [("g", 1, 1), ("g", 0, 0), ("g", 1, 1), ("g", 1, 0)],
+        ["grp", "a_shown_first", "a_wins"])
+    out = position_bias(comps, group_cols=["grp"]).collect()[0]
+    assert out["n_pairs"] == 4 and out["n_first_wins"] == 3
+    assert out["first_win_bp"] == 7500
+    # ungrouped variant returns one global row
+    g = position_bias(comps).collect()
+    assert len(g) == 1 and g[0]["first_win_bp"] == 7500

@@ -18,7 +18,9 @@ def test_rolling_distinct_dominates_daily(spark):
     # the registry ships `day` as midnight timestamp (round-8 DATE
     # rendering canonicalization, queries._apply_spark_date_casts) —
     # normalize back to date for the key comparison
-    roll = {r["day"].date(): r["users_7d"]
+    # native DATE since r9 (the DATE-seam adjudication): the cell
+    # is already a datetime.date, no midnight-TIMESTAMP unwrap
+    roll = {r["day"]: r["users_7d"]
             for r in QUERIES["q_rolling_distinct_users"](spark, SF).collect()}
     ev = spark.read.parquet(f"{SF}/events.parquet")
     daily = {r["day"]: r["n"] for r in ev.groupBy(
@@ -41,7 +43,9 @@ def test_rolling_distinct_window_is_union(spark):
     brute = (ud.where((F.col("d") <= F.lit(target))
                       & (F.col("d") >= F.date_sub(F.lit(target), 6)))
                .select("user_id").distinct().count())
-    roll = {r["day"].date(): r["users_7d"]
+    # native DATE since r9 (the DATE-seam adjudication): the cell
+    # is already a datetime.date, no midnight-TIMESTAMP unwrap
+    roll = {r["day"]: r["users_7d"]
             for r in QUERIES["q_rolling_distinct_users"](spark, SF).collect()}
     assert roll[target] == brute
 

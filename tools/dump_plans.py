@@ -193,6 +193,12 @@ COMMENTARY = {
         "near-dup CC chain feeds a rank-pushed per-cluster top-1 "
         "(partial_topk) — no cluster ever sorts its full membership in "
         "one task.",
+    "q_lsh_calibration": "S-curve calibration, slim-sort re-plan (r9): "
+        "the 256-bucket neighbour window sorts KEYS ONLY (id, band_i, "
+        "md5) — the shingle arrays are discarded before the exchange "
+        "and join back onto the ~n sampled pairs through two hash "
+        "joins at full parallelism (r8: the arrays rode the "
+        "256-partition sort and went 14.5x superlinear at x100).",
 }
 
 

@@ -13,10 +13,28 @@ at 10× the crawl IS mostly duplicates, which is exactly the workload
 the dedup operators must survive — near-dup growth here is signal, not
 an artifact.
 
+``--dedup-honest`` (r8 verdict item 4) flips that contract for the
+PAIR-MATERIALIZING dedup/similarity family: key-disjoint replication
+makes every duplicate family K members (K·(K−1)/2 pairs — output rows
+grow quadratically by data SEMANTICS, which at ×100 measures the
+workload artifact, not the plan).  In honest mode each replica r>0
+scales the UNIQUE mass while capping family size at the sf0.1 level:
+
+* documents: every word gets a replica prefix (``r{r}x``), so replicas
+  share no word shingles and almost no char shingles — within a
+  replica the natural dup families keep their exact structure (the
+  transform is deterministic per position), across replicas nothing
+  collides.
+* embeddings: a deterministic per-(replica, dim) ±1 sign-flip mask —
+  intra-replica dot products are EXACTLY preserved ((s⊙a)·(s⊙b) =
+  a·b), inter-replica cosines become pseudo-random near-zero, so
+  semantic-dedup clusters stay sf0.1-sized while the vector count
+  scales.
+
 Output goes to /tmp (bench input only — NEVER an oracle input; the
 correctness gate runs exclusively on the driver's read-only testdata).
 
-Usage: python tools/make_scaleup.py [K] [src_dir] [dst_dir]
+Usage: python tools/make_scaleup.py [K] [src_dir] [dst_dir] [--dedup-honest]
 """
 
 from __future__ import annotations
@@ -42,9 +60,11 @@ COPY = ["region", "nation"]
 
 
 def main():
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf1_scaleup"
+    argv = [a for a in sys.argv[1:] if a != "--dedup-honest"]
+    honest = "--dedup-honest" in sys.argv
+    k = int(argv[0]) if len(argv) > 0 else 10
+    src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    dst = argv[2] if len(argv) > 2 else "/tmp/sf1_scaleup"
 
     from pyspark.sql import functions as F
 
@@ -84,6 +104,30 @@ def main():
         write_single_file(load_table(spark, src, t), t)
         print(f"copied {t}")
 
+    def uniquify(rep, t, r):
+        """Honest-mode per-replica content transform (r > 0 only):
+        scale unique mass, cap dup-family size at the source level."""
+        if not honest or r == 0:
+            return rep
+        if t == "documents":
+            tag = F.lit(f"r{r}x")
+            words = F.split(F.col("text"), " ")
+            tagged = F.array_join(
+                F.transform(words, lambda w: F.concat(tag, w)), " ")
+            return rep.withColumn(
+                "text", F.when(F.col("text").isNotNull(), tagged))
+        if t == "embeddings":
+            # ±1 mask keyed by (replica, dim): intra-replica dot
+            # products exactly preserved, inter-replica cosines ~0
+            def flip(x, i):
+                sign = (F.pmod(F.xxhash64(F.concat_ws(
+                    ":", F.lit(str(r)), i.cast("string"))), F.lit(2))
+                    * 2 - 1).cast("float")
+                return x * sign
+            return rep.withColumn(
+                "embedding", F.transform(F.col("embedding"), flip))
+        return rep
+
     for t, keys in OFFSETS.items():
         base = load_table(spark, src, t)
         reps = []
@@ -93,12 +137,12 @@ def main():
                 rep = rep.withColumn(col, (F.col(col)
                                            + F.lit(r * (dom[d] + 1))
                                            ).cast("long"))
-            reps.append(rep)
+            reps.append(uniquify(rep, t, r))
         out = reps[0]
         for rep in reps[1:]:
             out = out.unionByName(rep)
         write_single_file(out, t)
-        print(f"scaled {t} x{k}")
+        print(f"scaled {t} x{k}" + (" (dedup-honest)" if honest else ""))
 
 
 if __name__ == "__main__":
