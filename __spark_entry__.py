@@ -55,8 +55,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # signal need) + the 5 never-exposed HUGEINT TPC-H revenue rows;
 # (e) 12 never-exposed §2.10/dedup/graph composites including
 # q_lsh_calibration (re-planned this round: slim-key window sort).
-# All 47 first-exposure rows are local-green at sf0.01.  The 47
-# twice-or-once-green r8 rows rotate OUT with families represented.
+# All 47 first-exposure rows are local-green at sf0.01 AND pass the
+# hostile-TZ gate (the whole 50-row prefix is green under
+# TZ=Australia/Adelaide — native DATE removed the last TZ-sensitive
+# rendering in the prefix).  The 47 twice-or-once-green r8 rows rotate
+# OUT with families represented.  Queued for r10 first exposure: the
+# r9-late additions q_psi_drift, q_kl_unigram_drift, q_url_dedup,
+# q_paragraph_dedup, q_temperature_mixture (all local-green + 5-seed
+# fuzz-clean) plus the ~100 remaining never-exposed rows.
 _DRIVER_PRIORITY = [
     # (a) sentinels — r8-green, kept to lock adjudications
     "q_probe_date_render", "q_dup_ngrams", "q_max_concurrency",

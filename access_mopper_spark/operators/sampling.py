@@ -346,3 +346,30 @@ def importance_weights(df: DataFrame, is_target, text_col: str = "text",
               .groupBy(id_col)
               .agg(F.count("*").alias("n_toks"),
                    F.sum("lr_micro").alias("imp_micro")))
+
+
+def temperature_weights(df: DataFrame, group_col: str,
+                        alpha: float = 0.5) -> DataFrame:
+    """Temperature-based mixture resampling weights — the multilingual
+    rebalancing rule (sample language l with p_l ∝ share_l^α, α < 1
+    up-weights tail languages; α = 1 is proportional, α = 0 uniform)
+    used by multilingual LM data mixes.
+
+    Returns one row per group: ``(group, n_docs, share, weight,
+    boost)`` where weight = share^α / Σ share^α and boost =
+    weight / share (the resampling factor to apply per group) — all
+    UNROUNDED doubles computed from exact integer counts; callers snap
+    to their grid.  Plan: one map-side-combined count on the (small)
+    group key and a broadcast 1-row normalizer join — the corpus
+    never shuffles."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("__n"))
+    j = counts.join(F.broadcast(tot))
+    share = F.col("n_docs").cast("double") / F.col("__n").cast("double")
+    powed = j.select(group_col, "n_docs", share.alias("share"),
+                     F.pow(share, F.lit(float(alpha))).alias("__pa"))
+    z = powed.agg(F.sum("__pa").alias("__z"))
+    out = powed.join(F.broadcast(z))
+    w = F.col("__pa") / F.col("__z")
+    return out.select(group_col, "n_docs", "share", w.alias("weight"),
+                      (w / F.col("share")).alias("boost"))

@@ -2307,3 +2307,122 @@ def q_kl_unigram_drift(spark, sf_dir):
     out = unigram_kl(tk, "tok", "side")
     return out.select("n_tokens_ref", "n_tokens_cur", "vocab",
                       R6(F.col("kl_nats")).alias("kl_nats"))
+
+
+@query(
+    "q_url_dedup",
+    oracle=f"""
+    WITH {_URL_CANON_CTES}
+    SELECT canonical_url, MIN(doc_id) AS keep_id,
+           COUNT(*) - 1 AS n_dups
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def q_url_dedup(spark, sf_dir):
+    """URL-level exact dedup — the FIRST dedup stage of every web
+    pipeline (the same page recrawled under tracker params / default
+    ports / fragments is one document): group by the canonical URL
+    (operators/web.canonicalize_url), keep the lowest doc id, count
+    the shadowed fetches.  One map-side-combined shuffle on the
+    canonical key; canonicalization is inline Column math on the
+    scan."""
+    from access_mopper_spark.operators.web import canonicalize_url
+    docs = load_table(spark, sf_dir, "documents")
+    u = _url_fixture(docs)
+    canon = u.select("doc_id", canonicalize_url(F.col("url"))
+                     .alias("canonical_url"))
+    return (canon.groupBy("canonical_url")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 (F.count("*") - 1).alias("n_dups")))
+
+
+@query(
+    "q_paragraph_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+        text || chr(10) || 'Shared disclaimer block.' || chr(10)
+             || CASE WHEN doc_id % 3 = 0 THEN text
+                     ELSE 'Unique tail ' || CAST(doc_id AS VARCHAR) END
+             || chr(10) || 'Shared disclaimer block.' AS txt
+      FROM documents WHERE text IS NOT NULL
+    ),
+    paras AS (
+      SELECT doc_id, g.i AS pos,
+             list_extract(regexp_split_to_array(txt, '\\r?\\n'), g.i) AS p,
+             len(regexp_split_to_array(txt, '\\r?\\n')) AS n_paragraphs
+      FROM d, (SELECT UNNEST(range(1,
+               (SELECT COALESCE(MAX(len(regexp_split_to_array(
+                        txt, '\\r?\\n'))), 1) FROM d) + 1)) AS i) g
+      WHERE g.i <= len(regexp_split_to_array(txt, '\\r?\\n'))
+    ),
+    firsts AS (
+      SELECT doc_id, p, MIN(pos) AS first_pos, MIN(n_paragraphs) AS np
+      FROM paras GROUP BY doc_id, p
+    )
+    SELECT doc_id,
+           string_agg(p, chr(10) ORDER BY first_pos) AS clean,
+           CAST(MIN(np) AS BIGINT) AS n_paragraphs,
+           CAST(MIN(np) - COUNT(*) AS BIGINT) AS n_removed
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def q_paragraph_dedup(spark, sf_dir):
+    """Intra-document repeated-paragraph removal, keep-first
+    (operators/lines.dedup_paragraphs — the within-doc cousin of
+    cross-document boilerplate removal).  Fixture injects a repeated
+    disclaimer block (every doc) and a full-body repeat (every third
+    doc).  MAP-ONLY on the Spark side: array_distinct preserves
+    first-occurrence order, so the pass is one scan, zero shuffles —
+    the oracle replays keep-first via min-position grouping."""
+    from access_mopper_spark.operators.lines import dedup_paragraphs
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"), F.lit("\nShared disclaimer block.\n"),
+        F.when(k % 3 == 0, F.col("text"))
+         .otherwise(F.concat(F.lit("Unique tail "), k.cast("string"))),
+        F.lit("\nShared disclaimer block."))
+    fix = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", txt.alias("txt"))
+    return dedup_paragraphs(fix, "doc_id", "txt")
+
+
+@query(
+    "q_temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT COALESCE(lang, '<null>') AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY COALESCE(lang, '<null>')
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM c),
+    p AS (
+      SELECT c.lang, c.n_docs,
+             CAST(c.n_docs AS DOUBLE) / CAST(t.n AS DOUBLE) AS share,
+             POW(CAST(c.n_docs AS DOUBLE) / CAST(t.n AS DOUBLE),
+                 CAST(0.5 AS DOUBLE)) AS pa
+      FROM c, t
+    ),
+    z AS (SELECT SUM(pa) AS z FROM p)
+    SELECT p.lang, p.n_docs, ROUND(p.share, 6) AS share,
+           ROUND(p.pa / z.z, 6) AS weight,
+           ROUND(p.pa / z.z / p.share, 6) AS boost
+    FROM p, z
+    """,
+)
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-based multilingual mixture weights (operators/
+    sampling.temperature_weights, α = 0.5): p_l ∝ share_l^α normalized
+    — the rebalancing rule multilingual LM mixes use to up-weight tail
+    languages without flattening the head.  One map-side-combined
+    count on the language key + two broadcast 1-row normalizers; the
+    corpus never shuffles.  Floats only in the final pow/divide on
+    exact integer counts, snapped to the 1e-6 grid."""
+    from access_mopper_spark.operators.sampling import temperature_weights
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"))
+    out = temperature_weights(docs, "lang", alpha=0.5)
+    return out.select("lang", "n_docs", R6(F.col("share")).alias("share"),
+                      R6(F.col("weight")).alias("weight"),
+                      R6(F.col("boost")).alias("boost"))

@@ -316,3 +316,18 @@ def test_position_bias_known_values(spark):
     # ungrouped variant returns one global row
     g = position_bias(comps).collect()
     assert len(g) == 1 and g[0]["first_win_bp"] == 7500
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    from access_mopper_spark.operators.lines import dedup_paragraphs
+    docs = spark.createDataFrame(
+        [(1, "alpha\nbeta\nalpha\ngamma\nbeta"),
+         (2, "only\r\nonly\r\nonly"),
+         (3, None)],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert set(out) == {1, 2}  # NULL text drops
+    assert out[1]["clean"] == "alpha\nbeta\ngamma"
+    assert out[1]["n_paragraphs"] == 5 and out[1]["n_removed"] == 2
+    assert out[2]["clean"] == "only"  # CRLF normalizes, repeats collapse
+    assert out[2]["n_removed"] == 2

@@ -294,3 +294,31 @@ def test_exact_stratified_split_counts(spark, sf_dir):
     again = {(r["doc_id"], r["split"]) for r in
              exact_stratified_split(docs, "doc_id", "lang").collect()}
     assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_temperature_weights_known_values(spark):
+    """alpha=0.5 over shares (0.8, 0.2): weights ∝ (√0.8, √0.2) —
+    the tail group's boost exceeds 1, the head's is below 1, and the
+    weights sum to 1."""
+    import math
+    from access_mopper_spark.operators.sampling import temperature_weights
+    rows = [("en",)] * 80 + [("fr",)] * 20
+    df = spark.createDataFrame(rows, ["lang"])
+    out = {r["lang"]: r for r in
+           temperature_weights(df, "lang", alpha=0.5).collect()}
+    z = math.sqrt(0.8) + math.sqrt(0.2)
+    assert abs(out["en"]["weight"] - math.sqrt(0.8) / z) < 1e-12
+    assert abs(out["fr"]["weight"] - math.sqrt(0.2) / z) < 1e-12
+    assert abs(out["en"]["weight"] + out["fr"]["weight"] - 1.0) < 1e-12
+    assert out["fr"]["boost"] > 1.0 > out["en"]["boost"]
+
+
+def test_temperature_alpha_one_is_proportional(spark):
+    from access_mopper_spark.operators.sampling import temperature_weights
+    rows = [("a",)] * 3 + [("b",)] * 7
+    out = {r["lang"]: r for r in
+           temperature_weights(
+               spark.createDataFrame(rows, ["lang"]), "lang",
+               alpha=1.0).collect()}
+    assert abs(out["a"]["boost"] - 1.0) < 1e-12
+    assert abs(out["b"]["boost"] - 1.0) < 1e-12
