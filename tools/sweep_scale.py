@@ -8,6 +8,16 @@ worth a plan read.  Round-4 artifact: `BENCH_sf1_scaleup.json`
 ``full_registry_x10`` section (138 queries, zero errors, 529 s total
 against the ×10 scale-up from tools/make_scaleup.py).
 
+Operational notes (learned the hard way in r9):
+- run with ``SPARK_DRIVER_MEMORY=48g`` for x100-scale or full-registry
+  sweeps — a single session accumulates broadcast/metrics heap across
+  hundreds of queries and OOMs the 8g default even though every query
+  passes standalone;
+- the out_json is written PROGRESSIVELY (after every query) so a crash
+  resumes by skipping completed keys (pass the same out_json path);
+- ``SPARK_GRAFT_SWEEP_SKIP`` (comma-separated names) skips documented
+  O(n^2)-by-semantics rows (exact all-pairs baselines) at big SFs.
+
 Usage: python tools/sweep_scale.py [sf_dir] [out_json]
 """
 
@@ -30,7 +40,19 @@ def main():
 
     spark = get_spark(app_name="sweep_scale")
     times: dict[str, object] = {}
+    if out_path and os.path.exists(out_path):
+        prior = json.load(open(out_path))
+        times = {k: v for k, v in prior.items()
+                 if not (isinstance(v, str) and v.startswith("ERROR"))}
+        print(f"resuming: {len(times)} completed keys loaded")
+    skip = set(filter(None, os.environ.get(
+        "SPARK_GRAFT_SWEEP_SKIP", "").split(",")))
     for name, fn in QUERIES.items():
+        if name in times:
+            continue
+        if name in skip:
+            times[name] = "SKIPPED: via SPARK_GRAFT_SWEEP_SKIP"
+            continue
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -41,9 +63,12 @@ def main():
         # curation) would otherwise accumulate cache across the 155-query
         # sweep and turn later timings into eviction-churn noise
         spark.catalog.clearCache()
+        if out_path:
+            json.dump(times, open(out_path, "w"), indent=1)
         print(name, times[name], flush=True)
 
-    errs = {k: v for k, v in times.items() if isinstance(v, str)}
+    errs = {k: v for k, v in times.items()
+            if isinstance(v, str) and v.startswith("ERROR")}
     ok = {k: v for k, v in times.items() if not isinstance(v, str)}
     print(f"\n{len(ok)}/{len(times)} executed, {len(errs)} errors, "
           f"total {round(sum(ok.values()), 1)}s")
