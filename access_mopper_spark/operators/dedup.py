@@ -753,3 +753,50 @@ def dedup_keep_best(clusters: DataFrame, scored: DataFrame,
     return (best.select(cluster_col, F.col(id_col).alias("keep_id"),
                         score_col)
             .join(sizes, cluster_col))
+
+
+def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 5,
+                           w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every ``k``-gram, slide a window of ``w``
+    consecutive gram hashes, keep each window's MINIMUM — the selected
+    set is a position-robust fingerprint with the winnowing guarantee
+    that any shared substring of length >= w + k - 1 yields at least
+    one shared fingerprint.  The rolling-hash fingerprinting stage of
+    plagiarism/near-dup detection, complementary to MinHash (which
+    bounds SET resemblance, not substring matches).
+
+    Hashes are 8-hex-char md5 lanes (min over fixed-width hex strings
+    == min over the 32-bit ints — the repo's portable-minhash trick),
+    so an oracle replays the identical selection.  Returns DISTINCT
+    ``(id, fp)`` rows; docs shorter than k + w - 1 chars have no
+    window and drop (both engines).
+
+    Scale shape: fingerprint construction is MAP-ONLY (two higher-order
+    transforms over in-row arrays, no explode until the output
+    projection, no shuffle until the final distinct) — at 100 TB it
+    rides any corpus scan for free; the distinct is one
+    map-side-combined exchange on (id, fp).
+
+    The gram-hash array is STAGED as its own projection and referenced
+    TWICE downstream (window bound + window body): nesting the grams
+    transform inside the window transform's lambda re-evaluates all G
+    gram md5s per window — O(G²) digests, measured as a ~50× blowup at
+    ×10 — and CollapseProject would inline a once-referenced staged
+    column straight back into the lambda (the q_gopher_rules staging
+    lesson: an expensive alias must be multiply-referenced to stay
+    materialized)."""
+    txt = F.col(text_col)
+    n = F.length(txt)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.substring(F.md5(F.substr(txt, i, F.lit(k))), 1, 8))
+    staged = (docs.where(txt.isNotNull() & (n >= k + w - 1))
+              .select(F.col(id_col), grams.alias("__grams")))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("__grams") - (w - 1)),
+        lambda s: F.array_min(F.slice(F.col("__grams"), s, w)))
+    return (staged.select(F.col(id_col),
+                          F.explode(F.array_distinct(mins)).alias("fp"))
+            .distinct())

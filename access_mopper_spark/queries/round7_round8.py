@@ -2426,3 +2426,43 @@ def q_temperature_mixture(spark, sf_dir):
     return out.select("lang", "n_docs", R6(F.col("share")).alias("share"),
                       R6(F.col("weight")).alias("weight"),
                       R6(F.col("boost")).alias("boost"))
+
+
+@query(
+    "q_winnowing_fingerprints",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND length(text) >= 8
+    ),
+    g AS (
+      SELECT d.doc_id, gi.i AS i,
+             substring(md5(substring(d.text, gi.i, 5)), 1, 8) AS h,
+             length(d.text) - 4 AS n_grams
+      FROM d, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(length(text)), 1)
+                                       FROM d) + 1)) AS i) gi
+      WHERE gi.i <= length(d.text) - 4
+    ),
+    wmin AS (
+      SELECT doc_id, i, n_grams,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g
+    )
+    SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= n_grams - 3
+    """,
+)
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash document fingerprints
+    (operators/dedup.winnowing_fingerprints, k=5, w=4): the min 5-gram
+    hash of every 4-gram-hash window — guarantees any shared substring
+    of length >= 8 chars yields a shared fingerprint.  The substring-
+    match fingerprinting stage next to MinHash's set-resemblance.
+    Spark side is MAP-ONLY (chained higher-order transforms in-row, no
+    explode until output, one distinct exchange); the oracle replays
+    the identical md5-lane minima through a windowed MIN — same
+    selection, different physical shape, one more cross-engine
+    invariant."""
+    from access_mopper_spark.operators.dedup import winnowing_fingerprints
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    return winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4)

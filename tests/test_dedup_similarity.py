@@ -364,3 +364,29 @@ def test_semantic_dedup_gemm_matches_column_path(spark):
         b = sorted(r.vec_id for r in
                    semantic_dedup(emb, cents, tau, use_gemm=False).collect())
         assert a == b, (tau, set(a) ^ set(b))
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= w + k - 1 (= 8 here) share at least one fingerprint; docs
+    shorter than that produce none; disjoint texts share none."""
+    from access_mopper_spark.operators.dedup import winnowing_fingerprints
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [(1, "AAA " + shared + " tail one"),
+         (2, "completely different head " + shared),
+         (3, "zzzzzzz"),          # 7 chars < k + w - 1 -> no window
+         (4, None),
+         (5, "0123456789")],      # disjoint from 1/2
+        ["doc_id", "text"])
+    out = winnowing_fingerprints(docs, k=5, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 3 not in fps and 4 not in fps
+    assert fps[1] & fps[2], "shared >=8-char substring must share a fp"
+    assert not (fps[5] & fps[1])
+    # determinism
+    again = {(r["doc_id"], r["fp"]) for r in
+             winnowing_fingerprints(docs, k=5, w=4).collect()}
+    assert again == {(r["doc_id"], r["fp"]) for r in out}
