@@ -61,8 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rendering in the prefix).  The 47 twice-or-once-green r8 rows rotate
 # OUT with families represented.  Queued for r10 first exposure: the
 # r9-late additions q_psi_drift, q_kl_unigram_drift, q_url_dedup,
-# q_paragraph_dedup, q_temperature_mixture (all local-green + 5-seed
-# fuzz-clean) plus the ~100 remaining never-exposed rows.
+# q_paragraph_dedup, q_temperature_mixture, q_winnowing_fingerprints
+# (all local-green + 5-seed fuzz-clean) plus the ~100 remaining
+# never-exposed rows.
 _DRIVER_PRIORITY = [
     # (a) sentinels — r8-green, kept to lock adjudications
     "q_probe_date_render", "q_dup_ngrams", "q_max_concurrency",
