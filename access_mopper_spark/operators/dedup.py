@@ -307,6 +307,72 @@ def simhash_hamming(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dup(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", max_hamming: int = 3,
+                     shingle_k: int = 5, hash_kind: str = "md5",
+                     band_cap: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the
+    Manku-Jain-Sarma (WWW'07 web-crawl dedup) banded search, the
+    bitwise complement to MinHash-LSH: one 64-bit fingerprint per doc
+    instead of a signature vector, catching small-edit near-dups.
+
+    Pigeonhole banding: the 64 bits split into ``max_hamming + 1``
+    contiguous bands, so any pair within Hamming ``max_hamming`` agrees
+    EXACTLY on at least one band (≤ max_hamming bits differ → they
+    cannot touch every band).  Candidate generation therefore carries
+    only (id, band_idx, band_value) through ONE composite-key self-join
+    — never the text — and candidates verify with a constant-time
+    ``bit_count(xor)`` on the fingerprints riding the candidate rows.
+    Exact (recall 1.0) at any corpus size, unlike probabilistic
+    MinHash banding.
+
+    ``band_cap`` bounds degenerate buckets exactly like
+    ``near_dup_pairs``: each (band_idx, band_value) bucket keeps its
+    ``band_cap`` smallest ids (deterministic → oracle-replayable);
+    identical-fingerprint families beyond the cap still dedup
+    transitively through the kept representatives.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, one row per pair.
+    """
+    b = max_hamming + 1
+    if not 1 <= b <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    sim = simhash64(df, text_col, shingle_k, hash_kind=hash_kind) \
+        .select(id_col, "simhash")
+    # band i covers bits [off_i, off_i + w_i): widths as equal as
+    # possible (the wider bands go first — any fixed deterministic
+    # split satisfies the pigeonhole argument)
+    widths = [(64 // b) + (1 if i < (64 % b) else 0) for i in range(b)]
+    offs = [sum(widths[:i]) for i in range(b)]
+    def _band(i):
+        # width-64 (max_hamming=0) degenerates to the full fingerprint:
+        # the mask (1<<64)-1 overflows a signed long, and no mask is
+        # needed when the band spans every bit
+        shifted = F.shiftrightunsigned(F.col("simhash"), offs[i])
+        if widths[i] < 64:
+            shifted = shifted.bitwiseAND(F.lit((1 << widths[i]) - 1))
+        return F.struct(F.lit(i).alias("bi"), shifted.alias("bk"))
+
+    bands = F.array(*[_band(i) for i in range(b)])
+    ids = (sim.select(id_col, "simhash", F.explode(bands).alias("__b"))
+           .select(id_col, "simhash",
+                   F.col("__b.bi").alias("bi"), F.col("__b.bk").alias("bk")))
+    if band_cap is not None:
+        wb = Window.partitionBy("bi", "bk").orderBy(F.asc(id_col))
+        ids = (ids.withColumn("__r", F.row_number().over(wb))
+                  .where(F.col("__r") <= band_cap).drop("__r"))
+    a = ids.select(F.col(id_col).alias("id_a"),
+                   F.col("simhash").alias("__sa"), "bi", "bk")
+    c = ids.select(F.col(id_col).alias("id_b"),
+                   F.col("simhash").alias("__sb"), "bi", "bk")
+    cand = (a.join(c, ["bi", "bk"]).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+                    .cast("int").alias("hamming"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
 def deterministic_sample(df: DataFrame, fraction: float,
                          id_col: str = "doc_id", salt: str = "split0") -> DataFrame:
     """Deterministic hash-based sampling — the train-data split

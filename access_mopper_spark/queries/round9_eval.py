@@ -1,0 +1,441 @@
+"""Round-9 additions: model-evaluation QC readouts (classifier AUC,
+calibration, threshold sweep) — the evaluation companions to the
+preference-QC family (q_bt_rating / q_annotator_* / q_label_conflicts),
+plus retrieval-evaluation and robustness readouts registered later in
+this module.
+
+Every query follows the registry conventions (_core docstring): integer
+hash surfaces wherever the math allows, explicit BIGINT casts around
+DuckDB SUMs (the r8 HUGEINT lesson), identical column aliases both
+sides.
+"""
+
+from __future__ import annotations
+
+from access_mopper_spark.queries._core import *  # noqa: F401,F403
+from access_mopper_spark.queries._core import query, R6, _wide  # noqa: F401
+
+
+@query(
+    "q_auc_roc",
+    oracle="""
+    WITH scored AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS score,
+             CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ),
+    per_s AS (
+      SELECT l_returnflag, score,
+             SUM(label) AS p, COUNT(*) - SUM(label) AS n
+      FROM scored GROUP BY l_returnflag, score
+    ),
+    acc AS (
+      SELECT l_returnflag, p, n,
+             COALESCE(SUM(n) OVER (
+               PARTITION BY l_returnflag ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM per_s
+    )
+    SELECT l_returnflag,
+           CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(n) AS BIGINT) AS n_neg,
+           CASE WHEN SUM(p) > 0 AND SUM(n) > 0
+                THEN CAST(SUM(p * (2 * below + n)) * 10000
+                          // (2 * SUM(p) * SUM(n)) AS BIGINT)
+           END AS auc_bp
+    FROM acc GROUP BY l_returnflag
+    """,
+)
+def q_auc_roc(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC per cohort
+    (operators/evalmetrics.auc_roc): does a candidate quality score
+    actually rank positives above negatives?  The Mann-Whitney rank-sum
+    runs on per-score counts — ONE map-side-combined aggregate collapses
+    the corpus to |distinct scores| rows per group, the cumulative
+    window touches only that aggregated table, and 2·P·N·AUC stays
+    BIGINT so auc_bp is exact integer basis points."""
+    from access_mopper_spark.operators.evalmetrics import auc_roc
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("score"),
+        F.when(F.col("l_extendedprice") > 30000, 1).otherwise(0)
+        .alias("label"))
+    return auc_roc(scored, "score", "label", ["l_returnflag"])
+
+
+@query(
+    "q_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT (l_partkey * 37 + l_suppkey) % 10001 AS prob_bp,
+             CASE WHEN ('0x' || substring(md5(
+                    'cal:' || CAST(l_orderkey AS VARCHAR) || ':'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                    % 10000
+                  < (l_partkey * 37 + l_suppkey) % 10001
+                  THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    )
+    SELECT CAST(LEAST(prob_bp * 10 // 10000, 9) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(prob_bp) // COUNT(*) AS BIGINT) AS mean_pred_bp,
+           CAST(SUM(label) * 10000 // COUNT(*) AS BIGINT) AS pos_rate_bp,
+           CAST(SUM(label) * 10000 // COUNT(*)
+                - SUM(prob_bp) // COUNT(*) AS BIGINT) AS gap_bp
+    FROM scored GROUP BY 1
+    """,
+)
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins (operators/evalmetrics.calibration_bins)
+    over a synthetic perfectly-calibrated predictor: the predicted
+    probability is a deterministic key expression and the label fires
+    when an independent md5 lane falls below it — so each decile's
+    empirical positive rate should track its mean prediction and gap_bp
+    hovers near 0.  Engine-portable md5 lane (the uniform_hash recipe);
+    all-integer output; one map-side-combined aggregate over 10 keys."""
+    from access_mopper_spark.operators.evalmetrics import calibration_bins
+    li = load_table(spark, sf_dir, "lineitem")
+    lane = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("cal:"), F.col("l_orderkey").cast("string"),
+        F.lit(":"), F.col("l_linenumber").cast("string"))), 1, 8),
+        16, 10).cast("long") % 10000)
+    prob = (F.col("l_partkey") * 37 + F.col("l_suppkey")) % 10001
+    scored = li.select(
+        prob.alias("prob_bp"),
+        F.when(lane < prob, 1).otherwise(0).alias("label"))
+    return calibration_bins(scored, "prob_bp", "label", n_bins=10)
+
+
+@query(
+    "q_confusion_thresholds",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(l_quantity AS BIGINT) AS score,
+             CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ),
+    f AS (
+      SELECT t.threshold, s.label,
+             CASE WHEN s.score >= t.threshold THEN 1 ELSE 0 END AS pred
+      FROM scored s
+      CROSS JOIN (SELECT UNNEST([10, 20, 30, 40, 49]) AS threshold) t
+    ),
+    c AS (
+      SELECT threshold,
+             CAST(SUM(pred * label) AS BIGINT) AS tp,
+             CAST(SUM(pred * (1 - label)) AS BIGINT) AS fp,
+             CAST(SUM((1 - pred) * label) AS BIGINT) AS fn,
+             CAST(SUM((1 - pred) * (1 - label)) AS BIGINT) AS tn
+      FROM f GROUP BY threshold
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp * 10000 // (tp + fp) AS BIGINT)
+           END AS precision_bp,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp * 10000 // (tp + fn) AS BIGINT)
+           END AS recall_bp,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(2 * tp * 10000 // (2 * tp + fp + fn) AS BIGINT)
+           END AS f1_bp
+    FROM c
+    """,
+)
+def q_confusion_thresholds(spark, sf_dir):
+    """Precision/recall/F1 threshold sweep
+    (operators/evalmetrics.confusion_at_thresholds): every row fans out
+    map-side to the 5 broadcast-literal thresholds, then ONE grouped
+    integer aggregate — the curation question "where do I cut the
+    quality score?" answered in a single pass.  F1 on the exact 2·TP
+    grid; NULL precision/recall where a class is empty (never here)."""
+    from access_mopper_spark.operators.evalmetrics import (
+        confusion_at_thresholds)
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_quantity").cast("long").alias("score"),
+        F.when(F.col("l_extendedprice") > 30000, 1).otherwise(0)
+        .alias("label"))
+    return confusion_at_thresholds(scored, [10, 20, 30, 40, 49],
+                                   "score", "label")
+
+
+@query(
+    "q_simhash_near_dup",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT d.doc_id, substring(COALESCE(d.text, ''), g.i, 5) AS s
+      FROM documents d, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(length(text)), 1) FROM documents) + 1)) AS i) g
+      WHERE g.i <= greatest(length(COALESCE(d.text, '')) - 4, 1)
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(s), 1, 8))::BIGINT AS hi,
+             ('0x' || substring(md5(s), 9, 8))::BIGINT AS lo
+      FROM sh
+    ),
+    votes AS (
+      SELECT doc_id, g.b AS bit,
+             SUM(CASE WHEN (((CASE WHEN g.b >= 32 THEN hi ELSE lo END)
+                             >> (g.b % 32)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, generate_series(0, 63) g(b)
+      GROUP BY doc_id, g.b
+    ),
+    packed AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN bit >= 32 AND v > 0 THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi_s,
+             CAST(SUM(CASE WHEN bit < 32 AND v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS lo_s
+      FROM votes GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, hi_s, lo_s, g.i AS bi,
+             CASE g.i WHEN 0 THEN lo_s & 65535
+                      WHEN 1 THEN (lo_s >> 16) & 65535
+                      WHEN 2 THEN hi_s & 65535
+                      ELSE (hi_s >> 16) & 65535 END AS bk
+      FROM packed, generate_series(0, 3) g(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.hi_s AS ha, a.lo_s AS la, b.hi_s AS hb, b.lo_s AS lb
+      FROM bands a
+      JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+                AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+    """,
+)
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash Hamming-≤3 near-dup pairs
+    (operators/dedup.simhash_near_dup — the Manku-Jain-Sarma WWW'07
+    banded search): the 64-bit fingerprint splits into 4 contiguous
+    16-bit bands, so any pair within Hamming 3 agrees exactly on ≥1
+    band (pigeonhole — recall 1.0, unlike probabilistic MinHash
+    banding); candidates ride ONE (band_idx, band_value) self-join
+    carrying only ids + fingerprints, and verification is a constant
+    ``bit_count(xor)``.  md5-lane hashing keeps the fingerprints — and
+    therefore the pair set — engine-portable; the oracle replays the
+    bit-vote and the banding bit-for-bit (reference capability:
+    crawl-scale near-dup detection; complements q_near_dup_pairs /
+    q_minhash_band)."""
+    from access_mopper_spark.operators.dedup import simhash_near_dup
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup(docs, "text", "doc_id", max_hamming=3,
+                            shingle_k=5, hash_kind="md5")
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+             CAST(o_orderkey AS VARCHAR) AS id
+      FROM orders
+    ),
+    fanned AS (
+      SELECT o_orderpriority, x, g.r,
+             ('0x' || substring(md5('boot0:' || id || ':'
+                || CAST(g.r AS VARCHAR)), 1, 8))::BIGINT AS lane
+      FROM base, generate_series(0, 19) g(r)
+    ),
+    per_rep AS (
+      SELECT o_orderpriority, r,
+             CAST(SUM(w * x) AS BIGINT) AS swx,
+             CAST(SUM(w) AS BIGINT) AS sw,
+             CAST(SUM(CASE WHEN r = 0 THEN x END) AS BIGINT) AS sx0,
+             COUNT(CASE WHEN r = 0 THEN 1 END) AS n0
+      FROM (SELECT *,
+              CASE WHEN lane >= 1580030169 THEN 1 ELSE 0 END
+            + CASE WHEN lane >= 3160060337 THEN 1 ELSE 0 END
+            + CASE WHEN lane >= 3950075422 THEN 1 ELSE 0 END
+            + CASE WHEN lane >= 4213413783 THEN 1 ELSE 0 END
+            + CASE WHEN lane >= 4279248374 THEN 1 ELSE 0 END
+            + CASE WHEN lane >= 4292415292 THEN 1 ELSE 0 END AS w
+            FROM fanned)
+      GROUP BY o_orderpriority, r
+    ),
+    ranked AS (
+      SELECT o_orderpriority, r,
+             CASE WHEN sw > 0
+                  THEN ROUND(CAST(swx AS DOUBLE) / sw, 6) END AS m,
+             sx0, n0,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY (CASE WHEN sw > 0
+                  THEN ROUND(CAST(swx AS DOUBLE) / sw, 6) END)
+                  NULLS FIRST, r) AS rn
+      FROM per_rep
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n0) AS BIGINT) AS n_rows,
+           ROUND(CAST(MAX(sx0) AS DOUBLE) / MAX(n0), 6) AS point_mean,
+           MAX(CASE WHEN rn = 1 THEN m END) AS boot_lo,
+           MAX(CASE WHEN rn = 20 THEN m END) AS boot_hi
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """One-pass Poisson-bootstrap 95% CI for mean order value per
+    priority (operators/evalmetrics.poisson_bootstrap_ci — Chamandy et
+    al., Google 2012): 20 deterministic md5-lane Poisson(1) resamples
+    fan out map-side and collapse to |groups|·20 partial sums before
+    the one shuffle; replicate means are exact integer Σw·cents / Σw on
+    the 1e-6 grid; the rank-based interval reads the tiny ranked table.
+    The curation use: error bars on any corpus statistic (mean quality,
+    dup rate) without a second pass or RNG state."""
+    from access_mopper_spark.operators.evalmetrics import (
+        poisson_bootstrap_ci)
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority", "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    return poisson_bootstrap_ci(base, "cents", ["o_orderpriority"],
+                                "o_orderkey", replicates=20, salt="boot0")
+
+
+@query(
+    "q_retrieval_eval",
+    oracle="""
+    WITH g AS (SELECT UNNEST([0, 1, 2, 3]) AS query_id),
+    ranked AS (
+      SELECT g.query_id, d.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY g.query_id
+               ORDER BY md5('rk:' || CAST(g.query_id AS VARCHAR) || ':'
+                            || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS rank
+      FROM documents d CROSS JOIN g
+    ),
+    results AS (SELECT * FROM ranked WHERE rank <= 10),
+    qrels AS (
+      SELECT g.query_id, d.doc_id,
+             CAST((d.doc_id + g.query_id) % 4 AS BIGINT) AS rel
+      FROM documents d CROSS JOIN g
+      WHERE (d.doc_id * 7 + g.query_id) % 5 < 3
+    ),
+    per_q AS (
+      SELECT r.query_id, COUNT(*) AS n_retrieved,
+             CAST(SUM(CASE WHEN COALESCE(q.rel, 0) > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel_retrieved,
+             SUM((POW(2.0, CAST(COALESCE(q.rel, 0) AS DOUBLE)) - 1.0)
+                 / log2(CAST(r.rank AS DOUBLE) + 1.0)) AS dcg,
+             MIN(CASE WHEN COALESCE(q.rel, 0) > 0 THEN r.rank END) AS fr
+      FROM results r
+      LEFT JOIN qrels q
+        ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+      GROUP BY r.query_id
+    ),
+    ideal AS (
+      SELECT query_id,
+             SUM((POW(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                 / log2(CAST(ir AS DOUBLE) + 1.0)) AS idcg
+      FROM (SELECT query_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, doc_id ASC) AS ir
+            FROM qrels WHERE rel > 0)
+      WHERE ir <= 10
+      GROUP BY query_id
+    )
+    SELECT p.query_id, p.n_retrieved, p.n_rel_retrieved,
+           ROUND(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg
+                      ELSE 0.0 END, 6) AS ndcg,
+           ROUND(COALESCE(1.0 / CAST(p.fr AS DOUBLE), 0.0), 6) AS mrr
+    FROM per_q p LEFT JOIN ideal i USING (query_id)
+    """,
+)
+def q_retrieval_eval(spark, sf_dir):
+    """NDCG@10 / MRR / hits ranking-quality readout
+    (operators/evalmetrics.retrieval_eval) over a deterministic
+    retrieval fixture: 4 synthetic queries rank the documents table by
+    an md5 lane (both engines derive the identical ranked lists — the
+    eval judges RANKINGS, so the fixture IS the contract), judgments
+    are a keyed grade grid.  Plan: the (query, doc) equi-join hashes by
+    query on both sides; ideal DCG windows only the judged (small)
+    side; floats snap to the 1e-6 grid."""
+    from access_mopper_spark.operators.evalmetrics import retrieval_eval
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    g = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("query_id")
+    fanned = docs.select("doc_id", g)
+    wq = W.partitionBy("query_id").orderBy(
+        F.md5(F.concat(F.lit("rk:"), F.col("query_id").cast("string"),
+                       F.lit(":"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"))
+    results = (fanned.withColumn("rank", F.row_number().over(wq))
+               .where(F.col("rank") <= 10))
+    qrels = (fanned
+             .where((F.col("doc_id") * 7 + F.col("query_id")) % 5 < 3)
+             .select("query_id", "doc_id",
+                     ((F.col("doc_id") + F.col("query_id")) % 4)
+                     .cast("long").alias("rel")))
+    return retrieval_eval(results, qrels, k=10)
+
+
+@query(
+    "q_rrf_fuse",
+    oracle="""
+    WITH g AS (SELECT UNNEST([0, 1, 2]) AS query_id),
+    a AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT g.query_id, d.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY g.query_id
+                 ORDER BY md5('A:' || CAST(g.query_id AS VARCHAR) || ':'
+                              || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                 AS rank
+        FROM documents d CROSS JOIN g) WHERE rank <= 20
+    ),
+    b AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT g.query_id, d.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY g.query_id
+                 ORDER BY md5('B:' || CAST(g.query_id AS VARCHAR) || ':'
+                              || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                 AS rank
+        FROM documents d CROSS JOIN g) WHERE rank <= 20
+    ),
+    u AS (
+      SELECT query_id, doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c
+      FROM a
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c
+      FROM b
+    ),
+    fused AS (
+      SELECT query_id, doc_id, ROUND(SUM(c), 6) AS rrf_score,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, n_lists, fused_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= 10
+    """,
+)
+def q_rrf_fuse(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval lists per query
+    (operators/evalmetrics.rrf_fuse — Cormack SIGIR'09, the standard
+    hybrid lexical+dense merge): two deterministic md5-ordered top-20
+    rankings union map-only, ONE (query, doc) aggregate sums the
+    1/(60+rank) contributions on the 1e-6 grid, and the fused top-10
+    rides a rank-pushed per-query window.  Ties break on doc id —
+    identical order both engines."""
+    from access_mopper_spark.operators.evalmetrics import rrf_fuse
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    g = F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("query_id")
+    fanned = docs.select("doc_id", g)
+
+    def ranking(tag):
+        wq = W.partitionBy("query_id").orderBy(
+            F.md5(F.concat(F.lit(tag + ":"),
+                           F.col("query_id").cast("string"),
+                           F.lit(":"), F.col("doc_id").cast("string"))),
+            F.asc("doc_id"))
+        return (fanned.withColumn("rank", F.row_number().over(wq))
+                .where(F.col("rank") <= 20))
+
+    return rrf_fuse([ranking("A"), ranking("B")], k=60, topk=10)

@@ -390,3 +390,50 @@ def test_winnowing_guarantee_and_edges(spark):
     again = {(r["doc_id"], r["fp"]) for r in
              winnowing_fingerprints(docs, k=5, w=4).collect()}
     assert again == {(r["doc_id"], r["fp"]) for r in out}
+
+
+def test_simhash_near_dup_banded_matches_brute_force(spark, docs):
+    """Pigeonhole banding is EXACT: the banded candidate search must
+    return precisely the pairs a brute-force all-pairs Hamming scan
+    finds at the same threshold."""
+    from access_mopper_spark.operators.dedup import (simhash64,
+                                                     simhash_near_dup)
+    k = 3
+    sims = {r["doc_id"]: r["simhash"]
+            for r in simhash64(docs, "text", 5).collect()}
+    brute = set()
+    ids = sorted(sims)
+    for i in ids:
+        for j in ids:
+            if i < j and bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count("1") <= k:
+                brute.add((i, j))
+    got = {(r["id_a"], r["id_b"])
+           for r in simhash_near_dup(docs, "text", "doc_id",
+                                     max_hamming=k, shingle_k=5).collect()}
+    assert got == brute
+    assert (0, 3) in got  # the exact dup pair (hamming 0)
+
+
+def test_simhash_near_dup_band_cap_keeps_smallest_ids(spark):
+    """With identical texts, every doc lands in the same 4 buckets;
+    band_cap=2 keeps the two smallest ids per bucket so exactly one
+    pair (0,1) survives — deterministic, oracle-replayable."""
+    from access_mopper_spark.operators.dedup import simhash_near_dup
+    df = spark.createDataFrame(
+        [(i, "identical text for every row here") for i in range(5)],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           simhash_near_dup(df, max_hamming=3, band_cap=2).collect()}
+    assert got == {(0, 1)}
+
+
+def test_simhash_near_dup_hamming_zero_bands(spark):
+    """max_hamming=0 degenerates to a single 64-bit band: exact
+    fingerprint equality only."""
+    from access_mopper_spark.operators.dedup import simhash_near_dup
+    df = spark.createDataFrame(
+        [(0, "aaaa bbbb cccc dddd"), (1, "aaaa bbbb cccc dddd"),
+         (2, "totally different")],
+        "doc_id long, text string")
+    got = simhash_near_dup(df, max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in got} == {(0, 1, 0)}
