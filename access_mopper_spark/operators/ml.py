@@ -525,3 +525,48 @@ def position_bias(comps: DataFrame, first_col: str = "a_shown_first",
         F.sum(first_wins).cast("long").alias("n_first_wins"),
         F.expr(f"CAST(SUM(CAST(({first_col} = {winner_col}) AS LONG)) "
                "* 10000 DIV COUNT(*) AS BIGINT)").alias("first_win_bp"))
+
+
+def krippendorff_alpha_binary(votes: DataFrame, item_col: str = "item",
+                              vote_col: str = "vote") -> DataFrame:
+    """Krippendorff's alpha for binary nominal judgments — the
+    inter-annotator reliability coefficient that, unlike Cohen's kappa
+    (operators/aggregates.cohens_kappa), handles ANY number of
+    annotators per item and missing judgments, which is what real
+    preference-data collection looks like (items get 2-5 ratings from a
+    rotating pool).
+
+    Coincidence-matrix closed form over items with m_u ≥ 2 judgments
+    (singletons are unpairable and drop out, per Krippendorff):
+
+        alpha = 1 − (n − 1) · Σ_u [ n_u1·n_u0 / (m_u − 1) ]
+                        / (n_1 · n_0)
+
+    with n = Σ m_u pairable values, n_1/n_0 the global value counts.
+    Plan: ONE map-side-combined aggregate per item (the 100 TB side),
+    then a 1-row reduce — no windows, no joins.  The per-item term is
+    the only float (integer ratio with denominator m_u − 1); the final
+    alpha snaps to the 1e-6 grid.  Output 1 row: (n_items, n_values,
+    n_pos, alpha); alpha NULL when a value class is absent (De = 0)."""
+    from access_mopper_spark.functions.rounding import pround
+    per_item = (votes.groupBy(item_col)
+                .agg(F.count("*").alias("__m"),
+                     F.sum(F.col(vote_col).cast("long")).alias("__n1"))
+                .where(F.col("__m") >= 2))
+    term = (F.col("__n1") * (F.col("__m") - F.col("__n1"))).cast("double") \
+        / (F.col("__m") - 1).cast("double")
+    return (per_item.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("__m").cast("long").alias("n_values"),
+        F.sum("__n1").cast("long").alias("n_pos"),
+        F.sum(term).alias("__S"),
+    ).select(
+        "n_items", "n_values", "n_pos",
+        pround(
+            F.when((F.col("n_pos") > 0)
+                   & (F.col("n_values") - F.col("n_pos") > 0),
+                   F.lit(1.0)
+                   - (F.col("n_values") - 1).cast("double") * F.col("__S")
+                   / (F.col("n_pos")
+                      * (F.col("n_values") - F.col("n_pos"))).cast("double")),
+            6).alias("alpha")))

@@ -103,3 +103,28 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
                "min_str, max_str)"))
     return stacked.select("column", "n_rows", "n_null", "n_distinct",
                           "min_num", "max_num", "min_str", "max_str")
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                fp_col: str = "fp") -> DataFrame:
+    """Snapshot diff between two corpus versions — the governance
+    readout before promoting a refreshed crawl: how many documents were
+    added, removed, changed (same id, different content fingerprint),
+    or carried unchanged.
+
+    Both sides project to (id, fingerprint) — at 100 TB the fingerprint
+    column should be a precomputed digest (md5 of the content), so the
+    full-outer equi-join on id carries two slim columns and hashes both
+    snapshots by the same key.  ONE join + one map-side-combined
+    aggregate; all-integer output, one row per status."""
+    o = old.select(F.col(id_col).alias("__id"),
+                   F.col(fp_col).alias("__fo"))
+    n = new.select(F.col(id_col).alias("__id"),
+                   F.col(fp_col).alias("__fn"))
+    j = o.join(n, "__id", "full_outer")
+    status = (F.when(F.col("__fo").isNull(), F.lit("added"))
+              .when(F.col("__fn").isNull(), F.lit("removed"))
+              .when(F.col("__fo") == F.col("__fn"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return (j.select(status.alias("status"))
+            .groupBy("status").agg(F.count("*").alias("n_docs")))

@@ -373,3 +373,36 @@ def temperature_weights(df: DataFrame, group_col: str,
     w = F.col("__pa") / F.col("__z")
     return out.select(group_col, "n_docs", "share", w.alias("weight"),
                       (w / F.col("share")).alias("boost"))
+
+
+def padding_waste(df: DataFrame, token_col: str,
+                  bucket_bounds: list[int]) -> DataFrame:
+    """Length-bucketed batching efficiency report: when sequences are
+    padded to their bucket's bound (the standard bucketed-batching
+    inference/training setup), how many pad tokens does each bucket
+    burn?  The readout that picks bucket boundaries before a big run —
+    wasteful bounds at 100 TB are real GPU-hours.
+
+    Each sequence lands in the FIRST bound ≥ its length (longer
+    sequences fold into the top bucket, flagged truncated).  Per
+    bucket: sequence count, real tokens, padded slots (n · bound), and
+    integer-bp waste share.  ONE map-side-combined aggregate over
+    |buckets| keys; all-integer output."""
+    bounds = sorted(bucket_bounds)
+    t = F.col(token_col).cast("long")
+    bucket = F.lit(bounds[-1])
+    for b in reversed(bounds[:-1]):
+        bucket = F.when(t <= b, F.lit(b)).otherwise(bucket)
+    eff = F.least(t, F.lit(bounds[-1]))  # tokens kept after truncation
+    return (df.select(bucket.alias("bucket_bound"), t.alias("__t"),
+                      eff.alias("__e"))
+            .groupBy("bucket_bound")
+            .agg(F.count("*").alias("n_seqs"),
+                 F.sum("__t").cast("long").alias("sum_tokens"),
+                 (F.count("*") * F.first("bucket_bound"))
+                 .cast("long").alias("padded_slots"),
+                 F.sum((F.col("__t") > F.lit(bounds[-1])).cast("long"))
+                 .cast("long").alias("n_truncated"),
+                 F.expr(f"CAST((COUNT(*) * bucket_bound - SUM(__e)) * 10000 "
+                        f"DIV (COUNT(*) * bucket_bound) AS BIGINT)")
+                 .alias("waste_bp")))

@@ -241,7 +241,8 @@ def q_simhash_near_dup(spark, sf_dir):
     fanned AS (
       SELECT o_orderpriority, x, g.r,
              ('0x' || substring(md5('boot0:' || id || ':'
-                || CAST(g.r AS VARCHAR)), 1, 8))::BIGINT AS lane
+                || CAST(g.r // 4 AS VARCHAR)),
+                CAST((g.r % 4) * 8 + 1 AS INTEGER), 8))::BIGINT AS lane
       FROM base, generate_series(0, 19) g(r)
     ),
     per_rep AS (
@@ -290,7 +291,7 @@ def q_bootstrap_ci(spark, sf_dir):
     dup rate) without a second pass or RNG state."""
     from access_mopper_spark.operators.evalmetrics import (
         poisson_bootstrap_ci)
-    o = load_table(spark, sf_dir, "orders")
+    o = _wide(load_table(spark, sf_dir, "orders"))
     base = o.select(
         "o_orderpriority", "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
@@ -439,3 +440,137 @@ def q_rrf_fuse(spark, sf_dir):
                 .where(F.col("rank") <= 20))
 
     return rrf_fuse([ranking("A"), ranking("B")], k=60, topk=10)
+
+
+@query(
+    "q_krippendorff_alpha",
+    oracle="""
+    WITH votes AS (
+      SELECT CAST(l_partkey % 150 AS BIGINT) AS item,
+             CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS vote
+      FROM lineitem
+    ),
+    per_item AS (
+      SELECT item, COUNT(*) AS m, SUM(vote) AS n1
+      FROM votes GROUP BY item HAVING COUNT(*) >= 2
+    ),
+    red AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(m) AS BIGINT) AS n_values,
+             CAST(SUM(n1) AS BIGINT) AS n_pos,
+             SUM(CAST(n1 * (m - n1) AS DOUBLE) / (m - 1)) AS S
+      FROM per_item
+    )
+    SELECT n_items, n_values, n_pos,
+           ROUND(CASE WHEN n_pos > 0 AND n_values - n_pos > 0
+                 THEN 1.0 - CAST(n_values - 1 AS DOUBLE) * S
+                      / (CAST(n_pos AS DOUBLE) * (n_values - n_pos))
+                 END, 6) AS alpha
+    FROM red
+    """,
+)
+def q_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha reliability over binary judgments with a
+    VARIABLE number of ratings per item
+    (operators/ml.krippendorff_alpha_binary) — the general-design
+    complement to Cohen's kappa in the preference-QC family: items are
+    pairable with any m ≥ 2 judgments, singletons drop out per the
+    coefficient's definition.  One map-side-combined per-item aggregate
+    + a 1-row reduce; only the final alpha is float (1e-6 grid)."""
+    from access_mopper_spark.operators.ml import krippendorff_alpha_binary
+    li = load_table(spark, sf_dir, "lineitem")
+    votes = li.select(
+        (F.col("l_partkey") % 150).cast("long").alias("item"),
+        F.when(F.col("l_quantity") > 25, 1).otherwise(0).alias("vote"))
+    return krippendorff_alpha_binary(votes)
+
+
+@query(
+    "q_padding_waste",
+    oracle="""
+    WITH seqs AS (
+      SELECT n_chars AS t,
+             CASE WHEN n_chars <= 64 THEN 64
+                  WHEN n_chars <= 128 THEN 128
+                  WHEN n_chars <= 256 THEN 256
+                  WHEN n_chars <= 512 THEN 512
+                  ELSE 1024 END AS bucket_bound,
+             LEAST(n_chars, 1024) AS e
+      FROM documents
+    )
+    SELECT CAST(bucket_bound AS BIGINT) AS bucket_bound,
+           COUNT(*) AS n_seqs,
+           CAST(SUM(t) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * bucket_bound AS BIGINT) AS padded_slots,
+           CAST(SUM(CASE WHEN t > 1024 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST((COUNT(*) * bucket_bound - SUM(e)) * 10000
+                // (COUNT(*) * bucket_bound) AS BIGINT) AS waste_bp
+    FROM seqs GROUP BY bucket_bound
+    """,
+)
+def q_padding_waste(spark, sf_dir):
+    """Length-bucketed batch padding-waste report
+    (operators/sampling.padding_waste): every sequence pads to the
+    first bucket bound ≥ its length; per bucket the report ships
+    counts, real tokens, padded slots, truncations, and integer-bp
+    waste — the readout that tunes bucket boundaries before a training
+    run.  ONE map-side-combined aggregate over 5 keys; all-integer."""
+    from access_mopper_spark.operators.sampling import padding_waste
+    docs = load_table(spark, sf_dir, "documents")
+    return padding_waste(docs, "n_chars", [64, 128, 256, 512, 1024])
+
+
+@query(
+    "q_corpus_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(COALESCE(text, '')) AS fp FROM documents
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN md5(COALESCE(text, '') || ':v2')
+                  ELSE md5(COALESCE(text, '')) END AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             md5(COALESCE(text, '') || ':new') AS fp
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    j AS (
+      SELECT o.doc_id AS oid, n.doc_id AS nid, o.fp AS fo, n.fp AS fn
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT CASE WHEN fo IS NULL THEN 'added'
+                WHEN fn IS NULL THEN 'removed'
+                WHEN fo = fn THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           COUNT(*) AS n_docs
+    FROM j GROUP BY 1
+    """,
+)
+def q_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/profile.corpus_diff): the
+    governance readout before promoting a refreshed crawl — documents
+    added / removed / changed / unchanged between two versions, decided
+    on md5 content fingerprints riding a slim full-outer id join.  The
+    'new' snapshot derives deterministically from the same table (drop
+    every 7th id, mutate every 5th fingerprint, add every 11th under an
+    offset id), so both engines construct identical versions."""
+    from access_mopper_spark.operators.profile import corpus_diff
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    old = docs.select("doc_id", fp.alias("fp"))
+    kept = (docs.where(F.col("doc_id") % 7 != 0)
+            .select("doc_id",
+                    F.when(F.col("doc_id") % 5 == 0,
+                           F.md5(F.concat(F.coalesce(F.col("text"),
+                                                     F.lit("")),
+                                          F.lit(":v2"))))
+                    .otherwise(fp).alias("fp")))
+    added = (docs.where(F.col("doc_id") % 11 == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.md5(F.concat(F.coalesce(F.col("text"), F.lit("")),
+                                    F.lit(":new"))).alias("fp")))
+    return corpus_diff(old, kept.unionByName(added))

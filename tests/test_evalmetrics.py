@@ -200,3 +200,60 @@ def test_rrf_fuse_prefers_doc_in_both_lists(spark):
     assert by_doc[100]["n_lists"] == 1
     # rank-1-in-one-list beats rank-2-in-one-list
     assert by_doc[100]["rrf_score"] > by_doc[102]["rrf_score"]
+
+
+def test_krippendorff_alpha_closed_form(spark):
+    """Hand-computed: items A(1,1), B(1,0), C(0,0), D(1) (D unpairable).
+    n=6 pairable values, n1=3, n0=3, S = 0 + 1 + 0 = 1.
+    alpha = 1 - 5*1/(3*3) = 4/9."""
+    from access_mopper_spark.operators.ml import krippendorff_alpha_binary
+    rows = [("A", 1), ("A", 1), ("B", 1), ("B", 0), ("C", 0), ("C", 0),
+            ("D", 1)]
+    df = spark.createDataFrame(rows, "item string, vote int")
+    out = krippendorff_alpha_binary(df).collect()[0]
+    assert out["n_items"] == 3 and out["n_values"] == 6
+    assert out["n_pos"] == 3
+    assert abs(out["alpha"] - 4.0 / 9.0) < 2e-6
+
+
+def test_krippendorff_alpha_perfect_agreement(spark):
+    from access_mopper_spark.operators.ml import krippendorff_alpha_binary
+    rows = [("A", 1), ("A", 1), ("B", 0), ("B", 0)]
+    df = spark.createDataFrame(rows, "item string, vote int")
+    assert krippendorff_alpha_binary(df).collect()[0]["alpha"] == 1.0
+
+
+def test_krippendorff_alpha_degenerate_single_class(spark):
+    from access_mopper_spark.operators.ml import krippendorff_alpha_binary
+    rows = [("A", 1), ("A", 1), ("B", 1), ("B", 1)]
+    df = spark.createDataFrame(rows, "item string, vote int")
+    assert krippendorff_alpha_binary(df).collect()[0]["alpha"] is None
+
+
+def test_padding_waste_exact(spark):
+    from access_mopper_spark.operators.sampling import padding_waste
+    # lens 10, 64 → bucket 64 (waste = 128-74); 100 → 128; 9999 → 1024
+    # truncated
+    df = spark.createDataFrame([(10,), (64,), (100,), (9999,)],
+                               "toks long")
+    out = {r["bucket_bound"]: r
+           for r in padding_waste(df, "toks", [64, 128, 1024]).collect()}
+    b64 = out[64]
+    assert b64["n_seqs"] == 2 and b64["sum_tokens"] == 74
+    assert b64["padded_slots"] == 128
+    assert b64["waste_bp"] == (128 - 74) * 10000 // 128
+    assert out[128]["waste_bp"] == (128 - 100) * 10000 // 128
+    big = out[1024]
+    assert big["n_truncated"] == 1 and big["sum_tokens"] == 9999
+    assert big["waste_bp"] == 0  # truncated seq fills its slot exactly
+
+
+def test_corpus_diff_statuses(spark):
+    from access_mopper_spark.operators.profile import corpus_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, fp string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "doc_id long, fp string")
+    out = {r["status"]: r["n_docs"]
+           for r in corpus_diff(old, new).collect()}
+    assert out == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
