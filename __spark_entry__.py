@@ -62,8 +62,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # OUT with families represented.  Queued for r10 first exposure: the
 # r9-late additions q_psi_drift, q_kl_unigram_drift, q_url_dedup,
 # q_paragraph_dedup, q_temperature_mixture, q_winnowing_fingerprints
-# (all local-green + 5-seed fuzz-clean) plus the ~100 remaining
-# never-exposed rows.
+# (all local-green + 5-seed fuzz-clean), the r9 second-batch eval/QC
+# family q_auc_roc, q_calibration_bins, q_confusion_thresholds,
+# q_simhash_near_dup (5-seed fuzz-clean), q_bootstrap_ci,
+# q_retrieval_eval, q_rrf_fuse, q_krippendorff_alpha, q_padding_waste,
+# q_corpus_diff (all local-green at sf0.01 AND TZ-hostile-green),
+# plus the ~100 remaining never-exposed rows.
 _DRIVER_PRIORITY = [
     # (a) sentinels — r8-green, kept to lock adjudications
     "q_probe_date_render", "q_dup_ngrams", "q_max_concurrency",

@@ -21,6 +21,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def embedding_centroid_drift(emb: DataFrame, side_col: str,
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space drift between two corpus snapshots: the cosine
+    similarity and squared L2 distance between the two sides' centroid
+    vectors — the cheap first-line check that a re-embedded or
+    refreshed corpus still lives in the same region of embedding space
+    (a centroid shift breaks ANN index reuse and semantic-dedup
+    thresholds calibrated on the old snapshot).
+
+    Determinism contract: per-dimension means are snapped to the
+    integer 1e-6 grid (micro units) BEFORE the comparison, so the
+    cosine numerator and both norms are EXACT BIGINT sums over ≤dim
+    values (dim·(1e6)² ≪ 2^63) — the only floats are the final
+    sqrt/divide on exact integers, identical IEEE ops on both engines.
+    No summation-order surface anywhere.
+
+    Plan: one posexplode (map-only fan-out ×dim) + ONE map-side-
+    combined (side, dim) aggregate, then a dim-sized join and a 1-row
+    reduce.  At 100 TB the shuffle carries 2·dim partial sums.
+    Output 1 row: (n_dims, n_ref, n_cur, cosine, l2_sq_micro2)."""
+    from access_mopper_spark.functions.rounding import pround
+    side = F.col(side_col).cast("int")
+    ex = emb.select(side.alias("__s"),
+                    F.posexplode(F.col(vec_col)).alias("__p", "__v"))
+    per = (ex.groupBy("__s", "__p")
+           .agg(F.sum(F.col("__v").cast("double")).alias("__sum"),
+                F.count("*").alias("__n")))
+    mean_micro = F.floor(F.col("__sum") / F.col("__n") * 1e6 + F.lit(0.5)) \
+        .cast("long")
+    m = per.select("__s", "__p", mean_micro.alias("__m"), F.col("__n"))
+    a = m.where(F.col("__s") == 0).select(F.col("__p"),
+                                          F.col("__m").alias("__m0"),
+                                          F.col("__n").alias("__n0"))
+    b = m.where(F.col("__s") == 1).select(F.col("__p"),
+                                          F.col("__m").alias("__m1"),
+                                          F.col("__n").alias("__n1"))
+    j = a.join(b, "__p")
+    red = j.agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.max("__n0").cast("long").alias("n_ref"),
+        F.max("__n1").cast("long").alias("n_cur"),
+        F.sum(F.col("__m0") * F.col("__m1")).alias("__dot"),
+        F.sum(F.col("__m0") * F.col("__m0")).alias("__a2"),
+        F.sum(F.col("__m1") * F.col("__m1")).alias("__b2"),
+        F.sum((F.col("__m0") - F.col("__m1"))
+              * (F.col("__m0") - F.col("__m1"))).alias("l2_sq_micro2"))
+    cos = F.when((F.col("__a2") > 0) & (F.col("__b2") > 0),
+                 F.col("__dot").cast("double")
+                 / (F.sqrt(F.col("__a2").cast("double"))
+                    * F.sqrt(F.col("__b2").cast("double"))))
+    return red.select("n_dims", "n_ref", "n_cur",
+                      pround(cos, 6).alias("cosine"),
+                      F.col("l2_sq_micro2").cast("long")
+                      .alias("l2_sq_micro2"))
+
+
 def psi_buckets(df: DataFrame, value_col: str, side_col: str,
                 bucket_width: int = 64) -> DataFrame:
     """Per-bucket PSI decomposition between two corpus snapshots.

@@ -387,9 +387,12 @@ def padding_waste(df: DataFrame, token_col: str,
     sequences fold into the top bucket, flagged truncated).  Per
     bucket: sequence count, real tokens, padded slots (n · bound), and
     integer-bp waste share.  ONE map-side-combined aggregate over
-    |buckets| keys; all-integer output."""
+    |buckets| keys; all-integer output.  NULL lengths count as 0 (an
+    un-tokenized/empty doc occupies a smallest-bucket slot — without
+    the coalesce a NULL length rides the CASE into the TOP bucket and
+    NULL-poisons the bucket's sums; fuzz seed4)."""
     bounds = sorted(bucket_bounds)
-    t = F.col(token_col).cast("long")
+    t = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
     bucket = F.lit(bounds[-1])
     for b in reversed(bounds[:-1]):
         bucket = F.when(t <= b, F.lit(b)).otherwise(bucket)

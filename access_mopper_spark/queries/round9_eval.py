@@ -489,13 +489,13 @@ def q_krippendorff_alpha(spark, sf_dir):
     "q_padding_waste",
     oracle="""
     WITH seqs AS (
-      SELECT n_chars AS t,
-             CASE WHEN n_chars <= 64 THEN 64
+      SELECT COALESCE(n_chars, 0) AS t,
+             CASE WHEN COALESCE(n_chars, 0) <= 64 THEN 64
                   WHEN n_chars <= 128 THEN 128
                   WHEN n_chars <= 256 THEN 256
                   WHEN n_chars <= 512 THEN 512
                   ELSE 1024 END AS bucket_bound,
-             LEAST(n_chars, 1024) AS e
+             LEAST(COALESCE(n_chars, 0), 1024) AS e
       FROM documents
     )
     SELECT CAST(bucket_bound AS BIGINT) AS bucket_bound,
@@ -574,3 +574,149 @@ def q_corpus_diff(spark, sf_dir):
                      F.md5(F.concat(F.coalesce(F.col("text"), F.lit("")),
                                     F.lit(":new"))).alias("fp")))
     return corpus_diff(old, kept.unionByName(added))
+
+
+@query(
+    "q_stream_drift",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    types AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS c_base
+      FROM c GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_base) AS BIGINT) AS n_total,
+             COUNT(*) AS n_types
+      FROM types
+    ),
+    days AS (
+      SELECT day, CAST(SUM(n) AS BIGINT) AS n_day FROM c GROUP BY 1
+    ),
+    grid AS (
+      SELECT d.day, d.n_day, t.event_type, t.c_base,
+             COALESCE(c.n, 0) AS n_dt
+      FROM days d CROSS JOIN types t
+      LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+    )
+    SELECT g.day, g.n_day AS n_events,
+           ROUND(SUM(
+             (CAST(g.n_dt + 1 AS DOUBLE)
+                / CAST(g.n_day + tt.n_types AS DOUBLE)
+              - CAST(g.c_base + 1 AS DOUBLE)
+                / CAST(tt.n_total + tt.n_types AS DOUBLE))
+             * LN((CAST(g.n_dt + 1 AS DOUBLE)
+                   / CAST(g.n_day + tt.n_types AS DOUBLE))
+                  / (CAST(g.c_base + 1 AS DOUBLE)
+                     / CAST(tt.n_total + tt.n_types AS DOUBLE)))), 6)
+             AS psi
+    FROM grid g, tot tt
+    GROUP BY g.day, g.n_day
+    """,
+)
+def q_stream_drift(spark, sf_dir):
+    """STREAMING distribution-drift monitor: per event-time day, the
+    PSI of that day's event-type mix against the whole-corpus baseline
+    — the live 'did today's traffic move' alarm next to the batch
+    snapshot monitors (q_psi_drift / q_kl_unigram_drift).  The
+    streaming stage is ONE windowed (day, type) count in complete mode
+    (state = |days|·|types| counters, bounded); the PSI decomposition
+    is a batch read of the tiny sink table (day×type grid join against
+    broadcast baseline totals, add-1 smoothing over the global type
+    set).  With AvailableNow over finite input the sink equals the
+    batch aggregate — exactly what the oracle replays; an unbounded
+    deployment swaps complete mode for a watermark + append and ages
+    old days out of state."""
+    from access_mopper_spark.streaming.resample import (events_stream,
+                                                        harness_shuffle,
+                                                        run_to_memory)
+    ev = events_stream(spark, sf_dir)
+    counts = (ev.groupBy(F.window("ts", "1 day").alias("__w"), "event_type")
+              .agg(F.count("*").alias("n"))
+              .select(F.to_date(F.col("__w.start")).alias("day"),
+                      "event_type", "n"))
+    with harness_shuffle(spark):
+        run_to_memory(counts, "q_stream_drift_sink", mode="complete")
+    c = spark.table("q_stream_drift_sink")
+    types = c.groupBy("event_type").agg(F.sum("n").alias("c_base"))
+    tot = types.agg(F.sum("c_base").alias("n_total"),
+                    F.count("*").alias("n_types"))
+    days = c.groupBy("day").agg(F.sum("n").alias("n_day"))
+    # three branches of the same sink view meet again: rename the
+    # count branch's key columns so the re-join doesn't carry
+    # conflicting attribute ids
+    cc = c.select(F.col("day").alias("__d"),
+                  F.col("event_type").alias("__t"),
+                  F.col("n").alias("__n"))
+    grid = (days.crossJoin(F.broadcast(types))
+            .join(cc, (F.col("day") == F.col("__d"))
+                  & (F.col("event_type") == F.col("__t")), "left")
+            .select("day", "n_day", "c_base",
+                    F.coalesce(F.col("__n"), F.lit(0)).alias("n_dt"))
+            .crossJoin(F.broadcast(tot)))
+    p_day = ((F.col("n_dt") + 1).cast("double")
+             / (F.col("n_day") + F.col("n_types")).cast("double"))
+    p_base = ((F.col("c_base") + 1).cast("double")
+              / (F.col("n_total") + F.col("n_types")).cast("double"))
+    return (grid.groupBy("day", F.col("n_day").cast("long")
+                         .alias("n_events"))
+            .agg(R6(F.sum((p_day - p_base) * F.log(p_day / p_base)))
+                 .alias("psi")))
+
+
+@query(
+    "q_embedding_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT CAST(vec_id % 2 AS INT) AS s, i.i - 1 AS p,
+             CAST(embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings,
+           (SELECT UNNEST(range(1,
+              (SELECT COALESCE(MAX(len(embedding)), 1) + 1
+               FROM embeddings))) AS i) i
+      WHERE i.i <= len(embedding)
+    ),
+    per AS (SELECT s, p, SUM(v) AS sm, COUNT(*) AS n
+            FROM ex GROUP BY s, p),
+    m AS (SELECT s, p,
+                 CAST(FLOOR(sm / n * 1e6 + 0.5) AS BIGINT) AS mm, n
+          FROM per),
+    j AS (SELECT a.p, a.mm AS m0, b.mm AS m1, a.n AS n0, b.n AS n1
+          FROM m a JOIN m b ON a.p = b.p AND a.s = 0 AND b.s = 1),
+    red AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+             CAST(MAX(n0) AS BIGINT) AS n_ref,
+             CAST(MAX(n1) AS BIGINT) AS n_cur,
+             CAST(SUM(m0 * m1) AS BIGINT) AS dot,
+             CAST(SUM(m0 * m0) AS BIGINT) AS a2,
+             CAST(SUM(m1 * m1) AS BIGINT) AS b2,
+             CAST(SUM((m0 - m1) * (m0 - m1)) AS BIGINT) AS l2_sq_micro2
+      FROM j
+    )
+    SELECT n_dims, n_ref, n_cur,
+           ROUND(CASE WHEN a2 > 0 AND b2 > 0
+                 THEN CAST(dot AS DOUBLE)
+                      / (SQRT(CAST(a2 AS DOUBLE))
+                         * SQRT(CAST(b2 AS DOUBLE))) END, 6) AS cosine,
+           l2_sq_micro2
+    FROM red
+    """,
+)
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-centroid drift between two snapshot halves
+    (operators/drift.embedding_centroid_drift): cosine + squared-L2
+    between the sides' mean vectors — the first-line check that a
+    refreshed/re-embedded corpus still supports the ANN index and
+    semantic-dedup thresholds calibrated on the old one.  Per-dim means
+    snap to the integer micro grid BEFORE comparison, so dot/norms are
+    exact BIGINT sums and the only floats are sqrt/divide on exact
+    integers — no summation-order surface.  One (side, dim) map-side
+    count + a dim-sized join; sides here are the vec_id parity split."""
+    from access_mopper_spark.operators.drift import embedding_centroid_drift
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(
+        emb.select((F.col("vec_id") % 2).alias("side"), "embedding"),
+        "side")

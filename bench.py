@@ -106,6 +106,12 @@ HEADLINE = [
     "q_annotator_bias",
     "q_position_bias",
     "q_lsh_calibration",
+    # round 9 batch 2: model-eval QC (exact AUC / threshold sweep),
+    # SimHash banded near-dup, one-pass Poisson bootstrap CI
+    "q_auc_roc",
+    "q_confusion_thresholds",
+    "q_simhash_near_dup",
+    "q_bootstrap_ci",
 ]
 
 
