@@ -199,6 +199,26 @@ COMMENTARY = {
         "and join back onto the ~n sampled pairs through two hash "
         "joins at full parallelism (r8: the arrays rode the "
         "256-partition sort and went 14.5x superlinear at x100).",
+    "q_auc_roc": "Exact AUC: the raw table collapses to per-(group, "
+        "score) counts in a map-side-combined aggregate BEFORE the "
+        "cumulative window — the sort payload is |distinct scores|, "
+        "never |rows|; 2·P·N·AUC stays BIGINT end-to-end.",
+    "q_simhash_near_dup": "Pigeonhole Hamming banding: the self-join "
+        "shuffles (band_idx, 16-bit band, id, fingerprint) only — text "
+        "never enters the exchange; verification is one bit_count(xor) "
+        "per candidate riding the joined rows.",
+    "q_bootstrap_ci": "One-pass Poisson bootstrap: the rep fan-out is "
+        "map-side (explode before partial agg), the exchange carries "
+        "|groups|·R partial sums; 4 replicates share each md5 digest; "
+        "the CI rank window touches the groups×R table only.",
+    "q_stream_drift": "Streaming PSI monitor: stateful stage is one "
+        "windowed (day, type) count (complete mode, bounded state); "
+        "the PSI grid join + broadcast totals run batch over the "
+        "sink's |days|·|types| rows.",
+    "q_embedding_drift": "Centroid drift: posexplode fans map-side to "
+        "(side, dim) partial sums — the exchange carries 2·dim rows; "
+        "means snap to the integer micro grid so dot/norms are exact "
+        "BIGINT sums (no summation-order surface).",
 }
 
 
