@@ -150,20 +150,36 @@ def poisson_bootstrap_ci(df: DataFrame, value_col: str,
                          "by group; an all-corpus CI needs a constant "
                          "group column)")
     keys = [F.col(c) for c in group_cols]
-    rep = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("__r")
     x = F.col(value_col).cast("long")
-    fanned = df.select(*keys, x.alias("__x"),
-                       F.col(id_col).cast("string").alias("__id"), rep)
+    sid = F.col(id_col).cast("string")
     # one md5 digest carries FOUR 32-bit lanes — replicate r reads lane
-    # r%4 of digest r//4, so the dominant map stage computes ⌈R/4⌉
-    # digests per row instead of R (4× less hash CPU at 100 TB; the
-    # lanes of one md5 are independent uniform words)
-    digest = F.md5(F.concat(
-        F.lit(salt + ":"), F.col("__id"), F.lit(":"),
-        F.expr("CAST(__r DIV 4 AS STRING)")))
-    start = (F.col("__r") % 4) * 8 + 1
-    lane = F.conv(digest.substr(start, F.lit(8)), 16, 10).cast("long")
-    w = sum((lane >= F.lit(t)).cast("long") for t in _POISSON1_CDF_2P32)
+    # r%4 of digest r//4, so each row hashes ⌈R/4⌉ times, not R.  The
+    # fan-out is STAGED as two generators so every digest computes
+    # exactly once: explode digest indices j, hash per (row, j), then
+    # posexplode the digest's 4 hex lanes.  The digest alias is
+    # referenced 4× by the lane array, which keeps CollapseProject from
+    # inlining the md5 back into the generator's consumer (a
+    # once-referenced array alias DID get inlined and recomputed per
+    # (row, replicate): measured 13.9× wall for 10× data at ×100;
+    # staged this way the hash stage is linear in rows).
+    n_digests = (replicates + 3) // 4
+    jrep = F.explode(F.sequence(F.lit(0), F.lit(n_digests - 1))).alias("__j")
+    st = (df.select(*keys, x.alias("__x"), sid.alias("__id"), jrep)
+          .select(*group_cols, "__x", "__j",
+                  F.md5(F.concat(F.lit(salt + ":"), F.col("__id"),
+                                 F.lit(":"), F.col("__j").cast("string")))
+                  .alias("__dg"))
+          .select(*group_cols, "__x", "__j",
+                  F.posexplode(F.array(*[
+                      F.col("__dg").substr(1 + 8 * lane_i, 8)
+                      for lane_i in range(4)])).alias("__l", "__h")))
+    fanned = (st.select(*group_cols, "__x",
+                        (F.col("__j") * 4 + F.col("__l")).alias("__r"),
+                        F.conv(F.col("__h"), 16, 10).cast("long")
+                        .alias("__lane"))
+              .where(F.col("__r") < replicates))
+    w = sum((F.col("__lane") >= F.lit(t)).cast("long")
+            for t in _POISSON1_CDF_2P32)
     per_rep = (fanned.withColumn("__w", w)
                .groupBy(*group_cols, "__r")
                .agg(F.sum(F.col("__w") * F.col("__x")).alias("__swx"),
