@@ -866,3 +866,49 @@ def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     return (staged.select(F.col(id_col),
                           F.explode(F.array_distinct(mins)).alias("fp"))
             .distinct())
+
+
+def winnowing_similarity(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 5, w: int = 4,
+                         min_shared: int = 2,
+                         fp_cap: int | None = 50) -> DataFrame:
+    """MOSS-style pair similarity from shared winnowing fingerprints:
+    which document pairs share substrings, and how much?  The report
+    stage of plagiarism/boilerplate detection on top of
+    ``winnowing_fingerprints`` — a shared fingerprint witnesses a
+    shared substring of length ≥ k (guaranteed found when ≥ w+k−1).
+
+    ``fp_cap`` drops STOP fingerprints (selected minima appearing in
+    more than ``fp_cap`` docs — ubiquitous substrings like common words
+    carry no similarity signal and their buckets blow up the self-join
+    quadratically; MOSS does exactly this).  Deterministic (a count
+    threshold), so an oracle replays it.
+
+    Plan: fingerprint table → one map-side-combined fp count (the stop
+    filter rides the count join) → fp-key self-join carrying only ids
+    → pair aggregate → two slim id-joins for the per-doc totals.
+    Output: (id_a, id_b, n_shared, containment_bp) with containment =
+    shared / min(|fp_a|, |fp_b|) over the FILTERED fingerprint sets,
+    integer basis points."""
+    fps = winnowing_fingerprints(docs, id_col, text_col, k, w)
+    if fp_cap is not None:
+        keep = (fps.groupBy("fp").agg(F.count("*").alias("__df"))
+                .where(F.col("__df") <= fp_cap).select("fp"))
+        fps = fps.join(keep, "fp")
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (a.join(b, "fp").where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("__sz").alias("__sb"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", F.col("n_shared").cast("long")
+                    .alias("n_shared"),
+                    F.expr("CAST(n_shared * 10000 "
+                           "DIV LEAST(__sa, __sb) AS BIGINT)")
+                    .alias("containment_bp")))

@@ -720,3 +720,56 @@ def q_embedding_drift(spark, sf_dir):
     return embedding_centroid_drift(
         emb.select((F.col("vec_id") % 2).alias("side"), "embedding"),
         "side")
+
+
+@query(
+    "q_winnowing_similarity",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND length(text) >= 8
+    ),
+    g AS (
+      SELECT d.doc_id, gi.i AS i,
+             substring(md5(substring(d.text, gi.i, 5)), 1, 8) AS h,
+             length(d.text) - 4 AS n_grams
+      FROM d, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(length(text)), 1)
+                                       FROM d) + 1)) AS i) gi
+      WHERE gi.i <= length(d.text) - 4
+    ),
+    wmin AS (
+      SELECT doc_id, i, n_grams,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g
+    ),
+    fps0 AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= n_grams - 3),
+    keep AS (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) <= 50),
+    fps AS (SELECT f.doc_id, f.fp FROM fps0 f JOIN keep USING (fp)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.id_a, p.id_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(p.n_shared * 10000 // LEAST(sa.sz, sb.sz) AS BIGINT)
+             AS containment_bp
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    """,
+)
+def q_winnowing_similarity(spark, sf_dir):
+    """MOSS-style similarity report from shared winnowing fingerprints
+    (operators/dedup.winnowing_similarity, k=5, w=4, stop-fingerprint
+    cap 50): pairs sharing ≥2 selected substring hashes with an
+    integer-bp containment score — the report stage of
+    plagiarism/boilerplate detection over q_winnowing_fingerprints.
+    The fp self-join carries ids only; ubiquitous fingerprints drop at
+    a deterministic document-frequency cap (replayed by the oracle), so
+    no bucket is unbounded."""
+    from access_mopper_spark.operators.dedup import winnowing_similarity
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    return winnowing_similarity(docs, "doc_id", "text", k=5, w=4,
+                                min_shared=2, fp_cap=50)

@@ -437,3 +437,32 @@ def test_simhash_near_dup_hamming_zero_bands(spark):
         "doc_id long, text string")
     got = simhash_near_dup(df, max_hamming=0).collect()
     assert {(r["id_a"], r["id_b"], r["hamming"]) for r in got} == {(0, 1, 0)}
+
+
+def test_winnowing_similarity_detects_planted_overlap(spark):
+    """Two docs sharing a long span score high containment; unrelated
+    docs share nothing; the stop-fingerprint cap drops ubiquitous
+    grams."""
+    from access_mopper_spark.operators.dedup import winnowing_similarity
+    shared = "the entire middle section is lifted verbatim from doc zero"
+    rows = [
+        (0, "intro A " + shared + " outro A"),
+        (1, "intro B " + shared + " different ending entirely"),
+        (2, "nothing in common with the others at all zzz qqq vvv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r for r in
+           winnowing_similarity(df, min_shared=2, fp_cap=None).collect()}
+    assert (0, 1) in out
+    assert out[(0, 1)]["containment_bp"] > 5000  # most fps shared
+    assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_winnowing_similarity_fp_cap_drops_hot_fingerprints(spark):
+    """With a cap of 1 every fingerprint appearing in 2+ docs drops, so
+    NO pair can share fingerprints at all."""
+    from access_mopper_spark.operators.dedup import winnowing_similarity
+    df = spark.createDataFrame(
+        [(i, "identical text everywhere again") for i in range(4)],
+        "doc_id long, text string")
+    assert winnowing_similarity(df, min_shared=1, fp_cap=1).count() == 0
