@@ -59,7 +59,11 @@ def auc_roc(scored: DataFrame, score_col: str = "score",
     pre-aggregate groups or accept a double-typed variant."""
     keys = list(group_cols or [])
     pos = F.col(label_col).cast("long")
-    per_score = (scored.groupBy(*keys, F.col(score_col).alias("__s"))
+    # NULL scores are unrankable — drop them (and don't let them reach
+    # the window: Spark sorts NULLs first ascending, DuckDB last, so a
+    # NULL score group would silently diverge between engines)
+    per_score = (scored.where(F.col(score_col).isNotNull())
+                 .groupBy(*keys, F.col(score_col).alias("__s"))
                  .agg(F.sum(pos).alias("__p"),
                       (F.count("*") - F.sum(pos)).alias("__n")))
     w = (W.partitionBy(*keys).orderBy("__s") if keys else W.orderBy("__s"))

@@ -257,3 +257,47 @@ def test_corpus_diff_statuses(spark):
     out = {r["status"]: r["n_docs"]
            for r in corpus_diff(old, new).collect()}
     assert out == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+# ---- property tests (hypothesis): AUC distributive identity ----
+
+from hypothesis import given, settings, strategies as st
+
+_pairs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6),
+              st.integers(min_value=0, max_value=1)),
+    min_size=4, max_size=40).filter(
+        lambda ps: any(y == 1 for _, y in ps)
+        and any(y == 0 for _, y in ps))
+
+
+@settings(max_examples=10, deadline=None)
+@given(pairs=_pairs)
+def test_auc_property_matches_brute_force(spark, pairs):
+    """For ANY score/label multiset with both classes present, the
+    per-score-count rank formula equals all-pairs counting."""
+    df = spark.createDataFrame(pairs, "score long, label int")
+    out = auc_roc(df, "score", "label").collect()[0]
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    num2 = sum(2 if p > n else (1 if p == n else 0)
+               for p in pos for n in neg)
+    assert out["auc_bp"] == num2 * 10000 // (2 * len(pos) * len(neg))
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=_pairs)
+def test_confusion_property_counts_partition(spark, pairs):
+    """tp+fp+fn+tn == n at every threshold, and recall is monotone
+    non-increasing in the threshold."""
+    df = spark.createDataFrame(pairs, "score long, label int")
+    ts = [0, 3, 7]
+    rows = {r["threshold"]: r for r in
+            confusion_at_thresholds(df, ts, "score", "label").collect()}
+    n = len(pairs)
+    recalls = []
+    for t in ts:
+        r = rows[t]
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+        recalls.append(r["recall_bp"])
+    assert recalls == sorted(recalls, reverse=True)
