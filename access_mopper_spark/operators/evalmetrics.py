@@ -292,6 +292,8 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 60, topk: int = 10,
     the rankings are already top-n per query, so every stage is bounded
     by n·|rankings| rows per query."""
     from access_mopper_spark.functions.rounding import pround
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     parts = [rk.select(query_col, doc_col,
                        (F.lit(1.0) / (F.lit(float(k))
                                       + F.col(rank_col).cast("double")))
