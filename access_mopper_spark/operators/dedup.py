@@ -337,6 +337,13 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text",
     b = max_hamming + 1
     if not 1 <= b <= 64:
         raise ValueError("max_hamming must be in [0, 63]")
+    # NULL/empty documents all fingerprint to simhash64("") and would
+    # pair quadratically with each other as hamming-0 "near-dups" —
+    # content-less docs carry no similarity signal, so they never enter
+    # the candidate search (the lsh_band_keys NULL-contract, applied
+    # here as a filter because simhash64 itself coalesces)
+    df = df.where(F.col(text_col).isNotNull()
+                  & (F.length(text_col) > 0))
     sim = simhash64(df, text_col, shingle_k, hash_kind=hash_kind) \
         .select(id_col, "simhash")
     # band i covers bits [off_i, off_i + w_i): widths as equal as

@@ -54,15 +54,20 @@ def auc_roc(scored: DataFrame, score_col: str = "score",
     the aggregated table stays bounded — the documented contract, same
     as every fixed-grid percentile in operators/aggregates.
     Groups with no positives or no negatives return NULL auc_bp rather
-    than a division error.  The integer path is exact while
-    ``2·P·N < 2^63`` (~2·10⁹ rows per class per group); beyond that,
-    pre-aggregate groups or accept a double-typed variant."""
+    than a division error.  The bp division runs on the exact integer
+    grid while ``2·P·N ≤ 9·10^14`` (num2·10⁴ must fit a BIGINT — about
+    2·10⁷ rows per class per group); above that a deterministic CASE
+    switches to ``FLOOR(num2/den·10⁴)`` on doubles — num2 and den are
+    still exact BIGINTs (< 2^63), both engines run the identical IEEE
+    divide, and the result is within 1 bp of exact."""
     keys = list(group_cols or [])
     pos = F.col(label_col).cast("long")
-    # NULL scores are unrankable — drop them (and don't let them reach
-    # the window: Spark sorts NULLs first ascending, DuckDB last, so a
-    # NULL score group would silently diverge between engines)
-    per_score = (scored.where(F.col(score_col).isNotNull())
+    # NULL scores are unrankable and NULL labels belong to neither
+    # class — drop both (COUNT(*) − SUM(label) would silently count a
+    # NULL label as a negative, and Spark/DuckDB disagree on where
+    # NULL scores sort)
+    per_score = (scored.where(F.col(score_col).isNotNull()
+                              & F.col(label_col).isNotNull())
                  .groupBy(*keys, F.col(score_col).alias("__s"))
                  .agg(F.sum(pos).alias("__p"),
                       (F.count("*") - F.sum(pos)).alias("__n")))
@@ -79,8 +84,15 @@ def auc_roc(scored: DataFrame, score_col: str = "score",
         F.sum("__p").cast("long").alias("n_pos"),
         F.sum("__n").cast("long").alias("n_neg"),
         F.when((F.sum("__p") > 0) & (F.sum("__n") > 0),
-               F.expr("CAST(SUM(__c) * 10000 DIV (2 * SUM(__p) * SUM(__n)) "
-                      "AS BIGINT)"))
+               F.expr(
+                   # num2 ≤ den = 2·P·N, so num2·10⁴ overflows BIGINT
+                   # exactly when den > ~9.2·10^14 — guard with the
+                   # same deterministic CASE the oracle replays
+                   "CASE WHEN 2 * SUM(__p) * SUM(__n) <= 900000000000000 "
+                   "THEN CAST(SUM(__c) * 10000 "
+                   "DIV (2 * SUM(__p) * SUM(__n)) AS BIGINT) "
+                   "ELSE CAST(FLOOR(CAST(SUM(__c) AS DOUBLE) "
+                   "/ (2 * SUM(__p) * SUM(__n)) * 10000) AS BIGINT) END"))
         .alias("auc_bp"))
 
 

@@ -486,19 +486,20 @@ def annotator_bias(votes: DataFrame, item_col: str = "item",
                  .alias("__cons")))
     j = votes.join(cons, item_col)
     agree = (F.col(vote_col) == F.col("__cons")).cast("long")
-    return (j.groupBy(annotator_col)
-            .agg(F.count("*").alias("n_votes"),
-                 F.sum(agree).alias("n_agree"),
-                 F.expr(f"CAST(SUM(CAST(({vote_col} = __cons) AS LONG)) "
-                        "* 10000 DIV COUNT(*) AS BIGINT)").alias("agree_bp"),
-                 F.expr(f"CAST(SUM({vote_col}) * 10000 DIV COUNT(*) "
-                        "AS BIGINT)").alias("pos_bp"),
-                 F.expr("CAST(SUM(__cons) * 10000 DIV COUNT(*) AS BIGINT)")
-                 .alias("consensus_pos_bp"))
-            .withColumn("bias_bp",
-                        (F.col("pos_bp") - F.col("consensus_pos_bp"))
-                        .cast("long"))
-            .withColumn("n_agree", F.col("n_agree").cast("long")))
+    # basis points derive from the aggregated columns (one source of
+    # truth per predicate; no user column names spliced into SQL text)
+    agged = (j.groupBy(annotator_col)
+             .agg(F.count("*").alias("n_votes"),
+                  F.sum(agree).cast("long").alias("n_agree"),
+                  F.sum(F.col(vote_col).cast("long")).alias("__npos"),
+                  F.sum(F.col("__cons").cast("long")).alias("__ncons")))
+    bp = lambda c: F.expr(f"CAST({c} * 10000 DIV n_votes AS BIGINT)")
+    return agged.select(
+        annotator_col, "n_votes", "n_agree",
+        bp("n_agree").alias("agree_bp"),
+        bp("__npos").alias("pos_bp"),
+        bp("__ncons").alias("consensus_pos_bp"),
+        (bp("__npos") - bp("__ncons")).cast("long").alias("bias_bp"))
 
 
 def position_bias(comps: DataFrame, first_col: str = "a_shown_first",
@@ -520,11 +521,11 @@ def position_bias(comps: DataFrame, first_col: str = "a_shown_first",
     first_wins = (F.col(first_col) == F.col(winner_col)).cast("long")
     keys = [F.col(c) for c in (group_cols or [])]
     g = comps.groupBy(*keys) if keys else comps.groupBy()
-    return g.agg(
-        F.count("*").alias("n_pairs"),
-        F.sum(first_wins).cast("long").alias("n_first_wins"),
-        F.expr(f"CAST(SUM(CAST(({first_col} = {winner_col}) AS LONG)) "
-               "* 10000 DIV COUNT(*) AS BIGINT)").alias("first_win_bp"))
+    return (g.agg(F.count("*").alias("n_pairs"),
+                  F.sum(first_wins).cast("long").alias("n_first_wins"))
+            .withColumn("first_win_bp",
+                        F.expr("CAST(n_first_wins * 10000 DIV n_pairs "
+                               "AS BIGINT)")))
 
 
 def krippendorff_alpha_binary(votes: DataFrame, item_col: str = "item",

@@ -117,14 +117,21 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     full-outer equi-join on id carries two slim columns and hashes both
     snapshots by the same key.  ONE join + one map-side-combined
     aggregate; all-integer output, one row per status."""
+    # presence is decided by explicit flags, NOT fingerprint nullness —
+    # a row present in both snapshots with a NULL fp on one side must
+    # read 'changed', not 'added'/'removed'; fp equality is null-safe
+    # so two NULL fps compare as unchanged
     o = old.select(F.col(id_col).alias("__id"),
-                   F.col(fp_col).alias("__fo"))
+                   F.col(fp_col).alias("__fo"),
+                   F.lit(True).alias("__po"))
     n = new.select(F.col(id_col).alias("__id"),
-                   F.col(fp_col).alias("__fn"))
+                   F.col(fp_col).alias("__fn"),
+                   F.lit(True).alias("__pn"))
     j = o.join(n, "__id", "full_outer")
-    status = (F.when(F.col("__fo").isNull(), F.lit("added"))
-              .when(F.col("__fn").isNull(), F.lit("removed"))
-              .when(F.col("__fo") == F.col("__fn"), F.lit("unchanged"))
+    status = (F.when(F.col("__po").isNull(), F.lit("added"))
+              .when(F.col("__pn").isNull(), F.lit("removed"))
+              .when(F.col("__fo").eqNullSafe(F.col("__fn")),
+                    F.lit("unchanged"))
               .otherwise(F.lit("changed")))
     return (j.select(status.alias("status"))
             .groupBy("status").agg(F.count("*").alias("n_docs")))

@@ -1141,15 +1141,22 @@ _URL_MULTI_TLD_SQL = ("('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',"
                       "'org.au','co.jp','co.nz','co.in','com.br','com.cn',"
                       "'com.mx','co.za')")
 
+# authority with userinfo stripped — mirrors web._url_hostport (the r8
+# ADVICE fix); the oracle must replay it or any fixture URL with
+# user:pass@ or a bracketed IPv6 host silently diverges cross-engine
+_URL_HP_SQL = ("regexp_replace(regexp_extract(url, "
+               "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^.*@', '')")
+
 _URL_CANON_CTES = f"""
     u AS (SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents),
     parsed AS (
       SELECT doc_id, url,
         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        lower(regexp_extract(regexp_extract(url,
-          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS host,
-        regexp_extract(regexp_extract(url,
-          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$', 1) AS port,
+        CASE WHEN starts_with({_URL_HP_SQL}, '[')
+             THEN lower(regexp_extract({_URL_HP_SQL}, '^(\\[[^\\]]*\\])', 1))
+             ELSE lower(regexp_extract({_URL_HP_SQL}, '^([^:]*)', 1))
+        END AS host,
+        regexp_extract({_URL_HP_SQL}, ':([0-9]+)$', 1) AS port,
         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
         regexp_extract(url, '\\?([^#]*)', 1) AS rawq
       FROM u

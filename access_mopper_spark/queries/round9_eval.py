@@ -41,9 +41,13 @@ from access_mopper_spark.queries._core import query, R6, _wide  # noqa: F401
     SELECT l_returnflag,
            CAST(SUM(p) AS BIGINT) AS n_pos,
            CAST(SUM(n) AS BIGINT) AS n_neg,
-           CASE WHEN SUM(p) > 0 AND SUM(n) > 0
-                THEN CAST(SUM(p * (2 * below + n)) * 10000
-                          // (2 * SUM(p) * SUM(n)) AS BIGINT)
+           CASE WHEN SUM(p) > 0 AND SUM(n) > 0 THEN
+             CASE WHEN 2 * SUM(p) * SUM(n) <= 900000000000000
+                  THEN CAST(SUM(p * (2 * below + n)) * 10000
+                            // (2 * SUM(p) * SUM(n)) AS BIGINT)
+                  ELSE CAST(FLOOR(CAST(SUM(p * (2 * below + n)) AS DOUBLE)
+                            / (2 * SUM(p) * SUM(n)) * 10000) AS BIGINT)
+             END
            END AS auc_bp
     FROM acc GROUP BY l_returnflag
     """,
@@ -165,10 +169,16 @@ def q_confusion_thresholds(spark, sf_dir):
 @query(
     "q_simhash_near_dup",
     oracle="""
-    WITH sh AS (
-      SELECT DISTINCT d.doc_id, substring(COALESCE(d.text, ''), g.i, 5) AS s
-      FROM documents d, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(length(text)), 1) FROM documents) + 1)) AS i) g
-      WHERE g.i <= greatest(length(COALESCE(d.text, '')) - 4, 1)
+    WITH d0 AS (
+      -- content-less docs never enter the near-dup search (they all
+      -- fingerprint to simhash64('') and would pair quadratically)
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    sh AS (
+      SELECT DISTINCT d.doc_id, substring(d.text, g.i, 5) AS s
+      FROM d0 d, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(length(text)), 1) FROM d0) + 1)) AS i) g
+      WHERE g.i <= greatest(length(d.text) - 4, 1)
     ),
     h AS (
       SELECT doc_id,

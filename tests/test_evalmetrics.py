@@ -301,3 +301,17 @@ def test_confusion_property_counts_partition(spark, pairs):
         assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
         recalls.append(r["recall_bp"])
     assert recalls == sorted(recalls, reverse=True)
+
+
+def test_corpus_diff_null_fp_is_presence_safe(spark):
+    """A doc present in BOTH snapshots with a NULL fingerprint on one
+    side is 'changed' (not 'added'/'removed'); NULL==NULL fingerprints
+    compare as unchanged (null-safe equality)."""
+    from access_mopper_spark.operators.profile import corpus_diff
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "c")], "doc_id long, fp string")
+    new = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, None)], "doc_id long, fp string")
+    out = {r["status"]: r["n_docs"]
+           for r in corpus_diff(old, new).collect()}
+    assert out == {"changed": 2, "unchanged": 1}
