@@ -67,7 +67,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_simhash_near_dup (5-seed fuzz-clean), q_bootstrap_ci,
 # q_retrieval_eval, q_rrf_fuse, q_krippendorff_alpha, q_padding_waste,
 # q_corpus_diff (all local-green at sf0.01 AND TZ-hostile-green),
-# plus the ~100 remaining never-exposed rows.
+# q_stream_drift, q_embedding_drift, q_winnowing_similarity,
+# q_simhash_clusters (same gate status; the text rows 5-seed
+# fuzz-clean), plus the ~100 remaining never-exposed rows.
 _DRIVER_PRIORITY = [
     # (a) sentinels — r8-green, kept to lock adjudications
     "q_probe_date_render", "q_dup_ngrams", "q_max_concurrency",
