@@ -828,3 +828,111 @@ def q_simhash_clusters(spark, sf_dir):
     return (cc_large_small_star(pairs, docs.select("doc_id"),
                                 id_a="id_a", id_b="id_b")
             .select(F.col("node").alias("doc_id"), "cluster_id"))
+
+
+_LSH_RECALL_ORACLE = f"""
+    WITH cand AS (
+      SELECT id_a, id_b FROM ({{NEAR_DUP}})
+      WHERE id_a < 200 AND id_b < 200
+    ),
+    toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text,
+               '[ \\t\\n\\r]+', ' ', 'g'), ' '), ' ') AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[g.i : g.i + 2], ' ') AS s
+      FROM toks, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1)
+                                          FROM toks) + 1)) AS i) g
+      WHERE g.i <= greatest(len(w) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT t.id_a, t.id_b
+      FROM inter t
+      JOIN sizes sa ON sa.doc_id = t.id_a
+      JOIN sizes sb ON sb.doc_id = t.id_b
+      WHERE 3 * t.i >= sa.n + sb.n
+    ),
+    hit AS (
+      SELECT COUNT(*) AS n_hit
+      FROM truth JOIN cand USING (id_a, id_b)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(h.n_hit AS BIGINT) AS n_hit,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                THEN CAST(h.n_hit * 10000
+                          // (SELECT COUNT(*) FROM truth) AS BIGINT)
+           END AS recall_bp
+    FROM hit h
+"""
+
+
+def _register_lsh_recall():
+    from access_mopper_spark.queries._core import ORACLES as _O
+    oracle = _LSH_RECALL_ORACLE.replace("{NEAR_DUP}",
+                                        _O["q_near_dup_pairs"])
+
+    @query("q_lsh_recall", oracle=oracle)
+    def q_lsh_recall(spark, sf_dir):
+        """Index-quality recall of the PRODUCTION MinHash-LSH dedup
+        index against exact ground truth (the dedup analogue of
+        q_ann_recall): the full-corpus near_dup_pairs output (6 hashes
+        × 3 bands, cap 64, Jaccard-verified ≥ 0.5) is scored on a
+        deterministic doc sample against the exact word-3-gram Jaccard
+        pairs computed by shingle equi-join — the recall readout that
+        tells you whether the banding parameters are leaving real
+        duplicates in the corpus.  The ≥0.5 truth threshold compares in
+        exact integers (3·|∩| ≥ |A|+|B|); candidates ⊆ truth by the
+        verify step, so precision is 1 by construction and recall is
+        the whole story.  One shingle-key shuffle for truth (sample-
+        bounded), the production pair SQL replayed verbatim for the
+        candidate side."""
+        from access_mopper_spark.functions.text import word_shingles
+        from access_mopper_spark.operators.dedup import near_dup_pairs
+        docs = load_table(spark, sf_dir, "documents")
+        cand = (near_dup_pairs(docs, "text", "doc_id", n_hashes=6,
+                               band_size=2, shingle_k=3,
+                               jaccard_threshold=0.5,
+                               shingle_kind="word", band_cap=64)
+                .where((F.col("id_a") < 200) & (F.col("id_b") < 200))
+                .select("id_a", "id_b"))
+        sample = docs.where(F.col("doc_id") < 200)
+        sh = sample.select(
+            "doc_id",
+            F.explode(F.array_distinct(
+                word_shingles(F.col("text"), 3))).alias("s"))
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = sh.select(F.col("doc_id").alias("id_a"), "s")
+        b = sh.select(F.col("doc_id").alias("id_b"), "s")
+        inter = (a.join(b, "s").where(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
+        truth = (inter
+                 .join(sizes.select(F.col("doc_id").alias("id_a"),
+                                    F.col("n").alias("na")), "id_a")
+                 .join(sizes.select(F.col("doc_id").alias("id_b"),
+                                    F.col("n").alias("nb")), "id_b")
+                 .where(3 * F.col("i") >= F.col("na") + F.col("nb"))
+                 .select("id_a", "id_b"))
+        hit = truth.join(cand, ["id_a", "id_b"]).agg(
+            F.count("*").alias("n_hit"))
+        n_truth = truth.agg(F.count("*").alias("n_truth"))
+        n_cand = cand.agg(F.count("*").alias("n_candidates"))
+        return (n_truth.crossJoin(n_cand).crossJoin(hit)
+                .select(F.col("n_truth").cast("long").alias("n_truth"),
+                        F.col("n_candidates").cast("long")
+                        .alias("n_candidates"),
+                        F.col("n_hit").cast("long").alias("n_hit"),
+                        F.when(F.col("n_truth") > 0,
+                               F.expr("CAST(n_hit * 10000 DIV n_truth "
+                                      "AS BIGINT)")).alias("recall_bp")))
+    return q_lsh_recall
+
+
+_register_lsh_recall()
