@@ -30,12 +30,16 @@ def embedding_centroid_drift(emb: DataFrame, side_col: str,
     (a centroid shift breaks ANN index reuse and semantic-dedup
     thresholds calibrated on the old snapshot).
 
-    Determinism contract: per-dimension means are snapped to the
-    integer 1e-6 grid (micro units) BEFORE the comparison, so the
-    cosine numerator and both norms are EXACT BIGINT sums over ≤dim
-    values (dim·(1e6)² ≪ 2^63) — the only floats are the final
-    sqrt/divide on exact integers, identical IEEE ops on both engines.
-    No summation-order surface anywhere.
+    Determinism contract: every ELEMENT snaps to the integer 1e-6 grid
+    before any sum (the cents pattern — map-side, order-free), the
+    per-dimension totals are exact BIGINT sums, and the mean re-snaps
+    through a double division of exact integers (< 2^53 — correctly
+    rounded, identical on both engines regardless of partitioning).
+    The cosine numerator and both norms are then EXACT BIGINT sums over
+    ≤dim values (dim·(1e6)² ≪ 2^63) — the only floats anywhere take
+    exact integer inputs, so there is truly no summation-order surface
+    (a first draft summed raw doubles before snapping, which made the
+    snap partition-order dependent).
 
     Plan: one posexplode (map-only fan-out ×dim) + ONE map-side-
     combined (side, dim) aggregate, then a dim-sized join and a 1-row
@@ -45,11 +49,13 @@ def embedding_centroid_drift(emb: DataFrame, side_col: str,
     side = F.col(side_col).cast("int")
     ex = emb.select(side.alias("__s"),
                     F.posexplode(F.col(vec_col)).alias("__p", "__v"))
-    per = (ex.groupBy("__s", "__p")
-           .agg(F.sum(F.col("__v").cast("double")).alias("__sum"),
-                F.count("*").alias("__n")))
-    mean_micro = F.floor(F.col("__sum") / F.col("__n") * 1e6 + F.lit(0.5)) \
+    v_micro = F.floor(F.col("__v").cast("double") * 1e6 + F.lit(0.5)) \
         .cast("long")
+    per = (ex.groupBy("__s", "__p")
+           .agg(F.sum(v_micro).alias("__sum"),
+                F.count("*").alias("__n")))
+    mean_micro = F.floor(F.col("__sum").cast("double") / F.col("__n")
+                         + F.lit(0.5)).cast("long")
     m = per.select("__s", "__p", mean_micro.alias("__m"), F.col("__n"))
     a = m.where(F.col("__s") == 0).select(F.col("__p"),
                                           F.col("__m").alias("__m0"),

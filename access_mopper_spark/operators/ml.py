@@ -550,7 +550,11 @@ def krippendorff_alpha_binary(votes: DataFrame, item_col: str = "item",
     alpha snaps to the 1e-6 grid.  Output 1 row: (n_items, n_values,
     n_pos, alpha); alpha NULL when a value class is absent (De = 0)."""
     from access_mopper_spark.functions.rounding import pround
-    per_item = (votes.groupBy(item_col)
+    # missing judgments DROP (the coefficient's definition): a NULL
+    # vote must not inflate m while SUM skips it — that would score the
+    # phantom judgment as a 0-vote and admit unpairable singletons
+    per_item = (votes.where(F.col(vote_col).isNotNull())
+                .groupBy(item_col)
                 .agg(F.count("*").alias("__m"),
                      F.sum(F.col(vote_col).cast("long")).alias("__n1"))
                 .where(F.col("__m") >= 2))

@@ -391,6 +391,8 @@ def padding_waste(df: DataFrame, token_col: str,
     un-tokenized/empty doc occupies a smallest-bucket slot — without
     the coalesce a NULL length rides the CASE into the TOP bucket and
     NULL-poisons the bucket's sums; fuzz seed4)."""
+    if not bucket_bounds:
+        raise ValueError("padding_waste needs at least one bucket bound")
     bounds = sorted(bucket_bounds)
     t = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
     bucket = F.lit(bounds[-1])
@@ -402,8 +404,8 @@ def padding_waste(df: DataFrame, token_col: str,
             .groupBy("bucket_bound")
             .agg(F.count("*").alias("n_seqs"),
                  F.sum("__t").cast("long").alias("sum_tokens"),
-                 (F.count("*") * F.first("bucket_bound"))
-                 .cast("long").alias("padded_slots"),
+                 F.expr("CAST(COUNT(*) * bucket_bound AS BIGINT)")
+                 .alias("padded_slots"),
                  F.sum((F.col("__t") > F.lit(bounds[-1])).cast("long"))
                  .cast("long").alias("n_truncated"),
                  F.expr(f"CAST((COUNT(*) * bucket_bound - SUM(__e)) * 10000 "

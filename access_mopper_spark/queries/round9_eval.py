@@ -682,17 +682,19 @@ def q_stream_drift(spark, sf_dir):
     oracle="""
     WITH ex AS (
       SELECT CAST(vec_id % 2 AS INT) AS s, i.i - 1 AS p,
-             CAST(embedding[i.i] AS DOUBLE) AS v
+             CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS v
       FROM embeddings,
            (SELECT UNNEST(range(1,
               (SELECT COALESCE(MAX(len(embedding)), 1) + 1
                FROM embeddings))) AS i) i
       WHERE i.i <= len(embedding)
     ),
-    per AS (SELECT s, p, SUM(v) AS sm, COUNT(*) AS n
+    per AS (SELECT s, p, CAST(SUM(v) AS BIGINT) AS sm, COUNT(*) AS n
             FROM ex GROUP BY s, p),
     m AS (SELECT s, p,
-                 CAST(FLOOR(sm / n * 1e6 + 0.5) AS BIGINT) AS mm, n
+                 CAST(FLOOR(CAST(sm AS DOUBLE) / n + 0.5) AS BIGINT)
+                   AS mm, n
           FROM per),
     j AS (SELECT a.p, a.mm AS m0, b.mm AS m1, a.n AS n0, b.n AS n1
           FROM m a JOIN m b ON a.p = b.p AND a.s = 0 AND b.s = 1),
@@ -720,11 +722,12 @@ def q_embedding_drift(spark, sf_dir):
     (operators/drift.embedding_centroid_drift): cosine + squared-L2
     between the sides' mean vectors — the first-line check that a
     refreshed/re-embedded corpus still supports the ANN index and
-    semantic-dedup thresholds calibrated on the old one.  Per-dim means
-    snap to the integer micro grid BEFORE comparison, so dot/norms are
-    exact BIGINT sums and the only floats are sqrt/divide on exact
-    integers — no summation-order surface.  One (side, dim) map-side
-    count + a dim-sized join; sides here are the vec_id parity split."""
+    semantic-dedup thresholds calibrated on the old one.  Every ELEMENT
+    snaps to the integer micro grid before any sum (map-side,
+    order-free), so dot/norms are exact BIGINT sums and the only floats
+    take exact-integer inputs — no summation-order surface.  One
+    (side, dim) map-side count + a dim-sized join; sides here are the
+    vec_id parity split."""
     from access_mopper_spark.operators.drift import embedding_centroid_drift
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_centroid_drift(

@@ -315,3 +315,37 @@ def test_corpus_diff_null_fp_is_presence_safe(spark):
     out = {r["status"]: r["n_docs"]
            for r in corpus_diff(old, new).collect()}
     assert out == {"changed": 2, "unchanged": 1}
+
+
+def test_krippendorff_null_votes_drop(spark):
+    """A NULL vote is a missing judgment, not a 0: item A's phantom
+    pair must not fire a disagreement term, and A becomes an
+    unpairable singleton when only one real vote remains."""
+    from access_mopper_spark.operators.ml import krippendorff_alpha_binary
+    rows = [("A", 1), ("A", None), ("B", 1), ("B", 1), ("C", 0), ("C", 0)]
+    df = spark.createDataFrame(rows, "item string, vote int")
+    out = krippendorff_alpha_binary(df).collect()[0]
+    assert out["n_items"] == 2 and out["n_values"] == 4
+    assert out["alpha"] == 1.0  # perfect agreement on the real votes
+
+
+def test_padding_waste_empty_bounds_raises(spark):
+    from access_mopper_spark.operators.sampling import padding_waste
+    df = spark.createDataFrame([(10,)], "toks long")
+    with pytest.raises(ValueError):
+        padding_waste(df, "toks", [])
+
+
+def test_embedding_drift_partition_invariant(spark):
+    """The micro-grid snap happens per ELEMENT, so repartitioning must
+    not change a single output value (no summation-order surface)."""
+    from access_mopper_spark.operators.drift import embedding_centroid_drift
+    import random
+    rng = random.Random(7)
+    rows = [(i % 2, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "side int, embedding array<double>")
+    a = embedding_centroid_drift(df, "side").collect()[0]
+    b = embedding_centroid_drift(df.repartition(17), "side").collect()[0]
+    assert a == b
+    assert a["n_dims"] == 16 and a["cosine"] is not None
