@@ -88,11 +88,16 @@ def auc_roc(scored: DataFrame, score_col: str = "score",
                    # num2 ≤ den = 2·P·N, so num2·10⁴ overflows BIGINT
                    # exactly when den > ~9.2·10^14 — guard with the
                    # same deterministic CASE the oracle replays
+                   # the fallback denominator multiplies in DOUBLE —
+                   # BIGINT 2·P·N itself overflows once P·N > ~4.6e18
+                   # (~2e9 rows per class per group), exactly the regime
+                   # the double branch exists for
                    "CASE WHEN 2 * SUM(__p) * SUM(__n) <= 900000000000000 "
                    "THEN CAST(SUM(__c) * 10000 "
                    "DIV (2 * SUM(__p) * SUM(__n)) AS BIGINT) "
                    "ELSE CAST(FLOOR(CAST(SUM(__c) AS DOUBLE) "
-                   "/ (2 * SUM(__p) * SUM(__n)) * 10000) AS BIGINT) END"))
+                   "/ (2.0 * CAST(SUM(__p) AS DOUBLE) "
+                   "* CAST(SUM(__n) AS DOUBLE)) * 10000) AS BIGINT) END"))
         .alias("auc_bp"))
 
 
@@ -106,12 +111,18 @@ def calibration_bins(scored: DataFrame, prob_bp_col: str = "prob_bp",
     folds into the top bin).  Output per bin: count, mean predicted bp
     (integer division), empirical positive bp, and the signed gap — the
     per-bin term of expected calibration error.  All integers; ONE
-    map-side-combined aggregate over ``n_bins`` keys."""
+    map-side-combined aggregate over ``n_bins`` keys.  NULL scores and
+    NULL labels are dropped (same contract as auc_roc — a NULL prob
+    would otherwise land in the top bin because LEAST skips NULLs)."""
     p = F.col(prob_bp_col).cast("long")
-    b = F.least(F.expr(f"CAST({prob_bp_col} AS BIGINT) * {n_bins} DIV 10000"),
+    # bin from Column arithmetic, never an f-string splice of the column
+    # name into SQL text; p·n_bins ≤ 10⁵·n_bins is exact in doubles
+    b = F.least(F.floor((p * F.lit(n_bins)) / F.lit(10000)),
                 F.lit(n_bins - 1)).cast("long").alias("bin")
     y = F.col(label_col).cast("long")
-    return (scored.select(b, p.alias("__p"), y.alias("__y"))
+    return (scored.where(F.col(prob_bp_col).isNotNull()
+                         & F.col(label_col).isNotNull())
+            .select(b, p.alias("__p"), y.alias("__y"))
             .groupBy("bin")
             .agg(F.count("*").alias("n"),
                  F.expr("CAST(SUM(__p) DIV COUNT(*) AS BIGINT)")
@@ -334,10 +345,13 @@ def confusion_at_thresholds(scored: DataFrame, thresholds: list,
     Integer outputs: ``precision_bp = TP·10000 DIV (TP+FP)`` (NULL when
     no positives predicted), ``recall_bp = TP·10000 DIV (TP+FN)`` (NULL
     when no actual positives), ``f1_bp = 2·TP·10000 DIV (2·TP+FP+FN)``
-    — the harmonic mean on the exact 2·TP grid, no float anywhere."""
+    — the harmonic mean on the exact 2·TP grid, no float anywhere.
+    NULL scores/labels are dropped (auc_roc contract: a NULL label
+    would otherwise break the tp+fp+fn+tn == n partition)."""
     t_arr = F.array(*[F.lit(t) for t in thresholds])
     y = F.col(label_col).cast("long")
-    fanned = scored.select(
+    fanned = scored.where(F.col(score_col).isNotNull()
+                          & F.col(label_col).isNotNull()).select(
         F.explode(t_arr).alias("threshold"),
         y.alias("__y"),
         F.col(score_col).alias("__s"))

@@ -1683,25 +1683,15 @@ def q_epoch_shuffle(spark, sf_dir):
     return ranked.select("doc_id", "epoch_rank")
 
 
-@query("q_minhash_xxhash64")  # rows-only: xxhash64 is Spark-native, no
-# DuckDB replay exists — the PRODUCTION hash path (pure codegen seeded
-# 64-bit hashes, no hex strings) that a pipeline without a cross-engine
-# oracle should run; exact-duplicate signature equality is pinned by a
-# unit test instead (tests/test_lines.py)
-def q_minhash_xxhash64(spark, sf_dir):
-    """MinHash signatures on the Spark-native hash path: xxhash64
-    seeded lanes (long columns, whole-stage codegen, no hex strings in
-    downstream band joins).  Same shingling, NULL contract, and banding
-    as the md5 path.  MEASURED at the x10 point (n_hashes=4): md5 is
-    ~25% faster to BUILD (one digest = four lanes vs n xxhash calls);
-    the long signatures win only downstream — documented in
-    minhash_signature, kept honest here instead of assumed."""
-    from access_mopper_spark.operators.dedup import minhash_signature
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "text", n_hashes=4, shingle_k=5,
-                            hash_kind="xxhash64")
-    return sig.select("doc_id", "minhash_0", "minhash_1",
-                      "minhash_2", "minhash_3")
+# q_minhash_xxhash64 (the xxhash64 fast-path probe) was the registry's
+# only oracle-less row: xxhash64 is Spark-native and has no DuckDB
+# replay, and a value-pinned fixture would break whenever the driver
+# regenerates testdata.  Demoted in round 10 (VERDICT r9 item 5) to
+# tests/test_minhash_xxhash64.py, which pins the invariants the probe
+# carried (exact-dup signature equality, the NULL-text contract, and
+# class agreement with the oracle-checked md5 path on exact dups) —
+# queries() is now 100% oracle-paired.  The ×10 build-cost measurement
+# lives in minhash_signature's docstring (operators/dedup.py).
 
 
 @query(

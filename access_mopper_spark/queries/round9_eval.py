@@ -46,7 +46,8 @@ from access_mopper_spark.queries._core import query, R6, _wide  # noqa: F401
                   THEN CAST(SUM(p * (2 * below + n)) * 10000
                             // (2 * SUM(p) * SUM(n)) AS BIGINT)
                   ELSE CAST(FLOOR(CAST(SUM(p * (2 * below + n)) AS DOUBLE)
-                            / (2 * SUM(p) * SUM(n)) * 10000) AS BIGINT)
+                            / (2.0 * CAST(SUM(p) AS DOUBLE)
+                               * CAST(SUM(n) AS DOUBLE)) * 10000) AS BIGINT)
              END
            END AS auc_bp
     FROM acc GROUP BY l_returnflag
@@ -552,9 +553,9 @@ def q_padding_waste(spark, sf_dir):
       SELECT o.doc_id AS oid, n.doc_id AS nid, o.fp AS fo, n.fp AS fn
       FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     )
-    SELECT CASE WHEN fo IS NULL THEN 'added'
-                WHEN fn IS NULL THEN 'removed'
-                WHEN fo = fn THEN 'unchanged'
+    SELECT CASE WHEN oid IS NULL THEN 'added'
+                WHEN nid IS NULL THEN 'removed'
+                WHEN fo IS NOT DISTINCT FROM fn THEN 'unchanged'
                 ELSE 'changed' END AS status,
            COUNT(*) AS n_docs
     FROM j GROUP BY 1
