@@ -137,7 +137,8 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
                    jaccard_threshold: float = 0.5,
                    shingle_kind: str = "word",
                    hash_kind: str = "md5",
-                   band_cap: int | None = None) -> DataFrame:
+                   band_cap: int | None = None,
+                   restrict_ids: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact Jaccard on distinct
     shingle sets.
 
@@ -157,7 +158,20 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     share, one of them falls outside the bucket's cap — family members
     beyond the cap still dedup transitively through the kept
     representatives.  The cap is deterministic (smallest ids), so an
-    oracle replays it exactly; ``None`` = exact LSH semantics."""
+    oracle replays it exactly; ``None`` = exact LSH semantics.
+
+    ``restrict_ids``: optional 1-column DataFrame of ids; when given the
+    output is EXACTLY the full-corpus result filtered to pairs whose
+    BOTH members are in the set — but computed without materializing
+    the full pair set.  Band keys and the band_cap ranks are still
+    computed over the whole corpus (linear work — the cap rank depends
+    on every bucket member), then the banded rows are semi-joined to
+    the restricted ids BEFORE the bucket self-join, so pair
+    materialization and the Jaccard verify are bounded by the sample.
+    This is the index-quality-readout shape (q_lsh_recall): score the
+    production index on a sample without paying the production pair
+    materialization — the ×100 honest sweep measured the full-pairs
+    path at 27× wall for 10× data on exactly this readout."""
     from access_mopper_spark.functions.text import word_shingles
     df = ensure_min_partitions(df)
     sig = lsh_band_keys(
@@ -178,6 +192,16 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         wb = Window.partitionBy("bi", "bk").orderBy(F.asc(id_col))
         ids = (ids.withColumn("__r", F.row_number().over(wb))
                   .where(F.col("__r") <= band_cap).drop("__r"))
+    verify_src = df
+    if restrict_ids is not None:
+        # AFTER the cap (its ranks are a full-corpus property), BEFORE
+        # the self-join: only sampled ids enter pair materialization.
+        # The sample is small by construction — broadcast the semi-join.
+        keep_ids = F.broadcast(
+            restrict_ids.select(F.col(restrict_ids.columns[0])
+                                .alias(id_col)).distinct())
+        ids = ids.join(keep_ids, id_col, "semi")
+        verify_src = df.join(keep_ids, id_col, "semi")
     a = ids.select(F.col(id_col).alias("id_a"), "bi", "bk")
     bdf = ids.select(F.col(id_col).alias("id_b"), "bi", "bk")
     cand = (a.join(bdf, ["bi", "bk"]).where(F.col("id_a") < F.col("id_b"))
@@ -186,7 +210,7 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     shingles = F.array_distinct(
         char_shingles(F.col(text_col), shingle_k) if shingle_kind == "char"
         else word_shingles(F.col(text_col), shingle_k))
-    docs_sh = df.select(F.col(id_col), shingles.alias("sh"))
+    docs_sh = verify_src.select(F.col(id_col), shingles.alias("sh"))
     verified = (
         cand.join(docs_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(docs_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

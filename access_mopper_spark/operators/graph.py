@@ -38,8 +38,16 @@ def _pagerank_invariants(edges: DataFrame):
     EnsureRequirements reuses it (verified: zero Exchange above the
     edge InMemoryTableScan in the executed sort-merge plan) and each
     iteration shuffles only the node-sized rank/deg tables.
-    tests/test_explain_plans.py pins the cached partitioning."""
-    e = edges.select("src", "dst").distinct().repartition("src").persist()
+    tests/test_explain_plans.py pins the cached partitioning.
+
+    The repartition is NUMERIC (shuffle.partitions), not by-column:
+    with canChangeCachedPlanOutputPartitioning=true (session.py — lets
+    AQE coalesce every OTHER cache build) a by-column repartition is
+    AQE-coalescible, so the cached partitioning could shift under the
+    consumer join and re-introduce the per-iteration edge shuffle;
+    REPARTITION_BY_NUM is never coalesced, which keeps the pin."""
+    n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").distinct().repartition(n, "src").persist()
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node"))).distinct()
               .persist())

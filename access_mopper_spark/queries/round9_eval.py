@@ -896,16 +896,24 @@ def _register_lsh_recall():
         exact integers (3·|∩| ≥ |A|+|B|); candidates ⊆ truth by the
         verify step, so precision is 1 by construction and recall is
         the whole story.  One shingle-key shuffle for truth (sample-
-        bounded), the production pair SQL replayed verbatim for the
-        candidate side."""
+        bounded); the candidate side is the production index scored on
+        the sample via ``restrict_ids`` — band keys and cap ranks are
+        still full-corpus (the index under test), but the banded rows
+        semi-join to the sample BEFORE pair materialization, which is
+        provably the full pair set filtered to the sample (the r9
+        ×100 honest point paid the full materialization: 27× wall for
+        10× data; the restricted plan is linear in the corpus + the
+        sample's pair work).  The oracle replays the full-pairs-then-
+        filter SQL — equal by the restriction identity."""
         from access_mopper_spark.functions.text import word_shingles
         from access_mopper_spark.operators.dedup import near_dup_pairs
         docs = load_table(spark, sf_dir, "documents")
+        sample_ids = docs.where(F.col("doc_id") < 200).select("doc_id")
         cand = (near_dup_pairs(docs, "text", "doc_id", n_hashes=6,
                                band_size=2, shingle_k=3,
                                jaccard_threshold=0.5,
-                               shingle_kind="word", band_cap=64)
-                .where((F.col("id_a") < 200) & (F.col("id_b") < 200))
+                               shingle_kind="word", band_cap=64,
+                               restrict_ids=sample_ids)
                 .select("id_a", "id_b"))
         sample = docs.where(F.col("doc_id") < 200)
         sh = sample.select(

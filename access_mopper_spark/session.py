@@ -11,6 +11,17 @@ the ones that also hold on a real cluster:
 - shuffle.partitions sized to the machine, not the 200 default; at cluster
   scale AQE coalesces, and callers repartition explicitly where a plan
   needs a specific distribution.
+- AQE initialPartitionNum raised well above shuffle.partitions: every
+  exchange STARTS wide (map tasks write 1024-way) and AQE coalesces the
+  reduce side back down by size, so no single shuffle can be pinned to
+  the small session default when a stage inflates (pair-materializing
+  self-joins grow ~quadratically inside dup-family buckets — the ×100
+  sweeps measured winnowing_similarity at 17.8× wall for 10× data under
+  32 fixed partitions vs 10.4× at 256; this conf makes the sized-shuffle
+  behavior the default instead of a per-query override).
+  coalescePartitions.parallelismFirst (default true) keeps small queries
+  at ~defaultParallelism partitions, so sf0.01/sf0.1 plans are unchanged
+  in shape.
 """
 
 from __future__ import annotations
@@ -31,6 +42,15 @@ def get_spark(app_name: str = "access_mopper_spark", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                os.environ.get("SPARK_INITIAL_PARTITIONS",
+                               str(max(1024, shuffle_partitions))))
+        # without this, cache/persist materialization (the CC/PageRank
+        # loop invariants) runs its shuffles at initialPartitionNum
+        # UNCOALESCED — measured 4.9->8.5 s on q_dedup_keep_best at
+        # sf0.01; with it, 4.1 s (AQE applies inside cached plans)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -20,11 +20,19 @@ grow quadratically by data SEMANTICS, which at ×100 measures the
 workload artifact, not the plan).  In honest mode each replica r>0
 scales the UNIQUE mass while capping family size at the sf0.1 level:
 
-* documents: every word gets a replica prefix (``r{r}x``), so replicas
-  share no word shingles and almost no char shingles — within a
-  replica the natural dup families keep their exact structure (the
-  transform is deterministic per position), across replicas nothing
-  collides.
+* documents: every word is SUBSTITUTED by a replica-keyed hash token
+  (8 hex chars of xxhash64("r{r}:" || word)).  Identical words map
+  identically within a replica, so word-level dup-family structure is
+  exactly preserved (doc A and B share word shingles iff they did in
+  the source — including unrelated docs sharing common words, the
+  sf0.1 semantics); different words map to unrelated pseudo-random
+  char sequences, so unrelated docs share CHAR shingles only through
+  genuinely shared words.  Across replicas the same word maps
+  differently — nothing collides.  (The r8–r9 version used word
+  PREFIXES, which made the first k chars of every word in a replica
+  identical and manufactured 2.77M artifact hamming≤3 simhash pairs
+  at ×10 vs 175 at sf0.1 — r9 verdict item 4; substitution removes
+  the artifact.)
 * embeddings: a deterministic per-(replica, dim) ±1 sign-flip mask —
   intra-replica dot products are EXACTLY preserved ((s⊙a)·(s⊙b) =
   a·b), inter-replica cosines become pseudo-random near-zero, so
@@ -110,12 +118,21 @@ def main():
         if not honest or r == 0:
             return rep
         if t == "documents":
-            tag = F.lit(f"r{r}x")
+            salt = F.lit(f"r{r}:")
             words = F.split(F.col("text"), " ")
-            tagged = F.array_join(
-                F.transform(words, lambda w: F.concat(tag, w)), " ")
+            # whole-word substitution, replica-keyed: empty tokens stay
+            # empty (preserves the whitespace run structure the line/
+            # token ops depend on); 8 hex chars keep docs near source
+            # length (birthday collisions at ~1e5 words/replica: ~1 —
+            # the same "two words happen to be synonyms" noise a real
+            # corpus has)
+            subbed = F.array_join(
+                F.transform(words, lambda w: F.when(
+                    w == "", w).otherwise(F.lower(F.substring(
+                        F.hex(F.xxhash64(F.concat(salt, w))), 1, 8)))),
+                " ")
             return rep.withColumn(
-                "text", F.when(F.col("text").isNotNull(), tagged))
+                "text", F.when(F.col("text").isNotNull(), subbed))
         if t == "embeddings":
             # ±1 mask keyed by (replica, dim): intra-replica dot
             # products exactly preserved, inter-replica cosines ~0
