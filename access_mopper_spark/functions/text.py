@@ -223,6 +223,43 @@ def portable_lower(text: Column) -> Column:
     return F.translate(F.lower(hidden), _LOWER_PUA, _LOWER_PORTABLE)
 
 
+#: Unicode-confusable → ASCII-lookalike map (Unicode TR#39 skeleton
+#: idea, reduced to the high-frequency crawl confusables: Cyrillic
+#: а е о р с х у і ѕ ј, Greek ο α ν, plus NBSP / thin space /
+#: ideographic space → ASCII space).  Every pair is a SINGLE BMP
+#: codepoint on both sides, so Spark ``translate`` and a DuckDB
+#: ``replace`` chain compute the identical mapping.
+CONFUSABLE_SRC = ("аеорсхуі"
+                  "ѕјοαν\u00a0\u2009\u3000")
+CONFUSABLE_DST = "aeopcxyisjoav   "
+assert len(CONFUSABLE_SRC) == len(CONFUSABLE_DST)
+
+
+def confusable_skeleton(text: Column) -> Column:
+    """Homoglyph-aware text skeleton for adversarial/spam dedup: a doc
+    re-spelled with Cyrillic/Greek lookalikes or exotic spaces (the
+    classic SEO-spam and jailbreak-dup evasion) maps to the same
+    skeleton as its ASCII original.  lowercase → confusable fold →
+    whitespace collapse, all map-side codegen (one translate after
+    ``portable_lower``'s three string ops).  The confusable table is
+    shared with the DuckDB oracle builder so both engines fold the
+    identical pairs."""
+    s = portable_lower(text)
+    s = F.translate(s, CONFUSABLE_SRC, CONFUSABLE_DST)
+    return F.trim(F.regexp_replace(s, "[ \t\n\r]+", " "))
+
+
+def confusable_skeleton_sql(expr: str) -> str:
+    """DuckDB expression computing exactly ``confusable_skeleton``:
+    lower() (portable_lower emits DuckDB's mapping by construction),
+    then one replace() per confusable pair, then the same explicit
+    whitespace-class collapse + ASCII-space trim."""
+    out = f"lower({expr})"
+    for s, d in zip(CONFUSABLE_SRC, CONFUSABLE_DST):
+        out = f"replace({out}, '{s}', '{d}')"
+    return f"trim(regexp_replace({out}, '[ \\t\\n\\r]+', ' ', 'g'), ' ')"
+
+
 def utf8_bytes_as_latin1(text: Column) -> Column:
     """Re-decode the UTF-8 bytes as ISO-8859-1 so every BYTE becomes one
     codepoint — the bridge that makes byte-level string algorithms

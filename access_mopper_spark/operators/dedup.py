@@ -224,6 +224,81 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_hashes: int = 6,
+                      band_size: int = 2, shingle_k: int = 3,
+                      containment_bp_threshold: int = 8000,
+                      band_cap: int | None = None) -> DataFrame:
+    """DIRECTED near-containment pairs: |A∩B| / |A| over word k-gram
+    shingle sets — the asymmetric complement to ``near_dup_pairs``'s
+    Jaccard.  Jaccard misses the quote/subset shape entirely (a short
+    doc fully embedded in a long one has tiny Jaccard but containment
+    ~1.0), which is the dominant residual dup mode after symmetric
+    dedup of web corpora: boilerplate-wrapped article copies, quoted
+    posts, excerpt pages (reference capability class: corpus-curation
+    dedup, same family as ``dup_ngram_fraction``).
+
+    Scale structure is identical to ``near_dup_pairs`` — MinHash-LSH
+    banding generates candidates carrying ONLY (id, band_key); shingle
+    sets re-join by id for the exact verify; the cross-product never
+    materializes.  (LSH banding recalls high-Jaccard pairs; a
+    containment-complete index would band over the subset side's
+    shingles directly — at this threshold family the practical recall
+    comes from near-dup families where both metrics fire.  The oracle
+    replays banding bit-for-bit, so the gate checks the IMPLEMENTED
+    semantics, candidates included.)
+
+    Returns (id_sub, id_sup, containment_bp): one row per direction
+    whose containment of ``id_sub``'s shingles in ``id_sup``'s meets
+    the basis-point threshold.  Integer basis points ((ni*10000) DIV
+    n_sub) keep the surface hash-stable across engines."""
+    from access_mopper_spark.functions.text import word_shingles
+    df = ensure_min_partitions(df)
+    sig = lsh_band_keys(
+        minhash_signature(df, text_col, n_hashes, shingle_k, "word"),
+        n_hashes, band_size)
+    n_bands = (n_hashes + band_size - 1) // band_size
+    ids = sig.select(id_col, F.explode(F.array(*[
+        F.struct(F.lit(b).alias("bi"), F.col(f"band_{b}").alias("bk"))
+        for b in range(n_bands)])).alias("__b")) \
+        .select(id_col, F.col("__b.bi").alias("bi"), F.col("__b.bk").alias("bk"))
+    if band_cap is not None:
+        wb = Window.partitionBy("bi", "bk").orderBy(F.asc(id_col))
+        ids = (ids.withColumn("__r", F.row_number().over(wb))
+                  .where(F.col("__r") <= band_cap).drop("__r"))
+    a = ids.select(F.col(id_col).alias("id_a"), "bi", "bk")
+    bdf = ids.select(F.col(id_col).alias("id_b"), "bi", "bk")
+    cand = (a.join(bdf, ["bi", "bk"]).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
+
+    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+    docs_sh = df.select(F.col(id_col), shingles.alias("sh"))
+    verified = (
+        cand.join(docs_sh.select(F.col(id_col).alias("id_a"),
+                                 F.col("sh").alias("sh_a")), "id_a")
+        .join(docs_sh.select(F.col(id_col).alias("id_b"),
+                             F.col("sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+                 .alias("__ni"),
+                F.size("sh_a").cast("long").alias("__na"),
+                F.size("sh_b").cast("long").alias("__nb"))
+    )
+    # both directions from one verified row: explode(array(struct)) —
+    # never two scans of the candidate join
+    directed = verified.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("id_sub"), F.col("id_b").alias("id_sup"),
+                 F.col("__ni").alias("ni"), F.col("__na").alias("n_sub")),
+        F.struct(F.col("id_b").alias("id_sub"), F.col("id_a").alias("id_sup"),
+                 F.col("__ni").alias("ni"), F.col("__nb").alias("n_sub")),
+    )).alias("__d")).select("__d.*")
+    bp = F.expr("(ni * 10000) DIV n_sub")
+    return (directed.where(F.col("n_sub") > 0)
+            .withColumn("containment_bp", bp)
+            .where(F.col("containment_bp") >= containment_bp_threshold)
+            .select("id_sub", "id_sup", "containment_bp"))
+
+
 def _flatten_rows(cells) -> tuple[np.ndarray, np.ndarray]:
     """Arrow list column → (flat concatenation, per-row lengths): ONE
     concatenate for the whole batch, no per-row numpy arithmetic."""
