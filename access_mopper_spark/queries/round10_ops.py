@@ -224,3 +224,265 @@ def q_degree_assortativity(spark, sf_dir):
         F.col("m").alias("m_directed"),
         F.when(den > 0, pround(num / den, 6))
          .otherwise(F.lit(None).cast("double")).alias("assortativity"))
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS m FROM ev),
+    flagged AS (
+      SELECT event_type, cents,
+             CASE WHEN us <= (SELECT m FROM mid) THEN 1 ELSE 0 END AS early
+      FROM ev
+    ),
+    pv AS (
+      SELECT event_type, cents,
+             CAST(SUM(early) AS BIGINT) AS c1,
+             CAST(SUM(1 - early) AS BIGINT) AS c2
+      FROM flagged GROUP BY event_type, cents
+    ),
+    cum AS (
+      SELECT event_type, cents,
+             SUM(c1) OVER (PARTITION BY event_type ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS c1c,
+             SUM(c2) OVER (PARTITION BY event_type ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS c2c,
+             SUM(c1) OVER (PARTITION BY event_type) AS n1,
+             SUM(c2) OVER (PARTITION BY event_type) AS n2
+      FROM pv
+    )
+    SELECT event_type,
+           CAST(MAX(n1) AS BIGINT) AS n_early,
+           CAST(MAX(n2) AS BIGINT) AS n_late,
+           CAST(MAX(ABS(c1c * n2 - c2c * n1)) AS BIGINT) AS d_num,
+           ROUND(CAST(MAX(ABS(c1c * n2 - c2c * n1)) AS DOUBLE)
+                 / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)),
+                 6) AS d_stat
+    FROM cum GROUP BY event_type
+    """,
+)
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift test per event_type:
+    D between the EARLY and LATE half of the time range (split at the
+    data-derived epoch-µs midpoint) — the nonparametric distribution-
+    drift monitor next to q_psi_drift/q_kl_unigram_drift (those compare
+    binned/histogram shapes; KS is binning-free and catches shifts PSI's
+    fixed bins smear).  Exact integer core: D's numerator is
+    max |c1·n2 − c2·n1| over the merged support (every term BIGINT —
+    no ECDF doubles until the final reported statistic), computed with
+    ONE cumulative window per event_type over the distinct value grid
+    (value cents), so the plan is a groupBy + a partitioned window —
+    no per-pair work, no unpartitioned window, linear at any scale."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("cents"),
+                  F.unix_micros("ts").alias("us")))
+    mid = ev.agg(((F.min("us") + F.max("us")) / 2).cast("long").alias("m"))
+    flagged = (ev.crossJoin(F.broadcast(mid))
+                 .withColumn("early", F.when(F.col("us") <= F.col("m"), 1)
+                                       .otherwise(0)))
+    pv = (flagged.groupBy("event_type", "cents")
+                 .agg(F.sum("early").cast("long").alias("c1"),
+                      F.sum(1 - F.col("early")).cast("long").alias("c2")))
+    w_cum = (W.partitionBy("event_type").orderBy("cents")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_all = W.partitionBy("event_type")
+    cum = (pv.withColumn("c1c", F.sum("c1").over(w_cum))
+             .withColumn("c2c", F.sum("c2").over(w_cum))
+             .withColumn("n1", F.sum("c1").over(w_all))
+             .withColumn("n2", F.sum("c2").over(w_all)))
+    agg = (cum.groupBy("event_type")
+              .agg(F.max("n1").cast("long").alias("n_early"),
+                   F.max("n2").cast("long").alias("n_late"),
+                   F.max(F.abs(F.col("c1c") * F.col("n2")
+                               - F.col("c2c") * F.col("n1"))).cast("long")
+                    .alias("d_num")))
+    d = (F.col("d_num").cast("double")
+         / (F.col("n_early").cast("double") * F.col("n_late").cast("double")))
+    return agg.select("event_type", "n_early", "n_late", "d_num",
+                      pround(d, 6).alias("d_stat"))
+
+
+@query(
+    "q_mannwhitney_u",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS s1
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        AND c_acctbal IS NOT NULL
+    ),
+    pv AS (
+      SELECT c_nationkey, cents,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s1) AS BIGINT) AS k1
+      FROM c GROUP BY c_nationkey, cents
+    ),
+    ranked AS (
+      SELECT c_nationkey, n, k1,
+             2 * SUM(n) OVER (PARTITION BY c_nationkey ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) - n + 1 AS dar
+      FROM pv
+    )
+    SELECT c_nationkey,
+           CAST(SUM(k1) AS BIGINT) AS n_building,
+           CAST(SUM(n - k1) AS BIGINT) AS n_machinery,
+           CAST(SUM(k1 * dar) - SUM(k1) * (SUM(k1) + 1) AS BIGINT)
+             AS u_building_x2
+    FROM ranked GROUP BY c_nationkey
+    """,
+)
+def q_mannwhitney_u(spark, sf_dir):
+    """Mann–Whitney U (rank-sum) per nation: BUILDING vs MACHINERY
+    account balances — the nonparametric A/B test next to q_ab_ttest
+    (which assumes normality; U is the robust default for skewed
+    metrics).  Tie handling is the textbook average-rank, kept EXACT by
+    doubling: average rank over a tie group is (2·rank_min + cnt − 1)/2,
+    a multiple of ½, so DOUBLED ranks are integers and
+    U₁×2 = ΣR₁×2 − n₁(n₁+1) is a BIGINT — the whole surface is
+    integer-exact, immune to summation order.  Scale shape: raw rows
+    reduce FIRST in a (nation, cents) groupBy (map-side combine), and
+    the rank window runs over the DISTINCT value grid only
+    (dar = 2·cum_n − n + 1 from one cumulative sum), so the window
+    input is bounded by the cents-grid size per nation regardless of
+    corpus row count — never a per-row rank, never O(n²) pairs."""
+    c = (load_table(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+                & F.col("c_acctbal").isNotNull())
+         .select("c_nationkey",
+                 F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+                  .alias("cents"),
+                 F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+                  .alias("s1")))
+    pv = (c.groupBy("c_nationkey", "cents")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("s1").cast("long").alias("k1")))
+    w_cum = (W.partitionBy("c_nationkey").orderBy("cents")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    ranked = pv.withColumn(
+        "dar", 2 * F.sum("n").over(w_cum) - F.col("n") + 1)
+    return (ranked.groupBy("c_nationkey")
+            .agg(F.sum("k1").cast("long").alias("n_building"),
+                 F.sum(F.col("n") - F.col("k1")).cast("long")
+                  .alias("n_machinery"),
+                 (F.sum(F.col("k1") * F.col("dar"))
+                  - F.sum("k1") * (F.sum("k1") + 1)).cast("long")
+                 .alias("u_building_x2")))
+
+
+@query(
+    "q_chao1_richness",
+    oracle="""
+    WITH toks AS (
+      SELECT source, UNNEST(string_split(trim(regexp_replace(text,
+               '[ \\t\\n\\r]+', ' ', 'g'), ' '), ' ')) AS w
+      FROM documents
+    ),
+    cnts AS (
+      SELECT source, w, COUNT(*) AS c FROM toks WHERE w <> ''
+      GROUP BY source, w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS s_obs,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           ROUND(CASE WHEN SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0
+             THEN CAST(COUNT(*) AS DOUBLE)
+                  + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / (CAST(2 AS DOUBLE)
+                       * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE))
+             ELSE CAST(COUNT(*) AS DOUBLE)
+                  + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    * (CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE)
+             END, 6) AS chao1
+    FROM cnts GROUP BY source
+    """,
+)
+def q_chao1_richness(spark, sf_dir):
+    """Chao1 vocabulary-richness estimator per source (Chao 1984):
+    Ŝ = S_obs + f1²/(2·f2) from the singleton/doubleton type counts —
+    the "how much vocabulary haven't we crawled yet" readout next to
+    q_vocab_growth (which measures observed growth; Chao1 extrapolates
+    the asymptote), with the standard bias-corrected f1(f1−1)/2 form
+    when f2 = 0.  One wordcount shuffle on (source, word) with map-side
+    partial aggregation, then a per-source rollup — S_obs/f1/f2 ship as
+    exact BIGINTs; only the final estimator is double, staged with
+    identical IEEE ops on both engines."""
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(F.split(ws_normalized(F.col("text")), " ", -1)).alias("w"))
+    cnts = (toks.where(F.col("w") != "")
+                .groupBy("source", "w").agg(F.count("*").alias("c")))
+    agg = (cnts.groupBy("source")
+           .agg(F.count("*").cast("long").alias("s_obs"),
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+                 .alias("f1"),
+                F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+                 .alias("f2")))
+    sd = F.col("s_obs").cast("double")
+    f1d = F.col("f1").cast("double")
+    f2d = F.col("f2").cast("double")
+    est = F.when(F.col("f2") > 0,
+                 sd + f1d * f1d / (F.lit(2).cast("double") * f2d)) \
+           .otherwise(sd + f1d * (f1d - F.lit(1).cast("double"))
+                      / F.lit(2).cast("double"))
+    return agg.select("source", "s_obs", "f1", "f2",
+                      pround(est, 6).alias("chao1"))
+
+
+@query(
+    "q_good_turing_mass",
+    oracle="""
+    WITH toks AS (
+      SELECT source, UNNEST(string_split(trim(regexp_replace(text,
+               '[ \\t\\n\\r]+', ' ', 'g'), ' '), ' ')) AS w
+      FROM documents
+    ),
+    cnts AS (
+      SELECT source, w, COUNT(*) AS c FROM toks WHERE w <> ''
+      GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000) // SUM(c)
+                AS BIGINT) AS p0_bp
+    FROM cnts GROUP BY source
+    """,
+)
+def q_good_turing_mass(spark, sf_dir):
+    """Good–Turing unseen-probability mass per source: p₀ = N₁/N (the
+    fraction of tokens that are hapax legomena — Good 1953), the
+    smoothing mass q_kneser_ney_bigram discounts toward, surfaced as a
+    standalone corpus-coverage diagnostic (high p₀ = the crawl is far
+    from saturating this source's vocabulary).  Same single wordcount
+    shuffle as q_chao1_richness; the entire surface is integer
+    (basis points via DIV — no doubles anywhere)."""
+    from access_mopper_spark.functions.text import ws_normalized
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(F.split(ws_normalized(F.col("text")), " ", -1)).alias("w"))
+    cnts = (toks.where(F.col("w") != "")
+                .groupBy("source", "w").agg(F.count("*").alias("c")))
+    return (cnts.groupBy("source")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+                  .alias("n_singletons"))
+            .select("source", "n_tokens", "n_singletons",
+                    F.expr("(n_singletons * 10000) DIV n_tokens")
+                     .alias("p0_bp")))

@@ -169,3 +169,101 @@ def test_assortativity_null_on_degenerate_graph(spark):
     md = float(s["m"])
     vx = md * s["sxx"] - float(s["sx"]) ** 2
     assert vx == 0.0  # degenerate by construction -> query emits NULL
+
+
+def test_ks_drift_matches_python(spark):
+    # independent float-free ECDF implementation on sf0.001
+    import math
+    from collections import defaultdict
+
+    from access_mopper_spark.queries import QUERIES
+    from access_mopper_spark.sources.readers import load_table
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in
+           QUERIES["q_ks_drift"](spark, sf_dir).collect()}
+
+    rows = (load_table(spark, sf_dir, "events")
+            .selectExpr("event_type",
+                        "CAST(FLOOR(value*100 + 0.5) AS LONG) AS cents",
+                        "unix_micros(ts) AS us")
+            .where("value IS NOT NULL AND ts IS NOT NULL").collect())
+    mid = (min(r["us"] for r in rows) + max(r["us"] for r in rows)) // 2
+    by_type = defaultdict(lambda: ([], []))
+    for r in rows:
+        by_type[r["event_type"]][0 if r["us"] <= mid else 1].append(r["cents"])
+    for t, (e, l) in by_type.items():
+        n1, n2 = len(e), len(l)
+        support = sorted(set(e) | set(l))
+        d_num = 0
+        c1 = c2 = 0
+        from bisect import bisect_right
+        e.sort(); l.sort()
+        for v in support:
+            c1 = bisect_right(e, v)
+            c2 = bisect_right(l, v)
+            d_num = max(d_num, abs(c1 * n2 - c2 * n1))
+        assert got[t]["n_early"] == n1 and got[t]["n_late"] == n2
+        assert got[t]["d_num"] == d_num, t
+        want = d_num / (n1 * n2)
+        assert got[t]["d_stat"] == pytest.approx(want, abs=1e-6)
+
+
+def test_mannwhitney_matches_python(spark):
+    from collections import defaultdict
+
+    from access_mopper_spark.queries import QUERIES
+    from access_mopper_spark.sources.readers import load_table
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["c_nationkey"]: r for r in
+           QUERIES["q_mannwhitney_u"](spark, sf_dir).collect()}
+    rows = (load_table(spark, sf_dir, "customer")
+            .selectExpr("c_nationkey", "c_mktsegment",
+                        "CAST(FLOOR(c_acctbal*100 + 0.5) AS LONG) AS cents")
+            .where("c_mktsegment IN ('BUILDING','MACHINERY')"
+                   " AND c_acctbal IS NOT NULL").collect())
+    by_nation = defaultdict(list)
+    for r in rows:
+        by_nation[r["c_nationkey"]].append(
+            (r["cents"], 1 if r["c_mktsegment"] == "BUILDING" else 0))
+    for nk, vals in by_nation.items():
+        vals.sort()
+        # textbook average ranks (1-based), doubled to stay integral
+        n = len(vals)
+        i = 0
+        r1x2 = 0
+        n1 = sum(s for _, s in vals)
+        while i < n:
+            j = i
+            while j < n and vals[j][0] == vals[i][0]:
+                j += 1
+            dar = (i + 1 + j) # 2*avg_rank = (i+1) + j  (1-based min+max)
+            for k in range(i, j):
+                if vals[k][1] == 1:
+                    r1x2 += dar
+            i = j
+        u_x2 = r1x2 - n1 * (n1 + 1)
+        assert got[nk]["n_building"] == n1
+        assert got[nk]["u_building_x2"] == u_x2, nk
+
+
+def test_chao1_and_good_turing_fixture(spark, tmp_path):
+    # 'a a b c' -> S=3, f1=2, f2=1, chao1 = 3 + 4/2 = 5.0
+    #           -> N=4, singleton types=2, p0 = 2/4 = 5000 bp
+    import os
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame(
+        [(1, "a a b", "en", "s1", 5), (2, "c", "en", "s1", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/__tmp")
+    import glob
+    import shutil
+    shutil.move(glob.glob(d + "/__tmp/part-*.parquet")[0],
+                d + "/documents.parquet")
+    shutil.rmtree(d + "/__tmp")
+    from access_mopper_spark.queries import QUERIES
+    c = QUERIES["q_chao1_richness"](spark, d).collect()[0]
+    assert (c["s_obs"], c["f1"], c["f2"]) == (3, 2, 1)
+    assert c["chao1"] == pytest.approx(5.0)
+    g = QUERIES["q_good_turing_mass"](spark, d).collect()[0]
+    assert (g["n_tokens"], g["n_singletons"], g["p0_bp"]) == (4, 2, 5000)
