@@ -486,3 +486,189 @@ def q_good_turing_mass(spark, sf_dir):
             .select("source", "n_tokens", "n_singletons",
                     F.expr("(n_singletons * 10000) DIV n_tokens")
                      .alias("p0_bp")))
+
+
+@query(
+    "q_cuped_adjustment",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS m FROM ev),
+    per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(SUM(CASE WHEN us <= (SELECT m FROM mid)
+                           THEN cents ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN us > (SELECT m FROM mid)
+                           THEN cents ELSE 0 END) AS BIGINT) AS y
+      FROM ev GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM per_user
+    ),
+    arm AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+      FROM per_user GROUP BY arm
+    )
+    SELECT a.arm, a.n_users,
+           ROUND(CAST(a.sya AS DOUBLE) / CAST(a.n_users AS DOUBLE), 6)
+             AS mean_y,
+           ROUND(CASE WHEN CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+                           - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE) > 0
+             THEN CAST(a.sya AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+                  - ((CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+                      - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+                     / (CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+                        - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE)))
+                    * (CAST(a.sxa AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+                       - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+             ELSE CAST(a.sya AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+             END, 6) AS mean_y_adj,
+           ROUND(CASE WHEN CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+                           - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE) > 0
+             THEN (CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+                   - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+                  / (CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+                     - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE))
+             ELSE NULL END, 6) AS theta
+    FROM arm a CROSS JOIN g
+    """,
+)
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 — the
+    standard experimentation-platform adjustment): per user, X = spend
+    cents in the PRE period (early half of the time range), Y = spend
+    in the POST period; θ = cov(X,Y)/var(X) fit on the pooled users;
+    adjusted arm means Ȳ' = Ȳ_arm − θ(X̄_arm − X̄).  Arms are the
+    deterministic user_id % 2 split.  Every moment is an exact BIGINT
+    sum (one per-user groupBy, then one 5-number global agg broadcast
+    onto the 2-row arm agg — no window, no second pass over events);
+    only the final θ/means are doubles, staged with identical IEEE ops
+    both engines and a var(X)>0 guard (θ NULL, unadjusted mean kept)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("user_id",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("cents"),
+                  F.unix_micros("ts").alias("us")))
+    mid = ev.agg(((F.min("us") + F.max("us")) / 2).cast("long").alias("m"))
+    per_user = (ev.crossJoin(F.broadcast(mid))
+                .groupBy("user_id")
+                .agg(F.sum(F.when(F.col("us") <= F.col("m"), F.col("cents"))
+                            .otherwise(0)).cast("long").alias("x"),
+                     F.sum(F.when(F.col("us") > F.col("m"), F.col("cents"))
+                            .otherwise(0)).cast("long").alias("y"))
+                .withColumn("arm", F.col("user_id") % 2))
+    g = per_user.agg(F.count("*").cast("long").alias("n"),
+                     F.sum("x").cast("long").alias("sx"),
+                     F.sum("y").cast("long").alias("sy"),
+                     F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                     F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
+    arm = (per_user.groupBy("arm")
+           .agg(F.count("*").cast("long").alias("n_users"),
+                F.sum("x").cast("long").alias("sxa"),
+                F.sum("y").cast("long").alias("sya")))
+    j = arm.crossJoin(F.broadcast(g))
+    nd = F.col("n").cast("double")
+    den = nd * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    theta = (nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double")) / den
+    mean_y = F.col("sya").cast("double") / F.col("n_users").cast("double")
+    mean_x_arm = F.col("sxa").cast("double") / F.col("n_users").cast("double")
+    mean_x = F.col("sx").cast("double") / nd
+    adj = mean_y - theta * (mean_x_arm - mean_x)
+    return j.select(
+        "arm", "n_users",
+        pround(mean_y, 6).alias("mean_y"),
+        pround(F.when(den > 0, adj).otherwise(mean_y), 6).alias("mean_y_adj"),
+        F.when(den > 0, pround(theta, 6)).otherwise(
+            F.lit(None).cast("double")).alias("theta"))
+
+
+@query(
+    "q_winsorized_mean",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    pv AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY event_type, cents
+    ),
+    cum AS (
+      SELECT event_type, cents, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(n) OVER (PARTITION BY event_type) AS tot
+      FROM pv
+    ),
+    thr AS (
+      SELECT event_type,
+             MIN(CASE WHEN c >= (tot + 19) // 20 THEN cents END) AS p5,
+             MIN(CASE WHEN c >= (19 * tot + 19) // 20 THEN cents END) AS p95,
+             CAST(MAX(tot) AS BIGINT) AS n_rows
+      FROM cum GROUP BY event_type
+    )
+    SELECT p.event_type, t.n_rows, t.p5 AS p5_cents, t.p95 AS p95_cents,
+           CAST(SUM(p.n * least(greatest(p.cents, t.p5), t.p95)) AS BIGINT)
+             AS wsum_cents,
+           ROUND(CAST(SUM(p.n * least(greatest(p.cents, t.p5), t.p95))
+                      AS DOUBLE) / CAST(t.n_rows AS DOUBLE), 6) AS wmean_cents
+    FROM pv p JOIN thr t ON t.event_type = p.event_type
+    GROUP BY p.event_type, t.n_rows, t.p5, t.p95
+    """,
+)
+def q_winsorized_mean(spark, sf_dir):
+    """Winsorized mean per event_type: clamp values at the exact
+    discrete 5th/95th percentiles (percentile_disc semantics — smallest
+    grid value whose cumulative count reaches ⌈q·N⌉, computed in pure
+    integers: ⌈N/20⌉ = (N+19)//20) and average the clamped cents — the
+    robust central-tendency readout next to q_trimmed_mean (winsorizing
+    keeps N constant instead of dropping tails, the usual choice for
+    metric dashboards).  Scale shape: rows reduce to the (type, cents)
+    grid first; ONE cumulative window over the grid finds both
+    thresholds; the winsorized sum is an exact BIGINT
+    (Σ n·clamp(cents)), so the hash surface is integer except the final
+    staged-identical mean."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("cents")))
+    pv = (ev.groupBy("event_type", "cents")
+            .agg(F.count("*").cast("long").alias("n")))
+    w_cum = (W.partitionBy("event_type").orderBy("cents")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_all = W.partitionBy("event_type")
+    cum = (pv.withColumn("c", F.sum("n").over(w_cum))
+             .withColumn("tot", F.sum("n").over(w_all)))
+    thr = (cum.withColumn("q5", F.expr("(tot + 19) DIV 20"))
+              .withColumn("q95", F.expr("(19 * tot + 19) DIV 20"))
+              .groupBy("event_type")
+              .agg(F.min(F.when(F.col("c") >= F.col("q5"), F.col("cents"))
+                          .otherwise(F.lit(None))).alias("p5"),
+                   F.min(F.when(F.col("c") >= F.col("q95"), F.col("cents"))
+                          .otherwise(F.lit(None))).alias("p95"),
+                   F.max("tot").cast("long").alias("n_rows")))
+    clamped = F.col("n") * F.least(F.greatest(F.col("cents"), F.col("p5")),
+                                   F.col("p95"))
+    out = (pv.join(thr, "event_type")
+             .groupBy("event_type", "n_rows", "p5", "p95")
+             .agg(F.sum(clamped).cast("long").alias("wsum_cents")))
+    return out.select(
+        "event_type", "n_rows",
+        F.col("p5").alias("p5_cents"), F.col("p95").alias("p95_cents"),
+        "wsum_cents",
+        pround(F.col("wsum_cents").cast("double")
+               / F.col("n_rows").cast("double"), 6).alias("wmean_cents"))

@@ -267,3 +267,63 @@ def test_chao1_and_good_turing_fixture(spark, tmp_path):
     assert c["chao1"] == pytest.approx(5.0)
     g = QUERIES["q_good_turing_mass"](spark, d).collect()[0]
     assert (g["n_tokens"], g["n_singletons"], g["p0_bp"]) == (4, 2, 5000)
+
+
+def test_cuped_matches_numpy(spark):
+    import numpy as np
+    from collections import defaultdict
+
+    from access_mopper_spark.queries import QUERIES
+    from access_mopper_spark.sources.readers import load_table
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["arm"]: r for r in
+           QUERIES["q_cuped_adjustment"](spark, sf_dir).collect()}
+    rows = (load_table(spark, sf_dir, "events")
+            .selectExpr("user_id",
+                        "CAST(FLOOR(value*100 + 0.5) AS LONG) AS cents",
+                        "unix_micros(ts) AS us")
+            .where("value IS NOT NULL AND ts IS NOT NULL").collect())
+    mid = (min(r["us"] for r in rows) + max(r["us"] for r in rows)) // 2
+    per = defaultdict(lambda: [0, 0])
+    for r in rows:
+        per[r["user_id"]][0 if r["us"] <= mid else 1] += r["cents"]
+    users = sorted(per)
+    x = np.array([per[u][0] for u in users], dtype=float)
+    y = np.array([per[u][1] for u in users], dtype=float)
+    theta = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+             / (len(x) * (x * x).sum() - x.sum() ** 2))
+    for arm in (0, 1):
+        sel = np.array([u % 2 == arm for u in users])
+        mean_y = y[sel].mean()
+        adj = mean_y - theta * (x[sel].mean() - x.mean())
+        assert got[arm]["n_users"] == int(sel.sum())
+        assert got[arm]["mean_y"] == pytest.approx(mean_y, abs=1e-5)
+        assert got[arm]["mean_y_adj"] == pytest.approx(adj, abs=1e-5)
+        assert got[arm]["theta"] == pytest.approx(theta, abs=1e-6)
+
+
+def test_winsorized_mean_matches_python(spark):
+    from collections import defaultdict
+
+    from access_mopper_spark.queries import QUERIES
+    from access_mopper_spark.sources.readers import load_table
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in
+           QUERIES["q_winsorized_mean"](spark, sf_dir).collect()}
+    rows = (load_table(spark, sf_dir, "events")
+            .selectExpr("event_type",
+                        "CAST(FLOOR(value*100 + 0.5) AS LONG) AS cents")
+            .where("value IS NOT NULL").collect())
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r["cents"])
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        p5 = vals[(n + 19) // 20 - 1]      # smallest value with cum >= ceil(n/20)
+        p95 = vals[(19 * n + 19) // 20 - 1]
+        wsum = sum(min(max(v, p5), p95) for v in vals)
+        assert got[t]["n_rows"] == n
+        assert got[t]["p5_cents"] == p5 and got[t]["p95_cents"] == p95, t
+        assert got[t]["wsum_cents"] == wsum
+        assert got[t]["wmean_cents"] == pytest.approx(wsum / n, abs=1e-6)
