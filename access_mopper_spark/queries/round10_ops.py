@@ -672,3 +672,128 @@ def q_winsorized_mean(spark, sf_dir):
         "wsum_cents",
         pround(F.col("wsum_cents").cast("double")
                / F.col("n_rows").cast("double"), 6).alias("wmean_cents"))
+
+
+@query(
+    "q_local_clustering",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      WHERE l1.l_quantity > 25 AND l2.l_quantity > 25
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.b
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcnt AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+      ) GROUP BY node
+    )
+    SELECT deg.node, COALESCE(t.triangles, 0) AS triangles, deg.d,
+           CASE WHEN deg.d >= 2
+                THEN (COALESCE(t.triangles, 0) * 20000) // (deg.d * (deg.d - 1))
+                ELSE NULL END AS lcc_bp
+    FROM deg LEFT JOIN tcnt t ON t.node = deg.node
+    """,
+)
+def q_local_clustering(spark, sf_dir):
+    """Local clustering coefficient per node of the co-purchase part
+    graph: C(v) = triangles(v) / (d(v) choose 2) — the per-node
+    community-density readout that q_triangle_counts aggregates feed
+    (Watts–Strogatz).  Composes the degree-ORIENTED distributed
+    triangle count (operators/graph.triangle_counts — wedge fan-out
+    bounded by √(2m), no hub blowup) with the degree table via one
+    outer join; the coefficient ships as integer basis points
+    ((tri·2·10000) DIV d(d−1)) with a NULL guard for d<2, so the whole
+    surface is exact.  The oracle deliberately uses the naive a<b<c
+    triangle formulation — two independent algorithms agreeing per
+    node is the check."""
+    from access_mopper_spark.operators.graph import triangle_counts
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 25)
+          .select("l_orderkey", "l_partkey"))
+    e1 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+    e2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
+    pairs = (e1.join(e2, "l_orderkey")
+               .where(F.col("a") < F.col("b"))
+               .select("a", "b").distinct())
+    tri = triangle_counts(pairs)
+    deg = (pairs.select(F.col("a").alias("node"))
+                .unionAll(pairs.select(F.col("b").alias("node")))
+                .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    j = (deg.join(tri.withColumnRenamed("triangles", "__t"), "node", "left")
+            .select("node",
+                    F.coalesce(F.col("__t"), F.lit(0)).cast("long")
+                     .alias("triangles"),
+                    "d"))
+    return j.withColumn(
+        "lcc_bp",
+        F.when(F.col("d") >= 2,
+               F.expr("(triangles * 20000) DIV (d * (d - 1))"))
+         .otherwise(F.lit(None).cast("long")))
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu
+           GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM tu a JOIN tu b ON a.user_id = b.user_id
+        AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+           (i.n_both * 10000) // (sa.n + sb.n - i.n_both) AS jaccard_bp
+    FROM inter i
+    JOIN sz sa ON sa.event_type = i.type_a
+    JOIN sz sb ON sb.event_type = i.type_b
+    """,
+)
+def q_audience_overlap(spark, sf_dir):
+    """Audience-overlap matrix: pairwise user-set Jaccard between event
+    types in integer basis points — the segmentation/cannibalization
+    readout (which behaviors share an audience) next to
+    q_source_overlap (which overlaps corpora by content).  Scale shape:
+    users reduce to DISTINCT (type, user) first (one shuffle with
+    map-side combine), the type-pair join fans out only by the
+    per-user TYPE COUNT (bounded by the type vocabulary, not the event
+    count), and set sizes arrive by broadcast — no user-pair blowup
+    anywhere."""
+    tu = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .select("event_type", "user_id").distinct())
+    sz = tu.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (a.join(b, "user_id")
+              .where(F.col("type_a") < F.col("type_b"))
+              .groupBy("type_a", "type_b")
+              .agg(F.count("*").cast("long").alias("n_both")))
+    out = (inter
+           .join(F.broadcast(sz.select(F.col("event_type").alias("type_a"),
+                                       F.col("n").alias("n_a"))), "type_a")
+           .join(F.broadcast(sz.select(F.col("event_type").alias("type_b"),
+                                       F.col("n").alias("n_b"))), "type_b"))
+    return out.select(
+        "type_a", "type_b", "n_a", "n_b", "n_both",
+        F.expr("(n_both * 10000) DIV (n_a + n_b - n_both)")
+         .alias("jaccard_bp"))

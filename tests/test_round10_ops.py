@@ -327,3 +327,63 @@ def test_winsorized_mean_matches_python(spark):
         assert got[t]["p5_cents"] == p5 and got[t]["p95_cents"] == p95, t
         assert got[t]["wsum_cents"] == wsum
         assert got[t]["wmean_cents"] == pytest.approx(wsum / n, abs=1e-6)
+
+
+def test_local_clustering_matches_python(spark):
+    from collections import defaultdict
+    from itertools import combinations
+
+    from access_mopper_spark.queries import QUERIES
+    from access_mopper_spark.sources.readers import load_table
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["node"]: r for r in
+           QUERIES["q_local_clustering"](spark, sf_dir).collect()}
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 25)
+          .select("l_orderkey", "l_partkey").collect())
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            adj[a].add(b)
+            adj[b].add(a)
+    assert set(got) == set(adj)
+    for v, nbrs in adj.items():
+        tri = sum(1 for a, b in combinations(sorted(nbrs), 2)
+                  if b in adj[a])
+        d = len(nbrs)
+        assert got[v]["triangles"] == tri, v
+        assert got[v]["d"] == d
+        if d >= 2:
+            assert got[v]["lcc_bp"] == (tri * 20000) // (d * (d - 1))
+        else:
+            assert got[v]["lcc_bp"] is None
+
+
+def test_audience_overlap_matches_python(spark):
+    from collections import defaultdict
+
+    from access_mopper_spark.queries import QUERIES
+    from access_mopper_spark.sources.readers import load_table
+    sf_dir = "/root/testdata/sf0.001"
+    got = {(r["type_a"], r["type_b"]): r for r in
+           QUERIES["q_audience_overlap"](spark, sf_dir).collect()}
+    rows = (load_table(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull())
+            .select("event_type", "user_id").distinct().collect())
+    users = defaultdict(set)
+    for r in rows:
+        users[r["event_type"]].add(r["user_id"])
+    types = sorted(users)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            ib = len(users[a] & users[b])
+            if ib == 0 and (a, b) not in got:
+                continue
+            r = got[(a, b)]
+            un = len(users[a] | users[b])
+            assert (r["n_a"], r["n_b"], r["n_both"]) == (
+                len(users[a]), len(users[b]), ib)
+            assert r["jaccard_bp"] == (ib * 10000) // un
