@@ -797,3 +797,156 @@ def q_audience_overlap(spark, sf_dir):
         "type_a", "type_b", "n_a", "n_b", "n_both",
         F.expr("(n_both * 10000) DIV (n_a + n_b - n_both)")
          .alias("jaccard_bp"))
+
+
+#: RBO depth weights, precomputed once in Python and embedded as the
+#: SAME integer literals on both engines: w_d = round((1-p)·p^(d-1)/d
+#: · 1e12) for p = 0.9, k = 20.  Integer micro-weights make the RBO
+#: sum an exact BIGINT (Σ X_d·w_d with X_d ≤ 20 → < 2^45), so the
+#: surface cannot flip with summation order — and neither engine ever
+#: calls pow(), whose last-ulp behavior differs across libms.
+_RBO_P, _RBO_K = 0.9, 20
+_RBO_W = [(d, round((1 - _RBO_P) * _RBO_P ** (d - 1) / d * 1e12))
+          for d in range(1, _RBO_K + 1)]
+_RBO_VALUES_SQL = ", ".join(f"({d}, {w}::BIGINT)" for d, w in _RBO_W)
+_RBO_QUERY = ('dup', 'spark', 'sort')
+_RBO_TERMS_SQL = ", ".join(f"'{t}'" for t in _RBO_QUERY)
+
+
+@query(
+    "q_rbo_rankings",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'), ' '), ' ') AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    tf AS (
+      SELECT t.doc_id, d.dl, u.t AS term, COUNT(*) AS tf
+      FROM toks t JOIN dl d ON d.doc_id = t.doc_id, unnest(t.w) u(t)
+      WHERE u.t IN ({_RBO_TERMS_SQL})
+      GROUP BY t.doc_id, d.dl, u.t
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    bm25 AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))),
+                   6) AS score
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    tfidf AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(tf.tf * ln(CAST(s.n AS DOUBLE) / df.df)), 6) AS score
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    ra AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm25 QUALIFY r <= {_RBO_K}
+    ),
+    rb AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM tfidf QUALIFY r <= {_RBO_K}
+    ),
+    common AS (
+      SELECT greatest(ra.r, rb.r) AS m
+      FROM ra JOIN rb ON rb.doc_id = ra.doc_id
+    ),
+    wt AS (SELECT * FROM (VALUES {_RBO_VALUES_SQL}) t(d, w)),
+    per_d AS (
+      SELECT wt.d, wt.w, CAST(COUNT(common.m) AS BIGINT) AS xd
+      FROM wt LEFT JOIN common ON common.m <= wt.d
+      GROUP BY wt.d, wt.w
+    ),
+    sums AS (
+      SELECT CAST(COALESCE(SUM(w * xd), 0) AS BIGINT) AS rbo_e12,
+             CAST(MAX(CASE WHEN d = {_RBO_K} THEN xd END) AS BIGINT)
+               AS overlap_at_k
+      FROM per_d
+    )
+    SELECT {_RBO_K} AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM common) AS n_common,
+           overlap_at_k, rbo_e12,
+           ROUND(CAST(rbo_e12 AS DOUBLE) / CAST(1000000000000 AS DOUBLE), 6)
+             AS rbo
+    FROM sums
+    """,
+)
+def q_rbo_rankings(spark, sf_dir):
+    """Rank-Biased Overlap (Webber et al., TOIS'10) between the BM25
+    and TF-IDF top-20 rankings for the same query — the top-weighted
+    rank-agreement metric IR teams use to compare scorers/index builds
+    (Kendall/Spearman need conjoint lists; RBO handles disjoint tails).
+    Truncated RBO@20, p = 0.9: Σ_d (1−p)p^(d−1)·X_d/d with X_d =
+    |prefix_d(A) ∩ prefix_d(B)|.  The depth weights are precomputed
+    integer micro-weights embedded as the SAME literals on both
+    engines (neither engine calls pow()), so the score is an exact
+    BIGINT (Σ X_d·w_d) until the final rendered double.  Both ranked
+    lists come from the ONE query-term-filtered postings shuffle
+    (operators/search.py); ranks inside each ≤20-row list come from a
+    broadcast self-join count, not a global window."""
+    from access_mopper_spark.operators.search import (build_postings,
+                                                      corpus_stats)
+    docs = load_table(spark, sf_dir, "documents")
+    postings = build_postings(docs, "doc_id", "text",
+                              terms=list(_RBO_QUERY))
+    df_ = postings.groupBy("term").agg(F.count("*").alias("df"))
+    stats = corpus_stats(docs, "text")
+    base = (postings.join(F.broadcast(df_), "term")
+                    .crossJoin(F.broadcast(stats)))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * 2.2
+               / (F.col("tf") + 1.2 * (1.0 - 0.75
+                                       + 0.75 * F.col("dl") / F.col("avgdl"))))
+    bm25 = (base.select("doc_id", (idf * tf_part).alias("__s"))
+                .groupBy("doc_id").agg(pround(F.sum("__s"), 6).alias("score")))
+    tfidf = (base.select(
+                 "doc_id",
+                 (F.col("tf") * F.log(F.col("n_docs").cast("double")
+                                      / F.col("df"))).alias("__s"))
+                 .groupBy("doc_id")
+                 .agg(pround(F.sum("__s"), 6).alias("score")))
+
+    from access_mopper_spark.operators.similarity import partial_topk
+
+    def ranked(scored):
+        top = partial_topk(scored, [],
+                           [F.col("score").desc(), F.col("doc_id")], _RBO_K)
+        lhs = top.select(F.col("doc_id").alias("id1"),
+                         F.col("score").alias("s1"))
+        rhs = top.select(F.col("doc_id").alias("id2"),
+                         F.col("score").alias("s2"))
+        better = ((F.col("s2") > F.col("s1"))
+                  | ((F.col("s2") == F.col("s1"))
+                     & (F.col("id2") < F.col("id1"))))
+        return (lhs.join(F.broadcast(rhs), better, "left")
+                   .groupBy("id1")
+                   .agg((F.count("id2") + 1).cast("long").alias("r")))
+
+    ra = ranked(bm25).select(F.col("id1").alias("doc_id"),
+                             F.col("r").alias("ra"))
+    rb = ranked(tfidf).select(F.col("id1").alias("doc_id"),
+                              F.col("r").alias("rb"))
+    common = (ra.join(rb, "doc_id")
+                .select(F.greatest("ra", "rb").alias("m")))
+    wt = spark.createDataFrame(_RBO_W, "d LONG, w LONG")
+    per_d = (F.broadcast(wt).join(common, common["m"] <= wt["d"], "left")
+             .groupBy("d", "w")
+             .agg(F.count("m").cast("long").alias("xd")))
+    sums = per_d.agg(
+        F.coalesce(F.sum(F.col("w") * F.col("xd")), F.lit(0)).cast("long")
+         .alias("rbo_e12"),
+        F.max(F.when(F.col("d") == _RBO_K, F.col("xd"))).cast("long")
+         .alias("overlap_at_k"))
+    n_common = common.agg(F.count("*").cast("long").alias("n_common"))
+    return (sums.crossJoin(F.broadcast(n_common))
+            .select(F.lit(_RBO_K).cast("int").alias("k"), "n_common",
+                    "overlap_at_k", "rbo_e12",
+                    pround(F.col("rbo_e12").cast("double")
+                           / F.lit(1e12), 6).alias("rbo")))

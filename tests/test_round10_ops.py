@@ -387,3 +387,58 @@ def test_audience_overlap_matches_python(spark):
             assert (r["n_a"], r["n_b"], r["n_both"]) == (
                 len(users[a]), len(users[b]), ib)
             assert r["jaccard_bp"] == (ib * 10000) // un
+
+
+def test_rbo_matches_python(spark):
+    from access_mopper_spark.queries import QUERIES
+    from access_mopper_spark.queries.round10_ops import (_RBO_K, _RBO_QUERY,
+                                                         _RBO_W)
+    from access_mopper_spark.sources.readers import load_table
+    import math
+    sf_dir = "/root/testdata/sf0.001"
+    row = QUERIES["q_rbo_rankings"](spark, sf_dir).collect()[0]
+
+    docs = [(r["doc_id"], r["text"]) for r in
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").collect()]
+    import re
+    def toks(t):
+        return [w for w in re.sub(r"[ \t\n\r]+", " ", t or "").strip(" ")
+                .split(" ")]
+    dls = {d: len(toks(t)) for d, t in docs}
+    n = len(docs)
+    avgdl = sum(dls.values()) / n
+    tf = {}
+    for d, t in docs:
+        for w in toks(t):
+            if w in _RBO_QUERY:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df = {}
+    for (d, w) in tf:
+        df[w] = df.get(w, 0) + 1
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    bm25, tfidf = {}, {}
+    for (d, w), f in tf.items():
+        idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+        bm25[d] = bm25.get(d, 0.0) + idf * f * 2.2 / (
+            f + 1.2 * (1 - 0.75 + 0.75 * dls[d] / avgdl))
+        tfidf[d] = tfidf.get(d, 0.0) + f * math.log(n / df[w])
+    ra = {d: i + 1 for i, (d, _) in enumerate(
+        sorted(bm25.items(), key=lambda kv: (-r6(kv[1]), kv[0]))[:_RBO_K])}
+    rb = {d: i + 1 for i, (d, _) in enumerate(
+        sorted(tfidf.items(), key=lambda kv: (-r6(kv[1]), kv[0]))[:_RBO_K])}
+    ms = [max(ra[d], rb[d]) for d in set(ra) & set(rb)]
+    rbo_e12 = sum(w * sum(1 for m in ms if m <= d) for d, w in _RBO_W)
+    assert row["n_common"] == len(ms)
+    assert row["rbo_e12"] == rbo_e12
+    assert row["overlap_at_k"] == sum(1 for m in ms if m <= _RBO_K)
+
+
+def test_rbo_identical_lists_upper_bound():
+    # X_d = d for identical lists: truncated RBO@20(p=.9) must match
+    # the closed-form prefix sum of the embedded weights exactly
+    from access_mopper_spark.queries.round10_ops import _RBO_W
+    assert sum(w * d for d, w in _RBO_W) == 878423345429
