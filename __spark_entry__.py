@@ -95,6 +95,14 @@ _DRIVER_PRIORITY = [
     "q_collocations_pmi", "q_kneser_ney_bigram", "q_sentence_stats",
     "q_zipf_alpha",
 ]
+# Round-11 rotation candidates (added in r10, all oracle-paired and
+# local-green vanilla + TZ=Australia/Adelaide at sf0.01; the text/events
+# rows 5-seed fuzz-clean; x10+x100 scale points in BENCH_sf1_scaleup
+# r10_new_rows): q_minhash_containment, q_confusable_skeleton,
+# q_degree_assortativity, q_ks_drift, q_mannwhitney_u,
+# q_chao1_richness, q_good_turing_mass, q_cuped_adjustment,
+# q_winsorized_mean, q_local_clustering, q_audience_overlap,
+# q_rbo_rankings.
 # Round-6 rotation candidates (added in r5, local-green at sf0.01 AND
 # sf0.1 + seed-fuzzed, never driver-checked): q_retention_cohorts,
 # q_markov_transitions, q_rolling_features, q_anomaly_mad,

@@ -261,9 +261,11 @@ def q_degree_assortativity(spark, sf_dir):
            CAST(MAX(n1) AS BIGINT) AS n_early,
            CAST(MAX(n2) AS BIGINT) AS n_late,
            CAST(MAX(ABS(c1c * n2 - c2c * n1)) AS BIGINT) AS d_num,
-           ROUND(CAST(MAX(ABS(c1c * n2 - c2c * n1)) AS DOUBLE)
-                 / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)),
-                 6) AS d_stat
+           CASE WHEN MAX(n1) > 0 AND MAX(n2) > 0
+                THEN ROUND(CAST(MAX(ABS(c1c * n2 - c2c * n1)) AS DOUBLE)
+                           / (CAST(MAX(n1) AS DOUBLE)
+                              * CAST(MAX(n2) AS DOUBLE)), 6)
+                ELSE NULL END AS d_stat
     FROM cum GROUP BY event_type
     """,
 )
@@ -307,8 +309,12 @@ def q_ks_drift(spark, sf_dir):
                     .alias("d_num")))
     d = (F.col("d_num").cast("double")
          / (F.col("n_early").cast("double") * F.col("n_late").cast("double")))
-    return agg.select("event_type", "n_early", "n_late", "d_num",
-                      pround(d, 6).alias("d_stat"))
+    # all-events-in-one-half (degenerate split, e.g. a single-instant
+    # corpus) → one count is 0: report the integer surface, NULL stat
+    return agg.select(
+        "event_type", "n_early", "n_late", "d_num",
+        F.when((F.col("n_early") > 0) & (F.col("n_late") > 0), pround(d, 6))
+         .otherwise(F.lit(None).cast("double")).alias("d_stat"))
 
 
 @query(
