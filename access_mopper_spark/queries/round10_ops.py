@@ -956,3 +956,85 @@ def q_rbo_rankings(spark, sf_dir):
                     "overlap_at_k", "rbo_e12",
                     pround(F.col("rbo_e12").cast("double")
                            / F.lit(1e12), 6).alias("rbo")))
+
+
+@query(
+    "q_quantile_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS m FROM ev),
+    pv AS (
+      SELECT event_type,
+             CASE WHEN us <= (SELECT m FROM mid) THEN 0 ELSE 1 END AS half,
+             cents, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT event_type, half, cents,
+             SUM(n) OVER (PARTITION BY event_type, half ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(n) OVER (PARTITION BY event_type, half) AS tot
+      FROM pv
+    ),
+    qs AS (SELECT * FROM (VALUES (10), (25), (50), (75), (90)) t(q_pct)),
+    pq AS (
+      SELECT event_type, half, q_pct, MIN(cents) AS p
+      FROM cum JOIN qs ON c >= (q_pct * tot + 99) // 100
+      GROUP BY event_type, half, q_pct
+    )
+    SELECT event_type, q_pct,
+           MIN(CASE WHEN half = 0 THEN p END) AS p_early,
+           MIN(CASE WHEN half = 1 THEN p END) AS p_late,
+           MIN(CASE WHEN half = 1 THEN p END)
+             - MIN(CASE WHEN half = 0 THEN p END) AS delta_cents
+    FROM pq GROUP BY event_type, q_pct
+    """,
+)
+def q_quantile_drift(spark, sf_dir):
+    """Quantile-by-quantile distribution drift per event_type: the
+    exact discrete P10/P25/P50/P75/P90 of value cents in the EARLY vs
+    LATE half of the time range and their deltas — the magnitude
+    companion to q_ks_drift (KS says "the distributions differ"; this
+    says WHERE on the curve and BY HOW MUCH, the readout a curation
+    dashboard plots).  Percentiles use the integer ceil-division grid
+    convention (⌈q·N/100⌉ = (q·N+99)//100, percentile_disc semantics),
+    so the ENTIRE surface is exact integers — no interpolation, no
+    doubles, nothing to snap.  Scale shape: rows reduce to the
+    (type, half, cents) grid first; one cumulative window over the
+    grid serves all five quantiles via a 5-row broadcast join."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("cents"),
+                  F.unix_micros("ts").alias("us")))
+    mid = ev.agg(((F.min("us") + F.max("us")) / 2).cast("long").alias("m"))
+    pv = (ev.crossJoin(F.broadcast(mid))
+            .withColumn("half", F.when(F.col("us") <= F.col("m"), 0)
+                                 .otherwise(1))
+            .groupBy("event_type", "half", "cents")
+            .agg(F.count("*").cast("long").alias("n")))
+    w_cum = (W.partitionBy("event_type", "half").orderBy("cents")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_all = W.partitionBy("event_type", "half")
+    cum = (pv.withColumn("c", F.sum("n").over(w_cum))
+             .withColumn("tot", F.sum("n").over(w_all)))
+    qs = spark.createDataFrame([(10,), (25,), (50,), (75,), (90,)],
+                               "q_pct INT")
+    pq = (cum.join(F.broadcast(qs),
+                   F.col("c") >= F.expr("(q_pct * tot + 99) DIV 100"))
+             .groupBy("event_type", "half", "q_pct")
+             .agg(F.min("cents").alias("p")))
+    out = (pq.groupBy("event_type", "q_pct")
+             .agg(F.min(F.when(F.col("half") == 0, F.col("p")))
+                   .alias("p_early"),
+                  F.min(F.when(F.col("half") == 1, F.col("p")))
+                   .alias("p_late")))
+    return out.select("event_type", "q_pct", "p_early", "p_late",
+                      (F.col("p_late") - F.col("p_early"))
+                      .alias("delta_cents"))

@@ -442,3 +442,30 @@ def test_rbo_identical_lists_upper_bound():
     # the closed-form prefix sum of the embedded weights exactly
     from access_mopper_spark.queries.round10_ops import _RBO_W
     assert sum(w * d for d, w in _RBO_W) == 878423345429
+
+
+def test_quantile_drift_matches_python(spark):
+    from collections import defaultdict
+
+    from access_mopper_spark.queries import QUERIES
+    from access_mopper_spark.sources.readers import load_table
+    sf_dir = "/root/testdata/sf0.001"
+    got = {(r["event_type"], r["q_pct"]): r for r in
+           QUERIES["q_quantile_drift"](spark, sf_dir).collect()}
+    rows = (load_table(spark, sf_dir, "events")
+            .selectExpr("event_type",
+                        "CAST(FLOOR(value*100 + 0.5) AS LONG) AS cents",
+                        "unix_micros(ts) AS us")
+            .where("value IS NOT NULL AND ts IS NOT NULL").collect())
+    mid = (min(r["us"] for r in rows) + max(r["us"] for r in rows)) // 2
+    by = defaultdict(lambda: ([], []))
+    for r in rows:
+        by[r["event_type"]][0 if r["us"] <= mid else 1].append(r["cents"])
+    for t, (e, l) in by.items():
+        e.sort(); l.sort()
+        for q in (10, 25, 50, 75, 90):
+            pe = e[(q * len(e) + 99) // 100 - 1] if e else None
+            pl = l[(q * len(l) + 99) // 100 - 1] if l else None
+            r = got[(t, q)]
+            assert r["p_early"] == pe and r["p_late"] == pl, (t, q)
+            assert r["delta_cents"] == pl - pe
