@@ -219,6 +219,31 @@ COMMENTARY = {
         "(side, dim) partial sums — the exchange carries 2·dim rows; "
         "means snap to the integer micro grid so dot/norms are exact "
         "BIGINT sums (no summation-order surface).",
+    "q_minhash_containment": "Directed containment (r10): the same "
+        "band-keys-only candidate shuffle as near_dup_pairs; both "
+        "directions of every verified pair emit from ONE row via "
+        "explode — the candidate join never runs twice.",
+    "q_ks_drift": "Exact two-sample KS (r10): raw events reduce to the "
+        "(type, cents) grid in a map-side-combined aggregate BEFORE "
+        "the one partitioned cumulative window — the sort payload is "
+        "the value grid, never the corpus; D's numerator stays BIGINT.",
+    "q_mannwhitney_u": "Mann-Whitney U (r10): doubled average ranks "
+        "computed from ONE cumulative sum over the pre-aggregated "
+        "(nation, cents) grid — no per-row rank window, integer-exact "
+        "U end-to-end.",
+    "q_local_clustering": "Clustering coefficient (r10): the degree-"
+        "oriented triangle plan (wedge fan-out ≤ √(2m)) outer-joined "
+        "to the degree table; coefficient is integer basis points.",
+    "q_rbo_rankings": "RBO (r10): both rankings ride one query-term-"
+        "filtered postings shuffle; ranks via broadcast self-join "
+        "count on ≤20-row lists; integer micro-weight sum — no pow(), "
+        "no global window, no order-dependent double summation.",
+    "q_quantile_drift": "Quantile drift (r10): one cumulative window "
+        "over the (type, half, cents) grid serves all five quantiles "
+        "through a 5-row broadcast ceil-division join — all integer.",
+    "q_cuped_adjustment": "CUPED (r10): per-user pre/post BIGINT sums, "
+        "one 5-number global aggregate broadcast onto the 2-row arm "
+        "aggregate — events scan once, nothing collects.",
 }
 
 
