@@ -1038,3 +1038,139 @@ def q_quantile_drift(spark, sf_dir):
     return out.select("event_type", "q_pct", "p_early", "p_late",
                       (F.col("p_late") - F.col("p_early"))
                       .alias("delta_cents"))
+
+
+@query(
+    "q_segmented_trend",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    bounds AS (SELECT MIN(us) AS mn, (MIN(us) + MAX(us)) // 2 AS m FROM ev),
+    pts AS (
+      SELECT event_type,
+             CASE WHEN us <= (SELECT m FROM bounds) THEN 0 ELSE 1 END AS half,
+             (us - (SELECT mn FROM bounds)) // 3600000000 AS t, y
+      FROM ev
+    ),
+    mo AS (
+      SELECT event_type, half, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * y) AS BIGINT) AS sty,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM pts GROUP BY event_type, half
+    ),
+    sl AS (
+      SELECT event_type, half, n,
+             CASE WHEN CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) > 0
+                  THEN (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                        - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                  ELSE NULL END AS slope
+      FROM mo
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN half = 0 THEN n END) AS BIGINT) AS n_early,
+           CAST(MIN(CASE WHEN half = 1 THEN n END) AS BIGINT) AS n_late,
+           ROUND(MIN(CASE WHEN half = 0 THEN slope END), 6) AS slope_early,
+           ROUND(MIN(CASE WHEN half = 1 THEN slope END), 6) AS slope_late,
+           ROUND(MIN(CASE WHEN half = 1 THEN slope END)
+                 - MIN(CASE WHEN half = 0 THEN slope END), 6) AS slope_delta
+    FROM sl GROUP BY event_type
+    """,
+)
+def q_segmented_trend(spark, sf_dir):
+    """Segmented trend drift per event_type: the OLS slope of value
+    cents over time (cents/hour) fit separately on the EARLY and LATE
+    halves of the range, plus the slope change — the trend-break
+    monitor next to q_ks_drift (level shift) and q_quantile_drift
+    (shape shift); a pipeline whose quality trend bends between epochs
+    fails this gate first.  Time rescales to integer HOURS since the
+    corpus min (t² sums stay far inside BIGINT at any corpus size —
+    raw epoch-µs squared would overflow), every moment is an exact
+    BIGINT from one groupBy, and only the final slopes are doubles
+    with identical staged IEEE ops + a zero-variance NULL guard."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("y"),
+                  F.unix_micros("ts").alias("us")))
+    bounds = ev.agg(F.min("us").alias("mn"),
+                    ((F.min("us") + F.max("us")) / 2).cast("long").alias("m"))
+    pts = (ev.crossJoin(F.broadcast(bounds))
+             .select("event_type",
+                     F.when(F.col("us") <= F.col("m"), 0).otherwise(1)
+                      .alias("half"),
+                     F.expr("(us - mn) DIV 3600000000").alias("t"), "y"))
+    mo = (pts.groupBy("event_type", "half")
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum("t").cast("long").alias("st"),
+                  F.sum("y").cast("long").alias("sy"),
+                  F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+                  F.sum(F.col("t") * F.col("t")).cast("long").alias("stt")))
+    nd = F.col("n").cast("double")
+    den = nd * F.col("stt").cast("double") \
+        - F.col("st").cast("double") * F.col("st").cast("double")
+    num = nd * F.col("sty").cast("double") \
+        - F.col("st").cast("double") * F.col("sy").cast("double")
+    sl = mo.select("event_type", "half", "n",
+                   F.when(den > 0, num / den)
+                    .otherwise(F.lit(None).cast("double")).alias("slope"))
+    out = (sl.groupBy("event_type")
+           .agg(F.min(F.when(F.col("half") == 0, F.col("n"))).cast("long")
+                 .alias("n_early"),
+                F.min(F.when(F.col("half") == 1, F.col("n"))).cast("long")
+                 .alias("n_late"),
+                F.min(F.when(F.col("half") == 0, F.col("slope")))
+                 .alias("__se"),
+                F.min(F.when(F.col("half") == 1, F.col("slope")))
+                 .alias("__sl")))
+    return out.select("event_type", "n_early", "n_late",
+                      pround(F.col("__se"), 6).alias("slope_early"),
+                      pround(F.col("__sl"), 6).alias("slope_late"),
+                      pround(F.col("__sl") - F.col("__se"), 6)
+                       .alias("slope_delta"))
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM c)
+    SELECT tot.k AS n_sources, tot.t AS n_docs,
+           CAST((SELECT SUM(n * n) FROM c) * 10000 // (tot.t * tot.t)
+                AS BIGINT) AS hhi_bp,
+           CAST(MAX(c.n) * 10000 // tot.t AS BIGINT) AS top_share_bp
+    FROM c, tot GROUP BY tot.k, tot.t
+    """,
+)
+def q_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman concentration of the corpus over sources:
+    HHI = Σ share² in integer basis points, plus the top-source share —
+    the "is one crawl dominating the mixture" governance readout next
+    to q_domain_scorecard/q_host_cap (those cap and score; this is the
+    single dashboard number antitrust-style).  One tiny source-count
+    aggregate; Σn² and the shares are exact integers (×10000 DIV t²),
+    so nothing can flip.  At 100 TB the per-source count table is
+    |sources| rows — the whole readout is a map-side-combined count
+    plus scalar math."""
+    c = (load_table(spark, sf_dir, "documents")
+         .groupBy("source").agg(F.count("*").cast("long").alias("n")))
+    tot = c.agg(F.sum("n").cast("long").alias("t"),
+                F.count("*").cast("long").alias("k"),
+                F.sum(F.col("n") * F.col("n")).cast("long").alias("ssq"),
+                F.max("n").cast("long").alias("mx"))
+    return tot.select(
+        F.col("k").alias("n_sources"), F.col("t").alias("n_docs"),
+        F.expr("ssq * 10000 DIV (t * t)").alias("hhi_bp"),
+        F.expr("mx * 10000 DIV t").alias("top_share_bp"))

@@ -469,3 +469,60 @@ def test_quantile_drift_matches_python(spark):
             r = got[(t, q)]
             assert r["p_early"] == pe and r["p_late"] == pl, (t, q)
             assert r["delta_cents"] == pl - pe
+
+
+def test_segmented_trend_matches_numpy(spark):
+    import numpy as np
+    from collections import defaultdict
+
+    from access_mopper_spark.queries import QUERIES
+    from access_mopper_spark.sources.readers import load_table
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in
+           QUERIES["q_segmented_trend"](spark, sf_dir).collect()}
+    rows = (load_table(spark, sf_dir, "events")
+            .selectExpr("event_type",
+                        "CAST(FLOOR(value*100 + 0.5) AS LONG) AS y",
+                        "unix_micros(ts) AS us")
+            .where("value IS NOT NULL AND ts IS NOT NULL").collect())
+    mn = min(r["us"] for r in rows)
+    mid = (mn + max(r["us"] for r in rows)) // 2
+    by = defaultdict(lambda: ([], []))
+    for r in rows:
+        by[r["event_type"]][0 if r["us"] <= mid else 1].append(
+            ((r["us"] - mn) // 3600000000, r["y"]))
+    for t, halves in by.items():
+        slopes = []
+        for pts in halves:
+            x = np.array([p[0] for p in pts], dtype=float)
+            y = np.array([p[1] for p in pts], dtype=float)
+            n = len(x)
+            den = n * (x * x).sum() - x.sum() ** 2
+            slopes.append((n * (x * y).sum() - x.sum() * y.sum()) / den
+                          if den > 0 else None)
+        assert got[t]["n_early"] == len(halves[0])
+        assert got[t]["slope_early"] == pytest.approx(slopes[0], abs=1e-5)
+        assert got[t]["slope_late"] == pytest.approx(slopes[1], abs=1e-5)
+        assert got[t]["slope_delta"] == pytest.approx(
+            slopes[1] - slopes[0], abs=1e-5)
+
+
+def test_hhi_fixture(spark, tmp_path):
+    # shares 3/4 and 1/4 -> HHI = 9/16 + 1/16 = 0.625 -> 6250 bp
+    import glob
+    import os
+    import shutil
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame(
+        [(i, "t", "en", "s1" if i < 3 else "s2", 1) for i in range(4)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/__tmp")
+    shutil.move(glob.glob(d + "/__tmp/part-*.parquet")[0],
+                d + "/documents.parquet")
+    shutil.rmtree(d + "/__tmp")
+    from access_mopper_spark.queries import QUERIES
+    r = QUERIES["q_hhi_concentration"](spark, d).collect()[0]
+    assert (r["n_sources"], r["n_docs"]) == (2, 4)
+    assert r["hhi_bp"] == 6250
+    assert r["top_share_bp"] == 7500
