@@ -102,7 +102,8 @@ _DRIVER_PRIORITY = [
 # q_degree_assortativity, q_ks_drift, q_mannwhitney_u,
 # q_chao1_richness, q_good_turing_mass, q_cuped_adjustment,
 # q_winsorized_mean, q_local_clustering, q_audience_overlap,
-# q_rbo_rankings, q_quantile_drift.
+# q_rbo_rankings, q_quantile_drift, q_segmented_trend,
+# q_hhi_concentration.
 # Round-6 rotation candidates (added in r5, local-green at sf0.01 AND
 # sf0.1 + seed-fuzzed, never driver-checked): q_retention_cohorts,
 # q_markov_transitions, q_rolling_features, q_anomaly_mad,
