@@ -112,6 +112,18 @@ HEADLINE = [
     "q_confusion_thresholds",
     "q_simhash_near_dup",
     "q_bootstrap_ci",
+    # round 10: asymmetric containment dedup, homoglyph skeleton,
+    # nonparametric drift/AB statistics, graph clustering coefficient,
+    # RBO rank agreement (all integer-surface; grid-bounded windows)
+    "q_minhash_containment",
+    "q_confusable_skeleton",
+    "q_ks_drift",
+    "q_mannwhitney_u",
+    "q_cuped_adjustment",
+    "q_winsorized_mean",
+    "q_quantile_drift",
+    "q_local_clustering",
+    "q_rbo_rankings",
 ]
 
 
