@@ -1174,3 +1174,53 @@ def q_hhi_concentration(spark, sf_dir):
         F.col("k").alias("n_sources"), F.col("t").alias("n_docs"),
         F.expr("ssq * 10000 DIV (t * t)").alias("hhi_bp"),
         F.expr("mx * 10000 DIV t").alias("top_share_bp"))
+
+
+@query(
+    "q_ess_weights",
+    oracle="""
+    WITH w AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS w FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    mo AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS sum_w,
+             CAST(SUM(w * w) AS BIGINT) AS sum_w2
+      FROM w GROUP BY source
+    )
+    SELECT source, n_docs, sum_w, sum_w2,
+           ROUND(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+                 / CAST(sum_w2 AS DOUBLE), 6) AS ess,
+           CAST(FLOOR(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+                      / CAST(sum_w2 AS DOUBLE) * CAST(10000 AS DOUBLE)
+                      / CAST(n_docs AS DOUBLE)) AS BIGINT) AS ess_ratio_bp
+    FROM mo
+    """,
+)
+def q_ess_weights(spark, sf_dir):
+    """Effective sample size of the per-source sampling weights
+    (Kish 1965): ESS = (Σw)²/Σw² over the length weights the
+    weighted-sampling row uses — the degeneracy diagnostic for any
+    weighted mixture (ESS ≪ n means a few heavy docs dominate and the
+    'weighted sample of n' is really a sample of ESS; importance-
+    sampling pipelines gate on exactly this).  Σw and Σw² are exact
+    BIGINT moments from one groupBy (w = n_chars ≤ ~10⁵ keeps w² sums
+    inside BIGINT up to ~10⁸ docs/source — beyond that, swap the two
+    sums to DOUBLE); ESS and the ESS/n ratio are staged-identical
+    doubles, the ratio floored onto the integer bp grid."""
+    w = (load_table(spark, sf_dir, "documents")
+         .where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+         .select("source", F.col("n_chars").cast("long").alias("w")))
+    mo = (w.groupBy("source")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("w").cast("long").alias("sum_w"),
+                F.sum(F.col("w") * F.col("w")).cast("long").alias("sum_w2")))
+    swd = F.col("sum_w").cast("double")
+    ess = swd * swd / F.col("sum_w2").cast("double")
+    return mo.select(
+        "source", "n_docs", "sum_w", "sum_w2",
+        pround(ess, 6).alias("ess"),
+        F.floor(ess * F.lit(10000).cast("double")
+                / F.col("n_docs").cast("double")).cast("long")
+         .alias("ess_ratio_bp"))

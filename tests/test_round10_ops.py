@@ -526,3 +526,25 @@ def test_hhi_fixture(spark, tmp_path):
     assert (r["n_sources"], r["n_docs"]) == (2, 4)
     assert r["hhi_bp"] == 6250
     assert r["top_share_bp"] == 7500
+
+
+def test_ess_weights_fixture(spark, tmp_path):
+    # weights (1, 1, 2): ESS = 16/6 = 2.6667, ratio = 8888 bp
+    import glob
+    import os
+    import shutil
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame(
+        [(1, "t", "en", "s1", 1), (2, "t", "en", "s1", 1),
+         (3, "t", "en", "s1", 2)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/__tmp")
+    shutil.move(glob.glob(d + "/__tmp/part-*.parquet")[0],
+                d + "/documents.parquet")
+    shutil.rmtree(d + "/__tmp")
+    from access_mopper_spark.queries import QUERIES
+    r = QUERIES["q_ess_weights"](spark, d).collect()[0]
+    assert (r["n_docs"], r["sum_w"], r["sum_w2"]) == (3, 4, 6)
+    assert r["ess"] == pytest.approx(16 / 6, abs=1e-6)
+    assert r["ess_ratio_bp"] == int(16 / 6 * 10000 / 3)
