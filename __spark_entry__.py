@@ -103,7 +103,7 @@ _DRIVER_PRIORITY = [
 # q_chao1_richness, q_good_turing_mass, q_cuped_adjustment,
 # q_winsorized_mean, q_local_clustering, q_audience_overlap,
 # q_rbo_rankings, q_quantile_drift, q_segmented_trend,
-# q_hhi_concentration, q_ess_weights.
+# q_hhi_concentration, q_ess_weights, q_coverage_topk.
 # Round-6 rotation candidates (added in r5, local-green at sf0.01 AND
 # sf0.1 + seed-fuzzed, never driver-checked): q_retention_cohorts,
 # q_markov_transitions, q_rolling_features, q_anomaly_mad,

@@ -1224,3 +1224,57 @@ def q_ess_weights(spark, sf_dir):
         F.floor(ess * F.lit(10000).cast("double")
                 / F.col("n_docs").cast("double")).cast("long")
          .alias("ess_ratio_bp"))
+
+
+@query(
+    "q_coverage_topk",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      GROUP BY source
+    ),
+    r AS (
+      SELECT n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, source) AS rk,
+             SUM(n) OVER (ORDER BY n DESC, source
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER () AS tot,
+             COUNT(*) OVER () AS k
+      FROM c
+    )
+    SELECT CAST(MAX(k) AS BIGINT) AS n_sources,
+           CAST(MAX(tot) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN rk END) AS BIGINT) AS k50,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN rk END) AS BIGINT)
+             AS k90
+    FROM r
+    """,
+)
+def q_coverage_topk(spark, sf_dir):
+    """Source coverage curve: how many top sources cover 50% / 90% of
+    the corpus — the mixture-diversity readout next to
+    q_hhi_concentration (HHI is the concentration scalar; this is the
+    dashboard's "k sources = X% of data" pair).  Exact integers
+    throughout (2·cum ≥ tot and 10·cum ≥ 9·tot avoid any division).
+    The ranking window is UNPARTITIONED but runs AFTER the corpus
+    reduces to one row per source — |sources| rows regardless of data
+    volume (the same bounded-axis argument as q_seasonal_decompose's
+    per-day window; registered in the plan-audit allowlist)."""
+    c = (load_table(spark, sf_dir, "documents")
+         .groupBy("source").agg(F.count("*").cast("long").alias("n")))
+    w_ord = W.orderBy(F.col("n").desc(), F.col("source"))
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    r = (c.select(
+            "n",
+            F.row_number().over(w_ord).alias("rk"),
+            F.sum("n").over(w_cum).alias("cum"),
+            F.sum("n").over(w_all).alias("tot"),
+            F.count("*").over(w_all).alias("k")))
+    return r.agg(
+        F.max("k").cast("long").alias("n_sources"),
+        F.max("tot").cast("long").alias("n_docs"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("rk")))
+         .cast("long").alias("k50"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("rk")))
+         .cast("long").alias("k90"))

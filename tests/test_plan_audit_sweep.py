@@ -29,7 +29,10 @@ STREAMING = {"q_stream_resample", "q_stateful_totals", "q_stream_curation",
 #: q_seasonal_decompose's 7-day moving average runs AFTER the corpus
 #: reduces to one row per day — |days| rows regardless of corpus size.
 AXIS_WINDOW_OK = {"q_bounds_derive", "q_bounds_check",
-                  "q_seasonal_decompose"}
+                  "q_seasonal_decompose",
+                  # coverage curve ranks AFTER the corpus reduces to
+                  # one row per source — |sources| rows, not volume
+                  "q_coverage_topk"}
 
 
 def _unpartitioned_windows(plan: str) -> list[str]:

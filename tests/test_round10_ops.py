@@ -548,3 +548,27 @@ def test_ess_weights_fixture(spark, tmp_path):
     assert (r["n_docs"], r["sum_w"], r["sum_w2"]) == (3, 4, 6)
     assert r["ess"] == pytest.approx(16 / 6, abs=1e-6)
     assert r["ess_ratio_bp"] == int(16 / 6 * 10000 / 3)
+
+
+def test_coverage_topk_fixture(spark, tmp_path):
+    # counts 6,2,1,1 (N=10): k50 -> top1 (6 >= 5); k90 -> top3 (9 >= 9)
+    import glob
+    import os
+    import shutil
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    rows = []
+    i = 0
+    for src, cnt in [("a", 6), ("b", 2), ("c", 1), ("d", 1)]:
+        for _ in range(cnt):
+            rows.append((i, "t", "en", src, 1))
+            i += 1
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/__tmp")
+    shutil.move(glob.glob(d + "/__tmp/part-*.parquet")[0],
+                d + "/documents.parquet")
+    shutil.rmtree(d + "/__tmp")
+    from access_mopper_spark.queries import QUERIES
+    r = QUERIES["q_coverage_topk"](spark, d).collect()[0]
+    assert (r["n_sources"], r["n_docs"], r["k50"], r["k90"]) == (4, 10, 1, 3)
