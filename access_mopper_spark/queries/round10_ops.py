@@ -188,7 +188,11 @@ def q_degree_assortativity(spark, sf_dir):
     edge-degree join, two shuffles total); only the final correlation
     is double math, with the IDENTICAL staged IEEE ops on both engines
     (cast-to-double per factor, then multiply/subtract/divide/sqrt) and
-    a shared den>0 NULL guard, so the R6 surface cannot flip."""
+    a shared den>0 NULL guard, so the R6 surface cannot flip.  Overflow
+    bound: Σ(xd·yd) must fit BIGINT → valid while m·d_max² ≤ 9.2e18
+    (e.g. d_max ≤ 3e6 at m = 1e6 directed edges); past it Spark's sum
+    wraps silently where DuckDB's HUGEINT→BIGINT cast errors loudly —
+    switch the moments to DOUBLE sums beyond that bound."""
     li = (load_table(spark, sf_dir, "lineitem")
           .where(F.col("l_quantity") > 25)
           .select("l_orderkey", "l_partkey"))
@@ -287,7 +291,11 @@ def q_ks_drift(spark, sf_dir):
                   F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
                    .alias("cents"),
                   F.unix_micros("ts").alias("us")))
-    mid = ev.agg(((F.min("us") + F.max("us")) / 2).cast("long").alias("m"))
+    # integer midpoint (matches the oracle's BIGINT `//` exactly at any
+    # magnitude — double division loses exactness once mn+mx >= 2^53)
+    mid = (ev.agg(F.min("us").cast("long").alias("mn"),
+                  F.max("us").cast("long").alias("mx"))
+             .select(F.expr("(mn + mx) DIV 2").alias("m")))
     flagged = (ev.crossJoin(F.broadcast(mid))
                  .withColumn("early", F.when(F.col("us") <= F.col("m"), 1)
                                        .otherwise(0)))
@@ -558,14 +566,20 @@ def q_cuped_adjustment(spark, sf_dir):
     sum (one per-user groupBy, then one 5-number global agg broadcast
     onto the 2-row arm agg — no window, no second pass over events);
     only the final θ/means are doubles, staged with identical IEEE ops
-    both engines and a var(X)>0 guard (θ NULL, unadjusted mean kept)."""
+    both engines and a var(X)>0 guard (θ NULL, unadjusted mean kept).
+    Overflow bound: Σx² must fit BIGINT → valid while n_users·x_max²
+    ≤ 9.2e18 (x_max ~ $30M/user at 1e4 users; far past any corpus here);
+    beyond it Spark wraps silently where DuckDB errors loudly — move
+    the second moments to DOUBLE sums past the bound."""
     ev = (load_table(spark, sf_dir, "events")
           .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
           .select("user_id",
                   F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
                    .alias("cents"),
                   F.unix_micros("ts").alias("us")))
-    mid = ev.agg(((F.min("us") + F.max("us")) / 2).cast("long").alias("m"))
+    mid = (ev.agg(F.min("us").cast("long").alias("mn"),
+                  F.max("us").cast("long").alias("mx"))
+             .select(F.expr("(mn + mx) DIV 2").alias("m")))
     per_user = (ev.crossJoin(F.broadcast(mid))
                 .groupBy("user_id")
                 .agg(F.sum(F.when(F.col("us") <= F.col("m"), F.col("cents"))
@@ -894,8 +908,9 @@ def q_rbo_rankings(spark, sf_dir):
     engines (neither engine calls pow()), so the score is an exact
     BIGINT (Σ X_d·w_d) until the final rendered double.  Both ranked
     lists come from the ONE query-term-filtered postings shuffle
-    (operators/search.py); ranks inside each ≤20-row list come from a
-    broadcast self-join count, not a global window."""
+    (operators/search.py); ranks reuse partial_topk's own rank column
+    (its phase-2 window runs over ≤ k·p surviving rows, never the full
+    corpus)."""
     from access_mopper_spark.operators.search import (build_postings,
                                                       corpus_stats)
     docs = load_table(spark, sf_dir, "documents")
@@ -922,23 +937,17 @@ def q_rbo_rankings(spark, sf_dir):
     from access_mopper_spark.operators.similarity import partial_topk
 
     def ranked(scored):
+        # partial_topk's phase 2 already ranks the <= k·p survivors with
+        # row_number over the SAME total (score DESC, doc_id) order the
+        # oracle uses — reuse that rank column directly (a broadcast
+        # self-join recount would add a shuffle and a second tie-break
+        # site to keep in sync).
         top = partial_topk(scored, [],
                            [F.col("score").desc(), F.col("doc_id")], _RBO_K)
-        lhs = top.select(F.col("doc_id").alias("id1"),
-                         F.col("score").alias("s1"))
-        rhs = top.select(F.col("doc_id").alias("id2"),
-                         F.col("score").alias("s2"))
-        better = ((F.col("s2") > F.col("s1"))
-                  | ((F.col("s2") == F.col("s1"))
-                     & (F.col("id2") < F.col("id1"))))
-        return (lhs.join(F.broadcast(rhs), better, "left")
-                   .groupBy("id1")
-                   .agg((F.count("id2") + 1).cast("long").alias("r")))
+        return top.select("doc_id", F.col("rank").cast("long").alias("r"))
 
-    ra = ranked(bm25).select(F.col("id1").alias("doc_id"),
-                             F.col("r").alias("ra"))
-    rb = ranked(tfidf).select(F.col("id1").alias("doc_id"),
-                              F.col("r").alias("rb"))
+    ra = ranked(bm25).select("doc_id", F.col("r").alias("ra"))
+    rb = ranked(tfidf).select("doc_id", F.col("r").alias("rb"))
     common = (ra.join(rb, "doc_id")
                 .select(F.greatest("ra", "rb").alias("m")))
     wt = spark.createDataFrame(_RBO_W, "d LONG, w LONG")
@@ -1013,7 +1022,9 @@ def q_quantile_drift(spark, sf_dir):
                   F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
                    .alias("cents"),
                   F.unix_micros("ts").alias("us")))
-    mid = ev.agg(((F.min("us") + F.max("us")) / 2).cast("long").alias("m"))
+    mid = (ev.agg(F.min("us").cast("long").alias("mn"),
+                  F.max("us").cast("long").alias("mx"))
+             .select(F.expr("(mn + mx) DIV 2").alias("m")))
     pv = (ev.crossJoin(F.broadcast(mid))
             .withColumn("half", F.when(F.col("us") <= F.col("m"), 0)
                                  .otherwise(1))
@@ -1101,8 +1112,9 @@ def q_segmented_trend(spark, sf_dir):
                   F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
                    .alias("y"),
                   F.unix_micros("ts").alias("us")))
-    bounds = ev.agg(F.min("us").alias("mn"),
-                    ((F.min("us") + F.max("us")) / 2).cast("long").alias("m"))
+    bounds = (ev.agg(F.min("us").cast("long").alias("mn"),
+                     F.max("us").cast("long").alias("mx"))
+                .select("mn", F.expr("(mn + mx) DIV 2").alias("m")))
     pts = (ev.crossJoin(F.broadcast(bounds))
              .select("event_type",
                      F.when(F.col("us") <= F.col("m"), 0).otherwise(1)
@@ -1148,8 +1160,8 @@ def q_segmented_trend(spark, sf_dir):
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
                    CAST(COUNT(*) AS BIGINT) AS k FROM c)
     SELECT tot.k AS n_sources, tot.t AS n_docs,
-           CAST((SELECT SUM(n * n) FROM c) * 10000 // (tot.t * tot.t)
-                AS BIGINT) AS hhi_bp,
+           CAST(CAST((SELECT SUM(n * n) FROM c) AS BIGINT) * 10000
+                // (tot.t * tot.t) AS BIGINT) AS hhi_bp,
            CAST(MAX(c.n) * 10000 // tot.t AS BIGINT) AS top_share_bp
     FROM c, tot GROUP BY tot.k, tot.t
     """,
@@ -1161,9 +1173,12 @@ def q_hhi_concentration(spark, sf_dir):
     to q_domain_scorecard/q_host_cap (those cap and score; this is the
     single dashboard number antitrust-style).  One tiny source-count
     aggregate; Σn² and the shares are exact integers (×10000 DIV t²),
-    so nothing can flip.  At 100 TB the per-source count table is
-    |sources| rows — the whole readout is a map-side-combined count
-    plus scalar math."""
+    so nothing can flip.  Overflow bound: Σn²×10000 must fit BIGINT →
+    valid to ~9.6e8 docs in a single source (Σn² ≤ 9.2e14); the oracle
+    casts its HUGEINT sum to BIGINT so BOTH engines hit the bound at
+    the same place (DuckDB errors loudly; past it compute shares in
+    DOUBLE).  At 100 TB the per-source count table is |sources| rows —
+    the whole readout is a map-side-combined count plus scalar math."""
     c = (load_table(spark, sf_dir, "documents")
          .groupBy("source").agg(F.count("*").cast("long").alias("n")))
     tot = c.agg(F.sum("n").cast("long").alias("t"),
