@@ -35,65 +35,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # need hard driver signal.  Rows rotated out (all driver-green in r1 AND
 # r2, with their family still represented) remain oracle-checked by
 # tools/check_correctness.py (full registry).
-# Round-10 rotation.  r9 went 50/50 GREEN with 47 first exposures —
-# the rotation mechanism is proven; 134 registry rows remain
-# never-exposed (after demoting the oracle-less q_minhash_xxhash64 to
-# tests/).  This round continues the backlog drain with the verdict's
-# named queue first.  Policy: (a) the same three sentinels stay
-# green-on-green — q_probe_date_render (raw DATE), q_dup_ngrams
-# (former flagship HUGEINT fail), q_max_concurrency (DATE+HUGEINT
-# combo); (b) the six r9-late curation/drift rows the verdict names
-# (all r9 local-green + 5-seed fuzz-clean); (c) the full r9
-# second-batch eval/QC family (local-green + TZ-hostile-green; the
-# text rows 5-seed fuzz-clean; q_auc_roc/q_calibration_bins/
-# q_confusion_thresholds/q_corpus_diff re-gated this round after the
-# ADVICE NULL/overflow fixes); (d) 26 backlog rows chosen for signal
-# diversity — the four streaming rows (exactly-once sinks, stream-
-# stream outer join, sessionization state), seven DATE/timestamp-
-# surface rows, six double/stats rows, five HUGEINT TPC-H money rows,
-# four text rows.  All 47 first-exposure rows are local-green at
-# sf0.01.  Hostile-TZ gate (TZ=Australia/Adelaide): 46/50 green; the 4
-# non-green rows (q_stream_static_join, q_stream_join_outer,
-# q_gap_fill_locf, q_sessionize) are the DOCUMENTED harness-level
-# timestamp-render artifact (verify skill: PySpark collect() renders
-# TimestampType via OS-local fromtimestamp — values shift by exactly
-# the OS offset, instants identical), not TZ-sensitive logic; 16
-# raw-TIMESTAMP-output rows incl. three streaming rows are already
-# driver-proven green across r1-r9, so the driver harness renders
-# UTC.  The new-to-the-window text/events rows are 5-seed fuzz-clean
-# (tools/fuzz_correctness.py).
-# The 47 r9-green rows rotate OUT with their families represented.
-# Remaining never-exposed backlog after this window: ~87 rows (listed
-# below) — two more rotation rounds clears it.
+# Round-11 rotation.  r9 and r10 both went 50/50 GREEN with 47 first
+# exposures each — the mechanism is proven; 104 registry rows remain
+# never-exposed entering this round.  Policy: (a) the same three
+# sentinels stay green-on-green — q_probe_date_render (raw DATE),
+# q_dup_ngrams (former flagship HUGEINT fail), q_max_concurrency
+# (DATE+HUGEINT combo); (b) the 17 round-10 operators the verdict
+# queue names first (containment/homoglyph dedup, assortativity, the
+# nonparametric-stats/drift/experimentation pack) — all r10
+# local-green + TZ-hostile-green, text rows fuzz-clean, and the four
+# ADVICE-touched rows (q_ks_drift, q_cuped_adjustment,
+# q_quantile_drift, q_segmented_trend integer midpoints;
+# q_hhi_concentration oracle BIGINT cast; q_rbo_rankings rank reuse)
+# re-gated vanilla + TZ after the fixes; (c) 30 backlog rows picked by
+# DIVERGENCE.md risk surface — 12 DATE/timestamp rows (snapshot/CDC/
+# point-in-time/retention/filename-timestamp surfaces), 10 HUGEINT
+# TPC-H money rows, 6 double/stats rows, 2 text rows.  All 47
+# first-exposure rows re-verified local-green at sf0.01 in this
+# round's tree: vanilla 50/50; TZ=Australia/Adelaide 49/50 after
+# converting the five midnight-valued timestamp outputs in this window
+# to DATE (q_cohort_retention, q_daily_percentiles, q_incremental_agg,
+# q_filename_timestamp, q_timeshot_dispatch — repo convention:
+# timestamps that are really dates ship as DATE, TZ-render-immune);
+# the one non-green row (q_filename_formats) carries real time-of-day
+# (T0630 stamps) and is the DOCUMENTED harness-level render artifact
+# (values shift by exactly the OS offset, instants identical — the
+# driver harness renders UTC, proven by 16+ raw-TIMESTAMP rows green
+# across r1-r10).  5-seed fuzz (tools/fuzz_correctness.py): 0 failures
+# across all 47 first-exposure rows, re-run on the five DATE-converted
+# rows after the conversion.
+# The 47 r10-green rows rotate OUT with their families represented.
+# Remaining never-exposed backlog after this window: 57 pre-r11 rows
+# — one further rotation round clears it.
 _DRIVER_PRIORITY = [
-    # (a) sentinels — green in r8 AND r9, kept to lock adjudications
+    # (a) sentinels — green in r9 AND r10, kept to lock adjudications
     "q_probe_date_render", "q_dup_ngrams", "q_max_concurrency",
-    # (b) r9-late curation/drift rows (verdict item 1 names them)
-    "q_psi_drift", "q_kl_unigram_drift", "q_url_dedup",
-    "q_paragraph_dedup", "q_temperature_mixture",
-    "q_winnowing_fingerprints",
-    # (c) r9 second-batch eval/QC family
-    "q_auc_roc", "q_calibration_bins", "q_confusion_thresholds",
-    "q_simhash_near_dup", "q_bootstrap_ci", "q_retrieval_eval",
-    "q_rrf_fuse", "q_krippendorff_alpha", "q_padding_waste",
-    "q_corpus_diff", "q_stream_drift", "q_embedding_drift",
-    "q_winnowing_similarity", "q_simhash_clusters", "q_lsh_recall",
-    # (d) backlog: streaming
-    "q_stateful_totals", "q_stream_static_join", "q_stream_sessions",
-    "q_stream_join_outer",
-    # (d) backlog: DATE/timestamp surfaces
-    "q_gap_fill_locf", "q_sessionize", "q_conversion_latency",
-    "q_first_touch_attribution", "q_peak_hour", "q_last_touch",
-    "q_decay_engagement",
-    # (d) backlog: double/stats surfaces
-    "q_weighted_median", "q_survival_km", "q_ab_ttest",
-    "q_logreg_train", "q_autocorr_lag1", "q_benford",
-    # (d) backlog: HUGEINT TPC-H money rows
-    "q_min_cost_supplier", "q_market_share", "q_forecast_revenue",
-    "q_discounted_brand_revenue", "q_supplier_part_counts",
-    # (d) backlog: text
-    "q_collocations_pmi", "q_kneser_ney_bigram", "q_sentence_stats",
-    "q_zipf_alpha",
+    # (b) the 17 round-10 operators (verdict item 1 queue)
+    "q_minhash_containment", "q_confusable_skeleton",
+    "q_degree_assortativity", "q_ks_drift", "q_mannwhitney_u",
+    "q_chao1_richness", "q_good_turing_mass", "q_cuped_adjustment",
+    "q_winsorized_mean", "q_local_clustering", "q_audience_overlap",
+    "q_rbo_rankings", "q_quantile_drift", "q_segmented_trend",
+    "q_hhi_concentration", "q_ess_weights", "q_coverage_topk",
+    # (c) backlog: DATE/timestamp surfaces (DIVERGENCE.md risk class)
+    "q_cohort_retention", "q_point_in_time_join", "q_snapshot_diff",
+    "q_cdc_compact", "q_active_days_histogram", "q_daily_percentiles",
+    "q_incremental_agg", "q_filename_timestamp", "q_filename_formats",
+    "q_timeshot_dispatch", "q_markov_transitions", "q_rolling_features",
+    # (c) backlog: HUGEINT TPC-H money rows
+    "q_order_priority_check", "q_part_promotion", "q_waiting_suppliers",
+    "q_dormant_rich_customers", "q_rfm_segmentation",
+    "q_demand_variability", "q_basket_lift", "q_cooccur_parts",
+    "q_grouping_sets", "q_cube",
+    # (c) backlog: double/stats surfaces
+    "q_trimmed_mean", "q_percentile", "q_percentile_disc",
+    "q_weighted_median_2phase", "q_skew_metrics", "q_mutual_information",
+    # (c) backlog: text
+    "q_code_detect", "q_lang_confusion",
 ]
 # Round-11 rotation candidates (added in r10, all oracle-paired and
 # local-green vanilla + TZ=Australia/Adelaide at sf0.01; the text/events

@@ -341,7 +341,7 @@ def _vote_pack64(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
-              out_col: str = "simhash", hash_kind: str = "md5") -> DataFrame:
+              out_col: str = "simhash", hash_kind: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over character shingles.
 
     Each distinct shingle hashes to 64 bits JVM-side; per bit position the
@@ -351,14 +351,18 @@ def simhash64(df: DataFrame, text_col: str = "text", shingle_k: int = 5,
     sign-pack) — one pass per document, map-only, no shuffle.
 
     ``hash_kind``:
-    - ``'md5'`` (default): the 64 bits are two 32-bit lanes of the md5
-      digest (hex chars 1-8 / 9-16).  Engine-portable — DuckDB computes
-      the identical digest, so the fingerprint is oracle-checkable
-      end-to-end (see ``q_simhash``).  One digest per shingle; the lane
-      split is two cheap transforms over the already-computed hex array.
-    - ``'xxhash64'``: Spark-native 64-bit hash, fastest (pure codegen,
-      no hex decode) but engine-specific; use for production pipelines
-      that don't need a cross-engine oracle.
+    - ``'xxhash64'`` (default): Spark-native 64-bit hash, fastest (pure
+      codegen, no hex decode) — the production lane.  Measured at the
+      ×10 sweep point (cold protocol): 23.2 s vs the md5 lane's 56.1 s
+      (the Arrow vote kernel dominates the remainder); nothing
+      downstream (banding, hamming, clusters) depends on WHICH 64-bit
+      hash seeds the votes.
+    - ``'md5'``: the 64 bits are the top 16 hex chars of the md5 digest.
+      Engine-portable — DuckDB computes the identical digest, so the
+      fingerprint is oracle-checkable end-to-end; the oracle-paired
+      registry rows (``q_simhash``, ``q_simhash_near_dup``,
+      ``q_simhash_clusters``) pin this lane explicitly and accept its
+      CPU cost as the price of a full value-hash oracle.
     """
     df = ensure_min_partitions(df)
     # NULL text fingerprints like the empty document: without the
@@ -408,7 +412,7 @@ def simhash_hamming(a, b):
 
 def simhash_near_dup(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", max_hamming: int = 3,
-                     shingle_k: int = 5, hash_kind: str = "md5",
+                     shingle_k: int = 5, hash_kind: str = "xxhash64",
                      band_cap: int | None = None) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance — the
     Manku-Jain-Sarma (WWW'07 web-crawl dedup) banded search, the

@@ -179,7 +179,7 @@ def q_scalar_anomaly(spark, sf_dir):
     "q_timeshot_dispatch",
     oracle="""
     SELECT user_id, event_type,
-           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
            ROUND(CASE event_type
                  WHEN 'click' THEN AVG(value)
                  WHEN 'view' THEN SUM(value)
@@ -206,7 +206,11 @@ def q_timeshot_dispatch(spark, sf_dir):
             .when(F.col("event_type") == "purchase", F.col("__max"))
             .when(F.col("event_type") == "error", F.col("__min"))
             .otherwise(F.col("__cnt")))
-    return out.select("user_id", "event_type", "day", R6(stat).alias("stat"))
+    # day is midnight-valued → ship as DATE (TZ-render-immune; repo
+    # convention: timestamps that are really dates ship as DATE)
+    return out.select("user_id", "event_type",
+                      F.col("day").cast("date").alias("day"),
+                      R6(stat).alias("stat"))
 
 
 _DERIV_MAPPINGS = [
@@ -345,7 +349,7 @@ def q_tile_ave(spark, sf_dir):
       FROM orders
     )
     SELECT fname,
-           CAST(strptime(regexp_extract(fname, '([0-9]{8})', 1), '%Y%m%d') AS TIMESTAMP)
+           CAST(strptime(regexp_extract(fname, '([0-9]{8})', 1), '%Y%m%d') AS DATE)
              AS fstamp
     FROM files
     WHERE strptime(regexp_extract(fname, '([0-9]{8})', 1), '%Y%m%d')
@@ -367,6 +371,8 @@ def q_filename_timestamp(spark, sf_dir):
     return (
         files.withColumn("fstamp", stamp)
         .where(F.col("fstamp").between(F.lit("1994-01-01"), F.lit("1996-12-31")))
+        # yyyyMMdd stamps are midnight-valued → ship as DATE
+        .select("fname", F.col("fstamp").cast("date").alias("fstamp"))
     )
 
 

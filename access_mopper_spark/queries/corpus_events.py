@@ -404,7 +404,8 @@ def q_funnel(spark, sf_dir):
                         / 604800.0) AS BIGINT) AS week_k
       FROM events e JOIN firsts f USING (user_id)
     )
-    SELECT cohort_week, week_k, COUNT(*) AS active_users
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_k,
+           COUNT(*) AS active_users
     FROM activity GROUP BY cohort_week, week_k
     """,
 )
@@ -423,8 +424,11 @@ def q_cohort_retention(spark, sf_dir):
     activity = (ev.join(firsts, "user_id")
                   .select("user_id", "cohort_week", week_k.alias("week_k"))
                   .distinct())
-    return activity.groupBy("cohort_week", "week_k") \
-        .agg(F.count("*").alias("active_users"))
+    # cohort_week is week-truncated (midnight) → ship as DATE
+    return (activity.groupBy("cohort_week", "week_k")
+            .agg(F.count("*").alias("active_users"))
+            .select(F.col("cohort_week").cast("date").alias("cohort_week"),
+                    "week_k", "active_users"))
 
 
 @query(

@@ -696,7 +696,7 @@ def q_order_count_distribution(spark, sf_dir):
     "q_incremental_agg",
     oracle="""
     SELECT event_type,
-           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
            COUNT(*) AS n,
            ROUND(SUM(value), 2) AS total,
            ROUND(MIN(value), 6) AS vmin,
@@ -716,9 +716,11 @@ def q_incremental_agg(spark, sf_dir):
     so only the delta shuffles.  Oracle = the from-scratch GROUP BY,
     proving the incremental path is result-invariant."""
     ev = load_table(spark, sf_dir, "events")
-    mid = ev.agg(F.timestamp_micros(
-        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
-        .cast("long")).alias("__mid"))
+    # integer midpoint (exact at any magnitude, unlike double division)
+    mid = (ev.agg(F.min(F.unix_micros("ts")).alias("__mn"),
+                  F.max(F.unix_micros("ts")).alias("__mx"))
+             .select(F.timestamp_micros(F.expr("(__mn + __mx) DIV 2"))
+                      .alias("__mid")))
     tagged = ev.crossJoin(F.broadcast(mid))
     day = F.date_trunc("day", F.col("ts"))
 
@@ -733,7 +735,9 @@ def q_incremental_agg(spark, sf_dir):
               .groupBy("event_type", "day")
               .agg(F.sum("n").alias("n"), F.sum("total").alias("total"),
                    F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax")))
-    return merged.select("event_type", "day", "n",
+    # day is midnight-valued → ship as DATE (TZ-render-immune)
+    return merged.select("event_type",
+                         F.col("day").cast("date").alias("day"), "n",
                          pround(F.col("total"), 2).alias("total"),
                          R6(F.col("vmin")).alias("vmin"),
                          R6(F.col("vmax")).alias("vmax"))
@@ -1554,7 +1558,7 @@ def q_point_in_time_join(spark, sf_dir):
     "q_daily_percentiles",
     oracle="""
     SELECT event_type,
-           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
              AS day,
            COUNT(*) AS n,
            ROUND(quantile_cont(value, 0.5), 6) AS p50,
@@ -1569,8 +1573,9 @@ def q_daily_percentiles(spark, sf_dir):
     in one shuffle (many small groups → full parallelism; the
     extreme-cardinality swap is percentile_approx, same plan shape)."""
     ev = load_table(spark, sf_dir, "events")
+    # day ships as DATE (midnight-valued; TZ-render-immune)
     return (ev.groupBy("event_type",
-                       F.date_trunc("day", "ts").alias("day"))
+                       F.date_trunc("day", "ts").cast("date").alias("day"))
               .agg(F.count("*").alias("n"),
                    R6(F.expr("percentile(value, 0.5)")).alias("p50"),
                    R6(F.expr("percentile(value, 0.95)")).alias("p95")))

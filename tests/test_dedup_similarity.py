@@ -104,7 +104,10 @@ def py_simhash(text, k=5):
 
 
 def test_simhash_matches_python(spark, docs):
-    out = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    # md5 lane pinned: the Python reference below is the md5 recipe (the
+    # operator's production default is xxhash64)
+    out = {r["doc_id"]: r["simhash"]
+           for r in simhash64(docs, hash_kind="md5").collect()}
     for r in docs.collect():
         assert out[r["doc_id"]] == py_simhash(r["text"]), r["doc_id"]
 

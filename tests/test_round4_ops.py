@@ -343,7 +343,7 @@ def test_incremental_agg_equals_scratch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     direct = {(r.event_type, r.day): r.n for r in
               ev.groupBy("event_type",
-                         F.date_trunc("day", "ts").alias("day"))
+                         F.date_trunc("day", "ts").cast("date").alias("day"))
                 .agg(F.count("*").alias("n")).collect()}
     assert {k: v[0] for k, v in inc.items()} == direct
 

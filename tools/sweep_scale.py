@@ -17,6 +17,15 @@ Operational notes (learned the hard way in r9):
   resumes by skipping completed keys (pass the same out_json path);
 - ``SPARK_GRAFT_SWEEP_SKIP`` (comma-separated names) skips documented
   O(n^2)-by-semantics rows (exact all-pairs baselines) at big SFs.
+- (r11) every sweep LEADS with a fixed warmup no-op (q_pricing_summary
+  forced through the noop sink) so cold-session JIT/worker-spawn never
+  inflates the first measured row, and the output JSON carries a
+  ``_protocol`` stamp so readers can tell which regime a number came
+  from without parsing prose: ``warm`` = interleaved in this warmed
+  single session (the sweep's own regime), ``cold`` = first execution
+  of that query in a fresh-but-warmed session, ``loaded`` = measured
+  while other work shared the box.  Headline scale points copied into
+  BENCH_sf1_scaleup.json must carry the same stamp per entry.
 
 Usage: python tools/sweep_scale.py [sf_dir] [out_json]
 """
@@ -39,12 +48,17 @@ def main():
     from access_mopper_spark.session import get_spark
 
     spark = get_spark(app_name="sweep_scale")
-    times: dict[str, object] = {}
+    # fixed warmup no-op: spin up JVM codegen, executor threads, and
+    # parquet footer caches so the FIRST measured row isn't a 2-3x
+    # cold-session artifact (r10 verdict item 3)
+    QUERIES["q_pricing_summary"](spark, sf_dir) \
+        .write.format("noop").mode("overwrite").save()
+    times: dict[str, object] = {"_protocol": "warm"}
     if out_path and os.path.exists(out_path):
         prior = json.load(open(out_path))
-        times = {k: v for k, v in prior.items()
-                 if not (isinstance(v, str) and v.startswith("ERROR"))}
-        print(f"resuming: {len(times)} completed keys loaded")
+        times.update({k: v for k, v in prior.items()
+                      if not (isinstance(v, str) and v.startswith("ERROR"))})
+        print(f"resuming: {len(times) - 1} completed keys loaded")
     skip = set(filter(None, os.environ.get(
         "SPARK_GRAFT_SWEEP_SKIP", "").split(",")))
     for name, fn in QUERIES.items():
@@ -69,8 +83,9 @@ def main():
 
     errs = {k: v for k, v in times.items()
             if isinstance(v, str) and v.startswith("ERROR")}
-    ok = {k: v for k, v in times.items() if not isinstance(v, str)}
-    print(f"\n{len(ok)}/{len(times)} executed, {len(errs)} errors, "
+    ok = {k: v for k, v in times.items()
+          if not isinstance(v, str) and not k.startswith("_")}
+    print(f"\n{len(ok)}/{len(times) - 1} executed, {len(errs)} errors, "
           f"total {round(sum(ok.values()), 1)}s")
     for k, v in sorted(ok.items(), key=lambda kv: -kv[1])[:10]:
         print(f"  slowest: {k} {v}s")
