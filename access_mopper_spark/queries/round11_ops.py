@@ -1,0 +1,1016 @@
+"""Round-11 operator additions: paired-classifier / association /
+inequality / rank-correlation statistics, information-theoretic corpus
+diagnostics, heavy-tail and burstiness readouts, link prediction, and
+an exact integer Lorenz curve.
+
+Each row follows the registry conventions (queries/_core.py): integer
+hash surfaces wherever possible (basis points via DIV // parity, exact
+BIGINT moment sums), logs only in FINAL per-row expressions or quantized
+to an integer grid per DISTINCT value before summation (so double
+summation order can never flip a hash), R6 for unavoidable doubles with
+identically staged IEEE ops on both engines, fuzz + TZ gates before any
+driver exposure.
+"""
+
+from __future__ import annotations
+
+from access_mopper_spark.queries._core import (  # noqa: F401
+    F, W, query, R6, _wide, load_table, pround)
+
+
+# =====================================================================
+# paired-classifier / agreement statistics
+# =====================================================================
+
+@query(
+    "q_mcnemar_test",
+    oracle="""
+    WITH lab AS (
+      SELECT CASE WHEN COALESCE(n_chars, 0) >= 200 THEN 1 ELSE 0 END AS a,
+             CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END AS b
+      FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM lab
+    )
+    SELECT n, n11, n10, n01, n00,
+           CASE WHEN n10 + n01 > 0
+                THEN ROUND(CASE WHEN ABS(n10 - n01) >= 1
+                                THEN CAST((ABS(n10 - n01) - 1)
+                                          * (ABS(n10 - n01) - 1) AS DOUBLE)
+                                     / CAST(n10 + n01 AS DOUBLE)
+                                ELSE CAST(0 AS DOUBLE) END, 6)
+                ELSE NULL END AS chi2_mcnemar
+    FROM t
+    """,
+)
+def q_mcnemar_test(spark, sf_dir):
+    """McNemar's paired test between two deterministic document
+    filters — A: length >= 200 chars, B: contains a digit — the
+    statistic that decides whether two CURATION RULES disagree
+    systematically (marginal homogeneity) rather than merely overlap:
+    the pipeline question "does swapping filter A for filter B change
+    WHICH docs pass, or only how many".  Continuity-corrected
+    chi2 = (|b-c|-1)^2/(b+c) over the discordant cells only.  The whole
+    2x2 table is ONE map-side-combined aggregate (integers, exact at
+    any corpus size); only the final statistic is a double, staged
+    identically on both engines with a b+c=0 NULL guard."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("text").isNotNull())
+    a = F.when(F.coalesce(F.col("n_chars"), F.lit(0)) >= 200, 1).otherwise(0)
+    b = F.when(F.col("text").rlike("[0-9]"), 1).otherwise(0)
+    lab = docs.select(a.alias("a"), b.alias("b"))
+    t = lab.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"))
+    disc = F.col("n10") + F.col("n01")
+    adiff = F.abs(F.col("n10") - F.col("n01"))
+    chi2 = ((adiff - 1) * (adiff - 1)).cast("double") / disc.cast("double")
+    return t.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.when(disc > 0,
+               pround(F.when(adiff >= 1, chi2)
+                       .otherwise(F.lit(0.0).cast("double")), 6))
+         .otherwise(F.lit(None).cast("double")).alias("chi2_mcnemar"))
+
+
+@query(
+    "q_cohens_kappa",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             (length(p) - length(replace(p, ' the ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' of ', ''))) / 4.0 AS s_en,
+             (length(p) - length(replace(p, ' le ', ''))) / 4.0
+               + (length(p) - length(replace(p, ' la ', ''))) / 4.0
+               + (length(p) - length(replace(p, ' et ', ''))) / 4.0 AS s_fr,
+             (length(p) - length(replace(p, ' der ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' und ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' die ', ''))) / 5.0 AS s_de,
+             (length(p) - length(replace(p, ' el ', ''))) / 4.0
+               + (length(p) - length(replace(p, ' los ', ''))) / 5.0
+               + (length(p) - length(replace(p, ' y ', ''))) / 3.0 AS s_es
+      FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p
+            FROM documents) t
+    ),
+    g AS (
+      SELECT COALESCE(lang, '<null>') AS gold,
+             CASE WHEN s_en = greatest(s_en, s_fr, s_de, s_es) AND greatest(s_en, s_fr, s_de, s_es) > 0 THEN 'en'
+                  WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) AND greatest(s_en, s_fr, s_de, s_es) > 0 THEN 'fr'
+                  WHEN s_de = greatest(s_en, s_fr, s_de, s_es) AND greatest(s_en, s_fr, s_de, s_es) > 0 THEN 'de'
+                  WHEN s_es = greatest(s_en, s_fr, s_de, s_es) AND greatest(s_en, s_fr, s_de, s_es) > 0 THEN 'es'
+                  ELSE 'und' END AS guessed
+      FROM scored
+    ),
+    cm AS (SELECT gold, guessed, CAST(COUNT(*) AS BIGINT) AS c
+           FROM g GROUP BY gold, guessed),
+    marg AS (
+      SELECT COALESCE(r.k, c.k) AS k,
+             COALESCE(r.rn, 0) AS rn, COALESCE(c.cn, 0) AS cn
+      FROM (SELECT gold AS k, CAST(SUM(c) AS BIGINT) AS rn
+            FROM cm GROUP BY gold) r
+      FULL OUTER JOIN (SELECT guessed AS k, CAST(SUM(c) AS BIGINT) AS cn
+                       FROM cm GROUP BY guessed) c ON c.k = r.k
+    ),
+    t AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cm) AS n,
+             (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM cm
+              WHERE gold = guessed) AS n_agree,
+             (SELECT CAST(SUM(rn * cn) AS BIGINT) FROM marg) AS chance_prod
+    )
+    SELECT n, n_agree,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(chance_prod AS DOUBLE) > 0
+                THEN ROUND((CAST(n_agree AS DOUBLE) * CAST(n AS DOUBLE)
+                            - CAST(chance_prod AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                              - CAST(chance_prod AS DOUBLE)), 6)
+                ELSE NULL END AS kappa
+    FROM t
+    """,
+)
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between the gold ``lang`` label and the marker-word
+    language guess (functions/text.lang_guess) — the chance-corrected
+    agreement SCALAR on the confusion matrix q_lang_confusion
+    materializes (accuracy alone rewards a classifier that always
+    predicts the majority language; kappa doesn't).  kappa =
+    (po - pe)/(1 - pe) rearranged to the all-integer core
+    (n_agree*n - sum(rn*cn)) / (n^2 - sum(rn*cn)): the confusion
+    matrix, its marginals, and the chance product are exact BIGINTs
+    (one map-side scoring pass + a <= langs^2 grouped count), so only
+    the final ratio is a double — staged identically both engines with
+    a pe=1 NULL guard.  Overflow bound: sum(rn*cn) <= n^2 must fit
+    BIGINT -> valid to n = 3e9 docs."""
+    from access_mopper_spark.functions.text import lang_guess
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.coalesce("lang", F.lit("<null>")).alias("gold"),
+        lang_guess(F.col("text")).alias("guessed"))
+    cm = g.groupBy("gold", "guessed").agg(F.count("*").cast("long").alias("c"))
+    rn = (cm.groupBy("gold").agg(F.sum("c").cast("long").alias("rn"))
+            .withColumnRenamed("gold", "k"))
+    cn = (cm.groupBy("guessed").agg(F.sum("c").cast("long").alias("cn"))
+            .withColumnRenamed("guessed", "k"))
+    marg = (rn.join(cn, "k", "full_outer")
+              .select(F.coalesce("rn", F.lit(0)).alias("rn"),
+                      F.coalesce("cn", F.lit(0)).alias("cn")))
+    t = (cm.agg(F.sum("c").cast("long").alias("n"),
+                F.sum(F.when(F.col("gold") == F.col("guessed"), F.col("c"))
+                       .otherwise(0)).cast("long").alias("n_agree"))
+           .crossJoin(F.broadcast(
+               marg.agg(F.sum(F.col("rn") * F.col("cn")).cast("long")
+                         .alias("chance_prod")))))
+    nd = F.col("n").cast("double")
+    den = nd * nd - F.col("chance_prod").cast("double")
+    num = F.col("n_agree").cast("double") * nd \
+        - F.col("chance_prod").cast("double")
+    return t.select(
+        "n", "n_agree",
+        F.when(den > 0, pround(num / den, 6))
+         .otherwise(F.lit(None).cast("double")).alias("kappa"))
+
+
+# =====================================================================
+# categorical association / inequality
+# =====================================================================
+
+@query(
+    "q_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    rm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rn
+           FROM obs GROUP BY event_type),
+    cm AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS cn FROM obs GROUP BY dow),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+                 CAST(COUNT(DISTINCT dow) AS BIGINT) AS c
+          FROM obs),
+    chi AS (
+      SELECT SUM((CAST(obs.o AS DOUBLE)
+                  - CAST(rm.rn AS DOUBLE) * CAST(cm.cn AS DOUBLE)
+                    / CAST(t.n AS DOUBLE))
+                 * (CAST(obs.o AS DOUBLE)
+                    - CAST(rm.rn AS DOUBLE) * CAST(cm.cn AS DOUBLE)
+                      / CAST(t.n AS DOUBLE))
+                 / (CAST(rm.rn AS DOUBLE) * CAST(cm.cn AS DOUBLE)
+                    / CAST(t.n AS DOUBLE))) AS chi2
+      FROM obs JOIN rm USING (event_type) JOIN cm USING (dow)
+      CROSS JOIN t
+    )
+    SELECT t.n, t.r, t.c, ROUND(chi.chi2, 6) AS chi2,
+           CASE WHEN least(t.r, t.c) >= 2
+                THEN ROUND(sqrt(chi.chi2 / (CAST(t.n AS DOUBLE)
+                                * CAST(least(t.r, t.c) - 1 AS DOUBLE))), 6)
+                ELSE NULL END AS cramers_v
+    FROM t CROSS JOIN chi
+    """,
+)
+def q_cramers_v(spark, sf_dir):
+    """Cramer's V association between event type and day-of-week — the
+    EFFECT-SIZE companion to q_chi_square (chi2 grows with n, so at
+    100 TB every association is 'significant'; V = sqrt(chi2/(n*
+    (min(r,c)-1))) in [0,1] is the number that stays comparable across
+    corpus sizes).  The contingency table and both marginals are exact
+    BIGINT counts from ONE grouped pass over (type, dow) — at most
+    |types|*7 cells, so the chi2 reduce is a <=35-row broadcast-scale
+    computation regardless of event count; expected counts rn*cn/n are
+    staged with identical IEEE ops on both engines and V carries a
+    min(r,c)<2 NULL guard.  dow is UTC on both engines (Spark session
+    TZ pinned UTC; Spark's Sunday=1 shifted to DuckDB's Sunday=0)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    obs = (ev.groupBy("event_type",
+                      (F.dayofweek("ts") - 1).alias("dow"))
+             .agg(F.count("*").cast("long").alias("o")))
+    rm = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("rn"))
+    cm = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("cn"))
+    t = obs.agg(F.sum("o").cast("long").alias("n"),
+                F.countDistinct("event_type").cast("long").alias("r"),
+                F.countDistinct("dow").cast("long").alias("c"))
+    e = (F.col("rn").cast("double") * F.col("cn").cast("double")
+         / F.col("n").cast("double"))
+    cell = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    chi = (obs.join(F.broadcast(rm), "event_type")
+              .join(F.broadcast(cm), "dow")
+              .crossJoin(F.broadcast(t))
+              .agg(F.sum(cell).alias("chi2")))
+    mind = F.least(F.col("r"), F.col("c"))
+    v = F.sqrt(F.col("chi2") / (F.col("n").cast("double")
+                                * (mind - 1).cast("double")))
+    return (t.crossJoin(F.broadcast(chi))
+             .select("n", "r", "c", R6(F.col("chi2")).alias("chi2"),
+                     F.when(mind >= 2, pround(v, 6))
+                      .otherwise(F.lit(None).cast("double"))
+                      .alias("cramers_v")))
+
+
+@query(
+    "q_theil_index",
+    oracle="""
+    WITH grid AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0 AND source IS NOT NULL
+      GROUP BY source, n_chars
+    ),
+    q AS (  -- x*ln(x) quantized to an integer 1e4 grid PER DISTINCT
+            -- value, so the corpus sum is an exact BIGINT
+      SELECT source, v, cnt,
+             CAST(FLOOR(CAST(v AS DOUBLE) * LN(CAST(v AS DOUBLE)) * 10000
+                        + 0.5) AS BIGINT) AS e
+      FROM grid
+    ),
+    g AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS ng,
+             CAST(SUM(cnt * v) AS BIGINT) AS xg,
+             CAST(SUM(cnt * e) AS BIGINT) AS eg
+      FROM q GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(xg) AS BIGINT) AS x,
+                 CAST(SUM(eg) AS BIGINT) AS e FROM g),
+    betw AS (
+      SELECT SUM((CAST(g.xg AS DOUBLE) / CAST(t.x AS DOUBLE))
+                 * LN((CAST(g.xg AS DOUBLE) * CAST(t.n AS DOUBLE))
+                      / (CAST(t.x AS DOUBLE) * CAST(g.ng AS DOUBLE))))
+               AS tb
+      FROM g CROSS JOIN t
+    )
+    SELECT t.n AS n_docs, t.x AS total_chars,
+           ROUND(CAST(t.e AS DOUBLE) / (10000.0 * CAST(t.x AS DOUBLE))
+                 - LN(CAST(t.x AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+             AS theil_total,
+           ROUND(betw.tb, 6) AS theil_between,
+           ROUND(CAST(t.e AS DOUBLE) / (10000.0 * CAST(t.x AS DOUBLE))
+                 - LN(CAST(t.x AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 - betw.tb, 6) AS theil_within
+    FROM t CROSS JOIN betw
+    """,
+)
+def q_theil_index(spark, sf_dir):
+    """Theil T inequality index of document length, decomposed into
+    BETWEEN-source and WITHIN-source components (T = T_b + T_w, the
+    additive decomposition Gini lacks) — the mixture-governance readout
+    that says whether corpus length inequality comes from source mix or
+    from spread inside each source.  Exactness design: x*ln(x) is
+    quantized to an integer 1e4 grid once PER DISTINCT length (a 1-ulp
+    ln() disagreement moves the floored integer only within 2e-8 of a
+    half-integer — measure-zero), so every corpus-scale sum is an exact
+    BIGINT and summation order cannot flip the hash; logs otherwise
+    appear only in final per-source/per-total expressions (<= |sources|
+    doubles through R6).  Plan: one (source, length) grid count, one
+    per-source rollup, a broadcast 1-row total — no window, no
+    wide shuffle.  Overflow bound: sum(cnt*e) <= X*ln(X)*1e4 must fit
+    BIGINT -> valid to ~60 TB of text in one table; past it raise the
+    grid to 1e2 (documented, both sides together)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid = (docs.where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+                       & F.col("source").isNotNull())
+                .groupBy("source", F.col("n_chars").cast("long").alias("v"))
+                .agg(F.count("*").cast("long").alias("cnt")))
+    e = F.floor(F.col("v").cast("double") * F.log(F.col("v").cast("double"))
+                * 10000 + F.lit(0.5)).cast("long")
+    q = grid.withColumn("e", e)
+    g = q.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("ng"),
+        F.sum(F.col("cnt") * F.col("v")).cast("long").alias("xg"),
+        F.sum(F.col("cnt") * F.col("e")).cast("long").alias("eg"))
+    t = g.agg(F.sum("ng").cast("long").alias("n"),
+              F.sum("xg").cast("long").alias("x"),
+              F.sum("eg").cast("long").alias("e"))
+    share = F.col("xg").cast("double") / F.col("x").cast("double")
+    lgarg = (F.col("xg").cast("double") * F.col("n").cast("double")) \
+        / (F.col("x").cast("double") * F.col("ng").cast("double"))
+    betw = (g.crossJoin(F.broadcast(t))
+             .agg(F.sum(share * F.log(lgarg)).alias("tb")))
+    total = (F.col("e").cast("double") / (F.lit(10000.0)
+                                          * F.col("x").cast("double"))
+             - F.log(F.col("x").cast("double") / F.col("n").cast("double")))
+    return (t.crossJoin(F.broadcast(betw))
+             .select(F.col("n").alias("n_docs"),
+                     F.col("x").alias("total_chars"),
+                     R6(total).alias("theil_total"),
+                     R6(F.col("tb")).alias("theil_between"),
+                     R6(total - F.col("tb")).alias("theil_within")))
+
+
+# =====================================================================
+# rank correlation / information theory / heavy-tail diagnostics
+# =====================================================================
+
+@query(
+    "q_kendall_tau",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS h,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    cnt AS (SELECT event_type, h, v, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ev GROUP BY 1, 2, 3),
+    grid AS (
+      SELECT d.event_type, hh.h, d.v, COALESCE(c.n, 0) AS n
+      FROM (SELECT DISTINCT event_type, v FROM ev) d
+      CROSS JOIN (SELECT UNNEST(range(0, 24)) AS h) hh
+      LEFT JOIN cnt c ON c.event_type = d.event_type AND c.h = hh.h
+                     AND c.v = d.v
+    ),
+    cum AS (
+      SELECT event_type, h, v, n,
+             SUM(n) OVER (PARTITION BY event_type, h ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS f1,
+             SUM(n) OVER (PARTITION BY event_type, h) AS nh
+      FROM grid
+    ),
+    hcum AS (
+      SELECT event_type, h, v, n,
+             COALESCE(SUM(f1 - n) OVER (PARTITION BY event_type, v ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tlt,
+             COALESCE(SUM(f1) OVER (PARTITION BY event_type, v ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tle,
+             COALESCE(SUM(nh) OVER (PARTITION BY event_type, v ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumn
+      FROM cum
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(n * (tlt - (cumn - tle))) AS BIGINT) AS s
+      FROM hcum GROUP BY event_type
+    ),
+    hstat AS (
+      SELECT event_type, CAST(SUM(nh * (nh - 1) // 2) AS BIGINT) AS n1
+      FROM (SELECT DISTINCT event_type, h,
+                   SUM(n) OVER (PARTITION BY event_type, h) AS nh
+            FROM grid) GROUP BY event_type
+    ),
+    vstat AS (
+      SELECT event_type, CAST(SUM(mv * (mv - 1) // 2) AS BIGINT) AS n2
+      FROM (SELECT event_type, v, CAST(SUM(n) AS BIGINT) AS mv
+            FROM grid GROUP BY event_type, v) GROUP BY event_type
+    ),
+    tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+            GROUP BY event_type)
+    SELECT t.event_type, t.n, s.s,
+           CAST(t.n * (t.n - 1) // 2 AS BIGINT) AS n0, h.n1, v.n2,
+           CASE WHEN t.n * (t.n - 1) // 2 - h.n1 > 0
+                 AND t.n * (t.n - 1) // 2 - v.n2 > 0
+                THEN ROUND(CAST(s.s AS DOUBLE)
+                           / (sqrt(CAST(t.n * (t.n - 1) // 2 - h.n1
+                                        AS DOUBLE))
+                              * sqrt(CAST(t.n * (t.n - 1) // 2 - v.n2
+                                          AS DOUBLE))), 6)
+                ELSE NULL END AS tau_b
+    FROM tot t
+    JOIN s USING (event_type)
+    JOIN hstat h USING (event_type)
+    JOIN vstat v USING (event_type)
+    """,
+)
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b rank correlation between hour-of-day and event
+    value per event type — the tie-aware monotonic-association monitor
+    (is value drifting with time of day?) next to q_mannwhitney_u /
+    q_ks_drift, with an ALL-INTEGER concordance core.  The naive
+    statistic is O(n^2) pairs; here S = C - D is computed exactly on
+    the (hour x distinct-cents) dense grid with TWO partitioned
+    cumulative windows (per-hour value CDF, then a cumulative across
+    hours at fixed value): for each cell, concordant-below =
+    T<(h-1, v-1), discordant-below = N(<h) - T<=(h-1, v) — every term
+    a BIGINT, so S, n0, and both tie corrections n1/n2 are exact and
+    the hash cannot flip; only tau_b = S/sqrt((n0-n1)(n0-n2)) is a
+    final double (staged sqrt*sqrt so the BIGINT product never
+    overflows).  Grid size is 24 x |distinct cents| — linear in the
+    value domain, never in event count; both windows are partitioned
+    (plan-audit-clean).  Overflow bound: S <= n^2/2 must fit BIGINT ->
+    valid to ~4e9 events per type."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select("event_type", F.hour("ts").alias("h"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("v")))
+    cnt = ev.groupBy("event_type", "h", "v") \
+            .agg(F.count("*").cast("long").alias("n"))
+    grid = (ev.select("event_type", "v").distinct()
+              .withColumn("h", F.explode(F.sequence(F.lit(0), F.lit(23))))
+              .join(cnt, ["event_type", "h", "v"], "left")
+              .withColumn("n", F.coalesce("n", F.lit(0)).cast("long")))
+    w_v = (W.partitionBy("event_type", "h").orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_h_all = W.partitionBy("event_type", "h")
+    cum = (grid.withColumn("f1", F.sum("n").over(w_v))
+               .withColumn("nh", F.sum("n").over(w_h_all)))
+    w_h = (W.partitionBy("event_type", "v").orderBy("h")
+            .rowsBetween(W.unboundedPreceding, -1))
+    z = F.lit(0).cast("long")
+    hcum = (cum
+            .withColumn("tlt", F.coalesce(
+                F.sum(F.col("f1") - F.col("n")).over(w_h), z))
+            .withColumn("tle", F.coalesce(F.sum("f1").over(w_h), z))
+            .withColumn("cumn", F.coalesce(F.sum("nh").over(w_h), z)))
+    s = (hcum.groupBy("event_type")
+             .agg(F.sum(F.col("n") * (F.col("tlt")
+                                      - (F.col("cumn") - F.col("tle"))))
+                   .cast("long").alias("s")))
+    hstat = (cnt.groupBy("event_type", "h")
+                .agg(F.sum("n").cast("long").alias("nh"))
+                .groupBy("event_type")
+                .agg(F.sum(F.expr("nh * (nh - 1) DIV 2")).cast("long")
+                      .alias("n1")))
+    vstat = (cnt.groupBy("event_type", "v")
+                .agg(F.sum("n").cast("long").alias("mv"))
+                .groupBy("event_type")
+                .agg(F.sum(F.expr("mv * (mv - 1) DIV 2")).cast("long")
+                      .alias("n2")))
+    tot = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    j = (tot.join(s, "event_type").join(hstat, "event_type")
+            .join(vstat, "event_type"))
+    n0 = F.expr("n * (n - 1) DIV 2")
+    den_x = (n0 - F.col("n1")).cast("double")
+    den_y = (n0 - F.col("n2")).cast("double")
+    tau = F.col("s").cast("double") / (F.sqrt(den_x) * F.sqrt(den_y))
+    return j.select(
+        "event_type", "n", "s", n0.cast("long").alias("n0"), "n1", "n2",
+        F.when((n0 - F.col("n1") > 0) & (n0 - F.col("n2") > 0),
+               pround(tau, 6))
+         .otherwise(F.lit(None).cast("double")).alias("tau_b"))
+
+
+@query(
+    "q_jensen_shannon",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN COALESCE(lang, '') = 'en' THEN 0 ELSE 1 END AS side,
+             string_split(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ',
+                                              'g'), ' '), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tk AS (
+      SELECT side, u.t AS tok FROM toks, UNNEST(w) AS u(t) WHERE u.t <> ''
+    ),
+    c AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2
+      FROM tk GROUP BY tok
+    ),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2,
+                 CAST(COUNT(*) AS BIGINT) AS v FROM c),
+    js AS (
+      SELECT SUM(
+        CASE WHEN c.c1 > 0 THEN
+          CAST(0.5 AS DOUBLE) * (CAST(c.c1 AS DOUBLE) / CAST(t.n1 AS DOUBLE))
+          * LN((CAST(c.c1 AS DOUBLE) / CAST(t.n1 AS DOUBLE))
+               / ((CAST(c.c1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+                   + CAST(c.c2 AS DOUBLE) / CAST(t.n2 AS DOUBLE))
+                  / CAST(2 AS DOUBLE)))
+        ELSE CAST(0 AS DOUBLE) END
+        + CASE WHEN c.c2 > 0 THEN
+          CAST(0.5 AS DOUBLE) * (CAST(c.c2 AS DOUBLE) / CAST(t.n2 AS DOUBLE))
+          * LN((CAST(c.c2 AS DOUBLE) / CAST(t.n2 AS DOUBLE))
+               / ((CAST(c.c1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+                   + CAST(c.c2 AS DOUBLE) / CAST(t.n2 AS DOUBLE))
+                  / CAST(2 AS DOUBLE)))
+        ELSE CAST(0 AS DOUBLE) END) AS js_nats
+      FROM c CROSS JOIN t
+    )
+    SELECT t.n1 AS n_tokens_ref, t.n2 AS n_tokens_cur, t.v AS vocab,
+           ROUND(js.js_nats, 6) AS js_nats,
+           ROUND(js.js_nats / LN(CAST(2 AS DOUBLE)), 6) AS js_bits
+    FROM t CROSS JOIN js
+    """,
+)
+def q_jensen_shannon(spark, sf_dir):
+    """Jensen-Shannon divergence between the English and non-English
+    unigram distributions — the SYMMETRIC, bounded ([0, ln 2]) drift
+    metric next to q_kl_unigram_drift: KL needs smoothing and explodes
+    when the reference misses a token; JS is finite by construction
+    (each side is compared to the mixture M = (P+Q)/2), which is why
+    eval suites report JS distance for corpus shift.  Same single
+    (token)-keyed count as KL with conditional side sums, a broadcast
+    1-row totals join, one scalar reduce; per-term contributions are
+    staged with the IDENTICAL IEEE expression both engines (0-count
+    terms contribute exactly 0, not a smoothed epsilon), and the final
+    nats/bits pair goes through R6 (term magnitudes <= ln 2 / |vocab|
+    scale, so summation-order noise is ~1e-12 — far inside the grid)."""
+    from access_mopper_spark.operators.search import tokens
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    tk = (docs.where(F.col("text").isNotNull())
+          .select(F.when(F.coalesce(F.col("lang"), F.lit("")) == "en", 0)
+                  .otherwise(1).alias("side"),
+                  F.explode(tokens(F.col("text"))).alias("tok"))
+          .where(F.col("tok") != ""))
+    c = tk.groupBy("tok").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long")
+         .alias("c1"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long")
+         .alias("c2"))
+    t = c.agg(F.sum("c1").cast("long").alias("n1"),
+              F.sum("c2").cast("long").alias("n2"),
+              F.count("*").cast("long").alias("v"))
+    p = F.col("c1").cast("double") / F.col("n1").cast("double")
+    q = F.col("c2").cast("double") / F.col("n2").cast("double")
+    m = (p + q) / F.lit(2).cast("double")
+    half = F.lit(0.5).cast("double")
+    term = (F.when(F.col("c1") > 0, half * p * F.log(p / m))
+             .otherwise(F.lit(0).cast("double"))
+            + F.when(F.col("c2") > 0, half * q * F.log(q / m))
+               .otherwise(F.lit(0).cast("double")))
+    js = c.crossJoin(F.broadcast(t)).agg(F.sum(term).alias("js_nats"))
+    return (t.crossJoin(F.broadcast(js))
+             .select(F.col("n1").alias("n_tokens_ref"),
+                     F.col("n2").alias("n_tokens_cur"),
+                     F.col("v").alias("vocab"),
+                     R6(F.col("js_nats")).alias("js_nats"),
+                     R6(F.col("js_nats")
+                        / F.log(F.lit(2).cast("double"))).alias("js_bits")))
+
+
+@query(
+    "q_burstiness_fano",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                              AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS q
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, d AS n_days, s AS n_events,
+           CASE WHEN d >= 2 AND s > 0
+                THEN ROUND(((CAST(q AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                               / CAST(d AS DOUBLE))
+                            / CAST(d - 1 AS DOUBLE))
+                           / (CAST(s AS DOUBLE) / CAST(d AS DOUBLE)), 6)
+                ELSE NULL END AS fano,
+           CASE WHEN d >= 2 AND s > 0
+                THEN ROUND((sqrt((CAST(q AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                    / CAST(d AS DOUBLE))
+                                 / CAST(d - 1 AS DOUBLE))
+                            - CAST(s AS DOUBLE) / CAST(d AS DOUBLE))
+                           / (sqrt((CAST(q AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                      / CAST(d AS DOUBLE))
+                                   / CAST(d - 1 AS DOUBLE))
+                              + CAST(s AS DOUBLE) / CAST(d AS DOUBLE)), 6)
+                ELSE NULL END AS burstiness
+    FROM m
+    """,
+)
+def q_burstiness_fano(spark, sf_dir):
+    """Burstiness of the event stream per type over observed days: the
+    Fano factor (variance-to-mean ratio of daily counts; 1 = Poisson,
+    >1 = overdispersed/bursty) and the Goh-Barabasi burstiness
+    B = (sigma - mu)/(sigma + mu) in [-1, 1] — the ingest-planning
+    readout that says whether a stream's load is smooth or spiky (spiky
+    -> provision for peaks, salt hot days).  The per-day counts and
+    both moments (sum, sum of squares) are exact BIGINTs from one
+    (type, day) groupBy + one per-type rollup — day cardinality only,
+    never event cardinality; the variance/ratio algebra runs on the
+    2-row-per-type moment table with identically staged IEEE ops and
+    d>=2, s>0 NULL guards."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").cast("date").alias("day"))
+               .agg(F.count("*").cast("long").alias("c")))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("d"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"))
+    dd = F.col("d").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    var = (qd - sd * sd / dd) / (dd - F.lit(1).cast("double"))
+    mean = sd / dd
+    sig = F.sqrt(var)
+    ok = (F.col("d") >= 2) & (F.col("s") > 0)
+    return m.select(
+        "event_type", F.col("d").alias("n_days"),
+        F.col("s").alias("n_events"),
+        F.when(ok, pround(var / mean, 6))
+         .otherwise(F.lit(None).cast("double")).alias("fano"),
+        F.when(ok, pround((sig - mean) / (sig + mean), 6))
+         .otherwise(F.lit(None).cast("double")).alias("burstiness"))
+
+
+@query(
+    "q_hill_tail_index",
+    oracle="""
+    WITH ranked AS (
+      SELECT n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    top AS (SELECT n_chars, r FROM ranked WHERE r <= 101),
+    agg AS (
+      SELECT CAST(MIN(CASE WHEN r = 101 THEN n_chars END) AS BIGINT)
+               AS x_k1,
+             SUM(CASE WHEN r <= 100
+                      THEN LN(CAST(n_chars AS DOUBLE))
+                      ELSE CAST(0 AS DOUBLE) END) AS sumlog,
+             CAST(SUM(CASE WHEN r <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM top
+    )
+    SELECT k, x_k1,
+           CASE WHEN x_k1 IS NOT NULL
+                 AND sumlog - CAST(k AS DOUBLE)
+                     * LN(CAST(x_k1 AS DOUBLE)) > 0
+                THEN ROUND(CAST(k AS DOUBLE)
+                           / (sumlog - CAST(k AS DOUBLE)
+                              * LN(CAST(x_k1 AS DOUBLE))), 6)
+                ELSE NULL END AS alpha_hill
+    FROM agg
+    """,
+)
+def q_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the document-length tail exponent over the
+    k = 100 largest docs: alpha = k / (sum ln(x_i) - k ln(x_(k+1))) —
+    the heavy-tail diagnostic that decides packing/shard policy at
+    100 TB (alpha < 2 means the longest docs dominate total bytes and
+    a sequence-packing stage MUST cap or split them; q_zipf_alpha fits
+    token frequencies, this fits the length distribution itself).
+    Scale design: the only global ordering is partial_topk's two-phase
+    top-(k+1) (per-partition local top-k then a <= k*p merge — never a
+    full sort; rank-pushed, plan-audit-clean); the <= 100 log terms sum
+    in a broadcast-scale reduce.  Ties at the threshold are total-order
+    deterministic ((n_chars DESC, doc_id)), and the estimator uses only
+    the top-(k+1) VALUE multiset, which is order-invariant.  Degenerate
+    guard: alpha NULL when < 101 docs or all top values equal."""
+    from access_mopper_spark.operators.similarity import partial_topk
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars")))
+    top = partial_topk(docs, [],
+                       [F.col("n_chars").desc(), F.col("doc_id")], 101)
+    agg = top.agg(
+        F.min(F.when(F.col("rank") == 101, F.col("n_chars"))).cast("long")
+         .alias("x_k1"),
+        F.sum(F.when(F.col("rank") <= 100,
+                     F.log(F.col("n_chars").cast("double")))
+               .otherwise(F.lit(0).cast("double"))).alias("sumlog"),
+        F.sum(F.when(F.col("rank") <= 100, 1).otherwise(0)).cast("long")
+         .alias("k"))
+    den = F.col("sumlog") - F.col("k").cast("double") \
+        * F.log(F.col("x_k1").cast("double"))
+    return agg.select(
+        "k", "x_k1",
+        F.when(F.col("x_k1").isNotNull() & (den > 0),
+               pround(F.col("k").cast("double") / den, 6))
+         .otherwise(F.lit(None).cast("double")).alias("alpha_hill"))
+
+
+# =====================================================================
+# sequence statistics / link prediction / concentration curves
+# =====================================================================
+
+@query(
+    "q_bigram_cond_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text,
+               '[ \\t\\n\\r]+', ' ', 'g'), ' '), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    big AS (
+      SELECT w[g.i] AS w1, w[g.i + 1] AS w2
+      FROM toks, (SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1)
+                                          FROM toks) + 1)) AS i) g
+      WHERE g.i <= len(w) - 1 AND w[g.i] <> '' AND w[g.i + 1] <> ''
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS v_big FROM c12),
+    v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_w1 FROM c1),
+    h AS (
+      SELECT SUM(CAST(c12.c AS DOUBLE)
+                 * LN(CAST(c1.c1 AS DOUBLE) / CAST(c12.c AS DOUBLE)))
+               AS hsum
+      FROM c12 JOIN c1 USING (w1)
+    )
+    SELECT t.n AS n_bigrams, v1.v_w1 AS vocab_w1, t.v_big AS vocab_bigram,
+           CASE WHEN t.n > 0
+                THEN ROUND(h.hsum / CAST(t.n AS DOUBLE), 6)
+                ELSE NULL END AS cond_entropy_nats,
+           CASE WHEN t.n > 0
+                THEN ROUND(exp(h.hsum / CAST(t.n AS DOUBLE)), 6)
+                ELSE NULL END AS perplexity
+    FROM t CROSS JOIN v1 CROSS JOIN h
+    """,
+)
+def q_bigram_cond_entropy(spark, sf_dir):
+    """Conditional bigram entropy H(W2|W1) = (1/N) sum c12 ln(c1/c12)
+    over whitespace bigrams, plus its perplexity exp(H) — the corpus
+    PREDICTABILITY scalar (low H = templated/boilerplate text, high H =
+    diverse prose) that complements q_token_entropy (unigram surprise)
+    and q_kneser_ney_bigram (per-sequence scoring): this is the single
+    number dataset cards report as 'bigram perplexity'.  Counts c12/c1
+    are exact BIGINTs from one (w1, w2) shuffle + one w1 rollup
+    CO-PARTITIONED on w1 (the c12->c1 join reuses the w1 hash
+    partitioning — no extra exchange); per-term log contributions are
+    staged identically both engines and summed once (term noise ~1e-14
+    against the 1e-6 grid), then R6.  Bigram extraction is the
+    arrays_zip shifted-copy shape (functions/text.word_shingles
+    rationale) — never a per-position lambda re-split."""
+    from access_mopper_spark.operators.search import tokens
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    toks = (docs.where(F.col("text").isNotNull())
+                .select(tokens(F.col("text")).alias("w")))
+    n = F.size(F.col("w"))
+    pairs = F.arrays_zip(F.slice(F.col("w"), 1, F.greatest(n - 1, F.lit(0))),
+                         F.slice(F.col("w"), 2, F.greatest(n - 1, F.lit(0))))
+    big = (toks.select(F.explode(pairs).alias("p"))
+               .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+               .where((F.col("w1") != "") & (F.col("w2") != "")))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
+    t = c12.agg(F.sum("c").cast("long").alias("n"),
+                F.count("*").cast("long").alias("v_big"))
+    v1 = c1.agg(F.count("*").cast("long").alias("v_w1"))
+    term = F.col("c").cast("double") \
+        * F.log(F.col("c1").cast("double") / F.col("c").cast("double"))
+    h = c12.join(c1, "w1").agg(F.sum(term).alias("hsum"))
+    j = t.crossJoin(F.broadcast(v1)).crossJoin(F.broadcast(h))
+    hn = F.col("hsum") / F.col("n").cast("double")
+    return j.select(
+        F.col("n").alias("n_bigrams"), F.col("v_w1").alias("vocab_w1"),
+        F.col("v_big").alias("vocab_bigram"),
+        F.when(F.col("n") > 0, pround(hn, 6))
+         .otherwise(F.lit(None).cast("double")).alias("cond_entropy_nats"),
+        F.when(F.col("n") > 0, pround(F.exp(hn), 6))
+         .otherwise(F.lit(None).cast("double")).alias("perplexity"))
+
+
+@query(
+    "q_adamic_adar",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      WHERE l1.l_quantity > 25 AND l2.l_quantity > 25
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+      ) GROUP BY node
+    ),
+    adj AS (
+      SELECT a AS m, b AS nbr FROM pairs
+      UNION ALL SELECT b, a FROM pairs
+    ),
+    mid AS (  -- deterministic middle cap: hubs contribute ~0 weight
+      SELECT adj.m, adj.nbr,
+             CAST(FLOOR(CAST(1000000000 AS DOUBLE)
+                        / LN(CAST(deg.d AS DOUBLE)) + 0.5) AS BIGINT) AS wq
+      FROM adj JOIN deg ON deg.node = adj.m
+      WHERE deg.d <= 64 AND deg.d >= 2
+    ),
+    cand AS (
+      SELECT x.nbr AS v, y.nbr AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(x.wq) AS BIGINT) AS aa_e9
+      FROM mid x JOIN mid y ON y.m = x.m AND x.nbr < y.nbr
+      GROUP BY x.nbr, y.nbr
+    ),
+    nonedge AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN pairs p ON p.a = c.v AND p.b = c.w
+      WHERE p.a IS NULL
+    ),
+    ranked AS (
+      SELECT v, w, n_common, aa_e9,
+             ROW_NUMBER() OVER (ORDER BY aa_e9 DESC, v, w) AS rank
+      FROM nonedge
+    )
+    SELECT v, w, n_common, aa_e9,
+           ROUND(CAST(aa_e9 AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6)
+             AS aa_score,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the co-purchase part graph:
+    for non-adjacent pairs (v, w), score = sum over common neighbours b
+    of 1/ln(deg(b)) — the classic 'which edges are missing' ranking
+    (recommender candidates, dup-family closure suggestions) next to
+    the descriptive graph ops (q_triangle_counts, q_local_clustering).
+    Scale design: wedges fan out at the MIDDLE, so middles are capped
+    at deg <= 64 — deterministic, oracle-replayed, and principled (a
+    hub middle contributes 1/ln(d) -> ~0 while costing d^2 wedge rows);
+    per-middle weights quantize 1e9/ln(d) to BIGINT once per node
+    (1-ulp ln() flips only within 1e-8 of a half-integer), so every
+    pair score is an EXACT integer sum — ordering and hash cannot flip.
+    The top-50 ranking runs through partial_topk on the integer key
+    (never a full sort), and the existing-edge anti-join is the same
+    (a, b)-keyed shuffle the candidate groupBy already produced.
+    Returns (v, w, n_common, aa_e9, aa_score, rank)."""
+    from access_mopper_spark.operators.similarity import partial_topk
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 25)
+          .select("l_orderkey", "l_partkey"))
+    e1 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+    e2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
+    # the edge list feeds THREE consumers (degrees, wedge legs, the
+    # existing-edge anti-join) and the weighted adjacency feeds two
+    # wedge legs — persist both or Catalyst replays the orderkey
+    # self-join + distinct up to 5x (measured 53 s -> materially less
+    # at the x10 point)
+    pairs = (e1.join(e2, "l_orderkey")
+               .where(F.col("a") < F.col("b"))
+               .select("a", "b").distinct().persist())
+    deg = (pairs.select(F.col("a").alias("node"))
+                .unionAll(pairs.select(F.col("b").alias("node")))
+                .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    adj = (pairs.select(F.col("a").alias("m"), F.col("b").alias("nbr"))
+                .unionAll(pairs.select(F.col("b").alias("m"),
+                                       F.col("a").alias("nbr"))))
+    wq = F.floor(F.lit(1000000000).cast("double")
+                 / F.log(F.col("d").cast("double")) + F.lit(0.5)) \
+          .cast("long")
+    mid = (adj.join(deg.withColumnRenamed("node", "m"), "m")
+              .where((F.col("d") <= 64) & (F.col("d") >= 2))
+              .select("m", "nbr", wq.alias("wq")).persist())
+    x = mid.select("m", F.col("nbr").alias("v"), F.col("wq").alias("wq"))
+    y = mid.select("m", F.col("nbr").alias("w"))
+    cand = (x.join(y, "m").where(F.col("v") < F.col("w"))
+             .groupBy("v", "w")
+             .agg(F.count("*").cast("long").alias("n_common"),
+                  F.sum("wq").cast("long").alias("aa_e9")))
+    nonedge = cand.join(
+        pairs.select(F.col("a").alias("v"), F.col("b").alias("w")),
+        ["v", "w"], "left_anti")
+    top = partial_topk(nonedge, [],
+                       [F.col("aa_e9").desc(), F.col("v"), F.col("w")], 50)
+    return top.select(
+        "v", "w", "n_common", "aa_e9",
+        pround(F.col("aa_e9").cast("double")
+               / F.lit(1e9).cast("double"), 6).alias("aa_score"),
+        F.col("rank").cast("int").alias("rank"))
+
+
+@query(
+    "q_lorenz_curve",
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(COUNT(*) AS BIGINT) * CAST(n_chars AS BIGINT) AS chars
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+      GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT v, cnt, chars,
+             SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cd,
+             SUM(chars) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+      FROM grid
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(chars) AS BIGINT) AS x FROM grid),
+    dec AS (SELECT UNNEST(range(1, 11)) AS d),
+    bound AS (
+      SELECT dec.d, (tot.n * dec.d) // 10 AS m,
+             MIN(cum.v) AS vd
+      FROM dec CROSS JOIN tot
+      JOIN cum ON cum.cd >= (tot.n * dec.d) // 10
+      GROUP BY dec.d, tot.n
+    )
+    SELECT b.d AS decile, CAST(b.m AS BIGINT) AS cum_docs,
+           CAST(c.cc - c.chars + (b.m - (c.cd - c.cnt)) * c.v AS BIGINT)
+             AS cum_chars,
+           CAST((c.cc - c.chars + (b.m - (c.cd - c.cnt)) * c.v) * 10000
+                // tot.x AS BIGINT) AS share_bp
+    FROM bound b JOIN cum c ON c.v = b.vd CROSS JOIN tot
+    """,
+)
+def q_lorenz_curve(spark, sf_dir):
+    """Exact integer Lorenz curve of document length: for each decile d
+    of the doc population (sorted by length ascending), the share of
+    total corpus characters owned by the bottom d/10 of docs, in basis
+    points — the curve behind q_gini's scalar (the mixture-governance
+    plot that shows WHERE the inequality lives; Gini is its area).
+    Everything is exact integer arithmetic: per-decile boundary docs
+    m_d = (N*d) DIV 10, boundary value v_d = min length with
+    cum_docs >= m_d, and the bottom-m_d character mass = chars strictly
+    below v_d + (m_d - docs below v_d) * v_d — no interpolation
+    doubles, so the hash cannot flip.  Scale design: the cumulative
+    runs on the DISTINCT-length grid (domain-bounded, never corpus-
+    sized) with the q_pareto_class distributed-cumsum shape — 256
+    value-range buckets, a window PARTITIONED by bucket, exclusive
+    prefix offsets from a broadcast <=256-row triangular join — no
+    single-partition global window; the 10-row decile table broadcasts
+    onto the grid for the boundary probe."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid = (docs.where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+                .groupBy(F.col("n_chars").cast("long").alias("v"))
+                .agg(F.count("*").cast("long").alias("cnt")))
+    grid = grid.withColumn("chars", F.col("cnt") * F.col("v"))
+    st = grid.agg(F.max("v").alias("__mx"), F.min("v").alias("__mn"),
+                  F.sum("cnt").cast("long").alias("n"),
+                  F.sum("chars").cast("long").alias("x"))
+    b = grid.crossJoin(F.broadcast(st)).withColumn(
+        "__bk", F.least(
+            ((F.col("v") - F.col("__mn")) * 256
+             / (F.col("__mx") - F.col("__mn") + 1)).cast("long"),
+            F.lit(255)))
+    wrun = (W.partitionBy("__bk").orderBy("v")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = (b.withColumn("__rd", F.sum("cnt").over(wrun))
+            .withColumn("__rc", F.sum("chars").over(wrun)))
+    bt = run.groupBy("__bk").agg(F.sum("cnt").alias("__bd"),
+                                 F.sum("chars").alias("__bc"))
+    off = (bt.alias("a")
+             .join(F.broadcast(bt.select(F.col("__bk").alias("__bk2"),
+                                         F.col("__bd").alias("__bd2"),
+                                         F.col("__bc").alias("__bc2"))),
+                   F.col("__bk2") < F.col("a.__bk"), "left")
+             .groupBy("a.__bk")
+             .agg(F.sum(F.coalesce("__bd2", F.lit(0))).alias("__od"),
+                  F.sum(F.coalesce("__bc2", F.lit(0))).alias("__oc")))
+    cum = (run.join(F.broadcast(off), "__bk")
+              .select("v", "cnt", "chars", "n", "x",
+                      (F.coalesce("__od", F.lit(0)) + F.col("__rd"))
+                      .alias("cd"),
+                      (F.coalesce("__oc", F.lit(0)) + F.col("__rc"))
+                      .alias("cc")))
+    dec = (st.select("n", "x")
+             .withColumn("d", F.explode(F.sequence(F.lit(1), F.lit(10))))
+             .withColumn("m", F.expr("(n * d) DIV 10")))
+    bound = (F.broadcast(dec).join(cum.select("v", "cd"),
+                                   F.col("cd") >= F.col("m"))
+             .groupBy("d", "m")
+             .agg(F.min("v").alias("vd")))
+    out = (bound.join(cum, bound["vd"] == cum["v"])
+           .select(F.col("d").cast("int").alias("decile"),
+                   F.col("m").cast("long").alias("cum_docs"),
+                   (F.col("cc") - F.col("chars")
+                    + (F.col("m") - (F.col("cd") - F.col("cnt")))
+                    * F.col("v")).cast("long").alias("cum_chars"),
+                   F.expr("CAST((cc - chars + (m - (cd - cnt)) * v) * 10000 "
+                          "DIV x AS BIGINT)").alias("share_bp")))
+    return out

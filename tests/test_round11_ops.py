@@ -1,0 +1,318 @@
+"""Round-11 operators: paired/association/inequality/rank statistics,
+information-theoretic diagnostics, link prediction, Lorenz curve.
+
+The registry gate (tools/check_correctness.py) proves oracle parity;
+these tests pin each statistic against an INDEPENDENT brute-force
+Python implementation on small fixtures (the oracle and the Spark side
+share the algebraic rearrangement — a second algorithm is the check
+that the rearrangement itself is right), plus the semantic invariants
+(tie handling, caps, degenerate guards).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from access_mopper_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- kendall
+
+def _brute_tau_b(xy):
+    """O(n^2) Kendall tau-b with tie corrections."""
+    n = len(xy)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xy[i][0] > xy[j][0]) - (xy[i][0] < xy[j][0])
+            dy = (xy[i][1] > xy[j][1]) - (xy[i][1] < xy[j][1])
+            s += dx * dy
+    n0 = n * (n - 1) // 2
+    from collections import Counter
+    n1 = sum(c * (c - 1) // 2 for c in Counter(x for x, _ in xy).values())
+    n2 = sum(c * (c - 1) // 2 for c in Counter(y for _, y in xy).values())
+    den = math.sqrt(n0 - n1) * math.sqrt(n0 - n2)
+    return s, n0, n1, n2, (s / den if den > 0 else None)
+
+
+def test_kendall_tau_matches_brute_force(spark, tmp_path):
+    """The grid/window S and tau_b must equal the O(n^2) definition,
+    including heavy ties in both margins."""
+    import pandas as pd
+    rows = []
+    data = [(0, 100), (0, 100), (1, 100), (2, 150), (2, 90), (5, 200),
+            (7, 90), (7, 210), (13, 300), (13, 300), (22, 50), (23, 400)]
+    ts = [f"2024-01-01 {h:02d}:15:00" for h, _ in data]
+    pdf = pd.DataFrame({
+        "event_id": range(len(data)),
+        "ts": pd.to_datetime(ts),
+        "user_id": [1] * len(data),
+        "event_type": ["probe"] * len(data),
+        "value": [c / 100.0 for _, c in data],
+        "props": [None] * len(data),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    out = {r["event_type"]: r
+           for r in QUERIES["q_kendall_tau"](spark, str(d)).collect()}
+    got = out["probe"]
+    s, n0, n1, n2, tau = _brute_tau_b(data)
+    assert got["s"] == s
+    assert (got["n0"], got["n1"], got["n2"]) == (n0, n1, n2)
+    assert got["tau_b"] == pytest.approx(tau, abs=2e-6)
+
+
+def test_kendall_tau_degenerate_all_tied(spark, tmp_path):
+    """All events in one hour -> n0 == n1 -> tau_b NULL, S = 0."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "event_id": range(4),
+        "ts": pd.to_datetime(["2024-01-01 03:00:00"] * 4),
+        "user_id": [1] * 4,
+        "event_type": ["probe"] * 4,
+        "value": [1.0, 2.0, 3.0, 4.0],
+        "props": [None] * 4,
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_kendall_tau"](spark, str(d)).collect()[0]
+    assert got["s"] == 0 and got["tau_b"] is None
+
+
+# ------------------------------------------------------------ mcnemar
+
+def test_mcnemar_matches_python(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    b = c = 0
+    for r in docs:
+        if r["text"] is None:
+            continue
+        fa = (r["n_chars"] or 0) >= 200
+        fb = any(ch.isdigit() for ch in r["text"])
+        b += fa and not fb
+        c += fb and not fa
+    got = QUERIES["q_mcnemar_test"](spark, SF).collect()[0]
+    assert (got["n10"], got["n01"]) == (b, c)
+    if b + c:
+        exp = max(abs(b - c) - 1, 0) ** 2 / (b + c)
+        assert got["chi2_mcnemar"] == pytest.approx(exp, abs=2e-6)
+
+
+# -------------------------------------------------------------- kappa
+
+def test_cohens_kappa_matches_python(spark):
+    from access_mopper_spark.functions.text import lang_guess
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    g = docs.select(F.coalesce("lang", F.lit("<null>")).alias("gold"),
+                    lang_guess(F.col("text")).alias("guessed")).collect()
+    n = len(g)
+    agree = sum(r["gold"] == r["guessed"] for r in g)
+    from collections import Counter
+    rn = Counter(r["gold"] for r in g)
+    cn = Counter(r["guessed"] for r in g)
+    pe = sum(rn[k] * cn.get(k, 0) for k in rn) / (n * n)
+    po = agree / n
+    got = QUERIES["q_cohens_kappa"](spark, SF).collect()[0]
+    assert got["n"] == n and got["n_agree"] == agree
+    assert got["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=2e-6)
+
+
+# -------------------------------------------------------------- theil
+
+def test_theil_decomposition_matches_python(spark):
+    """T_total from the quantized-grid sums must match the direct
+    float Theil to grid precision, and T_b + T_w must equal T_total."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    xs = [(r["source"], r["n_chars"]) for r in docs
+          if r["n_chars"] and r["n_chars"] > 0 and r["source"]]
+    n = len(xs)
+    mu = sum(x for _, x in xs) / n
+    t_direct = sum((x / mu) * math.log(x / mu) for _, x in xs) / n
+    got = QUERIES["q_theil_index"](spark, SF).collect()[0]
+    # 1e4 quantization of x*ln(x) bounds the total error by
+    # n * 0.5e-4 / X ~ 1e-7 at this corpus
+    assert got["theil_total"] == pytest.approx(t_direct, abs=1e-4)
+    assert got["theil_total"] == pytest.approx(
+        got["theil_between"] + got["theil_within"], abs=2e-6)
+    assert got["theil_between"] >= -1e-9  # between-group Theil is >= 0
+
+
+# ---------------------------------------------------------- jensen-shannon
+
+def test_jensen_shannon_matches_python(spark):
+    from access_mopper_spark.operators.search import tokens
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tk = (docs.where(F.col("text").isNotNull())
+          .select(F.when(F.coalesce(F.col("lang"), F.lit("")) == "en", 0)
+                  .otherwise(1).alias("side"),
+                  F.explode(tokens(F.col("text"))).alias("tok"))
+          .where(F.col("tok") != "")).collect()
+    from collections import Counter
+    c1 = Counter(r["tok"] for r in tk if r["side"] == 0)
+    c2 = Counter(r["tok"] for r in tk if r["side"] == 1)
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    js = 0.0
+    for t in set(c1) | set(c2):
+        p, q = c1.get(t, 0) / n1, c2.get(t, 0) / n2
+        m = (p + q) / 2
+        if p:
+            js += 0.5 * p * math.log(p / m)
+        if q:
+            js += 0.5 * q * math.log(q / m)
+    got = QUERIES["q_jensen_shannon"](spark, SF).collect()[0]
+    assert got["js_nats"] == pytest.approx(js, abs=2e-6)
+    assert 0 <= got["js_nats"] <= math.log(2) + 1e-9  # JS bound
+    assert got["js_bits"] == pytest.approx(js / math.log(2), abs=2e-6)
+
+
+# ---------------------------------------------------------------- fano
+
+def test_burstiness_fano_matches_python(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import Counter
+    daily = Counter()
+    for r in ev:
+        if r["ts"] is not None:
+            daily[(r["event_type"], r["ts"].date())] += 1
+    by_type = {}
+    for (et, _), c in daily.items():
+        by_type.setdefault(et, []).append(c)
+    got = {r["event_type"]: r
+           for r in QUERIES["q_burstiness_fano"](spark, SF).collect()}
+    for et, cs in by_type.items():
+        d = len(cs)
+        if d < 2:
+            assert got[et]["fano"] is None
+            continue
+        mean = sum(cs) / d
+        var = sum((c - mean) ** 2 for c in cs) / (d - 1)
+        sig = math.sqrt(var)
+        assert got[et]["fano"] == pytest.approx(var / mean, abs=2e-6)
+        assert got[et]["burstiness"] == pytest.approx(
+            (sig - mean) / (sig + mean), abs=2e-6)
+
+
+# ---------------------------------------------------------------- hill
+
+def test_hill_matches_python(spark):
+    lens = sorted((r["n_chars"] for r in
+                   spark.read.parquet(f"{SF}/documents.parquet").collect()
+                   if r["n_chars"] and r["n_chars"] > 0), reverse=True)
+    got = QUERIES["q_hill_tail_index"](spark, SF).collect()[0]
+    if len(lens) < 101:
+        assert got["alpha_hill"] is None
+        return
+    top, xk1 = lens[:100], lens[100]
+    den = sum(math.log(x) for x in top) - 100 * math.log(xk1)
+    assert got["x_k1"] == xk1
+    assert got["alpha_hill"] == pytest.approx(100 / den, abs=2e-6)
+
+
+# ---------------------------------------------------------- cond entropy
+
+def test_bigram_cond_entropy_matches_python(spark):
+    from access_mopper_spark.operators.search import tokens
+    toks = (spark.read.parquet(f"{SF}/documents.parquet")
+            .where(F.col("text").isNotNull())
+            .select(tokens(F.col("text")).alias("w")).collect())
+    from collections import Counter
+    c12, c1 = Counter(), Counter()
+    for r in toks:
+        w = [t for t in r["w"]]
+        for i in range(len(w) - 1):
+            if w[i] and w[i + 1]:
+                c12[(w[i], w[i + 1])] += 1
+                c1[w[i]] += 1
+    n = sum(c12.values())
+    h = sum(c * math.log(c1[w1] / c) for (w1, _), c in c12.items()) / n
+    got = QUERIES["q_bigram_cond_entropy"](spark, SF).collect()[0]
+    assert got["n_bigrams"] == n
+    assert got["cond_entropy_nats"] == pytest.approx(h, abs=2e-6)
+    assert got["perplexity"] == pytest.approx(math.exp(h), abs=2e-5)
+
+
+# ---------------------------------------------------------- adamic-adar
+
+def test_adamic_adar_matches_python(spark, tmp_path):
+    """Small fixture graph: scores, the deg cap, the non-edge filter,
+    and the exact-integer ordering must match a dict implementation."""
+    import pandas as pd
+    # orders as cliques: order 1 = {1,2,3}, order 2 = {2,3,4},
+    # order 3 = {1,4,5}
+    rows = []
+    for ok, parts in ((1, [1, 2, 3]), (2, [2, 3, 4]), (3, [1, 4, 5])):
+        for p in parts:
+            rows.append((ok, p, 30.0))
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey",
+                                      "l_quantity"])
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "lineitem.parquet")
+    got = {(r["v"], r["w"]): (r["n_common"], r["aa_e9"])
+           for r in QUERIES["q_adamic_adar"](spark, str(d)).collect()}
+    # brute force
+    edges = set()
+    for _, parts in ((1, [1, 2, 3]), (2, [2, 3, 4]), (3, [1, 4, 5])):
+        for i in parts:
+            for j in parts:
+                if i < j:
+                    edges.add((i, j))
+    from collections import Counter, defaultdict
+    deg = Counter()
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    exp = {}
+    nodes = sorted(deg)
+    for i in nodes:
+        for j in nodes:
+            if i < j and (i, j) not in edges:
+                common = [m for m in nbrs[i] & nbrs[j] if 2 <= deg[m] <= 64]
+                if common:
+                    aa = sum(math.floor(1e9 / math.log(deg[m]) + 0.5)
+                             for m in common)
+                    exp[(i, j)] = (len(common), aa)
+    assert got == exp
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    out = QUERIES["q_adamic_adar"](spark, SF)
+    assert out.where(F.col("v") >= F.col("w")).count() == 0
+    assert out.count() <= 50
+
+
+# ---------------------------------------------------------------- lorenz
+
+def test_lorenz_matches_python(spark):
+    lens = sorted(r["n_chars"] for r in
+                  spark.read.parquet(f"{SF}/documents.parquet").collect()
+                  if r["n_chars"] and r["n_chars"] > 0)
+    n, x = len(lens), sum(lens)
+    got = {r["decile"]: r for r in
+           QUERIES["q_lorenz_curve"](spark, SF).collect()}
+    for d in range(1, 11):
+        m = (n * d) // 10
+        cum = sum(lens[:m])
+        assert got[d]["cum_docs"] == m
+        assert got[d]["cum_chars"] == cum
+        assert got[d]["share_bp"] == (cum * 10000) // x
+    # curve is convex-increasing and ends at 100%
+    assert got[10]["share_bp"] == 10000
+
+
+def test_cramers_v_bounds(spark):
+    got = QUERIES["q_cramers_v"](spark, SF).collect()[0]
+    assert got["chi2"] >= 0
+    if got["cramers_v"] is not None:
+        assert 0 <= got["cramers_v"] <= 1
