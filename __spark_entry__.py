@@ -93,6 +93,13 @@ _DRIVER_PRIORITY = [
     # (c) backlog: text
     "q_code_detect", "q_lang_confusion",
 ]
+# Round-12 rotation candidates (added in r11, all oracle-paired and
+# local-green vanilla + TZ=Australia/Adelaide at sf0.01, 5-seed
+# fuzz-clean, x10 scale points in BENCH_sf1_scaleup r11_new_rows):
+# q_mcnemar_test, q_cohens_kappa, q_cramers_v, q_theil_index,
+# q_kendall_tau, q_jensen_shannon, q_burstiness_fano,
+# q_hill_tail_index, q_bigram_cond_entropy, q_adamic_adar,
+# q_lorenz_curve.
 # Round-11 rotation candidates (added in r10, all oracle-paired and
 # local-green vanilla + TZ=Australia/Adelaide at sf0.01; the text/events
 # rows 5-seed fuzz-clean; x10+x100 scale points in BENCH_sf1_scaleup

@@ -1014,3 +1014,378 @@ def q_lorenz_curve(spark, sf_dir):
                    F.expr("CAST((cc - chars + (m - (cd - cnt)) * v) * 10000 "
                           "DIV x AS BIGINT)").alias("share_bp")))
     return out
+
+
+# =====================================================================
+# variance decomposition / sequential randomness / mixture diversity /
+# autocorrelation profile
+# =====================================================================
+
+@query(
+    "q_anova_oneway",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS h,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    hm AS (
+      SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(cents) AS BIGINT) AS sh
+      FROM ev GROUP BY event_type, h
+    ),
+    tm AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS q,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS k
+      FROM ev GROUP BY event_type
+    ),
+    ssb AS (
+      SELECT event_type,
+             SUM(CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)
+                 / CAST(nh AS DOUBLE)) AS sb_raw
+      FROM hm GROUP BY event_type
+    )
+    SELECT tm.event_type, tm.n, tm.k,
+           CASE WHEN CAST(tm.q AS DOUBLE)
+                     - CAST(tm.s AS DOUBLE) * CAST(tm.s AS DOUBLE)
+                       / CAST(tm.n AS DOUBLE) > 0
+                THEN ROUND((ssb.sb_raw - CAST(tm.s AS DOUBLE)
+                            * CAST(tm.s AS DOUBLE) / CAST(tm.n AS DOUBLE))
+                           / (CAST(tm.q AS DOUBLE)
+                              - CAST(tm.s AS DOUBLE) * CAST(tm.s AS DOUBLE)
+                                / CAST(tm.n AS DOUBLE)), 6)
+                ELSE NULL END AS eta2,
+           CASE WHEN tm.k >= 2 AND tm.n > tm.k
+                 AND CAST(tm.q AS DOUBLE) - ssb.sb_raw > 0
+                THEN ROUND(((ssb.sb_raw - CAST(tm.s AS DOUBLE)
+                             * CAST(tm.s AS DOUBLE) / CAST(tm.n AS DOUBLE))
+                            / CAST(tm.k - 1 AS DOUBLE))
+                           / ((CAST(tm.q AS DOUBLE) - ssb.sb_raw)
+                              / CAST(tm.n - tm.k AS DOUBLE)), 6)
+                ELSE NULL END AS f_stat
+    FROM tm JOIN ssb USING (event_type)
+    """,
+)
+def q_anova_oneway(spark, sf_dir):
+    """One-way ANOVA of event value across hour-of-day groups per
+    event type: eta-squared (variance explained by the diurnal profile
+    — the seasonality-STRENGTH scalar behind q_dow_seasonality's
+    per-weekday indices) and the F statistic.  All moments are exact
+    BIGINTs from one (type, hour) groupBy + one per-type rollup
+    (<= 24 groups per type, so the SS reduction is broadcast-scale);
+    SS_between = sum(sh^2/nh) - S^2/N and SS_total = Q - S^2/N are
+    staged with the identical <= 24-term IEEE sums on both engines —
+    the term VALUES are exact integers cast once, so cross-engine noise
+    is summation order only (~1e-13 relative).  Guards: eta2 NULL when
+    SS_total = 0, F NULL when k < 2 or residual df/SS degenerate.
+    Overflow bound: sum(cents^2) must fit BIGINT -> valid to ~9e13
+    squared-cents mass (document per-type)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select("event_type", F.hour("ts").alias("h"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("cents")))
+    hm = ev.groupBy("event_type", "h").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum("cents").cast("long").alias("sh"))
+    tm = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q"),
+        F.countDistinct("h").cast("long").alias("k"))
+    ssb = hm.groupBy("event_type").agg(
+        F.sum(F.col("sh").cast("double") * F.col("sh").cast("double")
+              / F.col("nh").cast("double")).alias("sb_raw"))
+    j = tm.join(ssb, "event_type")
+    corr = F.col("s").cast("double") * F.col("s").cast("double") \
+        / F.col("n").cast("double")
+    sst = F.col("q").cast("double") - corr
+    sb = F.col("sb_raw") - corr
+    ssw = F.col("q").cast("double") - F.col("sb_raw")
+    fstat = (sb / (F.col("k") - 1).cast("double")) \
+        / (ssw / (F.col("n") - F.col("k")).cast("double"))
+    return j.select(
+        "event_type", "n", "k",
+        F.when(sst > 0, pround(sb / sst, 6))
+         .otherwise(F.lit(None).cast("double")).alias("eta2"),
+        F.when((F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0),
+               pround(fstat, 6))
+         .otherwise(F.lit(None).cast("double")).alias("f_stat"))
+
+
+@query(
+    "q_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                              AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    diffs AS (
+      SELECT event_type, day,
+             tot - LAG(tot) OVER (PARTITION BY event_type ORDER BY day)
+               AS d
+      FROM daily
+    ),
+    signs AS (
+      SELECT event_type, day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS sg
+      FROM diffs WHERE d IS NOT NULL AND d <> 0
+    ),
+    flips AS (
+      SELECT event_type, sg,
+             CASE WHEN LAG(sg) OVER (PARTITION BY event_type ORDER BY day)
+                       IS NULL THEN 1
+                  WHEN sg <> LAG(sg) OVER (PARTITION BY event_type
+                                           ORDER BY day) THEN 1
+                  ELSE 0 END AS new_run
+      FROM signs
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+             CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down,
+             CAST(SUM(new_run) AS BIGINT) AS runs
+      FROM flips GROUP BY event_type
+    )
+    SELECT event_type, n_up, n_down, runs,
+           CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down >= 2
+                 AND (CAST(2 AS DOUBLE) * CAST(n_up AS DOUBLE)
+                      * CAST(n_down AS DOUBLE) / CAST(n_up + n_down
+                                                      AS DOUBLE))
+                     * (CAST(2 AS DOUBLE) * CAST(n_up AS DOUBLE)
+                        * CAST(n_down AS DOUBLE) - CAST(n_up + n_down
+                                                        AS DOUBLE))
+                     / (CAST(n_up + n_down AS DOUBLE)
+                        * CAST(n_up + n_down - 1 AS DOUBLE)) > 0
+                THEN ROUND((CAST(runs AS DOUBLE)
+                            - (CAST(2 AS DOUBLE) * CAST(n_up AS DOUBLE)
+                               * CAST(n_down AS DOUBLE)
+                               / CAST(n_up + n_down AS DOUBLE)
+                               + CAST(1 AS DOUBLE)))
+                           / sqrt((CAST(2 AS DOUBLE) * CAST(n_up AS DOUBLE)
+                                   * CAST(n_down AS DOUBLE)
+                                   / CAST(n_up + n_down AS DOUBLE))
+                                  * (CAST(2 AS DOUBLE)
+                                     * CAST(n_up AS DOUBLE)
+                                     * CAST(n_down AS DOUBLE)
+                                     - CAST(n_up + n_down AS DOUBLE))
+                                  / (CAST(n_up + n_down AS DOUBLE)
+                                     * CAST(n_up + n_down - 1
+                                            AS DOUBLE))), 6)
+                ELSE NULL END AS z_runs
+    FROM m
+    """,
+)
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the sign sequence of day-over-day
+    revenue changes per event type — the sequential-randomness monitor
+    (too FEW runs = trending/regime-switching series, too MANY =
+    oscillation) complementing q_autocorr_lag1 (linear memory) and
+    q_cusum_changepoint (level shifts).  Daily totals are exact integer
+    cents; signs and the run count come from two lag windows
+    PARTITIONED by type over the bounded day axis (zero-diff days drop,
+    documented — ties carry no direction); n_up/n_down/runs are exact
+    BIGINTs and only the normal-approximation z is a final staged
+    double with degenerate guards."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").cast("date").alias("day"))
+               .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long")).cast("long").alias("tot")))
+    w = W.partitionBy("event_type").orderBy("day")
+    diffs = daily.withColumn("d", F.col("tot") - F.lag("tot").over(w))
+    signs = (diffs.where(F.col("d").isNotNull() & (F.col("d") != 0))
+                  .withColumn("sg", F.when(F.col("d") > 0, 1).otherwise(-1)))
+    flips = signs.withColumn(
+        "new_run",
+        F.when(F.lag("sg").over(w).isNull(), 1)
+         .when(F.col("sg") != F.lag("sg").over(w), 1).otherwise(0))
+    m = flips.groupBy("event_type").agg(
+        F.sum(F.when(F.col("sg") == 1, 1).otherwise(0)).cast("long")
+         .alias("n_up"),
+        F.sum(F.when(F.col("sg") == -1, 1).otherwise(0)).cast("long")
+         .alias("n_down"),
+        F.sum("new_run").cast("long").alias("runs"))
+    two = F.lit(2).cast("double")
+    one = F.lit(1).cast("double")
+    nu = F.col("n_up").cast("double")
+    nd = F.col("n_down").cast("double")
+    nn = (F.col("n_up") + F.col("n_down")).cast("double")
+    mu = two * nu * nd / nn + one
+    var = (two * nu * nd / nn) * (two * nu * nd - nn) \
+        / (nn * (nn - one))
+    z = (F.col("runs").cast("double") - mu) / F.sqrt(var)
+    ok = (F.col("n_up") > 0) & (F.col("n_down") > 0) \
+        & (F.col("n_up") + F.col("n_down") >= 2) & (var > 0)
+    return m.select("event_type", "n_up", "n_down", "runs",
+                    F.when(ok, pround(z, 6))
+                     .otherwise(F.lit(None).cast("double")).alias("z_runs"))
+
+
+@query(
+    "q_lang_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT source, COALESCE(lang, '<null>') AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE source IS NOT NULL GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             CAST(MAX(n) AS BIGINT) AS top_n
+      FROM c GROUP BY source
+    ),
+    h AS (
+      SELECT c.source,
+             SUM(CAST(c.n AS DOUBLE) * LN(CAST(c.n AS DOUBLE))) AS nlogn
+      FROM c GROUP BY c.source
+    )
+    SELECT s.source, s.n_docs, s.n_langs,
+           CAST(s.top_n * 10000 // s.n_docs AS BIGINT) AS top_share_bp,
+           ROUND(LN(CAST(s.n_docs AS DOUBLE))
+                 - h.nlogn / CAST(s.n_docs AS DOUBLE), 6) AS entropy_nats,
+           ROUND(exp(LN(CAST(s.n_docs AS DOUBLE))
+                     - h.nlogn / CAST(s.n_docs AS DOUBLE)), 6)
+             AS effective_langs
+    FROM s JOIN h ON h.source = s.source
+    """,
+)
+def q_lang_diversity(spark, sf_dir):
+    """Language diversity per source: Shannon entropy of the lang
+    distribution and its exponential (effective number of languages),
+    plus the top-language share in integer basis points — the
+    WITHIN-source mixture-governance readout next to
+    q_hhi_concentration (which measures concentration ACROSS sources):
+    a crawl that claims multilingual coverage but has effective_langs
+    ~1.0 is monolingual with noise.  One (source, lang) count (NULL
+    lang bucketed '<null>' both engines), a per-source rollup, entropy
+    via H = ln(N) - (1/N) sum n ln n — each n ln n is computed once per
+    (source, lang) cell (<= |langs| terms per source), so the double
+    tail is a short identically-staged sum through R6."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("source").isNotNull())
+    c = (docs.groupBy("source",
+                      F.coalesce("lang", F.lit("<null>")).alias("lang"))
+             .agg(F.count("*").cast("long").alias("n")))
+    s = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.max("n").cast("long").alias("top_n"))
+    h = c.groupBy("source").agg(
+        F.sum(F.col("n").cast("double")
+              * F.log(F.col("n").cast("double"))).alias("nlogn"))
+    j = s.join(h, "source")
+    ent = F.log(F.col("n_docs").cast("double")) \
+        - F.col("nlogn") / F.col("n_docs").cast("double")
+    return j.select(
+        "source", "n_docs", "n_langs",
+        F.expr("CAST(top_n * 10000 DIV n_docs AS BIGINT)")
+         .alias("top_share_bp"),
+        R6(ent).alias("entropy_nats"),
+        R6(F.exp(ent)).alias("effective_langs"))
+
+
+@query(
+    "q_acf_multilag",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2000-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS di,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    lags AS (SELECT UNNEST(range(1, 8)) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.tot AS x, b.tot AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.di = a.di + l.lag
+    ),
+    m AS (
+      SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                              * sqrt(CAST(n AS DOUBLE)
+                                     * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))), 6)
+                ELSE NULL END AS acf
+    FROM m
+    """,
+)
+def q_acf_multilag(spark, sf_dir):
+    """Autocorrelation profile of daily revenue per event type at lags
+    1..7 (the full weekly ACF — q_autocorr_lag1 generalized): Pearson
+    correlation of the (x_t, x_{t+k}) pair sets, which exposes weekly
+    periodicity as a lag-7 peak.  Daily totals are exact integer cents
+    at a day-index key; the 7 lag pair-sets come from ONE broadcast of
+    the 7-row lag table onto the day-keyed self-join (the daily table
+    is |days|x|types| rows — bounded by the time axis, never event
+    count); all second moments are exact BIGINTs and r_k is the final
+    staged double with sqrt*sqrt so products never overflow.  Overflow
+    bound: sum(x*y) <= days*maxdaily^2 must fit BIGINT -> valid to
+    ~1e8 cents/day at 1e3 days; past it move the moments to DOUBLE."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type",
+                        F.datediff(F.date_trunc("day", "ts").cast("date"),
+                                   F.lit("2000-01-01").cast("date"))
+                         .cast("long").alias("di"))
+               .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long")).cast("long").alias("tot")))
+    lags = F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag")
+    a = daily.select("event_type", "di", F.col("tot").alias("x")) \
+             .withColumn("lag", F.explode(F.sequence(F.lit(1), F.lit(7))))
+    b = daily.select("event_type",
+                     F.col("di").alias("dib"), F.col("tot").alias("y"))
+    pairs = a.join(b, (a["event_type"] == b["event_type"])
+                   & (b["dib"] == a["di"] + a["lag"])) \
+             .select(a["event_type"], "lag", "x", "y")
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = nd * F.col("syy").cast("double") \
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    return m.select(
+        "event_type", F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.when((vx > 0) & (vy > 0),
+               pround(num / (F.sqrt(vx) * F.sqrt(vy)), 6))
+         .otherwise(F.lit(None).cast("double")).alias("acf"))

@@ -124,6 +124,12 @@ HEADLINE = [
     "q_quantile_drift",
     "q_local_clustering",
     "q_rbo_rankings",
+    # round 11: integer-core rank correlation, inequality decomposition,
+    # link prediction (quantized integer scores), exact Lorenz curve
+    "q_kendall_tau",
+    "q_theil_index",
+    "q_adamic_adar",
+    "q_lorenz_curve",
 ]
 
 

@@ -316,3 +316,119 @@ def test_cramers_v_bounds(spark):
     assert got["chi2"] >= 0
     if got["cramers_v"] is not None:
         assert 0 <= got["cramers_v"] <= 1
+
+
+# ------------------------------------------------------------- batch 2
+
+def test_anova_matches_python(spark):
+    ev = [(r["event_type"], r["ts"].hour,
+           math.floor(r["value"] * 100 + 0.5))
+          for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+          if r["ts"] is not None and r["value"] is not None]
+    got = {r["event_type"]: r
+           for r in QUERIES["q_anova_oneway"](spark, SF).collect()}
+    from collections import defaultdict
+    by_type = defaultdict(list)
+    for et, h, c in ev:
+        by_type[et].append((h, c))
+    for et, rows in by_type.items():
+        xs = [c for _, c in rows]
+        n = len(xs)
+        mu = sum(xs) / n
+        sst = sum((x - mu) ** 2 for x in xs)
+        groups = defaultdict(list)
+        for h, c in rows:
+            groups[h].append(c)
+        ssb = sum(len(g) * (sum(g) / len(g) - mu) ** 2
+                  for g in groups.values())
+        k = len(groups)
+        if sst > 0:
+            assert got[et]["eta2"] == pytest.approx(ssb / sst, abs=2e-6)
+        if k >= 2 and n > k and sst - ssb > 0:
+            f = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+            assert got[et]["f_stat"] == pytest.approx(f, rel=1e-4)
+
+
+def test_runs_test_matches_python(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import defaultdict
+    daily = defaultdict(int)
+    for r in ev:
+        if r["ts"] is None or r["value"] is None:
+            continue
+        daily[(r["event_type"], r["ts"].date())] += \
+            math.floor(r["value"] * 100 + 0.5)
+    series = defaultdict(list)
+    for (et, d), tot in sorted(daily.items()):
+        series[et].append(tot)
+    got = {r["event_type"]: r
+           for r in QUERIES["q_runs_test"](spark, SF).collect()}
+    for et, xs in series.items():
+        sg = [1 if b > a else -1 for a, b in zip(xs, xs[1:]) if b != a]
+        if not sg:
+            assert et not in got
+            continue
+        runs = 1 + sum(x != y for x, y in zip(sg, sg[1:]))
+        nu, nd = sg.count(1), sg.count(-1)
+        assert (got[et]["n_up"], got[et]["n_down"], got[et]["runs"]) \
+            == (nu, nd, runs)
+        if nu and nd:
+            n = nu + nd
+            mu = 2 * nu * nd / n + 1
+            var = (2 * nu * nd / n) * (2 * nu * nd - n) / (n * (n - 1))
+            if var > 0:
+                assert got[et]["z_runs"] == pytest.approx(
+                    (runs - mu) / math.sqrt(var), abs=2e-6)
+
+
+def test_lang_diversity_matches_python(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    from collections import Counter, defaultdict
+    c = defaultdict(Counter)
+    for r in docs:
+        if r["source"] is not None:
+            c[r["source"]][r["lang"] or "<null>"] += 1
+    got = {r["source"]: r
+           for r in QUERIES["q_lang_diversity"](spark, SF).collect()}
+    for src, cnt in c.items():
+        n = sum(cnt.values())
+        h = -sum(v / n * math.log(v / n) for v in cnt.values())
+        assert got[src]["n_docs"] == n
+        assert got[src]["n_langs"] == len(cnt)
+        assert got[src]["top_share_bp"] == max(cnt.values()) * 10000 // n
+        assert got[src]["entropy_nats"] == pytest.approx(h, abs=2e-6)
+        assert got[src]["effective_langs"] == pytest.approx(
+            math.exp(h), abs=2e-5)
+
+
+def test_acf_matches_python(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import defaultdict
+    daily = defaultdict(int)
+    for r in ev:
+        if r["ts"] is None or r["value"] is None:
+            continue
+        daily[(r["event_type"], r["ts"].date())] += \
+            math.floor(r["value"] * 100 + 0.5)
+    got = {(r["event_type"], r["lag"]): r
+           for r in QUERIES["q_acf_multilag"](spark, SF).collect()}
+    series = defaultdict(dict)
+    for (et, d), tot in daily.items():
+        series[et][d.toordinal()] = tot
+    import statistics
+    for et, sd in series.items():
+        for lag in range(1, 8):
+            pairs = [(v, sd[k + lag]) for k, v in sd.items()
+                     if k + lag in sd]
+            if len(pairs) < 2:
+                assert (et, lag) not in got or got[(et, lag)]["acf"] is None
+                continue
+            xs, ys = [p[0] for p in pairs], [p[1] for p in pairs]
+            n = len(pairs)
+            num = n * sum(x * y for x, y in pairs) - sum(xs) * sum(ys)
+            vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+            vy = n * sum(y * y for y in ys) - sum(ys) ** 2
+            assert got[(et, lag)]["n_pairs"] == n
+            if vx > 0 and vy > 0:
+                assert got[(et, lag)]["acf"] == pytest.approx(
+                    num / (math.sqrt(vx) * math.sqrt(vy)), abs=2e-6)

@@ -234,16 +234,48 @@ COMMENTARY = {
     "q_local_clustering": "Clustering coefficient (r10): the degree-"
         "oriented triangle plan (wedge fan-out ≤ √(2m)) outer-joined "
         "to the degree table; coefficient is integer basis points.",
-    "q_rbo_rankings": "RBO (r10): both rankings ride one query-term-"
-        "filtered postings shuffle; ranks via broadcast self-join "
-        "count on ≤20-row lists; integer micro-weight sum — no pow(), "
-        "no global window, no order-dependent double summation.",
+    "q_rbo_rankings": "RBO (r10, simplified r11): both rankings ride one "
+        "query-term-filtered postings shuffle; ranks reuse partial_topk's "
+        "own rank column (phase-2 window over ≤ k·p survivors); integer "
+        "micro-weight sum — no pow(), no global window, no "
+        "order-dependent double summation.",
     "q_quantile_drift": "Quantile drift (r10): one cumulative window "
         "over the (type, half, cents) grid serves all five quantiles "
         "through a 5-row broadcast ceil-division join — all integer.",
     "q_cuped_adjustment": "CUPED (r10): per-user pre/post BIGINT sums, "
         "one 5-number global aggregate broadcast onto the 2-row arm "
         "aggregate — events scan once, nothing collects.",
+    "q_url_canonical": "Map-only URL canonicalization: one parquet scan, "
+        "one codegen'd Project of regex/string Column ops — no exchange, "
+        "no join, no window; cost is per-row regex CPU plus one-time "
+        "codegen.  r11 adjudication of the r10 driver-bench regression "
+        "(0.84 s r9 → 3.56 s r10 at sf0.1): idle-box 5-rep paired re-run "
+        "[3.38, 1.03, 0.95, 0.83, 0.80] s — steady state matches r9's "
+        "0.84 s; the 3.56 s was FIRST-EXECUTION Janino codegen + regex "
+        "compile (the r10 bench inserted 9 rows before it, shifting which "
+        "queries paid cold codegen), not a plan regression.  Same "
+        "session: q_interp_sql reps [3.00, 1.95, 1.87, 1.77, 1.61] s vs "
+        "r9's 1.74 s — same conclusion.",
+    "q_kendall_tau": "Kendall tau-b (r11): raw events reduce to the "
+        "24 × |distinct-cents| dense grid, then TWO partitioned "
+        "cumulative windows (per-hour value CDF; cumulative across hours "
+        "at fixed value) produce the exact BIGINT concordance core — "
+        "never O(n²) pairs, sort payload is the value grid.",
+    "q_theil_index": "Theil decomposition (r11): one (source, length) "
+        "grid count, one per-source rollup, broadcast 1-row totals; "
+        "x·ln(x) quantized to a 1e4 integer grid per DISTINCT length so "
+        "every corpus-scale sum is an exact BIGINT.",
+    "q_adamic_adar": "Adamic-Adar (r11): wedge fan-out capped at deg≤64 "
+        "middles (oracle-replayed; hubs cost d² and contribute ~0 "
+        "weight), 1/ln(deg) quantized to BIGINT e9 units per node so "
+        "pair scores are exact integer sums (flip-proof ordering), "
+        "existing-edge anti-join on the same (v,w) key the score "
+        "groupBy produced, top-50 via partial_topk.",
+    "q_lorenz_curve": "Lorenz curve (r11): distinct-length grid + the "
+        "q_pareto_class distributed cumsum (256 value-range buckets, "
+        "bucket-partitioned window, broadcast ≤256-row triangular "
+        "offsets); decile boundaries and partial mass in pure integer "
+        "arithmetic — no single-partition window, no doubles.",
 }
 
 
