@@ -797,8 +797,12 @@ def q_referential_profile(spark, sf_dir):
       FROM events
     ),
     mid AS (
-      SELECT to_timestamp((epoch_us(t0) + (epoch_us(t1) - epoch_us(t0)) / 2)
-                          / 1000000.0) AS m
+      -- integer-us midpoint (r11): `/ 2` left a .5us fraction through
+      -- float seconds on odd spans while Spark truncated -- an event
+      -- exactly on the truncated midpoint would classify differently
+      SELECT make_timestamp(CAST(epoch_us(t0)
+                                 + (epoch_us(t1) - epoch_us(t0)) // 2
+                                 AS BIGINT)) AS m
       FROM span
     ),
     u AS (
@@ -827,9 +831,7 @@ def q_churn_users(spark, sf_dir):
     span = ev.agg(F.unix_micros(F.min("ts")).alias("e0"),
                   F.unix_micros(F.max("ts")).alias("e1"))
     mid = span.select(
-        F.timestamp_micros(
-            (F.col("e0") + ((F.col("e1") - F.col("e0")) / 2).cast("long"))
-        ).alias("m"))
+        F.timestamp_micros(F.expr("e0 + (e1 - e0) DIV 2")).alias("m"))
     u = (ev.crossJoin(F.broadcast(mid))
            .groupBy("user_id")
            .agg(F.sum(F.when(F.col("ts") < F.col("m"), 1).otherwise(0))
