@@ -1389,3 +1389,254 @@ def q_acf_multilag(spark, sf_dir):
         F.when((vx > 0) & (vy > 0),
                pround(num / (F.sqrt(vx) * F.sqrt(vy)), 6))
          .otherwise(F.lit(None).cast("double")).alias("acf"))
+
+
+# =====================================================================
+# eval-metric completions: PR-AUC, Brier, ECE, graph degree profile
+# =====================================================================
+
+@query(
+    "q_pr_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS score,
+             CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ),
+    per_s AS (
+      SELECT l_returnflag, score,
+             CAST(SUM(label) AS BIGINT) AS p,
+             CAST(COUNT(*) - SUM(label) AS BIGINT) AS n
+      FROM scored GROUP BY l_returnflag, score
+    ),
+    acc AS (
+      SELECT l_returnflag, score, p, n,
+             SUM(p) OVER (PARTITION BY l_returnflag ORDER BY score DESC
+                          ROWS UNBOUNDED PRECEDING) AS tp,
+             SUM(p + n) OVER (PARTITION BY l_returnflag ORDER BY score DESC
+                              ROWS UNBOUNDED PRECEDING) AS pp,
+             SUM(p) OVER (PARTITION BY l_returnflag) AS pos
+      FROM per_s
+    )
+    SELECT l_returnflag,
+           CAST(MAX(pos) AS BIGINT) AS n_pos,
+           CASE WHEN MAX(pos) > 0
+                THEN ROUND(SUM(CAST(p AS DOUBLE) * CAST(tp AS DOUBLE)
+                               / CAST(pp AS DOUBLE))
+                           / CAST(MAX(pos) AS DOUBLE), 6)
+                ELSE NULL END AS pr_auc
+    FROM acc GROUP BY l_returnflag
+    """,
+)
+def q_pr_auc(spark, sf_dir):
+    """Average precision (step PR-AUC) per cohort on the q_auc_roc
+    fixture — the eval metric that matters under class IMBALANCE, where
+    ROC-AUC saturates (a filter catching 1-in-1000 bad docs can have
+    0.99 ROC-AUC and useless precision): AP = sum over positives of
+    precision at that positive's threshold, ties collapsed at the
+    distinct-score block (each block contributes p_s * TP(s)/PP(s) at
+    block-end precision — deterministic under any tie order).  Same
+    plan as q_auc_roc: the corpus collapses to |distinct scores| rows
+    per cohort in one map-side-combined aggregate, ONE partitioned
+    cumulative window over that grid, and the per-block terms are
+    identically staged doubles through R6 (<= |scores| bounded terms)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_s = (li.select("l_returnflag",
+                       F.col("l_quantity").cast("long").alias("score"),
+                       F.when(F.col("l_extendedprice") > 30000, 1)
+                        .otherwise(0).alias("label"))
+               .groupBy("l_returnflag", "score")
+               .agg(F.sum("label").cast("long").alias("p"),
+                    (F.count("*") - F.sum("label")).cast("long").alias("n")))
+    w = (W.partitionBy("l_returnflag").orderBy(F.col("score").desc())
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy("l_returnflag")
+    acc = (per_s.withColumn("tp", F.sum("p").over(w))
+                .withColumn("pp", F.sum(F.col("p") + F.col("n")).over(w))
+                .withColumn("pos", F.sum("p").over(wall)))
+    term = F.col("p").cast("double") * F.col("tp").cast("double") \
+        / F.col("pp").cast("double")
+    out = acc.groupBy("l_returnflag").agg(
+        F.max("pos").cast("long").alias("n_pos"),
+        F.sum(term).alias("__ap_sum"))
+    return out.select(
+        "l_returnflag", "n_pos",
+        F.when(F.col("n_pos") > 0,
+               pround(F.col("__ap_sum") / F.col("n_pos").cast("double"), 6))
+         .otherwise(F.lit(None).cast("double")).alias("pr_auc"))
+
+
+@query(
+    "q_brier_score",
+    oracle="""
+    WITH scored AS (
+      SELECT (l_partkey * 37 + l_suppkey) % 10001 AS prob_bp,
+             CASE WHEN ('0x' || substring(md5(
+                    'cal:' || CAST(l_orderkey AS VARCHAR) || ':'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                    % 10000
+                  < (l_partkey * 37 + l_suppkey) % 10001
+                  THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((prob_bp - label * 10000)
+                    * (prob_bp - label * 10000)) AS BIGINT) AS sq_e8,
+           ROUND(CAST(SUM((prob_bp - label * 10000)
+                          * (prob_bp - label * 10000)) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE)
+                    * CAST(100000000 AS DOUBLE)), 6) AS brier
+    FROM scored
+    """,
+)
+def q_brier_score(spark, sf_dir):
+    """Brier score of the synthetic calibrated predictor (the
+    q_calibration_bins fixture): mean squared error between predicted
+    probability and outcome — the single proper scoring rule that
+    combines calibration AND sharpness (ECE alone rewards a predictor
+    that always says the base rate).  EXACT integer core: predictions
+    live on the basis-point grid, so each squared error
+    (prob_bp - label*10000)^2 is a BIGINT in 1e-8 units and the corpus
+    sum cannot flip with order; the final double is one staged division.
+    One map-side-combined aggregate — no window, no join.  Overflow
+    bound: n * 1e8 must fit BIGINT -> valid to 9e10 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lane = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("cal:"), F.col("l_orderkey").cast("string"),
+        F.lit(":"), F.col("l_linenumber").cast("string"))), 1, 8),
+        16, 10).cast("long") % 10000)
+    prob = (F.col("l_partkey") * 37 + F.col("l_suppkey")) % 10001
+    scored = li.select(prob.alias("prob_bp"),
+                       F.when(lane < prob, 1).otherwise(0).alias("label"))
+    err = F.col("prob_bp") - F.col("label") * 10000
+    t = scored.agg(F.count("*").cast("long").alias("n"),
+                   F.sum(err * err).cast("long").alias("sq_e8"))
+    return t.select(
+        "n", "sq_e8",
+        pround(F.col("sq_e8").cast("double")
+               / (F.col("n").cast("double")
+                  * F.lit(100000000).cast("double")), 6).alias("brier"))
+
+
+@query(
+    "q_ece_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT (l_partkey * 37 + l_suppkey) % 10001 AS prob_bp,
+             CASE WHEN ('0x' || substring(md5(
+                    'cal:' || CAST(l_orderkey AS VARCHAR) || ':'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                    % 10000
+                  < (l_partkey * 37 + l_suppkey) % 10001
+                  THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ),
+    b AS (
+      SELECT CAST(LEAST(prob_bp * 20 // 10000, 19) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(label) AS BIGINT) AS pos,
+             CAST(SUM(prob_bp) AS BIGINT) AS sump
+      FROM scored GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(nb) AS BIGINT) AS n FROM b)
+    SELECT t.n, CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM(ABS(CAST(b.pos AS DOUBLE) / CAST(b.nb AS DOUBLE)
+                         - CAST(b.sump AS DOUBLE)
+                           / (CAST(b.nb AS DOUBLE)
+                              * CAST(10000 AS DOUBLE)))
+                     * CAST(b.nb AS DOUBLE)) / CAST(t.n AS DOUBLE), 6)
+             AS ece,
+           ROUND(MAX(ABS(CAST(b.pos AS DOUBLE) / CAST(b.nb AS DOUBLE)
+                         - CAST(b.sump AS DOUBLE)
+                           / (CAST(b.nb AS DOUBLE)
+                              * CAST(10000 AS DOUBLE)))), 6) AS mce
+    FROM b CROSS JOIN t GROUP BY t.n
+    """,
+)
+def q_ece_calibration(spark, sf_dir):
+    """Expected / maximum calibration error over 20 equal-width
+    probability bins — the SCALARS on top of q_calibration_bins'
+    reliability diagram (ECE = bin-weighted |accuracy - confidence|,
+    MCE = its max; the numbers model cards report).  Per-bin counts,
+    positives, and summed basis-point predictions are exact BIGINTs
+    from one map-side-combined 20-key aggregate; |acc - conf| terms
+    are identically staged doubles over <= 20 bins through R6.  The
+    synthetic predictor is calibrated by construction, so ECE ~ 0 is
+    the expected readout and any drift is fixture or engine skew."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lane = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("cal:"), F.col("l_orderkey").cast("string"),
+        F.lit(":"), F.col("l_linenumber").cast("string"))), 1, 8),
+        16, 10).cast("long") % 10000)
+    prob = (F.col("l_partkey") * 37 + F.col("l_suppkey")) % 10001
+    scored = li.select(prob.alias("prob_bp"),
+                       F.when(lane < prob, 1).otherwise(0).alias("label"))
+    b = (scored.groupBy(F.least(F.col("prob_bp") * 20 / 10000,
+                                F.lit(19)).cast("long").alias("bin"))
+               .agg(F.count("*").cast("long").alias("nb"),
+                    F.sum("label").cast("long").alias("pos"),
+                    F.sum("prob_bp").cast("long").alias("sump")))
+    t = b.agg(F.sum("nb").cast("long").alias("n"))
+    gap = F.abs(F.col("pos").cast("double") / F.col("nb").cast("double")
+                - F.col("sump").cast("double")
+                / (F.col("nb").cast("double")
+                   * F.lit(10000).cast("double")))
+    out = (b.crossJoin(F.broadcast(t))
+            .groupBy("n")
+            .agg(F.count("*").cast("long").alias("n_bins"),
+                 F.sum(gap * F.col("nb").cast("double")).alias("__e"),
+                 F.max(gap).alias("__m")))
+    return out.select(
+        "n", "n_bins",
+        pround(F.col("__e") / F.col("n").cast("double"), 6).alias("ece"),
+        pround(F.col("__m"), 6).alias("mce"))
+
+
+@query(
+    "q_degree_distribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      WHERE l1.l_quantity > 25 AND l2.l_quantity > 25
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+      ) GROUP BY node
+    )
+    SELECT CAST(LENGTH(BIN(d)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(SUM(d) AS BIGINT) AS sum_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def q_degree_distribution(spark, sf_dir):
+    """Log2-bucketed degree histogram of the co-purchase part graph —
+    the one-glance scale-free-ness profile that DECIDES the strategy
+    for every downstream graph op (heavy tail -> degree orientation /
+    middle caps / salting are mandatory; q_skew_metrics is the same
+    probe for join keys).  Bucket = bit length of the degree (the
+    q_quantile_sketch integer recipe — both engines take LENGTH(BIN(d))
+    on the positive BIGINT); all outputs exact integers, one groupBy
+    after the degree count."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 25)
+          .select("l_orderkey", "l_partkey"))
+    e1 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+    e2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
+    pairs = (e1.join(e2, "l_orderkey")
+               .where(F.col("a") < F.col("b"))
+               .select("a", "b").distinct())
+    deg = (pairs.select(F.col("a").alias("node"))
+                .unionAll(pairs.select(F.col("b").alias("node")))
+                .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    return (deg.groupBy((F.length(F.bin(F.col("d"))) - 1).cast("long")
+                         .alias("log2_bucket"))
+               .agg(F.count("*").cast("long").alias("n_nodes"),
+                    F.min("d").cast("long").alias("min_degree"),
+                    F.max("d").cast("long").alias("max_degree"),
+                    F.sum("d").cast("long").alias("sum_degree")))

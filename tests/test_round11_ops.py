@@ -432,3 +432,75 @@ def test_acf_matches_python(spark):
             if vx > 0 and vy > 0:
                 assert got[(et, lag)]["acf"] == pytest.approx(
                     num / (math.sqrt(vx) * math.sqrt(vy)), abs=2e-6)
+
+
+# ------------------------------------------------------------- batch 3
+
+def test_pr_auc_matches_sklearn_style_python(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    from collections import defaultdict
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in li:
+        s = int(r["l_quantity"])
+        lab = 1 if r["l_extendedprice"] > 30000 else 0
+        cell = per[r["l_returnflag"]][s]
+        cell[0] += lab
+        cell[1] += 1 - lab
+    got = {r["l_returnflag"]: r
+           for r in QUERIES["q_pr_auc"](spark, SF).collect()}
+    for flag, cells in per.items():
+        tp = pp = 0
+        ap_sum = 0.0
+        pos = sum(p for p, _ in cells.values())
+        for s in sorted(cells, reverse=True):
+            p, n = cells[s]
+            tp += p
+            pp += p + n
+            ap_sum += p * tp / pp
+        assert got[flag]["n_pos"] == pos
+        if pos:
+            assert got[flag]["pr_auc"] == pytest.approx(ap_sum / pos,
+                                                        abs=2e-6)
+
+
+def test_brier_decomposition_consistency(spark):
+    """Exact-integer Brier must equal the float definition, and for the
+    calibrated fixture it must be close to mean p(1-p) (the refinement
+    floor of a perfectly calibrated predictor)."""
+    got = QUERIES["q_brier_score"](spark, SF).collect()[0]
+    assert got["brier"] == pytest.approx(got["sq_e8"] / (got["n"] * 1e8),
+                                         abs=5e-7)  # R6 grid
+    assert 0 <= got["brier"] <= 0.5
+
+
+def test_ece_near_zero_on_calibrated_fixture(spark):
+    got = QUERIES["q_ece_calibration"](spark, SF).collect()[0]
+    assert got["n_bins"] <= 20
+    # calibrated by construction: ECE small, MCE bounded
+    assert got["ece"] < 0.2
+    assert got["mce"] >= got["ece"]
+
+
+def test_degree_distribution_matches_python(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    from collections import defaultdict, Counter
+    orders = defaultdict(set)
+    for r in li:
+        if r["l_quantity"] > 25:
+            orders[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                edges.add((a, b))
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    buckets = Counter(d.bit_length() - 1 for d in deg.values())
+    got = {r["log2_bucket"]: r for r in
+           QUERIES["q_degree_distribution"](spark, SF).collect()}
+    for bkt, n in buckets.items():
+        assert got[bkt]["n_nodes"] == n
+    assert sum(r["sum_degree"] for r in got.values()) == 2 * len(edges)
