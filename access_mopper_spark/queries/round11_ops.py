@@ -1640,3 +1640,256 @@ def q_degree_distribution(spark, sf_dir):
                     F.min("d").cast("long").alias("min_degree"),
                     F.max("d").cast("long").alias("max_degree"),
                     F.sum("d").cast("long").alias("sum_degree")))
+
+
+# =====================================================================
+# integer HITS / BFS hops / weighted reservoir / quota allocation
+# =====================================================================
+
+@query(
+    "q_hits_bipartite",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_quantity > 25
+    ),
+    a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY p),
+    h1 AS (
+      SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+      FROM e JOIN a1 USING (p) GROUP BY e.c
+    ),
+    a2 AS (
+      SELECT e.p, CAST(SUM(h1.h) AS BIGINT) AS a
+      FROM e JOIN h1 USING (c) GROUP BY e.p
+    ),
+    h2 AS (
+      SELECT e.c, CAST(SUM(a2.a) AS BIGINT) AS h
+      FROM e JOIN a2 USING (p) GROUP BY e.c
+    ),
+    a3 AS (
+      SELECT e.p, CAST(SUM(h2.h) AS BIGINT) AS a
+      FROM e JOIN h2 USING (c) GROUP BY e.p
+    ),
+    ranked AS (
+      SELECT p AS part, a AS authority,
+             ROW_NUMBER() OVER (ORDER BY a DESC, p) AS rank
+      FROM a3
+    )
+    SELECT part, authority, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def q_hits_bipartite(spark, sf_dir):
+    """HITS hubs-and-authorities (Kleinberg) on the bipartite
+    customer -> part purchase graph, 3 iterations, INTEGER-EXACT: the
+    textbook formulation normalizes each iteration (forcing noisy
+    double sums); with h0 = 1 the UNNORMALIZED iterates a_k = (E'E)^k
+    column sums stay BIGINT, give the identical RANKING (normalization
+    is a positive scalar), and make the surface flip-proof.  Top-20
+    authority parts — 'which products anchor the co-purchase web', the
+    bipartite companion to q_pagerank (which ranks the projected
+    graph).  Each iteration is ONE edge-keyed join + groupBy
+    (map-side-combined); the edge list stays co-partitioned; ranking
+    via partial_topk.  Overflow bound: a3 <= n*d^6; at d~100,
+    n~1e6 still < 9e18 — document before raising iterations."""
+    from access_mopper_spark.operators.similarity import partial_topk
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 25)
+          .select("l_orderkey", "l_partkey"))
+    e = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+           .select(F.col("o_custkey").alias("c"),
+                   F.col("l_partkey").alias("p"))
+           .distinct().persist())
+    a = e.groupBy("p").agg(F.count("*").cast("long").alias("a"))
+    for _ in range(2):
+        h = (e.join(a, "p").groupBy("c")
+              .agg(F.sum("a").cast("long").alias("h")))
+        a = (e.join(h, "c").groupBy("p")
+              .agg(F.sum("h").cast("long").alias("a")))
+    top = partial_topk(a, [], [F.col("a").desc(), F.col("p")], 20)
+    return top.select(F.col("p").alias("part"),
+                      F.col("a").alias("authority"),
+                      F.col("rank").cast("int").alias("rank"))
+
+
+@query(
+    "q_bfs_hops",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      WHERE l1.l_quantity > 25 AND l2.l_quantity > 25
+    ),
+    und AS (
+      SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs
+    ),
+    src AS (SELECT MIN(a) AS s FROM pairs),
+    walk(node, hop) AS (
+      SELECT s, 0 FROM src
+      UNION ALL
+      SELECT und.y, walk.hop + 1
+      FROM walk JOIN und ON und.x = walk.node
+      WHERE walk.hop < 4
+    ),
+    dist AS (SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM walk
+             GROUP BY node)
+    SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM dist GROUP BY hop
+    """,
+)
+def q_bfs_hops(spark, sf_dir):
+    """Bounded BFS from the smallest part id over the co-purchase
+    graph: hop-distance histogram for hops 0..4 — the reachability /
+    small-world probe behind q_cc_large_small_star (components say WHO
+    is connected; hop counts say HOW FAR, the expansion profile that
+    sizes frontier joins).  Frontier iteration with a min-distance
+    ledger: each round joins the CURRENT frontier (not all visited
+    nodes) against the adjacency list and anti-joins the ledger — work
+    per round is |frontier edges|, the textbook distributed BFS.  All
+    output integers; the oracle replays via a depth-bounded recursive
+    CTE with MIN(hop) dedup."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 25)
+          .select("l_orderkey", "l_partkey"))
+    e1 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+    e2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
+    pairs = (e1.join(e2, "l_orderkey")
+               .where(F.col("a") < F.col("b"))
+               .select("a", "b").distinct())
+    und = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+                .unionAll(pairs.select(F.col("b").alias("x"),
+                                       F.col("a").alias("y")))
+                .persist())
+    src = pairs.agg(F.min("a").alias("node")) \
+               .select("node", F.lit(0).cast("long").alias("hop"))
+    dist = src.persist()
+    frontier = src
+    for k in range(1, 5):
+        nxt = (frontier.join(und, frontier["node"] == und["x"])
+               .select(F.col("y").alias("node"))
+               .distinct()
+               .join(dist.select("node"), "node", "left_anti")
+               .withColumn("hop", F.lit(k).cast("long")))
+        nxt = nxt.persist()
+        dist = dist.unionByName(nxt).persist()
+        frontier = nxt
+    return dist.groupBy("hop").agg(F.count("*").cast("long")
+                                    .alias("n_nodes"))
+
+
+@query(
+    "q_weighted_reservoir",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             1 + ('0x' || substring(md5('wrs:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8))::BIGINT % 999999 AS u_e6
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    keyed AS (
+      SELECT doc_id, w, u_e6,
+             CAST(FLOOR(LN(CAST(u_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE))
+                        / CAST(w AS DOUBLE) * CAST(1000000000000 AS DOUBLE)
+                        + 0.5) AS BIGINT) AS key_e12
+      FROM d
+    ),
+    ranked AS (
+      SELECT doc_id, w, key_e12,
+             ROW_NUMBER() OVER (ORDER BY key_e12 DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT doc_id, w, key_e12, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def q_weighted_reservoir(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each doc draws u from its md5 lane and
+    ranks by u^(1/w) — equivalently ln(u)/w — so inclusion probability
+    is proportional to weight (doc length here; quality scores in
+    production).  THE one-pass distributed weighted sampler: no
+    rejection loop, no global state, top-k of a per-row key.  The key
+    is snapped to an integer 1e12 grid (a 1-ulp ln() disagreement moves
+    the floor only within ~2e-7 of a half-integer) with doc_id
+    tie-break, so the selected set is flip-proof; u comes from the
+    engine-portable md5 lane (both engines compute identical digests).
+    Top-50 via partial_topk — never a global sort."""
+    from access_mopper_spark.operators.similarity import partial_topk
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)))
+    u_e6 = 1 + F.conv(F.substring(
+        F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 999999
+    d = docs.select("doc_id", F.col("n_chars").cast("long").alias("w"),
+                    u_e6.alias("u_e6"))
+    key = F.floor(
+        F.log(F.col("u_e6").cast("double") / F.lit(1000000).cast("double"))
+        / F.col("w").cast("double") * F.lit(1e12).cast("double")
+        + F.lit(0.5)).cast("long")
+    keyed = d.withColumn("key_e12", key)
+    top = partial_topk(keyed, [],
+                       [F.col("key_e12").desc(), F.col("doc_id")], 50)
+    return top.select("doc_id", "w", "key_e12",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+@query(
+    "q_largest_remainder",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      WHERE source IS NOT NULL GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM c),
+    q AS (
+      SELECT c.source, c.n,
+             (10000 * c.n) // t.tot AS base,
+             (10000 * c.n) % t.tot AS rem
+      FROM c CROSS JOIN t
+    ),
+    l AS (SELECT 10000 - CAST(SUM(base) AS BIGINT) AS leftover FROM q),
+    r AS (
+      SELECT source, n, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+      FROM q
+    )
+    SELECT r.source, r.n AS n_docs,
+           CAST(r.base + CASE WHEN r.rr <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r CROSS JOIN l
+    """,
+)
+def q_largest_remainder(spark, sf_dir):
+    """Largest-remainder (Hamilton) quota allocation: distribute a
+    10,000-doc sampling budget across sources proportional to their
+    counts, exactly — floor quotas first, then the leftover units go
+    to the largest fractional remainders (deterministic source
+    tie-break).  This is THE mixture-budgeting primitive under
+    q_temperature_mixture/q_token_budget: proportional allocation that
+    sums EXACTLY to the budget with all-integer arithmetic (base =
+    B*n DIV total, remainder = B*n MOD total — no doubles anywhere, so
+    the allocation cannot flip).  Plan: one source count, a broadcast
+    1-row total, and a remainder ranking over the bounded |sources|
+    axis (the q_coverage_topk bounded-axis argument); alloc sums to
+    10,000 by construction."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("source").isNotNull())
+    c = docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("tot"))
+    q = (c.crossJoin(F.broadcast(t))
+          .select("source", "n",
+                  F.expr("(10000 * n) DIV tot").alias("base"),
+                  F.expr("(10000 * n) % tot").alias("rem")))
+    lv = q.agg((F.lit(10000) - F.sum("base")).cast("long").alias("leftover"))
+    w = W.orderBy(F.col("rem").desc(), F.col("source"))
+    r = q.withColumn("rr", F.row_number().over(w))
+    return (r.crossJoin(F.broadcast(lv))
+             .select("source", F.col("n").alias("n_docs"),
+                     (F.col("base")
+                      + F.when(F.col("rr") <= F.col("leftover"), 1)
+                         .otherwise(0)).cast("long").alias("alloc")))

@@ -32,7 +32,10 @@ AXIS_WINDOW_OK = {"q_bounds_derive", "q_bounds_check",
                   "q_seasonal_decompose",
                   # coverage curve ranks AFTER the corpus reduces to
                   # one row per source — |sources| rows, not volume
-                  "q_coverage_topk"}
+                  "q_coverage_topk",
+                  # largest-remainder ranks the same |sources|-row
+                  # reduction (one row per source post-count)
+                  "q_largest_remainder"}
 
 
 def _unpartitioned_windows(plan: str) -> list[str]:

@@ -504,3 +504,102 @@ def test_degree_distribution_matches_python(spark):
     for bkt, n in buckets.items():
         assert got[bkt]["n_nodes"] == n
     assert sum(r["sum_degree"] for r in got.values()) == 2 * len(edges)
+
+
+# ------------------------------------------------------------- batch 4
+
+def test_hits_matches_python(spark):
+    orders = {r["o_orderkey"]: r["o_custkey"] for r in
+              spark.read.parquet(f"{SF}/orders.parquet").collect()}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    edges = {(orders[r["l_orderkey"]], r["l_partkey"])
+             for r in li if r["l_quantity"] > 25
+             and r["l_orderkey"] in orders}
+    from collections import defaultdict
+    by_c, by_p = defaultdict(set), defaultdict(set)
+    for c, p in edges:
+        by_c[c].add(p)
+        by_p[p].add(c)
+    a = {p: len(cs) for p, cs in by_p.items()}
+    for _ in range(2):
+        h = {c: sum(a[p] for p in ps) for c, ps in by_c.items()}
+        a = {p: sum(h[c] for c in cs) for p, cs in by_p.items()}
+    exp = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["part"], r["authority"]) for r in
+           QUERIES["q_hits_bipartite"](spark, SF)
+           .orderBy("rank").collect()]
+    assert got == exp
+
+
+def test_bfs_hops_matches_python(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    from collections import defaultdict
+    orders = defaultdict(set)
+    for r in li:
+        if r["l_quantity"] > 25:
+            orders[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    src = None
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                adj[x].add(y)
+                adj[y].add(x)
+        if ps and len(ps) >= 2:
+            m = min(ps)
+            src = m if src is None else min(src, m)
+    dist = {src: 0}
+    frontier = [src]
+    for k in range(1, 5):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = k
+                    nxt.append(v)
+        frontier = nxt
+    from collections import Counter
+    exp = Counter(dist.values())
+    got = {r["hop"]: r["n_nodes"] for r in
+           QUERIES["q_bfs_hops"](spark, SF).collect()}
+    assert got == dict(exp)
+
+
+def test_weighted_reservoir_matches_python(spark):
+    import hashlib
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    keyed = []
+    for r in docs:
+        if not r["n_chars"] or r["n_chars"] <= 0:
+            continue
+        h = int(hashlib.md5(f"wrs:{r['doc_id']}".encode())
+                .hexdigest()[:8], 16)
+        u = (1 + h % 999999) / 1e6
+        k = math.floor(math.log(u) / r["n_chars"] * 1e12 + 0.5)
+        keyed.append((k, r["doc_id"]))
+    exp = sorted(keyed, key=lambda t: (-t[0], t[1]))[:50]
+    got = [(r["key_e12"], r["doc_id"]) for r in
+           QUERIES["q_weighted_reservoir"](spark, SF)
+           .orderBy("rank").collect()]
+    assert got == exp
+
+
+def test_weighted_reservoir_prefers_heavy_docs(spark):
+    """Sanity: mean weight of the sample should exceed the corpus mean
+    (probability proportional to weight)."""
+    out = QUERIES["q_weighted_reservoir"](spark, SF).collect()
+    docs = [r["n_chars"] for r in
+            spark.read.parquet(f"{SF}/documents.parquet").collect()
+            if r["n_chars"] and r["n_chars"] > 0]
+    assert sum(r["w"] for r in out) / len(out) > sum(docs) / len(docs)
+
+
+def test_largest_remainder_exact_budget(spark):
+    out = QUERIES["q_largest_remainder"](spark, SF).collect()
+    assert sum(r["alloc"] for r in out) == 10000
+    # proportionality: alloc within 1 of the exact share
+    tot = sum(r["n_docs"] for r in out)
+    for r in out:
+        exact = 10000 * r["n_docs"] / tot
+        assert abs(r["alloc"] - exact) < 1.0
