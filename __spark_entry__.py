@@ -95,11 +95,18 @@ _DRIVER_PRIORITY = [
 ]
 # Round-12 rotation candidates (added in r11, all oracle-paired and
 # local-green vanilla + TZ=Australia/Adelaide at sf0.01, 5-seed
-# fuzz-clean, x10 scale points in BENCH_sf1_scaleup r11_new_rows):
+# fuzz-clean, x10 scale points in BENCH_sf1_scaleup r11_new_rows, the
+# linear rows also x100-pointed in r11_x100_points):
 # q_mcnemar_test, q_cohens_kappa, q_cramers_v, q_theil_index,
 # q_kendall_tau, q_jensen_shannon, q_burstiness_fano,
 # q_hill_tail_index, q_bigram_cond_entropy, q_adamic_adar,
-# q_lorenz_curve.
+# q_lorenz_curve, q_anova_oneway, q_runs_test, q_lang_diversity,
+# q_acf_multilag, q_pr_auc, q_brier_score, q_ece_calibration,
+# q_degree_distribution, q_hits_bipartite, q_bfs_hops,
+# q_weighted_reservoir, q_largest_remainder.
+# The remaining 57-row pre-r11 backlog passed a 10-seed adversarial
+# fuzz (0 failures) this round — every never-exposed row enters r12
+# with vanilla + TZ + deep-fuzz signal.
 # Round-11 rotation candidates (added in r10, all oracle-paired and
 # local-green vanilla + TZ=Australia/Adelaide at sf0.01; the text/events
 # rows 5-seed fuzz-clean; x10+x100 scale points in BENCH_sf1_scaleup
