@@ -1893,3 +1893,421 @@ def q_largest_remainder(spark, sf_dir):
                      (F.col("base")
                       + F.when(F.col("rr") <= F.col("leftover"), 1)
                          .otherwise(0)).cast("long").alias("alloc")))
+
+
+# =====================================================================
+# trend / effect-size / robust-variance statistics
+# =====================================================================
+
+@query(
+    "q_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2000-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS di,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+               AS s
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.di > a.di
+      GROUP BY a.event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, v)
+      GROUP BY event_type
+    ),
+    m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d FROM daily
+          GROUP BY event_type)
+    SELECT m.event_type, m.d AS n_days, s.s,
+           CASE WHEN m.d >= 3
+                 AND (CAST(m.d AS DOUBLE) * CAST(m.d - 1 AS DOUBLE)
+                      * CAST(2 * m.d + 5 AS DOUBLE)
+                      - CAST(ties.tie_term AS DOUBLE))
+                     / CAST(18 AS DOUBLE) > 0
+                THEN ROUND((CAST(s.s AS DOUBLE)
+                            - CAST(CASE WHEN s.s > 0 THEN 1
+                                        WHEN s.s < 0 THEN -1
+                                        ELSE 0 END AS DOUBLE))
+                           / sqrt((CAST(m.d AS DOUBLE)
+                                   * CAST(m.d - 1 AS DOUBLE)
+                                   * CAST(2 * m.d + 5 AS DOUBLE)
+                                   - CAST(ties.tie_term AS DOUBLE))
+                                  / CAST(18 AS DOUBLE)), 6)
+                ELSE NULL END AS z_mk
+    FROM m JOIN s USING (event_type) JOIN ties USING (event_type)
+    """,
+)
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test on daily revenue per event type — THE
+    standard nonparametric monotonic-trend test of the climate
+    literature the reference post-processes for (no distribution
+    assumption, tie-corrected variance, continuity-corrected z).
+    Exactness + scale design: events reduce to ONE row per (type, day)
+    first (integer cent totals), so the pairwise sign sum S runs on the
+    BOUNDED day axis (D^2/2 pairs at D = days observed — hundreds, not
+    events); S and the tie term sum(t(t-1)(2t+5)) are exact BIGINTs,
+    var(S) and z are final staged doubles with D>=3 / var>0 NULL
+    guards."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type",
+                        F.datediff(F.date_trunc("day", "ts").cast("date"),
+                                   F.lit("2000-01-01").cast("date"))
+                         .cast("long").alias("di"))
+               .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long")).cast("long").alias("v")))
+    a = daily.select("event_type", F.col("di").alias("dia"),
+                     F.col("v").alias("va"))
+    b = daily.select("event_type", F.col("di").alias("dib"),
+                     F.col("v").alias("vb"))
+    s = (a.join(b, "event_type")
+          .where(F.col("dib") > F.col("dia"))
+          .groupBy("event_type")
+          .agg(F.sum(F.when(F.col("vb") > F.col("va"), 1)
+                      .when(F.col("vb") < F.col("va"), -1)
+                      .otherwise(0)).cast("long").alias("s")))
+    ties = (daily.groupBy("event_type", "v")
+                 .agg(F.count("*").cast("long").alias("t"))
+                 .groupBy("event_type")
+                 .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                            * (2 * F.col("t") + 5)).cast("long")
+                       .alias("tie_term")))
+    m = daily.groupBy("event_type").agg(F.count("*").cast("long").alias("d"))
+    j = m.join(s, "event_type").join(ties, "event_type")
+    dd = F.col("d").cast("double")
+    var = (dd * (dd - 1) * (2 * dd + 5)
+           - F.col("tie_term").cast("double")) / F.lit(18).cast("double")
+    cc = F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    z = (F.col("s").cast("double") - cc.cast("double")) / F.sqrt(var)
+    return j.select(
+        "event_type", F.col("d").alias("n_days"), "s",
+        F.when((F.col("d") >= 3) & (var > 0), pround(z, 6))
+         .otherwise(F.lit(None).cast("double")).alias("z_mk"))
+
+
+@query(
+    "q_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2000-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS di,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(FLOOR(CAST(b.v - a.v AS DOUBLE) * 10000
+                        / CAST(b.di - a.di AS DOUBLE) + 0.5) AS BIGINT)
+               AS sl_e4
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.di > a.di
+    ),
+    grid AS (
+      SELECT event_type, sl_e4, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM slopes GROUP BY event_type, sl_e4
+    ),
+    cum AS (
+      SELECT event_type, sl_e4, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY sl_e4
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM grid
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(MIN(CASE WHEN 2 * c >= n THEN sl_e4 END) AS BIGINT)
+             AS sen_slope_e4,
+           ROUND(CAST(MIN(CASE WHEN 2 * c >= n THEN sl_e4 END)
+                      AS DOUBLE) / CAST(10000 AS DOUBLE), 6) AS sen_slope
+    FROM cum GROUP BY event_type
+    """,
+)
+def q_sen_slope(spark, sf_dir):
+    """Theil-Sen slope of daily revenue per event type: the LOWER MEDIAN
+    of all pairwise slopes (v_j - v_i)/(d_j - d_i) — the robust trend
+    magnitude the Mann-Kendall test (q_mann_kendall) pairs with in
+    every climate trend report (a single outlier day moves OLS slope
+    arbitrarily; it moves Sen's slope not at all).  Pairs live on the
+    BOUNDED day axis after the daily reduction; each slope is snapped
+    once to an integer 1e-4-cent grid (one staged division + floor per
+    pair — a 1-ulp disagreement flips the floor only within ~1e-11 of
+    a half-integer), so the median selection is an exact integer
+    cumulative-count pick (2c >= n, the lower median), never a double comparison.  One
+    partitioned cumulative window over the slope-value grid."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()))
+    daily = (ev.groupBy("event_type",
+                        F.datediff(F.date_trunc("day", "ts").cast("date"),
+                                   F.lit("2000-01-01").cast("date"))
+                         .cast("long").alias("di"))
+               .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long")).cast("long").alias("v")))
+    a = daily.select("event_type", F.col("di").alias("dia"),
+                     F.col("v").alias("va"))
+    b = daily.select("event_type", F.col("di").alias("dib"),
+                     F.col("v").alias("vb"))
+    sl = F.floor((F.col("vb") - F.col("va")).cast("double") * 10000
+                 / (F.col("dib") - F.col("dia")).cast("double")
+                 + F.lit(0.5)).cast("long")
+    slopes = (a.join(b, "event_type")
+               .where(F.col("dib") > F.col("dia"))
+               .select("event_type", sl.alias("sl_e4")))
+    grid = slopes.groupBy("event_type", "sl_e4") \
+                 .agg(F.count("*").cast("long").alias("cnt"))
+    w = (W.partitionBy("event_type").orderBy("sl_e4")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy("event_type")
+    cum = (grid.withColumn("c", F.sum("cnt").over(w))
+               .withColumn("n", F.sum("cnt").over(wall)))
+    med = F.min(F.when(2 * F.col("c") >= F.col("n"), F.col("sl_e4")))
+    return (cum.groupBy("event_type")
+               .agg(F.max("n").cast("long").alias("n_pairs"),
+                    med.cast("long").alias("sen_slope_e4"))
+               .select("event_type", "n_pairs", "sen_slope_e4",
+                       pround(F.col("sen_slope_e4").cast("double")
+                              / F.lit(10000).cast("double"), 6)
+                       .alias("sen_slope")))
+
+
+@query(
+    "q_cohens_d",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        AND c_acctbal IS NOT NULL
+    ),
+    m AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS q
+      FROM c GROUP BY g
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN g = 1 THEN n END) AS n1,
+             MAX(CASE WHEN g = 0 THEN n END) AS n2,
+             MAX(CASE WHEN g = 1 THEN s END) AS s1,
+             MAX(CASE WHEN g = 0 THEN s END) AS s2,
+             MAX(CASE WHEN g = 1 THEN q END) AS q1,
+             MAX(CASE WHEN g = 0 THEN q END) AS q2
+      FROM m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CASE WHEN n1 >= 2 AND n2 >= 2 AND
+                ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                  * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                    * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                / CAST(n1 + n2 - 2 AS DOUBLE) > 0
+                THEN ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                            - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                           / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                                    * CAST(s1 AS DOUBLE)
+                                    / CAST(n1 AS DOUBLE))
+                                   + (CAST(q2 AS DOUBLE)
+                                      - CAST(s2 AS DOUBLE)
+                                        * CAST(s2 AS DOUBLE)
+                                        / CAST(n2 AS DOUBLE)))
+                                  / CAST(n1 + n2 - 2 AS DOUBLE))
+                           , 6)
+                ELSE NULL END AS cohens_d,
+           CASE WHEN n1 >= 2 AND n2 >= 2 AND
+                ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                  * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                    * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                / CAST(n1 + n2 - 2 AS DOUBLE) > 0
+                THEN ROUND(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                             - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                            / sqrt(((CAST(q1 AS DOUBLE)
+                                     - CAST(s1 AS DOUBLE)
+                                       * CAST(s1 AS DOUBLE)
+                                       / CAST(n1 AS DOUBLE))
+                                    + (CAST(q2 AS DOUBLE)
+                                       - CAST(s2 AS DOUBLE)
+                                         * CAST(s2 AS DOUBLE)
+                                         / CAST(n2 AS DOUBLE)))
+                                   / CAST(n1 + n2 - 2 AS DOUBLE)))
+                           * (CAST(1 AS DOUBLE)
+                              - CAST(3 AS DOUBLE)
+                                / (CAST(4 AS DOUBLE)
+                                   * CAST(n1 + n2 AS DOUBLE)
+                                   - CAST(9 AS DOUBLE))), 6)
+                ELSE NULL END AS hedges_g
+    FROM w
+    """,
+)
+def q_cohens_d(spark, sf_dir):
+    """Cohen's d and Hedges' g standardized mean difference between the
+    BUILDING and MACHINERY account-balance distributions — the EFFECT
+    SIZE the q_ab_ttest/q_mannwhitney_u significance tests need next to
+    them (at 100 TB everything is 'significant'; d says whether the
+    difference is 0.02 sd or 0.8 sd, and g corrects d's small-sample
+    bias).  All moments are exact BIGINT cent sums from one 2-group
+    aggregate; d = (m1-m2)/s_pooled and g = d(1 - 3/(4n-9)) are final
+    staged doubles with n>=2 / s_pooled>0 NULL guards.  The cents unit
+    cancels in the d ratio, so the statistic is unit-free."""
+    c = (load_table(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+                & F.col("c_acctbal").isNotNull())
+         .select(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+                  .alias("g"),
+                 F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+                  .alias("cents")))
+    m = c.groupBy("g").agg(F.count("*").cast("long").alias("n"),
+                           F.sum("cents").cast("long").alias("s"),
+                           F.sum(F.col("cents") * F.col("cents"))
+                            .cast("long").alias("q"))
+    w = m.agg(
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("g") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("g") == 0, F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("g") == 1, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("g") == 0, F.col("q"))).alias("q2"))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    ss1 = F.col("q1").cast("double") - F.col("s1").cast("double") \
+        * F.col("s1").cast("double") / n1d
+    ss2 = F.col("q2").cast("double") - F.col("s2").cast("double") \
+        * F.col("s2").cast("double") / n2d
+    sp2 = (ss1 + ss2) / (F.col("n1") + F.col("n2") - 2).cast("double")
+    d = ((F.col("s1").cast("double") / n1d
+          - F.col("s2").cast("double") / n2d) / F.sqrt(sp2))
+    g = d * (F.lit(1).cast("double")
+              - F.lit(3).cast("double")
+              / (F.lit(4).cast("double")
+                 * (F.col("n1") + F.col("n2")).cast("double")
+                 - F.lit(9).cast("double")))
+    ok = (F.col("n1") >= 2) & (F.col("n2") >= 2) & (sp2 > 0)
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.when(ok, pround(d, 6))
+         .otherwise(F.lit(None).cast("double")).alias("cohens_d"),
+        F.when(ok, pround(g, 6))
+         .otherwise(F.lit(None).cast("double")).alias("hedges_g"))
+
+
+@query(
+    "q_levene_bf",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    pv AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY event_type, cents
+    ),
+    cum AS (
+      SELECT event_type, cents, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(n) OVER (PARTITION BY event_type) AS tot
+      FROM pv
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(MIN(CASE WHEN 2 * c >= tot THEN cents END) AS BIGINT)
+               AS med
+      FROM cum GROUP BY event_type
+    ),
+    z AS (
+      SELECT ev.event_type, ABS(ev.cents - med.med) AS z
+      FROM ev JOIN med USING (event_type)
+    ),
+    gm AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(z) AS BIGINT) AS sg, CAST(SUM(z * z) AS BIGINT) AS qg
+      FROM z GROUP BY event_type
+    ),
+    t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
+                 CAST(SUM(qg) AS BIGINT) AS q,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM gm),
+    sb AS (
+      SELECT SUM(CAST(gm.sg AS DOUBLE) * CAST(gm.sg AS DOUBLE)
+                 / CAST(gm.ng AS DOUBLE)) AS sb_raw
+      FROM gm
+    )
+    SELECT t.n, t.k,
+           CASE WHEN t.k >= 2 AND t.n > t.k
+                 AND CAST(t.q AS DOUBLE) - sb.sb_raw > 0
+                THEN ROUND(((sb.sb_raw - CAST(t.s AS DOUBLE)
+                             * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                            / CAST(t.k - 1 AS DOUBLE))
+                           / ((CAST(t.q AS DOUBLE) - sb.sb_raw)
+                              / CAST(t.n - t.k AS DOUBLE)), 6)
+                ELSE NULL END AS f_bf
+    FROM t CROSS JOIN sb
+    """,
+)
+def q_levene_bf(spark, sf_dir):
+    """Brown-Forsythe (median-centered Levene) test of variance
+    homogeneity across event types — the guard that belongs BEFORE
+    q_ab_ttest/q_anova_oneway (both assume comparable spreads; BF is
+    the robust check that doesn't itself break on heavy tails, which
+    is why it's the default in statsmodels/R).  Structure: exact
+    integer per-type MEDIANS from the (type, cents) grid cumulative
+    (2c >= tot, the lower median), then z = |cents - median| is INTEGER,
+    so every ANOVA moment on z (sums, squares) is an exact BIGINT and
+    only the final F is a staged double.  Two grid windows + two
+    grouped aggregates; nothing scales with event count beyond the
+    map-side combine."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("cents")))
+    pv = ev.groupBy("event_type", "cents") \
+           .agg(F.count("*").cast("long").alias("n"))
+    w = (W.partitionBy("event_type").orderBy("cents")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy("event_type")
+    cum = (pv.withColumn("c", F.sum("n").over(w))
+             .withColumn("tot", F.sum("n").over(wall)))
+    med = (cum.groupBy("event_type")
+              .agg(F.min(F.when(2 * F.col("c") >= F.col("tot"),
+                                F.col("cents"))).cast("long").alias("med")))
+    z = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type",
+                   F.abs(F.col("cents") - F.col("med")).alias("z")))
+    gm = z.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("z").cast("long").alias("sg"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("qg"))
+    t = gm.agg(F.sum("ng").cast("long").alias("n"),
+               F.sum("sg").cast("long").alias("s"),
+               F.sum("qg").cast("long").alias("q"),
+               F.count("*").cast("long").alias("k"))
+    sb = gm.agg(F.sum(F.col("sg").cast("double") * F.col("sg").cast("double")
+                      / F.col("ng").cast("double")).alias("sb_raw"))
+    j = t.crossJoin(F.broadcast(sb))
+    corr = F.col("s").cast("double") * F.col("s").cast("double") \
+        / F.col("n").cast("double")
+    ssb = F.col("sb_raw") - corr
+    ssw = F.col("q").cast("double") - F.col("sb_raw")
+    fstat = (ssb / (F.col("k") - 1).cast("double")) \
+        / (ssw / (F.col("n") - F.col("k")).cast("double"))
+    return j.select(
+        "n", "k",
+        F.when((F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0),
+               pround(fstat, 6))
+         .otherwise(F.lit(None).cast("double")).alias("f_bf"))

@@ -603,3 +603,108 @@ def test_largest_remainder_exact_budget(spark):
     for r in out:
         exact = 10000 * r["n_docs"] / tot
         assert abs(r["alloc"] - exact) < 1.0
+
+
+# ------------------------------------------------------------- batch 5
+
+def _daily_series(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import defaultdict
+    daily = defaultdict(int)
+    for r in ev:
+        if r["ts"] is None or r["value"] is None:
+            continue
+        daily[(r["event_type"], r["ts"].date())] += \
+            math.floor(r["value"] * 100 + 0.5)
+    series = defaultdict(dict)
+    for (et, d), tot in daily.items():
+        series[et][d.toordinal()] = tot
+    return series
+
+
+def test_mann_kendall_matches_python(spark):
+    series = _daily_series(spark)
+    got = {r["event_type"]: r
+           for r in QUERIES["q_mann_kendall"](spark, SF).collect()}
+    from collections import Counter
+    for et, sd in series.items():
+        days = sorted(sd)
+        vs = [sd[d] for d in days]
+        n = len(vs)
+        s = sum((vs[j] > vs[i]) - (vs[j] < vs[i])
+                for i in range(n) for j in range(i + 1, n))
+        ties = Counter(vs)
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        assert got[et]["s"] == s and got[et]["n_days"] == n
+        var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18
+        if n >= 3 and var > 0:
+            cc = (s > 0) - (s < 0)
+            assert got[et]["z_mk"] == pytest.approx(
+                (s - cc) / math.sqrt(var), abs=2e-6)
+
+
+def test_sen_slope_matches_python(spark):
+    series = _daily_series(spark)
+    got = {r["event_type"]: r
+           for r in QUERIES["q_sen_slope"](spark, SF).collect()}
+    for et, sd in series.items():
+        days = sorted(sd)
+        slopes = []
+        for i in range(len(days)):
+            for j in range(i + 1, len(days)):
+                di, dj = days[i], days[j]
+                slopes.append(math.floor(
+                    (sd[dj] - sd[di]) * 10000 / (dj - di) + 0.5))
+        if not slopes:
+            continue
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1]  # lower median
+        assert got[et]["n_pairs"] == len(slopes)
+        assert got[et]["sen_slope_e4"] == med
+
+
+def test_cohens_d_matches_python(spark):
+    import statistics
+    cust = spark.read.parquet(f"{SF}/customer.parquet").collect()
+    g1 = [math.floor(r["c_acctbal"] * 100 + 0.5) for r in cust
+          if r["c_mktsegment"] == "BUILDING" and r["c_acctbal"] is not None]
+    g2 = [math.floor(r["c_acctbal"] * 100 + 0.5) for r in cust
+          if r["c_mktsegment"] == "MACHINERY" and r["c_acctbal"] is not None]
+    got = QUERIES["q_cohens_d"](spark, SF).collect()[0]
+    assert (got["n1"], got["n2"]) == (len(g1), len(g2))
+    sp = math.sqrt(((len(g1) - 1) * statistics.variance(g1)
+                    + (len(g2) - 1) * statistics.variance(g2))
+                   / (len(g1) + len(g2) - 2))
+    d = (statistics.mean(g1) - statistics.mean(g2)) / sp
+    assert got["cohens_d"] == pytest.approx(d, abs=2e-6)
+    assert got["hedges_g"] == pytest.approx(
+        d * (1 - 3 / (4 * (len(g1) + len(g2)) - 9)), abs=2e-6)
+
+
+def test_levene_bf_matches_python(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for r in ev:
+        if r["value"] is not None:
+            groups[r["event_type"]].append(
+                math.floor(r["value"] * 100 + 0.5))
+    zs = []
+    for et, xs in groups.items():
+        xs.sort()
+        med = xs[(len(xs) + 1) // 2 - 1]
+        zs.extend((et, abs(x - med)) for x in xs)
+    n = len(zs)
+    k = len(groups)
+    mu = sum(z for _, z in zs) / n
+    from collections import defaultdict as dd2
+    gz = dd2(list)
+    for et, z in zs:
+        gz[et].append(z)
+    ssb = sum(len(g) * (sum(g) / len(g) - mu) ** 2 for g in gz.values())
+    ssw = sum((z - sum(g) / len(g)) ** 2
+              for g in gz.values() for z in g)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = QUERIES["q_levene_bf"](spark, SF).collect()[0]
+    assert got["n"] == n and got["k"] == k
+    assert got["f_bf"] == pytest.approx(f, rel=1e-4)
