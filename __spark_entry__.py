@@ -103,7 +103,8 @@ _DRIVER_PRIORITY = [
 # q_lorenz_curve, q_anova_oneway, q_runs_test, q_lang_diversity,
 # q_acf_multilag, q_pr_auc, q_brier_score, q_ece_calibration,
 # q_degree_distribution, q_hits_bipartite, q_bfs_hops,
-# q_weighted_reservoir, q_largest_remainder.
+# q_weighted_reservoir, q_largest_remainder, q_mann_kendall,
+# q_sen_slope, q_cohens_d, q_levene_bf.
 # The remaining 57-row pre-r11 backlog passed a 10-seed adversarial
 # fuzz (0 failures) this round — every never-exposed row enters r12
 # with vanilla + TZ + deep-fuzz signal.
