@@ -276,6 +276,22 @@ COMMENTARY = {
         "bucket-partitioned window, broadcast ≤256-row triangular "
         "offsets); decile boundaries and partial mass in pure integer "
         "arithmetic — no single-partition window, no doubles.",
+    "q_hits_bipartite": "HITS (r11): three unnormalized integer "
+        "iterations — each ONE edge-keyed join + map-side-combined "
+        "groupBy on the persisted bipartite edge list; ranking via "
+        "partial_topk, BIGINT authorities end-to-end.",
+    "q_mann_kendall": "Mann-Kendall (r11): events reduce to one row per "
+        "(type, day) BEFORE the pairwise sign join, so the quadratic "
+        "term runs on the bounded day axis; S and tie terms exact "
+        "BIGINT, z a final staged double.",
+    "q_weighted_reservoir": "Weighted sampling (r11): per-row "
+        "Efraimidis-Spirakis key from the md5 uniform lane, snapped to "
+        "an integer 1e12 grid; two-phase top-k (WindowGroupLimit "
+        "rank-push) — one pass, no global sort, no driver state.",
+    "q_pr_auc": "PR-AUC (r11): the corpus collapses to |distinct "
+        "scores| rows per cohort in one map-side-combined aggregate; "
+        "ONE partitioned cumulative window yields TP/PP; average "
+        "precision is a per-block staged-double sum through R6.",
 }
 
 
