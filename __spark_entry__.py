@@ -35,79 +35,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # need hard driver signal.  Rows rotated out (all driver-green in r1 AND
 # r2, with their family still represented) remain oracle-checked by
 # tools/check_correctness.py (full registry).
-# Round-11 rotation.  r9 and r10 both went 50/50 GREEN with 47 first
-# exposures each — the mechanism is proven; 104 registry rows remain
-# never-exposed entering this round.  Policy: (a) the same three
-# sentinels stay green-on-green — q_probe_date_render (raw DATE),
-# q_dup_ngrams (former flagship HUGEINT fail), q_max_concurrency
-# (DATE+HUGEINT combo); (b) the 17 round-10 operators the verdict
-# queue names first (containment/homoglyph dedup, assortativity, the
-# nonparametric-stats/drift/experimentation pack) — all r10
-# local-green + TZ-hostile-green, text rows fuzz-clean, and the four
-# ADVICE-touched rows (q_ks_drift, q_cuped_adjustment,
-# q_quantile_drift, q_segmented_trend integer midpoints;
-# q_hhi_concentration oracle BIGINT cast; q_rbo_rankings rank reuse)
-# re-gated vanilla + TZ after the fixes; (c) 30 backlog rows picked by
-# DIVERGENCE.md risk surface — 12 DATE/timestamp rows (snapshot/CDC/
-# point-in-time/retention/filename-timestamp surfaces), 10 HUGEINT
-# TPC-H money rows, 6 double/stats rows, 2 text rows.  All 47
-# first-exposure rows re-verified local-green at sf0.01 in this
-# round's tree: vanilla 50/50; TZ=Australia/Adelaide 49/50 after
-# converting the five midnight-valued timestamp outputs in this window
-# to DATE (q_cohort_retention, q_daily_percentiles, q_incremental_agg,
-# q_filename_timestamp, q_timeshot_dispatch — repo convention:
-# timestamps that are really dates ship as DATE, TZ-render-immune);
-# the one non-green row (q_filename_formats) carries real time-of-day
-# (T0630 stamps) and is the DOCUMENTED harness-level render artifact
-# (values shift by exactly the OS offset, instants identical — the
-# driver harness renders UTC, proven by 16+ raw-TIMESTAMP rows green
-# across r1-r10).  5-seed fuzz (tools/fuzz_correctness.py): 0 failures
-# across all 47 first-exposure rows, re-run on the five DATE-converted
-# rows after the conversion.
-# The 47 r10-green rows rotate OUT with their families represented.
-# Remaining never-exposed backlog after this window: 57 pre-r11 rows
-# — one further rotation round clears it.
+# Round-12 rotation.  r9/r10/r11 each went 50/50 GREEN with 47 first
+# exposures — the mechanism is proven; 84 registry rows remain
+# never-exposed entering this round (57 pre-r11 backlog + 27 r11
+# operators).  Policy: (a) the same three sentinels stay
+# green-on-green — q_probe_date_render (raw DATE), q_dup_ngrams
+# (former flagship HUGEINT fail), q_max_concurrency (DATE+HUGEINT
+# combo); (b) the 27 round-11 operators the verdict queue names first
+# (paired-classifier / rank-correlation / inequality /
+# information-theory / calibration stats, HITS, BFS, Adamic-Adar,
+# weighted reservoir, trend tests) — all judge-gate green in the r11
+# session (401/401 local, 27/27 hostile-TZ, 3-seed fuzz clean on the
+# text rows), re-gated in THIS round's tree after the r11-ADVICE
+# touches (q_ece_calibration integer-DIV bin, q_lorenz_curve
+# conditional-min decile probe, eager_release cache cleanup in
+# q_adamic_adar / q_hits_bipartite / q_bfs_hops); (c) 20 backlog rows
+# by DIVERGENCE.md risk surface — the 2 genuine-TIMESTAMP-output rows
+# (q_bounds_check, q_pipeline_calc_resample), then the DOUBLE-heavy
+# never-exposed domain composites / physics / embedding-stats rows
+# (the reference-parity family with the least driver signal) and
+# q_derivability (pure VARCHAR closure).  All 47 first-exposure rows
+# re-verified local-green at sf0.01 in this round's tree: vanilla
+# 50/50; TZ=Australia/Adelaide green except the two genuine
+# TIMESTAMP-output rows, which carry real instants and are the
+# DOCUMENTED harness-level render artifact (values shift by exactly
+# the OS offset, instants identical — the driver harness renders UTC,
+# proven by 16+ raw-TIMESTAMP rows green across r1-r11).  Fuzz
+# (tools/fuzz_correctness.py): 0 failures on the text/events rows in
+# this window, re-run after the ADVICE touches.
+# The 47 r11-green rows rotate OUT with their families represented.
 _DRIVER_PRIORITY = [
-    # (a) sentinels — green in r9 AND r10, kept to lock adjudications
+    # (a) sentinels — green in r9, r10 AND r11, kept to lock adjudications
     "q_probe_date_render", "q_dup_ngrams", "q_max_concurrency",
-    # (b) the 17 round-10 operators (verdict item 1 queue)
-    "q_minhash_containment", "q_confusable_skeleton",
-    "q_degree_assortativity", "q_ks_drift", "q_mannwhitney_u",
-    "q_chao1_richness", "q_good_turing_mass", "q_cuped_adjustment",
-    "q_winsorized_mean", "q_local_clustering", "q_audience_overlap",
-    "q_rbo_rankings", "q_quantile_drift", "q_segmented_trend",
-    "q_hhi_concentration", "q_ess_weights", "q_coverage_topk",
-    # (c) backlog: DATE/timestamp surfaces (DIVERGENCE.md risk class)
-    "q_cohort_retention", "q_point_in_time_join", "q_snapshot_diff",
-    "q_cdc_compact", "q_active_days_histogram", "q_daily_percentiles",
-    "q_incremental_agg", "q_filename_timestamp", "q_filename_formats",
-    "q_timeshot_dispatch", "q_markov_transitions", "q_rolling_features",
-    # (c) backlog: HUGEINT TPC-H money rows
-    "q_order_priority_check", "q_part_promotion", "q_waiting_suppliers",
-    "q_dormant_rich_customers", "q_rfm_segmentation",
-    "q_demand_variability", "q_basket_lift", "q_cooccur_parts",
-    "q_grouping_sets", "q_cube",
-    # (c) backlog: double/stats surfaces
-    "q_trimmed_mean", "q_percentile", "q_percentile_disc",
-    "q_weighted_median_2phase", "q_skew_metrics", "q_mutual_information",
-    # (c) backlog: text
-    "q_code_detect", "q_lang_confusion",
+    # (b) the 27 round-11 operators (verdict item 1 queue)
+    "q_mcnemar_test", "q_cohens_kappa", "q_cramers_v", "q_theil_index",
+    "q_kendall_tau", "q_jensen_shannon", "q_burstiness_fano",
+    "q_hill_tail_index", "q_bigram_cond_entropy", "q_adamic_adar",
+    "q_lorenz_curve", "q_anova_oneway", "q_runs_test", "q_lang_diversity",
+    "q_acf_multilag", "q_pr_auc", "q_brier_score", "q_ece_calibration",
+    "q_degree_distribution", "q_hits_bipartite", "q_bfs_hops",
+    "q_weighted_reservoir", "q_largest_remainder", "q_mann_kendall",
+    "q_sen_slope", "q_cohens_d", "q_levene_bf",
+    # (c) backlog: genuine TIMESTAMP outputs (DIVERGENCE.md risk class)
+    "q_bounds_check", "q_pipeline_calc_resample",
+    # (c) backlog: DOUBLE-heavy domain composites / physics / embeddings
+    "q_optical_depth", "q_safe_division", "q_scalar_anomaly",
+    "q_grid_vertices", "q_physics_scalars", "q_column_max",
+    "q_missing_value_decode", "q_macro_ocean_surface", "q_calc_tslsi",
+    "q_depth100", "q_rsdoabsorb", "q_record_linkage", "q_hll_merge_law",
+    "q_embedding_covariance", "q_ndcg_eval", "q_idf_novelty",
+    "q_ivf_search",
+    # (c) backlog: VARCHAR closure
+    "q_derivability",
 ]
-# Round-12 rotation candidates (added in r11, all oracle-paired and
-# local-green vanilla + TZ=Australia/Adelaide at sf0.01, 5-seed
-# fuzz-clean, x10 scale points in BENCH_sf1_scaleup r11_new_rows, the
-# linear rows also x100-pointed in r11_x100_points):
-# q_mcnemar_test, q_cohens_kappa, q_cramers_v, q_theil_index,
-# q_kendall_tau, q_jensen_shannon, q_burstiness_fano,
-# q_hill_tail_index, q_bigram_cond_entropy, q_adamic_adar,
-# q_lorenz_curve, q_anova_oneway, q_runs_test, q_lang_diversity,
-# q_acf_multilag, q_pr_auc, q_brier_score, q_ece_calibration,
-# q_degree_distribution, q_hits_bipartite, q_bfs_hops,
-# q_weighted_reservoir, q_largest_remainder, q_mann_kendall,
-# q_sen_slope, q_cohens_d, q_levene_bf.
-# The remaining 57-row pre-r11 backlog passed a 10-seed adversarial
-# fuzz (0 failures) this round — every never-exposed row enters r12
-# with vanilla + TZ + deep-fuzz signal.
+# Round-13 rotation plan (r11 verdict item 5): after this 47-row
+# window, exactly these 37 never-exposed rows remain — schedule ALL of
+# them (37 + 3 sentinels + 10 re-exposures of this window's riskiest
+# rows fill the 50-row prefix) so every registry row has driver signal
+# by end of r13:
+# q_ivf_assign, q_distinct_agg, q_stratified_sample, q_decontaminate,
+# q_upsert_ignore, q_embedding_quantize, q_quality_quantile_filter,
+# q_cap_per_group, q_shard_assign, q_outlier_filter, q_ann_recall,
+# q_embedding_truncate, q_phrase_search, q_salted_join,
+# q_set_similarity_join, q_null_profile, q_hard_negatives,
+# q_source_overlap, q_dict_encode, q_path_ngrams, q_intersect_all,
+# q_embedding_norm_outliers, q_vocab_growth, q_fim_split,
+# q_feature_vector, q_exact_ngram_decontam, q_audio_chunk_plan,
+# q_random_projection,
+# q_label_propagation, q_feature_hash_tf, q_exact_stratified_split,
+# q_dup_family_census, q_boundary_overlap, q_dup_rate_by_length,
+# q_ngram_decontaminate, q_kmeans_parallel_init, q_keyword_tagging.
+# All 37 passed the r11 10-seed adversarial fuzz (0 failures) — every
+# remaining row enters r13 with vanilla + TZ + deep-fuzz signal.
 # Round-11 rotation candidates (added in r10, all oracle-paired and
 # local-green vanilla + TZ=Australia/Adelaide at sf0.01; the text/events
 # rows 5-seed fuzz-clean; x10+x100 scale points in BENCH_sf1_scaleup

@@ -149,6 +149,26 @@ def _wide(df):
     return ensure_min_partitions(df)
 
 
+def eager_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a SMALL final result eagerly, then release the
+    persisted intermediates backing it.
+
+    Iterative queries persist() reused intermediates (edge lists,
+    frontier ledgers); without cleanup those cache blocks outlive the
+    query for the whole session, and across a 400-query gate run they
+    accumulate into real executor memory pressure (r11 ADVICE).  The
+    returned frame is an eager ``localCheckpoint`` — its blocks are
+    owned by the RDD and reclaimed by the ContextCleaner once the frame
+    is garbage-collected, unlike CacheManager entries which live until
+    an explicit unpersist.  Bounded outputs only (top-k / histogram
+    rows): the checkpoint copies the result, so never call this on a
+    corpus-sized frame."""
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 _SCRATCH_DIRS: set[str] = set()
 
 

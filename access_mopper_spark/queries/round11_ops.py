@@ -15,7 +15,7 @@ driver exposure.
 from __future__ import annotations
 
 from access_mopper_spark.queries._core import (  # noqa: F401
-    F, W, query, R6, _wide, load_table, pround)
+    F, W, query, R6, _wide, eager_release, load_table, pround)
 
 
 # =====================================================================
@@ -908,11 +908,13 @@ def q_adamic_adar(spark, sf_dir):
         ["v", "w"], "left_anti")
     top = partial_topk(nonedge, [],
                        [F.col("aa_e9").desc(), F.col("v"), F.col("w")], 50)
-    return top.select(
+    out = top.select(
         "v", "w", "n_common", "aa_e9",
         pround(F.col("aa_e9").cast("double")
                / F.lit(1e9).cast("double"), 6).alias("aa_score"),
         F.col("rank").cast("int").alias("rank"))
+    # 50-row result: materialize eagerly, release the two caches
+    return eager_release(out, pairs, mid)
 
 
 @query(
@@ -998,14 +1000,20 @@ def q_lorenz_curve(spark, sf_dir):
                       .alias("cd"),
                       (F.coalesce("__oc", F.lit(0)) + F.col("__rc"))
                       .alias("cc")))
-    dec = (st.select("n", "x")
-             .withColumn("d", F.explode(F.sequence(F.lit(1), F.lit(10))))
-             .withColumn("m", F.expr("(n * d) DIV 10")))
-    bound = (F.broadcast(dec).join(cum.select("v", "cd"),
-                                   F.col("cd") >= F.col("m"))
-             .groupBy("d", "m")
-             .agg(F.min("v").alias("vd")))
-    out = (bound.join(cum, bound["vd"] == cum["v"])
+    # decile boundaries as 10 conditional mins in ONE grid-sized pass
+    # (r11 ADVICE: the former `cd >= m` inequality join against the
+    # broadcast decile table materialized ~half the grid per decile
+    # through a BroadcastNestedLoopJoin before the min collapse)
+    mins = cum.groupBy("n").agg(*[
+        F.min(F.when(F.col("cd") >= F.expr(f"(n * {d}) DIV 10"),
+                     F.col("v"))).alias(f"vd{d}")
+        for d in range(1, 11)])
+    bound = (mins.select("n", F.expr(
+        "stack(10, " + ", ".join(f"{d}, vd{d}" for d in range(1, 11))
+        + ") AS (d, vd)"))
+        .withColumn("m", F.expr("(n * d) DIV 10"))
+        .drop("n"))
+    out = (F.broadcast(bound).join(cum, bound["vd"] == cum["v"])
            .select(F.col("d").cast("int").alias("decile"),
                    F.col("m").cast("long").alias("cum_docs"),
                    (F.col("cc") - F.col("chars")
@@ -1571,8 +1579,10 @@ def q_ece_calibration(spark, sf_dir):
     prob = (F.col("l_partkey") * 37 + F.col("l_suppkey")) % 10001
     scored = li.select(prob.alias("prob_bp"),
                        F.when(lane < prob, 1).otherwise(0).alias("label"))
-    b = (scored.groupBy(F.least(F.col("prob_bp") * 20 / 10000,
-                                F.lit(19)).cast("long").alias("bin"))
+    # integer DIV to mirror the oracle's `//` exactly (repo convention;
+    # double division only coincidentally agrees on the current grid)
+    b = (scored.groupBy(F.expr("least(prob_bp * 20 DIV 10000, 19)")
+                         .cast("long").alias("bin"))
                .agg(F.count("*").cast("long").alias("nb"),
                     F.sum("label").cast("long").alias("pos"),
                     F.sum("prob_bp").cast("long").alias("sump")))
@@ -1710,9 +1720,11 @@ def q_hits_bipartite(spark, sf_dir):
         a = (e.join(h, "c").groupBy("p")
               .agg(F.sum("h").cast("long").alias("a")))
     top = partial_topk(a, [], [F.col("a").desc(), F.col("p")], 20)
-    return top.select(F.col("p").alias("part"),
-                      F.col("a").alias("authority"),
-                      F.col("rank").cast("int").alias("rank"))
+    out = top.select(F.col("p").alias("part"),
+                     F.col("a").alias("authority"),
+                     F.col("rank").cast("int").alias("rank"))
+    # 20-row result: materialize eagerly, release the edge cache
+    return eager_release(out, e)
 
 
 @query(
@@ -1768,6 +1780,7 @@ def q_bfs_hops(spark, sf_dir):
                .select("node", F.lit(0).cast("long").alias("hop"))
     dist = src.persist()
     frontier = src
+    caches = [und, dist]
     for k in range(1, 5):
         nxt = (frontier.join(und, frontier["node"] == und["x"])
                .select(F.col("y").alias("node"))
@@ -1776,9 +1789,12 @@ def q_bfs_hops(spark, sf_dir):
                .withColumn("hop", F.lit(k).cast("long")))
         nxt = nxt.persist()
         dist = dist.unionByName(nxt).persist()
+        caches.extend([nxt, dist])
         frontier = nxt
-    return dist.groupBy("hop").agg(F.count("*").cast("long")
-                                    .alias("n_nodes"))
+    out = dist.groupBy("hop").agg(F.count("*").cast("long")
+                                   .alias("n_nodes"))
+    # 5-row histogram: materialize eagerly, release all round caches
+    return eager_release(out, *caches)
 
 
 @query(

@@ -58,6 +58,22 @@ def get_spark(app_name: str = "access_mopper_spark", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if os.environ.get("SPARK_GRAFT_SWEEP") == "1":
+        # Sweep-session pinning (r11 verdict item 4): iterative rows
+        # (pagerank / simhash_clusters / leakage_free_split) showed 3-rep
+        # spreads up to 4.7x at the x10 point — GC pauses plus
+        # localCheckpoint/shuffle spill landing on the root disk.  For
+        # sweeps only: shuffle + block-spill dirs go to tmpfs (the box
+        # has 126 GiB of /dev/shm; x10 per-query shuffle footprints are
+        # a few GiB), and the single local JVM runs G1 with an earlier
+        # concurrent-mark trigger so full-heap pauses stop landing inside
+        # timed reps.  Cluster analog: fast local SSD scratch + G1 —
+        # these confs are the defaults you'd set in spark-defaults.conf.
+        shm = "/dev/shm/spark_graft_local"
+        os.makedirs(shm, exist_ok=True)
+        b = (b.config("spark.local.dir", shm)
+              .config("spark.driver.extraJavaOptions",
+                      "-XX:+UseG1GC -XX:InitiatingHeapOccupancyPercent=35"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -145,16 +145,25 @@ def main() -> None:
     # warmup: touch table footers and spin up JVM codegen + Python/Arrow
     # workers once, against the SMOKE dataset (not the bench data), as on
     # a long-lived cluster app — per-query timings below still include
-    # each query's own first run at the bench scale factor
+    # each query's own first run at the bench scale factor.
+    # EVERY headline row gets one smoke-scale execution (r11 verdict
+    # item 2): for three rounds running the driver bench's largest
+    # "regression" was cold Janino codegen landing on whichever query a
+    # registry insertion pushed to a new position — warming each plan's
+    # generated classes once makes per-query numbers steady-state by
+    # construction, at seconds of smoke-scale cost.
     smoke = "/root/testdata/sf0.001"
     QUERIES["q_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for warm in ("q_multimodal_features", "q_plevinterp_pandas", "q_stream_resample",
-                 "q_near_dup_pairs", "q_simhash", "q_lm_score", "q_cms_counts",
-                 "q_semantic_dedup", "q_netcdf3_decode", "q_mop_process_e2e"):
+    for warm in HEADLINE:
+        fn = QUERIES.get(warm)
+        if fn is None:
+            continue
         try:
-            QUERIES[warm](spark, smoke).write.format("noop").mode("overwrite").save()
+            fn(spark, smoke).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+    # cached frames from warmup queries must not seed the timed runs
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -44,6 +44,9 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_scaleup"
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
 
+    # sweep-session pinning: tmpfs scratch + G1 (session.py; r11 item 4)
+    os.environ.setdefault("SPARK_GRAFT_SWEEP", "1")
+
     from access_mopper_spark.queries import QUERIES
     from access_mopper_spark.session import get_spark
 
@@ -53,12 +56,16 @@ def main():
     # cold-session artifact (r10 verdict item 3)
     QUERIES["q_pricing_summary"](spark, sf_dir) \
         .write.format("noop").mode("overwrite").save()
-    times: dict[str, object] = {"_protocol": "warm"}
+    times: dict[str, object] = {}
     if out_path and os.path.exists(out_path):
         prior = json.load(open(out_path))
+        # drop metadata and errored rows from the prior file: metadata
+        # must not overwrite this run's stamp (r11 ADVICE), errors re-run
         times.update({k: v for k, v in prior.items()
-                      if not (isinstance(v, str) and v.startswith("ERROR"))})
-        print(f"resuming: {len(times) - 1} completed keys loaded")
+                      if not k.startswith("_")
+                      and not (isinstance(v, str) and v.startswith("ERROR"))})
+        print(f"resuming: {len(times)} completed keys loaded")
+    times["_protocol"] = "warm"
     skip = set(filter(None, os.environ.get(
         "SPARK_GRAFT_SWEEP_SKIP", "").split(",")))
     for name, fn in QUERIES.items():
@@ -85,7 +92,8 @@ def main():
             if isinstance(v, str) and v.startswith("ERROR")}
     ok = {k: v for k, v in times.items()
           if not isinstance(v, str) and not k.startswith("_")}
-    print(f"\n{len(ok)}/{len(times) - 1} executed, {len(errs)} errors, "
+    n_keys = sum(1 for k in times if not k.startswith("_"))
+    print(f"\n{len(ok)}/{n_keys} executed, {len(errs)} errors, "
           f"total {round(sum(ok.values()), 1)}s")
     for k, v in sorted(ok.items(), key=lambda kv: -kv[1])[:10]:
         print(f"  slowest: {k} {v}s")
