@@ -130,6 +130,11 @@ HEADLINE = [
     "q_theil_index",
     "q_adamic_adar",
     "q_lorenz_curve",
+    # round 12: pooled-rank Spearman (bucketed prefix ranks), Bradley-
+    # Terry preference fitting, centroid silhouette over embeddings
+    "q_spearman_rho",
+    "q_bradley_terry",
+    "q_simplified_silhouette",
 ]
 
 

@@ -35,7 +35,10 @@ AXIS_WINDOW_OK = {"q_bounds_derive", "q_bounds_check",
                   "q_coverage_topk",
                   # largest-remainder ranks the same |sources|-row
                   # reduction (one row per source post-count)
-                  "q_largest_remainder"}
+                  "q_largest_remainder",
+                  # BH ranks the |event_types| x 24 cell grid — domain-
+                  # bounded (120 rows), never corpus row count
+                  "q_benjamini_hochberg"}
 
 
 def _unpartitioned_windows(plan: str) -> list[str]:

@@ -1,0 +1,311 @@
+"""Round-12 operators: Wilson intervals, pooled-rank statistics
+(Spearman / Kruskal-Wallis), Benjamini-Hochberg FDR, Bradley-Terry
+preference fitting, simplified silhouette.
+
+The registry gate (tools/check_correctness.py) proves oracle parity;
+these tests pin each statistic against an INDEPENDENT brute-force
+Python implementation on small fixtures (the oracle and the Spark side
+share the algebraic rearrangement — a second algorithm is the check
+that the rearrangement itself is right), plus the semantic invariants
+(tie handling, smoothing, degenerate guards).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from access_mopper_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_fixture(tmp_path, rows):
+    """rows: list of (event_type, iso_ts, value)."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": [e for e, _, _ in rows],
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+# ---------------------------------------------------------------- wilson
+
+def test_wilson_matches_textbook_formula(spark, tmp_path):
+    rows = ([("a", "2024-01-01 01:00:00", 60.0)] * 7
+            + [("a", "2024-01-01 02:00:00", 10.0)] * 3
+            + [("b", "2024-01-01 03:00:00", 99.0)] * 2)
+    d = _events_fixture(tmp_path, rows)
+    out = {r["event_type"]: r
+           for r in QUERIES["q_wilson_interval"](spark, d).collect()}
+    z = 1.96
+    for et, n, s in [("a", 10, 7), ("b", 2, 2)]:
+        got = out[et]
+        assert (got["n"], got["s"]) == (n, s)
+        assert got["rate_bp"] == s * 10000 // n
+        ph = s / n
+        denom = 1 + z * z / n
+        center = ph + z * z / (2 * n)
+        marg = z * math.sqrt(ph * (1 - ph) / n + z * z / (4 * n * n))
+        assert got["wilson_lo"] == pytest.approx((center - marg) / denom,
+                                                 abs=2e-6)
+        assert got["wilson_hi"] == pytest.approx((center + marg) / denom,
+                                                 abs=2e-6)
+        assert 0.0 <= got["wilson_lo"] <= got["wilson_hi"] <= 1.0
+
+
+# -------------------------------------------------------------- spearman
+
+def _midranks(vals):
+    """value -> average rank (1-based) with ties."""
+    order = sorted(set(vals))
+    below, out = 0, {}
+    for v in order:
+        c = vals.count(v)
+        out[v] = below + (c + 1) / 2
+        below += c
+    return [out[v] for v in vals]
+
+
+def test_spearman_matches_pearson_on_midranks(spark, tmp_path):
+    data = [(0, 100), (0, 100), (1, 150), (2, 90), (2, 90), (5, 200),
+            (7, 90), (9, 210), (13, 300), (13, 100), (22, 50), (23, 400)]
+    rows = [("probe", f"2024-01-01 {h:02d}:15:00", c / 100.0)
+            for h, c in data]
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_spearman_rho"](spark, d).collect()[0]
+    xs = _midranks([h for h, _ in data])
+    ys = _midranks([c for _, c in data])
+    n = len(data)
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in ys)
+    rho = sxy / math.sqrt(sxx * syy)
+    assert got["n"] == n
+    # doubled-rank integer core = 4x the midrank moments
+    assert got["sxy"] == pytest.approx(4 * sxy)
+    assert got["sxx"] == pytest.approx(4 * sxx)
+    assert got["syy"] == pytest.approx(4 * syy)
+    assert got["rho"] == pytest.approx(rho, abs=2e-6)
+
+
+def test_spearman_degenerate_constant_axis(spark, tmp_path):
+    rows = [("probe", "2024-01-01 03:00:00", v) for v in (1.0, 2.0, 3.0)]
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_spearman_rho"](spark, d).collect()[0]
+    assert got["sxx"] == 0 and got["rho"] is None
+
+
+# -------------------------------------------------------- kruskal-wallis
+
+def test_kruskal_wallis_integer_cores(spark, tmp_path):
+    groups = {"a": [100, 100, 300], "b": [200, 50], "c": [300, 300, 400]}
+    rows = [(g, "2024-01-01 05:00:00", c / 100.0)
+            for g, cs in groups.items() for c in cs]
+    d = _events_fixture(tmp_path, rows)
+    out = {r["event_type"]: r
+           for r in QUERIES["q_kruskal_wallis"](spark, d).collect()}
+    pooled = [c for cs in groups.values() for c in cs]
+    rk = dict(zip(pooled, _midranks(pooled)))
+    n = len(pooled)
+    c_bp = (n + 1) * 10000 // (2 * n)
+    h_terms = 0.0
+    for g, cs in groups.items():
+        r2 = sum(int(2 * rk[c]) for c in cs)
+        assert out[g]["n_t"] == len(cs)
+        assert out[g]["r2_sum"] == r2
+        bp = r2 * 10000 // (2 * len(cs) * n)
+        assert out[g]["rbar_bp"] == bp
+        h_terms += len(cs) * (bp - c_bp) ** 2
+    h_quant = 12 * n * h_terms / ((n + 1) * 1e8)
+    for g in groups:
+        assert out[g]["n_groups"] == 3
+        assert out[g]["h_quant"] == pytest.approx(h_quant, abs=2e-6)
+
+
+def test_kruskal_wallis_identical_groups_h_near_zero(spark, tmp_path):
+    rows = [(g, "2024-01-01 05:00:00", v)
+            for g in ("a", "b") for v in (1.0, 2.0, 3.0, 4.0)]
+    d = _events_fixture(tmp_path, rows)
+    out = QUERIES["q_kruskal_wallis"](spark, d).collect()
+    # identical distributions -> mean ranks equal the null center
+    # exactly -> S = 0 -> H = 0
+    assert all(r["h_quant"] == 0.0 for r in out)
+
+
+# --------------------------------------------------- benjamini-hochberg
+
+def test_bh_step_up_rule_matches_brute(spark, tmp_path):
+    # one wildly shifted cell among flat ones.  With m cells of equal
+    # count n_i, the shifted cell's z^2 saturates at ~n_i*(m-1) (the
+    # shift inflates the pooled variance too), so n_i = 40 is needed
+    # for the rational proxy 1/(1+z^2) to cross the rank-1 threshold
+    # alpha/m = 0.0125 — the proxy is deliberately fat-tailed; real
+    # slice scans have thousands of rows per cell.
+    rows = ([("a", "2024-01-01 01:00:00", 10.0)] * 40
+            + [("a", "2024-01-01 02:00:00", 10.2)] * 40
+            + [("a", "2024-01-01 03:00:00", 9.9)] * 40
+            + [("b", "2024-01-01 04:00:00", 500.0)] * 40)
+    d = _events_fixture(tmp_path, rows)
+    out = QUERIES["q_benjamini_hochberg"](spark, d).collect()
+    m = len(out)
+    assert m == 4
+    # brute: same p-proxy, textbook step-up
+    cells = sorted(out, key=lambda r: (r["p_e9"], r["event_type"], r["h"]))
+    km = 0
+    for k, r in enumerate(cells, 1):
+        if r["p_e9"] * m <= k * 50_000_000:
+            km = k
+    for k, r in enumerate(cells, 1):
+        assert r["rank"] == k
+        assert r["rejected"] == (k <= km)
+    # the shifted cell must be rejected, and p is monotone in the shift
+    by_cell = {(r["event_type"], r["h"]): r for r in out}
+    assert by_cell[("b", 4)]["rejected"]
+    assert by_cell[("b", 4)]["p_e9"] == min(r["p_e9"] for r in out)
+
+
+def test_bh_no_rejections_when_flat(spark, tmp_path):
+    rows = [("a", f"2024-01-01 {h:02d}:00:00", 10.0) for h in range(4)
+            for _ in range(5)]
+    d = _events_fixture(tmp_path, rows)
+    out = QUERIES["q_benjamini_hochberg"](spark, d).collect()
+    # zero variance -> p = 1.0 everywhere -> nothing rejected
+    assert all(not r["rejected"] for r in out)
+    assert all(r["p_e9"] == 1_000_000_000 for r in out)
+
+
+# ------------------------------------------------------- bradley-terry
+
+def test_bradley_terry_matches_brute_mm(spark, tmp_path):
+    import pandas as pd
+    # orders with brand duels: brand A dominates
+    li = []
+    pt = pd.DataFrame({"p_partkey": [1, 2, 3],
+                       "p_name": ["x", "y", "z"],
+                       "p_brand": ["A", "B", "C"],
+                       "p_type": ["t"] * 3, "p_size": [1] * 3,
+                       "p_retailprice": [1.0] * 3})
+    okey = 0
+    for qa, qb in [(5, 1), (4, 2), (3, 4), (6, 1)]:   # A vs B
+        okey += 1
+        li += [(okey, 1, qa), (okey, 2, qb)]
+    for qa, qc in [(5, 2), (2, 3)]:                   # A vs C
+        okey += 1
+        li += [(okey, 1, qa), (okey, 3, qc)]
+    ldf = pd.DataFrame(li, columns=["l_orderkey", "l_partkey",
+                                    "l_quantity"])
+    ldf["l_quantity"] = ldf["l_quantity"].astype(float)
+    d = tmp_path / "sf"
+    d.mkdir()
+    ldf.to_parquet(d / "lineitem.parquet")
+    pt.to_parquet(d / "part.parquet")
+    out = {r["brand"]: r
+           for r in QUERIES["q_bradley_terry"](spark, str(d)).collect()}
+    # brute: wins / comparisons
+    wins = {"A": 3 + 1, "B": 1, "C": 1}
+    cmps = {"A": 6, "B": 4, "C": 2}
+    s1 = {b: (2 * wins[b] + 1) * 1_000_000 // (cmps[b] + 1)
+          for b in wins}
+    n_ij = {("A", "B"): 4, ("A", "C"): 2}
+    d_i = {}
+    for b in wins:
+        tot = 0
+        for (x, y), nij in n_ij.items():
+            if b in (x, y):
+                o = y if b == x else x
+                tot += int(math.floor(nij * 1e12 / (s1[b] + s1[o]) + 0.5))
+        d_i[b] = tot
+    for b in wins:
+        assert (out[b]["wins"], out[b]["comparisons"]) == (wins[b],
+                                                           cmps[b])
+        assert out[b]["s1_e6"] == s1[b]
+        assert out[b]["s2_e6"] == wins[b] * 10 ** 12 // d_i[b]
+    # dominance ordering survives both iterations
+    assert out["A"]["s2_e6"] > out["B"]["s2_e6"]
+    assert out["A"]["s2_e6"] > out["C"]["s2_e6"]
+
+
+def test_bradley_terry_ties_are_skipped(spark, tmp_path):
+    import pandas as pd
+    pt = pd.DataFrame({"p_partkey": [1, 2], "p_name": ["x", "y"],
+                       "p_brand": ["A", "B"], "p_type": ["t"] * 2,
+                       "p_size": [1] * 2, "p_retailprice": [1.0] * 2})
+    ldf = pd.DataFrame([(1, 1, 3.0), (1, 2, 3.0)],
+                       columns=["l_orderkey", "l_partkey", "l_quantity"])
+    d = tmp_path / "sf"
+    d.mkdir()
+    ldf.to_parquet(d / "lineitem.parquet")
+    pt.to_parquet(d / "part.parquet")
+    assert QUERIES["q_bradley_terry"](spark, str(d)).count() == 0
+
+
+# -------------------------------------------------- simplified silhouette
+
+def test_silhouette_matches_numpy_brute(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+    rng = [
+        ([0.1, 0.1], 0), ([0.12, 0.08], 0), ([0.09, 0.11], 0),
+        ([-0.3, -0.3], 1), ([-0.28, -0.33], 1), ([-0.31, -0.29], 1),
+        ([0.1, -0.3], 2), ([0.08, -0.28], 2),
+    ]
+    pdf = pd.DataFrame({
+        "vec_id": range(len(rng)),
+        "embedding": [np.array(v, dtype=np.float32) for v, _ in rng],
+        "label": [l for _, l in rng],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+    out = {r["label"]: r for r in
+           QUERIES["q_simplified_silhouette"](spark, str(d)).collect()}
+    # brute with the same e6 quantization
+    q = {i: [int(math.floor(float(np.float32(x)) * 1e6 + 0.5))
+             for x in v] for i, (v, _) in enumerate(rng)}
+    labels = {i: l for i, (_, l) in enumerate(rng)}
+    cents = {}
+    for lab in set(labels.values()):
+        pts = [q[i] for i in q if labels[i] == lab]
+        cents[lab] = [int(sum(col) / len(pts))
+                      if sum(col) >= 0 else -(-sum(col) // len(pts))
+                      for col in zip(*pts)]
+    sums = {lab: [] for lab in cents}
+    for i, qe in q.items():
+        d2 = {lab: sum((a - b) ** 2 for a, b in zip(qe, c))
+              for lab, c in cents.items()}
+        a = d2[labels[i]]
+        b = min(v for lab, v in d2.items() if lab != labels[i])
+        sil = int(math.floor((b - a) / max(a, b) * 1e6 + 0.5))
+        sums[labels[i]].append(sil)
+    for lab, sils in sums.items():
+        assert out[lab]["n_points"] == len(sils)
+        assert out[lab]["sum_sil_e6"] == sum(sils)
+    # well-separated fixture: every cluster strongly positive
+    assert all(out[lab]["mean_sil"] > 0.5 for lab in sums)
+
+
+def test_silhouette_single_label_is_null(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1],
+        "embedding": [np.array([0.1, 0.2], dtype=np.float32)] * 2,
+        "label": [0, 0],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+    out = QUERIES["q_simplified_silhouette"](spark, str(d)).collect()
+    assert len(out) == 1 and out[0]["sum_sil_e6"] is None
