@@ -656,3 +656,389 @@ def q_simplified_silhouette(spark, sf_dir):
                    pround(F.sum("sil_e6").cast("double")
                           / (F.count("*").cast("double") * F.lit(1e6)),
                           6).alias("mean_sil")))
+
+
+# =====================================================================
+# causal / calibration estimators
+# =====================================================================
+
+@query(
+    "q_ipw_ate",
+    oracle="""
+    WITH ev AS (
+      SELECT hour(CAST(ts AS TIMESTAMP)) AS h,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y,
+             CAST(('0x' || substring(md5('ipw:' || CAST(event_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 2 AS BIGINT) AS t
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    s AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(SUM(t) AS BIGINT) AS nt_s,
+             CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS yt_s,
+             CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS yc_s
+      FROM ev GROUP BY h
+    ),
+    ok AS (
+      SELECT *, n_s - nt_s AS nc_s FROM s WHERE nt_s > 0 AND n_s - nt_s > 0
+    ),
+    terms AS (
+      SELECT CAST(SUM(n_s) AS BIGINT) AS n, CAST(SUM(nt_s) AS BIGINT) AS nt,
+             CAST(SUM(n_s * (yt_s * 10000 // nt_s - yc_s * 10000 // nc_s))
+                  AS BIGINT) AS strat_e4,
+             CAST(SUM(CAST(FLOOR(CAST(yt_s AS DOUBLE) * CAST(n_s AS DOUBLE)
+                  / CAST(nt_s AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS ipw_t,
+             CAST(SUM(CAST(FLOOR(CAST(yc_s AS DOUBLE) * CAST(n_s AS DOUBLE)
+                  / CAST(nc_s AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS ipw_c,
+             CAST(COUNT(*) AS BIGINT) AS n_strata
+      FROM ok
+    )
+    SELECT n, nt, n_strata, strat_e4, ipw_t, ipw_c,
+           ROUND(CAST(strat_e4 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(1000000 AS DOUBLE)), 6)
+             AS ate_strat,
+           ROUND((CAST(ipw_t AS DOUBLE) - CAST(ipw_c AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(100 AS DOUBLE)), 6) AS ate_ipw
+    FROM terms
+    """,
+)
+def q_ipw_ate(spark, sf_dir):
+    """Stratified + inverse-propensity-weighted average-treatment-
+    effect estimators — the causal-inference layer of the
+    experimentation stack (q_cuped_adjustment reduces variance; this
+    corrects CONFOUNDING when assignment depends on the stratum).
+    Treatment is a deterministic md5 coin per event (both engines
+    compute identical digests); strata are hour-of-day.  Exactness:
+    per-stratum mean differences quantize to bp-cents via integer DIV
+    (d_s = yt*1e4 DIV nt - yc*1e4 DIV nc), so the stratified estimator
+    sum(n_s * d_s) is an exact BIGINT; the IPW terms y_t,s * n_s/nt_s
+    (Horvitz-Thompson weight n_s/nt_s = 1/e_s) are single IEEE
+    divisions from exact integers snapped to integer cents before the
+    cross-strata sum — no double summation anywhere.  Strata lacking
+    either arm drop from BOTH estimators (documented positivity
+    filter; n_strata reports the surviving count).  Scale: one
+    (hour)-grid rollup — 24 rows regardless of corpus size."""
+    lane = F.conv(F.substring(F.md5(F.concat(
+        F.lit("ipw:"), F.col("event_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 2
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("event_id").isNotNull())
+          .select(F.hour("ts").alias("h"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("y"),
+                  lane.alias("t")))
+    s = ev.groupBy("h").agg(
+        F.count("*").cast("long").alias("n_s"),
+        F.sum("t").cast("long").alias("nt_s"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+         .cast("long").alias("yt_s"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+         .cast("long").alias("yc_s"))
+    ok = (s.withColumn("nc_s", F.col("n_s") - F.col("nt_s"))
+           .where((F.col("nt_s") > 0) & (F.col("nc_s") > 0)))
+    ipw_t = F.floor(F.col("yt_s").cast("double") * F.col("n_s").cast("double")
+                    / F.col("nt_s").cast("double") + F.lit(0.5)).cast("long")
+    ipw_c = F.floor(F.col("yc_s").cast("double") * F.col("n_s").cast("double")
+                    / F.col("nc_s").cast("double") + F.lit(0.5)).cast("long")
+    terms = ok.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum("nt_s").cast("long").alias("nt"),
+        F.sum(F.col("n_s") * (F.expr("yt_s * 10000 DIV nt_s")
+                              - F.expr("yc_s * 10000 DIV nc_s")))
+         .cast("long").alias("strat_e4"),
+        F.sum(ipw_t).cast("long").alias("ipw_t"),
+        F.sum(ipw_c).cast("long").alias("ipw_c"),
+        F.count("*").cast("long").alias("n_strata"))
+    return terms.select(
+        "n", "nt", "n_strata", "strat_e4", "ipw_t", "ipw_c",
+        pround(F.col("strat_e4").cast("double")
+               / (F.col("n").cast("double") * F.lit(1e6)), 6)
+         .alias("ate_strat"),
+        pround((F.col("ipw_t").cast("double") - F.col("ipw_c").cast("double"))
+               / (F.col("n").cast("double") * F.lit(100.0)), 6)
+         .alias("ate_ipw"))
+
+
+@query(
+    "q_conformal_interval",
+    oracle="""
+    WITH ev AS (
+      SELECT hour(CAST(ts AS TIMESTAMP)) AS h,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y,
+             CAST(('0x' || substring(md5('cfp:' || CAST(event_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 2 AS BIGINT) AS lane
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    pred AS (
+      SELECT h, CAST(SUM(y) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS p
+      FROM ev WHERE lane = 0 GROUP BY h
+    ),
+    cal AS (
+      SELECT ABS(ev.y - pred.p) AS r
+      FROM ev JOIN pred USING (h) WHERE ev.lane = 0
+    ),
+    kk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+             CAST((9 * (COUNT(*) + 1) + 9) // 10 AS BIGINT) AS k
+      FROM cal
+    ),
+    grid AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS cnt FROM cal GROUP BY r),
+    cum AS (
+      SELECT r, CAST(SUM(cnt) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS cd
+      FROM grid
+    ),
+    rs AS (
+      SELECT MIN(CASE WHEN cum.cd >= kk.k THEN cum.r END) AS r_star
+      FROM cum CROSS JOIN kk
+    ),
+    cov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ABS(ev.y - pred.p) <= rs.r_star
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+      FROM ev JOIN pred USING (h) CROSS JOIN rs
+      WHERE ev.lane = 1
+    )
+    SELECT kk.n_cal, kk.k, CAST(rs.r_star AS BIGINT) AS r_star,
+           cov.n_test, cov.n_cov,
+           CASE WHEN cov.n_test > 0
+                THEN CAST(cov.n_cov * 10000 // cov.n_test AS BIGINT)
+                ELSE NULL END AS coverage_bp
+    FROM kk CROSS JOIN rs CROSS JOIN cov
+    """,
+)
+def q_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval with empirical coverage —
+    the distribution-free uncertainty layer for any point model (here
+    the hour-of-day mean): calibrate the 90% residual quantile on a
+    deterministic md5 half, then measure coverage on the other half.
+    THE modern eval primitive for 'how wide must the band be for 90%
+    guarantees'.  Exact integers end to end: the per-hour model is an
+    integer DIV mean, residuals are integer cents, the conformal rank
+    k = ceil(0.9*(n_cal+1)) is integer ceiling arithmetic, the quantile
+    r* = min residual with cumcount >= k comes off the distinct-
+    residual grid (cumulative via bucketed_prefix, conditional-min
+    collapse — the q_lorenz_curve shape), and coverage is a bp ratio
+    via DIV.  No doubles anywhere.  Degenerate guards: an empty
+    calibration half leaves r* NULL (infinite band, the conformal
+    convention) and test rows then count as uncovered; test hours
+    unseen in calibration drop via the inner join (documented).  Scale:
+    two grid rollups (24 hours, distinct residuals) — no raw-row
+    windows."""
+    lane = F.conv(F.substring(F.md5(F.concat(
+        F.lit("cfp:"), F.col("event_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 2
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("event_id").isNotNull())
+          .select(F.hour("ts").alias("h"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("y"),
+                  lane.alias("lane")))
+    pred = (ev.where(F.col("lane") == 0).groupBy("h")
+              .agg(F.sum("y").cast("long").alias("sy"),
+                   F.count("*").cast("long").alias("nh"))
+              .select("h", F.expr("sy DIV nh").alias("p")))
+    cal = (ev.where(F.col("lane") == 0).join(pred, "h")
+             .select(F.abs(F.col("y") - F.col("p")).alias("r")))
+    kk = cal.agg(F.count("*").cast("long").alias("n_cal")) \
+            .withColumn("k", F.expr("(9 * (n_cal + 1) + 9) DIV 10"))
+    grid = cal.groupBy("r").agg(F.count("*").cast("long").alias("cnt"))
+    cum = bucketed_prefix(grid, "r", ["cnt"])
+    rs = (cum.crossJoin(F.broadcast(kk))
+             .agg(F.min(F.when(F.col("cum_cnt") >= F.col("k"),
+                               F.col("r"))).alias("r_star")))
+    cov = (ev.where(F.col("lane") == 1).join(pred, "h")
+             .crossJoin(F.broadcast(rs))
+             .agg(F.count("*").cast("long").alias("n_test"),
+                  F.sum(F.when(F.abs(F.col("y") - F.col("p"))
+                               <= F.col("r_star"), 1).otherwise(0))
+                   .cast("long").alias("n_cov")))
+    return (kk.crossJoin(F.broadcast(rs)).crossJoin(F.broadcast(cov))
+              .select("n_cal", "k",
+                      F.col("r_star").cast("long").alias("r_star"),
+                      "n_test", "n_cov",
+                      F.when(F.col("n_test") > 0,
+                             F.expr("n_cov * 10000 DIV n_test"))
+                       .otherwise(F.lit(None).cast("long"))
+                       .alias("coverage_bp")))
+
+
+# =====================================================================
+# graph centrality / dose-response trend
+# =====================================================================
+
+@query(
+    "q_harmonic_centrality",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      WHERE l1.l_quantity > 25 AND l2.l_quantity > 25
+    ),
+    und AS (
+      SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs
+    ),
+    lm AS (
+      SELECT x AS s FROM und GROUP BY x ORDER BY x LIMIT 4
+    ),
+    walk(s, node, hop) AS (
+      SELECT s, s, 0 FROM lm
+      UNION ALL
+      SELECT walk.s, und.y, walk.hop + 1
+      FROM walk JOIN und ON und.x = walk.node
+      WHERE walk.hop < 4
+    ),
+    dist AS (
+      SELECT s, node, CAST(MIN(hop) AS BIGINT) AS hop FROM walk
+      GROUP BY s, node
+    )
+    SELECT s AS landmark,
+           CAST(SUM(CASE WHEN hop > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS reached,
+           CAST(SUM(hop) AS BIGINT) AS sum_hops,
+           CAST(SUM(CASE WHEN hop > 0 THEN 1000000 // hop ELSE 0 END)
+                AS BIGINT) AS harmonic_e6
+    FROM dist GROUP BY s
+    """,
+)
+def q_harmonic_centrality(spark, sf_dir):
+    """Hop-bounded harmonic centrality from 4 landmark nodes (the 4
+    smallest part ids) over the co-purchase graph: per landmark, the
+    reachable set within 4 hops, total hop mass, and the harmonic sum
+    sum(1/d) — the landmark-sampling estimator used when exact
+    all-pairs centrality is impossible at scale (closeness via
+    landmarks, Eppstein-Wang style), extending q_bfs_hops' single-
+    source profile to a per-landmark ranking surface.  Multi-source
+    frontier BFS: ONE frontier frame keyed by (landmark, node) so all
+    landmarks advance in the same join per round — work per round is
+    |frontier edges| summed over landmarks, not 4 sequential sweeps;
+    the min-distance ledger anti-join is keyed the same way.  1/d
+    quantizes to 1e6 DIV hop — exact integer, flip-proof.  The oracle
+    replays via a depth-bounded recursive CTE with MIN(hop) dedup."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 25)
+          .select("l_orderkey", "l_partkey"))
+    e1 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+    e2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
+    pairs = (e1.join(e2, "l_orderkey")
+               .where(F.col("a") < F.col("b"))
+               .select("a", "b").distinct())
+    und = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+                .unionAll(pairs.select(F.col("b").alias("x"),
+                                       F.col("a").alias("y")))
+                .persist())
+    lm = (und.select("x").distinct().orderBy("x").limit(4)
+             .select(F.col("x").alias("s")))
+    src = lm.select("s", F.col("s").alias("node"),
+                    F.lit(0).cast("long").alias("hop"))
+    dist = src.persist()
+    frontier = src
+    caches = [und, dist]
+    for k in range(1, 5):
+        nxt = (frontier.join(und, frontier["node"] == und["x"])
+               .select("s", F.col("y").alias("node"))
+               .distinct()
+               .join(dist.select("s", "node"), ["s", "node"], "left_anti")
+               .withColumn("hop", F.lit(k).cast("long")))
+        nxt = nxt.persist()
+        dist = dist.unionByName(nxt).persist()
+        caches.extend([nxt, dist])
+        frontier = nxt
+    out = dist.groupBy(F.col("s").alias("landmark")).agg(
+        F.sum(F.when(F.col("hop") > 0, 1).otherwise(0)).cast("long")
+         .alias("reached"),
+        F.sum("hop").cast("long").alias("sum_hops"),
+        F.sum(F.when(F.col("hop") > 0, F.expr("1000000 DIV hop"))
+               .otherwise(0)).cast("long").alias("harmonic_e6"))
+    # 4-row result: materialize eagerly, release all round caches
+    return eager_release(out, *caches)
+
+
+@query(
+    "q_cochran_armitage",
+    oracle="""
+    WITH ev AS (
+      SELECT hour(CAST(ts AS TIMESTAMP)) AS h,
+             CASE WHEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 5000
+                  THEN 1 ELSE 0 END AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(y) AS BIGINT) AS r_h
+      FROM ev GROUP BY h
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_h) AS BIGINT) AS n, CAST(SUM(r_h) AS BIGINT) AS r,
+             CAST(SUM(n_h * h) AS BIGINT) AS sw,
+             CAST(SUM(n_h * h * h) AS BIGINT) AS sww
+      FROM g
+    ),
+    core AS (
+      SELECT CAST(SUM(h * (r_h * tot.n - n_h * tot.r)) AS BIGINT) AS t_stat
+      FROM g CROSS JOIN tot
+    )
+    SELECT tot.n, tot.r, core.t_stat,
+           CASE WHEN tot.r > 0 AND tot.r < tot.n
+                 AND CAST(tot.sww AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                     - CAST(tot.sw AS DOUBLE) * CAST(tot.sw AS DOUBLE) > 0
+                THEN ROUND(CAST(core.t_stat AS DOUBLE)
+                     / SQRT(CAST(tot.r AS DOUBLE)
+                            * (CAST(tot.n AS DOUBLE) - CAST(tot.r AS DOUBLE))
+                            * (CAST(tot.sww AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                               - CAST(tot.sw AS DOUBLE)
+                                 * CAST(tot.sw AS DOUBLE))
+                            / CAST(tot.n AS DOUBLE)), 6)
+                ELSE NULL END AS z
+    FROM tot CROSS JOIN core
+    """,
+)
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test: is the success rate (value >= $50)
+    monotonically trending across the ordered hour-of-day doses?  The
+    categorical dose-response companion to q_mann_kendall (which trends
+    a continuous daily series) — the standard test for 'does the
+    binary QC pass-rate drift across an ordered dimension'.  The core
+    T = sum_h w_h*(r_h*n - n_h*R) with scores w_h = h is an exact
+    BIGINT built from the 24-row hour grid (bound: |T| <= 23*n^2 ->
+    valid to n ~ 6e8 rows); the z denominator
+    sqrt(R*(n-R)*(n*sum(n_h*w^2) - sum(n_h*w)^2)/n) stages the same
+    IEEE ops on both engines from exact integer moments.  Guards: z
+    NULL when successes are degenerate (R = 0 or n) or the dose
+    variance is zero.  One grid rollup, no windows."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select(F.hour("ts").alias("h"),
+                  F.when(F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long") >= 5000, 1).otherwise(0)
+                   .alias("y")))
+    g = ev.groupBy("h").agg(F.count("*").cast("long").alias("n_h"),
+                            F.sum("y").cast("long").alias("r_h"))
+    tot = g.agg(F.sum("n_h").cast("long").alias("n"),
+                F.sum("r_h").cast("long").alias("r"),
+                F.sum(F.col("n_h") * F.col("h")).cast("long").alias("sw"),
+                F.sum(F.col("n_h") * F.col("h") * F.col("h")).cast("long")
+                 .alias("sww"))
+    core = (g.crossJoin(F.broadcast(tot))
+             .agg(F.sum(F.col("h") * (F.col("r_h") * F.col("n")
+                                      - F.col("n_h") * F.col("r")))
+                   .cast("long").alias("t_stat")))
+    j = tot.crossJoin(F.broadcast(core))
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    dosevar = (F.col("sww").cast("double") * nd
+               - F.col("sw").cast("double") * F.col("sw").cast("double"))
+    z = (F.col("t_stat").cast("double")
+         / F.sqrt(rd * (nd - rd) * dosevar / nd))
+    return j.select(
+        "n", "r", "t_stat",
+        F.when((F.col("r") > 0) & (F.col("r") < F.col("n"))
+               & (dosevar > 0), pround(z, 6))
+         .otherwise(F.lit(None).cast("double")).alias("z"))

@@ -296,6 +296,172 @@ def test_silhouette_matches_numpy_brute(spark, tmp_path):
     assert all(out[lab]["mean_sil"] > 0.5 for lab in sums)
 
 
+# ------------------------------------------------------------- ipw-ate
+
+def _md5_lane(prefix, key, mod):
+    import hashlib
+    return int(hashlib.md5(f"{prefix}{key}".encode()).hexdigest()[:8],
+               16) % mod
+
+
+def test_ipw_ate_matches_brute(spark, tmp_path):
+    import pandas as pd
+    rows, vals = [], {}
+    for eid in range(200):
+        h = eid % 3  # 3 strata
+        t = _md5_lane("ipw:", eid, 2)
+        # treated rows get a +2.00 lift in stratum 2 only
+        v = 10.0 + h + (2.0 if (t == 1 and h == 2) else 0.0)
+        rows.append((eid, f"2024-01-01 {h:02d}:30:00", v))
+        vals[eid] = (h, t, int(v * 100))
+    pdf = pd.DataFrame({
+        "event_id": [e for e, _, _ in rows],
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": ["x"] * len(rows),
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_ipw_ate"](spark, str(d)).collect()[0]
+    # brute per stratum
+    strat_e4 = ipw_t = ipw_c = n = nt = 0
+    for h in range(3):
+        g = [(t, y) for (hh, t, y) in vals.values() if hh == h]
+        nts = sum(1 for t, _ in g if t == 1)
+        ncs = len(g) - nts
+        assert nts > 0 and ncs > 0
+        yt = sum(y for t, y in g if t == 1)
+        yc = sum(y for t, y in g if t == 0)
+        n += len(g)
+        nt += nts
+        strat_e4 += len(g) * (yt * 10000 // nts - yc * 10000 // ncs)
+        ipw_t += int(math.floor(yt * len(g) / nts + 0.5))
+        ipw_c += int(math.floor(yc * len(g) / ncs + 0.5))
+    assert (got["n"], got["nt"], got["n_strata"]) == (n, nt, 3)
+    assert got["strat_e4"] == strat_e4
+    assert (got["ipw_t"], got["ipw_c"]) == (ipw_t, ipw_c)
+    # randomized assignment, lift only in stratum 2: both estimators
+    # should land near lift * P(stratum 2) = 2.0 / 3
+    assert got["ate_strat"] == pytest.approx(strat_e4 / (n * 1e6), abs=1e-6)
+    assert 0.3 < got["ate_strat"] < 1.1
+    assert 0.3 < got["ate_ipw"] < 1.1
+
+
+# ------------------------------------------------------ conformal
+
+def test_conformal_quantile_and_coverage_brute(spark, tmp_path):
+    import pandas as pd
+    rows = []
+    for eid in range(300):
+        h = eid % 2
+        v = 10.0 + h * 5 + (eid % 7) * 0.5  # spread of residuals
+        rows.append((eid, f"2024-01-01 {h:02d}:00:00", v))
+    pdf = pd.DataFrame({
+        "event_id": [e for e, _, _ in rows],
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": ["x"] * len(rows),
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_conformal_interval"](spark, str(d)).collect()[0]
+    # brute
+    lanes = {e: _md5_lane("cfp:", e, 2) for e, _, _ in rows}
+    cents = {e: int(round(v * 100)) for e, _, v in rows}
+    hour = {e: e % 2 for e, _, _ in rows}
+    cal = [e for e in lanes if lanes[e] == 0]
+    tst = [e for e in lanes if lanes[e] == 1]
+    pred = {}
+    for h in (0, 1):
+        ys = [cents[e] for e in cal if hour[e] == h]
+        pred[h] = sum(ys) // len(ys)
+    res = sorted(abs(cents[e] - pred[hour[e]]) for e in cal)
+    k = -(-(9 * (len(cal) + 1)) // 10)  # ceil(0.9*(n+1))
+    r_star = res[k - 1]
+    n_cov = sum(1 for e in tst
+                if abs(cents[e] - pred[hour[e]]) <= r_star)
+    assert (got["n_cal"], got["k"]) == (len(cal), k)
+    assert got["r_star"] == r_star
+    assert (got["n_test"], got["n_cov"]) == (len(tst), n_cov)
+    assert got["coverage_bp"] == n_cov * 10000 // len(tst)
+    # the conformal guarantee: coverage >= ~90% minus finite-sample slack
+    assert got["coverage_bp"] >= 8500
+
+
+# ------------------------------------------------- harmonic centrality
+
+def test_harmonic_centrality_matches_brute_bfs(spark, tmp_path):
+    import pandas as pd
+    # path graph 1-2-3-4-5-6-7 via shared orders + isolated pair (8,9)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (8, 9)]
+    li = []
+    for ok, (a, b) in enumerate(edges, 1):
+        li += [(ok, a, 30.0), (ok, b, 30.0)]
+    ldf = pd.DataFrame(li, columns=["l_orderkey", "l_partkey",
+                                    "l_quantity"])
+    d = tmp_path / "sf"
+    d.mkdir()
+    ldf.to_parquet(d / "lineitem.parquet")
+    out = {r["landmark"]: r for r in
+           QUERIES["q_harmonic_centrality"](spark, str(d)).collect()}
+    assert set(out) == {1, 2, 3, 4}  # 4 smallest node ids
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for s in (1, 2, 3, 4):
+        dist = {s: 0}
+        frontier = {s}
+        for hop in range(1, 5):
+            nxt = {y for x in frontier for y in adj[x]} - set(dist)
+            for y in nxt:
+                dist[y] = hop
+            frontier = nxt
+        reached = [h for n, h in dist.items() if h > 0]
+        assert out[s]["reached"] == len(reached)
+        assert out[s]["sum_hops"] == sum(reached)
+        assert out[s]["harmonic_e6"] == sum(10 ** 6 // h for h in reached)
+
+
+# ------------------------------------------------- cochran-armitage
+
+def test_cochran_armitage_matches_brute(spark, tmp_path):
+    # success rate rising with hour -> strong positive trend
+    rows = []
+    eid = 0
+    for h, (succ, tot) in enumerate([(1, 10), (3, 10), (6, 10), (9, 10)]):
+        for i in range(tot):
+            v = 60.0 if i < succ else 10.0
+            rows.append((f"probe", f"2024-01-01 {h:02d}:00:00", v))
+            eid += 1
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_cochran_armitage"](spark, d).collect()[0]
+    counts = {0: (1, 10), 1: (3, 10), 2: (6, 10), 3: (9, 10)}
+    n = sum(t for _, t in counts.values())
+    r = sum(s for s, _ in counts.values())
+    t_stat = sum(h * (s * n - t * r) for h, (s, t) in counts.items())
+    sw = sum(t * h for h, (_, t) in counts.items())
+    sww = sum(t * h * h for h, (_, t) in counts.items())
+    var = r * (n - r) * (sww * n - sw * sw) / n
+    assert (got["n"], got["r"], got["t_stat"]) == (n, r, t_stat)
+    assert got["z"] == pytest.approx(t_stat / math.sqrt(var), abs=2e-6)
+    assert got["z"] > 3  # the trend is real
+
+
+def test_cochran_armitage_degenerate_all_success(spark, tmp_path):
+    rows = [("p", f"2024-01-01 {h:02d}:00:00", 60.0)
+            for h in range(3) for _ in range(5)]
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_cochran_armitage"](spark, d).collect()[0]
+    assert got["r"] == got["n"] and got["z"] is None
+
+
 def test_silhouette_single_label_is_null(spark, tmp_path):
     import numpy as np
     import pandas as pd
