@@ -1042,3 +1042,344 @@ def q_cochran_armitage(spark, sf_dir):
         F.when((F.col("r") > 0) & (F.col("r") < F.col("n"))
                & (dosevar > 0), pround(z, 6))
          .otherwise(F.lit(None).cast("double")).alias("z"))
+
+
+# =====================================================================
+# survey design / experiment sizing
+# =====================================================================
+
+@query(
+    "q_stratified_neyman",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS len
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+    ),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(len) AS BIGINT) AS sl,
+             CAST(SUM(len * len) AS BIGINT) AS sll
+      FROM d GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_h,
+             CASE WHEN n_h >= 2 THEN
+               CAST(FLOOR(CAST(n_h AS DOUBLE)
+                    * SQRT((CAST(sll AS DOUBLE)
+                            - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                              / CAST(n_h AS DOUBLE))
+                           / CAST(n_h - 1 AS DOUBLE))
+                    * CAST(1000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS w_e3
+      FROM s
+    ),
+    tw AS (SELECT CAST(SUM(w_e3) AS BIGINT) AS wt FROM w),
+    base AS (
+      SELECT w.source, w.n_h, w.w_e3,
+             CASE WHEN tw.wt > 0
+                  THEN CAST(1000 * w.w_e3 // tw.wt AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS base_a,
+             CASE WHEN tw.wt > 0
+                  THEN CAST(1000 * w.w_e3 % tw.wt AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS rem
+      FROM w CROSS JOIN tw
+    ),
+    rk AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                     AS BIGINT) AS rk
+      FROM base
+    ),
+    deficit AS (SELECT CAST(1000 - SUM(base_a) AS BIGINT) AS def FROM rk)
+    SELECT rk.source, rk.n_h, rk.w_e3,
+           CAST(rk.base_a + CASE WHEN rk.rk <= deficit.def THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM rk CROSS JOIN deficit
+    """,
+)
+def q_stratified_neyman(spark, sf_dir):
+    """Neyman-optimal stratified sample allocation: split a 1000-doc
+    annotation budget across sources proportional to N_h * S_h (stratum
+    size x length standard deviation) — THE survey-sampling answer to
+    'where do labeling dollars buy the most variance reduction', the
+    design-stage companion to q_stratified_sample (which executes a
+    given allocation) and q_largest_remainder (whose exact-quota
+    rounding this reuses).  The weight snaps N_h*S_h to an exact w_e3
+    integer (sqrt from exact BIGINT moments is one IEEE op — identical
+    bits both engines); quotas then use pure integer arithmetic:
+    base = 1000*w DIV W, remainders ranked, the deficit distributed by
+    largest remainder — allocations sum to exactly 1000 and cannot
+    flip.  Degenerate strata (n_h < 2) weight 0 (documented).  The
+    remainder rank runs over the |sources| grid — domain-bounded,
+    plan-audit allowlisted like q_largest_remainder."""
+    d = (load_table(spark, sf_dir, "documents")
+         .where(F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+                & (F.col("n_chars") > 0))
+         .select("source", F.col("n_chars").cast("long").alias("len")))
+    s = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum("len").cast("long").alias("sl"),
+        F.sum(F.col("len") * F.col("len")).cast("long").alias("sll"))
+    nd = F.col("n_h").cast("double")
+    sd = F.sqrt((F.col("sll").cast("double")
+                 - F.col("sl").cast("double") * F.col("sl").cast("double")
+                   / nd) / (F.col("n_h") - 1).cast("double"))
+    w = s.select(
+        "source", "n_h",
+        F.when(F.col("n_h") >= 2,
+               F.floor(nd * sd * F.lit(1000.0) + F.lit(0.5)).cast("long"))
+         .otherwise(F.lit(0).cast("long")).alias("w_e3"))
+    tw = w.agg(F.sum("w_e3").cast("long").alias("wt"))
+    base = (w.crossJoin(F.broadcast(tw))
+             .withColumn("base_a",
+                         F.when(F.col("wt") > 0,
+                                F.expr("1000 * w_e3 DIV wt"))
+                          .otherwise(F.lit(0)).cast("long"))
+             .withColumn("rem",
+                         F.when(F.col("wt") > 0,
+                                F.expr("1000 * w_e3 % wt"))
+                          .otherwise(F.lit(0)).cast("long")))
+    rk = base.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("rem").desc(), "source"))
+               .cast("long"))
+    deficit = rk.agg((F.lit(1000) - F.sum("base_a")).cast("long")
+                     .alias("def"))
+    return (rk.crossJoin(F.broadcast(deficit))
+              .select("source", "n_h", "w_e3",
+                      (F.col("base_a")
+                       + F.when(F.col("rk") <= F.col("def"), 1)
+                          .otherwise(0)).cast("long").alias("alloc")))
+
+
+@query(
+    "q_odds_ratio_ci",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN hour(CAST(ts AS TIMESTAMP)) < 12 THEN 1 ELSE 0
+                  END AS am,
+             CASE WHEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 5000
+                  THEN 1 ELSE 0 END AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(SUM(am * y) AS BIGINT) AS a,
+             CAST(SUM(am * (1 - y)) AS BIGINT) AS b,
+             CAST(SUM((1 - am) * y) AS BIGINT) AS c,
+             CAST(SUM((1 - am) * (1 - y)) AS BIGINT) AS d
+      FROM ev GROUP BY event_type
+    ),
+    h AS (
+      SELECT event_type, a, b, c, d,
+             LN(CAST((2 * a + 1) * (2 * d + 1) AS DOUBLE)
+                / CAST((2 * b + 1) * (2 * c + 1) AS DOUBLE)) AS lor,
+             CAST(1.96 AS DOUBLE)
+               * SQRT(CAST(2 AS DOUBLE) / CAST(2 * a + 1 AS DOUBLE)
+                      + CAST(2 AS DOUBLE) / CAST(2 * b + 1 AS DOUBLE)
+                      + CAST(2 AS DOUBLE) / CAST(2 * c + 1 AS DOUBLE)
+                      + CAST(2 AS DOUBLE) / CAST(2 * d + 1 AS DOUBLE))
+               AS halfw
+      FROM t
+    )
+    SELECT event_type, a, b, c, d,
+           ROUND(EXP(lor), 6) AS odds_ratio,
+           ROUND(EXP(lor - halfw), 6) AS ci_lo,
+           ROUND(EXP(lor + halfw), 6) AS ci_hi
+    FROM h
+    """,
+)
+def q_odds_ratio_ci(spark, sf_dir):
+    """Haldane-Anscombe odds ratio with Woolf 95% CI per event type:
+    exposure = morning hour, outcome = value >= $50 — the 2x2
+    association readout with a defensible zero-cell behavior (the +0.5
+    correction applied ALWAYS, expressed as exact doubled-count
+    integers (2a+1)(2d+1)/((2b+1)(2c+1)) so the corrected table never
+    leaves BIGINT).  Complements q_mcnemar_test (paired 2x2) and
+    q_cramers_v (k x k effect size) with the epidemiology-standard
+    ratio + interval.  ln/exp appear only in FINAL per-row expressions
+    over exact integer inputs (repo transcendental convention), R6;
+    the Woolf half-width uses 1/(x+0.5) = 2/(2x+1) rationals.  One
+    grid rollup, 5 rows."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.when(F.hour("ts") < 12, 1).otherwise(0).alias("am"),
+                  F.when(F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long") >= 5000, 1).otherwise(0)
+                   .alias("y")))
+    t = ev.groupBy("event_type").agg(
+        F.sum(F.col("am") * F.col("y")).cast("long").alias("a"),
+        F.sum(F.col("am") * (1 - F.col("y"))).cast("long").alias("b"),
+        F.sum((1 - F.col("am")) * F.col("y")).cast("long").alias("c"),
+        F.sum((1 - F.col("am")) * (1 - F.col("y"))).cast("long")
+         .alias("d"))
+    lor = F.log(((2 * F.col("a") + 1) * (2 * F.col("d") + 1))
+                .cast("double")
+                / ((2 * F.col("b") + 1) * (2 * F.col("c") + 1))
+                  .cast("double"))
+    halfw = F.lit(1.96) * F.sqrt(
+        F.lit(2.0) / (2 * F.col("a") + 1).cast("double")
+        + F.lit(2.0) / (2 * F.col("b") + 1).cast("double")
+        + F.lit(2.0) / (2 * F.col("c") + 1).cast("double")
+        + F.lit(2.0) / (2 * F.col("d") + 1).cast("double"))
+    return t.select(
+        "event_type", "a", "b", "c", "d",
+        pround(F.exp(lor), 6).alias("odds_ratio"),
+        pround(F.exp(lor - halfw), 6).alias("ci_lo"),
+        pround(F.exp(lor + halfw), 6).alias("ci_hi"))
+
+
+@query(
+    "q_diff_in_diff",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN day(CAST(ts AS TIMESTAMP)) >= 16 THEN 1 ELSE 0
+                  END AS post,
+             CAST(('0x' || substring(md5('did:' || CAST(user_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 2 AS BIGINT) AS t,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    c AS (
+      SELECT t, post, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM ev GROUP BY t, post
+    ),
+    m AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(CASE WHEN t = 1 AND post = 1
+                           THEN s * 10000 // n ELSE 0 END)
+                - SUM(CASE WHEN t = 1 AND post = 0
+                           THEN s * 10000 // n ELSE 0 END)
+                - SUM(CASE WHEN t = 0 AND post = 1
+                           THEN s * 10000 // n ELSE 0 END)
+                + SUM(CASE WHEN t = 0 AND post = 0
+                           THEN s * 10000 // n ELSE 0 END)
+                AS BIGINT) AS did_e4
+      FROM c
+    )
+    SELECT n_total, n_cells,
+           CASE WHEN n_cells = 4 THEN did_e4 ELSE NULL END AS did_e4,
+           CASE WHEN n_cells = 4
+                THEN ROUND(CAST(did_e4 AS DOUBLE) / CAST(1000000 AS DOUBLE),
+                           6)
+                ELSE NULL END AS did_dollars
+    FROM m
+    """,
+)
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences: the parallel-trends causal estimator
+    (treated minus control change, post minus pre) with UNIT-level md5
+    treatment assignment (user_id, so all of a user's events share an
+    arm — the clustering a per-event coin would break) and a calendar
+    pre/post split at mid-month.  Completes the causal shelf next to
+    q_ipw_ate (confounding) and q_cuped_adjustment (variance): DiD
+    handles time-constant unit confounding.  Each cell mean quantizes
+    to bp-cents via integer DIV, so the four-way difference did_e4 is
+    exact BIGINT; the estimate is NULL unless all four (arm x period)
+    cells are populated (documented).  One 4-cell rollup — no joins,
+    no windows."""
+    lane = F.conv(F.substring(F.md5(F.concat(
+        F.lit("did:"), F.col("user_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 2
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("user_id").isNotNull())
+          .select(F.when(F.dayofmonth("ts") >= 16, 1).otherwise(0)
+                   .alias("post"),
+                  lane.alias("t"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("y")))
+    c = ev.groupBy("t", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"))
+    mean_bp = F.expr("s * 10000 DIV n")
+    m = c.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_cells"),
+        (F.sum(F.when((F.col("t") == 1) & (F.col("post") == 1), mean_bp)
+                .otherwise(0))
+         - F.sum(F.when((F.col("t") == 1) & (F.col("post") == 0), mean_bp)
+                  .otherwise(0))
+         - F.sum(F.when((F.col("t") == 0) & (F.col("post") == 1), mean_bp)
+                  .otherwise(0))
+         + F.sum(F.when((F.col("t") == 0) & (F.col("post") == 0), mean_bp)
+                  .otherwise(0))).cast("long").alias("did_e4"))
+    return m.select(
+        "n_total", "n_cells",
+        F.when(F.col("n_cells") == 4, F.col("did_e4"))
+         .otherwise(F.lit(None).cast("long")).alias("did_e4"),
+        F.when(F.col("n_cells") == 4,
+               pround(F.col("did_e4").cast("double") / F.lit(1e6), 6))
+         .otherwise(F.lit(None).cast("double")).alias("did_dollars"))
+
+
+@query(
+    "q_power_mde",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS ss
+      FROM ev GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN n >= 2 THEN
+             ROUND((CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   / CAST(n - 1 AS DOUBLE) / CAST(10000 AS DOUBLE), 2)
+           ELSE NULL END AS var_dollars2,
+           CASE WHEN n >= 2 THEN
+             ROUND((CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+                   * SQRT(CAST(2 AS DOUBLE)
+                          * ((CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                             / CAST(n - 1 AS DOUBLE))
+                          / CAST(n AS DOUBLE)) / CAST(100 AS DOUBLE), 6)
+           ELSE NULL END AS mde_dollars
+    FROM g
+    """,
+)
+def q_power_mde(spark, sf_dir):
+    """Minimum detectable effect per event type: the experiment-sizing
+    readout 'with this slice's n and variance, what lift could a
+    two-sample test even see at alpha = 0.05, power = 0.80?' —
+    MDE = (z_alpha/2 + z_beta) * sqrt(2*s^2/n), the planning companion
+    to q_ab_ttest (which tests after the fact) and q_cuped_adjustment
+    (which shrinks s^2).  Variance comes from exact BIGINT moments;
+    the z multipliers are fixed double literals; everything after the
+    integer core is one staged IEEE expression per row, R6.  One
+    rollup, 5 rows."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("y")))
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"))
+    nd = F.col("n").cast("double")
+    var_c = ((F.col("ss").cast("double")
+              - F.col("s").cast("double") * F.col("s").cast("double") / nd)
+             / (F.col("n") - 1).cast("double"))
+    mde = ((F.lit(1.96) + F.lit(0.8416))
+           * F.sqrt(F.lit(2.0) * var_c / nd) / F.lit(100.0))
+    return g.select(
+        "event_type", "n",
+        F.when(F.col("n") >= 2, pround(var_c / F.lit(10000.0), 2))
+         .otherwise(F.lit(None).cast("double")).alias("var_dollars2"),
+        F.when(F.col("n") >= 2, pround(mde, 6))
+         .otherwise(F.lit(None).cast("double")).alias("mde_dollars"))

@@ -38,7 +38,10 @@ AXIS_WINDOW_OK = {"q_bounds_derive", "q_bounds_check",
                   "q_largest_remainder",
                   # BH ranks the |event_types| x 24 cell grid — domain-
                   # bounded (120 rows), never corpus row count
-                  "q_benjamini_hochberg"}
+                  "q_benjamini_hochberg",
+                  # Neyman allocation ranks remainders over the
+                  # |sources| grid (one row per source post-rollup)
+                  "q_stratified_neyman"}
 
 
 def _unpartitioned_windows(plan: str) -> list[str]:

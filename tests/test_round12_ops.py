@@ -462,6 +462,145 @@ def test_cochran_armitage_degenerate_all_success(spark, tmp_path):
     assert got["r"] == got["n"] and got["z"] is None
 
 
+# --------------------------------------------------- neyman allocation
+
+def _docs_fixture(tmp_path, rows):
+    """rows: list of (source, n_chars)."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": range(len(rows)),
+        "text": ["x" * c for _, c in rows],
+        "lang": ["en"] * len(rows),
+        "source": [s for s, _ in rows],
+        "n_chars": [c for _, c in rows],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_neyman_allocation_matches_brute(spark, tmp_path):
+    rows = ([("big_var", c) for c in (10, 500, 20, 900, 50)]
+            + [("small_var", c) for c in (100, 101, 102, 99)]
+            + [("single", 400)])
+    d = _docs_fixture(tmp_path, rows)
+    out = {r["source"]: r for r in
+           QUERIES["q_stratified_neyman"](spark, d).collect()}
+    w = {}
+    for s in ("big_var", "small_var", "single"):
+        ls = [c for src, c in rows if src == s]
+        if len(ls) < 2:
+            w[s] = 0
+            continue
+        n = len(ls)
+        m = sum(ls) / n
+        sd = math.sqrt(sum((x - m) ** 2 for x in ls) / (n - 1))
+        w[s] = int(math.floor(n * sd * 1000 + 0.5))
+    for s in w:
+        assert out[s]["w_e3"] == w[s]
+    wt = sum(w.values())
+    base = {s: 1000 * w[s] // wt for s in w}
+    rem = {s: 1000 * w[s] % wt for s in w}
+    deficit = 1000 - sum(base.values())
+    order = sorted(w, key=lambda s: (-rem[s], s))
+    alloc = {s: base[s] + (1 if order.index(s) < deficit else 0)
+             for s in w}
+    for s in w:
+        assert out[s]["alloc"] == alloc[s]
+    # allocations are an exact partition of the budget; the single-doc
+    # stratum gets weight 0 and the high-variance stratum dominates
+    assert sum(r["alloc"] for r in out.values()) == 1000
+    assert out["single"]["w_e3"] == 0
+    assert out["big_var"]["alloc"] > out["small_var"]["alloc"]
+
+
+# ------------------------------------------------------- odds ratio
+
+def test_odds_ratio_matches_haldane_brute(spark, tmp_path):
+    # a=3 am-success, b=1 am-fail, c=1 pm-success, d=5 pm-fail
+    rows = ([("x", "2024-01-01 08:00:00", 60.0)] * 3
+            + [("x", "2024-01-01 09:00:00", 10.0)] * 1
+            + [("x", "2024-01-01 15:00:00", 70.0)] * 1
+            + [("x", "2024-01-01 16:00:00", 5.0)] * 5)
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_odds_ratio_ci"](spark, d).collect()[0]
+    a, b, c, dd = 3, 1, 1, 5
+    assert (got["a"], got["b"], got["c"], got["d"]) == (a, b, c, dd)
+    lor = math.log((2 * a + 1) * (2 * dd + 1)
+                   / ((2 * b + 1) * (2 * c + 1)))
+    hw = 1.96 * math.sqrt(2 / (2 * a + 1) + 2 / (2 * b + 1)
+                          + 2 / (2 * c + 1) + 2 / (2 * dd + 1))
+    assert got["odds_ratio"] == pytest.approx(math.exp(lor), abs=2e-6)
+    assert got["ci_lo"] == pytest.approx(math.exp(lor - hw), abs=2e-6)
+    assert got["ci_hi"] == pytest.approx(math.exp(lor + hw), abs=2e-6)
+    assert got["ci_lo"] < got["odds_ratio"] < got["ci_hi"]
+
+
+def test_odds_ratio_zero_cell_is_finite(spark, tmp_path):
+    # d = 0: Haldane keeps the ratio and CI finite
+    rows = ([("x", "2024-01-01 08:00:00", 60.0)] * 2
+            + [("x", "2024-01-01 09:00:00", 10.0)] * 2
+            + [("x", "2024-01-01 15:00:00", 70.0)] * 2)
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_odds_ratio_ci"](spark, d).collect()[0]
+    assert got["d"] == 0
+    assert got["odds_ratio"] is not None and got["ci_hi"] is not None
+
+
+# ------------------------------------------------- diff-in-diff
+
+def test_diff_in_diff_matches_brute(spark, tmp_path):
+    import pandas as pd
+    rows = []
+    cells = {}
+    for uid in range(40):
+        t = _md5_lane("did:", uid, 2)
+        for day, post in [(5, 0), (20, 1)]:
+            # treated users gain +3.00 post; common +1.00 time trend
+            v = 10.0 + post * 1.0 + (3.0 if (t == 1 and post == 1) else 0.0)
+            rows.append((uid, f"2024-01-{day:02d} 10:00:00", v))
+            key = (t, post)
+            n, s = cells.get(key, (0, 0))
+            cells[key] = (n + 1, s + int(v * 100))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": ["x"] * len(rows),
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_diff_in_diff"](spark, str(d)).collect()[0]
+    mean_bp = {k: s * 10000 // n for k, (n, s) in cells.items()}
+    did = (mean_bp[(1, 1)] - mean_bp[(1, 0)]
+           - mean_bp[(0, 1)] + mean_bp[(0, 0)])
+    assert got["n_cells"] == 4
+    assert got["did_e4"] == did
+    # the time trend cancels; the estimate recovers the +3.00 lift
+    assert got["did_dollars"] == pytest.approx(3.0, abs=0.01)
+
+
+# --------------------------------------------------- power / mde
+
+def test_power_mde_matches_brute(spark, tmp_path):
+    vals = [10.0, 12.0, 9.0, 14.0, 11.0, 10.5]
+    rows = [("x", "2024-01-01 10:00:00", v) for v in vals]
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_power_mde"](spark, d).collect()[0]
+    cents = [int(round(v * 100)) for v in vals]
+    n = len(cents)
+    m = sum(cents) / n
+    var = sum((c - m) ** 2 for c in cents) / (n - 1)
+    mde = (1.96 + 0.8416) * math.sqrt(2 * var / n) / 100
+    assert got["n"] == n
+    assert got["var_dollars2"] == pytest.approx(var / 1e4, abs=0.01)
+    assert got["mde_dollars"] == pytest.approx(mde, abs=2e-6)
+
+
 def test_silhouette_single_label_is_null(spark, tmp_path):
     import numpy as np
     import pandas as pd
