@@ -1383,3 +1383,88 @@ def q_power_mde(spark, sf_dir):
          .otherwise(F.lit(None).cast("double")).alias("var_dollars2"),
         F.when(F.col("n") >= 2, pround(mde, 6))
          .otherwise(F.lit(None).cast("double")).alias("mde_dollars"))
+
+
+# =====================================================================
+# text: unicode script mix
+# =====================================================================
+
+@query(
+    "q_script_mix",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  AS BIGINT) AS latin,
+             CAST(length(regexp_replace(text, '[^\\x{0400}-\\x{04FF}]',
+                                        '', 'g')) AS BIGINT) AS cyr,
+             CAST(length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]',
+                                        '', 'g')) AS BIGINT) AS cjk,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  AS BIGINT) AS dig
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS chars,
+           CASE WHEN SUM(nc) > 0
+                THEN CAST(SUM(latin) * 10000 // SUM(nc) AS BIGINT)
+                ELSE NULL END AS latin_bp,
+           CASE WHEN SUM(nc) > 0
+                THEN CAST(SUM(cyr) * 10000 // SUM(nc) AS BIGINT)
+                ELSE NULL END AS cyr_bp,
+           CASE WHEN SUM(nc) > 0
+                THEN CAST(SUM(cjk) * 10000 // SUM(nc) AS BIGINT)
+                ELSE NULL END AS cjk_bp,
+           CASE WHEN SUM(nc) > 0
+                THEN CAST(SUM(dig) * 10000 // SUM(nc) AS BIGINT)
+                ELSE NULL END AS digit_bp,
+           CAST(SUM(CASE WHEN latin > 0 AND cyr > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS mixed_script_docs
+    FROM d GROUP BY lang
+    """,
+)
+def q_script_mix(spark, sf_dir):
+    """Unicode script composition per language: codepoint shares of
+    Latin / Cyrillic / CJK / digits and the count of MIXED Latin +
+    Cyrillic docs — the script-level spoofing and corpus-drift signal
+    that complements q_confusable_skeleton (which normalizes individual
+    homoglyphs; this flags documents whose script MIX is itself the
+    anomaly, the classic phishing / synthetic-text tell).  Pure
+    JVM-side Column math (four regexp_replace+length per doc inside
+    whole-stage codegen — no UDF, no shuffle beyond the |langs|
+    rollup); counts are exact integers, shares are bp via DIV.  Both
+    engines count CODEPOINTS (Spark length() and DuckDB length() agree;
+    the char classes are explicit BMP ranges so Java regex and RE2
+    interpret them identically).  Scale: map-only over the corpus, one
+    5-row aggregate."""
+    txt = F.col("text")
+    d = (load_table(spark, sf_dir, "documents")
+         .where(txt.isNotNull() & F.col("lang").isNotNull()))
+    d = _wide(d).select(
+        "lang",
+        F.length(txt).cast("long").alias("nc"),
+        F.length(F.regexp_replace(txt, "[^A-Za-z]", "")).cast("long")
+         .alias("latin"),
+        F.length(F.regexp_replace(txt, "[^Ѐ-ӿ]", "")).cast("long")
+         .alias("cyr"),
+        F.length(F.regexp_replace(txt, "[^一-鿿]", "")).cast("long")
+         .alias("cjk"),
+        F.length(F.regexp_replace(txt, "[^0-9]", "")).cast("long")
+         .alias("dig"))
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("chars"),
+        F.sum("latin").cast("long").alias("sl"),
+        F.sum("cyr").cast("long").alias("sc"),
+        F.sum("cjk").cast("long").alias("sk"),
+        F.sum("dig").cast("long").alias("sd"),
+        F.sum(F.when((F.col("latin") > 0) & (F.col("cyr") > 0), 1)
+               .otherwise(0)).cast("long").alias("mixed_script_docs"))
+    bp = lambda c: (F.when(F.col("chars") > 0,  # noqa: E731
+                           F.expr(f"{c} * 10000 DIV chars"))
+                     .otherwise(F.lit(None).cast("long")))
+    return g.select("lang", "n_docs", "chars",
+                    bp("sl").alias("latin_bp"), bp("sc").alias("cyr_bp"),
+                    bp("sk").alias("cjk_bp"), bp("sd").alias("digit_bp"),
+                    "mixed_script_docs")

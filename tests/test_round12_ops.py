@@ -601,6 +601,51 @@ def test_power_mde_matches_brute(spark, tmp_path):
     assert got["mde_dollars"] == pytest.approx(mde, abs=2e-6)
 
 
+# ------------------------------------------------------- script mix
+
+def test_script_mix_counts_and_spoof_flag(spark, tmp_path):
+    docs = [
+        ("en", "Hello world 123"),           # latin 10, digit 3
+        ("en", "pаypаl login"),              # Cyrillic 'а' x2 spoof
+        ("zh", "你好世界 ok"),                 # cjk 4, latin 2
+        ("ru", "привет"),                     # cyr 6
+    ]
+    rows = [(f"src", len(t)) for _, t in docs]
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": range(len(docs)),
+        "text": [t for _, t in docs],
+        "lang": [l for l, _ in docs],
+        "source": ["s"] * len(docs),
+        "n_chars": [len(t) for _, t in docs],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    out = {r["lang"]: r for r in
+           QUERIES["q_script_mix"](spark, str(d)).collect()}
+
+    def classify(t):
+        lat = sum(1 for ch in t if "A" <= ch <= "Z" or "a" <= ch <= "z")
+        cyr = sum(1 for ch in t if "Ѐ" <= ch <= "ӿ")
+        cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+        dig = sum(1 for ch in t if "0" <= ch <= "9")
+        return len(t), lat, cyr, cjk, dig
+
+    for lang in ("en", "zh", "ru"):
+        texts = [t for l, t in docs if l == lang]
+        nc = sum(classify(t)[0] for t in texts)
+        lat = sum(classify(t)[1] for t in texts)
+        cyr = sum(classify(t)[2] for t in texts)
+        got = out[lang]
+        assert got["chars"] == nc
+        assert got["latin_bp"] == lat * 10000 // nc
+        assert got["cyr_bp"] == cyr * 10000 // nc
+    # the homoglyph-spoofed doc is the only mixed latin+cyrillic one
+    assert out["en"]["mixed_script_docs"] == 1
+    assert out["ru"]["mixed_script_docs"] == 0
+
+
 def test_silhouette_single_label_is_null(spark, tmp_path):
     import numpy as np
     import pandas as pd
