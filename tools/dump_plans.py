@@ -292,6 +292,45 @@ COMMENTARY = {
         "scores| rows per cohort in one map-side-combined aggregate; "
         "ONE partitioned cumulative window yields TP/PP; average "
         "precision is a per-block staged-double sum through R6.",
+    "q_simhash": "Map-only 64-bit SimHash (xxhash64 default lane).  "
+        "r12 record of the r11 judge adjudication of the three largest "
+        "r10→r11 driver-bench movers (5-rep steady states at sf0.1, "
+        "clearCache between reps, idle box): q_simhash 2.36 s driver → "
+        "[7.25, 2.06, 1.11, 1.02, 0.97] s (steady ≈1.0 s, better than "
+        "r10's 1.23 s); q_asof_join 1.07 s → steady ≈0.95 s; q_gini "
+        "1.16 s → 1.1–1.9 s noise band.  All first-execution Janino "
+        "codegen / bench-position effects, the q_url_canonical "
+        "mechanism — not plan regressions.  Harness fix (r12): bench.py "
+        "warms EVERY headline row once at smoke scale before timing.",
+    "q_spearman_rho": "Spearman (r12): events reduce to the "
+        "(hour × distinct-cents) grid; BOTH rank cumulatives run "
+        "through operators/prefix.bucketed_prefix (bucket-partitioned "
+        "window + broadcast ≤256-row triangular offsets) — doubled "
+        "midranks keep sxy/sxx/syy exact BIGINT; one sqrt·sqrt divide "
+        "at the end.",
+    "q_bradley_terry": "Bradley-Terry (r12): duel fan-out is per-order "
+        "(bounded basket), then everything lives on the ≤25-player / "
+        "≤300-pair grid — broadcast s1 iterates onto the pair list, "
+        "exact e6-integer MM terms, no corpus-scale join after the "
+        "(order, brand) rollup.",
+    "q_simplified_silhouette": "Silhouette (r12): e6-quantized integer "
+        "centroids via posexplode + (label, dim) groupBy; point×centroid "
+        "scoring is a broadcast nested-loop on the ≤|labels|-row build "
+        "side with one zip_with per pair — n·k, never n².",
+    "q_conformal_interval": "Conformal (r12): md5 split, integer DIV "
+        "hour model, residual quantile off the distinct-residual grid "
+        "via bucketed_prefix + conditional-min collapse, bp coverage — "
+        "no doubles, no raw-row windows.",
+    "q_harmonic_centrality": "Harmonic centrality (r12): multi-source "
+        "frontier BFS keyed (landmark, node) — all 4 landmarks advance "
+        "in ONE join per round against the persisted adjacency; "
+        "min-dist ledger anti-join on the same key; eager_release "
+        "cleans the round caches.",
+    "q_benjamini_hochberg": "BH FDR (r12): corpus reduces to the "
+        "|types|×24 cell grid before the rank window (domain-bounded, "
+        "audit-allowlisted); p-proxy is transcendental-free rational "
+        "arithmetic from exact integer moments; step-up rule in BIGINT "
+        "cross-multiplication.",
 }
 
 
