@@ -1468,3 +1468,182 @@ def q_script_mix(spark, sf_dir):
                     bp("sl").alias("latin_bp"), bp("sc").alias("cyr_bp"),
                     bp("sk").alias("cjk_bp"), bp("sd").alias("digit_bp"),
                     "mixed_script_docs")
+
+
+# =====================================================================
+# distributional / local-linear causal estimators
+# =====================================================================
+
+@query(
+    "q_quantile_treatment_effect",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(('0x' || substring(md5('qte:' || CAST(event_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 2 AS BIGINT) AS t,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    grid AS (
+      SELECT t, y, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY t, y
+    ),
+    cum AS (
+      SELECT t, y, CAST(SUM(cnt) OVER (PARTITION BY t ORDER BY y
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cd
+      FROM grid
+    ),
+    na AS (SELECT t, CAST(SUM(cnt) AS BIGINT) AS n FROM grid GROUP BY t),
+    qs AS (SELECT UNNEST([2500, 5000, 7500]) AS q_bp),
+    kq AS (
+      SELECT na.t, na.n, qs.q_bp,
+             CAST((qs.q_bp * na.n + 9999) // 10000 AS BIGINT) AS k
+      FROM na CROSS JOIN qs
+    ),
+    vq AS (
+      SELECT kq.t, kq.q_bp, kq.n,
+             MIN(CASE WHEN cum.cd >= kq.k THEN cum.y END) AS v
+      FROM kq JOIN cum ON cum.t = kq.t
+      GROUP BY kq.t, kq.q_bp, kq.n
+    )
+    SELECT a.q_bp AS q_bp, a.n AS n_treat, b.n AS n_ctrl,
+           CAST(a.v AS BIGINT) AS v_treat, CAST(b.v AS BIGINT) AS v_ctrl,
+           CAST(a.v - b.v AS BIGINT) AS qte_cents
+    FROM vq a JOIN vq b ON a.q_bp = b.q_bp AND a.t = 1 AND b.t = 0
+    """,
+)
+def q_quantile_treatment_effect(spark, sf_dir):
+    """Quantile treatment effects at the quartiles: the DISTRIBUTIONAL
+    causal readout (did the treatment move the median? the tails?) that
+    q_ipw_ate's means can't see — treatment shifting only the p75 is
+    invisible to an ATE.  md5 arms; per-arm type-1 quantiles are exact:
+    k = ceil(q*n) off the per-arm distinct-cents grid with a
+    conditional-min collapse (the q_lorenz_curve boundary shape), so
+    v_q and the QTE differences are exact integers — no interpolation
+    doubles.  Scale: the per-arm cumulative is a window PARTITIONED by
+    arm over the distinct-value grid (grid-sized sort payload); the
+    quantile probe is a broadcast 6-row join.  Output: one row per
+    quartile with both arms' n and values."""
+    lane = F.conv(F.substring(F.md5(F.concat(
+        F.lit("qte:"), F.col("event_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 2
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+          .select(lane.alias("t"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("y")))
+    grid = ev.groupBy("t", "y").agg(F.count("*").cast("long").alias("cnt"))
+    wcum = (W.partitionBy("t").orderBy("y")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = grid.withColumn("cd", F.sum("cnt").over(wcum).cast("long"))
+    na = grid.groupBy("t").agg(F.sum("cnt").cast("long").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(2500), F.lit(5000), F.lit(7500)))
+         .alias("q_bp"))
+    kq = (na.crossJoin(F.broadcast(qs))
+            .withColumn("k", F.expr("(q_bp * n + 9999) DIV 10000")))
+    vq = (F.broadcast(kq).join(cum, "t")
+           .groupBy("t", "q_bp", "n")
+           .agg(F.min(F.when(F.col("cd") >= F.col("k"), F.col("y")))
+                 .alias("v")))
+    a = vq.where(F.col("t") == 1).select(
+        "q_bp", F.col("n").alias("n_treat"), F.col("v").alias("v_treat"))
+    b = vq.where(F.col("t") == 0).select(
+        "q_bp", F.col("n").alias("n_ctrl"), F.col("v").alias("v_ctrl"))
+    return (a.join(b, "q_bp")
+             .select("q_bp", "n_treat", "n_ctrl",
+                     F.col("v_treat").cast("long").alias("v_treat"),
+                     F.col("v_ctrl").cast("long").alias("v_ctrl"),
+                     (F.col("v_treat") - F.col("v_ctrl")).cast("long")
+                      .alias("qte_cents")))
+
+
+@query(
+    "q_regression_discontinuity",
+    oracle="""
+    WITH ev AS (
+      SELECT day(CAST(ts AS TIMESTAMP)) - 16 AS x,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    w AS (
+      SELECT CASE WHEN x >= 0 THEN 1 ELSE 0 END AS side,
+             CAST(x AS BIGINT) AS x, y
+      FROM ev WHERE x >= -7 AND x <= 6
+    ),
+    m AS (
+      SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM w GROUP BY side
+    ),
+    fit AS (
+      SELECT side, n,
+             CASE WHEN n * sxx - sx * sx <> 0 THEN
+               (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE)
+             ELSE NULL END AS a0
+      FROM m
+    )
+    SELECT r.n AS n_right, l.n AS n_left,
+           ROUND(r.a0, 6) AS limit_right, ROUND(l.a0, 6) AS limit_left,
+           CASE WHEN r.a0 IS NOT NULL AND l.a0 IS NOT NULL
+                THEN ROUND(r.a0 - l.a0, 6) ELSE NULL END AS rd_estimate
+    FROM fit r JOIN fit l ON r.side = 1 AND l.side = 0
+    """,
+)
+def q_regression_discontinuity(spark, sf_dir):
+    """Sharp regression discontinuity at the mid-month cutoff: local
+    linear fits on each side of day 16 (bandwidth 7 days), compared at
+    the boundary — the quasi-experimental estimator for 'did the
+    mid-month policy change move the metric', closing the causal shelf
+    next to q_diff_in_diff (panel) and q_ipw_ate (confounding).  Each
+    side's OLS intercept at the cutoff comes from exact BIGINT moments
+    (n, Sx, Sxx, Sy, Sxy over the centered day axis) through one staged
+    IEEE expression — slope b = (n·Sxy - Sx·Sy)/(n·Sxx - Sx²),
+    intercept (Sy - b·Sx)/n — identical association on both engines,
+    R6 dollars.  Degenerate sides (zero day variance) yield NULL.
+    Scale: one 14-day-bounded filter + one 2-row rollup; no joins, no
+    windows."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select((F.dayofmonth("ts") - 16).cast("long").alias("x"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("y")))
+    w = (ev.where((F.col("x") >= -7) & (F.col("x") <= 6))
+           .withColumn("side", F.when(F.col("x") >= 0, 1).otherwise(0)))
+    m = w.groupBy("side").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"))
+    b_num = (F.col("n").cast("double") * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+    b_den = (F.col("n").cast("double") * F.col("sxx").cast("double")
+             - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    a0 = ((F.col("sy").cast("double")
+           - b_num / b_den * F.col("sx").cast("double"))
+          / F.col("n").cast("double") / F.lit(100.0))
+    fit = m.select(
+        "side", "n",
+        F.when(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0,
+               a0).otherwise(F.lit(None).cast("double")).alias("a0"))
+    r = fit.where(F.col("side") == 1).select(
+        F.col("n").alias("n_right"), F.col("a0").alias("ar"))
+    l = fit.where(F.col("side") == 0).select(
+        F.col("n").alias("n_left"), F.col("a0").alias("al"))
+    return (r.crossJoin(l)
+             .select("n_right", "n_left",
+                     pround(F.col("ar"), 6).alias("limit_right"),
+                     pround(F.col("al"), 6).alias("limit_left"),
+                     F.when(F.col("ar").isNotNull()
+                            & F.col("al").isNotNull(),
+                            pround(F.col("ar") - F.col("al"), 6))
+                      .otherwise(F.lit(None).cast("double"))
+                      .alias("rd_estimate")))

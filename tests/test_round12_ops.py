@@ -646,6 +646,75 @@ def test_script_mix_counts_and_spoof_flag(spark, tmp_path):
     assert out["ru"]["mixed_script_docs"] == 0
 
 
+# ------------------------------------------- quantile treatment effect
+
+def test_qte_matches_brute_quantiles(spark, tmp_path):
+    import pandas as pd
+    rows, arms = [], {}
+    for eid in range(120):
+        t = _md5_lane("qte:", eid, 2)
+        # treated arm shifted +5.00 above control
+        v = 10.0 + (eid % 10) + (5.0 if t == 1 else 0.0)
+        rows.append((eid, "2024-01-01 10:00:00", v))
+        arms.setdefault(t, []).append(int(round(v * 100)))
+    pdf = pd.DataFrame({
+        "event_id": [e for e, _, _ in rows],
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": ["x"] * len(rows),
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    out = {r["q_bp"]: r for r in
+           QUERIES["q_quantile_treatment_effect"](spark, str(d)).collect()}
+
+    def q1(vals, qbp):
+        s = sorted(vals)
+        k = -(-(qbp * len(s)) // 10000)  # ceil
+        return s[k - 1]
+
+    for qbp in (2500, 5000, 7500):
+        got = out[qbp]
+        vt, vc = q1(arms[1], qbp), q1(arms[0], qbp)
+        assert (got["v_treat"], got["v_ctrl"]) == (vt, vc)
+        assert got["qte_cents"] == vt - vc
+        assert got["n_treat"] == len(arms[1])
+    # the +5.00 uniform shift shows up at every quartile
+    assert all(400 <= out[q]["qte_cents"] <= 600 for q in out)
+
+
+# --------------------------------------------- regression discontinuity
+
+def test_rd_recovers_known_jump(spark, tmp_path):
+    rows = []
+    for day in range(9, 23):
+        x = day - 16
+        # linear trend 0.10/day + a +4.00 jump at the cutoff
+        base = 10.0 + 0.10 * x + (4.0 if x >= 0 else 0.0)
+        for _ in range(5):
+            rows.append(("x", f"2024-01-{day:02d} 10:00:00", base))
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_regression_discontinuity"](spark, d).collect()[0]
+    assert got["n_left"] == 35 and got["n_right"] == 35
+    # noiseless linear data: the local-linear fits are exact
+    assert got["limit_left"] == pytest.approx(10.0, abs=1e-4)
+    assert got["limit_right"] == pytest.approx(14.0, abs=1e-4)
+    assert got["rd_estimate"] == pytest.approx(4.0, abs=1e-4)
+
+
+def test_rd_degenerate_one_day_side(spark, tmp_path):
+    rows = ([("x", "2024-01-20 10:00:00", 12.0)] * 5    # right: one day
+            + [("x", f"2024-01-{d:02d} 10:00:00", 10.0)
+               for d in (10, 12, 14)] * 3)
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_regression_discontinuity"](spark, d).collect()[0]
+    # single-day right side -> zero dose variance -> NULL fit
+    assert got["limit_right"] is None and got["rd_estimate"] is None
+
+
 def test_silhouette_single_label_is_null(spark, tmp_path):
     import numpy as np
     import pandas as pd
