@@ -89,10 +89,17 @@ _DRIVER_PRIORITY = [
     "q_derivability",
 ]
 # Round-13 rotation plan (r11 verdict item 5): after this 47-row
-# window, exactly these 37 never-exposed rows remain — schedule ALL of
-# them (37 + 3 sentinels + 10 re-exposures of this window's riskiest
-# rows fill the 50-row prefix) so every registry row has driver signal
-# by end of r13:
+# window, exactly these 37 pre-r12 never-exposed rows remain, plus the
+# 17 operators added in round 12 (q_wilson_interval, q_spearman_rho,
+# q_kruskal_wallis, q_benjamini_hochberg, q_bradley_terry,
+# q_simplified_silhouette, q_ipw_ate, q_conformal_interval,
+# q_harmonic_centrality, q_cochran_armitage, q_stratified_neyman,
+# q_odds_ratio_ci, q_diff_in_diff, q_power_mde, q_script_mix,
+# q_quantile_treatment_effect, q_regression_discontinuity — all
+# vanilla + TZ + 5-seed-fuzz gated at birth this round).  r13 window:
+# 3 sentinels + ALL 37 pre-r12 rows (clears the oldest debt first)
+# + the 10 riskiest r12 rows (md5-lane/DATE-free integer surfaces
+# first); the remaining 7 r12 rows take the r14 window:
 # q_ivf_assign, q_distinct_agg, q_stratified_sample, q_decontaminate,
 # q_upsert_ignore, q_embedding_quantize, q_quality_quantile_filter,
 # q_cap_per_group, q_shard_assign, q_outlier_filter, q_ann_recall,

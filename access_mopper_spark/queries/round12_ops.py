@@ -1647,3 +1647,82 @@ def q_regression_discontinuity(spark, sf_dir):
                             pround(F.col("ar") - F.col("al"), 6))
                       .otherwise(F.lit(None).cast("double"))
                       .alias("rd_estimate")))
+
+
+# =====================================================================
+# recency weighting
+# =====================================================================
+
+@query(
+    "q_freshness_decay",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    mx AS (SELECT CAST(MAX(d) AS BIGINT) AS md FROM ev),
+    cell AS (
+      SELECT event_type, CAST(mx.md - d AS BIGINT) AS age,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ev CROSS JOIN mx GROUP BY event_type, mx.md - d
+    ),
+    wts AS (
+      SELECT age,
+             CAST(FLOOR(EXP(CAST(-age AS DOUBLE) / CAST(7 AS DOUBLE))
+                        * CAST(1000000000 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w_e9
+      FROM (SELECT DISTINCT age FROM cell)
+    )
+    SELECT cell.event_type,
+           CAST(SUM(cell.cnt) AS BIGINT) AS n,
+           CAST(MIN(cell.age) AS BIGINT) AS newest_age_days,
+           CAST(SUM(cell.cnt * wts.w_e9) AS BIGINT) AS decayed_e9,
+           ROUND(CAST(SUM(cell.cnt * wts.w_e9) AS DOUBLE)
+                 / (CAST(SUM(cell.cnt) AS DOUBLE)
+                    * CAST(1000000000 AS DOUBLE)), 6) AS freshness
+    FROM cell JOIN wts USING (age)
+    GROUP BY cell.event_type
+    """,
+)
+def q_freshness_decay(spark, sf_dir):
+    """Exponential freshness weighting (7-day half-life-ish decay
+    exp(-age/7)) of event mass per type — the recency prior a
+    training-data mixture applies when newer documents should count
+    more (news vs reference corpora), the time-axis sibling of
+    q_mixture_sample's source weights.  Age is computed in integer
+    epoch-DAYS on both engines (epoch_us DIV 86400000000 — the repo's
+    integer-time convention, immune to interval-division truncation);
+    exp() is evaluated once per DISTINCT age on the bounded day axis
+    and quantized to w_e9 integers (the per-distinct-value
+    transcendental recipe), so the corpus-scale decayed mass
+    sum(cnt * w_e9) is an exact BIGINT and the hash cannot flip.
+    freshness = decayed mass / n in [0,1] (1.0 = everything from the
+    newest day).  Scale: one (type, age) grid rollup + a <=|days|-row
+    weight join — no windows, no raw-row transcendentals."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.expr("unix_micros(ts) DIV 86400000000").alias("d")))
+    mx = ev.agg(F.max("d").cast("long").alias("md"))
+    cell = (ev.crossJoin(F.broadcast(mx))
+              .groupBy("event_type",
+                       (F.col("md") - F.col("d")).cast("long").alias("age"))
+              .agg(F.count("*").cast("long").alias("cnt")))
+    wts = (cell.select("age").distinct()
+               .select("age",
+                       F.floor(F.exp((-F.col("age")).cast("double")
+                                     / F.lit(7.0))
+                               * F.lit(1e9) + F.lit(0.5)).cast("long")
+                        .alias("w_e9")))
+    g = (cell.join(F.broadcast(wts), "age")
+             .groupBy("event_type")
+             .agg(F.sum("cnt").cast("long").alias("n"),
+                  F.min("age").cast("long").alias("newest_age_days"),
+                  F.sum(F.col("cnt") * F.col("w_e9")).cast("long")
+                   .alias("decayed_e9")))
+    return g.select(
+        "event_type", "n", "newest_age_days", "decayed_e9",
+        pround(F.col("decayed_e9").cast("double")
+               / (F.col("n").cast("double") * F.lit(1e9)), 6)
+         .alias("freshness"))

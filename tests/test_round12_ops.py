@@ -715,6 +715,27 @@ def test_rd_degenerate_one_day_side(spark, tmp_path):
     assert got["limit_right"] is None and got["rd_estimate"] is None
 
 
+# ----------------------------------------------------- freshness decay
+
+def test_freshness_decay_matches_brute(spark, tmp_path):
+    rows = ([("new", "2024-01-30 10:00:00", 1.0)] * 4      # age 0
+            + [("old", "2024-01-23 10:00:00", 1.0)] * 2    # age 7
+            + [("old", "2024-01-16 10:00:00", 1.0)] * 2)   # age 14
+    d = _events_fixture(tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           QUERIES["q_freshness_decay"](spark, d).collect()}
+    w = {a: int(math.floor(math.exp(-a / 7) * 1e9 + 0.5))
+         for a in (0, 7, 14)}
+    assert out["new"]["newest_age_days"] == 0
+    assert out["new"]["decayed_e9"] == 4 * w[0]
+    assert out["new"]["freshness"] == pytest.approx(1.0, abs=1e-6)
+    assert out["old"]["newest_age_days"] == 7
+    assert out["old"]["decayed_e9"] == 2 * w[7] + 2 * w[14]
+    assert out["old"]["freshness"] == pytest.approx(
+        (2 * w[7] + 2 * w[14]) / (4 * 1e9), abs=2e-6)
+    assert out["new"]["freshness"] > out["old"]["freshness"]
+
+
 def test_silhouette_single_label_is_null(spark, tmp_path):
     import numpy as np
     import pandas as pd

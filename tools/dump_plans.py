@@ -331,6 +331,15 @@ COMMENTARY = {
         "audit-allowlisted); p-proxy is transcendental-free rational "
         "arithmetic from exact integer moments; step-up rule in BIGINT "
         "cross-multiplication.",
+    "q_quantile_treatment_effect": "QTE (r12): per-arm type-1 "
+        "quantiles off the (arm, distinct-cents) grid — cumulative "
+        "window PARTITIONED by arm (grid-sized sort payload), "
+        "ceil-rank conditional-min probe via a broadcast 6-row join, "
+        "exact integer differences.",
+    "q_regression_discontinuity": "Sharp RD (r12): one 14-day-bounded "
+        "filter, one 2-row rollup of exact BIGINT OLS moments on the "
+        "centered day axis, staged IEEE intercepts — no joins beyond "
+        "the final 1x1 cross, no windows.",
 }
 
 
