@@ -1726,3 +1726,81 @@ def q_freshness_decay(spark, sf_dir):
         pround(F.col("decayed_e9").cast("double")
                / (F.col("n").cast("double") * F.lit(1e9)), 6)
          .alias("freshness"))
+
+
+@query(
+    "q_winrate_matrix",
+    oracle="""
+    WITH ob AS (
+      SELECT l.l_orderkey AS ok, p.p_brand AS b,
+             CAST(SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT))
+                  AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY l.l_orderkey, p.p_brand
+    ),
+    pr AS (
+      SELECT a.b AS b1, b.b AS b2,
+             CASE WHEN a.q > b.q THEN 1 ELSE 0 END AS w1f
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.b < b.b
+      WHERE a.q <> b.q
+    ),
+    g AS (
+      SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(w1f) AS BIGINT) AS w1
+      FROM pr GROUP BY b1, b2
+    ),
+    m AS (
+      SELECT b1, b2, n, w1, CAST(w1 * 10000 // n AS BIGINT) AS rate_bp,
+             CAST(w1 AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+             CAST(n AS DOUBLE) AS nd, CAST(1.96 AS DOUBLE) AS z
+      FROM g WHERE n >= 5
+    )
+    SELECT b1, b2, n, w1, rate_bp,
+           ROUND((ph + (z * z) / (CAST(2 AS DOUBLE) * nd)
+                  - z * SQRT(ph * (CAST(1 AS DOUBLE) - ph) / nd
+                             + (z * z) / (CAST(4 AS DOUBLE) * nd * nd)))
+                 / (CAST(1 AS DOUBLE) + (z * z) / nd), 6) AS wilson_lo
+    FROM m
+    """,
+)
+def q_winrate_matrix(spark, sf_dir):
+    """Pairwise win-rate matrix with Wilson lower bounds: for each
+    brand duel pair (min 5 comparisons), b1's win rate and its
+    conservative 95% lower bound — the per-matchup diagnostic UNDER
+    q_bradley_terry's global strengths (BT says who is strong overall;
+    this says which specific matchups are decisively settled vs still
+    noise — exactly the readout an RLHF preference dataset needs to
+    decide where to spend more comparisons).  Same bounded duel
+    machinery as q_bradley_terry (per-order fan-out, <=300-pair grid);
+    the Wilson bound is the q_wilson_interval IEEE-exact recipe on
+    exact integer (w1, n).  Output one row per surviving ordered pair."""
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (li.join(pt, li["l_partkey"] == pt["p_partkey"])
+            .groupBy(F.col("l_orderkey").alias("ok"),
+                     F.col("p_brand").alias("b"))
+            .agg(F.sum(F.floor(F.col("l_quantity") + F.lit(0.5))
+                       .cast("long")).cast("long").alias("q")))
+    a = ob.select(F.col("ok"), F.col("b").alias("b1"),
+                  F.col("q").alias("q1"))
+    bb = ob.select(F.col("ok"), F.col("b").alias("b2"),
+                   F.col("q").alias("q2"))
+    g = (a.join(bb, "ok")
+          .where((F.col("b1") < F.col("b2"))
+                 & (F.col("q1") != F.col("q2")))
+          .groupBy("b1", "b2")
+          .agg(F.count("*").cast("long").alias("n"),
+               F.sum(F.when(F.col("q1") > F.col("q2"), 1).otherwise(0))
+                .cast("long").alias("w1"))
+          .where(F.col("n") >= 5))
+    nd = F.col("n").cast("double")
+    z = F.lit(1.96)
+    ph = F.col("w1").cast("double") / nd
+    lo = ((ph + (z * z) / (F.lit(2.0) * nd)
+           - z * F.sqrt(ph * (F.lit(1.0) - ph) / nd
+                        + (z * z) / (F.lit(4.0) * nd * nd)))
+          / (F.lit(1.0) + (z * z) / nd))
+    return g.select("b1", "b2", "n", "w1",
+                    F.expr("w1 * 10000 DIV n").alias("rate_bp"),
+                    pround(lo, 6).alias("wilson_lo"))

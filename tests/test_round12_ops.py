@@ -736,6 +736,54 @@ def test_freshness_decay_matches_brute(spark, tmp_path):
     assert out["new"]["freshness"] > out["old"]["freshness"]
 
 
+# ------------------------------------------------------ winrate matrix
+
+def test_winrate_matrix_matches_brute(spark, tmp_path):
+    import pandas as pd
+    pt = pd.DataFrame({"p_partkey": [1, 2], "p_name": ["x", "y"],
+                       "p_brand": ["A", "B"], "p_type": ["t"] * 2,
+                       "p_size": [1] * 2, "p_retailprice": [1.0] * 2})
+    li = []
+    duels = [(5, 1), (4, 2), (1, 3), (6, 2), (7, 1), (2, 4)]  # A wins 4/6
+    for ok, (qa, qb) in enumerate(duels, 1):
+        li += [(ok, 1, float(qa)), (ok, 2, float(qb))]
+    ldf = pd.DataFrame(li, columns=["l_orderkey", "l_partkey",
+                                    "l_quantity"])
+    d = tmp_path / "sf"
+    d.mkdir()
+    ldf.to_parquet(d / "lineitem.parquet")
+    pt.to_parquet(d / "part.parquet")
+    out = QUERIES["q_winrate_matrix"](spark, str(d)).collect()
+    assert len(out) == 1
+    got = out[0]
+    n, w1 = 6, 4
+    assert (got["b1"], got["b2"], got["n"], got["w1"]) == ("A", "B", n, w1)
+    assert got["rate_bp"] == w1 * 10000 // n
+    z, ph = 1.96, w1 / n
+    lo = ((ph + z * z / (2 * n)
+           - z * math.sqrt(ph * (1 - ph) / n + z * z / (4 * n * n)))
+          / (1 + z * z / n))
+    assert got["wilson_lo"] == pytest.approx(lo, abs=2e-6)
+    # 4/6 is far from decisively settled: the lower bound dips under 50%
+    assert got["wilson_lo"] < 0.5
+
+
+def test_winrate_matrix_min_count_filter(spark, tmp_path):
+    import pandas as pd
+    pt = pd.DataFrame({"p_partkey": [1, 2], "p_name": ["x", "y"],
+                       "p_brand": ["A", "B"], "p_type": ["t"] * 2,
+                       "p_size": [1] * 2, "p_retailprice": [1.0] * 2})
+    ldf = pd.DataFrame([(1, 1, 5.0), (1, 2, 1.0), (2, 1, 3.0),
+                        (2, 2, 4.0)],
+                       columns=["l_orderkey", "l_partkey", "l_quantity"])
+    d = tmp_path / "sf"
+    d.mkdir()
+    ldf.to_parquet(d / "lineitem.parquet")
+    pt.to_parquet(d / "part.parquet")
+    # only 2 duels < the 5-comparison floor -> empty
+    assert QUERIES["q_winrate_matrix"](spark, str(d)).count() == 0
+
+
 def test_silhouette_single_label_is_null(spark, tmp_path):
     import numpy as np
     import pandas as pd
