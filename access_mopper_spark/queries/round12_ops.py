@@ -1804,3 +1804,224 @@ def q_winrate_matrix(spark, sf_dir):
     return g.select("b1", "b2", "n", "w1",
                     F.expr("w1 * 10000 DIV n").alias("rate_bp"),
                     pround(lo, 6).alias("wilson_lo"))
+
+
+# =====================================================================
+# community quality / multi-rater agreement
+# =====================================================================
+
+@query(
+    "q_modularity",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      WHERE l1.l_quantity > 25 AND l2.l_quantity > 25
+    ),
+    lab AS (
+      SELECT pr.a, pr.b, pa.p_brand AS ca, pb.p_brand AS cb
+      FROM pairs pr JOIN part pa ON pa.p_partkey = pr.a
+                    JOIN part pb ON pb.p_partkey = pr.b
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
+    ein AS (
+      SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+      FROM lab WHERE ca = cb GROUP BY ca
+    ),
+    deg AS (
+      SELECT c AS community, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+        SELECT ca AS c FROM lab UNION ALL SELECT cb AS c FROM lab
+      ) GROUP BY c
+    ),
+    per AS (
+      SELECT deg.community, COALESCE(ein.e_in, 0) AS e_in, deg.d_c,
+             CAST(4 * m.m * COALESCE(ein.e_in, 0) - deg.d_c * deg.d_c
+                  AS BIGINT) AS num_c
+      FROM deg LEFT JOIN ein ON ein.community = deg.community
+      CROSS JOIN m
+    ),
+    q AS (SELECT CAST(SUM(num_c) AS BIGINT) AS s_num,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM per)
+    SELECT per.community, CAST(per.e_in AS BIGINT) AS e_in, per.d_c,
+           per.num_c, m.m AS m_edges, q.k AS n_communities,
+           ROUND(CAST(q.s_num AS DOUBLE)
+                 / (CAST(4 AS DOUBLE) * CAST(m.m AS DOUBLE)
+                    * CAST(m.m AS DOUBLE)), 6) AS modularity
+    FROM per CROSS JOIN m CROSS JOIN q
+    """,
+)
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the brand partition over the co-purchase
+    part graph: does purchasing cluster along brand lines?  The
+    community-QUALITY scalar for any partition the cluster operators
+    produce (q_cc_large_small_star components, q_simhash_clusters,
+    label propagation) — here evaluated on the natural brand
+    communities.  FULLY integer-exact: Q = sum_c(e_cc/m - (d_c/2m)^2)
+    rearranges to sum_c(4*m*e_cc - d_c^2) / (4m^2), whose numerator
+    terms and total are exact BIGINTs (bound: d_c^2 <= 4m^2 -> valid
+    to m ~ 1.5e9 edges) — ONE division at the end, the hash cannot
+    flip.  Per-community rows carry the exact cores; the scalar is
+    attached from a broadcast 1-row aggregate.  Scale: the edge list
+    is the same bounded per-order fan-out as the graph family; labels
+    join via two broadcast part-dim lookups; everything after is
+    |brands|-sized."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 25)
+          .select("l_orderkey", "l_partkey"))
+    e1 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+    e2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
+    pairs = (e1.join(e2, "l_orderkey")
+               .where(F.col("a") < F.col("b"))
+               .select("a", "b").distinct())
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lab = (pairs
+           .join(F.broadcast(pt.select(F.col("p_partkey").alias("a"),
+                                       F.col("p_brand").alias("ca"))), "a")
+           .join(F.broadcast(pt.select(F.col("p_partkey").alias("b"),
+                                       F.col("p_brand").alias("cb"))), "b"))
+    m = lab.agg(F.count("*").cast("long").alias("m"))
+    ein = (lab.where(F.col("ca") == F.col("cb"))
+              .groupBy(F.col("ca").alias("community"))
+              .agg(F.count("*").cast("long").alias("e_in")))
+    deg = (lab.select(F.col("ca").alias("c"))
+              .unionAll(lab.select(F.col("cb").alias("c")))
+              .groupBy(F.col("c").alias("community"))
+              .agg(F.count("*").cast("long").alias("d_c")))
+    per = (deg.join(ein, "community", "left")
+              .select("community",
+                      F.coalesce("e_in", F.lit(0)).cast("long")
+                       .alias("e_in"), "d_c")
+              .crossJoin(F.broadcast(m))
+              .withColumn("num_c",
+                          (4 * F.col("m") * F.col("e_in")
+                           - F.col("d_c") * F.col("d_c")).cast("long")))
+    q = per.agg(F.sum("num_c").cast("long").alias("s_num"),
+                F.count("*").cast("long").alias("k"))
+    return (per.crossJoin(F.broadcast(q))
+               .select("community", "e_in", "d_c", "num_c",
+                       F.col("m").alias("m_edges"),
+                       F.col("k").alias("n_communities"),
+                       pround(F.col("s_num").cast("double")
+                              / (F.lit(4.0) * F.col("m").cast("double")
+                                 * F.col("m").cast("double")), 6)
+                        .alias("modularity")))
+
+
+@query(
+    "q_fleiss_kappa",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 120 THEN 0
+                  WHEN n_chars < 300 THEN 1 ELSE 2 END AS true_cat
+      FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    votes AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substring(md5('rate' || CAST(r.r AS VARCHAR)
+                        || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10 < 2
+                  THEN CAST(('0x' || substring(md5('cat' || CAST(r.r AS VARCHAR)
+                       || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 3 AS BIGINT)
+                  ELSE CAST(true_cat AS BIGINT) END AS cat
+      FROM d CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS r) r
+    ),
+    cell AS (
+      SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM votes GROUP BY doc_id, cat
+    ),
+    item AS (
+      SELECT doc_id, CAST(SUM(n_ij * n_ij) - 3 AS BIGINT) AS agree6
+      FROM cell GROUP BY doc_id
+    ),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                 CAST(SUM(agree6) AS BIGINT) AS s_agree FROM item),
+    catc AS (
+      SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS t_sq FROM (
+        SELECT cat, CAST(SUM(n_ij) AS BIGINT) AS cnt
+        FROM cell GROUP BY cat
+      )
+    )
+    SELECT s.n_items, s.s_agree, catc.t_sq,
+           ROUND(CAST(s.s_agree AS DOUBLE)
+                 / (CAST(6 AS DOUBLE) * CAST(s.n_items AS DOUBLE)), 6)
+             AS p_bar,
+           ROUND(CAST(catc.t_sq AS DOUBLE)
+                 / (CAST(9 AS DOUBLE) * CAST(s.n_items AS DOUBLE)
+                    * CAST(s.n_items AS DOUBLE)), 6) AS p_e,
+           CASE WHEN CAST(catc.t_sq AS DOUBLE)
+                     / (CAST(9 AS DOUBLE) * CAST(s.n_items AS DOUBLE)
+                        * CAST(s.n_items AS DOUBLE))
+                     < CAST(1 AS DOUBLE) THEN
+             ROUND((CAST(s.s_agree AS DOUBLE)
+                    / (CAST(6 AS DOUBLE) * CAST(s.n_items AS DOUBLE))
+                    - CAST(catc.t_sq AS DOUBLE)
+                      / (CAST(9 AS DOUBLE) * CAST(s.n_items AS DOUBLE)
+                         * CAST(s.n_items AS DOUBLE)))
+                   / (CAST(1 AS DOUBLE)
+                      - CAST(catc.t_sq AS DOUBLE)
+                        / (CAST(9 AS DOUBLE) * CAST(s.n_items AS DOUBLE)
+                           * CAST(s.n_items AS DOUBLE))), 6)
+           ELSE NULL END AS fleiss_kappa
+    FROM s CROSS JOIN catc
+    """,
+)
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa for fixed-panel multi-rater agreement: 3
+    deterministic md5 'annotators' each label every doc into 3 length
+    buckets (20% of votes replaced by an md5 random category —
+    simulating noisy raters), and kappa measures agreement beyond
+    chance — the FIXED-PANEL companion to Krippendorff's alpha
+    (which handles missing ratings) and q_cohens_kappa (2 raters);
+    the standard QC gate for annotation-vendor batches.  Exactness:
+    per-item agreement sums sum_j(n_ij^2) - n are small exact integers
+    summed to BIGINT S; category masses square to exact T; P_bar =
+    S/(6N), P_e = T/(9N^2), kappa = (P_bar - P_e)/(1 - P_e) — one
+    staged IEEE expression from three BIGINTs, R6; NULL when P_e = 1
+    (all votes one category).  Scale: votes = 3 map-side lanes per
+    doc (a 3-row broadcast cross), then two grid rollups."""
+    d = (load_table(spark, sf_dir, "documents")
+         .where(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+         .select("doc_id",
+                 F.when(F.col("n_chars") < 120, 0)
+                  .when(F.col("n_chars") < 300, 1).otherwise(2)
+                  .alias("true_cat")))
+    raters = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("r"))
+    votes = d.crossJoin(F.broadcast(raters))
+    noise = F.conv(F.substring(F.md5(F.concat(
+        F.lit("rate"), F.col("r").cast("string"), F.lit(":"),
+        F.col("doc_id").cast("string"))), 1, 8), 16, 10) \
+        .cast("long") % 10
+    rndcat = F.conv(F.substring(F.md5(F.concat(
+        F.lit("cat"), F.col("r").cast("string"), F.lit(":"),
+        F.col("doc_id").cast("string"))), 1, 8), 16, 10) \
+        .cast("long") % 3
+    votes = votes.select(
+        "doc_id",
+        F.when(noise < 2, rndcat)
+         .otherwise(F.col("true_cat").cast("long")).alias("cat"))
+    cell = votes.groupBy("doc_id", "cat").agg(
+        F.count("*").cast("long").alias("n_ij"))
+    item = cell.groupBy("doc_id").agg(
+        (F.sum(F.col("n_ij") * F.col("n_ij")) - 3).cast("long")
+         .alias("agree6"))
+    s = item.agg(F.count("*").cast("long").alias("n_items"),
+                 F.sum("agree6").cast("long").alias("s_agree"))
+    catc = (cell.groupBy("cat").agg(F.sum("n_ij").cast("long")
+                                     .alias("cnt"))
+                .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long")
+                      .alias("t_sq")))
+    j = s.crossJoin(F.broadcast(catc))
+    nd = F.col("n_items").cast("double")
+    p_bar = F.col("s_agree").cast("double") / (F.lit(6.0) * nd)
+    p_e = F.col("t_sq").cast("double") / (F.lit(9.0) * nd * nd)
+    return j.select(
+        "n_items", "s_agree", "t_sq",
+        pround(p_bar, 6).alias("p_bar"),
+        pround(p_e, 6).alias("p_e"),
+        F.when(p_e < F.lit(1.0),
+               pround((p_bar - p_e) / (F.lit(1.0) - p_e), 6))
+         .otherwise(F.lit(None).cast("double")).alias("fleiss_kappa"))

@@ -784,6 +784,98 @@ def test_winrate_matrix_min_count_filter(spark, tmp_path):
     assert QUERIES["q_winrate_matrix"](spark, str(d)).count() == 0
 
 
+# --------------------------------------------------------- modularity
+
+def test_modularity_matches_brute(spark, tmp_path):
+    import pandas as pd
+    # two brand cliques joined by one bridge edge
+    edges = [(1, 2), (1, 3), (2, 3),          # brand A clique
+             (4, 5), (4, 6), (5, 6),          # brand B clique
+             (3, 4)]                           # bridge
+    li = []
+    for ok, (a, b) in enumerate(edges, 1):
+        li += [(ok, a, 30.0), (ok, b, 30.0)]
+    ldf = pd.DataFrame(li, columns=["l_orderkey", "l_partkey",
+                                    "l_quantity"])
+    pt = pd.DataFrame({
+        "p_partkey": [1, 2, 3, 4, 5, 6],
+        "p_name": list("abcdef"),
+        "p_brand": ["A", "A", "A", "B", "B", "B"],
+        "p_type": ["t"] * 6, "p_size": [1] * 6,
+        "p_retailprice": [1.0] * 6})
+    d = tmp_path / "sf"
+    d.mkdir()
+    ldf.to_parquet(d / "lineitem.parquet")
+    pt.to_parquet(d / "part.parquet")
+    out = {r["community"]: r for r in
+           QUERIES["q_modularity"](spark, str(d)).collect()}
+    m = len(edges)
+    # brute: e_in and degree sums per community
+    brand = {1: "A", 2: "A", 3: "A", 4: "B", 5: "B", 6: "B"}
+    e_in = {"A": 3, "B": 3}
+    d_c = {"A": sum(1 for a, b in edges for x in (a, b)
+                    if brand[x] == "A"),
+           "B": sum(1 for a, b in edges for x in (a, b)
+                    if brand[x] == "B")}
+    q = sum(e_in[c] / m - (d_c[c] / (2 * m)) ** 2 for c in ("A", "B"))
+    for c in ("A", "B"):
+        assert out[c]["e_in"] == e_in[c]
+        assert out[c]["d_c"] == d_c[c]
+        assert out[c]["num_c"] == 4 * m * e_in[c] - d_c[c] ** 2
+        assert out[c]["modularity"] == pytest.approx(q, abs=2e-6)
+    # near-disjoint cliques: strongly positive modularity
+    assert q > 0.3
+
+
+# ------------------------------------------------------- fleiss kappa
+
+def test_fleiss_kappa_matches_brute(spark, tmp_path):
+    import pandas as pd
+    n_docs = 60
+    lens = [80 + (i % 3) * 150 for i in range(n_docs)]  # 3 buckets
+    pdf = pd.DataFrame({
+        "doc_id": range(n_docs),
+        "text": ["x" * l for l in lens],
+        "lang": ["en"] * n_docs,
+        "source": ["s"] * n_docs,
+        "n_chars": lens,
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    got = QUERIES["q_fleiss_kappa"](spark, str(d)).collect()[0]
+    # brute with the same md5 lanes
+    votes = {}
+    for i, l in enumerate(lens):
+        tc = 0 if l < 120 else (1 if l < 300 else 2)
+        vs = []
+        for r in (1, 2, 3):
+            if _md5_lane(f"rate{r}:", i, 10) < 2:
+                vs.append(_md5_lane(f"cat{r}:", i, 3))
+            else:
+                vs.append(tc)
+        votes[i] = vs
+    s_agree = 0
+    catcnt = {0: 0, 1: 0, 2: 0}
+    for vs in votes.values():
+        from collections import Counter
+        cc = Counter(vs)
+        s_agree += sum(c * c for c in cc.values()) - 3
+        for v in vs:
+            catcnt[v] += 1
+    t_sq = sum(c * c for c in catcnt.values())
+    n = len(votes)
+    p_bar = s_agree / (6 * n)
+    p_e = t_sq / (9 * n * n)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert got["n_items"] == n
+    assert got["s_agree"] == s_agree
+    assert got["t_sq"] == t_sq
+    assert got["fleiss_kappa"] == pytest.approx(kappa, abs=2e-6)
+    # 80% faithful raters on a balanced 3-class task: strong agreement
+    assert got["fleiss_kappa"] > 0.5
+
+
 def test_silhouette_single_label_is_null(spark, tmp_path):
     import numpy as np
     import pandas as pd
