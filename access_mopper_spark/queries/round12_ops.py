@@ -2025,3 +2025,77 @@ def q_fleiss_kappa(spark, sf_dir):
         F.when(p_e < F.lit(1.0),
                pround((p_bar - p_e) / (F.lit(1.0) - p_e), 6))
          .otherwise(F.lit(None).cast("double")).alias("fleiss_kappa"))
+
+
+@query(
+    "q_effective_rank",
+    oracle="""
+    WITH src AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (
+      SELECT UNNEST(range(1, (SELECT MAX(len(v)) FROM src) + 1)) AS i
+    ),
+    el AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS i, v[i] AS x
+      FROM src CROSS JOIN dims
+    ),
+    gram AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(FLOOR(SUM(a.x * b.x) * CAST(100 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS s_e2
+      FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN i = j THEN s_e2 ELSE 0 END)
+                  AS BIGINT) AS trace_e2,
+             CAST(SUM(CASE WHEN i = j THEN s_e2 * s_e2
+                           ELSE 2 * s_e2 * s_e2 END) AS BIGINT) AS frob_e4,
+             CAST(MAX(i) + 1 AS BIGINT) AS dim
+      FROM gram
+    )
+    SELECT dim, trace_e2, frob_e4,
+           CASE WHEN frob_e4 > 0
+                THEN ROUND(CAST(trace_e2 AS DOUBLE)
+                           * CAST(trace_e2 AS DOUBLE)
+                           / CAST(frob_e4 AS DOUBLE), 6)
+                ELSE NULL END AS effective_rank
+    FROM agg
+    """,
+)
+def q_effective_rank(spark, sf_dir):
+    """Effective rank (participation ratio) of the embedding Gram
+    matrix: (tr S)^2 / ||S||_F^2 = (sum lambda)^2 / sum lambda^2 — how
+    many dimensions the representation REALLY uses, without any
+    eigendecomposition (the collapse diagnostic for embedding spaces:
+    anisotropic/collapsed representations score far below the ambient
+    64).  Chains the one-pass GEMM Gram operator (q_embedding_
+    covariance's engine: dim^2 partials per Arrow batch, shuffle
+    carries 2080 scalars regardless of row count); entries snap to an
+    e2 integer grid, so trace and Frobenius mass are exact BIGINT sums
+    (off-diagonals doubled for the symmetric full matrix; overflow
+    bound s_e2^2 * 4096 cells -> valid to ~5e5 rows documented) and
+    the ratio is one terminal division, R6."""
+    from access_mopper_spark.operators.similarity import embedding_covariance
+    emb = _wide(load_table(spark, sf_dir, "embeddings"))
+    cov = embedding_covariance(emb, dim=64)
+    g = cov.select(
+        "i", "j",
+        F.floor(F.col("s") * F.lit(100.0) + F.lit(0.5)).cast("long")
+         .alias("s_e2"))
+    agg = g.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("s_e2"))
+               .otherwise(0)).cast("long").alias("trace_e2"),
+        F.sum(F.when(F.col("i") == F.col("j"),
+                     F.col("s_e2") * F.col("s_e2"))
+               .otherwise(2 * F.col("s_e2") * F.col("s_e2")))
+         .cast("long").alias("frob_e4"),
+        (F.max("i") + 1).cast("long").alias("dim"))
+    return agg.select(
+        "dim", "trace_e2", "frob_e4",
+        F.when(F.col("frob_e4") > 0,
+               pround(F.col("trace_e2").cast("double")
+                      * F.col("trace_e2").cast("double")
+                      / F.col("frob_e4").cast("double"), 6))
+         .otherwise(F.lit(None).cast("double")).alias("effective_rank"))

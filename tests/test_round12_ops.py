@@ -876,6 +876,41 @@ def test_fleiss_kappa_matches_brute(spark, tmp_path):
     assert got["fleiss_kappa"] > 0.5
 
 
+# ------------------------------------------------------ effective rank
+
+def test_effective_rank_isotropic_vs_collapsed(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    def fixture(vecs, path):
+        # the GEMM operator's accumulator is the production 64x64;
+        # pad fixtures to 64 dims (zero dims contribute nothing to PR)
+        padded = [v + [0.0] * (64 - len(v)) for v in vecs]
+        pdf = pd.DataFrame({
+            "vec_id": range(len(padded)),
+            "embedding": [np.array(v, dtype=np.float32) for v in padded],
+            "label": [0] * len(padded),
+        })
+        path.mkdir()
+        pdf.to_parquet(path / "embeddings.parquet")
+
+    # isotropic: 4 orthogonal directions, equal mass -> PR ~ 4
+    iso = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0],
+           [0, 0, 0, 1.0]] * 5
+    d1 = tmp_path / "iso"
+    fixture(iso, d1)
+    got = QUERIES["q_effective_rank"](spark, str(d1)).collect()[0]
+    assert got["dim"] == 64
+    assert got["effective_rank"] == pytest.approx(4.0, abs=0.01)
+
+    # collapsed: every vector on one axis -> PR ~ 1
+    col = [[1.0, 0, 0, 0]] * 20
+    d2 = tmp_path / "col"
+    fixture(col, d2)
+    got2 = QUERIES["q_effective_rank"](spark, str(d2)).collect()[0]
+    assert got2["effective_rank"] == pytest.approx(1.0, abs=0.01)
+
+
 def test_silhouette_single_label_is_null(spark, tmp_path):
     import numpy as np
     import pandas as pd
