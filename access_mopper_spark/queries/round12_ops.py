@@ -2099,3 +2099,183 @@ def q_effective_rank(spark, sf_dir):
                       * F.col("trace_e2").cast("double")
                       / F.col("frob_e4").cast("double"), 6))
          .otherwise(F.lit(None).cast("double")).alias("effective_rank"))
+
+
+# =====================================================================
+# classifier eval: MCC + decile gains
+# =====================================================================
+
+@query(
+    "q_mcc_f1",
+    oracle="""
+    WITH scored AS (
+      SELECT (l_partkey * 37 + l_suppkey) % 10001 AS prob_bp,
+             CASE WHEN ('0x' || substring(md5('cal:'
+                        || CAST(l_orderkey AS VARCHAR) || ':'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000
+                       < (l_partkey * 37 + l_suppkey) % 10001
+                  THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ),
+    t AS (
+      SELECT
+        CAST(SUM(CASE WHEN prob_bp >= 5000 AND label = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN prob_bp >= 5000 AND label = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN prob_bp < 5000 AND label = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN prob_bp < 5000 AND label = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(2 * tp * 10000 // (2 * tp + fp + fn) AS BIGINT)
+                ELSE NULL END AS f1_bp,
+           CASE WHEN tp + fp > 0 AND tp + fn > 0
+                 AND tn + fp > 0 AND tn + fn > 0
+                THEN ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                            - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                     / (SQRT(CAST(tp + fp AS DOUBLE))
+                        * SQRT(CAST(tp + fn AS DOUBLE))
+                        * SQRT(CAST(tn + fp AS DOUBLE))
+                        * SQRT(CAST(tn + fn AS DOUBLE))), 6)
+                ELSE NULL END AS mcc
+    FROM t
+    """,
+)
+def q_mcc_f1(spark, sf_dir):
+    """Matthews correlation coefficient + F1 at the 0.5 operating
+    point on the shared calibration fixture (q_brier_score's md5
+    score/label lanes): MCC is the single-threshold summary robust to
+    class imbalance (the one q_auc_roc's ranking view and
+    q_confusion_thresholds' sweep don't directly report), F1 ships as
+    an exact integer-bp via DIV.  The 2x2 core is one map-side-
+    combined aggregate of exact BIGINT counts; MCC's denominator uses
+    four separate IEEE sqrt factors (the sqrt*sqrt recipe — the
+    product (tp+fp)(tp+fn)(tn+fp)(tn+fn) would overflow BIGINT, each
+    factor's sqrt is exactly rounded) and the guard zeroes out
+    degenerate margins.  No window, no join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lane = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("cal:"), F.col("l_orderkey").cast("string"),
+        F.lit(":"), F.col("l_linenumber").cast("string"))), 1, 8),
+        16, 10).cast("long") % 10000)
+    prob = (F.col("l_partkey") * 37 + F.col("l_suppkey")) % 10001
+    scored = li.select(prob.alias("prob_bp"),
+                       F.when(lane < prob, 1).otherwise(0).alias("label"))
+    pos = F.col("prob_bp") >= 5000
+    t = scored.agg(
+        F.sum(F.when(pos & (F.col("label") == 1), 1).otherwise(0))
+         .cast("long").alias("tp"),
+        F.sum(F.when(pos & (F.col("label") == 0), 1).otherwise(0))
+         .cast("long").alias("fp"),
+        F.sum(F.when(~pos & (F.col("label") == 1), 1).otherwise(0))
+         .cast("long").alias("fn"),
+        F.sum(F.when(~pos & (F.col("label") == 0), 1).otherwise(0))
+         .cast("long").alias("tn"))
+    mcc = ((F.col("tp").cast("double") * F.col("tn").cast("double")
+            - F.col("fp").cast("double") * F.col("fn").cast("double"))
+           / (F.sqrt((F.col("tp") + F.col("fp")).cast("double"))
+              * F.sqrt((F.col("tp") + F.col("fn")).cast("double"))
+              * F.sqrt((F.col("tn") + F.col("fp")).cast("double"))
+              * F.sqrt((F.col("tn") + F.col("fn")).cast("double"))))
+    return t.select(
+        "tp", "fp", "fn", "tn",
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+               F.expr("2 * tp * 10000 DIV (2 * tp + fp + fn)"))
+         .otherwise(F.lit(None).cast("long")).alias("f1_bp"),
+        # per-factor guards: the margin PRODUCT overflows BIGINT past
+        # ~3e4 rows per margin, the factors individually never do
+        F.when((F.col("tp") + F.col("fp") > 0)
+               & (F.col("tp") + F.col("fn") > 0)
+               & (F.col("tn") + F.col("fp") > 0)
+               & (F.col("tn") + F.col("fn") > 0),
+               pround(mcc, 6))
+         .otherwise(F.lit(None).cast("double")).alias("mcc"))
+
+
+@query(
+    "q_lift_gains",
+    oracle="""
+    WITH scored AS (
+      SELECT (l_partkey * 37 + l_suppkey) % 10001 AS prob_bp,
+             CASE WHEN ('0x' || substring(md5('cal:'
+                        || CAST(l_orderkey AS VARCHAR) || ':'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000
+                       < (l_partkey * 37 + l_suppkey) % 10001
+                  THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ),
+    b AS (
+      SELECT CAST(LEAST(prob_bp * 10 // 10001, 9) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM scored GROUP BY LEAST(prob_bp * 10 // 10001, 9)
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(pos) AS BIGINT) AS pt FROM b),
+    cum AS (
+      SELECT a.bin, a.n, a.pos,
+             CAST(SUM(c.n) AS BIGINT) AS cum_n,
+             CAST(SUM(c.pos) AS BIGINT) AS cum_pos
+      FROM b a JOIN b c ON c.bin >= a.bin
+      GROUP BY a.bin, a.n, a.pos
+    )
+    SELECT cum.bin, cum.n, cum.pos, cum.cum_n, cum.cum_pos,
+           CASE WHEN tot.pt > 0
+                THEN CAST(cum.cum_pos * 10000 // tot.pt AS BIGINT)
+                ELSE NULL END AS gain_bp,
+           CASE WHEN cum.cum_n > 0 AND tot.pt > 0
+                THEN CAST(cum.cum_pos * tot.nt * 10000
+                          // (cum.cum_n * tot.pt) AS BIGINT)
+                ELSE NULL END AS lift_bp
+    FROM cum CROSS JOIN tot
+    """,
+)
+def q_lift_gains(spark, sf_dir):
+    """Decile gains table + cumulative lift for the md5 calibration
+    classifier: 'target the top-k score deciles, what fraction of all
+    positives do you capture (gain) and at what multiple of random
+    (lift)?' — the campaign-targeting readout that turns q_auc_roc's
+    abstract ranking quality into an operating decision.  Score-value
+    deciles (the bp score is uniform by construction, so value bins ~
+    population deciles); cumulative-from-the-top runs as a broadcast
+    triangular self-join over the 10-row bin grid — no window at all.
+    All outputs exact integers: gain and lift in bp via DIV (overflow
+    bound: cum_pos * n_total * 1e4 <= 9e18 -> valid to ~3e7 rows,
+    documented).  One corpus aggregate; everything after is 10 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lane = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("cal:"), F.col("l_orderkey").cast("string"),
+        F.lit(":"), F.col("l_linenumber").cast("string"))), 1, 8),
+        16, 10).cast("long") % 10000)
+    prob = (F.col("l_partkey") * 37 + F.col("l_suppkey")) % 10001
+    scored = li.select(prob.alias("prob_bp"),
+                       F.when(lane < prob, 1).otherwise(0).alias("label"))
+    b = (scored.groupBy(F.expr("least(prob_bp * 10 DIV 10001, 9)")
+                         .cast("long").alias("bin"))
+               .agg(F.count("*").cast("long").alias("n"),
+                    F.sum("label").cast("long").alias("pos")))
+    tot = b.agg(F.sum("n").cast("long").alias("nt"),
+                F.sum("pos").cast("long").alias("pt"))
+    c = b.select(F.col("bin").alias("bin2"), F.col("n").alias("n2"),
+                 F.col("pos").alias("pos2"))
+    cum = (b.join(F.broadcast(c), F.col("bin2") >= F.col("bin"))
+            .groupBy("bin", "n", "pos")
+            .agg(F.sum("n2").cast("long").alias("cum_n"),
+                 F.sum("pos2").cast("long").alias("cum_pos")))
+    return (cum.crossJoin(F.broadcast(tot))
+               .select("bin", "n", "pos", "cum_n", "cum_pos",
+                       F.when(F.col("pt") > 0,
+                              F.expr("cum_pos * 10000 DIV pt"))
+                        .otherwise(F.lit(None).cast("long"))
+                        .alias("gain_bp"),
+                       F.when((F.col("cum_n") > 0) & (F.col("pt") > 0),
+                              F.expr("cum_pos * nt * 10000 "
+                                     "DIV (cum_n * pt)"))
+                        .otherwise(F.lit(None).cast("long"))
+                        .alias("lift_bp")))

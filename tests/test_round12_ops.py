@@ -911,6 +911,42 @@ def test_effective_rank_isotropic_vs_collapsed(spark, tmp_path):
     assert got2["effective_rank"] == pytest.approx(1.0, abs=0.01)
 
 
+# ----------------------------------------------------- mcc / lift
+
+def test_mcc_f1_identities_on_testdata(spark):
+    got = QUERIES["q_mcc_f1"](spark, SF).collect()[0]
+    tp, fp, fn, tn = got["tp"], got["fp"], got["fn"], got["tn"]
+    assert got["f1_bp"] == 2 * tp * 10000 // (2 * tp + fp + fn)
+    mcc = ((tp * tn - fp * fn)
+           / (math.sqrt(tp + fp) * math.sqrt(tp + fn)
+              * math.sqrt(tn + fp) * math.sqrt(tn + fn)))
+    assert got["mcc"] == pytest.approx(mcc, abs=2e-6)
+    # label = (md5 lane < prob): prob IS informative -> positive MCC
+    assert got["mcc"] > 0.2
+
+
+def test_lift_gains_monotone_and_consistent(spark):
+    rows = {r["bin"]: r for r in
+            QUERIES["q_lift_gains"](spark, SF).collect()}
+    # tiny smoke SF: small partkeys cap prob_bp below the top bins —
+    # assert over whichever bins are populated
+    bins = sorted(rows)
+    lo, hi = bins[0], bins[-1]
+    assert len(bins) >= 3
+    # gains reach 100% at the lowest bin; the top bin has max lift
+    assert rows[lo]["gain_bp"] == 10000
+    assert rows[hi]["lift_bp"] == max(r["lift_bp"] for r in rows.values())
+    # cumulative consistency: cum_n at bin b = sum of n for bins >= b
+    for b in bins:
+        assert rows[b]["cum_n"] == sum(rows[x]["n"] for x in bins
+                                       if x >= b)
+        assert rows[b]["cum_pos"] == sum(rows[x]["pos"] for x in bins
+                                         if x >= b)
+    # gains are monotone decreasing in bin (cumulative from the top)
+    gains = [rows[b]["gain_bp"] for b in bins]
+    assert gains == sorted(gains, reverse=True)
+
+
 def test_silhouette_single_label_is_null(spark, tmp_path):
     import numpy as np
     import pandas as pd
