@@ -119,20 +119,27 @@ def q_wilson_interval(spark, sf_dir):
       FROM gc
     ),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
-    core AS (
-      SELECT CAST(SUM(cell.n_hc * (ghr.r2 - (tot.n + 1))
-                               * (gcr.r2 - (tot.n + 1))) AS BIGINT) AS sxy
-      FROM cell JOIN ghr USING (h) JOIN gcr USING (c) CROSS JOIN tot
-    ),
-    vx AS (
-      SELECT CAST(SUM(cnt * (r2 - (tot.n + 1)) * (r2 - (tot.n + 1)))
-                  AS BIGINT) AS sxx
+    ghq AS (
+      SELECT h, CAST((r2 - (tot.n + 1)) * 100000 // (2 * tot.n)
+                     AS BIGINT) AS dq
       FROM ghr CROSS JOIN tot
     ),
-    vy AS (
-      SELECT CAST(SUM(cnt * (r2 - (tot.n + 1)) * (r2 - (tot.n + 1)))
-                  AS BIGINT) AS syy
+    gcq AS (
+      SELECT c, CAST((r2 - (tot.n + 1)) * 100000 // (2 * tot.n)
+                     AS BIGINT) AS dq
       FROM gcr CROSS JOIN tot
+    ),
+    core AS (
+      SELECT CAST(SUM(cell.n_hc * ghq.dq * gcq.dq) AS BIGINT) AS sxy
+      FROM cell JOIN ghq USING (h) JOIN gcq USING (c)
+    ),
+    vx AS (
+      SELECT CAST(SUM(gh.cnt * ghq.dq * ghq.dq) AS BIGINT) AS sxx
+      FROM gh JOIN ghq USING (h)
+    ),
+    vy AS (
+      SELECT CAST(SUM(gc.cnt * gcq.dq * gcq.dq) AS BIGINT) AS syy
+      FROM gc JOIN gcq USING (c)
     )
     SELECT tot.n AS n, core.sxy AS sxy, vx.sxx AS sxx, vy.syy AS syy,
            CASE WHEN vx.sxx > 0 AND vy.syy > 0
@@ -148,17 +155,18 @@ def q_spearman_rho(spark, sf_dir):
     between hour-of-day and event value — 'does the metric drift across
     the day', the monotone companion to q_kendall_tau's concordance
     surface and q_autocorr_lag1's linear one.  Midranks with ties are
-    half-integers, so DOUBLED ranks r2 = 2*cum_count - count + 1 keep
-    the whole core in exact BIGINTs: sxy/sxx/syy are centered second
-    moments of (r2x, r2y) under cell weights, order-free integer sums —
-    the hash cannot flip; rho divides once through sqrt*sqrt (IEEE-exact
-    from integer inputs) with R6.  Scale: raw events reduce to the
-    (hour x distinct-cents) grid FIRST; both rank cumulatives run
-    through operators/prefix.bucketed_prefix (bucket-partitioned window
-    + broadcast triangular offsets — never a single-reducer global
-    window over the value grid).  Overflow bound: |sxy| <= n^3 -> valid
-    to n ~ 2e6 rows (documented, same convention as q_hits_bipartite).
-    """
+    half-integers, so DOUBLED ranks r2 = 2*cum_count - count + 1 are
+    exact; centered deviations then quantize per DISTINCT grid value to
+    a 1e5 grid via integer DIV (dq = (r2-(n+1))*1e5 DIV 2n, in
+    [-50000, 50000] — both engines truncate toward zero, probed on
+    negatives), so sxy/sxx/syy are order-free BIGINT sums bounded by
+    2.5e9*n -> valid past 1e9 rows (the raw-rank core overflowed n^3 at
+    the x100 sweep point); rho divides once through sqrt*sqrt with R6
+    (rank quantization moves rho by O(2n/1e5) relative — ~1e-5).
+    Scale: raw events reduce to the (hour x distinct-cents) grid FIRST;
+    both rank cumulatives run through operators/prefix.bucketed_prefix
+    (bucket-partitioned window + broadcast triangular offsets — never a
+    single-reducer global window over the value grid)."""
     ev = (load_table(spark, sf_dir, "events")
           .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
           .select(F.hour("ts").alias("h"),
@@ -172,21 +180,20 @@ def q_spearman_rho(spark, sf_dir):
     gcr = bucketed_prefix(gc, "c", ["cnt"]).select(
         "c", "cnt", (2 * F.col("cum_cnt") - F.col("cnt") + 1).alias("r2"))
     tot = ev.agg(F.count("*").cast("long").alias("n"))
+    dq = F.expr("(r2 - (n + 1)) * 100000 DIV (2 * n)")
+    ghq = (ghr.crossJoin(F.broadcast(tot))
+              .select("h", "cnt", dq.alias("dq")))
+    gcq = (gcr.crossJoin(F.broadcast(tot))
+              .select("c", "cnt", dq.alias("dq")))
     core = (cell
-            .join(ghr.select("h", F.col("r2").alias("r2x")), "h")
-            .join(gcr.select("c", F.col("r2").alias("r2y")), "c")
-            .crossJoin(F.broadcast(tot))
-            .agg(F.sum(F.col("n_hc") * (F.col("r2x") - (F.col("n") + 1))
-                       * (F.col("r2y") - (F.col("n") + 1)))
+            .join(ghq.select("h", F.col("dq").alias("dqx")), "h")
+            .join(gcq.select("c", F.col("dq").alias("dqy")), "c")
+            .agg(F.sum(F.col("n_hc") * F.col("dqx") * F.col("dqy"))
                   .cast("long").alias("sxy")))
-    vx = (ghr.crossJoin(F.broadcast(tot))
-          .agg(F.sum(F.col("cnt") * (F.col("r2") - (F.col("n") + 1))
-                     * (F.col("r2") - (F.col("n") + 1)))
-                .cast("long").alias("sxx")))
-    vy = (gcr.crossJoin(F.broadcast(tot))
-          .agg(F.sum(F.col("cnt") * (F.col("r2") - (F.col("n") + 1))
-                     * (F.col("r2") - (F.col("n") + 1)))
-                .cast("long").alias("syy")))
+    vx = ghq.agg(F.sum(F.col("cnt") * F.col("dq") * F.col("dq"))
+                  .cast("long").alias("sxx"))
+    vy = gcq.agg(F.sum(F.col("cnt") * F.col("dq") * F.col("dq"))
+                  .cast("long").alias("syy"))
     out = (core.crossJoin(F.broadcast(vx)).crossJoin(F.broadcast(vy))
                .crossJoin(F.broadcast(tot)))
     rho = (F.col("sxy").cast("double")
@@ -2230,8 +2237,8 @@ def q_mcc_f1(spark, sf_dir):
                 THEN CAST(cum.cum_pos * 10000 // tot.pt AS BIGINT)
                 ELSE NULL END AS gain_bp,
            CASE WHEN cum.cum_n > 0 AND tot.pt > 0
-                THEN CAST(cum.cum_pos * tot.nt * 10000
-                          // (cum.cum_n * tot.pt) AS BIGINT)
+                THEN CAST(cum.cum_pos * tot.nt // cum.cum_n * 10000
+                          // tot.pt AS BIGINT)
                 ELSE NULL END AS lift_bp
     FROM cum CROSS JOIN tot
     """,
@@ -2245,9 +2252,12 @@ def q_lift_gains(spark, sf_dir):
     deciles (the bp score is uniform by construction, so value bins ~
     population deciles); cumulative-from-the-top runs as a broadcast
     triangular self-join over the 10-row bin grid — no window at all.
-    All outputs exact integers: gain and lift in bp via DIV (overflow
-    bound: cum_pos * n_total * 1e4 <= 9e18 -> valid to ~3e7 rows,
-    documented).  One corpus aggregate; everything after is 10 rows."""
+    All outputs exact integers: gain in bp via DIV; lift stages the
+    division as (cum_pos*nt DIV cum_n)*1e4 DIV pt — identical
+    truncation on both engines, and the widest product cum_pos*nt
+    stays under BIGINT to ~3e9 rows (the single-product form
+    overflowed at the x100 sweep point).  One corpus aggregate;
+    everything after is 10 rows."""
     li = load_table(spark, sf_dir, "lineitem")
     lane = (F.conv(F.substring(F.md5(F.concat(
         F.lit("cal:"), F.col("l_orderkey").cast("string"),
@@ -2275,7 +2285,7 @@ def q_lift_gains(spark, sf_dir):
                         .otherwise(F.lit(None).cast("long"))
                         .alias("gain_bp"),
                        F.when((F.col("cum_n") > 0) & (F.col("pt") > 0),
-                              F.expr("cum_pos * nt * 10000 "
-                                     "DIV (cum_n * pt)"))
+                              F.expr("cum_pos * nt DIV cum_n * 10000 "
+                                     "DIV pt"))
                         .otherwise(F.lit(None).cast("long"))
                         .alias("lift_bp")))

@@ -93,11 +93,21 @@ def test_spearman_matches_pearson_on_midranks(spark, tmp_path):
     syy = sum((y - my) ** 2 for y in ys)
     rho = sxy / math.sqrt(sxx * syy)
     assert got["n"] == n
-    # doubled-rank integer core = 4x the midrank moments
-    assert got["sxy"] == pytest.approx(4 * sxy)
-    assert got["sxx"] == pytest.approx(4 * sxx)
-    assert got["syy"] == pytest.approx(4 * syy)
-    assert got["rho"] == pytest.approx(rho, abs=2e-6)
+
+    def dq(midrank):  # doubled rank -> quantized deviation, trunc to 0
+        num = (int(2 * midrank) - (n + 1)) * 100000
+        return num // (2 * n) if num >= 0 else -((-num) // (2 * n))
+
+    qxy = sum(dq(x) * dq(y) for x, y in zip(xs, ys))
+    qxx = sum(dq(x) ** 2 for x in xs)
+    qyy = sum(dq(y) ** 2 for y in ys)
+    assert got["sxy"] == qxy
+    assert got["sxx"] == qxx
+    assert got["syy"] == qyy
+    # quantized rho tracks the exact midrank rho to the grid resolution
+    assert got["rho"] == pytest.approx(rho, abs=5e-4)
+    assert got["rho"] == pytest.approx(qxy / math.sqrt(qxx * qyy),
+                                       abs=2e-6)
 
 
 def test_spearman_degenerate_constant_axis(spark, tmp_path):
