@@ -2109,6 +2109,258 @@ def q_effective_rank(spark, sf_dir):
 
 
 # =====================================================================
+# multi-rater ordinal concordance
+# =====================================================================
+
+@query(
+    "q_kendall_w",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS len FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    sc AS (
+      SELECT d.doc_id, r.r,
+             d.len + ('0x' || substring(md5('kw' || CAST(r.r AS VARCHAR)
+                      || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 101 - 50 AS s
+      FROM d CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS r) r
+    ),
+    grid AS (SELECT r, s, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM sc GROUP BY r, s),
+    gr AS (
+      SELECT r, s,
+             CAST(2 * SUM(cnt) OVER (PARTITION BY r ORDER BY s
+                  ROWS UNBOUNDED PRECEDING) - cnt + 1 AS BIGINT) AS r2
+      FROM grid
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    rsum AS (
+      SELECT sc.doc_id, CAST(SUM(gr.r2) AS BIGINT) AS r2sum
+      FROM sc JOIN gr ON gr.r = sc.r AND gr.s = sc.s
+      GROUP BY sc.doc_id
+    ),
+    dev AS (
+      SELECT CAST((r2sum - 3 * (tot.n + 1)) * 100000 // (6 * tot.n)
+                  AS BIGINT) AS dq
+      FROM rsum CROSS JOIN tot
+    ),
+    s2 AS (SELECT CAST(SUM(dq * dq) AS BIGINT) AS s2q FROM dev),
+    ties AS (SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS t_sum
+             FROM grid)
+    SELECT tot.n AS n_items, CAST(3 AS BIGINT) AS m_raters,
+           s2.s2q AS s2q, ties.t_sum AS t_sum,
+           CASE WHEN CAST(9 AS DOUBLE)
+                     * (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                        * CAST(tot.n AS DOUBLE) - CAST(tot.n AS DOUBLE))
+                     - CAST(3 AS DOUBLE) * CAST(ties.t_sum AS DOUBLE) > 0
+                THEN ROUND(CAST(108 AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                     * CAST(tot.n AS DOUBLE) * CAST(s2.s2q AS DOUBLE)
+                     / (CAST(10000000000 AS DOUBLE)
+                        * (CAST(9 AS DOUBLE)
+                           * (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                              * CAST(tot.n AS DOUBLE)
+                              - CAST(tot.n AS DOUBLE))
+                           - CAST(3 AS DOUBLE)
+                             * CAST(ties.t_sum AS DOUBLE))), 6)
+                ELSE NULL END AS w
+    FROM tot CROSS JOIN s2 CROSS JOIN ties
+    """,
+)
+def q_kendall_w(spark, sf_dir):
+    """Kendall's coefficient of concordance W for 3 md5 'raters'
+    ordinally scoring every doc (length plus a deterministic +-50
+    perturbation lane): do the raters RANK the corpus the same way? —
+    the ordinal companion to q_fleiss_kappa (categorical agreement)
+    and the panel version of q_spearman_rho (W is the average pairwise
+    Spearman, affinely).  Tie-corrected: midranks per rater via
+    DOUBLED ranks over each rater's distinct-score grid; per-item rank
+    masses R2_i are exact BIGINTs, centered deviations quantize to the
+    1e5 DIV grid (the overflow-safe q_spearman_rho recipe — the raw
+    sum of squared rank deviations grows n^3), and the tie correction
+    sum(t^3 - t) is exact per grid cell (bound: tie-group <= 2e6 rows;
+    the +-50 noise spreads any constant-length corpus over >= 101
+    scores, documented).  W reconstructs the classic statistic in one
+    staged double expression; NULL when full ties degenerate the
+    denominator.  Scale: per-rater rank cumulatives run on (rater,
+    distinct-score) grids; the only corpus-sized operations are the
+    score projection and two keyed rollups."""
+    d = (load_table(spark, sf_dir, "documents")
+         .where(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+         .select("doc_id", F.col("n_chars").cast("long").alias("len")))
+    raters = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("r"))
+    noise = F.conv(F.substring(F.md5(F.concat(
+        F.lit("kw"), F.col("r").cast("string"), F.lit(":"),
+        F.col("doc_id").cast("string"))), 1, 8), 16, 10) \
+        .cast("long") % 101 - 50
+    sc = (d.crossJoin(F.broadcast(raters))
+           .select("doc_id", "r", (F.col("len") + noise).alias("s")))
+    grid = sc.groupBy("r", "s").agg(F.count("*").cast("long").alias("cnt"))
+    wrun = (W.partitionBy("r").orderBy("s")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    gr = grid.select(
+        "r", "s",
+        (2 * F.sum("cnt").over(wrun) - F.col("cnt") + 1).cast("long")
+         .alias("r2"))
+    tot = d.agg(F.count("*").cast("long").alias("n"))
+    rsum = (sc.join(gr, ["r", "s"])
+              .groupBy("doc_id")
+              .agg(F.sum("r2").cast("long").alias("r2sum")))
+    dev = (rsum.crossJoin(F.broadcast(tot))
+               .select(F.expr("(r2sum - 3 * (n + 1)) * 100000 DIV (6 * n)")
+                        .alias("dq")))
+    s2 = dev.agg(F.sum(F.col("dq") * F.col("dq")).cast("long")
+                  .alias("s2q"))
+    ties = grid.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+         .cast("long").alias("t_sum"))
+    j = tot.crossJoin(F.broadcast(s2)).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    den = (F.lit(9.0) * (nd * nd * nd - nd)
+           - F.lit(3.0) * F.col("t_sum").cast("double"))
+    w_stat = (F.lit(108.0) * nd * nd * F.col("s2q").cast("double")
+              / (F.lit(1e10) * den))
+    return j.select(
+        F.col("n").alias("n_items"),
+        F.lit(3).cast("long").alias("m_raters"),
+        "s2q", "t_sum",
+        F.when(den > 0, pround(w_stat, 6))
+         .otherwise(F.lit(None).cast("double")).alias("w"))
+
+
+@query(
+    "q_design_effect",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(y) AS BIGINT) AS s_c
+      FROM ev GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(SUM(n_c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s_c) AS BIGINT) AS s,
+             CAST(SUM(s_c * s_c * 10 // n_c) AS BIGINT) AS cf_e1,
+             CAST(SUM(n_c * n_c) AS BIGINT) AS nn2
+      FROM c
+    ),
+    q AS (SELECT CAST(SUM(y * y) AS BIGINT) AS qq FROM ev),
+    t AS (
+      SELECT g.n, g.k, g.nn2,
+             CAST(g.cf_e1 - CAST(FLOOR(CAST(g.s AS DOUBLE)
+                  * CAST(g.s AS DOUBLE) * CAST(10 AS DOUBLE)
+                  / CAST(g.n AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                  AS BIGINT) AS ssb_e1,
+             CAST(q.qq * 10 - g.cf_e1 AS BIGINT) AS ssw_e1
+      FROM g CROSS JOIN q
+    )
+    SELECT n, k, ssb_e1, ssw_e1,
+           CASE WHEN k >= 2 AND n > k AND ssw_e1 > 0 AND
+                     CAST(ssb_e1 AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                     + ((CAST(n AS DOUBLE)
+                         - CAST(nn2 AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(k - 1 AS DOUBLE) - CAST(1 AS DOUBLE))
+                       * CAST(ssw_e1 AS DOUBLE)
+                       / CAST(n - k AS DOUBLE) <> 0
+                THEN ROUND((CAST(ssb_e1 AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                            - CAST(ssw_e1 AS DOUBLE)
+                              / CAST(n - k AS DOUBLE))
+                     / (CAST(ssb_e1 AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                        + ((CAST(n AS DOUBLE)
+                            - CAST(nn2 AS DOUBLE) / CAST(n AS DOUBLE))
+                           / CAST(k - 1 AS DOUBLE) - CAST(1 AS DOUBLE))
+                          * CAST(ssw_e1 AS DOUBLE)
+                          / CAST(n - k AS DOUBLE)), 6)
+                ELSE NULL END AS icc,
+           CASE WHEN k >= 2 AND n > k AND ssw_e1 > 0 AND
+                     CAST(ssb_e1 AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                     + ((CAST(n AS DOUBLE)
+                         - CAST(nn2 AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(k - 1 AS DOUBLE) - CAST(1 AS DOUBLE))
+                       * CAST(ssw_e1 AS DOUBLE)
+                       / CAST(n - k AS DOUBLE) <> 0
+                THEN ROUND(CAST(1 AS DOUBLE)
+                     + (CAST(n AS DOUBLE) / CAST(k AS DOUBLE)
+                        - CAST(1 AS DOUBLE))
+                       * ((CAST(ssb_e1 AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                           - CAST(ssw_e1 AS DOUBLE)
+                             / CAST(n - k AS DOUBLE))
+                          / (CAST(ssb_e1 AS DOUBLE)
+                             / CAST(k - 1 AS DOUBLE)
+                             + ((CAST(n AS DOUBLE)
+                                 - CAST(nn2 AS DOUBLE)
+                                   / CAST(n AS DOUBLE))
+                                / CAST(k - 1 AS DOUBLE)
+                                - CAST(1 AS DOUBLE))
+                               * CAST(ssw_e1 AS DOUBLE)
+                               / CAST(n - k AS DOUBLE))), 6)
+                ELSE NULL END AS deff
+    FROM t
+    """,
+)
+def q_design_effect(spark, sf_dir):
+    """Design effect (Kish DEFF) for cluster-randomized experiments on
+    the user clustering: when you randomize USERS but measure EVENTS,
+    how much does within-user correlation inflate the variance — i.e.
+    how many event-level samples is one really worth?  DEFF =
+    1 + (m_bar - 1)*ICC with the one-way ANOVA ICC estimator (MSB,
+    MSW, ANOVA mean cluster size m0 = (n - sum n_c^2/n)/(k-1)) — the
+    missing piece between q_ab_ttest (assumes independence) and
+    q_diff_in_diff (unit-level arms): it QUANTIFIES the clustering
+    penalty.  Integer cores: per-cluster correction factors
+    s_c^2*10 DIV n_c are exact BIGINTs (bound: per-cluster cents mass
+    <= 9.5e8, documented), the global CF stages one deterministic
+    double floor, and SSB/SSW ship as exact e1 integers; ICC and DEFF
+    are staged IEEE expressions with degenerate guards.  One cluster
+    rollup + one 1-row reduce — no windows, no joins."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+          .select("user_id",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("y")))
+    c = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_c"),
+        F.sum("y").cast("long").alias("s_c"))
+    g = c.agg(F.sum("n_c").cast("long").alias("n"),
+              F.count("*").cast("long").alias("k"),
+              F.sum("s_c").cast("long").alias("s"),
+              F.sum(F.expr("s_c * s_c * 10 DIV n_c")).cast("long")
+               .alias("cf_e1"),
+              F.sum(F.col("n_c") * F.col("n_c")).cast("long").alias("nn2"))
+    q = ev.agg(F.sum(F.col("y") * F.col("y")).cast("long").alias("qq"))
+    t = (g.crossJoin(F.broadcast(q))
+          .select("n", "k", "nn2",
+                  (F.col("cf_e1")
+                   - F.floor(F.col("s").cast("double")
+                             * F.col("s").cast("double") * F.lit(10.0)
+                             / F.col("n").cast("double") + F.lit(0.5))
+                      .cast("long")).cast("long").alias("ssb_e1"),
+                  (F.col("qq") * 10 - F.col("cf_e1")).cast("long")
+                   .alias("ssw_e1")))
+    msb = F.col("ssb_e1").cast("double") / (F.col("k") - 1).cast("double")
+    msw = F.col("ssw_e1").cast("double") / (F.col("n") - F.col("k")) \
+        .cast("double")
+    m0 = ((F.col("n").cast("double")
+           - F.col("nn2").cast("double") / F.col("n").cast("double"))
+          / (F.col("k") - 1).cast("double"))
+    icc_den = msb + (m0 - F.lit(1.0)) * msw
+    icc = (msb - msw) / icc_den
+    ok = ((F.col("k") >= 2) & (F.col("n") > F.col("k"))
+          & (F.col("ssw_e1") > 0) & (icc_den != 0))
+    mbar = F.col("n").cast("double") / F.col("k").cast("double")
+    return t.select(
+        "n", "k", "ssb_e1", "ssw_e1",
+        F.when(ok, pround(icc, 6))
+         .otherwise(F.lit(None).cast("double")).alias("icc"),
+        F.when(ok, pround(F.lit(1.0) + (mbar - F.lit(1.0)) * icc, 6))
+         .otherwise(F.lit(None).cast("double")).alias("deff"))
+
+
+# =====================================================================
 # classifier eval: MCC + decile gains
 # =====================================================================
 

@@ -921,6 +921,114 @@ def test_effective_rank_isotropic_vs_collapsed(spark, tmp_path):
     assert got2["effective_rank"] == pytest.approx(1.0, abs=0.01)
 
 
+# -------------------------------------------------------- kendall w
+
+def test_kendall_w_matches_brute(spark, tmp_path):
+    import pandas as pd
+    lens = [100 + 37 * i for i in range(25)]   # distinct spread lengths
+    pdf = pd.DataFrame({
+        "doc_id": range(len(lens)),
+        "text": ["x" * l for l in lens],
+        "lang": ["en"] * len(lens),
+        "source": ["s"] * len(lens),
+        "n_chars": lens,
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    got = QUERIES["q_kendall_w"](spark, str(d)).collect()[0]
+    n, m = len(lens), 3
+    scores = {r: {i: lens[i] + _md5_lane(f"kw{r}:", i, 101) - 50
+                  for i in range(n)} for r in (1, 2, 3)}
+    r2 = {}
+    t_sum = 0
+    for r in (1, 2, 3):
+        vals = list(scores[r].values())
+        from collections import Counter
+        cc = Counter(vals)
+        t_sum += sum(c ** 3 - c for c in cc.values())
+        mr = dict(zip(vals, _midranks(vals)))
+        for i in range(n):
+            r2[i] = r2.get(i, 0) + int(2 * mr[scores[r][i]])
+    s2q = 0
+    for i in range(n):
+        num = (r2[i] - 3 * (n + 1)) * 100000
+        dq = num // (6 * n) if num >= 0 else -((-num) // (6 * n))
+        s2q += dq * dq
+    assert got["n_items"] == n and got["t_sum"] == t_sum
+    assert got["s2q"] == s2q
+    w = 108 * n * n * s2q / (1e10 * (9 * (n ** 3 - n) - 3 * t_sum))
+    assert got["w"] == pytest.approx(w, abs=2e-6)
+    # noise is small relative to the length spread: raters mostly agree
+    assert got["w"] > 0.8
+
+
+def test_kendall_w_perfect_concordance(spark, tmp_path):
+    import pandas as pd
+    # spread lengths so wide the +-50 noise can never flip a rank:
+    # all three raters produce the identical ranking -> W = 1 exactly
+    lens = [1000 * (i + 1) for i in range(12)]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(lens)),
+        "text": ["x" * 5 for _ in lens],
+        "lang": ["en"] * len(lens),
+        "source": ["s"] * len(lens),
+        "n_chars": lens,
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    got = QUERIES["q_kendall_w"](spark, str(d)).collect()[0]
+    assert got["t_sum"] == 0
+    assert got["w"] == pytest.approx(1.0, abs=1e-3)
+
+
+# ----------------------------------------------------- design effect
+
+def test_design_effect_matches_brute(spark, tmp_path):
+    import pandas as pd
+    rows = []
+    # strongly clustered: each user's events hug a user-specific level
+    for uid in range(10):
+        for j in range(8):
+            rows.append((uid, f"2024-01-01 {j:02d}:00:00",
+                         10.0 * (uid + 1) + 0.01 * j))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": ["x"] * len(rows),
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_design_effect"](spark, str(d)).collect()[0]
+    cents = {}
+    for u, _, v in rows:
+        cents.setdefault(u, []).append(int(round(v * 100)))
+    n = sum(len(v) for v in cents.values())
+    k = len(cents)
+    cf = sum(sum(v) ** 2 * 10 // len(v) for v in cents.values())
+    s = sum(sum(v) for v in cents.values())
+    qq = sum(x * x for v in cents.values() for x in v)
+    ssb = cf - int(math.floor(s * s * 10 / n + 0.5))
+    ssw = qq * 10 - cf
+    assert (got["n"], got["k"]) == (n, k)
+    assert got["ssb_e1"] == ssb and got["ssw_e1"] == ssw
+    nn2 = sum(len(v) ** 2 for v in cents.values())
+    msb, msw = ssb / (k - 1), ssw / (n - k)
+    m0 = (n - nn2 / n) / (k - 1)
+    icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    deff = 1 + (n / k - 1) * icc
+    assert got["icc"] == pytest.approx(icc, abs=2e-6)
+    assert got["deff"] == pytest.approx(deff, abs=2e-6)
+    # near-total clustering: ICC ~ 1, DEFF ~ cluster size
+    assert got["icc"] > 0.99
+    assert got["deff"] > 6.5
+
+
 # ----------------------------------------------------- mcc / lift
 
 def test_mcc_f1_identities_on_testdata(spark):
