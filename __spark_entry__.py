@@ -90,14 +90,15 @@ _DRIVER_PRIORITY = [
 ]
 # Round-13 rotation plan (r11 verdict item 5): after this 47-row
 # window, exactly these 37 pre-r12 never-exposed rows remain, plus the
-# 24 operators added in round 12 (q_wilson_interval, q_spearman_rho,
+# 26 operators added in round 12 (q_wilson_interval, q_spearman_rho,
 # q_kruskal_wallis, q_benjamini_hochberg, q_bradley_terry,
 # q_simplified_silhouette, q_ipw_ate, q_conformal_interval,
 # q_harmonic_centrality, q_cochran_armitage, q_stratified_neyman,
 # q_odds_ratio_ci, q_diff_in_diff, q_power_mde, q_script_mix,
 # q_quantile_treatment_effect, q_regression_discontinuity,
 # q_freshness_decay, q_winrate_matrix, q_modularity, q_fleiss_kappa,
-# q_effective_rank, q_mcc_f1, q_lift_gains — all vanilla + TZ gated at
+# q_effective_rank, q_mcc_f1, q_lift_gains, q_kendall_w,
+# q_design_effect — all vanilla + TZ gated at
 # birth this round, every events/documents row 5-seed fuzzed and the
 # batch-1/2/3 rows additionally 10-seed deep-fuzzed).  r13 window:
 # 3 sentinels + ALL 37 pre-r12 rows (clears the oldest debt first)
@@ -106,7 +107,7 @@ _DRIVER_PRIORITY = [
 # causal rows q_ipw_ate / q_diff_in_diff / q_conformal_interval /
 # q_quantile_treatment_effect, and the double-output q_wilson_interval
 # / q_odds_ratio_ci / q_power_mde / q_regression_discontinuity); the
-# remaining 14 r12 rows split across r14:
+# remaining 16 r12 rows split across r14:
 # q_ivf_assign, q_distinct_agg, q_stratified_sample, q_decontaminate,
 # q_upsert_ignore, q_embedding_quantize, q_quality_quantile_filter,
 # q_cap_per_group, q_shard_assign, q_outlier_filter, q_ann_recall,

@@ -340,6 +340,24 @@ COMMENTARY = {
         "filter, one 2-row rollup of exact BIGINT OLS moments on the "
         "centered day axis, staged IEEE intercepts — no joins beyond "
         "the final 1x1 cross, no windows.",
+    "q_modularity": "Modularity (r12): bounded per-order edge fan-out, "
+        "two broadcast part-dim label lookups, then everything is "
+        "|brands|-sized; Q rearranged to sum(4m·e_cc − d_c²)/4m² so "
+        "the whole surface is exact BIGINT with ONE terminal division.",
+    "q_kendall_w": "Kendall's W (r12): per-rater rank cumulatives on "
+        "(rater, distinct-score) grids, per-item rank masses exact "
+        "BIGINT, deviations DIV-quantized to the 1e5 grid (the "
+        "overflow-safe Spearman recipe) — corpus-sized work is only "
+        "the score projection and two keyed rollups.",
+    "q_lift_gains": "Lift/gains (r12): one corpus aggregate to the "
+        "10-bin grid, cumulative-from-the-top via a broadcast "
+        "triangular self-join (no window), staged integer DIV lift "
+        "that stays in BIGINT to ~3e9 rows (the naive single product "
+        "overflowed at the x100 point — caught by the sweep).",
+    "q_design_effect": "DEFF (r12): one user-cluster rollup with "
+        "exact per-cluster DIV correction factors, one 1-row reduce; "
+        "ICC/DEFF staged from three BIGINT cores — no windows, no "
+        "joins.",
 }
 
 
