@@ -29,6 +29,7 @@ from access_mopper_spark.queries import round9_eval as _round9_eval  # noqa: F40
 from access_mopper_spark.queries import round10_ops as _round10_ops  # noqa: F401
 from access_mopper_spark.queries import round11_ops as _round11_ops  # noqa: F401
 from access_mopper_spark.queries import round12_ops as _round12_ops  # noqa: F401
+from access_mopper_spark.queries import round12b_ops as _round12b_ops  # noqa: F401
 
 from access_mopper_spark.queries import _casts as _casts_mod  # noqa: F401
 from access_mopper_spark.queries._casts import (_RAW_ORACLES,  # noqa: F401

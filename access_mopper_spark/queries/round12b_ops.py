@@ -1,0 +1,483 @@
+"""Round-12 continuation batch: survival comparison and rank-based
+changepoint detection — the two readouts that close the survival shelf
+(q_survival_km gives ONE curve; the log-rank test answers "are the two
+arms' curves different?") and the changepoint shelf (q_cusum_changepoint
+is mean-based and distribution-sensitive; Pettitt is the rank-based,
+outlier-robust twin).
+
+Registry conventions as everywhere (queries/_core.py): exact BIGINT
+cores on distinct-value/day grids, cumulatives via broadcast triangular
+self-joins (no global windows), per-distinct-term micro-unit
+quantization for the one rational series each test sums (the proven
+r10-r11 recipe: a 1-ulp division disagreement flips FLOOR(x*1e6+0.5)
+only within 1e-6-measure-zero of a boundary), identical expression TEXT
+on both engines for every double stage, R6 on final doubles.
+"""
+
+from __future__ import annotations
+
+from access_mopper_spark.queries._core import (  # noqa: F401
+    F, W, query, R6, _wide, eager_release, load_table, pround)
+
+
+# =====================================================================
+# survival: two-sample log-rank test
+# =====================================================================
+
+@query(
+    "q_logrank_test",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM ev GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(d1) AS gmax FROM u),
+    lt AS (
+      SELECT user_id % 2 AS arm, d1 - d0 AS lt,
+             CASE WHEN d1 > gmax - 3 THEN 1 ELSE 0 END AS censored
+      FROM u CROSS JOIN mx
+    ),
+    ga AS (
+      SELECT lt AS t, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1_all,
+             CAST(SUM(1 - censored) AS BIGINT) AS d_ev,
+             CAST(SUM(CASE WHEN arm = 1 AND censored = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d1_ev
+      FROM lt GROUP BY lt
+    ),
+    risk AS (
+      SELECT a.t, a.d_ev, a.d1_ev,
+             CAST(SUM(b.n_all) AS BIGINT) AS n,
+             CAST(SUM(b.n1_all) AS BIGINT) AS n1
+      FROM ga a JOIN ga b ON b.t >= a.t
+      GROUP BY a.t, a.d_ev, a.d1_ev
+    ),
+    terms AS (
+      SELECT d_ev, d1_ev, n, n1,
+             CAST(FLOOR(CAST(n1 * d_ev AS DOUBLE) / n * 1e6 + 0.5)
+                  AS BIGINT) AS e1_micro,
+             CAST(FLOOR(CAST(n1 AS DOUBLE) / n
+                        * (CAST(n - n1 AS DOUBLE) / n) * d_ev
+                        * (CAST(n - d_ev AS DOUBLE) / (n - 1))
+                        * 1e6 + 0.5) AS BIGINT) AS v_micro
+      FROM risk WHERE d_ev >= 1 AND n >= 2
+    ),
+    tots AS (
+      SELECT CAST(SUM(d1_ev) AS BIGINT) AS o1,
+             CAST(SUM(d_ev) AS BIGINT) AS o_all,
+             CAST(SUM(e1_micro) AS BIGINT) AS e1m,
+             CAST(SUM(v_micro) AS BIGINT) AS vm
+      FROM terms
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1_users,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0_users
+      FROM lt
+    )
+    SELECT n1_users, n0_users, o1, o_all,
+           ROUND(CAST(e1m AS DOUBLE) / 1e6, 6) AS e1,
+           ROUND(CAST(vm AS DOUBLE) / 1e6, 6) AS v_hyper,
+           CASE WHEN vm > 0
+                THEN ROUND(CAST(o1 * 1000000 - e1m AS DOUBLE)
+                           / (SQRT(CAST(vm AS DOUBLE)) * 1000.0), 6)
+                ELSE NULL END AS z_logrank
+    FROM tots CROSS JOIN arms
+    """,
+)
+def q_logrank_test(spark, sf_dir):
+    """Two-sample log-rank test comparing user-lifetime survival between
+    A/B arms (arm = user_id % 2, the repo's standard assignment; same
+    lifetime/censoring construction as q_survival_km: first->last active
+    day, users active in the final 3 days right-censored) — "did the
+    treatment arm retain users longer?", the hypothesis test q_survival_km's
+    single curve cannot answer (reference surface: per-experiment QC
+    summaries next to q_cuped / q_mannwhitney_u).  At each distinct event
+    time the hypergeometric expectation E1 = n1*d/n and variance
+    V = n1*n2*d*(n-d)/(n^2*(n-1)) are quantized per-term to exact
+    micro-unit BIGINTs (the per-distinct-value recipe), summed exactly,
+    and z = (O1-E1)/sqrt(V) staged from the integer cores with identical
+    expression text on both engines (+,-,*,/,sqrt only).  Exactness
+    bound: n1*d < 2^53 (holds past 1e8 users).  Cost: one user-level
+    aggregate; everything after lives on the tiny distinct-lifetime grid
+    (risk sets via a broadcast triangular self-join, no window)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select("user_id",
+                  F.date_trunc("day", "ts").cast("date").alias("d")))
+    u = ev.groupBy("user_id").agg(F.min("d").alias("d0"),
+                                  F.max("d").alias("d1"))
+    mx = u.agg(F.max("d1").alias("gmax"))
+    lt = (u.crossJoin(F.broadcast(mx))
+           .select((F.col("user_id") % 2).alias("arm"),
+                   F.datediff("d1", "d0").alias("lt"),
+                   F.when(F.col("d1") > F.date_sub(F.col("gmax"), 3), 1)
+                    .otherwise(0).alias("censored")))
+    ga = (lt.groupBy(F.col("lt").alias("t"))
+            .agg(F.count("*").cast("long").alias("n_all"),
+                 F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+                  .cast("long").alias("n1_all"),
+                 F.sum(F.lit(1) - F.col("censored")).cast("long")
+                  .alias("d_ev"),
+                 F.sum(F.when((F.col("arm") == 1)
+                              & (F.col("censored") == 0), 1).otherwise(0))
+                  .cast("long").alias("d1_ev")))
+    gb = ga.select(F.col("t").alias("t2"), F.col("n_all").alias("n_all2"),
+                   F.col("n1_all").alias("n1_all2"))
+    risk = (ga.join(F.broadcast(gb), F.col("t2") >= F.col("t"))
+              .groupBy("t", "d_ev", "d1_ev")
+              .agg(F.sum("n_all2").cast("long").alias("n"),
+                   F.sum("n1_all2").cast("long").alias("n1")))
+    terms = (risk.where((F.col("d_ev") >= 1) & (F.col("n") >= 2))
+                 .select("d_ev", "d1_ev",
+                         F.expr("CAST(FLOOR(CAST(n1 * d_ev AS DOUBLE) / n "
+                                "* 1e6 + 0.5) AS BIGINT)").alias("e1_micro"),
+                         F.expr("CAST(FLOOR(CAST(n1 AS DOUBLE) / n "
+                                "* (CAST(n - n1 AS DOUBLE) / n) * d_ev "
+                                "* (CAST(n - d_ev AS DOUBLE) / (n - 1)) "
+                                "* 1e6 + 0.5) AS BIGINT)").alias("v_micro")))
+    tots = terms.agg(F.sum("d1_ev").cast("long").alias("o1"),
+                     F.sum("d_ev").cast("long").alias("o_all"),
+                     F.sum("e1_micro").cast("long").alias("e1m"),
+                     F.sum("v_micro").cast("long").alias("vm"))
+    arms = lt.agg(F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+                   .cast("long").alias("n1_users"),
+                  F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+                   .cast("long").alias("n0_users"))
+    return (tots.crossJoin(F.broadcast(arms))
+                .select("n1_users", "n0_users", "o1", "o_all",
+                        pround(F.expr("CAST(e1m AS DOUBLE) / 1e6"), 6)
+                          .alias("e1"),
+                        pround(F.expr("CAST(vm AS DOUBLE) / 1e6"), 6)
+                          .alias("v_hyper"),
+                        F.when(F.col("vm") > 0,
+                               pround(F.expr(
+                                   "CAST(o1 * 1000000 - e1m AS DOUBLE) "
+                                   "/ (SQRT(CAST(vm AS DOUBLE)) * 1000.0)"),
+                                   6))
+                         .otherwise(F.lit(None).cast("double"))
+                         .alias("z_logrank")))
+
+
+# =====================================================================
+# changepoint: Pettitt rank test
+# =====================================================================
+
+@query(
+    "q_pettitt_test",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    daily AS (
+      SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM ev GROUP BY event_type, d
+    ),
+    pairs AS (
+      SELECT a.event_type, a.d AS di, b.d AS dj,
+             CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    ut AS (
+      SELECT p.event_type, t.d AS t, CAST(SUM(p.sgn) AS BIGINT) AS u
+      FROM pairs p JOIN daily t
+        ON t.event_type = p.event_type AND p.di <= t.d AND p.dj > t.d
+      GROUP BY p.event_type, t.d
+    ),
+    dd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd
+      FROM daily GROUP BY event_type
+    ),
+    k AS (
+      SELECT event_type, CAST(MAX(ABS(u)) AS BIGINT) AS k_stat
+      FROM ut GROUP BY event_type
+    ),
+    tau AS (
+      SELECT u.event_type, k.k_stat, MIN(u.t) AS tau_day
+      FROM ut u JOIN k
+        ON k.event_type = u.event_type AND ABS(u.u) = k.k_stat
+      GROUP BY u.event_type, k.k_stat
+    )
+    SELECT t.event_type, dd.nd AS n_days, t.k_stat, t.tau_day,
+           CAST(6 * t.k_stat * t.k_stat * 1000000
+                // (dd.nd * dd.nd * dd.nd + dd.nd * dd.nd) AS BIGINT)
+             AS stat_micro,
+           ROUND(LEAST(CAST(1 AS DOUBLE),
+                       2 * EXP(-(CAST(6 * t.k_stat * t.k_stat AS DOUBLE)
+                                 / (dd.nd * dd.nd * dd.nd
+                                    + dd.nd * dd.nd)))), 6) AS p_approx
+    FROM tau t JOIN dd ON dd.event_type = t.event_type
+    """,
+)
+def q_pettitt_test(spark, sf_dir):
+    """Pettitt rank changepoint test per event_type over the daily
+    event-count series — the outlier-robust, distribution-free twin of
+    q_cusum_changepoint (rank statistics don't care about the heavy tail
+    that drags a mean-based CUSUM): U_t = sum_{i<=t, j>t} sgn(x_j - x_i),
+    K = max|U_t|, tau = argmax (earliest day on ties), with the standard
+    approximation p ~ 2*exp(-6K^2/(D^3+D^2)) capped at 1 (reference
+    surface: per-variable temporal-drift QC next to q_mann_kendall).
+    Everything through K is exact BIGINT on the per-type active-day grid
+    (days with zero events of a type are not in that type's series —
+    documented semantics): sign pairs D^2/2, the per-t rollup a keyed
+    grid-to-grid join (D^3/6 tiny rows, never touching the corpus
+    again), no window.  stat_micro is exact integer DIV (overflow-safe
+    to D ~ 2200 days; K <= D^2/4 so 6*K^2*1e6 < 2^63); the single EXP
+    lands on one identical double per type then R6.  One corpus
+    aggregate; series with a single active day have no pairs and drop
+    out (documented)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.date_trunc("day", "ts").cast("date").alias("d")))
+    daily = (ev.groupBy("event_type", "d")
+               .agg(F.count("*").cast("long").alias("x")))
+    b = daily.select(F.col("event_type").alias("et2"),
+                     F.col("d").alias("dj"), F.col("x").alias("xj"))
+    pairs = (daily.join(F.broadcast(b),
+                        (F.col("et2") == F.col("event_type"))
+                        & (F.col("dj") > F.col("d")))
+                  .select("event_type", F.col("d").alias("di"), "dj",
+                          F.when(F.col("xj") > F.col("x"), 1)
+                           .when(F.col("xj") < F.col("x"), -1)
+                           .otherwise(0).alias("sgn")))
+    tgrid = daily.select(F.col("event_type").alias("et3"),
+                         F.col("d").alias("t"))
+    ut = (pairs.join(F.broadcast(tgrid),
+                     (F.col("et3") == F.col("event_type"))
+                     & (F.col("di") <= F.col("t"))
+                     & (F.col("dj") > F.col("t")))
+               .groupBy("event_type", "t")
+               .agg(F.sum("sgn").cast("long").alias("u")))
+    dd = (daily.groupBy("event_type")
+               .agg(F.count("*").cast("long").alias("nd")))
+    k = (ut.groupBy("event_type")
+           .agg(F.max(F.abs(F.col("u"))).cast("long").alias("k_stat")))
+    kb = k.select(F.col("event_type").alias("et4"), "k_stat")
+    tau = (ut.join(F.broadcast(kb),
+                   (F.col("et4") == F.col("event_type"))
+                   & (F.abs(F.col("u")) == F.col("k_stat")))
+             .groupBy("event_type", "k_stat")
+             .agg(F.min("t").alias("tau_day")))
+    ddb = dd.select(F.col("event_type").alias("et5"), "nd")
+    return (tau.join(F.broadcast(ddb), F.col("et5") == F.col("event_type"))
+               .select("event_type", F.col("nd").alias("n_days"),
+                       "k_stat", "tau_day",
+                       F.expr("CAST(6 * k_stat * k_stat * 1000000 "
+                              "DIV (nd * nd * nd + nd * nd) AS BIGINT)")
+                        .alias("stat_micro"),
+                       pround(F.expr(
+                           "LEAST(CAST(1 AS DOUBLE), "
+                           "2 * EXP(-(CAST(6 * k_stat * k_stat AS DOUBLE) "
+                           "/ (nd * nd * nd + nd * nd))))"), 6)
+                        .alias("p_approx")))
+
+
+# =====================================================================
+# calibration: isotonic (PAV) fit via the minimax identity
+# =====================================================================
+
+@query(
+    "q_isotonic_pav",
+    oracle="""
+    WITH scored AS (
+      SELECT (l_partkey * 37 + l_suppkey) % 10001 AS prob_bp,
+             CASE WHEN ('0x' || substring(md5(
+                    'cal:' || CAST(l_orderkey AS VARCHAR) || ':'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                    % 10000
+                  < (l_partkey * 37 + l_suppkey) % 10001
+                  THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ),
+    b AS (
+      SELECT CAST(LEAST(prob_bp * 20 // 10000, 19) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    spans AS (
+      SELECT j.bin AS j, k.bin AS k,
+             CAST(SUM(m.pos) AS BIGINT) AS s,
+             CAST(SUM(m.nb) AS BIGINT) AS n
+      FROM b j JOIN b k ON k.bin >= j.bin
+      JOIN b m ON m.bin >= j.bin AND m.bin <= k.bin
+      GROUP BY j.bin, k.bin
+    ),
+    inner_min AS (
+      SELECT i.bin AS i, s.j,
+             MIN(CAST(s.s AS DOUBLE) / s.n) AS mn
+      FROM b i JOIN spans s ON s.j <= i.bin AND s.k >= i.bin
+      GROUP BY i.bin, s.j
+    ),
+    fit AS (
+      SELECT i, MAX(mn) AS iso FROM inner_min GROUP BY i
+    )
+    SELECT b.bin, b.nb, b.pos,
+           ROUND(CAST(b.pos AS DOUBLE) / b.nb, 6) AS emp_rate,
+           ROUND(fit.iso, 6) AS iso_rate
+    FROM b JOIN fit ON fit.i = b.bin
+    """,
+)
+def q_isotonic_pav(spark, sf_dir):
+    """Isotonic (PAV) calibration fit over the 20-bin reliability
+    diagram of the md5 calibration classifier — the monotone recalibration
+    map a serving stack applies on top of raw scores (q_calibration_bins
+    shows the diagram, q_ece_calibration its scalar error; this row is
+    the FIX).  Computed via the minimax identity fit(i) = max_{j<=i}
+    min_{k>=i} mean(y over bins j..k) — a closed relational form of
+    pool-adjacent-violators with no iteration at all: span sums over the
+    20-bin grid (<= 210 spans x 20 member bins), each span mean a SINGLE
+    BIGINT/BIGINT division (IEEE-correctly-rounded, bit-identical), then
+    exact MIN/MAX — so the whole fit is deterministic with no
+    quantization argument needed.  Corpus work is ONE map-side-combined
+    20-key aggregate; everything after lives on the bin grid via
+    broadcast triangular joins.  Empty bins are absent from the grid and
+    the fit is over present bins in bin order (documented)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lane = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("cal:"), F.col("l_orderkey").cast("string"),
+        F.lit(":"), F.col("l_linenumber").cast("string"))), 1, 8),
+        16, 10).cast("long") % 10000)
+    prob = (F.col("l_partkey") * 37 + F.col("l_suppkey")) % 10001
+    scored = li.select(prob.alias("prob_bp"),
+                       F.when(lane < prob, 1).otherwise(0).alias("label"))
+    b = (scored.groupBy(F.expr("least(prob_bp * 20 DIV 10000, 19)")
+                         .cast("long").alias("bin"))
+               .agg(F.count("*").cast("long").alias("nb"),
+                    F.sum("label").cast("long").alias("pos")))
+    bj = b.select(F.col("bin").alias("j"))
+    bk = b.select(F.col("bin").alias("k"))
+    bm = b.select(F.col("bin").alias("m"), F.col("nb").alias("nb_m"),
+                  F.col("pos").alias("pos_m"))
+    spans = (bj.join(F.broadcast(bk), F.col("k") >= F.col("j"))
+               .join(F.broadcast(bm),
+                     (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")))
+               .groupBy("j", "k")
+               .agg(F.sum("pos_m").cast("long").alias("s"),
+                    F.sum("nb_m").cast("long").alias("n")))
+    bi = b.select(F.col("bin").alias("i"))
+    inner_min = (bi.join(F.broadcast(spans),
+                         (F.col("j") <= F.col("i"))
+                         & (F.col("k") >= F.col("i")))
+                   .groupBy("i", "j")
+                   .agg(F.min(F.expr("CAST(s AS DOUBLE) / n")).alias("mn")))
+    fit = inner_min.groupBy("i").agg(F.max("mn").alias("iso"))
+    return (b.join(F.broadcast(fit), F.col("i") == F.col("bin"))
+             .select("bin", "nb", "pos",
+                     pround(F.expr("CAST(pos AS DOUBLE) / nb"), 6)
+                       .alias("emp_rate"),
+                     pround(F.col("iso"), 6).alias("iso_rate")))
+
+
+# =====================================================================
+# feature split: day-parting decision stump
+# =====================================================================
+
+@query(
+    "q_decision_stump",
+    oracle="""
+    WITH e AS (
+      SELECT hour(CAST(ts AS TIMESTAMP)) AS h,
+             CASE WHEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 5000
+                  THEN 1 ELSE 0 END AS label
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(label) AS BIGINT) AS pos_h
+      FROM e GROUP BY h
+    ),
+    tot AS (SELECT CAST(SUM(n_h) AS BIGINT) AS n,
+                   CAST(SUM(pos_h) AS BIGINT) AS pos FROM g),
+    thr AS (
+      SELECT a.h AS thr_hour,
+             CAST(SUM(c.n_h) AS BIGINT) AS nl,
+             CAST(SUM(c.pos_h) AS BIGINT) AS pl
+      FROM g a JOIN g c ON c.h <= a.h
+      WHERE a.h < (SELECT MAX(h) FROM g)
+      GROUP BY a.h
+    ),
+    cand AS (
+      SELECT thr_hour, nl, pl, tot.n - nl AS nr, tot.pos - pl AS pr,
+             CAST(pl * (nl - pl) AS DOUBLE) / nl
+             + CAST((tot.pos - pl) * ((tot.n - nl) - (tot.pos - pl))
+                    AS DOUBLE) / (tot.n - nl) AS child_raw,
+             CAST(tot.pos * (tot.n - tot.pos) AS DOUBLE) / tot.n
+               AS root_raw,
+             tot.n AS n
+      FROM thr CROSS JOIN tot
+      WHERE nl > 0 AND tot.n - nl > 0
+    )
+    SELECT thr_hour, nl AS n_left, pl AS pos_left,
+           nr AS n_right, pr AS pos_right,
+           ROUND(2 * root_raw / n, 6) AS gini_root,
+           ROUND(2 * child_raw / n, 6) AS gini_children,
+           ROUND(2 * (root_raw - child_raw) / n, 6) AS gini_gain
+    FROM cand ORDER BY child_raw ASC, thr_hour ASC LIMIT 1
+    """,
+)
+def q_decision_stump(spark, sf_dir):
+    """Best single-threshold decision stump on hour-of-day predicting
+    high-value events (cents >= 5000, the q_wilson_interval success
+    definition) — the day-parting split a feature-importance or
+    rule-mining pass starts from: which hour boundary most purifies
+    high-value vs low-value traffic (CART with depth 1).  The threshold
+    grid is the 24-hour domain: per-hour (n, pos) from ONE corpus
+    aggregate, prefix counts via a broadcast triangular self-join, and
+    the Gini objective minimized as child_raw = pl*ql/nl + pr*qr/nr —
+    each term a product of exact BIGINTs divided once
+    (IEEE-correctly-rounded => bit-identical), argmin selected with the
+    deterministic (child_raw, thr_hour) sort, ties to the earliest hour.
+    Exactness bound: pl*ql < 2^53 (holds to ~1.9e8 events).  Reported
+    gini_* surfaces are the conventional 2*impurity/n scalings through
+    R6."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select(F.hour(F.col("ts").cast("timestamp")).alias("h"),
+                  F.when(F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long") >= 5000, 1).otherwise(0)
+                   .alias("label")))
+    g = ev.groupBy("h").agg(F.count("*").cast("long").alias("n_h"),
+                            F.sum("label").cast("long").alias("pos_h"))
+    tot = g.agg(F.sum("n_h").cast("long").alias("n"),
+                F.sum("pos_h").cast("long").alias("pos"))
+    hmax = g.agg(F.max("h").alias("h_max"))
+    c = g.select(F.col("h").alias("h2"), F.col("n_h").alias("n_h2"),
+                 F.col("pos_h").alias("pos_h2"))
+    thr = (g.join(F.broadcast(c), F.col("h2") <= F.col("h"))
+            .crossJoin(F.broadcast(hmax))
+            .where(F.col("h") < F.col("h_max"))
+            .groupBy(F.col("h").alias("thr_hour"))
+            .agg(F.sum("n_h2").cast("long").alias("nl"),
+                 F.sum("pos_h2").cast("long").alias("pl")))
+    cand = (thr.crossJoin(F.broadcast(tot))
+               .where((F.col("nl") > 0) & (F.col("n") - F.col("nl") > 0))
+               .select("thr_hour", "nl", "pl",
+                       (F.col("n") - F.col("nl")).alias("nr"),
+                       (F.col("pos") - F.col("pl")).alias("pr"),
+                       F.expr("CAST(pl * (nl - pl) AS DOUBLE) / nl "
+                              "+ CAST((pos - pl) * ((n - nl) - (pos - pl)) "
+                              "AS DOUBLE) / (n - nl)").alias("child_raw"),
+                       F.expr("CAST(pos * (n - pos) AS DOUBLE) / n")
+                        .alias("root_raw"),
+                       F.col("n")))
+    best = cand.orderBy(F.col("child_raw").asc(),
+                        F.col("thr_hour").asc()).limit(1)
+    return best.select(
+        "thr_hour", F.col("nl").alias("n_left"), F.col("pl").alias("pos_left"),
+        F.col("nr").alias("n_right"), F.col("pr").alias("pos_right"),
+        pround(F.expr("2 * root_raw / n"), 6).alias("gini_root"),
+        pround(F.expr("2 * child_raw / n"), 6).alias("gini_children"),
+        pround(F.expr("2 * (root_raw - child_raw) / n"), 6)
+          .alias("gini_gain"))

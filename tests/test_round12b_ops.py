@@ -1,0 +1,357 @@
+"""Round-12 continuation operators: log-rank survival test, Pettitt
+rank changepoint.
+
+Each statistic is pinned against an independent brute-force Python
+implementation on small fixtures (the oracle and the Spark side share
+the algebraic rearrangement — the second algorithm checks the
+rearrangement itself), plus degenerate guards.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from access_mopper_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_fixture(tmp_path, rows):
+    """rows: list of (user_id, iso_ts, event_type)."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": [e for _, _, e in rows],
+        "value": [1.0] * len(rows),
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+# --------------------------------------------------------------- logrank
+
+def _brute_logrank(lifetimes):
+    """lifetimes: list of (arm, lt_days, censored). Returns (o1, e1, v, z)."""
+    times = sorted({t for _, t, c in lifetimes if c == 0})
+    o1 = e1 = v = 0.0
+    for t in times:
+        at_risk = [(a, lt, c) for a, lt, c in lifetimes if lt >= t]
+        n = len(at_risk)
+        n1 = sum(1 for a, _, _ in at_risk if a == 1)
+        d = sum(1 for _, lt, c in at_risk if lt == t and c == 0)
+        d1 = sum(1 for a, lt, c in at_risk if lt == t and c == 0 and a == 1)
+        if d < 1 or n < 2:
+            continue
+        o1 += d1
+        e1 += n1 * d / n
+        v += n1 * (n - n1) * d * (n - d) / (n * n * (n - 1))
+    z = (o1 - e1) / math.sqrt(v) if v > 0 else None
+    return o1, e1, v, z
+
+
+def test_logrank_matches_brute(spark, tmp_path):
+    # arm 1 (odd uids) churns fast, arm 0 (even uids) lives long;
+    # users 20/21 active on the global last day -> censored.
+    rows = []
+    for uid, span in [(1, 0), (3, 1), (5, 1), (7, 2), (9, 3),
+                      (2, 4), (4, 5), (6, 6), (8, 6), (10, 7)]:
+        rows.append((uid, "2024-01-01 08:00:00", "a"))
+        rows.append((uid, f"2024-01-{1 + span:02d} 18:00:00", "a"))
+    rows.append((20, "2024-01-01 09:00:00", "a"))
+    rows.append((20, "2024-01-10 09:00:00", "a"))
+    rows.append((21, "2024-01-02 09:00:00", "a"))
+    rows.append((21, "2024-01-10 09:00:00", "a"))
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_logrank_test"](spark, d).collect()[0]
+
+    spans = {1: 0, 3: 1, 5: 1, 7: 2, 9: 3, 2: 4, 4: 5, 6: 6, 8: 6, 10: 7,
+             20: 9, 21: 8}
+    gmax = 9  # day index of 2024-01-10 relative to 2024-01-01
+    last_day = {u: (1 if u in (20, 21) else spans[u]) for u in spans}
+    lifetimes = []
+    for u, sp in spans.items():
+        d1 = 9 if u in (20, 21) else sp
+        censored = 1 if d1 > gmax - 3 else 0
+        lifetimes.append((u % 2, sp, censored))
+    del last_day
+    o1, e1, v, z = _brute_logrank(lifetimes)
+    assert got["n1_users"] == sum(1 for a, _, _ in lifetimes if a == 1)
+    assert got["n0_users"] == sum(1 for a, _, _ in lifetimes if a == 0)
+    assert got["o1"] == o1
+    assert got["e1"] == pytest.approx(e1, abs=5e-6)
+    assert got["v_hyper"] == pytest.approx(v, abs=5e-6)
+    assert got["z_logrank"] == pytest.approx(z, abs=5e-6)
+
+
+def test_logrank_zero_variance_is_null(spark, tmp_path):
+    # every user in arm 0 (even uids): n1 == 0 at every time -> V == 0.
+    rows = []
+    for uid, span in [(2, 0), (4, 1), (6, 2), (8, 3)]:
+        rows.append((uid, "2024-01-01 08:00:00", "a"))
+        rows.append((uid, f"2024-01-{1 + span:02d} 18:00:00", "a"))
+    # push the global max far enough out that nobody above is censored
+    rows.append((10, "2024-01-01 08:00:00", "a"))
+    rows.append((10, "2024-01-09 08:00:00", "a"))
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_logrank_test"](spark, d).collect()[0]
+    assert got["n1_users"] == 0
+    assert got["o1"] == 0
+    assert got["z_logrank"] is None
+
+
+# --------------------------------------------------------------- pettitt
+
+def _brute_pettitt(xs):
+    """xs: daily values in day order. Returns (k, tau_idx, p)."""
+    nd = len(xs)
+    best_k, best_t = -1, None
+    for t in range(nd - 1):
+        u = 0
+        for i in range(t + 1):
+            for j in range(t + 1, nd):
+                u += (xs[j] > xs[i]) - (xs[j] < xs[i])
+        if abs(u) > best_k:
+            best_k, best_t = abs(u), t
+    p = min(1.0, 2 * math.exp(-6 * best_k * best_k / (nd ** 3 + nd ** 2)))
+    return best_k, best_t, p
+
+
+def test_pettitt_matches_brute(spark, tmp_path):
+    # level shift after day 4: [2,3,2,3,2, 7,8,7,9,8]
+    counts = [2, 3, 2, 3, 2, 7, 8, 7, 9, 8]
+    rows = []
+    for di, c in enumerate(counts):
+        for k in range(c):
+            rows.append((1, f"2024-02-{1 + di:02d} {8 + k}:00:00", "a"))
+    d = _events_fixture(tmp_path, rows)
+    got = {r["event_type"]: r
+           for r in QUERIES["q_pettitt_test"](spark, d).collect()}["a"]
+    k, tau_idx, p = _brute_pettitt(counts)
+    assert got["n_days"] == len(counts)
+    assert got["k_stat"] == k
+    assert str(got["tau_day"]) == f"2024-02-{1 + tau_idx:02d}"
+    assert got["stat_micro"] == (6 * k * k * 10**6) // (
+        len(counts) ** 3 + len(counts) ** 2)
+    assert got["p_approx"] == pytest.approx(p, abs=2e-6)
+
+
+def test_pettitt_constant_series_capped_p(spark, tmp_path):
+    rows = []
+    for di in range(5):
+        for k in range(3):
+            rows.append((1, f"2024-03-{1 + di:02d} {9 + k}:00:00", "b"))
+    d = _events_fixture(tmp_path, rows)
+    got = {r["event_type"]: r
+           for r in QUERIES["q_pettitt_test"](spark, d).collect()}["b"]
+    assert got["k_stat"] == 0
+    assert str(got["tau_day"]) == "2024-03-01"
+    assert got["stat_micro"] == 0
+    assert got["p_approx"] == 1.0
+
+
+def test_pettitt_single_day_series_drops_out(spark, tmp_path):
+    rows = [(1, "2024-04-01 08:00:00", "solo"),
+            (1, "2024-04-01 09:00:00", "solo"),
+            (1, "2024-04-01 08:30:00", "multi"),
+            (1, "2024-04-02 08:30:00", "multi")]
+    d = _events_fixture(tmp_path, rows)
+    out = {r["event_type"]
+           for r in QUERIES["q_pettitt_test"](spark, d).collect()}
+    assert out == {"multi"}
+
+
+# -------------------------------------------------------------- isotonic
+
+def _brute_pav(pairs):
+    """pairs: [(weight, total_pos)] in bin order -> fitted rates via
+    classic iterative pool-adjacent-violators."""
+    blocks = [[w, s] for w, s in pairs]  # [weight, pos_sum]
+    merged = True
+    while merged:
+        merged = False
+        out = []
+        for b in blocks:
+            out.append(list(b))
+            while len(out) >= 2 and (out[-2][1] / out[-2][0]
+                                     > out[-1][1] / out[-1][0]):
+                w2, s2 = out.pop()
+                out[-1][0] += w2
+                out[-1][1] += s2
+                merged = True
+        blocks = out
+    fit = []
+    for w, s in blocks:
+        fit += [s / w] * 1  # one value per block; expand by weight below
+    # expand back to per-bin values
+    rates = []
+    bi = 0
+    for w, s in blocks:
+        # how many original bins were merged into this block: recover by
+        # walking the original pairs
+        acc_w = 0
+        while acc_w < w:
+            acc_w += pairs[bi][0]
+            rates.append(s / w)
+            bi += 1
+    return rates
+
+
+def test_isotonic_pav_matches_brute(spark, tmp_path):
+    import hashlib
+    import pandas as pd
+    rows = []
+    for i in range(240):
+        pk, sk = (i * 13) % 50 + 1, (i * 7) % 40 + 1
+        rows.append((i + 1, (i % 4) + 1, pk, sk))
+    ldf = pd.DataFrame(rows, columns=["l_orderkey", "l_linenumber",
+                                      "l_partkey", "l_suppkey"])
+    d = tmp_path / "sf"
+    d.mkdir()
+    ldf.to_parquet(d / "lineitem.parquet")
+    got = {r["bin"]: r
+           for r in QUERIES["q_isotonic_pav"](spark, str(d)).collect()}
+
+    # replicate the md5 lane + binning in pure python
+    bins = {}
+    for ok, ln, pk, sk in rows:
+        prob = (pk * 37 + sk) % 10001
+        lane = int(hashlib.md5(f"cal:{ok}:{ln}".encode())
+                   .hexdigest()[:8], 16) % 10000
+        label = 1 if lane < prob else 0
+        b = min(prob * 20 // 10000, 19)
+        w, s = bins.get(b, (0, 0))
+        bins[b] = (w + 1, s + label)
+    order = sorted(bins)
+    fit = _brute_pav([bins[b] for b in order])
+    assert set(got) == set(order)
+    for b, f in zip(order, fit):
+        assert got[b]["nb"] == bins[b][0]
+        assert got[b]["pos"] == bins[b][1]
+        assert got[b]["emp_rate"] == pytest.approx(
+            bins[b][1] / bins[b][0], abs=2e-6)
+        assert got[b]["iso_rate"] == pytest.approx(f, abs=2e-6)
+    # fitted sequence is nondecreasing in bin order
+    seq = [got[b]["iso_rate"] for b in order]
+    assert all(a <= c + 1e-12 for a, c in zip(seq, seq[1:]))
+
+
+def test_isotonic_pav_pools_inversion(spark, tmp_path):
+    # hand-built inversion: find keys that land in two adjacent bins
+    # with rates inverted; PAV must pool them to the weighted mean.
+    import hashlib
+    import pandas as pd
+    rows = []
+    # bin 0: prob_bp < 500 -> partkey*37+suppkey small; make all labels 1
+    # bin 19: prob high -> labels 0.  Search keys to force labels.
+    want = {0: (3, 1), 19: (3, 0)}  # (count, label) per bin
+    found = {0: [], 19: []}
+    ok = 0
+    pk_sk = [(pk, sk) for pk in range(1, 300) for sk in range(1, 20)]
+    for pk, sk in pk_sk:
+        prob = (pk * 37 + sk) % 10001
+        b = min(prob * 20 // 10000, 19)
+        if b not in want or len(found[b]) >= want[b][0]:
+            continue
+        lbl_want = want[b][1]
+        # try order keys until the lane gives the wanted label
+        for cand in range(ok + 1, ok + 2000):
+            lane = int(hashlib.md5(f"cal:{cand}:1".encode())
+                       .hexdigest()[:8], 16) % 10000
+            if (1 if lane < prob else 0) == lbl_want:
+                found[b].append((cand, 1, pk, sk))
+                ok = cand
+                break
+        if all(len(found[b]) == want[b][0] for b in want):
+            break
+    assert all(len(found[b]) == want[b][0] for b in want)
+    ldf = pd.DataFrame(found[0] + found[19],
+                       columns=["l_orderkey", "l_linenumber",
+                                "l_partkey", "l_suppkey"])
+    d = tmp_path / "sf"
+    d.mkdir()
+    ldf.to_parquet(d / "lineitem.parquet")
+    got = {r["bin"]: r
+           for r in QUERIES["q_isotonic_pav"](spark, str(d)).collect()}
+    # bin0 rate 1.0 > bin19 rate 0.0 -> pooled to 3/6 on both
+    assert got[0]["iso_rate"] == pytest.approx(0.5, abs=2e-6)
+    assert got[19]["iso_rate"] == pytest.approx(0.5, abs=2e-6)
+
+
+# ----------------------------------------------------------------- stump
+
+def test_decision_stump_matches_brute(spark, tmp_path):
+    import pandas as pd
+    # high-value events concentrated after hour 11
+    rows = []
+    for h, n, pos in [(2, 10, 1), (5, 8, 2), (11, 12, 3),
+                      (14, 10, 8), (20, 10, 9)]:
+        for k in range(n):
+            rows.append((h, 90.0 if k < pos else 10.0))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([f"2024-01-01 {h:02d}:15:00"
+                              for h, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": ["a"] * len(rows),
+        "value": [v for _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_decision_stump"](spark, str(d)).collect()[0]
+
+    per_h = {}
+    for h, v in rows:
+        n, p = per_h.get(h, (0, 0))
+        per_h[h] = (n + 1, p + (1 if v >= 50.0 else 0))
+    hours = sorted(per_h)
+    n = sum(v[0] for v in per_h.values())
+    pos = sum(v[1] for v in per_h.values())
+    best = None
+    for thr in hours[:-1]:
+        nl = sum(v[0] for h, v in per_h.items() if h <= thr)
+        pl = sum(v[1] for h, v in per_h.items() if h <= thr)
+        nr, pr = n - nl, pos - pl
+        child = pl * (nl - pl) / nl + pr * (nr - pr) / nr
+        if best is None or child < best[1] - 1e-12:
+            best = (thr, child, nl, pl, nr, pr)
+    thr, child, nl, pl, nr, pr = best
+    root = pos * (n - pos) / n
+    assert got["thr_hour"] == thr == 11
+    assert (got["n_left"], got["pos_left"]) == (nl, pl)
+    assert (got["n_right"], got["pos_right"]) == (nr, pr)
+    assert got["gini_root"] == pytest.approx(2 * root / n, abs=2e-6)
+    assert got["gini_children"] == pytest.approx(2 * child / n, abs=2e-6)
+    assert got["gini_gain"] == pytest.approx(2 * (root - child) / n,
+                                             abs=2e-6)
+
+
+def test_decision_stump_tie_breaks_earliest_hour(spark, tmp_path):
+    import pandas as pd
+    # perfectly symmetric: hours 1 and 3 give identical splits of a
+    # flat series -> every candidate has equal impurity; earliest wins
+    rows = [(1, 90.0), (1, 10.0), (3, 90.0), (3, 10.0),
+            (5, 90.0), (5, 10.0)]
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([f"2024-01-01 {h:02d}:15:00"
+                              for h, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": ["a"] * len(rows),
+        "value": [v for _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_decision_stump"](spark, str(d)).collect()[0]
+    assert got["thr_hour"] == 1
+    assert got["gini_gain"] == pytest.approx(0.0, abs=2e-6)
