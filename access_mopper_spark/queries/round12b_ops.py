@@ -481,3 +481,237 @@ def q_decision_stump(spark, sf_dir):
         pround(F.expr("2 * child_raw / n"), 6).alias("gini_children"),
         pround(F.expr("2 * (root_raw - child_raw) / n"), 6)
           .alias("gini_gain"))
+
+
+# =====================================================================
+# cluster validity: Calinski-Harabasz and Davies-Bouldin
+# =====================================================================
+
+@query(
+    "q_calinski_harabasz",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000
+                               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qe
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    dims AS (
+      SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(embedding)), 1)
+                              FROM embeddings) + 1)) AS i
+    ),
+    pd AS (
+      SELECT e.vec_id, e.label, d.i AS dim, qe[d.i] AS v
+      FROM e CROSS JOIN dims d WHERE d.i <= len(e.qe)
+    ),
+    cg AS (
+      SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS nc,
+             CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+      FROM pd GROUP BY label, dim
+    ),
+    gg AS (
+      SELECT dim, CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS g
+      FROM pd GROUP BY dim
+    ),
+    w AS (
+      SELECT CAST(SUM((pd.v - cg.c) * (pd.v - cg.c)) AS BIGINT) AS w_ss
+      FROM pd JOIN cg ON cg.label = pd.label AND cg.dim = pd.dim
+    ),
+    b AS (
+      SELECT CAST(SUM(cg.nc * (cg.c - gg.g) * (cg.c - gg.g)) AS BIGINT)
+        AS b_ss
+      FROM cg JOIN gg ON gg.dim = cg.dim
+    ),
+    kn AS (
+      SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e
+    )
+    SELECT kn.n AS n_points, kn.k AS k_clusters, b.b_ss, w.w_ss,
+           CASE WHEN kn.k > 1 AND kn.n > kn.k AND w.w_ss > 0
+                THEN ROUND((CAST(b.b_ss AS DOUBLE) / (kn.k - 1))
+                           / (CAST(w.w_ss AS DOUBLE) / (kn.n - kn.k)), 6)
+                ELSE NULL END AS ch_index
+    FROM kn CROSS JOIN w CROSS JOIN b
+    """,
+)
+def q_calinski_harabasz(spark, sf_dir):
+    """Calinski-Harabasz variance-ratio index of the embedding label
+    partition — the cluster-validity scalar next to
+    q_simplified_silhouette (CH rewards between-cluster spread per unit
+    within-cluster scatter; it's the criterion sklearn reports for
+    choosing k).  Integer-centroid variant on the e4-quantized coords
+    (same DIV-centroid construction as the silhouette row): W and B are
+    exact BIGINT sums of squared integer deviations — no per-point
+    float at all — and the single CH expression stages two
+    IEEE-correctly-rounded divisions from the integer cores, then R6.
+    Overflow bound: per-(label,dim) squared deviations sum < 2^63 to
+    ~1e10 points at |x|<=2.  Corpus cost: ONE posexplode aggregate to
+    the (k x dims) grid and one corpus-x-grid equi-join for W;
+    everything else is grid-sized."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .where(F.col("embedding").isNotNull()
+                  & F.col("label").isNotNull()))
+    e = emb.select(
+        "vec_id", "label",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * F.lit(1e4)
+                                      + F.lit(0.5)).cast("long"))
+         .alias("qe"))
+    pd_ = e.select("vec_id", "label",
+                   F.posexplode("qe").alias("dim", "v"))
+    cg = (pd_.groupBy("label", "dim")
+             .agg(F.count("*").cast("long").alias("nc"),
+                  F.expr("CAST(SUM(v) AS BIGINT) DIV COUNT(*)").alias("c")))
+    gg = (pd_.groupBy("dim")
+             .agg(F.expr("CAST(SUM(v) AS BIGINT) DIV COUNT(*)").alias("g")))
+    w = (pd_.join(F.broadcast(cg.select(F.col("label").alias("lb"),
+                                        F.col("dim").alias("dm"), "c")),
+                  (F.col("lb") == F.col("label"))
+                  & (F.col("dm") == F.col("dim")))
+            .agg(F.sum((F.col("v") - F.col("c"))
+                       * (F.col("v") - F.col("c")))
+                  .cast("long").alias("w_ss")))
+    b = (cg.join(F.broadcast(gg.withColumnRenamed("dim", "dm2")),
+                 F.col("dm2") == F.col("dim"))
+           .agg(F.sum(F.col("nc") * (F.col("c") - F.col("g"))
+                      * (F.col("c") - F.col("g")))
+                 .cast("long").alias("b_ss")))
+    kn = e.agg(F.countDistinct("label").cast("long").alias("k"),
+               F.count("*").cast("long").alias("n"))
+    return (kn.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(b))
+              .select(F.col("n").alias("n_points"),
+                      F.col("k").alias("k_clusters"), "b_ss", "w_ss",
+                      F.when((F.col("k") > 1) & (F.col("n") > F.col("k"))
+                             & (F.col("w_ss") > 0),
+                             pround(F.expr(
+                                 "(CAST(b_ss AS DOUBLE) / (k - 1)) "
+                                 "/ (CAST(w_ss AS DOUBLE) / (n - k))"), 6))
+                       .otherwise(F.lit(None).cast("double"))
+                       .alias("ch_index")))
+
+
+@query(
+    "q_davies_bouldin",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000
+                               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qe
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    dims AS (
+      SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(embedding)), 1)
+                              FROM embeddings) + 1)) AS i
+    ),
+    pd AS (
+      SELECT e.vec_id, e.label, d.i AS dim, qe[d.i] AS v
+      FROM e CROSS JOIN dims d WHERE d.i <= len(e.qe)
+    ),
+    cg AS (
+      SELECT label, dim,
+             CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+      FROM pd GROUP BY label, dim
+    ),
+    pdist AS (
+      SELECT pd.vec_id, pd.label,
+             CAST(FLOOR(SQRT(CAST(SUM((pd.v - cg.c) * (pd.v - cg.c))
+                                  AS DOUBLE)) + 0.5) AS BIGINT) AS dist_q
+      FROM pd JOIN cg ON cg.label = pd.label AND cg.dim = pd.dim
+      GROUP BY pd.vec_id, pd.label
+    ),
+    s AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS nc,
+             CAST(SUM(dist_q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS s_q
+      FROM pdist GROUP BY label
+    ),
+    m AS (
+      SELECT a.label AS li, b.label AS lj,
+             CAST(FLOOR(SQRT(CAST(SUM((a.c - b.c) * (a.c - b.c))
+                                  AS DOUBLE)) + 0.5) AS BIGINT) AS m_q
+      FROM cg a JOIN cg b ON b.dim = a.dim AND b.label <> a.label
+      GROUP BY a.label, b.label
+    ),
+    r AS (
+      SELECT m.li, MAX(CAST((si.s_q + sj.s_q) * 1000000 // m.m_q
+                            AS BIGINT)) AS r_e6
+      FROM m JOIN s si ON si.label = m.li
+             JOIN s sj ON sj.label = m.lj
+      WHERE m.m_q > 0
+      GROUP BY m.li
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_scored,
+           CAST(SUM(r_e6) AS BIGINT) AS sum_r_e6,
+           ROUND(CAST(SUM(r_e6) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE)
+                    * CAST(1000000 AS DOUBLE)), 6) AS db_index
+    FROM r
+    """,
+)
+def q_davies_bouldin(spark, sf_dir):
+    """Davies-Bouldin index of the embedding label partition — the
+    lower-is-better companion to q_calinski_harabasz (DB averages, per
+    cluster, the worst (S_i+S_j)/M_ij similarity ratio to any other
+    cluster; the number sklearn's davies_bouldin_score reports).
+    Exactness: per-point and centroid-gap Euclidean norms are single
+    IEEE sqrt calls on exact BIGINT squared sums (sqrt IS
+    correctly-rounded — bit-identical), snapped to unit-grid integers;
+    S_i is an integer DIV mean, each ratio an exact integer
+    `(s_i+s_j)*1e6 // m_ij`, the final mean ONE division through R6 —
+    the whole surface is order-free.  Pairs with identical centroids
+    (m_q = 0) are excluded from the max (documented; degenerate for a
+    real partition).  Corpus cost: one posexplode aggregate, one
+    corpus-x-grid join for per-point distances; the k x k centroid
+    table is grid work."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .where(F.col("embedding").isNotNull()
+                  & F.col("label").isNotNull()))
+    e = emb.select(
+        "vec_id", "label",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * F.lit(1e4)
+                                      + F.lit(0.5)).cast("long"))
+         .alias("qe"))
+    pd_ = e.select("vec_id", "label",
+                   F.posexplode("qe").alias("dim", "v"))
+    cg = (pd_.groupBy("label", "dim")
+             .agg(F.expr("CAST(SUM(v) AS BIGINT) DIV COUNT(*)").alias("c")))
+    pdist = (pd_.join(F.broadcast(cg.select(F.col("label").alias("lb"),
+                                            F.col("dim").alias("dm"), "c")),
+                      (F.col("lb") == F.col("label"))
+                      & (F.col("dm") == F.col("dim")))
+                .groupBy("vec_id", "label")
+                .agg(F.expr("CAST(FLOOR(SQRT(CAST(SUM((v - c) * (v - c)) "
+                            "AS DOUBLE)) + 0.5) AS BIGINT)")
+                      .alias("dist_q")))
+    s = (pdist.groupBy("label")
+              .agg(F.count("*").cast("long").alias("nc"),
+                   F.expr("CAST(SUM(dist_q) AS BIGINT) DIV COUNT(*)")
+                    .alias("s_q")))
+    ca = cg.select(F.col("label").alias("li"), F.col("dim").alias("da"),
+                   F.col("c").alias("cc_a"))
+    cb = cg.select(F.col("label").alias("lj"), F.col("dim").alias("db"),
+                   F.col("c").alias("cc_b"))
+    m = (ca.join(F.broadcast(cb),
+                 (F.col("db") == F.col("da"))
+                 & (F.col("lj") != F.col("li")))
+           .groupBy("li", "lj")
+           .agg(F.expr("CAST(FLOOR(SQRT(CAST(SUM((cc_a - cc_b) "
+                       "* (cc_a - cc_b)) AS DOUBLE)) + 0.5) AS BIGINT)")
+                 .alias("m_q")))
+    si = s.select(F.col("label").alias("ls_i"), F.col("s_q").alias("si_q"))
+    sj = s.select(F.col("label").alias("ls_j"), F.col("s_q").alias("sj_q"))
+    r = (m.where(F.col("m_q") > 0)
+          .join(F.broadcast(si), F.col("ls_i") == F.col("li"))
+          .join(F.broadcast(sj), F.col("ls_j") == F.col("lj"))
+          .groupBy("li")
+          .agg(F.max(F.expr("CAST((si_q + sj_q) * 1000000 DIV m_q "
+                            "AS BIGINT)")).alias("r_e6")))
+    return r.agg(
+        F.count("*").cast("long").alias("k_scored"),
+        F.sum("r_e6").cast("long").alias("sum_r_e6"),
+        pround(F.sum("r_e6").cast("double")
+               / (F.count("*").cast("double") * F.lit(1e6)), 6)
+          .alias("db_index"))

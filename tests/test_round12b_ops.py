@@ -355,3 +355,123 @@ def test_decision_stump_tie_breaks_earliest_hour(spark, tmp_path):
     got = QUERIES["q_decision_stump"](spark, str(d)).collect()[0]
     assert got["thr_hour"] == 1
     assert got["gini_gain"] == pytest.approx(0.0, abs=2e-6)
+
+
+# ------------------------------------------------------ cluster validity
+
+def _emb_fixture(tmp_path, vecs_labels):
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "vec_id": range(len(vecs_labels)),
+        "embedding": [[float(x) for x in v] for v, _ in vecs_labels],
+        "label": [l for _, l in vecs_labels],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+def _quant(v, scale=10**4):
+    import math as _m
+    return [int(_m.floor(x * scale + 0.5)) for x in v]
+
+
+def test_calinski_harabasz_matches_brute(spark, tmp_path):
+    import math as _m
+    # two tight, well-separated clusters + one medium cluster
+    vecs = ([([0.1, 0.1], 0)] * 3 + [([0.12, 0.08], 0)] * 2
+            + [([0.9, 0.9], 1)] * 3 + [([0.88, 0.95], 1)] * 2
+            + [([0.5, 0.1], 2)] * 4)
+    d = _emb_fixture(tmp_path, vecs)
+    got = QUERIES["q_calinski_harabasz"](spark, d).collect()[0]
+
+    q = [( _quant(v), l) for v, l in vecs]
+    n = len(q)
+    labels = sorted({l for _, l in q})
+    k = len(labels)
+    dims = len(q[0][0])
+    # integer-DIV centroids (truncation toward -inf for floor semantics:
+    # Spark DIV/DuckDB // truncate toward zero; all coords positive here)
+    cent, glob = {}, []
+    for di in range(dims):
+        glob.append(sum(v[di] for v, _ in q) // n)
+    w_ss = b_ss = 0
+    for l in labels:
+        mem = [v for v, ll in q if ll == l]
+        c = [sum(v[di] for v in mem) // len(mem) for di in range(dims)]
+        cent[l] = c
+        w_ss += sum((v[di] - c[di]) ** 2 for v in mem for di in range(dims))
+        b_ss += len(mem) * sum((c[di] - glob[di]) ** 2
+                               for di in range(dims))
+    ch = (b_ss / (k - 1)) / (w_ss / (n - k))
+    assert got["n_points"] == n
+    assert got["k_clusters"] == k
+    assert got["w_ss"] == w_ss
+    assert got["b_ss"] == b_ss
+    assert got["ch_index"] == pytest.approx(ch, abs=2e-6)
+
+
+def test_calinski_harabasz_single_cluster_null(spark, tmp_path):
+    vecs = [([0.1, 0.2], 7)] * 5
+    d = _emb_fixture(tmp_path, vecs)
+    got = QUERIES["q_calinski_harabasz"](spark, d).collect()[0]
+    assert got["k_clusters"] == 1
+    assert got["ch_index"] is None
+
+
+def test_davies_bouldin_matches_brute(spark, tmp_path):
+    import math as _m
+    vecs = ([([0.1, 0.1], 0)] * 3 + [([0.14, 0.06], 0)] * 2
+            + [([0.9, 0.9], 1)] * 3 + [([0.86, 0.94], 1)] * 2
+            + [([0.5, 0.1], 2)] * 3 + [([0.46, 0.14], 2)] * 2)
+    d = _emb_fixture(tmp_path, vecs)
+    got = QUERIES["q_davies_bouldin"](spark, d).collect()[0]
+
+    q = [(_quant(v), l) for v, l in vecs]
+    labels = sorted({l for _, l in q})
+    dims = len(q[0][0])
+    cent, s_q = {}, {}
+    for l in labels:
+        mem = [v for v, ll in q if ll == l]
+        c = [sum(v[di] for v in mem) // len(mem) for di in range(dims)]
+        cent[l] = c
+        dq = [int(_m.floor(_m.sqrt(sum((v[di] - c[di]) ** 2
+                                       for di in range(dims))) + 0.5))
+              for v in mem]
+        s_q[l] = sum(dq) // len(dq)
+    r_e6 = {}
+    for li in labels:
+        best = None
+        for lj in labels:
+            if lj == li:
+                continue
+            m_q = int(_m.floor(_m.sqrt(sum(
+                (cent[li][di] - cent[lj][di]) ** 2
+                for di in range(dims))) + 0.5))
+            if m_q <= 0:
+                continue
+            rr = (s_q[li] + s_q[lj]) * 10**6 // m_q
+            best = rr if best is None else max(best, rr)
+        if best is not None:
+            r_e6[li] = best
+    exp_db = sum(r_e6.values()) / (len(r_e6) * 10**6)
+    assert got["k_scored"] == len(r_e6)
+    assert got["sum_r_e6"] == sum(r_e6.values())
+    assert got["db_index"] == pytest.approx(exp_db, abs=2e-6)
+
+
+def test_davies_bouldin_orders_partition_quality(spark, tmp_path):
+    # tight+separated partition scores LOWER than a smeared one
+    tight = ([([0.0, 0.0], 0)] * 4 + [([1.0, 1.0], 1)] * 4)
+    smear = ([([0.0, 0.0], 0), ([0.9, 0.9], 0), ([0.1, 0.1], 0),
+              ([0.8, 0.8], 0)]
+             + [([1.0, 1.0], 1), ([0.1, 0.2], 1), ([0.9, 1.0], 1),
+                ([0.2, 0.1], 1)])
+    d1 = _emb_fixture(tmp_path, tight)
+    got1 = QUERIES["q_davies_bouldin"](spark, d1).collect()[0]
+    import shutil
+    shutil.rmtree(tmp_path / "sf")
+    d2 = _emb_fixture(tmp_path, smear)
+    got2 = QUERIES["q_davies_bouldin"](spark, d2).collect()[0]
+    assert got1["db_index"] < got2["db_index"]
