@@ -715,3 +715,202 @@ def q_davies_bouldin(spark, sf_dir):
         pround(F.sum("r_e6").cast("double")
                / (F.count("*").cast("double") * F.lit(1e6)), 6)
           .alias("db_index"))
+
+
+# =====================================================================
+# corpus growth exponent and closed-population estimation
+# =====================================================================
+
+from access_mopper_spark.queries.clusters_search import _TOKS_SQL  # noqa: E402
+
+
+@query(
+    "q_heaps_exponent",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+    tk AS (
+      SELECT t.doc_id // GREATEST(1, (mx.mid + 1 + 15) // 16) AS bucket,
+             u.t AS tok
+      FROM toks t CROSS JOIN mx, UNNEST(t.w) AS u(t)
+      WHERE u.t <> ''
+    ),
+    per_b AS (SELECT bucket, COUNT(*) AS n_tokens FROM tk GROUP BY bucket),
+    fb AS (SELECT tok, MIN(bucket) AS fb FROM tk GROUP BY tok),
+    nb AS (SELECT fb AS bucket, COUNT(*) AS new_types FROM fb GROUP BY fb),
+    m AS (
+      SELECT p.bucket, p.n_tokens, COALESCE(nb.new_types, 0) AS new_types
+      FROM per_b p LEFT JOIN nb USING (bucket)
+    ),
+    cum AS (
+      SELECT a.bucket,
+             CAST(SUM(b.new_types) AS BIGINT) AS cum_types,
+             CAST(SUM(b.n_tokens) AS BIGINT) AS cum_tokens
+      FROM m a JOIN m b ON b.bucket <= a.bucket GROUP BY a.bucket
+    ),
+    xy AS (
+      SELECT LN(CAST(cum_tokens AS DOUBLE)) AS x,
+             LN(CAST(cum_types AS DOUBLE)) AS y
+      FROM cum WHERE cum_tokens > 0 AND cum_types > 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_used, SUM(x) AS sx,
+             SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM xy
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(new_types) AS BIGINT) AS vocab_size
+      FROM m
+    )
+    SELECT s.n_used, tot.total_tokens, tot.vocab_size,
+           CASE WHEN s.n_used >= 2 AND s.n_used * s.sxx - s.sx * s.sx > 0
+                THEN ROUND((s.n_used * s.sxy - s.sx * s.sy)
+                           / (s.n_used * s.sxx - s.sx * s.sx), 6)
+                ELSE NULL END AS heaps_beta,
+           CASE WHEN s.n_used >= 2 AND s.n_used * s.sxx - s.sx * s.sx > 0
+                THEN ROUND((s.sy - (s.n_used * s.sxy - s.sx * s.sy)
+                                   / (s.n_used * s.sxx - s.sx * s.sx)
+                                   * s.sx) / s.n_used, 6)
+                ELSE NULL END AS heaps_ln_k
+    FROM s CROSS JOIN tot
+    """,
+)
+def q_heaps_exponent(spark, sf_dir):
+    """Heaps'-law exponent fit V(n) ~ K*n^beta over the cumulative
+    vocabulary-growth points — the SCALAR on top of q_vocab_growth's
+    curve (natural corpora sit near beta ~ 0.4-0.6; duplicated or
+    templated corpora collapse toward 0, random noise toward 1 — the
+    single number a tokenizer-sizing or dedup-health dashboard tracks,
+    exactly as q_zipf_alpha is the scalar on the rank-frequency curve).
+    Same 16-bucket construction as q_vocab_growth (min-agg first
+    occurrence, broadcast prefix join on the 16-row grid); the OLS runs
+    over <= 16 (ln cum_tokens, ln cum_types) points — plain double LN
+    sums under the repo's small-term-count exception (<= 24 terms, R6
+    absorbs order noise; q_zipf_alpha precedent at 100).  Degenerate
+    guard: NULL unless >= 2 points with positive spread.  One exploded
+    corpus aggregate + one vocab-sized min-agg; everything else is
+    16-row grid work."""
+    from access_mopper_spark.operators.search import tokens
+
+    docs = _wide(load_table(spark, sf_dir, "documents"))
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    width = F.greatest(F.lit(1).cast("long"),
+                       F.floor((F.col("mid") + 1 + 15) / 16).cast("long"))
+    tk = (docs.crossJoin(F.broadcast(mx))
+              .select(F.floor(F.col("doc_id") / width).cast("long")
+                      .alias("bucket"),
+                      F.explode(tokens(F.col("text"))).alias("tok"))
+              .where(F.col("tok") != ""))
+    per_b = tk.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    fb = tk.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    nb = fb.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count("*").alias("new_types"))
+    m = (per_b.join(nb, "bucket", "left")
+              .select("bucket", "n_tokens",
+                      F.coalesce("new_types", F.lit(0)).alias("new_types")))
+    b2 = m.select(F.col("bucket").alias("__b2"),
+                  F.col("n_tokens").alias("__nt2"),
+                  F.col("new_types").alias("__ny2"))
+    cum = (m.join(F.broadcast(b2), F.col("__b2") <= F.col("bucket"))
+            .groupBy("bucket")
+            .agg(F.sum("__ny2").cast("long").alias("cum_types"),
+                 F.sum("__nt2").cast("long").alias("cum_tokens")))
+    xy = (cum.where((F.col("cum_tokens") > 0) & (F.col("cum_types") > 0))
+             .select(F.expr("LN(CAST(cum_tokens AS DOUBLE))").alias("x"),
+                     F.expr("LN(CAST(cum_types AS DOUBLE))").alias("y")))
+    s = xy.agg(F.count("*").cast("long").alias("n_used"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    tot = m.agg(F.sum("n_tokens").cast("long").alias("total_tokens"),
+                F.sum("new_types").cast("long").alias("vocab_size"))
+    guard = F.expr("n_used >= 2 AND n_used * sxx - sx * sx > 0")
+    beta = F.expr("(n_used * sxy - sx * sy) / (n_used * sxx - sx * sx)")
+    lnk = F.expr("(sy - (n_used * sxy - sx * sy) "
+                 "/ (n_used * sxx - sx * sx) * sx) / n_used")
+    return (s.crossJoin(F.broadcast(tot))
+             .select("n_used", "total_tokens", "vocab_size",
+                     F.when(guard, pround(beta, 6))
+                      .otherwise(F.lit(None).cast("double"))
+                      .alias("heaps_beta"),
+                     F.when(guard, pround(lnk, 6))
+                      .otherwise(F.lit(None).cast("double"))
+                      .alias("heaps_ln_k")))
+
+
+@query(
+    "q_capture_recapture",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    span AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+    flags AS (
+      SELECT e.user_id,
+             MAX(CASE WHEN e.us <= (span.mn + span.mx) // 2
+                      THEN 1 ELSE 0 END) AS c1,
+             MAX(CASE WHEN e.us > (span.mn + span.mx) // 2
+                      THEN 1 ELSE 0 END) AS c2
+      FROM ev e CROSS JOIN span GROUP BY e.user_id
+    ),
+    ct AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * c2) AS BIGINT) AS m_both,
+             CAST(COUNT(*) AS BIGINT) AS n_seen
+      FROM flags
+    )
+    SELECT n1, n2, m_both, n_seen,
+           CAST((n1 + 1) * (n2 + 1) // (m_both + 1) - 1 AS BIGINT)
+             AS n_hat_chapman,
+           ROUND(SQRT(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+                      * CAST(n1 - m_both AS DOUBLE)
+                      * CAST(n2 - m_both AS DOUBLE)
+                      / (CAST(m_both + 1 AS DOUBLE)
+                         * CAST(m_both + 1 AS DOUBLE)
+                         * CAST(m_both + 2 AS DOUBLE))), 6) AS se_chapman
+    FROM ct
+    """,
+)
+def q_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture estimate of the TRUE user population
+    from two temporal captures (first vs second half of the observation
+    window, split at the exact integer-microsecond midpoint — the DIV-2
+    midpoint recipe): how many users exist beyond the ones ever seen —
+    the closed-population audience-size estimator that pairs with
+    q_chao1_richness (Chao1 infers unseen TOKEN types from singleton
+    counts; Chapman infers unseen USERS from capture overlap).
+    N_hat = (n1+1)(n2+1)/(m+1) - 1 is an exact integer `//`-vs-DIV
+    surface; the Woolf-style SE stages BIGINT-to-double casts (correctly
+    rounded, bit-identical) through one sqrt, then R6.  One corpus
+    aggregate to user level, one 4-integer reduce; overflow bound
+    (n1+1)*(n2+1) < 2^63 holds past 3e9 users."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
+    span = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    flags = (ev.crossJoin(F.broadcast(span))
+               .groupBy("user_id")
+               .agg(F.max(F.expr("CASE WHEN us <= (mn + mx) DIV 2 "
+                                 "THEN 1 ELSE 0 END")).alias("c1"),
+                    F.max(F.expr("CASE WHEN us > (mn + mx) DIV 2 "
+                                 "THEN 1 ELSE 0 END")).alias("c2")))
+    ct = flags.agg(F.sum("c1").cast("long").alias("n1"),
+                   F.sum("c2").cast("long").alias("n2"),
+                   F.sum(F.col("c1") * F.col("c2")).cast("long")
+                    .alias("m_both"),
+                   F.count("*").cast("long").alias("n_seen"))
+    return ct.select(
+        "n1", "n2", "m_both", "n_seen",
+        F.expr("(n1 + 1) * (n2 + 1) DIV (m_both + 1) - 1")
+         .alias("n_hat_chapman"),
+        pround(F.expr(
+            "SQRT(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) "
+            "* CAST(n1 - m_both AS DOUBLE) "
+            "* CAST(n2 - m_both AS DOUBLE) "
+            "/ (CAST(m_both + 1 AS DOUBLE) "
+            "* CAST(m_both + 1 AS DOUBLE) "
+            "* CAST(m_both + 2 AS DOUBLE)))"), 6).alias("se_chapman"))

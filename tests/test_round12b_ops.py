@@ -475,3 +475,103 @@ def test_davies_bouldin_orders_partition_quality(spark, tmp_path):
     d2 = _emb_fixture(tmp_path, smear)
     got2 = QUERIES["q_davies_bouldin"](spark, d2).collect()[0]
     assert got1["db_index"] < got2["db_index"]
+
+
+# ----------------------------------------------------------------- heaps
+
+def _docs_fixture(tmp_path, texts):
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+        "n_chars": [len(t) if t else 0 for t in texts],
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_heaps_exponent_matches_brute(spark, tmp_path):
+    import math as _m
+    # 32 docs -> width 2, 16 buckets; growing vocabulary
+    texts = []
+    for i in range(32):
+        toks = [f"w{j}" for j in range(i + 1)] + ["the", "a"]
+        texts.append(" ".join(toks))
+    d = _docs_fixture(tmp_path, texts)
+    got = QUERIES["q_heaps_exponent"](spark, d).collect()[0]
+
+    width = max(1, (31 + 1 + 15) // 16)
+    per_b, first = {}, {}
+    for i, t in enumerate(texts):
+        b = i // width
+        ws = t.split()
+        per_b[b] = per_b.get(b, 0) + len(ws)
+        for w in ws:
+            if w not in first:
+                first[w] = b
+    buckets = sorted(per_b)
+    pts = []
+    cum_t = cum_v = 0
+    for b in buckets:
+        cum_t += per_b[b]
+        cum_v += sum(1 for w, fb in first.items() if fb == b)
+        if cum_t > 0 and cum_v > 0:
+            pts.append((_m.log(cum_t), _m.log(cum_v)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lnk = (sy - beta * sx) / n
+    assert got["n_used"] == n
+    assert got["total_tokens"] == sum(per_b.values())
+    assert got["vocab_size"] == len(first)
+    assert got["heaps_beta"] == pytest.approx(beta, abs=1e-5)
+    assert got["heaps_ln_k"] == pytest.approx(lnk, abs=1e-5)
+    # a growing corpus has 0 < beta <= 1
+    assert 0.0 < got["heaps_beta"] <= 1.0
+
+
+def test_heaps_exponent_single_point_null(spark, tmp_path):
+    d = _docs_fixture(tmp_path, ["alpha beta gamma"])
+    got = QUERIES["q_heaps_exponent"](spark, d).collect()[0]
+    assert got["n_used"] == 1
+    assert got["heaps_beta"] is None
+    assert got["heaps_ln_k"] is None
+
+
+# ----------------------------------------------------- capture-recapture
+
+def test_capture_recapture_matches_brute(spark, tmp_path):
+    # window 00:00 -> 10:00; midpoint 05:00.  Overlap users 1,2;
+    # first-only 3,4,5; second-only 6.
+    rows = [(1, "2024-01-01 00:00:00", "a"), (1, "2024-01-01 09:00:00", "a"),
+            (2, "2024-01-01 01:00:00", "a"), (2, "2024-01-01 08:00:00", "a"),
+            (3, "2024-01-01 02:00:00", "a"),
+            (4, "2024-01-01 03:00:00", "a"),
+            (5, "2024-01-01 04:59:59", "a"),
+            (6, "2024-01-01 10:00:00", "a")]
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_capture_recapture"](spark, d).collect()[0]
+    n1, n2, m = 5, 3, 2
+    assert (got["n1"], got["n2"], got["m_both"]) == (n1, n2, m)
+    assert got["n_seen"] == 6
+    assert got["n_hat_chapman"] == (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    var = ((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+           / ((m + 1) ** 2 * (m + 2)))
+    assert got["se_chapman"] == pytest.approx(math.sqrt(var), abs=2e-6)
+
+
+def test_capture_recapture_no_overlap(spark, tmp_path):
+    rows = [(1, "2024-01-01 00:00:00", "a"),
+            (2, "2024-01-01 01:00:00", "a"),
+            (3, "2024-01-01 23:00:00", "a"),
+            (4, "2024-01-01 22:00:00", "a")]
+    d = _events_fixture(tmp_path, rows)
+    got = QUERIES["q_capture_recapture"](spark, d).collect()[0]
+    assert got["m_both"] == 0
+    assert got["n_hat_chapman"] == 3 * 3 // 1 - 1  # finite, Chapman +1s
+    assert got["se_chapman"] is not None
