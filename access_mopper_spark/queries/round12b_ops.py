@@ -914,3 +914,256 @@ def q_capture_recapture(spark, sf_dir):
             "/ (CAST(m_both + 1 AS DOUBLE) "
             "* CAST(m_both + 1 AS DOUBLE) "
             "* CAST(m_both + 2 AS DOUBLE)))"), 6).alias("se_chapman"))
+
+
+# =====================================================================
+# partial autocorrelation (Durbin-Levinson closed forms, lags 1-3)
+# =====================================================================
+
+_RHO_SQL = """CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)
+                                 * CAST(sy AS DOUBLE)))
+                ELSE NULL END"""
+
+
+@query(
+    "q_pacf_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2000-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS di,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS tot
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    lags AS (SELECT UNNEST(range(1, 4)) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.tot AS x, b.tot AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.di = a.di + l.lag
+    ),
+    m AS (
+      SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY event_type, lag
+    ),
+    rho AS (
+      SELECT event_type, lag, {_RHO_SQL} AS r
+      FROM m
+    ),
+    rr AS (
+      SELECT event_type,
+             MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN r END) AS r3
+      FROM rho GROUP BY event_type
+    ),
+    p2 AS (
+      SELECT event_type, r1, r2, r3,
+             CASE WHEN CAST(1 AS DOUBLE) - r1 * r1 <> CAST(0 AS DOUBLE)
+                  THEN (r2 - r1 * r1)
+                       / (CAST(1 AS DOUBLE) - r1 * r1)
+                  ELSE NULL END AS phi22
+      FROM rr
+    )
+    SELECT event_type,
+           ROUND(r1, 6) AS pacf1,
+           ROUND(phi22, 6) AS pacf2,
+           CASE WHEN CAST(1 AS DOUBLE) - (r1 - phi22 * r1) * r1
+                     - phi22 * r2 <> CAST(0 AS DOUBLE)
+                THEN ROUND((r3 - (r1 - phi22 * r1) * r2 - phi22 * r1)
+                           / (CAST(1 AS DOUBLE)
+                              - (r1 - phi22 * r1) * r1 - phi22 * r2), 6)
+                ELSE NULL END AS pacf3
+    FROM p2
+    """,
+)
+def q_pacf_daily(spark, sf_dir):
+    """Partial autocorrelation of the daily cents series per event type
+    at lags 1-3 via the Durbin-Levinson closed forms (phi11 = rho1,
+    phi22 = (rho2-rho1^2)/(1-rho1^2), phi33 from the order-2
+    coefficients) — the AR-order fingerprint q_acf_multilag's raw
+    correlogram cannot give (ACF of an AR(1) decays forever; PACF cuts
+    off, and THAT is how you pick the model order for a seasonal
+    monitor).  rho_k uses the identical per-lag Pearson staging as
+    q_acf_multilag (exact BIGINT moments on the day grid, guarded
+    sqrt*sqrt denominator); every later op is rational arithmetic on
+    those identically-staged doubles, column-staged through a CTE so
+    both engines evaluate the same tree, with explicit zero-denominator
+    guards (no inf/NULL seam), then R6.  Cost: one corpus aggregate to
+    the day grid; the 3-lag self-join and everything after is
+    grid-sized."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select("event_type",
+                  F.datediff(F.date_trunc("day", "ts").cast("date"),
+                             F.lit("2000-01-01").cast("date")).alias("di"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("cents")))
+    daily = (ev.groupBy("event_type", "di")
+               .agg(F.sum("cents").cast("long").alias("tot")))
+    lags = spark.range(1, 4).select(F.col("id").cast("long").alias("lag"))
+    b = daily.select(F.col("event_type").alias("et2"),
+                     F.col("di").alias("di2"), F.col("tot").alias("y"))
+    pairs = (daily.crossJoin(F.broadcast(lags))
+                  .join(b, (F.col("et2") == F.col("event_type"))
+                        & (F.col("di2") == F.col("di") + F.col("lag")))
+                  .select("event_type", "lag",
+                          F.col("tot").alias("x"), "y"))
+    m = (pairs.groupBy("event_type", "lag")
+              .agg(F.count("*").cast("long").alias("n"),
+                   F.sum("x").cast("long").alias("sx"),
+                   F.sum("y").cast("long").alias("sy"),
+                   F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                   F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                   F.sum(F.col("y") * F.col("y")).cast("long").alias("syy")))
+    rho = m.select("event_type", "lag", F.expr(_RHO_SQL).alias("r"))
+    rr = (rho.groupBy("event_type")
+             .agg(F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+                  F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+                  F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3")))
+    p2 = rr.select(
+        "event_type", "r1", "r2", "r3",
+        F.expr("CASE WHEN CAST(1 AS DOUBLE) - r1 * r1 <> CAST(0 AS DOUBLE) "
+               "THEN (r2 - r1 * r1) / (CAST(1 AS DOUBLE) - r1 * r1) "
+               "ELSE NULL END").alias("phi22"))
+    return p2.select(
+        "event_type",
+        pround(F.col("r1"), 6).alias("pacf1"),
+        pround(F.col("phi22"), 6).alias("pacf2"),
+        F.when(F.expr("CAST(1 AS DOUBLE) - (r1 - phi22 * r1) * r1 "
+                      "- phi22 * r2 <> CAST(0 AS DOUBLE)"),
+               pround(F.expr(
+                   "(r3 - (r1 - phi22 * r1) * r2 - phi22 * r1) "
+                   "/ (CAST(1 AS DOUBLE) - (r1 - phi22 * r1) * r1 "
+                   "- phi22 * r2)"), 6))
+         .otherwise(F.lit(None).cast("double")).alias("pacf3"))
+
+
+# =====================================================================
+# survey raking: 2-way iterative proportional fitting (3 rounds)
+# =====================================================================
+
+@query(
+    "q_raking_ipf",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) % 7 AS dow
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    cells AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM e GROUP BY event_type, dow
+    ),
+    tgt AS (
+      SELECT CAST(SUM(n_obs) AS DOUBLE)
+               / CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS row_t,
+             CAST(SUM(n_obs) AS DOUBLE)
+               / CAST(COUNT(DISTINCT dow) AS DOUBLE) AS col_t
+      FROM cells
+    ),
+    w0 AS (SELECT event_type, dow, n_obs,
+                  CAST(n_obs AS DOUBLE) AS w FROM cells),
+    r1m AS (SELECT event_type, SUM(w) AS rs FROM w0 GROUP BY event_type),
+    w1 AS (
+      SELECT w0.event_type, w0.dow, w0.n_obs,
+             w0.w * (tgt.row_t / r1m.rs) AS w
+      FROM w0 JOIN r1m USING (event_type) CROSS JOIN tgt
+    ),
+    c1m AS (SELECT dow, SUM(w) AS cs FROM w1 GROUP BY dow),
+    w2 AS (
+      SELECT w1.event_type, w1.dow, w1.n_obs,
+             w1.w * (tgt.col_t / c1m.cs) AS w
+      FROM w1 JOIN c1m USING (dow) CROSS JOIN tgt
+    ),
+    r2m AS (SELECT event_type, SUM(w) AS rs FROM w2 GROUP BY event_type),
+    w3 AS (
+      SELECT w2.event_type, w2.dow, w2.n_obs,
+             w2.w * (tgt.row_t / r2m.rs) AS w
+      FROM w2 JOIN r2m USING (event_type) CROSS JOIN tgt
+    ),
+    c2m AS (SELECT dow, SUM(w) AS cs FROM w3 GROUP BY dow),
+    w4 AS (
+      SELECT w3.event_type, w3.dow, w3.n_obs,
+             w3.w * (tgt.col_t / c2m.cs) AS w
+      FROM w3 JOIN c2m USING (dow) CROSS JOIN tgt
+    )
+    SELECT event_type, dow, n_obs, ROUND(w, 6) AS raked_w,
+           ROUND(w / n_obs, 6) AS cell_factor
+    FROM w4
+    """,
+)
+def q_raking_ipf(spark, sf_dir):
+    """Two-way survey raking (iterative proportional fitting) of the
+    event_type x day-of-week cell counts to UNIFORM margins — the
+    post-stratification weighting a mixture-balancing pass applies when
+    a corpus over-represents some source x time cell (the survey-
+    methodology shelf next to q_design_effect / q_stratified_neyman):
+    two full IPF rounds (row-scale, col-scale, row-scale, col-scale),
+    deterministic and fixed, no convergence loop.  Every scale factor
+    is a division of identically-staged doubles built from exact BIGINT
+    cell counts; margin sums run over <= 7 cells (small-term-count
+    exception, R6 absorbs order noise).  The whole computation lives on
+    the 35-cell grid after ONE corpus aggregate; the raked weight and
+    per-cell adjustment factor are the outputs a downstream sampler
+    joins back on."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+          .select("event_type",
+                  (F.datediff(F.date_trunc("day", "ts").cast("date"),
+                              F.lit("1970-01-01").cast("date"))
+                    .cast("long") % 7).alias("dow")))
+    cells = (ev.groupBy("event_type", "dow")
+               .agg(F.count("*").cast("long").alias("n_obs")))
+    tgt = cells.agg(
+        (F.sum("n_obs").cast("double")
+         / F.countDistinct("event_type").cast("double")).alias("row_t"),
+        (F.sum("n_obs").cast("double")
+         / F.countDistinct("dow").cast("double")).alias("col_t"))
+    w0 = cells.select("event_type", "dow", "n_obs",
+                      F.col("n_obs").cast("double").alias("w"))
+
+    def _row_scale(w, tname):
+        rm = w.groupBy("event_type").agg(F.sum("w").alias("rs"))
+        return (w.drop("rs")
+                 .join(F.broadcast(rm), "event_type")
+                 .crossJoin(F.broadcast(tgt))
+                 .select("event_type", "dow", "n_obs",
+                         (F.col("w") * (F.col(tname) / F.col("rs")))
+                          .alias("w")))
+
+    def _col_scale(w, tname):
+        cm = w.groupBy("dow").agg(F.sum("w").alias("cs"))
+        return (w.join(F.broadcast(cm), "dow")
+                 .crossJoin(F.broadcast(tgt))
+                 .select("event_type", "dow", "n_obs",
+                         (F.col("w") * (F.col(tname) / F.col("cs")))
+                          .alias("w")))
+
+    w1 = _row_scale(w0, "row_t")
+    w2 = _col_scale(w1, "col_t")
+    w3 = _row_scale(w2, "row_t")
+    w4 = _col_scale(w3, "col_t")
+    return w4.select("event_type", "dow", "n_obs",
+                     pround(F.col("w"), 6).alias("raked_w"),
+                     pround(F.col("w") / F.col("n_obs"), 6)
+                       .alias("cell_factor"))

@@ -575,3 +575,124 @@ def test_capture_recapture_no_overlap(spark, tmp_path):
     assert got["m_both"] == 0
     assert got["n_hat_chapman"] == 3 * 3 // 1 - 1  # finite, Chapman +1s
     assert got["se_chapman"] is not None
+
+
+# ------------------------------------------------------------------ pacf
+
+def test_pacf_matches_brute_ar1(spark, tmp_path):
+    import pandas as pd
+    # deterministic AR(1)-ish daily pattern: value v_d = 100 + 50*phi^d
+    # wobble; build per-day single events so daily cents = series value.
+    series = []
+    x = 400.0
+    for d in range(30):
+        x = 120.0 + 0.6 * x + (7.0 if d % 3 == 0 else -5.0)
+        series.append(round(x, 2))
+    rows = []
+    for d, v in enumerate(series):
+        rows.append((1, f"2024-03-{1 + d:02d} 10:00:00", "a", v))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": [e for _, _, e, _ in rows],
+        "value": [v for _, _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = {r["event_type"]: r
+           for r in QUERIES["q_pacf_daily"](spark, str(d)).collect()}["a"]
+
+    cents = [int(math.floor(v * 100 + 0.5)) for v in series]
+
+    def pearson_lag(xs, lag):
+        pairs = [(xs[i], xs[i + lag]) for i in range(len(xs) - lag)]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        return ((n * sxy - sx * sy)
+                / (math.sqrt(n * sxx - sx * sx)
+                   * math.sqrt(n * syy - sy * sy)))
+
+    r1 = pearson_lag(cents, 1)
+    r2 = pearson_lag(cents, 2)
+    r3 = pearson_lag(cents, 3)
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    pacf3 = ((r3 - phi21 * r2 - phi22 * r1)
+             / (1 - phi21 * r1 - phi22 * r2))
+    assert got["pacf1"] == pytest.approx(r1, abs=5e-6)
+    assert got["pacf2"] == pytest.approx(phi22, abs=5e-6)
+    assert got["pacf3"] == pytest.approx(pacf3, abs=5e-6)
+    # AR(1) signature: |pacf2|, |pacf3| well below |pacf1|
+    assert abs(got["pacf2"]) < abs(got["pacf1"])
+
+
+def test_pacf_constant_series_null(spark, tmp_path):
+    rows = [(1, f"2024-03-{1 + d:02d} 10:00:00", "b") for d in range(8)]
+    d = _events_fixture(tmp_path, rows)  # value fixed at 1.0
+    got = {r["event_type"]: r
+           for r in QUERIES["q_pacf_daily"](spark, d).collect()}["b"]
+    assert got["pacf1"] is None
+    assert got["pacf2"] is None
+    assert got["pacf3"] is None
+
+
+# ---------------------------------------------------------------- raking
+
+def test_raking_matches_brute(spark, tmp_path):
+    import pandas as pd
+    # 2 types x 2 dows with skewed counts
+    # dow is epoch-day mod 7 (portable convention); computed below
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    spec = [("a", 0, 30), ("a", 1, 10), ("b", 0, 5), ("b", 1, 15)]
+    for et, dshift, cnt in spec:
+        for k in range(cnt):
+            rows.append((et, base + pd.Timedelta(days=dshift,
+                                                 hours=k % 20)))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": [t for _, t in rows],
+        "user_id": [1] * len(rows),
+        "event_type": [e for e, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    out = {(r["event_type"], r["dow"]): r
+           for r in QUERIES["q_raking_ipf"](spark, str(d)).collect()}
+
+    epoch_day = (base - pd.Timestamp("1970-01-01")).days
+    cells = {(et, (epoch_day + dshift) % 7): cnt
+             for et, dshift, cnt in spec}
+    n = sum(cells.values())
+    row_t = n / len({et for et, _ in cells})
+    col_t = n / len({dw for _, dw in cells})
+    w = {k: float(v) for k, v in cells.items()}
+    for rnd in range(2):
+        rs = {}
+        for (et, dw), v in w.items():
+            rs[et] = rs.get(et, 0.0) + v
+        w = {(et, dw): v * (row_t / rs[et]) for (et, dw), v in w.items()}
+        cs = {}
+        for (et, dw), v in w.items():
+            cs[dw] = cs.get(dw, 0.0) + v
+        w = {(et, dw): v * (col_t / cs[dw]) for (et, dw), v in w.items()}
+    assert set(out) == set(cells)
+    for key, cnt in cells.items():
+        assert out[key]["n_obs"] == cnt
+        assert out[key]["raked_w"] == pytest.approx(w[key], abs=5e-6)
+        assert out[key]["cell_factor"] == pytest.approx(w[key] / cnt,
+                                                        abs=5e-6)
+    # after the final column scale, column margins hit the target
+    for dw in {dw for _, dw in cells}:
+        got_c = sum(out[(et, d2)]["raked_w"] for (et, d2) in cells
+                    if d2 == dw)
+        assert got_c == pytest.approx(col_t, abs=1e-4)
