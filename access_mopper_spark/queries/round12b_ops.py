@@ -1167,3 +1167,230 @@ def q_raking_ipf(spark, sf_dir):
                      pround(F.col("w"), 6).alias("raked_w"),
                      pround(F.col("w") / F.col("n_obs"), 6)
                        .alias("cell_factor"))
+
+
+# =====================================================================
+# ordered-alternative rank trend and matched-sample price indices
+# =====================================================================
+
+from access_mopper_spark.operators.prefix import bucketed_prefix  # noqa: E402
+
+
+@query(
+    "q_jonckheere_terpstra",
+    oracle="""
+    WITH ev AS (
+      SELECT hour(CAST(ts AS TIMESTAMP)) // 6 AS blk,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT c,
+             CAST(SUM(CASE WHEN blk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN blk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN blk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN blk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+      FROM ev GROUP BY c
+    ),
+    cum AS (
+      SELECT c, n0, n1, n2, n3,
+             CAST(SUM(n0) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_n0,
+             CAST(SUM(n1) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_n1,
+             CAST(SUM(n2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_n2
+      FROM g
+    ),
+    jt AS (
+      SELECT CAST(SUM(n1 * (2 * cum_n0 - n0)
+                      + n2 * (2 * cum_n0 - n0) + n2 * (2 * cum_n1 - n1)
+                      + n3 * (2 * cum_n0 - n0) + n3 * (2 * cum_n1 - n1)
+                      + n3 * (2 * cum_n2 - n2)) AS BIGINT) AS jt2
+      FROM cum
+    ),
+    sz AS (
+      SELECT CAST(SUM(n0) AS BIGINT) AS t0, CAST(SUM(n1) AS BIGINT) AS t1,
+             CAST(SUM(n2) AS BIGINT) AS t2, CAST(SUM(n3) AS BIGINT) AS t3,
+             CAST(SUM(n0) + SUM(n1) + SUM(n2) + SUM(n3) AS BIGINT) AS n
+      FROM g
+    )
+    SELECT sz.n AS n_total, CAST(4 AS BIGINT) AS k_groups, jt.jt2,
+           CAST(sz.n * sz.n - (sz.t0 * sz.t0 + sz.t1 * sz.t1
+                               + sz.t2 * sz.t2 + sz.t3 * sz.t3)
+                AS BIGINT) AS e4,
+           CASE WHEN (CAST(sz.n AS DOUBLE) * sz.n * (2 * sz.n + 3)
+                      - (CAST(sz.t0 AS DOUBLE) * sz.t0 * (2 * sz.t0 + 3)
+                         + CAST(sz.t1 AS DOUBLE) * sz.t1 * (2 * sz.t1 + 3)
+                         + CAST(sz.t2 AS DOUBLE) * sz.t2 * (2 * sz.t2 + 3)
+                         + CAST(sz.t3 AS DOUBLE) * sz.t3
+                           * (2 * sz.t3 + 3))) > 0
+                THEN ROUND(CAST(2 * jt.jt2 - e4 AS DOUBLE)
+                           / (4 * SQRT((CAST(sz.n AS DOUBLE) * sz.n
+                                        * (2 * sz.n + 3)
+                      - (CAST(sz.t0 AS DOUBLE) * sz.t0 * (2 * sz.t0 + 3)
+                         + CAST(sz.t1 AS DOUBLE) * sz.t1 * (2 * sz.t1 + 3)
+                         + CAST(sz.t2 AS DOUBLE) * sz.t2 * (2 * sz.t2 + 3)
+                         + CAST(sz.t3 AS DOUBLE) * sz.t3
+                           * (2 * sz.t3 + 3))) / 72)), 6)
+                ELSE NULL END AS z_jt
+    FROM jt CROSS JOIN sz
+    """,
+)
+def q_jonckheere_terpstra(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-alternative trend test: does event
+    value shift MONOTONICALLY across the four ordered 6-hour day blocks?
+    — the directional k-group test q_kruskal_wallis cannot express (KW
+    asks "any difference"; JT asks "increasing with time of day", at
+    far higher power for trends; next to q_cochran_armitage which is
+    the binary-outcome analog).  The doubled statistic jt2 = 2*JT
+    counts, for every ordered block pair, 2*#(x<y) + #(x=y) via the
+    global distinct-cents grid: per-cents block counts pivot to four
+    columns, ONE bucketed_prefix pass carries their cumulatives, and
+    every pair term reads off the same grid row — exact BIGINT, no
+    alignment joins.  e4 = N^2 - sum(n_i^2) = 4*E[JT] is exact; the
+    tie-uncorrected null variance stages BIGINT-to-double products
+    (term counts <= 4, R6-absorbed) and z = (2*jt2-e4)/(4*sqrt(V)).
+    Overflow bound: jt2, e4 < 2^63 to N ~ 3e9 events.  One corpus
+    aggregate; everything after is cents-grid work."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select(F.expr("hour(CAST(ts AS TIMESTAMP)) DIV 6").alias("blk"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("c")))
+    g = ev.groupBy("c").agg(
+        *[F.sum(F.when(F.col("blk") == i, 1).otherwise(0)).cast("long")
+           .alias(f"n{i}") for i in range(4)])
+    cum = bucketed_prefix(g, "c", ["n0", "n1", "n2"])
+    jt = cum.agg(F.sum(
+        F.expr("n1 * (2 * cum_n0 - n0) "
+               "+ n2 * (2 * cum_n0 - n0) + n2 * (2 * cum_n1 - n1) "
+               "+ n3 * (2 * cum_n0 - n0) + n3 * (2 * cum_n1 - n1) "
+               "+ n3 * (2 * cum_n2 - n2)")).cast("long").alias("jt2"))
+    sz = g.agg(F.sum("n0").cast("long").alias("t0"),
+               F.sum("n1").cast("long").alias("t1"),
+               F.sum("n2").cast("long").alias("t2"),
+               F.sum("n3").cast("long").alias("t3"))
+    sz = sz.withColumn("n", F.expr("t0 + t1 + t2 + t3"))
+    vexpr = ("(CAST(n AS DOUBLE) * n * (2 * n + 3) "
+             "- (CAST(t0 AS DOUBLE) * t0 * (2 * t0 + 3) "
+             "+ CAST(t1 AS DOUBLE) * t1 * (2 * t1 + 3) "
+             "+ CAST(t2 AS DOUBLE) * t2 * (2 * t2 + 3) "
+             "+ CAST(t3 AS DOUBLE) * t3 * (2 * t3 + 3)))")
+    return (jt.crossJoin(F.broadcast(sz))
+              .withColumn("e4", F.expr("n * n - (t0 * t0 + t1 * t1 "
+                                       "+ t2 * t2 + t3 * t3)"))
+              .select(F.col("n").alias("n_total"),
+                      F.lit(4).cast("long").alias("k_groups"), "jt2", "e4",
+                      F.when(F.expr(vexpr + " > 0"),
+                             pround(F.expr(
+                                 "CAST(2 * jt2 - e4 AS DOUBLE) "
+                                 "/ (4 * SQRT(" + vexpr + " / 72))"), 6))
+                       .otherwise(F.lit(None).cast("double"))
+                       .alias("z_jt")))
+
+
+@query(
+    "q_price_index",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey AS pk,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_quantity IS NOT NULL
+    ),
+    pm AS (
+      SELECT pk, m, CAST(SUM(cents) AS BIGINT) AS sc,
+             CAST(SUM(qty) AS BIGINT) AS sq
+      FROM li GROUP BY pk, m HAVING SUM(qty) > 0
+    ),
+    m0 AS (SELECT MIN(m) AS base_m FROM pm),
+    base AS (
+      SELECT pm.pk, pm.sc AS c0, pm.sq AS q0
+      FROM pm CROSS JOIN m0 WHERE pm.m = m0.base_m
+    ),
+    j AS (
+      SELECT pm.m, pm.pk, pm.sc, pm.sq, base.c0, base.q0,
+             CAST(FLOOR(CAST(pm.sc AS DOUBLE) / pm.sq * base.q0 + 0.5)
+                  AS BIGINT) AS lasp_c,
+             CAST(FLOOR(CAST(base.c0 AS DOUBLE) / base.q0 * pm.sq + 0.5)
+                  AS BIGINT) AS paas_c
+      FROM pm JOIN base ON base.pk = pm.pk
+    ),
+    agg AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(lasp_c) AS BIGINT) AS lasp_num,
+             CAST(SUM(c0) AS BIGINT) AS lasp_den,
+             CAST(SUM(sc) AS BIGINT) AS paas_num,
+             CAST(SUM(paas_c) AS BIGINT) AS paas_den
+      FROM j GROUP BY m
+    )
+    SELECT m AS month, n_parts,
+           CAST(lasp_num * 10000 // lasp_den AS BIGINT) AS laspeyres_bp,
+           CAST(paas_num * 10000 // paas_den AS BIGINT) AS paasche_bp,
+           CAST(FLOOR(SQRT(CAST((lasp_num * 10000 // lasp_den)
+                                AS DOUBLE)
+                           * CAST((paas_num * 10000 // paas_den)
+                                  AS DOUBLE)) + 0.5) AS BIGINT)
+             AS fisher_bp
+    FROM agg
+    """,
+)
+def q_price_index(spark, sf_dir):
+    """Matched-sample Laspeyres / Paasche / Fisher price indices per
+    ship month against the first month as base — the canonical
+    warehouse price-level monitor (are unit prices drifting, holding
+    the basket fixed?), built the index-number way: only parts traded
+    in BOTH the base month and month t enter (matched sample), unit
+    prices are monthly part aggregates sc/sq.  Exactness: each
+    cross-period value p_t*q_0 / p_0*q_t is quantized to cents PER
+    (part, month) pair (single staged division then FLOOR+0.5 — the
+    per-distinct-value recipe), so the month rollups are exact BIGINT
+    sums; base-period values need no quantization at all (p_0*q_0 =
+    c0 exactly), giving the invariant laspeyres_bp = 10000 at the base
+    month; indices are integer `//`-vs-DIV basis points and Fisher is
+    one correctly-rounded sqrt of their exact product, snapped to the
+    integer grid.  One corpus aggregate to the (part, month) grid; the
+    base join is grid-sized on the part key."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate").isNotNull()
+                 & F.col("l_extendedprice").isNotNull()
+                 & F.col("l_quantity").isNotNull())
+          .select(F.col("l_partkey").alias("pk"),
+                  F.date_trunc("month", "l_shipdate").cast("date")
+                   .alias("m"),
+                  F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                   .cast("long").alias("cents"),
+                  F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+                   .alias("qty")))
+    pm = (li.groupBy("pk", "m")
+            .agg(F.sum("cents").cast("long").alias("sc"),
+                 F.sum("qty").cast("long").alias("sq"))
+            .where(F.col("sq") > 0))
+    m0 = pm.agg(F.min("m").alias("base_m"))
+    base = (pm.crossJoin(F.broadcast(m0))
+              .where(F.col("m") == F.col("base_m"))
+              .select(F.col("pk").alias("pk0"), F.col("sc").alias("c0"),
+                      F.col("sq").alias("q0")))
+    j = (pm.join(base, F.col("pk0") == F.col("pk"))
+           .select("m", "sc", "sq", "c0", "q0",
+                   F.expr("CAST(FLOOR(CAST(sc AS DOUBLE) / sq * q0 + 0.5) "
+                          "AS BIGINT)").alias("lasp_c"),
+                   F.expr("CAST(FLOOR(CAST(c0 AS DOUBLE) / q0 * sq + 0.5) "
+                          "AS BIGINT)").alias("paas_c")))
+    agg = (j.groupBy("m")
+            .agg(F.count("*").cast("long").alias("n_parts"),
+                 F.sum("lasp_c").cast("long").alias("lasp_num"),
+                 F.sum("c0").cast("long").alias("lasp_den"),
+                 F.sum("sc").cast("long").alias("paas_num"),
+                 F.sum("paas_c").cast("long").alias("paas_den")))
+    return agg.select(
+        F.col("m").alias("month"), "n_parts",
+        F.expr("lasp_num * 10000 DIV lasp_den").alias("laspeyres_bp"),
+        F.expr("paas_num * 10000 DIV paas_den").alias("paasche_bp"),
+        F.expr("CAST(FLOOR(SQRT(CAST((lasp_num * 10000 DIV lasp_den) "
+               "AS DOUBLE) * CAST((paas_num * 10000 DIV paas_den) "
+               "AS DOUBLE)) + 0.5) AS BIGINT)").alias("fisher_bp"))

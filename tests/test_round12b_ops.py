@@ -696,3 +696,113 @@ def test_raking_matches_brute(spark, tmp_path):
         got_c = sum(out[(et, d2)]["raked_w"] for (et, d2) in cells
                     if d2 == dw)
         assert got_c == pytest.approx(col_t, abs=1e-4)
+
+
+# ---------------------------------------------------------- jonckheere
+
+def test_jonckheere_matches_brute(spark, tmp_path):
+    import pandas as pd
+    # values increase across 6-hour blocks -> strong positive trend
+    spec = [(3, [10.0, 12.0, 11.0]), (9, [13.0, 15.0, 12.0]),
+            (15, [16.0, 18.0, 14.0]), (21, [19.0, 21.0, 18.0])]
+    rows = []
+    for h, vals in spec:
+        for v in vals:
+            rows.append((h, v))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([f"2024-01-01 {h:02d}:10:00"
+                              for h, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": ["a"] * len(rows),
+        "value": [v for _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_jonckheere_terpstra"](spark, str(d)).collect()[0]
+
+    groups = [[int(v * 100 + 0.5) for v in vals] for _, vals in spec]
+    jt2 = 0
+    for a in range(4):
+        for b in range(a + 1, 4):
+            for x in groups[a]:
+                for y in groups[b]:
+                    jt2 += 2 * (x < y) + (x == y)
+    ns = [len(g) for g in groups]
+    n = sum(ns)
+    e4 = n * n - sum(m * m for m in ns)
+    var = (n * n * (2 * n + 3)
+           - sum(m * m * (2 * m + 3) for m in ns)) / 72
+    z = (2 * jt2 - e4) / (4 * math.sqrt(var))
+    assert got["n_total"] == n
+    assert got["jt2"] == jt2
+    assert got["e4"] == e4
+    assert got["z_jt"] == pytest.approx(z, abs=5e-6)
+    assert got["z_jt"] > 2  # monotone fixture must read as a trend
+
+
+def test_jonckheere_flat_series_z_zero(spark, tmp_path):
+    import pandas as pd
+    rows = [(h, 10.0) for h in (3, 9, 15, 21) for _ in range(3)]
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([f"2024-01-01 {h:02d}:10:00"
+                              for h, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": ["a"] * len(rows),
+        "value": [v for _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_jonckheere_terpstra"](spark, str(d)).collect()[0]
+    # all ties: jt2 = sum over pairs of n_a*n_b (each tie counts 1)
+    assert got["jt2"] == sum(3 * 3 for _ in range(6))
+    assert got["z_jt"] == pytest.approx(0.0, abs=5e-6)
+
+
+# --------------------------------------------------------- price index
+
+def test_price_index_matches_brute(spark, tmp_path):
+    import pandas as pd
+    # part 1: price doubles month 2; part 2: price stable; part 3 only
+    # in month 2 (excluded from matched sample)
+    li = [
+        # (orderkey, partkey, qty, extprice, shipdate)
+        (1, 1, 2.0, 20.0, "2024-01-05"),   # unit $10
+        (2, 1, 1.0, 10.0, "2024-01-20"),
+        (3, 2, 4.0, 20.0, "2024-01-10"),   # unit $5
+        (4, 1, 3.0, 60.0, "2024-02-05"),   # unit $20
+        (5, 2, 2.0, 10.0, "2024-02-15"),   # unit $5
+        (6, 3, 1.0, 99.0, "2024-02-20"),   # no base -> dropped
+    ]
+    ldf = pd.DataFrame(li, columns=["l_orderkey", "l_partkey",
+                                    "l_quantity", "l_extendedprice",
+                                    "l_shipdate"])
+    ldf["l_shipdate"] = pd.to_datetime(ldf["l_shipdate"]).dt.date
+    d = tmp_path / "sf"
+    d.mkdir()
+    ldf.to_parquet(d / "lineitem.parquet")
+    out = {str(r["month"])[:7]: r
+           for r in QUERIES["q_price_index"](spark, str(d)).collect()}
+
+    # base month Jan: p1 = 3000c/3 = 1000c/unit q0=3 c0=3000;
+    #                 p2 = 2000c/4 = 500c/unit  q0=4 c0=2000
+    # Feb: part1 sc=6000 sq=3 -> lasp_c = 6000/3*3 = 6000;
+    #      part2 sc=1000 sq=2 -> lasp_c = 1000/2*4 = 2000
+    jan, feb = out["2024-01"], out["2024-02"]
+    assert jan["n_parts"] == 2 and feb["n_parts"] == 2
+    assert jan["laspeyres_bp"] == 10000  # base invariant
+    assert jan["paasche_bp"] == 10000
+    lasp = (6000 + 2000) * 10000 // (3000 + 2000)
+    # paasche den: p0*qt = 1000*3 + 500*2 = 4000; num = 6000+1000
+    paas = (6000 + 1000) * 10000 // (3000 + 1000)
+    assert feb["laspeyres_bp"] == lasp
+    assert feb["paasche_bp"] == paas
+    assert feb["fisher_bp"] == int(math.floor(
+        math.sqrt(lasp * paas) + 0.5))
+    # price rose -> all indices above par
+    assert feb["laspeyres_bp"] > 10000
