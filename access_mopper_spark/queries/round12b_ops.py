@@ -1394,3 +1394,250 @@ def q_price_index(spark, sf_dir):
         F.expr("CAST(FLOOR(SQRT(CAST((lasp_num * 10000 DIV lasp_den) "
                "AS DOUBLE) * CAST((paas_num * 10000 DIV paas_den) "
                "AS DOUBLE)) + 0.5) AS BIGINT)").alias("fisher_bp"))
+
+
+# =====================================================================
+# long-range dependence and extreme-value monitors (daily volume)
+# =====================================================================
+
+@query(
+    "q_hurst_exponent",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2000-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS di,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    mn AS (SELECT MIN(di) AS d0, CAST(COUNT(*) AS BIGINT) AS nd
+           FROM daily),
+    ws AS (SELECT UNNEST([4, 8, 16, 32]) AS w),
+    blk AS (
+      SELECT ws.w, (daily.di - mn.d0) // ws.w AS b,
+             (daily.di - mn.d0) % ws.w + 1 AS t_idx, daily.x
+      FROM daily CROSS JOIN mn CROSS JOIN ws
+    ),
+    full_b AS (
+      SELECT w, b, CAST(SUM(x) AS BIGINT) AS sb,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM blk GROUP BY w, b HAVING COUNT(*) = w
+    ),
+    z AS (
+      SELECT a.w, a.b,
+             CAST(a.w * SUM(c.x) - a.t_idx * fb.sb AS BIGINT) AS zw
+      FROM blk a
+      JOIN full_b fb ON fb.w = a.w AND fb.b = a.b
+      JOIN blk c ON c.w = a.w AND c.b = a.b AND c.t_idx <= a.t_idx
+      GROUP BY a.w, a.b, a.t_idx, fb.sb
+    ),
+    rs AS (
+      SELECT z.w, z.b,
+             CAST(GREATEST(MAX(zw), 0) - LEAST(MIN(zw), 0) AS BIGINT)
+               AS rw,
+             MAX(fb.sxx) AS sxx, MAX(fb.sb) AS sb
+      FROM z JOIN full_b fb ON fb.w = z.w AND fb.b = z.b
+      GROUP BY z.w, z.b
+    ),
+    rsq AS (
+      SELECT w, b,
+             CAST(FLOOR(CAST(rw AS DOUBLE)
+                        / SQRT(CAST(w * sxx - sb * sb AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT) AS rs_e6
+      FROM rs WHERE w * sxx - sb * sb > 0
+    ),
+    per_w AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(rs_e6) AS BIGINT) AS s_rs
+      FROM rsq GROUP BY w
+    ),
+    xy AS (
+      SELECT LN(CAST(w AS DOUBLE)) AS lx,
+             LN(CAST(s_rs AS DOUBLE) / (CAST(n_blocks AS DOUBLE) * 1e6))
+               AS ly,
+             w, n_blocks, s_rs
+      FROM per_w WHERE s_rs > 0
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pts, SUM(lx) AS sx,
+             SUM(ly) AS sy, SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+      FROM xy
+    )
+    SELECT mn.nd AS n_days, fit.n_pts,
+           CASE WHEN fit.n_pts >= 2
+                     AND fit.n_pts * fit.sxx - fit.sx * fit.sx > 0
+                THEN ROUND((fit.n_pts * fit.sxy - fit.sx * fit.sy)
+                           / (fit.n_pts * fit.sxx - fit.sx * fit.sx), 6)
+                ELSE NULL END AS hurst_h,
+           (SELECT ROUND(CAST(s_rs AS DOUBLE)
+                         / (CAST(n_blocks AS DOUBLE) * 1e6), 6)
+            FROM per_w WHERE w = 8) AS mean_rs_w8,
+           (SELECT ROUND(CAST(s_rs AS DOUBLE)
+                         / (CAST(n_blocks AS DOUBLE) * 1e6), 6)
+            FROM per_w WHERE w = 16) AS mean_rs_w16
+    FROM fit CROSS JOIN mn
+    """,
+)
+def q_hurst_exponent(spark, sf_dir):
+    """Hurst exponent of the daily event-volume series by classical
+    rescaled-range (R/S) analysis over window sizes {4,8,16,32} days —
+    the long-range-dependence monitor (H ~ 0.5 = memoryless, H > 0.5 =
+    persistent load trends, the regime where naive CIs on daily metrics
+    are anti-conservative; complements q_acf_multilag's short-lag view).
+    Exactness: within each COMPLETE w-day block the cumulative deviation
+    is multiplied through by w (zw = w*cum - t*blocksum, exact BIGINT),
+    the range Rw = max(zw,0)-min(zw,0) is exact, and R/S quantizes to
+    e6 per block with ONE staged division by the correctly-rounded
+    population-sd sqrt; per-w means are exact integer sums with a
+    single terminal division; the 4-point log-log OLS slope follows the
+    small-term-count exception.  Overflow bound: w*sxx < 2^63 holds to
+    ~5e8 events/day.  Cost: one corpus aggregate to the day grid; the
+    within-block triangular join is <= 16*|days| tiny rows."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull())
+          .select(F.datediff(F.date_trunc("day", "ts").cast("date"),
+                             F.lit("2000-01-01").cast("date")).alias("di")))
+    daily = ev.groupBy("di").agg(F.count("*").cast("long").alias("x"))
+    mn = daily.agg(F.min("di").alias("d0"),
+                   F.count("*").cast("long").alias("nd"))
+    ws = (spark.range(0, 4)
+          .select(F.expr("CAST(shiftleft(4, CAST(id AS INT)) AS BIGINT)")
+                   .alias("w")))
+    blk = (daily.crossJoin(F.broadcast(mn)).crossJoin(F.broadcast(ws))
+                .select("w", F.expr("(di - d0) DIV w").alias("b"),
+                        F.expr("(di - d0) % w + 1").alias("t_idx"), "x"))
+    full_b = (blk.groupBy("w", "b")
+                 .agg(F.sum("x").cast("long").alias("sb"),
+                      F.sum(F.col("x") * F.col("x")).cast("long")
+                       .alias("sxx"), F.count("*").alias("__cnt"))
+                 .where(F.col("__cnt") == F.col("w")).drop("__cnt"))
+    c = blk.select(F.col("w").alias("w2"), F.col("b").alias("b2"),
+                   F.col("t_idx").alias("t2"), F.col("x").alias("x2"))
+    z = (blk.join(full_b.select(F.col("w").alias("wf"),
+                                F.col("b").alias("bf"), "sb"),
+                  (F.col("wf") == F.col("w")) & (F.col("bf") == F.col("b")))
+            .join(c, (F.col("w2") == F.col("w"))
+                  & (F.col("b2") == F.col("b"))
+                  & (F.col("t2") <= F.col("t_idx")))
+            .groupBy("w", "b", "t_idx", "sb")
+            .agg(F.expr("CAST(w * SUM(x2) - t_idx * sb AS BIGINT)")
+                  .alias("zw")))
+    rs = (z.join(full_b.select(F.col("w").alias("wf2"),
+                               F.col("b").alias("bf2"), "sxx",
+                               F.col("sb").alias("sb2")),
+                 (F.col("wf2") == F.col("w")) & (F.col("bf2") == F.col("b")))
+            .groupBy("w", "b")
+            .agg(F.expr("CAST(GREATEST(MAX(zw), 0) - LEAST(MIN(zw), 0) "
+                        "AS BIGINT)").alias("rw"),
+                 F.max("sxx").alias("sxx"), F.max("sb2").alias("sb")))
+    rsq = (rs.where(F.expr("w * sxx - sb * sb > 0"))
+             .select("w", F.expr(
+                 "CAST(FLOOR(CAST(rw AS DOUBLE) "
+                 "/ SQRT(CAST(w * sxx - sb * sb AS DOUBLE)) "
+                 "* 1e6 + 0.5) AS BIGINT)").alias("rs_e6")))
+    per_w = (rsq.groupBy("w")
+                .agg(F.count("*").cast("long").alias("n_blocks"),
+                     F.sum("rs_e6").cast("long").alias("s_rs")))
+    xy = (per_w.where(F.col("s_rs") > 0)
+               .select("w", "n_blocks", "s_rs",
+                       F.expr("LN(CAST(w AS DOUBLE))").alias("lx"),
+                       F.expr("LN(CAST(s_rs AS DOUBLE) "
+                              "/ (CAST(n_blocks AS DOUBLE) * 1e6))")
+                        .alias("ly")))
+    fit = xy.agg(F.count("*").cast("long").alias("n_pts"),
+                 F.sum("lx").alias("sx"), F.sum("ly").alias("sy"),
+                 F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+                 F.sum(F.col("lx") * F.col("lx")).alias("sxx"))
+    mw = per_w.select(
+        "w", pround(F.expr("CAST(s_rs AS DOUBLE) "
+                           "/ (CAST(n_blocks AS DOUBLE) * 1e6)"), 6)
+               .alias("mrs"))
+    w8 = (mw.where(F.col("w") == 8)
+            .agg(F.max("mrs").alias("mean_rs_w8")))
+    w16 = (mw.where(F.col("w") == 16)
+             .agg(F.max("mrs").alias("mean_rs_w16")))
+    return (fit.crossJoin(F.broadcast(mn.select("nd")))
+               .crossJoin(F.broadcast(w8)).crossJoin(F.broadcast(w16))
+               .select(F.col("nd").alias("n_days"), "n_pts",
+                       F.when(F.expr("n_pts >= 2 AND n_pts * sxx "
+                                     "- sx * sx > 0"),
+                              pround(F.expr(
+                                  "(n_pts * sxy - sx * sy) "
+                                  "/ (n_pts * sxx - sx * sx)"), 6))
+                        .otherwise(F.lit(None).cast("double"))
+                        .alias("hurst_h"),
+                       "mean_rs_w8", "mean_rs_w16"))
+
+
+@query(
+    "q_gumbel_maxima",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS di,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    wk AS (
+      SELECT di // 7 AS wb, CAST(MAX(x) AS BIGINT) AS m
+      FROM daily GROUP BY di // 7
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(m) AS BIGINT) AS s,
+             CAST(SUM(m * m) AS BIGINT) AS sxx,
+             CAST(MAX(m) AS BIGINT) AS mx
+      FROM wk
+    )
+    SELECT n AS n_blocks, mx AS max_daily,
+           CASE WHEN n >= 2 AND n * sxx - s * s > 0 THEN
+             ROUND(CAST(s AS DOUBLE) / n
+                   - CAST(0.5772156649015329 AS DOUBLE)
+                     * (SQRT(CAST(n * sxx - s * s AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * (n - 1)))
+                        * CAST(0.7796968012336761 AS DOUBLE)), 6)
+           ELSE NULL END AS gumbel_mu,
+           CASE WHEN n >= 2 AND n * sxx - s * s > 0 THEN
+             ROUND(SQRT(CAST(n * sxx - s * s AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * (n - 1)))
+                   * CAST(0.7796968012336761 AS DOUBLE), 6)
+           ELSE NULL END AS gumbel_beta
+    FROM mo
+    """,
+)
+def q_gumbel_maxima(spark, sf_dir):
+    """Gumbel extreme-value fit to WEEKLY maxima of daily event volume
+    by the method of moments — the capacity-planning tail monitor ("how
+    big a peak day should we provision for?"), the extreme-value shelf
+    beside q_pettitt_test / q_cusum_changepoint.  Weekly blocks are the
+    portable epoch-week (di // 7); block maxima, their sum and squared
+    sum are exact BIGINTs (counts bounded ~3e9/day for n*sxx < 2^63);
+    beta = s_sample * sqrt(6)/pi and mu = mean - gamma*beta stage the
+    sample sd as ONE correctly-rounded sqrt of the exact rational
+    (n*sxx - s^2)/(n*(n-1)), times sqrt(6)/pi and Euler-Mascheroni
+    embedded as decimal LITERALS parsed identically by both engines
+    (no libm constant evaluation on either side), with R6 terminals.
+    Degenerate NULL below 2 blocks or zero spread."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull())
+          .select(F.datediff(F.date_trunc("day", "ts").cast("date"),
+                             F.lit("1970-01-01").cast("date")).alias("di")))
+    daily = ev.groupBy("di").agg(F.count("*").cast("long").alias("x"))
+    wk = (daily.groupBy(F.expr("di DIV 7").alias("wb"))
+               .agg(F.max("x").cast("long").alias("m")))
+    mo = wk.agg(F.count("*").cast("long").alias("n"),
+                F.sum("m").cast("long").alias("s"),
+                F.sum(F.col("m") * F.col("m")).cast("long").alias("sxx"),
+                F.max("m").cast("long").alias("mx"))
+    guard = F.expr("n >= 2 AND n * sxx - s * s > 0")
+    beta = ("SQRT(CAST(n * sxx - s * s AS DOUBLE) "
+            "/ (CAST(n AS DOUBLE) * (n - 1))) "
+            "* CAST(0.7796968012336761 AS DOUBLE)")
+    mu = ("CAST(s AS DOUBLE) / n "
+          "- CAST(0.5772156649015329 AS DOUBLE) * (" + beta + ")")
+    return mo.select(
+        F.col("n").alias("n_blocks"), F.col("mx").alias("max_daily"),
+        F.when(guard, pround(F.expr(mu), 6))
+         .otherwise(F.lit(None).cast("double")).alias("gumbel_mu"),
+        F.when(guard, pround(F.expr(beta), 6))
+         .otherwise(F.lit(None).cast("double")).alias("gumbel_beta"))

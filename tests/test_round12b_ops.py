@@ -806,3 +806,120 @@ def test_price_index_matches_brute(spark, tmp_path):
         math.sqrt(lasp * paas) + 0.5))
     # price rose -> all indices above par
     assert feb["laspeyres_bp"] > 10000
+
+
+# ----------------------------------------------------------------- hurst
+
+def _daily_count_fixture(tmp_path, counts, start="2024-01-01"):
+    import pandas as pd
+    base = pd.Timestamp(start)
+    rows = []
+    for d, c in enumerate(counts):
+        for k in range(c):
+            rows.append(base + pd.Timedelta(days=d, minutes=k))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": rows,
+        "user_id": [1] * len(rows),
+        "event_type": ["a"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def _brute_rs(counts, w):
+    """mean R/S over complete w-blocks with the query's e6 snapping."""
+    out = []
+    for b0 in range(0, len(counts) - w + 1, w):
+        blk = counts[b0:b0 + w]
+        sb = sum(blk)
+        sxx = sum(x * x for x in blk)
+        if w * sxx - sb * sb <= 0:
+            continue
+        zw = []
+        cum = 0
+        for t, x in enumerate(blk, start=1):
+            cum += x
+            zw.append(w * cum - t * sb)
+        rw = max(max(zw), 0) - min(min(zw), 0)
+        s_pop = math.sqrt(w * sxx - sb * sb)
+        out.append(int(math.floor(rw / s_pop * 1e6 + 0.5)))
+    return out
+
+
+def test_hurst_matches_brute(spark, tmp_path):
+    # 36 days of alternating-with-drift volume
+    counts = [5 + (d % 4) + (3 if (d // 8) % 2 else 0) for d in range(36)]
+    d = _daily_count_fixture(tmp_path, counts)
+    got = QUERIES["q_hurst_exponent"](spark, d).collect()[0]
+    assert got["n_days"] == 36
+
+    pts = []
+    for w in (4, 8, 16, 32):
+        rs = _brute_rs(counts, w)
+        if rs and sum(rs) > 0:
+            pts.append((math.log(w), math.log(sum(rs) / (len(rs) * 1e6))))
+            if w == 8:
+                exp8 = sum(rs) / (len(rs) * 1e6)
+                assert got["mean_rs_w8"] == pytest.approx(exp8, abs=2e-6)
+    n = len(pts)
+    assert got["n_pts"] == n
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    h = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert got["hurst_h"] == pytest.approx(h, abs=1e-5)
+    assert 0.0 < got["hurst_h"] < 1.2
+
+
+def test_hurst_constant_series_no_points(spark, tmp_path):
+    d = _daily_count_fixture(tmp_path, [5] * 16)
+    got = QUERIES["q_hurst_exponent"](spark, d).collect()[0]
+    # zero variance in every block -> no rs points -> NULL fit
+    assert got["n_pts"] == 0
+    assert got["hurst_h"] is None
+
+
+# ---------------------------------------------------------------- gumbel
+
+def test_gumbel_matches_brute(spark, tmp_path):
+    counts = [3, 9, 4, 2, 8, 5, 6,      # week 0 max 9
+              4, 12, 5, 3, 6, 7, 5,     # week 1 max 12
+              2, 7, 15, 4, 3, 6, 5,     # week 2 max 15
+              5, 6, 4, 8, 10, 3, 2]     # week 3 max 10
+    # align to epoch-week boundary: 2024-01-01 epoch day 19723;
+    # 19723 % 7 = 4 -> weeks split mid-fixture; compute brute from the
+    # same epoch-week grouping instead of assuming alignment.
+    d = _daily_count_fixture(tmp_path, counts)
+    got = QUERIES["q_gumbel_maxima"](spark, d).collect()[0]
+
+    epoch0 = 19723  # 2024-01-01
+    weeks = {}
+    for i, c in enumerate(counts):
+        wb = (epoch0 + i) // 7
+        weeks[wb] = max(weeks.get(wb, 0), c)
+    ms = list(weeks.values())
+    n = len(ms)
+    s = sum(ms); sxx = sum(m * m for m in ms)
+    var_s = (n * sxx - s * s) / (n * (n - 1))
+    beta = math.sqrt(var_s) * math.sqrt(6) / math.pi
+    mu = s / n - 0.5772156649015329 * beta
+    assert got["n_blocks"] == n
+    assert got["max_daily"] == max(ms)
+    assert got["gumbel_beta"] == pytest.approx(beta, abs=5e-6)
+    assert got["gumbel_mu"] == pytest.approx(mu, abs=5e-6)
+    # location below the max, above the min, beta positive
+    assert min(ms) < got["gumbel_mu"] < max(ms)
+    assert got["gumbel_beta"] > 0
+
+
+def test_gumbel_single_block_null(spark, tmp_path):
+    d = _daily_count_fixture(tmp_path, [4, 5, 6])
+    got = QUERIES["q_gumbel_maxima"](spark, d).collect()[0]
+    if got["n_blocks"] < 2:
+        assert got["gumbel_mu"] is None
+    else:  # fixture straddled an epoch-week boundary: still fitted
+        assert got["gumbel_beta"] is not None
