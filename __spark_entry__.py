@@ -100,14 +100,24 @@ _DRIVER_PRIORITY = [
 # q_effective_rank, q_mcc_f1, q_lift_gains, q_kendall_w,
 # q_design_effect — all vanilla + TZ gated at
 # birth this round, every events/documents row 5-seed fuzzed and the
-# batch-1/2/3 rows additionally 10-seed deep-fuzzed).  r13 window:
+# batch-1/2/3 rows additionally 10-seed deep-fuzzed), plus the 14
+# session-2 operators (q_logrank_test, q_pettitt_test, q_isotonic_pav,
+# q_decision_stump, q_calinski_harabasz, q_davies_bouldin,
+# q_heaps_exponent, q_capture_recapture, q_pacf_daily, q_raking_ipf,
+# q_jonckheere_terpstra, q_price_index, q_hurst_exponent,
+# q_gumbel_maxima — same vanilla + TZ + fuzz discipline at birth,
+# brute-force-pinned in tests/test_round12b_ops.py, x10 points in
+# full_registry_x10_r12 and x100 points in r12_session2_x100).
+# r13 window:
 # 3 sentinels + ALL 37 pre-r12 rows (clears the oldest debt first)
 # + the 10 riskiest r12 rows (md5-lane/double-surface rows first:
 # q_brier-fixture consumers q_mcc_f1 + q_lift_gains, the md5-arm
 # causal rows q_ipw_ate / q_diff_in_diff / q_conformal_interval /
 # q_quantile_treatment_effect, and the double-output q_wilson_interval
 # / q_odds_ratio_ci / q_power_mde / q_regression_discontinuity); the
-# remaining 16 r12 rows split across r14:
+# remaining 16 r12 batch-1..11 rows plus the 14 session-2 rows split
+# across r14/r15 (session-2 rows last — they carry the freshest
+# gate signal):
 # q_ivf_assign, q_distinct_agg, q_stratified_sample, q_decontaminate,
 # q_upsert_ignore, q_embedding_quantize, q_quality_quantile_filter,
 # q_cap_per_group, q_shard_assign, q_outlier_filter, q_ann_recall,

@@ -135,6 +135,10 @@ HEADLINE = [
     "q_spearman_rho",
     "q_bradley_terry",
     "q_simplified_silhouette",
+    # round 12 session 2: survival comparison on the lifetime grid,
+    # matched-sample price indices (per-pair cents quantization)
+    "q_logrank_test",
+    "q_price_index",
 ]
 
 
