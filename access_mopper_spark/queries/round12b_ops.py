@@ -1641,3 +1641,319 @@ def q_gumbel_maxima(spark, sf_dir):
          .otherwise(F.lit(None).cast("double")).alias("gumbel_mu"),
         F.when(guard, pround(F.expr(beta), 6))
          .otherwise(F.lit(None).cast("double")).alias("gumbel_beta"))
+
+
+# =====================================================================
+# matched / stratified categorical tests
+# =====================================================================
+
+@query(
+    "q_cochran_q",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS true_flag
+      FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    votes AS (
+      SELECT doc_id, r.r,
+             CASE WHEN ('0x' || substring(md5('flag' || CAST(r.r AS VARCHAR)
+                        || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10 < 2
+                  THEN CAST(('0x' || substring(md5('bit' || CAST(r.r AS VARCHAR)
+                       || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 AS BIGINT)
+                  ELSE CAST(true_flag AS BIGINT) END AS x
+      FROM d CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS r) r
+    ),
+    rows_ AS (
+      SELECT doc_id, CAST(SUM(x) AS BIGINT) AS ri
+      FROM votes GROUP BY doc_id
+    ),
+    cols AS (
+      SELECT CAST(SUM(CASE WHEN r = 1 THEN x ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN r = 2 THEN x ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN r = 3 THEN x ELSE 0 END) AS BIGINT) AS c3
+      FROM votes
+    ),
+    rsum AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(ri) AS BIGINT) AS s,
+             CAST(SUM(ri * ri) AS BIGINT) AS sr2
+      FROM rows_
+    )
+    SELECT rsum.n_items, cols.c1, cols.c2, cols.c3,
+           CASE WHEN 3 * rsum.s - rsum.sr2 > 0
+                THEN ROUND(CAST(2 * (3 * (cols.c1 * cols.c1
+                                          + cols.c2 * cols.c2
+                                          + cols.c3 * cols.c3)
+                                     - rsum.s * rsum.s) AS DOUBLE)
+                           / CAST(3 * rsum.s - rsum.sr2 AS DOUBLE), 6)
+                ELSE NULL END AS q_stat,
+           CAST(2 AS BIGINT) AS df
+    FROM rsum CROSS JOIN cols
+    """,
+)
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q test for k=3 matched binary raters — do the three
+    md5 'annotators' (same fixed-panel construction as q_fleiss_kappa,
+    binary task: flag short docs, 20% noise lane) flag at DIFFERENT
+    rates?  The k-treatment extension of q_mcnemar_test, and the binary
+    analog of q_kendall_w's ordinal panel.  Q = (k-1)(k*sum C_j^2 -
+    S^2) / (k*S - sum R_i^2) is a SINGLE division of exact BIGINTs
+    (column totals, row totals, grand total all integer; overflow at
+    S ~ 3e9 flags, documented), chi-square with k-1 = 2 df; NULL when
+    every item is unanimous (denominator 0).  One corpus-sized vote
+    fan-out (3 md5 digests/doc), two aggregates; no windows, no
+    joins beyond the final 1x1 cross."""
+    d = (_wide(load_table(spark, sf_dir, "documents"))
+         .where(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+         .select("doc_id",
+                 F.when(F.col("n_chars") < 200, 1).otherwise(0)
+                  .alias("true_flag")))
+    r = spark.range(1, 4).select(F.col("id").cast("long").alias("r"))
+    lane = F.conv(F.substring(F.md5(F.concat(
+        F.lit("flag"), F.col("r").cast("string"), F.lit(":"),
+        F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 10
+    bit = F.conv(F.substring(F.md5(F.concat(
+        F.lit("bit"), F.col("r").cast("string"), F.lit(":"),
+        F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2
+    votes = (d.crossJoin(F.broadcast(r))
+              .select("doc_id", "r",
+                      F.when(lane < 2, bit)
+                       .otherwise(F.col("true_flag").cast("long"))
+                       .alias("x")))
+    rows_ = votes.groupBy("doc_id").agg(F.sum("x").cast("long").alias("ri"))
+    cols = votes.agg(*[
+        F.sum(F.when(F.col("r") == i, F.col("x")).otherwise(0))
+         .cast("long").alias(f"c{i}") for i in (1, 2, 3)])
+    rsum = rows_.agg(F.count("*").cast("long").alias("n_items"),
+                     F.sum("ri").cast("long").alias("s"),
+                     F.sum(F.col("ri") * F.col("ri")).cast("long")
+                      .alias("sr2"))
+    return (rsum.crossJoin(F.broadcast(cols))
+                .select("n_items", "c1", "c2", "c3",
+                        F.when(F.expr("3 * s - sr2 > 0"),
+                               pround(F.expr(
+                                   "CAST(2 * (3 * (c1 * c1 + c2 * c2 "
+                                   "+ c3 * c3) - s * s) AS DOUBLE) "
+                                   "/ CAST(3 * s - sr2 AS DOUBLE)"), 6))
+                         .otherwise(F.lit(None).cast("double"))
+                         .alias("q_stat"),
+                        F.lit(2).cast("long").alias("df")))
+
+
+@query(
+    "q_page_trend",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, hour(CAST(ts AS TIMESTAMP)) // 8 AS seg,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    us AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN seg = 0 THEN cents ELSE 0 END) AS BIGINT)
+               AS m0,
+             CAST(SUM(CASE WHEN seg = 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS m1,
+             CAST(SUM(CASE WHEN seg = 2 THEN cents ELSE 0 END) AS BIGINT)
+               AS m2,
+             CAST(SUM(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k0,
+             CAST(SUM(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k1,
+             CAST(SUM(CASE WHEN seg = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k2
+      FROM ev GROUP BY user_id
+    ),
+    cpl AS (
+      SELECT m0, m1, m2 FROM us WHERE k0 > 0 AND k1 > 0 AND k2 > 0
+    ),
+    r2 AS (
+      SELECT
+        2 + 2 * (CASE WHEN m1 < m0 THEN 1 ELSE 0 END
+                 + CASE WHEN m2 < m0 THEN 1 ELSE 0 END)
+          + (CASE WHEN m1 = m0 THEN 1 ELSE 0 END
+             + CASE WHEN m2 = m0 THEN 1 ELSE 0 END) AS r2_0,
+        2 + 2 * (CASE WHEN m0 < m1 THEN 1 ELSE 0 END
+                 + CASE WHEN m2 < m1 THEN 1 ELSE 0 END)
+          + (CASE WHEN m0 = m1 THEN 1 ELSE 0 END
+             + CASE WHEN m2 = m1 THEN 1 ELSE 0 END) AS r2_1,
+        2 + 2 * (CASE WHEN m0 < m2 THEN 1 ELSE 0 END
+                 + CASE WHEN m1 < m2 THEN 1 ELSE 0 END)
+          + (CASE WHEN m0 = m2 THEN 1 ELSE 0 END
+             + CASE WHEN m1 = m2 THEN 1 ELSE 0 END) AS r2_2
+      FROM cpl
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS b,
+             CAST(SUM(r2_0) AS BIGINT) AS s0,
+             CAST(SUM(r2_1) AS BIGINT) AS s1,
+             CAST(SUM(r2_2) AS BIGINT) AS s2
+      FROM r2
+    )
+    SELECT b AS n_blocks,
+           CAST(1 * s0 + 2 * s1 + 3 * s2 AS BIGINT) AS l2,
+           CAST(b * 3 * 4 * 4 // 2 AS BIGINT) AS e_l2,
+           CASE WHEN b > 0 THEN
+             ROUND(CAST(1 * s0 + 2 * s1 + 3 * s2
+                        - b * 3 * 4 * 4 // 2 AS DOUBLE)
+                   / (2 * SQRT(CAST(b AS DOUBLE) * 9 * 4 * 8 / 144)), 6)
+           ELSE NULL END AS z_page
+    FROM s
+    """,
+)
+def q_page_trend(spark, sf_dir):
+    """Page's L trend test across the three ordered day segments
+    (0-7h / 8-15h / 16-23h) with users as matched blocks: does per-user
+    spend rank INCREASE through the day?  The matched-blocks analog of
+    q_jonckheere_terpstra (JT pools independent observations; Page
+    ranks WITHIN each user, killing between-user spend variance), and
+    the ordered-alternative sibling of q_kendall_w's panel.  Blocks are
+    users active in all three segments (complete blocks only,
+    documented); each user's segment spends rank by the closed 3-value
+    midrank comparison in DOUBLED units (r2 = 2 + 2#(less) + #(equal),
+    exact BIGINT — no window, no sort), L2 = sum j*R2_j is exact, the
+    null mean E[L2] = 2*b*k(k+1)^2/4 = b*24 is exact integer, and z
+    stages the no-tie null sd 2*sqrt(b*k^2(k+1)(k^2-1)/144) from one
+    correctly-rounded sqrt (tie-uncorrected, documented).  One corpus
+    aggregate to user level; everything after is per-user Column math
+    and one reduce."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("user_id").isNotNull())
+          .select("user_id",
+                  F.expr("hour(CAST(ts AS TIMESTAMP)) DIV 8").alias("seg"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("cents")))
+    us = ev.groupBy("user_id").agg(
+        *[F.sum(F.when(F.col("seg") == i, F.col("cents")).otherwise(0))
+           .cast("long").alias(f"m{i}") for i in range(3)],
+        *[F.sum(F.when(F.col("seg") == i, 1).otherwise(0))
+           .cast("long").alias(f"k{i}") for i in range(3)])
+    cpl = us.where((F.col("k0") > 0) & (F.col("k1") > 0)
+                   & (F.col("k2") > 0))
+    r2 = cpl.select(
+        F.expr("2 + 2 * (CASE WHEN m1 < m0 THEN 1 ELSE 0 END "
+               "+ CASE WHEN m2 < m0 THEN 1 ELSE 0 END) "
+               "+ (CASE WHEN m1 = m0 THEN 1 ELSE 0 END "
+               "+ CASE WHEN m2 = m0 THEN 1 ELSE 0 END)").alias("r2_0"),
+        F.expr("2 + 2 * (CASE WHEN m0 < m1 THEN 1 ELSE 0 END "
+               "+ CASE WHEN m2 < m1 THEN 1 ELSE 0 END) "
+               "+ (CASE WHEN m0 = m1 THEN 1 ELSE 0 END "
+               "+ CASE WHEN m2 = m1 THEN 1 ELSE 0 END)").alias("r2_1"),
+        F.expr("2 + 2 * (CASE WHEN m0 < m2 THEN 1 ELSE 0 END "
+               "+ CASE WHEN m1 < m2 THEN 1 ELSE 0 END) "
+               "+ (CASE WHEN m0 = m2 THEN 1 ELSE 0 END "
+               "+ CASE WHEN m1 = m2 THEN 1 ELSE 0 END)").alias("r2_2"))
+    s = r2.agg(F.count("*").cast("long").alias("b"),
+               F.sum("r2_0").cast("long").alias("s0"),
+               F.sum("r2_1").cast("long").alias("s1"),
+               F.sum("r2_2").cast("long").alias("s2"))
+    return s.select(
+        F.col("b").alias("n_blocks"),
+        F.expr("CAST(1 * s0 + 2 * s1 + 3 * s2 AS BIGINT)").alias("l2"),
+        F.expr("CAST(b * 3 * 4 * 4 DIV 2 AS BIGINT)").alias("e_l2"),
+        F.when(F.col("b") > 0,
+               pround(F.expr(
+                   "CAST(1 * s0 + 2 * s1 + 3 * s2 "
+                   "- b * 3 * 4 * 4 DIV 2 AS DOUBLE) "
+                   "/ (2 * SQRT(CAST(b AS DOUBLE) * 9 * 4 * 8 / 144))"), 6))
+         .otherwise(F.lit(None).cast("double")).alias("z_page"))
+
+
+@query(
+    "q_mantel_haenszel",
+    oracle="""
+    WITH ev AS (
+      SELECT hour(CAST(ts AS TIMESTAMP)) // 6 AS stratum,
+             CAST(('0x' || substring(md5('mh:' || CAST(event_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 2 AS BIGINT) AS arm,
+             CASE WHEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 5000
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    cell AS (
+      SELECT stratum,
+             CAST(SUM(CASE WHEN arm = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN arm = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN arm = 0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN arm = 0 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY stratum
+    ),
+    q AS (
+      SELECT stratum, a, b, c, d, n,
+             CAST(FLOOR(CAST(a * d AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)
+               AS ad_e6,
+             CAST(FLOOR(CAST(b * c AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)
+               AS bc_e6
+      FROM cell WHERE n > 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(ad_e6) AS BIGINT) AS s_ad,
+             CAST(SUM(bc_e6) AS BIGINT) AS s_bc
+      FROM q
+    )
+    SELECT n_strata, s_ad, s_bc,
+           CASE WHEN s_bc > 0
+                THEN ROUND(CAST(s_ad AS DOUBLE) / CAST(s_bc AS DOUBLE), 6)
+                ELSE NULL END AS or_mh
+    FROM s
+    """,
+)
+def q_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel common odds ratio for high-value outcome vs md5
+    arm, STRATIFIED by the four 6-hour day blocks — the
+    confounder-adjusted counterpart of q_odds_ratio_ci (if arm
+    assignment or outcome base rates vary by time of day, the crude OR
+    is Simpson-biased; MH pools the per-stratum ORs with the canonical
+    a_i*d_i/n_i weights).  Per-stratum cross products quantize to exact
+    e6 BIGINTs (single staged division each — the per-distinct recipe;
+    a*d < 2^53 holds past 9e7 events/stratum), sums are exact, and the
+    estimate is ONE terminal division through R6; NULL when the
+    denominator mass is zero.  One corpus aggregate to the 4x2x2 cube;
+    everything after is 4-row work."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("event_id").isNotNull())
+          .select(F.expr("hour(CAST(ts AS TIMESTAMP)) DIV 6")
+                   .alias("stratum"),
+                  (F.conv(F.substring(F.md5(F.concat(
+                      F.lit("mh:"), F.col("event_id").cast("string"))),
+                      1, 8), 16, 10).cast("long") % 2).alias("arm"),
+                  F.when(F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long") >= 5000, 1).otherwise(0)
+                   .alias("y")))
+    cell = ev.groupBy("stratum").agg(
+        F.sum(F.when((F.col("arm") == 1) & (F.col("y") == 1), 1)
+               .otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("y") == 0), 1)
+               .otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("y") == 1), 1)
+               .otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("y") == 0), 1)
+               .otherwise(0)).cast("long").alias("d"),
+        F.count("*").cast("long").alias("n"))
+    q = (cell.where(F.col("n") > 0)
+             .select(F.expr("CAST(FLOOR(CAST(a * d AS DOUBLE) / n * 1e6 "
+                            "+ 0.5) AS BIGINT)").alias("ad_e6"),
+                     F.expr("CAST(FLOOR(CAST(b * c AS DOUBLE) / n * 1e6 "
+                            "+ 0.5) AS BIGINT)").alias("bc_e6")))
+    s = q.agg(F.count("*").cast("long").alias("n_strata"),
+              F.sum("ad_e6").cast("long").alias("s_ad"),
+              F.sum("bc_e6").cast("long").alias("s_bc"))
+    return s.select(
+        "n_strata", "s_ad", "s_bc",
+        F.when(F.col("s_bc") > 0,
+               pround(F.expr("CAST(s_ad AS DOUBLE) / CAST(s_bc AS DOUBLE)"),
+                      6))
+         .otherwise(F.lit(None).cast("double")).alias("or_mh"))

@@ -923,3 +923,142 @@ def test_gumbel_single_block_null(spark, tmp_path):
         assert got["gumbel_mu"] is None
     else:  # fixture straddled an epoch-week boundary: still fitted
         assert got["gumbel_beta"] is not None
+
+
+# -------------------------------------------------------------- cochran q
+
+def test_cochran_q_matches_brute(spark, tmp_path):
+    import hashlib
+    texts = [("x" * (50 + 37 * i))[:50 + 37 * i] for i in range(12)]
+    d = _docs_fixture(tmp_path, texts)
+    got = QUERIES["q_cochran_q"](spark, d).collect()[0]
+
+    def vote(r, doc_id, true_flag):
+        lane = int(hashlib.md5(f"flag{r}:{doc_id}".encode())
+                   .hexdigest()[:8], 16) % 10
+        if lane < 2:
+            return int(hashlib.md5(f"bit{r}:{doc_id}".encode())
+                       .hexdigest()[:8], 16) % 2
+        return true_flag
+
+    table = []
+    for doc_id, t in enumerate(texts):
+        tf = 1 if len(t) < 200 else 0
+        table.append([vote(r, doc_id, tf) for r in (1, 2, 3)])
+    c = [sum(row[j] for row in table) for j in range(3)]
+    ri = [sum(row) for row in table]
+    s = sum(ri)
+    sr2 = sum(x * x for x in ri)
+    num = 2 * (3 * sum(x * x for x in c) - s * s)
+    den = 3 * s - sr2
+    assert got["n_items"] == len(texts)
+    assert (got["c1"], got["c2"], got["c3"]) == tuple(c)
+    if den > 0:
+        assert got["q_stat"] == pytest.approx(num / den, abs=2e-6)
+    else:
+        assert got["q_stat"] is None
+    assert got["df"] == 2
+
+
+# ------------------------------------------------------------- page trend
+
+def test_page_trend_matches_brute(spark, tmp_path):
+    import pandas as pd
+    # users spend progressively more later in the day
+    rows = []
+    for uid in range(1, 7):
+        for seg, hour in [(0, 3), (1, 11), (2, 19)]:
+            v = 10.0 + 5.0 * seg + (uid % 3)  # increasing in seg
+            rows.append((uid, f"2024-01-01 {hour:02d}:00:00", v))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": ["a"] * len(rows),
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_page_trend"](spark, str(d)).collect()[0]
+    b = 6
+    # every user ranks 1,2,3 -> R2 per seg: 2,4,6; L2 = 1*12+2*24+3*36
+    assert got["n_blocks"] == b
+    assert got["l2"] == 1 * (2 * b) + 2 * (4 * b) + 3 * (6 * b)
+    assert got["e_l2"] == 24 * b
+    z = (got["l2"] - 24 * b) / (2 * math.sqrt(2 * b))
+    assert got["z_page"] == pytest.approx(z, abs=2e-6)
+    assert got["z_page"] > 2  # monotone fixture: strong positive trend
+
+
+def test_page_trend_incomplete_blocks_dropped(spark, tmp_path):
+    import pandas as pd
+    rows = [(1, "2024-01-01 03:00:00", 5.0),
+            (1, "2024-01-01 11:00:00", 6.0),   # user 1 missing seg 2
+            (2, "2024-01-01 03:00:00", 5.0),
+            (2, "2024-01-01 11:00:00", 7.0),
+            (2, "2024-01-01 19:00:00", 9.0)]
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": ["a"] * len(rows),
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_page_trend"](spark, str(d)).collect()[0]
+    assert got["n_blocks"] == 1
+
+
+# -------------------------------------------------------- mantel-haenszel
+
+def test_mantel_haenszel_matches_brute(spark, tmp_path):
+    import hashlib
+    import pandas as pd
+    rows = []
+    for i in range(200):
+        h = (i * 7) % 24
+        v = 90.0 if (i % 3 == 0) else 10.0
+        rows.append((i, f"2024-01-01 {h:02d}:30:00", v))
+    pdf = pd.DataFrame({
+        "event_id": [i for i, _, _ in rows],
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": ["a"] * len(rows),
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_mantel_haenszel"](spark, str(d)).collect()[0]
+
+    cells = {}
+    for i, _, v in rows:
+        stratum = ((i * 7) % 24) // 6
+        arm = int(hashlib.md5(f"mh:{i}".encode()).hexdigest()[:8],
+                  16) % 2
+        y = 1 if int(v * 100 + 0.5) >= 5000 else 0
+        key = stratum
+        a, b, c, dd, n = cells.get(key, (0, 0, 0, 0, 0))
+        if arm == 1 and y == 1:
+            a += 1
+        elif arm == 1:
+            b += 1
+        elif y == 1:
+            c += 1
+        else:
+            dd += 1
+        cells[key] = (a, b, c, dd, n + 1)
+    s_ad = sum(int(math.floor(a * dd / n * 1e6 + 0.5))
+               for a, b, c, dd, n in cells.values())
+    s_bc = sum(int(math.floor(b * c / n * 1e6 + 0.5))
+               for a, b, c, dd, n in cells.values())
+    assert got["n_strata"] == len(cells)
+    assert got["s_ad"] == s_ad
+    assert got["s_bc"] == s_bc
+    assert got["or_mh"] == pytest.approx(s_ad / s_bc, abs=2e-6)
