@@ -1957,3 +1957,150 @@ def q_mantel_haenszel(spark, sf_dir):
                pround(F.expr("CAST(s_ad AS DOUBLE) / CAST(s_bc AS DOUBLE)"),
                       6))
          .otherwise(F.lit(None).cast("double")).alias("or_mh"))
+
+
+# =====================================================================
+# product growth accounting and experiment guardrails
+# =====================================================================
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2000-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS d
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    first_d AS (
+      SELECT user_id, MIN(d) AS f FROM ud GROUP BY user_id
+    ),
+    flags AS (
+      SELECT a.user_id, a.d, fd.f,
+             CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS had_prev
+      FROM ud a
+      JOIN first_d fd ON fd.user_id = a.user_id
+      LEFT JOIN ud p ON p.user_id = a.user_id AND p.d = a.d - 1
+    ),
+    per_day AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau,
+             CAST(SUM(CASE WHEN f = d THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+             CAST(SUM(had_prev) AS BIGINT) AS retained,
+             CAST(SUM(CASE WHEN had_prev = 0 AND f < d THEN 1 ELSE 0 END)
+                  AS BIGINT) AS resurrected
+      FROM flags GROUP BY d
+    )
+    SELECT a.d AS day_idx, a.dau, a.new_users, a.retained, a.resurrected,
+           CAST(COALESCE(p.dau, 0) - a.retained AS BIGINT) AS churned
+    FROM per_day a LEFT JOIN per_day p ON p.d = a.d - 1
+    """,
+)
+def q_growth_accounting(spark, sf_dir):
+    """Daily growth accounting of the active-user base — the canonical
+    product-analytics decomposition DAU(d) = new + retained +
+    resurrected, with churned(d) = DAU(d-1) - retained(d), the identity
+    every growth dashboard reconciles (q_cohort_retention gives the
+    triangle; this is the day-over-day flow view).  All-integer
+    surface: the distinct user-day grid, per-user first day (min-agg),
+    yesterday membership via a keyed self-join on (user, d-1) — never
+    a window — and calendar adjacency by day-index arithmetic so gaps
+    in the grid read as zero retention (documented).  Scale: two
+    shuffles on the user-day grid (distinct + self-join), both keyed;
+    the day rollup and the previous-day join are grid-sized."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select("user_id",
+                  F.datediff(F.date_trunc("day", "ts").cast("date"),
+                             F.lit("2000-01-01").cast("date")).alias("d")))
+    ud = ev.distinct()
+    first_d = ud.groupBy("user_id").agg(F.min("d").alias("f"))
+    p = ud.select(F.col("user_id").alias("pu"), F.col("d").alias("pd"))
+    flags = (ud.join(first_d, "user_id")
+               .join(p, (F.col("pu") == F.col("user_id"))
+                     & (F.col("pd") == F.col("d") - 1), "left")
+               .select("d", "f",
+                       F.when(F.col("pu").isNotNull(), 1).otherwise(0)
+                        .alias("had_prev")))
+    per_day = flags.groupBy("d").agg(
+        F.count("*").cast("long").alias("dau"),
+        F.sum(F.when(F.col("f") == F.col("d"), 1).otherwise(0))
+         .cast("long").alias("new_users"),
+        F.sum("had_prev").cast("long").alias("retained"),
+        F.sum(F.when((F.col("had_prev") == 0) & (F.col("f") < F.col("d")),
+                     1).otherwise(0)).cast("long").alias("resurrected"))
+    pp = per_day.select(F.col("d").alias("d2"), F.col("dau").alias("dau2"))
+    return (per_day.join(F.broadcast(pp), F.col("d2") == F.col("d") - 1,
+                         "left")
+                   .select(F.col("d").alias("day_idx"), "dau", "new_users",
+                           "retained", "resurrected",
+                           (F.coalesce(F.col("dau2"), F.lit(0))
+                            - F.col("retained")).cast("long")
+                            .alias("churned")))
+
+
+@query(
+    "q_srm_check",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5('mh:' || CAST(event_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 2 AS BIGINT) AS arm
+      FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM ev GROUP BY event_type
+    )
+    SELECT event_type, n0, n1,
+           CASE WHEN n0 + n1 > 0
+                THEN ROUND(CAST((n1 - n0) * (n1 - n0) AS DOUBLE)
+                           / CAST(n0 + n1 AS DOUBLE), 6)
+                ELSE NULL END AS chi2_srm,
+           CASE WHEN n0 + n1 > 0
+                 AND CAST((n1 - n0) * (n1 - n0) AS DOUBLE)
+                     / CAST(n0 + n1 AS DOUBLE)
+                     > CAST(3.841458820694124 AS DOUBLE)
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             AS srm_flag
+    FROM g
+    """,
+)
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail per event_type for the md5 arm
+    assignment (same 'mh:' lane as q_mantel_haenszel): chi-square of
+    the observed 50/50 split, chi2 = (n1-n0)^2/(n1+n0), flagged at the
+    alpha = 0.05 critical value 3.8415 (embedded as a decimal literal,
+    no distribution-function call) — the FIRST check an experimentation
+    platform runs before trusting any treatment-effect row (a
+    mismatched split invalidates q_cuped / q_ipw_ate / q_diff_in_diff
+    downstream).  Exact BIGINT squared difference over one staged
+    division through R6; the flag compares the identically-staged
+    double on both engines.  One corpus aggregate, 5 rows."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()
+                 & F.col("event_id").isNotNull())
+          .select("event_type",
+                  (F.conv(F.substring(F.md5(F.concat(
+                      F.lit("mh:"), F.col("event_id").cast("string"))),
+                      1, 8), 16, 10).cast("long") % 2).alias("arm")))
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long")
+         .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long")
+         .alias("n1"))
+    chi = F.expr("CAST((n1 - n0) * (n1 - n0) AS DOUBLE) "
+                 "/ CAST(n0 + n1 AS DOUBLE)")
+    return g.select(
+        "event_type", "n0", "n1",
+        F.when(F.expr("n0 + n1 > 0"), pround(chi, 6))
+         .otherwise(F.lit(None).cast("double")).alias("chi2_srm"),
+        F.when(F.expr("n0 + n1 > 0")
+               & (chi > F.expr("CAST(3.841458820694124 AS DOUBLE)")),
+               F.lit(1).cast("long"))
+         .otherwise(F.lit(0).cast("long")).alias("srm_flag"))

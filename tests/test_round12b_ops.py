@@ -1062,3 +1062,60 @@ def test_mantel_haenszel_matches_brute(spark, tmp_path):
     assert got["s_ad"] == s_ad
     assert got["s_bc"] == s_bc
     assert got["or_mh"] == pytest.approx(s_ad / s_bc, abs=2e-6)
+
+
+# ----------------------------------------------------- growth accounting
+
+def test_growth_accounting_matches_brute(spark, tmp_path):
+    # users: 1 active d0,d1,d3 (retained d1, churn at d2, resurrect d3)
+    #        2 active d0 only (churns at d1)
+    #        3 joins d1, active d1,d2
+    rows = [(1, "2024-05-01 10:00:00", "a"), (1, "2024-05-02 10:00:00", "a"),
+            (1, "2024-05-04 10:00:00", "a"),
+            (2, "2024-05-01 11:00:00", "a"),
+            (3, "2024-05-02 09:00:00", "a"), (3, "2024-05-03 09:00:00", "a"),
+            (3, "2024-05-03 17:00:00", "a")]
+    d = _events_fixture(tmp_path, rows)
+    out = {r["day_idx"]: r
+           for r in QUERIES["q_growth_accounting"](spark, d).collect()}
+    base = min(out)  # day index of 2024-05-01
+    d0, d1, d2, d3 = base, base + 1, base + 2, base + 3
+    assert (out[d0]["dau"], out[d0]["new_users"]) == (2, 2)
+    assert out[d0]["retained"] == 0 and out[d0]["churned"] == 0
+    assert (out[d1]["dau"], out[d1]["new_users"]) == (2, 1)
+    assert out[d1]["retained"] == 1          # user 1
+    assert out[d1]["resurrected"] == 0
+    assert out[d1]["churned"] == 2 - 1       # user 2
+    assert (out[d2]["dau"], out[d2]["retained"]) == (1, 1)  # user 3
+    assert out[d2]["churned"] == 2 - 1       # user 1 dropped
+    assert (out[d3]["dau"], out[d3]["resurrected"]) == (1, 1)  # user 1 back
+    assert out[d3]["retained"] == 0
+    assert out[d3]["churned"] == 1           # user 3 dropped
+    # identity: dau = new + retained + resurrected on every day
+    for r in out.values():
+        assert r["dau"] == r["new_users"] + r["retained"] + r["resurrected"]
+
+
+def test_srm_check_brute_and_flag(spark, tmp_path):
+    import hashlib
+    rows = [(i, f"2024-01-01 {i % 24:02d}:00:00", "a") for i in range(300)]
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "event_id": [i for i, _, _ in rows],
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": ["a"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_srm_check"](spark, str(d)).collect()[0]
+    n1 = sum(int(hashlib.md5(f"mh:{i}".encode()).hexdigest()[:8], 16) % 2
+             for i in range(300))
+    n0 = 300 - n1
+    chi = (n1 - n0) ** 2 / 300
+    assert (got["n0"], got["n1"]) == (n0, n1)
+    assert got["chi2_srm"] == pytest.approx(chi, abs=2e-6)
+    assert got["srm_flag"] == (1 if chi > 3.841458820694124 else 0)
