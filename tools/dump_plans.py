@@ -358,6 +358,35 @@ COMMENTARY = {
         "exact per-cluster DIV correction factors, one 1-row reduce; "
         "ICC/DEFF staged from three BIGINT cores — no windows, no "
         "joins.",
+    "q_logrank_test": "Log-rank (r12 s2): one user-level aggregate, "
+        "then the tiny distinct-lifetime grid carries everything — "
+        "risk sets via a broadcast triangular self-join, per-time E/V "
+        "terms micro-quantized to BIGINT, one 1x1 cross for z.  No "
+        "window, no corpus re-read.",
+    "q_jonckheere_terpstra": "JT trend (r12 s2): the four block "
+        "counts pivot on the distinct-cents grid in ONE aggregate, "
+        "a single bucketed_prefix pass carries three cumulative "
+        "columns, and all six ordered-pair terms read the same grid "
+        "row — zero alignment joins, exact BIGINT statistic.",
+    "q_price_index": "Price index (r12 s2): corpus reduces to the "
+        "(part, month) grid in one shuffle; the base join is keyed on "
+        "part (SMJ at scale — base is month-1-sized, too big to "
+        "broadcast at x100 and correctly not broadcast); cross-period "
+        "values quantize per pair so month rollups stay BIGINT.",
+    "q_hurst_exponent": "Hurst R/S (r12 s2): day-grid only after one "
+        "corpus aggregate; within-block cumulatives via a <=16-fanout "
+        "block-local triangular join (never a window), R exact by "
+        "multiplying through by w, 4-point log-log fit on 1x1 frames.",
+    "q_growth_accounting": "Growth accounting (r12 s2): two keyed "
+        "shuffles on the user-day grid (distinct, then the (user, d-1) "
+        "self-join); day rollup and previous-day join are grid-sized "
+        "broadcasts.  The dau = new+retained+resurrected identity is "
+        "exact integers.",
+    "q_isotonic_pav": "Isotonic PAV (r12 s2): one 20-key corpus "
+        "aggregate; the minimax fit is three broadcast triangular "
+        "joins over the bin grid (<=210 spans), each span mean a "
+        "single BIGINT division — a closed relational PAV with no "
+        "iteration, no UDF, no window.",
 }
 
 
