@@ -2104,3 +2104,252 @@ def q_srm_check(spark, sf_dir):
                & (chi > F.expr("CAST(3.841458820694124 AS DOUBLE)")),
                F.lit(1).cast("long"))
          .otherwise(F.lit(0).cast("long")).alias("srm_flag"))
+
+
+# =====================================================================
+# engagement ratio, shrinkage estimation, and rank post-hoc contrasts
+# =====================================================================
+
+@query(
+    "q_dau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2000-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS d
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    ),
+    wau AS (
+      SELECT days.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+      FROM days JOIN ud ON ud.d > days.d - 7 AND ud.d <= days.d
+      GROUP BY days.d
+    )
+    SELECT dau.d AS day_idx, dau.dau, wau.wau,
+           CAST(dau.dau * 10000 // wau.wau AS BIGINT) AS stickiness_bp
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+)
+def q_dau_stickiness(spark, sf_dir):
+    """DAU / trailing-7-day-WAU stickiness per day — the engagement
+    ratio every growth dashboard pairs with q_growth_accounting's flow
+    decomposition (what share of this week's audience shows up on a
+    given day).  The trailing distinct-user count is the user-day grid
+    range-joined to the day grid (d-6..d window, <= 7x grid fan-out,
+    keyed never cartesian at scale because the day grid broadcasts),
+    then COUNT(DISTINCT) per day; DAU is the plain grid rollup; the
+    ratio is an exact integer `//`-vs-DIV basis-point surface.  Two
+    shuffles total on the user-day grid."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select("user_id",
+                  F.datediff(F.date_trunc("day", "ts").cast("date"),
+                             F.lit("2000-01-01").cast("date")).alias("d")))
+    ud = ev.distinct()
+    days = ud.select("d").distinct().withColumnRenamed("d", "dd")
+    dau = ud.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    wau = (ud.join(F.broadcast(days),
+                   (F.col("d") > F.col("dd") - 7)
+                   & (F.col("d") <= F.col("dd")))
+             .groupBy("dd")
+             .agg(F.countDistinct("user_id").cast("long").alias("wau")))
+    return (dau.join(wau, F.col("dd") == F.col("d"))
+               .select(F.col("d").alias("day_idx"), "dau", "wau",
+                       F.expr("dau * 10000 DIV wau").alias("stickiness_bp")))
+
+
+@query(
+    "q_eb_shrinkage",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, user_id % 20 AS cell,
+             CASE WHEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 5000
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+        AND user_id IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, cell, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM e GROUP BY event_type, cell
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(s AS DOUBLE) / n) AS sp,
+             SUM((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS spp,
+             SUM(CAST(1 AS DOUBLE) / n) AS sinv
+      FROM g
+    ),
+    ab AS (
+      SELECT k, sp / k AS mu,
+             (spp / k - (sp / k) * (sp / k))
+             - (sp / k) * (CAST(1 AS DOUBLE) - sp / k) * (sinv / k)
+               AS excess,
+             (sp / k) * (CAST(1 AS DOUBLE) - sp / k) AS mv
+      FROM mom
+    ),
+    prior AS (
+      SELECT k, mu,
+             CASE WHEN excess > 0 AND mv / excess - 1 > 0
+                  THEN mv / excess - 1 ELSE CAST(20 AS DOUBLE) END AS m
+      FROM ab
+    )
+    SELECT g.event_type, g.cell, g.n, g.s,
+           ROUND(CAST(g.s AS DOUBLE) / g.n, 6) AS raw_rate,
+           ROUND((CAST(g.s AS DOUBLE) + prior.mu * prior.m)
+                 / (CAST(g.n AS DOUBLE) + prior.m), 6) AS eb_rate
+    FROM g CROSS JOIN prior
+    """,
+)
+def q_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-(event_type, user-cell) high-value rates toward the grand prior
+    — the small-area estimator that stops a 3-observation cell from
+    topping a leaderboard (the standard companion to q_wilson_interval:
+    Wilson widens the interval, EB moves the point estimate).  The
+    moment-matched prior strength m = mu(1-mu)/excess - 1 uses the
+    between-cell variance minus the expected binomial sampling noise;
+    when the excess is non-positive (no overdispersion) m falls back to
+    a documented constant 20.  All cell cores are exact BIGINTs; the
+    prior scalars are sums of identically-staged per-cell doubles over
+    a BOUNDED 100-cell grid (small-term-count exception), and each
+    shrunken rate is one staged expression through R6.  One corpus
+    aggregate; everything else is grid-sized."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("event_type").isNotNull()
+                 & F.col("user_id").isNotNull())
+          .select("event_type", (F.col("user_id") % 20).alias("cell"),
+                  F.when(F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long") >= 5000, 1).otherwise(0)
+                   .alias("y")))
+    g = ev.groupBy("event_type", "cell").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"))
+    mom = g.agg(F.count("*").cast("long").alias("k"),
+                F.sum(F.expr("CAST(s AS DOUBLE) / n")).alias("sp"),
+                F.sum(F.expr("(CAST(s AS DOUBLE) / n) "
+                             "* (CAST(s AS DOUBLE) / n)")).alias("spp"),
+                F.sum(F.expr("CAST(1 AS DOUBLE) / n")).alias("sinv"))
+    ab = mom.select(
+        "k", F.expr("sp / k").alias("mu"),
+        F.expr("(spp / k - (sp / k) * (sp / k)) "
+               "- (sp / k) * (CAST(1 AS DOUBLE) - sp / k) * (sinv / k)")
+         .alias("excess"),
+        F.expr("(sp / k) * (CAST(1 AS DOUBLE) - sp / k)").alias("mv"))
+    prior = ab.select(
+        "k", "mu",
+        F.expr("CASE WHEN excess > 0 AND mv / excess - 1 > 0 "
+               "THEN mv / excess - 1 ELSE CAST(20 AS DOUBLE) END")
+         .alias("m"))
+    return (g.crossJoin(F.broadcast(prior))
+             .select("event_type", "cell", "n", "s",
+                     pround(F.expr("CAST(s AS DOUBLE) / n"), 6)
+                       .alias("raw_rate"),
+                     pround(F.expr("(CAST(s AS DOUBLE) + mu * m) "
+                                   "/ (CAST(n AS DOUBLE) + m)"), 6)
+                       .alias("eb_rate")))
+
+
+@query(
+    "q_dunn_posthoc",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    gc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY c),
+    gcr AS (
+      SELECT c, cnt,
+             CAST(2 * SUM(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  - cnt + 1 AS BIGINT) AS r2
+      FROM gc
+    ),
+    tc AS (
+      SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS n_tc
+      FROM ev GROUP BY event_type, c
+    ),
+    per AS (
+      SELECT tc.event_type, CAST(SUM(tc.n_tc) AS BIGINT) AS n_t,
+             CAST(SUM(tc.n_tc * gcr.r2) AS BIGINT) AS r2_sum
+      FROM tc JOIN gcr USING (c) GROUP BY tc.event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM per
+    ),
+    ties AS (
+      SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS t3 FROM gc
+    ),
+    pairs AS (
+      SELECT a.event_type AS g1, b.event_type AS g2,
+             a.n_t AS n1, b.n_t AS n2, a.r2_sum AS s1, b.r2_sum AS s2
+      FROM per a JOIN per b ON a.event_type < b.event_type
+    )
+    SELECT g1, g2, n1, n2,
+           ROUND((CAST(s1 AS DOUBLE) / (2 * n1)
+                  - CAST(s2 AS DOUBLE) / (2 * n2)), 6) AS mean_rank_diff,
+           CASE WHEN tot.n > 1 THEN
+             ROUND((CAST(s1 AS DOUBLE) / (2 * n1)
+                    - CAST(s2 AS DOUBLE) / (2 * n2))
+                   / SQRT((CAST(tot.n AS DOUBLE) * (tot.n + 1) / 12
+                           - CAST(ties.t3 AS DOUBLE)
+                             / (12 * (tot.n - 1)))
+                          * (CAST(1 AS DOUBLE) / n1
+                             + CAST(1 AS DOUBLE) / n2)), 6)
+           ELSE NULL END AS z_dunn
+    FROM pairs CROSS JOIN tot CROSS JOIN ties
+    """,
+)
+def q_dunn_posthoc(spark, sf_dir):
+    """Dunn's post-hoc pairwise mean-rank contrasts with the
+    tie-corrected pooled variance — WHICH event types differ, after
+    q_kruskal_wallis says SOME do (the standard follow-up; Bonferroni
+    over the 10 pair rows is the reader's division).  Reuses the exact
+    doubled-midrank machinery (same gcr grid as KW, one bucketed_prefix
+    pass); mean ranks are single divisions of exact BIGINT rank masses,
+    the tie term sum(t^3-t) is exact on the cents grid, and each z
+    stages the textbook sd sqrt((N(N+1)/12 - T/(12(N-1)))(1/n1+1/n2))
+    identically on both engines.  One corpus aggregate to the cents
+    grid; the 10 pair rows are grid work."""
+    from access_mopper_spark.operators.prefix import bucketed_prefix as _bp
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("c")))
+    gc = ev.groupBy("c").agg(F.count("*").cast("long").alias("cnt"))
+    gcr = _bp(gc, "c", ["cnt"]).select(
+        "c", "cnt", (2 * F.col("cum_cnt") - F.col("cnt") + 1).alias("r2"))
+    tc = ev.groupBy("event_type", "c").agg(
+        F.count("*").cast("long").alias("n_tc"))
+    per = (tc.join(gcr.select("c", "r2"), "c")
+             .groupBy("event_type")
+             .agg(F.sum("n_tc").cast("long").alias("n_t"),
+                  F.sum(F.col("n_tc") * F.col("r2")).cast("long")
+                   .alias("r2_sum")))
+    tot = per.agg(F.sum("n_t").cast("long").alias("n"))
+    ties = gc.agg(F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
+                        - F.col("cnt")).cast("long").alias("t3"))
+    b = per.select(F.col("event_type").alias("g2"),
+                   F.col("n_t").alias("n2"), F.col("r2_sum").alias("s2"))
+    pairs = (per.select(F.col("event_type").alias("g1"),
+                        F.col("n_t").alias("n1"),
+                        F.col("r2_sum").alias("s1"))
+                .join(F.broadcast(b), F.col("g1") < F.col("g2")))
+    diff = ("(CAST(s1 AS DOUBLE) / (2 * n1) "
+            "- CAST(s2 AS DOUBLE) / (2 * n2))")
+    sd = ("SQRT((CAST(n AS DOUBLE) * (n + 1) / 12 "
+          "- CAST(t3 AS DOUBLE) / (12 * (n - 1))) "
+          "* (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2))")
+    return (pairs.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ties))
+                 .select("g1", "g2", "n1", "n2",
+                         pround(F.expr(diff), 6).alias("mean_rank_diff"),
+                         F.when(F.col("n") > 1,
+                                pround(F.expr(diff + " / " + sd), 6))
+                          .otherwise(F.lit(None).cast("double"))
+                          .alias("z_dunn")))

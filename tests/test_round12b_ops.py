@@ -1119,3 +1119,149 @@ def test_srm_check_brute_and_flag(spark, tmp_path):
     assert (got["n0"], got["n1"]) == (n0, n1)
     assert got["chi2_srm"] == pytest.approx(chi, abs=2e-6)
     assert got["srm_flag"] == (1 if chi > 3.841458820694124 else 0)
+
+
+# ------------------------------------------------------------ stickiness
+
+def test_dau_stickiness_matches_brute(spark, tmp_path):
+    # user 1 every day of 10; user 2 every other day; user 3 once
+    rows = []
+    for d in range(10):
+        rows.append((1, f"2024-06-{1 + d:02d} 08:00:00", "a"))
+        if d % 2 == 0:
+            rows.append((2, f"2024-06-{1 + d:02d} 09:00:00", "a"))
+    rows.append((3, "2024-06-05 12:00:00", "a"))
+    d = _events_fixture(tmp_path, rows)
+    out = {r["day_idx"]: r
+           for r in QUERIES["q_dau_stickiness"](spark, d).collect()}
+    base = min(out)
+    active = {}
+    for u, t, _ in rows:
+        di = int(t[8:10]) - 1
+        active.setdefault(di, set()).add(u)
+    for di, users in active.items():
+        wau = set()
+        for dj in range(max(0, di - 6), di + 1):
+            wau |= active.get(dj, set())
+        got = out[base + di]
+        assert got["dau"] == len(users)
+        assert got["wau"] == len(wau)
+        assert got["stickiness_bp"] == len(users) * 10000 // len(wau)
+    # stickiness is a share: never above par
+    assert all(r["stickiness_bp"] <= 10000 for r in out.values())
+
+
+# ------------------------------------------------------------- shrinkage
+
+def test_eb_shrinkage_pulls_toward_prior(spark, tmp_path):
+    import pandas as pd
+    # two cells with extreme rates on tiny n, many cells at 50%
+    rows = []
+    uid = 0
+    for cell in range(20):
+        uid = cell
+        n = 3 if cell < 2 else 50
+        hi = n if cell == 0 else (0 if cell == 1 else n // 2)
+        for k in range(n):
+            rows.append((uid + 20, 90.0 if k < hi else 10.0))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime(["2024-01-01 10:00:00"] * len(rows)),
+        "user_id": [u for u, _ in rows],
+        "event_type": ["a"] * len(rows),
+        "value": [v for _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    out = {(r["event_type"], r["cell"]): r
+           for r in QUERIES["q_eb_shrinkage"](spark, str(d)).collect()}
+    r_hi = out[("a", 0)]   # 3/3 raw
+    r_lo = out[("a", 1)]   # 0/3 raw
+    assert r_hi["raw_rate"] == pytest.approx(1.0, abs=1e-6)
+    assert r_lo["raw_rate"] == pytest.approx(0.0, abs=1e-6)
+    # shrinkage pulls extremes toward the interior, ordering preserved
+    assert r_hi["eb_rate"] < 1.0 and r_lo["eb_rate"] > 0.0
+    assert r_hi["eb_rate"] > r_lo["eb_rate"]
+    # big-n cells barely move
+    big = out[("a", 5)]
+    assert abs(big["eb_rate"] - big["raw_rate"]) < 0.05
+
+
+def test_eb_shrinkage_matches_brute_formula(spark, tmp_path):
+    import pandas as pd
+    rows = []
+    spec = {0: (10, 7), 1: (20, 5), 2: (30, 12), 3: (40, 9)}
+    for cell, (n, s) in spec.items():
+        for k in range(n):
+            rows.append((cell, 90.0 if k < s else 10.0))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime(["2024-01-01 10:00:00"] * len(rows)),
+        "user_id": [u for u, _ in rows],
+        "event_type": ["a"] * len(rows),
+        "value": [v for _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    out = {r["cell"]: r
+           for r in QUERIES["q_eb_shrinkage"](spark, str(d)).collect()}
+    k = len(spec)
+    ps = [s / n for n, s in spec.values()]
+    sp, spp = sum(ps), sum(p * p for p in ps)
+    sinv = sum(1 / n for n, _ in spec.values())
+    mu = sp / k
+    excess = (spp / k - mu * mu) - mu * (1 - mu) * (sinv / k)
+    mv = mu * (1 - mu)
+    m = mv / excess - 1 if excess > 0 and mv / excess - 1 > 0 else 20.0
+    for cell, (n, s) in spec.items():
+        assert out[cell]["eb_rate"] == pytest.approx(
+            (s + mu * m) / (n + m), abs=5e-6)
+
+
+# ------------------------------------------------------------------ dunn
+
+def test_dunn_posthoc_matches_brute(spark, tmp_path):
+    import pandas as pd
+    groups = {"a": [10, 10, 20, 30], "b": [30, 40, 40, 50],
+              "c": [50, 60, 70, 70]}
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime(["2024-01-01 10:00:00"] * len(rows)),
+        "user_id": [1] * len(rows),
+        "event_type": [g for g, _ in rows],
+        "value": [v for _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    out = {(r["g1"], r["g2"]): r
+           for r in QUERIES["q_dunn_posthoc"](spark, str(d)).collect()}
+
+    allv = sorted(v for vs in groups.values() for v in vs)
+    n = len(allv)
+
+    def midrank(v):
+        lo = sum(1 for x in allv if x < v)
+        eq = sum(1 for x in allv if x == v)
+        return lo + (eq + 1) / 2
+
+    mr = {g: sum(midrank(v) for v in vs) / len(vs)
+          for g, vs in groups.items()}
+    from collections import Counter
+    t3 = sum(c ** 3 - c for c in Counter(allv).values())
+    for (g1, g2), r in out.items():
+        n1, n2 = len(groups[g1]), len(groups[g2])
+        diff = mr[g1] - mr[g2]
+        sd = math.sqrt((n * (n + 1) / 12 - t3 / (12 * (n - 1)))
+                       * (1 / n1 + 1 / n2))
+        assert r["mean_rank_diff"] == pytest.approx(diff, abs=2e-6)
+        assert r["z_dunn"] == pytest.approx(diff / sd, abs=2e-6)
+    # ordered fixture: a < b < c in mean rank
+    assert out[("a", "b")]["z_dunn"] < 0
+    assert out[("a", "c")]["z_dunn"] < out[("a", "b")]["z_dunn"]
