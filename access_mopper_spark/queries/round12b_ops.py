@@ -2353,3 +2353,218 @@ def q_dunn_posthoc(spark, sf_dir):
                                 pround(F.expr(diff + " / " + sd), 6))
                           .otherwise(F.lit(None).cast("double"))
                           .alias("z_dunn")))
+
+
+# =====================================================================
+# ordinal agreement and operating-point selection
+# =====================================================================
+
+@query(
+    "q_weighted_kappa",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 120 THEN 0
+                  WHEN n_chars < 300 THEN 1 ELSE 2 END AS true_cat
+      FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    votes AS (
+      SELECT doc_id, r.r,
+             CASE WHEN ('0x' || substring(md5('rate' || CAST(r.r AS VARCHAR)
+                        || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10 < 2
+                  THEN CAST(('0x' || substring(md5('cat' || CAST(r.r AS VARCHAR)
+                       || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 3 AS BIGINT)
+                  ELSE CAST(true_cat AS BIGINT) END AS cat
+      FROM d CROSS JOIN (SELECT UNNEST([1, 2]) AS r) r
+    ),
+    pairc AS (
+      SELECT doc_id,
+             MAX(CASE WHEN r = 1 THEN cat END) AS c1,
+             MAX(CASE WHEN r = 2 THEN cat END) AS c2
+      FROM votes GROUP BY doc_id
+    ),
+    o AS (
+      SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS o_ij
+      FROM pairc GROUP BY c1, c2
+    ),
+    marg AS (
+      SELECT r1.c1, r2.c2, r1.ri, r2.cj
+      FROM (SELECT c1, CAST(SUM(o_ij) AS BIGINT) AS ri FROM o GROUP BY c1) r1
+      CROSS JOIN (SELECT c2, CAST(SUM(o_ij) AS BIGINT) AS cj
+                  FROM o GROUP BY c2) r2
+    ),
+    s AS (
+      SELECT (SELECT CAST(SUM(o_ij) AS BIGINT) FROM o) AS n,
+             (SELECT CAST(SUM(ABS(c1 - c2) * o_ij) AS BIGINT) FROM o)
+               AS wo,
+             (SELECT CAST(SUM(ABS(c1 - c2) * ri * cj) AS BIGINT)
+              FROM marg) AS we_n
+    )
+    SELECT n AS n_items, wo AS sum_w_observed, we_n AS sum_w_expected_x_n,
+           CASE WHEN we_n > 0
+                THEN ROUND(CAST(1 AS DOUBLE)
+                           - CAST(n * wo AS DOUBLE) / CAST(we_n AS DOUBLE),
+                           6)
+                ELSE NULL END AS kappa_w
+    FROM s
+    """,
+)
+def q_weighted_kappa(spark, sf_dir):
+    """Linear-weighted Cohen's kappa between md5 raters 1 and 2 on the
+    3-category ordinal length task (same fixed panel as q_fleiss_kappa
+    / q_cohens_kappa) — the ordinal agreement scalar where a
+    one-category miss costs half a two-category miss (unweighted kappa
+    throws that away; for graded annotation tasks weighted kappa is the
+    number that matches intuition).  Fully exact rational surface:
+    disagreement mass sum|i-j|*O_ij and the expected counterpart
+    sum|i-j|*r_i*c_j are BIGINTs off the 9-cell confusion grid, and
+    kappa_w = 1 - N*WO/WE_N is ONE staged division (overflow at
+    N ~ 5e7... no: N*WO <= 2N^2 < 2^63 to N ~ 2.1e9, documented);
+    degenerate NULL when the expected disagreement is zero.  One
+    corpus-sized double-digest vote pass; everything after is 9-cell
+    work."""
+    d = (_wide(load_table(spark, sf_dir, "documents"))
+         .where(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+         .select("doc_id",
+                 F.when(F.col("n_chars") < 120, 0)
+                  .when(F.col("n_chars") < 300, 1).otherwise(2)
+                  .alias("true_cat")))
+    r = spark.range(1, 3).select(F.col("id").cast("long").alias("r"))
+    lane = F.conv(F.substring(F.md5(F.concat(
+        F.lit("rate"), F.col("r").cast("string"), F.lit(":"),
+        F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 10
+    cat = F.conv(F.substring(F.md5(F.concat(
+        F.lit("cat"), F.col("r").cast("string"), F.lit(":"),
+        F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 3
+    votes = (d.crossJoin(F.broadcast(r))
+              .select("doc_id", "r",
+                      F.when(lane < 2, cat)
+                       .otherwise(F.col("true_cat").cast("long"))
+                       .alias("cat")))
+    pairc = votes.groupBy("doc_id").agg(
+        F.max(F.when(F.col("r") == 1, F.col("cat"))).alias("c1"),
+        F.max(F.when(F.col("r") == 2, F.col("cat"))).alias("c2"))
+    o = pairc.groupBy("c1", "c2").agg(F.count("*").cast("long")
+                                       .alias("o_ij"))
+    r1 = o.groupBy("c1").agg(F.sum("o_ij").cast("long").alias("ri"))
+    r2 = o.groupBy("c2").agg(F.sum("o_ij").cast("long").alias("cj"))
+    marg = r1.crossJoin(F.broadcast(r2))
+    n_ = o.agg(F.sum("o_ij").cast("long").alias("n"))
+    wo = o.agg(F.sum(F.abs(F.col("c1") - F.col("c2")) * F.col("o_ij"))
+                .cast("long").alias("wo"))
+    we = marg.agg(F.sum(F.abs(F.col("c1") - F.col("c2")) * F.col("ri")
+                        * F.col("cj")).cast("long").alias("we_n"))
+    return (n_.crossJoin(F.broadcast(wo)).crossJoin(F.broadcast(we))
+              .select(F.col("n").alias("n_items"),
+                      F.col("wo").alias("sum_w_observed"),
+                      F.col("we_n").alias("sum_w_expected_x_n"),
+                      F.when(F.col("we_n") > 0,
+                             pround(F.expr(
+                                 "CAST(1 AS DOUBLE) - CAST(n * wo AS DOUBLE)"
+                                 " / CAST(we_n AS DOUBLE)"), 6))
+                       .otherwise(F.lit(None).cast("double"))
+                       .alias("kappa_w")))
+
+
+@query(
+    "q_youden_cut",
+    oracle="""
+    WITH scored AS (
+      SELECT (l_partkey * 37 + l_suppkey) % 10001 AS prob_bp,
+             CASE WHEN ('0x' || substring(md5('cal:'
+                        || CAST(l_orderkey AS VARCHAR) || ':'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000
+                       < (l_partkey * 37 + l_suppkey) % 10001
+                  THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ),
+    b AS (
+      SELECT CAST(LEAST(prob_bp * 20 // 10000, 19) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(pos) AS BIGINT) AS pt FROM b),
+    cum AS (
+      SELECT a.bin, CAST(SUM(c.n) AS BIGINT) AS cum_n,
+             CAST(SUM(c.pos) AS BIGINT) AS cum_pos
+      FROM b a JOIN b c ON c.bin >= a.bin
+      GROUP BY a.bin
+    ),
+    cand AS (
+      SELECT cum.bin AS cut_bin, cum.cum_pos AS tp,
+             cum.cum_n - cum.cum_pos AS fp,
+             tot.pt - cum.cum_pos AS fn,
+             (tot.nt - tot.pt) - (cum.cum_n - cum.cum_pos) AS tn,
+             tot.pt, tot.nt,
+             CAST(cum.cum_pos * (tot.nt - tot.pt)
+                  - (cum.cum_n - cum.cum_pos) * tot.pt AS BIGINT)
+               AS j_cross
+      FROM cum CROSS JOIN tot
+      WHERE tot.pt > 0 AND tot.nt - tot.pt > 0
+    )
+    SELECT cut_bin, tp, fp, fn, tn, j_cross,
+           ROUND(CAST(tp AS DOUBLE) / pt, 6) AS tpr,
+           ROUND(CAST(fp AS DOUBLE) / (nt - pt), 6) AS fpr,
+           ROUND(CAST(tp AS DOUBLE) / pt
+                 - CAST(fp AS DOUBLE) / (nt - pt), 6) AS youden_j
+    FROM cand ORDER BY j_cross DESC, cut_bin ASC LIMIT 1
+    """,
+)
+def q_youden_cut(spark, sf_dir):
+    """Youden-optimal operating point for the md5 calibration
+    classifier: the score-bin cut maximizing J = TPR - FPR — the
+    threshold selector that turns q_auc_roc's ranking quality and
+    q_confusion_thresholds' sweep into ONE recommended cut (equal-cost
+    regime; the knee of the ROC curve).  The argmax is EXACT: J is
+    compared via the cross-multiplied integer tp*(nt-pt) - fp*pt (no
+    double enters the ordering; overflow at ~3e9 rows, documented),
+    ties to the smallest bin; TPR/FPR/J ship as staged divisions
+    through R6 alongside the full integer confusion at the cut.
+    One corpus aggregate to 20 bins; cumulative-from-the-top is the
+    broadcast triangular join; the pick is a 20-row sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lane = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("cal:"), F.col("l_orderkey").cast("string"),
+        F.lit(":"), F.col("l_linenumber").cast("string"))), 1, 8),
+        16, 10).cast("long") % 10000)
+    prob = (F.col("l_partkey") * 37 + F.col("l_suppkey")) % 10001
+    scored = li.select(prob.alias("prob_bp"),
+                       F.when(lane < prob, 1).otherwise(0).alias("label"))
+    b = (scored.groupBy(F.expr("least(prob_bp * 20 DIV 10000, 19)")
+                         .cast("long").alias("bin"))
+               .agg(F.count("*").cast("long").alias("n"),
+                    F.sum("label").cast("long").alias("pos")))
+    tot = b.agg(F.sum("n").cast("long").alias("nt"),
+                F.sum("pos").cast("long").alias("pt"))
+    c = b.select(F.col("bin").alias("bin2"), F.col("n").alias("n2"),
+                 F.col("pos").alias("pos2"))
+    cum = (b.join(F.broadcast(c), F.col("bin2") >= F.col("bin"))
+            .groupBy("bin")
+            .agg(F.sum("n2").cast("long").alias("cum_n"),
+                 F.sum("pos2").cast("long").alias("cum_pos")))
+    cand = (cum.crossJoin(F.broadcast(tot))
+               .where((F.col("pt") > 0) & (F.col("nt") - F.col("pt") > 0))
+               .select(F.col("bin").alias("cut_bin"),
+                       F.col("cum_pos").alias("tp"),
+                       (F.col("cum_n") - F.col("cum_pos")).alias("fp"),
+                       (F.col("pt") - F.col("cum_pos")).alias("fn"),
+                       ((F.col("nt") - F.col("pt"))
+                        - (F.col("cum_n") - F.col("cum_pos"))).alias("tn"),
+                       F.col("pt"), F.col("nt"),
+                       F.expr("CAST(cum_pos * (nt - pt) "
+                              "- (cum_n - cum_pos) * pt AS BIGINT)")
+                        .alias("j_cross")))
+    best = cand.orderBy(F.col("j_cross").desc(),
+                        F.col("cut_bin").asc()).limit(1)
+    return best.select(
+        "cut_bin", "tp", "fp", "fn", "tn", "j_cross",
+        pround(F.expr("CAST(tp AS DOUBLE) / pt"), 6).alias("tpr"),
+        pround(F.expr("CAST(fp AS DOUBLE) / (nt - pt)"), 6).alias("fpr"),
+        pround(F.expr("CAST(tp AS DOUBLE) / pt "
+                      "- CAST(fp AS DOUBLE) / (nt - pt)"), 6)
+          .alias("youden_j"))

@@ -1265,3 +1265,93 @@ def test_dunn_posthoc_matches_brute(spark, tmp_path):
     # ordered fixture: a < b < c in mean rank
     assert out[("a", "b")]["z_dunn"] < 0
     assert out[("a", "c")]["z_dunn"] < out[("a", "b")]["z_dunn"]
+
+
+# -------------------------------------------------------- weighted kappa
+
+def test_weighted_kappa_matches_brute(spark, tmp_path):
+    import hashlib
+    texts = ["y" * (60 + 41 * i) for i in range(15)]
+    d = _docs_fixture(tmp_path, texts)
+    got = QUERIES["q_weighted_kappa"](spark, d).collect()[0]
+
+    def vote(r, doc_id, tc):
+        lane = int(hashlib.md5(f"rate{r}:{doc_id}".encode())
+                   .hexdigest()[:8], 16) % 10
+        if lane < 2:
+            return int(hashlib.md5(f"cat{r}:{doc_id}".encode())
+                       .hexdigest()[:8], 16) % 3
+        return tc
+
+    o = {}
+    for doc_id, t in enumerate(texts):
+        n = len(t)
+        tc = 0 if n < 120 else (1 if n < 300 else 2)
+        c1, c2 = vote(1, doc_id, tc), vote(2, doc_id, tc)
+        o[(c1, c2)] = o.get((c1, c2), 0) + 1
+    n = sum(o.values())
+    ri = {i: sum(v for (a, _), v in o.items() if a == i) for i in range(3)}
+    cj = {j: sum(v for (_, b), v in o.items() if b == j) for j in range(3)}
+    wo = sum(abs(a - b) * v for (a, b), v in o.items())
+    we_n = sum(abs(i - j) * ri[i] * cj[j]
+               for i in range(3) for j in range(3))
+    assert got["n_items"] == n
+    assert got["sum_w_observed"] == wo
+    assert got["sum_w_expected_x_n"] == we_n
+    assert got["kappa_w"] == pytest.approx(1 - n * wo / we_n, abs=2e-6)
+
+
+def test_weighted_kappa_mostly_agreeing_panel_scores_high(spark, tmp_path):
+    # both raters take the true-cat lane ~80% of the time, so with
+    # varied true categories the chance-corrected agreement must be
+    # strongly positive (each disagreeing pair needs a noise lane)
+    texts = ["z" * (60 + 53 * (i % 9)) for i in range(60)]
+    d = _docs_fixture(tmp_path, texts)
+    got = QUERIES["q_weighted_kappa"](spark, d).collect()[0]
+    assert got["n_items"] == 60
+    assert got["kappa_w"] is not None and got["kappa_w"] > 0.5
+
+
+# ------------------------------------------------------------ youden cut
+
+def test_youden_cut_matches_brute(spark, tmp_path):
+    import hashlib
+    import pandas as pd
+    rows = []
+    for i in range(300):
+        pk, sk = (i * 11) % 70 + 1, (i * 5) % 30 + 1
+        rows.append((i + 1, (i % 5) + 1, pk, sk))
+    ldf = pd.DataFrame(rows, columns=["l_orderkey", "l_linenumber",
+                                      "l_partkey", "l_suppkey"])
+    d = tmp_path / "sf"
+    d.mkdir()
+    ldf.to_parquet(d / "lineitem.parquet")
+    got = QUERIES["q_youden_cut"](spark, str(d)).collect()[0]
+
+    bins = {}
+    for ok, ln, pk, sk in rows:
+        prob = (pk * 37 + sk) % 10001
+        lane = int(hashlib.md5(f"cal:{ok}:{ln}".encode())
+                   .hexdigest()[:8], 16) % 10000
+        label = 1 if lane < prob else 0
+        b = min(prob * 20 // 10000, 19)
+        n, p = bins.get(b, (0, 0))
+        bins[b] = (n + 1, p + label)
+    nt = sum(n for n, _ in bins.values())
+    pt = sum(p for _, p in bins.values())
+    best = None
+    for cut in sorted(bins):
+        cum_n = sum(n for b, (n, _) in bins.items() if b >= cut)
+        cum_p = sum(p for b, (_, p) in bins.items() if b >= cut)
+        tp, fp = cum_p, cum_n - cum_p
+        j = tp * (nt - pt) - fp * pt
+        if best is None or j > best[1]:
+            best = (cut, j, tp, fp)
+    cut, j, tp, fp = best
+    assert got["cut_bin"] == cut
+    assert got["j_cross"] == j
+    assert (got["tp"], got["fp"]) == (tp, fp)
+    assert got["youden_j"] == pytest.approx(
+        tp / pt - fp / (nt - pt), abs=2e-6)
+    # calibrated-by-construction scores: optimal cut is interior
+    assert got["youden_j"] >= 0
