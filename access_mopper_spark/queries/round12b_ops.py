@@ -2568,3 +2568,221 @@ def q_youden_cut(spark, sf_dir):
         pround(F.expr("CAST(tp AS DOUBLE) / pt "
                       "- CAST(fp AS DOUBLE) / (nt - pt)"), 6)
           .alias("youden_j"))
+
+
+# =====================================================================
+# step-down multiple testing and the CMH test statistic
+# =====================================================================
+
+@query(
+    "q_holm_bonferroni",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS h,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    cellt AS (
+      SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(cents) AS BIGINT) AS s_i
+      FROM ev GROUP BY event_type, h
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM ev
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM cellt),
+    p AS (
+      SELECT event_type, h, n_i,
+             CASE WHEN CAST(g.ss AS DOUBLE) / CAST(g.n AS DOUBLE)
+                       - (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+                         * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)) > 0
+                  THEN CAST(FLOOR(CAST(1 AS DOUBLE)
+                       / (CAST(1 AS DOUBLE) + CAST(n_i AS DOUBLE)
+                          * (CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+                             - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+                          * (CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+                             - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+                          / (CAST(g.ss AS DOUBLE) / CAST(g.n AS DOUBLE)
+                             - (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+                               * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))))
+                       * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)
+                  ELSE CAST(1000000000 AS BIGINT) END AS p_e9
+      FROM cellt CROSS JOIN g
+    ),
+    r AS (
+      SELECT event_type, h, n_i, p_e9,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_e9, event_type, h)
+                  AS BIGINT) AS rank
+      FROM p
+    ),
+    kstop AS (
+      SELECT MIN(CASE WHEN r.p_e9 * (m.m - r.rank + 1) > 50000000
+                      THEN r.rank ELSE NULL END) AS ks
+      FROM r CROSS JOIN m
+    )
+    SELECT r.event_type, r.h, r.n_i, r.p_e9, r.rank,
+           COALESCE(r.rank < kstop.ks, TRUE) AS rejected
+    FROM r CROSS JOIN kstop
+    """,
+)
+def q_holm_bonferroni(spark, sf_dir):
+    """Holm step-down familywise-error control over the same
+    (event_type x hour) p-proxy grid as q_benjamini_hochberg — the FWER
+    twin (BH controls the false-DISCOVERY rate; Holm is the uniformly-
+    more-powerful Bonferroni that a safety-critical alerting pipeline
+    uses when a single false alarm is the cost).  Same rational
+    p-proxy 1/(1+z^2) quantized to e9 integers (no distribution
+    function anywhere), deterministic total order on the 120-cell
+    grid, and the step-down boundary is the exact integer comparison
+    p_(k) * (m-k+1) > alpha*1e9: the FIRST failing rank stops all
+    later rejections (rejected = rank < min failing rank, everything
+    rejected when none fail).  The row_number runs on the bounded
+    cell grid (plan-audit allowlist, as in BH).  One corpus
+    aggregate; grid work after."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.hour(F.col("ts").cast("timestamp")).alias("h"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("cents")))
+    cellt = ev.groupBy("event_type", "h").agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum("cents").cast("long").alias("s_i"))
+    g = ev.agg(F.count("*").cast("long").alias("n"),
+               F.sum("cents").cast("long").alias("s"),
+               F.sum(F.col("cents") * F.col("cents")).cast("long")
+                .alias("ss"))
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    var = F.col("ss").cast("double") / F.col("n").cast("double") - mu * mu
+    diff = F.col("s_i").cast("double") / F.col("n_i").cast("double") - mu
+    z2 = F.col("n_i").cast("double") * diff * diff / var
+    p_e9 = F.floor(F.lit(1.0) / (F.lit(1.0) + z2)
+                   * F.lit(1e9) + F.lit(0.5)).cast("long")
+    p = (cellt.crossJoin(F.broadcast(g))
+              .select("event_type", "h", "n_i",
+                      F.when(var > 0, p_e9)
+                       .otherwise(F.lit(1000000000).cast("long"))
+                       .alias("p_e9")))
+    m = cellt.agg(F.count("*").cast("long").alias("m"))
+    r = p.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy("p_e9", "event_type", "h"))
+         .cast("long"))
+    kstop = (r.crossJoin(F.broadcast(m))
+              .agg(F.min(F.when(F.col("p_e9")
+                                * (F.col("m") - F.col("rank") + 1)
+                                > 50000000,
+                                F.col("rank"))).alias("ks")))
+    return (r.crossJoin(F.broadcast(kstop))
+             .select("event_type", "h", "n_i", "p_e9", "rank",
+                     F.coalesce(F.col("rank") < F.col("ks"),
+                                F.lit(True)).alias("rejected")))
+
+
+@query(
+    "q_cmh_test",
+    oracle="""
+    WITH ev AS (
+      SELECT hour(CAST(ts AS TIMESTAMP)) // 6 AS stratum,
+             CAST(('0x' || substring(md5('mh:' || CAST(event_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 2 AS BIGINT) AS arm,
+             CASE WHEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 5000
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    cell AS (
+      SELECT stratum,
+             CAST(SUM(CASE WHEN arm = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY stratum
+    ),
+    q AS (
+      SELECT a, n1, m1, n,
+             CAST(FLOOR(CAST(n1 * m1 AS DOUBLE) / n * 1e6 + 0.5)
+                  AS BIGINT) AS e_e6,
+             CAST(FLOOR(CAST(n1 AS DOUBLE) / n
+                        * (CAST(n - n1 AS DOUBLE) / n) * m1
+                        * (CAST(n - m1 AS DOUBLE) / (n - 1))
+                        * 1e6 + 0.5) AS BIGINT) AS v_e6
+      FROM cell WHERE n >= 2
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(a) AS BIGINT) AS sa,
+             CAST(SUM(e_e6) AS BIGINT) AS se,
+             CAST(SUM(v_e6) AS BIGINT) AS sv
+      FROM q
+    )
+    SELECT n_strata, sa, se, sv,
+           CASE WHEN sv > 0
+                THEN ROUND(CAST(sa * 1000000 - se AS DOUBLE)
+                           * CAST(sa * 1000000 - se AS DOUBLE)
+                           / (CAST(1000000 AS DOUBLE)
+                              * CAST(sv AS DOUBLE)), 6)
+                ELSE NULL END AS chi2_cmh
+    FROM s
+    """,
+)
+def q_cmh_test(spark, sf_dir):
+    """Cochran-Mantel-Haenszel chi-square (1 df, no continuity
+    correction) for arm-vs-outcome association controlling the 6-hour
+    strata — the TEST companion to q_mantel_haenszel's pooled OR
+    estimate (same 'mh:' lanes and strata; the OR says how big, CMH
+    says whether it survives stratification at all).  Per-stratum
+    hypergeometric expectation n1*m1/n and variance
+    n1*n0*m1*m0/(n^2(n-1)) micro-quantize to exact e6 BIGINTs (the
+    same staging as q_logrank_test — this IS the log-rank machinery
+    applied to one 2x2 per stratum), sums exact, and chi2 =
+    (Sa-SE)^2/SV stages the squared difference in doubles from the
+    exact e6 cores (the BIGINT square would overflow past ~3e9
+    events).  One corpus aggregate to 4 strata rows."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("event_id").isNotNull())
+          .select(F.expr("hour(CAST(ts AS TIMESTAMP)) DIV 6")
+                   .alias("stratum"),
+                  (F.conv(F.substring(F.md5(F.concat(
+                      F.lit("mh:"), F.col("event_id").cast("string"))),
+                      1, 8), 16, 10).cast("long") % 2).alias("arm"),
+                  F.when(F.floor(F.col("value") * 100 + F.lit(0.5))
+                          .cast("long") >= 5000, 1).otherwise(0)
+                   .alias("y")))
+    cell = ev.groupBy("stratum").agg(
+        F.sum(F.when((F.col("arm") == 1) & (F.col("y") == 1), 1)
+               .otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long")
+         .alias("n1"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("long")
+         .alias("m1"),
+        F.count("*").cast("long").alias("n"))
+    q = (cell.where(F.col("n") >= 2)
+             .select("a",
+                     F.expr("CAST(FLOOR(CAST(n1 * m1 AS DOUBLE) / n * 1e6 "
+                            "+ 0.5) AS BIGINT)").alias("e_e6"),
+                     F.expr("CAST(FLOOR(CAST(n1 AS DOUBLE) / n "
+                            "* (CAST(n - n1 AS DOUBLE) / n) * m1 "
+                            "* (CAST(n - m1 AS DOUBLE) / (n - 1)) "
+                            "* 1e6 + 0.5) AS BIGINT)").alias("v_e6")))
+    s = q.agg(F.count("*").cast("long").alias("n_strata"),
+              F.sum("a").cast("long").alias("sa"),
+              F.sum("e_e6").cast("long").alias("se"),
+              F.sum("v_e6").cast("long").alias("sv"))
+    return s.select(
+        "n_strata", "sa", "se", "sv",
+        F.when(F.col("sv") > 0,
+               pround(F.expr(
+                   "CAST(sa * 1000000 - se AS DOUBLE) "
+                   "* CAST(sa * 1000000 - se AS DOUBLE) "
+                   "/ (CAST(1000000 AS DOUBLE) * CAST(sv AS DOUBLE))"), 6))
+         .otherwise(F.lit(None).cast("double")).alias("chi2_cmh"))

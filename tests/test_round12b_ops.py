@@ -1355,3 +1355,111 @@ def test_youden_cut_matches_brute(spark, tmp_path):
         tp / pt - fp / (nt - pt), abs=2e-6)
     # calibrated-by-construction scores: optimal cut is interior
     assert got["youden_j"] >= 0
+
+
+# ------------------------------------------------------- holm-bonferroni
+
+def test_holm_step_down_matches_brute(spark, tmp_path):
+    import pandas as pd
+    # 3 types x 2 hours; one cell strongly shifted, one mildly, rest flat
+    rows = []
+    for et, h, vals in [
+        ("a", 1, [99.0] * 30),          # strong shift
+        ("a", 2, [55.0] * 30),          # mild
+        ("b", 1, [50.0] * 30),
+        ("b", 2, [51.0] * 30),
+        ("c", 1, [49.0] * 30),
+        ("c", 2, [50.0] * 30),
+    ]:
+        for v in vals:
+            rows.append((et, f"2024-01-01 {h:02d}:05:00", v))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": [e for e, _, _ in rows],
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    out = {(r["event_type"], r["h"]): r
+           for r in QUERIES["q_holm_bonferroni"](spark, str(d)).collect()}
+
+    cents = {}
+    for et, t, v in rows:
+        h = int(t[11:13])
+        cents.setdefault((et, h), []).append(int(v * 100 + 0.5))
+    allc = [c for vs in cents.values() for c in vs]
+    n = len(allc)
+    mu = sum(allc) / n
+    var = sum(c * c for c in allc) / n - mu * mu
+    ps = {}
+    for key, vs in cents.items():
+        d_ = sum(vs) / len(vs) - mu
+        z2 = len(vs) * d_ * d_ / var
+        ps[key] = int(math.floor(1 / (1 + z2) * 1e9 + 0.5))
+    order = sorted(ps, key=lambda k: (ps[k], k))
+    m = len(order)
+    ks = None
+    for i, key in enumerate(order, start=1):
+        if ps[key] * (m - i + 1) > 50_000_000:
+            ks = i
+            break
+    for i, key in enumerate(order, start=1):
+        exp_rej = (i < ks) if ks is not None else True
+        assert out[key]["rejected"] == exp_rej, key
+        assert out[key]["p_e9"] == ps[key]
+    # the strong cell is rejected; the flat cells are not
+    assert out[("a", 1)]["rejected"] is True
+    assert out[("b", 2)]["rejected"] is False
+    # Holm rejects a subset of BH at the same alpha (step-down vs step-up)
+    bh = {(r["event_type"], r["h"]): r["rejected"]
+          for r in QUERIES["q_benjamini_hochberg"](spark, str(d)).collect()}
+    for key in out:
+        if out[key]["rejected"]:
+            assert bh[key]
+
+
+# -------------------------------------------------------------- cmh test
+
+def test_cmh_matches_brute(spark, tmp_path):
+    import hashlib
+    import pandas as pd
+    rows = []
+    for i in range(400):
+        h = (i * 13) % 24
+        v = 95.0 if (i % 4 == 0) else 20.0
+        rows.append((i, f"2024-01-01 {h:02d}:45:00", v))
+    pdf = pd.DataFrame({
+        "event_id": [i for i, _, _ in rows],
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": ["a"] * len(rows),
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = QUERIES["q_cmh_test"](spark, str(d)).collect()[0]
+
+    cells = {}
+    for i, _, v in rows:
+        st = ((i * 13) % 24) // 6
+        arm = int(hashlib.md5(f"mh:{i}".encode()).hexdigest()[:8], 16) % 2
+        y = 1 if int(v * 100 + 0.5) >= 5000 else 0
+        a, n1, m1, n = cells.get(st, (0, 0, 0, 0))
+        cells[st] = (a + (arm == 1 and y == 1), n1 + (arm == 1),
+                     m1 + (y == 1), n + 1)
+    sa = sum(a for a, _, _, _ in cells.values())
+    se = sum(int(math.floor(n1 * m1 / n * 1e6 + 0.5))
+             for _, n1, m1, n in cells.values() if n >= 2)
+    sv = sum(int(math.floor(n1 / n * ((n - n1) / n) * m1
+                            * ((n - m1) / (n - 1)) * 1e6 + 0.5))
+             for _, n1, m1, n in cells.values() if n >= 2)
+    assert got["n_strata"] == len(cells)
+    assert (got["sa"], got["se"], got["sv"]) == (sa, se, sv)
+    chi2 = (sa * 1e6 - se) ** 2 / (1e6 * sv)
+    assert got["chi2_cmh"] == pytest.approx(chi2, abs=2e-6)
