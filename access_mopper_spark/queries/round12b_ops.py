@@ -2786,3 +2786,220 @@ def q_cmh_test(spark, sf_dir):
                    "* CAST(sa * 1000000 - se AS DOUBLE) "
                    "/ (CAST(1000000 AS DOUBLE) * CAST(sv AS DOUBLE))"), 6))
          .otherwise(F.lit(None).cast("double")).alias("chi2_cmh"))
+
+
+# =====================================================================
+# lead-lag structure between event streams
+# =====================================================================
+
+@query(
+    "q_cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2000-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS di,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT)
+               // CAST(COUNT(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    lags AS (SELECT UNNEST(range(-3, 4)) AS lag),
+    pairs AS (
+      SELECT a.event_type AS et_x, b.event_type AS et_y, l.lag,
+             a.v AS x, b.v AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.event_type <> a.event_type
+                  AND b.di = a.di + l.lag
+    ),
+    m AS (
+      SELECT et_x, et_y, lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY et_x, et_y, lag
+    )
+    SELECT et_x, et_y, CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+           ROUND({_RHO_SQL}, 6) AS ccf
+    FROM m WHERE n >= 3
+    """,
+)
+def q_cross_correlation(spark, sf_dir):
+    """Cross-correlation function between every ordered pair of event
+    types' daily mean-cents series at lags -3..+3 — the lead-lag map
+    ("do clicks today predict purchases tomorrow?") that q_acf_multilag
+    cannot see (ACF is within-series; CCF is the between-series
+    matrix a mixture scheduler or anomaly correlator reads).  Daily
+    values are integer DIV means (bounded by the value domain, so the
+    BIGINT moment bound is scale-free — the reason means, not totals:
+    totals overflow the moment products at x100), the per-(pair, lag)
+    Pearson uses the identical staged-rho text as q_acf_multilag /
+    q_pacf_daily, pairs with under 3 aligned days drop (documented).
+    One corpus aggregate to the (type, day) grid; the 7-lag pair join
+    is grid x grid with an equality key on day+lag — never cartesian
+    at scale."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select("event_type",
+                  F.datediff(F.date_trunc("day", "ts").cast("date"),
+                             F.lit("2000-01-01").cast("date")).alias("di"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("cents")))
+    daily = (ev.groupBy("event_type", "di")
+               .agg(F.expr("CAST(SUM(cents) AS BIGINT) DIV COUNT(*)")
+                     .alias("v")))
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    b = daily.select(F.col("event_type").alias("et_y"),
+                     F.col("di").alias("di2"), F.col("v").alias("y"))
+    pairs = (daily.crossJoin(F.broadcast(lags))
+                  .join(b, (F.col("et_y") != F.col("event_type"))
+                        & (F.col("di2") == F.col("di") + F.col("lag")))
+                  .select(F.col("event_type").alias("et_x"), "et_y",
+                          "lag", F.col("v").alias("x"), "y"))
+    m = (pairs.groupBy("et_x", "et_y", "lag")
+              .agg(F.count("*").cast("long").alias("n"),
+                   F.sum("x").cast("long").alias("sx"),
+                   F.sum("y").cast("long").alias("sy"),
+                   F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                   F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                   F.sum(F.col("y") * F.col("y")).cast("long").alias("syy")))
+    return (m.where(F.col("n") >= 3)
+             .select("et_x", "et_y", F.col("lag").cast("int").alias("lag"),
+                     F.col("n").alias("n_pairs"),
+                     F.expr(_RHO_SQL).alias("ccf"))
+             .withColumn("ccf", pround(F.col("ccf"), 6)))
+
+
+@query(
+    "q_granger_1lag",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2000-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS di,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT)
+               // CAST(COUNT(*) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT y.event_type AS et_y, x.event_type AS et_x,
+             cy.v AS yt, y.v AS z1, x.v AS z2
+      FROM daily cy
+      JOIN daily y ON y.event_type = cy.event_type
+                  AND y.di = cy.di - 1
+      JOIN daily x ON x.event_type <> cy.event_type
+                  AND x.di = cy.di - 1
+    ),
+    m AS (
+      SELECT et_y, et_x, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yt) AS BIGINT) AS sy, CAST(SUM(z1) AS BIGINT) AS s1,
+             CAST(SUM(z2) AS BIGINT) AS s2,
+             CAST(SUM(yt * yt) AS BIGINT) AS syy,
+             CAST(SUM(z1 * z1) AS BIGINT) AS s11,
+             CAST(SUM(z2 * z2) AS BIGINT) AS s22,
+             CAST(SUM(z1 * z2) AS BIGINT) AS s12,
+             CAST(SUM(z1 * yt) AS BIGINT) AS s1y,
+             CAST(SUM(z2 * yt) AS BIGINT) AS s2y
+      FROM tri GROUP BY et_y, et_x
+    ),
+    c AS (
+      SELECT et_y, et_x, n,
+             CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+             CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+             CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+             CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+             CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+             CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y
+      FROM m WHERE n >= 4
+    ),
+    f AS (
+      SELECT et_y, et_x, n,
+             cyy - c1y * c1y / c11 AS rss0,
+             cyy - ((c1y * c22 - c2y * c12)
+                    / (c11 * c22 - c12 * c12)) * c1y
+                 - ((c2y * c11 - c1y * c12)
+                    / (c11 * c22 - c12 * c12)) * c2y AS rss1,
+             c11 * c22 - c12 * c12 AS det, c11
+      FROM c
+    )
+    SELECT et_y, et_x, n AS n_obs,
+           CASE WHEN c11 > 0 AND det > 0 AND rss1 > 0
+                THEN ROUND((rss0 - rss1) * (n - 3) / rss1, 6)
+                ELSE NULL END AS f_granger
+    FROM f
+    """,
+)
+def q_granger_1lag(spark, sf_dir):
+    """One-lag Granger causality F between every ordered pair of event
+    types' daily mean-cents series: does yesterday's X improve the
+    AR(1) prediction of today's Y? — the directional companion to
+    q_cross_correlation (CCF shows association at a lag; Granger asks
+    whether it adds information BEYOND Y's own history, the standard
+    lead-lag screen).  Restricted (y ~ y_lag) and unrestricted
+    (y ~ y_lag + x_lag) RSS come in closed form from centered second
+    moments: every raw moment is an exact BIGINT on the day grid
+    (integer-DIV daily means keep the bound scale-free), centering
+    n*S - s*s stays BIGINT, and the determinant solve stages
+    identically in doubles; F = (RSS0-RSS1)(n-3)/RSS1 with
+    degenerate guards (collinear or zero-variance pairs -> NULL,
+    n >= 4).  One corpus aggregate; the triple alignment join is
+    grid-keyed on (type, day)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select("event_type",
+                  F.datediff(F.date_trunc("day", "ts").cast("date"),
+                             F.lit("2000-01-01").cast("date")).alias("di"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("cents")))
+    daily = (ev.groupBy("event_type", "di")
+               .agg(F.expr("CAST(SUM(cents) AS BIGINT) DIV COUNT(*)")
+                     .alias("v")))
+    yl = daily.select(F.col("event_type").alias("et_l"),
+                      F.col("di").alias("di_l"), F.col("v").alias("z1"))
+    xl = daily.select(F.col("event_type").alias("et_x"),
+                      F.col("di").alias("di_x"), F.col("v").alias("z2"))
+    tri = (daily.join(yl, (F.col("et_l") == F.col("event_type"))
+                      & (F.col("di_l") == F.col("di") - 1))
+                .join(xl, (F.col("et_x") != F.col("event_type"))
+                      & (F.col("di_x") == F.col("di") - 1))
+                .select(F.col("event_type").alias("et_y"), "et_x",
+                        F.col("v").alias("yt"), "z1", "z2"))
+    m = (tri.groupBy("et_y", "et_x")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("yt").cast("long").alias("sy"),
+                 F.sum("z1").cast("long").alias("s1"),
+                 F.sum("z2").cast("long").alias("s2"),
+                 F.sum(F.col("yt") * F.col("yt")).cast("long").alias("syy"),
+                 F.sum(F.col("z1") * F.col("z1")).cast("long").alias("s11"),
+                 F.sum(F.col("z2") * F.col("z2")).cast("long").alias("s22"),
+                 F.sum(F.col("z1") * F.col("z2")).cast("long").alias("s12"),
+                 F.sum(F.col("z1") * F.col("yt")).cast("long").alias("s1y"),
+                 F.sum(F.col("z2") * F.col("yt")).cast("long").alias("s2y")))
+    c = (m.where(F.col("n") >= 4)
+          .select("et_y", "et_x", "n",
+                  F.expr("CAST(n * syy - sy * sy AS DOUBLE)").alias("cyy"),
+                  F.expr("CAST(n * s11 - s1 * s1 AS DOUBLE)").alias("c11"),
+                  F.expr("CAST(n * s22 - s2 * s2 AS DOUBLE)").alias("c22"),
+                  F.expr("CAST(n * s12 - s1 * s2 AS DOUBLE)").alias("c12"),
+                  F.expr("CAST(n * s1y - s1 * sy AS DOUBLE)").alias("c1y"),
+                  F.expr("CAST(n * s2y - s2 * sy AS DOUBLE)").alias("c2y")))
+    f = c.select(
+        "et_y", "et_x", "n",
+        F.expr("cyy - c1y * c1y / c11").alias("rss0"),
+        F.expr("cyy - ((c1y * c22 - c2y * c12) "
+               "/ (c11 * c22 - c12 * c12)) * c1y "
+               "- ((c2y * c11 - c1y * c12) "
+               "/ (c11 * c22 - c12 * c12)) * c2y").alias("rss1"),
+        F.expr("c11 * c22 - c12 * c12").alias("det"), F.col("c11"))
+    return f.select(
+        "et_y", "et_x", F.col("n").alias("n_obs"),
+        F.when(F.expr("c11 > 0 AND det > 0 AND rss1 > 0"),
+               pround(F.expr("(rss0 - rss1) * (n - 3) / rss1"), 6))
+         .otherwise(F.lit(None).cast("double")).alias("f_granger"))

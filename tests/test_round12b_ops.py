@@ -1463,3 +1463,158 @@ def test_cmh_matches_brute(spark, tmp_path):
     assert (got["sa"], got["se"], got["sv"]) == (sa, se, sv)
     chi2 = (sa * 1e6 - se) ** 2 / (1e6 * sv)
     assert got["chi2_cmh"] == pytest.approx(chi2, abs=2e-6)
+
+
+# ------------------------------------------------------ cross-correlation
+
+def test_cross_correlation_detects_lead(spark, tmp_path):
+    import pandas as pd
+    # 'click' series leads 'buy' by exactly 1 day
+    base = [3, 9, 2, 8, 4, 10, 1, 7, 5, 6]
+    rows = []
+    for d, c in enumerate(base):
+        for k in range(c):
+            rows.append(("click", f"2024-07-{1 + d:02d} 08:00:00",
+                         10.0 + c))
+    for d, c in enumerate(base):
+        for k in range(3):
+            rows.append(("buy", f"2024-07-{2 + d:02d} 09:00:00",
+                         10.0 + c))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": [e for e, _, _ in rows],
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    out = {(r["et_x"], r["et_y"], r["lag"]): r["ccf"]
+           for r in QUERIES["q_cross_correlation"](spark,
+                                                   str(d)).collect()}
+    # click's daily mean equals buy's mean shifted by +1 day:
+    # x=click at lag +1 aligns x_t with y_{t+1} -> near-perfect corr
+    assert out[("click", "buy", 1)] == pytest.approx(1.0, abs=1e-4)
+    # at lag 0 the alignment is broken (permuted series)
+    assert abs(out[("click", "buy", 0)]) < 0.9
+
+
+def test_cross_correlation_matches_brute_pearson(spark, tmp_path):
+    import pandas as pd
+    xs = [5, 1, 4, 2, 8, 3]
+    ys = [2, 7, 3, 9, 4, 6]
+    rows = []
+    for d, v in enumerate(xs):
+        rows.append(("a", f"2024-07-{1 + d:02d} 08:00:00", float(v)))
+    for d, v in enumerate(ys):
+        rows.append(("b", f"2024-07-{1 + d:02d} 09:00:00", float(v)))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": [e for e, _, _ in rows],
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    out = {(r["et_x"], r["et_y"], r["lag"]): r["ccf"]
+           for r in QUERIES["q_cross_correlation"](spark,
+                                                   str(d)).collect()}
+    xc = [v * 100 for v in xs]
+    yc = [v * 100 for v in ys]
+
+    def pearson(pairs):
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        return (n * sxy - sx * sy) / den
+
+    for lag in (-2, 0, 2):
+        if lag >= 0:
+            pairs = list(zip(xc[:len(xc) - lag], yc[lag:]))
+        else:
+            pairs = list(zip(xc[-lag:], yc[:len(yc) + lag]))
+        assert out[("a", "b", lag)] == pytest.approx(pearson(pairs),
+                                                     abs=2e-6)
+
+
+# ---------------------------------------------------------------- granger
+
+def test_granger_detects_directional_lead(spark, tmp_path):
+    import pandas as pd
+    # x drives y with lag 1: y_t = x_{t-1} (+tiny own noise); x is a
+    # fixed pseudo-random walk.  x->y F should dwarf y->x F.
+    xs = [4, 9, 2, 7, 5, 11, 3, 8, 6, 10, 1, 12, 5, 9, 2]
+    ys = [0] + [xs[i - 1] + (i % 3) for i in range(1, len(xs))]
+    rows = []
+    for d, v in enumerate(xs):
+        rows.append(("x", f"2024-08-{1 + d:02d} 08:00:00", float(v)))
+    for d, v in enumerate(ys):
+        rows.append(("y", f"2024-08-{1 + d:02d} 09:00:00", float(v + 1)))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": [e for e, _, _ in rows],
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    out = {(r["et_x"], r["et_y"]): r
+           for r in QUERIES["q_granger_1lag"](spark, str(d)).collect()}
+    fxy = out[("x", "y")]["f_granger"]   # does x help predict y?  yes
+    fyx = out[("y", "x")]["f_granger"]   # reverse: no
+    assert fxy is not None and fyx is not None
+    assert fxy > 10 * max(fyx, 0.1)
+
+
+def test_granger_matches_brute_ols(spark, tmp_path):
+    import pandas as pd
+    xs = [3, 8, 5, 9, 4, 7, 6, 10, 2, 8]
+    ys = [5, 4, 9, 3, 8, 6, 7, 5, 9, 4]
+    rows = []
+    for d, v in enumerate(xs):
+        rows.append(("a", f"2024-08-{1 + d:02d} 08:00:00", float(v)))
+    for d, v in enumerate(ys):
+        rows.append(("b", f"2024-08-{1 + d:02d} 09:00:00", float(v)))
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": [e for e, _, _ in rows],
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    out = {(r["et_x"], r["et_y"]): r
+           for r in QUERIES["q_granger_1lag"](spark, str(d)).collect()}
+
+    yt = [y * 100 for y in ys[1:]]
+    z1 = [y * 100 for y in ys[:-1]]
+    z2 = [x * 100 for x in xs[:-1]]
+    n = len(yt)
+    cyy = n * sum(v * v for v in yt) - sum(yt) ** 2
+    c11 = n * sum(v * v for v in z1) - sum(z1) ** 2
+    c22 = n * sum(v * v for v in z2) - sum(z2) ** 2
+    c12 = n * sum(a * b for a, b in zip(z1, z2)) - sum(z1) * sum(z2)
+    c1y = n * sum(a * b for a, b in zip(z1, yt)) - sum(z1) * sum(yt)
+    c2y = n * sum(a * b for a, b in zip(z2, yt)) - sum(z2) * sum(yt)
+    det = c11 * c22 - c12 * c12
+    rss0 = cyy - c1y * c1y / c11
+    beta = (c1y * c22 - c2y * c12) / det
+    gam = (c2y * c11 - c1y * c12) / det
+    rss1 = cyy - beta * c1y - gam * c2y
+    f = (rss0 - rss1) * (n - 3) / rss1
+    assert out[("a", "b")]["n_obs"] == n
+    assert out[("a", "b")]["f_granger"] == pytest.approx(f, rel=1e-4)
