@@ -3003,3 +3003,225 @@ def q_granger_1lag(spark, sf_dir):
         F.when(F.expr("c11 > 0 AND det > 0 AND rss1 > 0"),
                pround(F.expr("(rss0 - rss1) * (n - 3) / rss1"), 6))
          .otherwise(F.lit(None).cast("double")).alias("f_granger"))
+
+
+# =====================================================================
+# periodicity detection and burst episodes (daily volume)
+# =====================================================================
+
+@query(
+    "q_period_detect",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2000-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS di,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    mn AS (SELECT MIN(di) AS d0 FROM daily),
+    ps AS (SELECT UNNEST(range(2, 11)) AS p),
+    ph AS (
+      SELECT ps.p, (daily.di - mn.d0) % ps.p AS phase,
+             CAST(COUNT(*) AS BIGINT) AS n_ph,
+             CAST(SUM(daily.x) AS BIGINT) AS s_ph
+      FROM daily CROSS JOIN mn CROSS JOIN ps
+      GROUP BY ps.p, (daily.di - mn.d0) % ps.p
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM daily
+    ),
+    str_ AS (
+      SELECT ph.p,
+             SUM(CAST(s_ph AS DOUBLE) * s_ph / n_ph)
+             - CAST(tot.s AS DOUBLE) * tot.s / tot.n AS ssb,
+             CAST(tot.ss AS DOUBLE)
+             - CAST(tot.s AS DOUBLE) * tot.s / tot.n AS sst
+      FROM ph CROSS JOIN tot
+      GROUP BY ph.p, tot.s, tot.n, tot.ss
+    ),
+    r AS (
+      SELECT p, CASE WHEN sst > 0 THEN ROUND(ssb / sst, 6)
+                     ELSE NULL END AS strength
+      FROM str_
+    ),
+    mx AS (SELECT MAX(strength) AS mr FROM r),
+    bp AS (SELECT MIN(p) AS best FROM r CROSS JOIN mx
+           WHERE strength = mx.mr)
+    SELECT r.p, r.strength,
+           COALESCE(r.p = bp.best, FALSE) AS is_best
+    FROM r CROSS JOIN bp
+    """,
+)
+def q_period_detect(spark, sf_dir):
+    """Dominant-period detection on the daily event-volume series by
+    phase folding: for every candidate period p in 2..10, fold days
+    onto di mod p and score the between-phase variance share
+    SSB/SST (the 'autoperiod' folding statistic) — q_dow_seasonality
+    and q_seasonal_decompose ASSUME the week; this row DISCOVERS the
+    period (templated crawls and batch jobs beat at 2-, 3-, or
+    10-day cycles the weekly profile never shows).  Phase cores
+    (n_ph, s_ph) and totals are exact BIGINTs; each p's strength sums
+    <= 10 identically-staged per-phase doubles (small-term-count
+    exception) with one SST division; the winner is the maximum of the
+    R6-SNAPPED strengths with smallest-p tie-break — the argmax runs
+    on the 1e-6 grid both engines share, so sub-grid summation-order
+    noise cannot flip the flag (it did, on fuzz seeds, when the
+    argmax read the raw doubles).  One corpus aggregate to the day
+    grid; the 9-period folding is a broadcast fan-out over grid
+    rows."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull())
+          .select(F.datediff(F.date_trunc("day", "ts").cast("date"),
+                             F.lit("2000-01-01").cast("date")).alias("di")))
+    daily = ev.groupBy("di").agg(F.count("*").cast("long").alias("x"))
+    mn = daily.agg(F.min("di").alias("d0"))
+    ps = spark.range(2, 11).select(F.col("id").cast("long").alias("p"))
+    ph = (daily.crossJoin(F.broadcast(mn)).crossJoin(F.broadcast(ps))
+               .groupBy("p", F.expr("(di - d0) % p").alias("phase"))
+               .agg(F.count("*").cast("long").alias("n_ph"),
+                    F.sum("x").cast("long").alias("s_ph")))
+    tot = daily.agg(F.count("*").cast("long").alias("n"),
+                    F.sum("x").cast("long").alias("s"),
+                    F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"))
+    str_ = (ph.crossJoin(F.broadcast(tot))
+              .groupBy("p", "s", "n", "ss")
+              .agg(F.sum(F.expr("CAST(s_ph AS DOUBLE) * s_ph / n_ph"))
+                    .alias("ssb_part"))
+              .select("p",
+                      F.expr("ssb_part - CAST(s AS DOUBLE) * s / n")
+                       .alias("ssb"),
+                      F.expr("CAST(ss AS DOUBLE) "
+                             "- CAST(s AS DOUBLE) * s / n").alias("sst")))
+    r = str_.select("p", F.when(F.col("sst") > 0,
+                                pround(F.expr("ssb / sst"), 6))
+                          .otherwise(F.lit(None).cast("double"))
+                          .alias("strength"))
+    mx = r.agg(F.max("strength").alias("mr"))
+    bp = (r.crossJoin(F.broadcast(mx))
+           .where(F.col("strength") == F.col("mr"))
+           .agg(F.min("p").alias("best")))
+    return (r.crossJoin(F.broadcast(bp))
+             .select("p", "strength",
+                     F.coalesce(F.col("p") == F.col("best"),
+                                F.lit(False)).alias("is_best")))
+
+
+@query(
+    "q_burst_episodes",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2000-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS DATE)) AS di,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd
+      FROM daily GROUP BY event_type
+    ),
+    dv AS (
+      SELECT event_type, x AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM daily GROUP BY event_type, x
+    ),
+    cum AS (
+      SELECT a.event_type, a.v, CAST(SUM(b.c) AS BIGINT) AS cle
+      FROM dv a JOIN dv b ON b.event_type = a.event_type AND b.v <= a.v
+      GROUP BY a.event_type, a.v
+    ),
+    med AS (
+      SELECT cum.event_type, MIN(cum.v) AS m
+      FROM cum JOIN dd ON dd.event_type = cum.event_type
+      WHERE 2 * cum.cle >= dd.nd
+      GROUP BY cum.event_type
+    ),
+    burst AS (
+      SELECT daily.event_type, daily.di, daily.x, med.m
+      FROM daily JOIN med ON med.event_type = daily.event_type
+      WHERE 5 * daily.x > 6 * med.m
+    ),
+    starts AS (
+      SELECT b.event_type, b.di
+      FROM burst b LEFT JOIN burst p
+        ON p.event_type = b.event_type AND p.di = b.di - 1
+      WHERE p.di IS NULL
+    ),
+    assign AS (
+      SELECT b.event_type, b.di, b.x, b.m, MAX(s.di) AS ep_start
+      FROM burst b JOIN starts s
+        ON s.event_type = b.event_type AND s.di <= b.di
+      GROUP BY b.event_type, b.di, b.x, b.m
+    )
+    SELECT event_type, ep_start AS start_di,
+           CAST(MAX(di) AS BIGINT) AS end_di,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(x) AS BIGINT) AS peak,
+           CAST(SUM(x) AS BIGINT) AS total_events,
+           CAST(MAX(m) AS BIGINT) AS median_daily
+    FROM assign GROUP BY event_type, ep_start
+    """,
+)
+def q_burst_episodes(spark, sf_dir):
+    """Burst-episode extraction per event type: maximal runs of
+    consecutive days whose volume exceeds 1.2x the type's median
+    daily volume (the integer comparison 5x > 6m — no ratio double) — the episode view behind incident retros and crawl-storm
+    forensics (q_cusum_changepoint finds ONE level shift;
+    q_burstiness_fano scores dispersion; this row returns the actual
+    episodes with start/end/peak/mass).  The threshold is the exact
+    type-1 median off the per-type distinct-volume grid (ceil-rank
+    conditional min — the QTE recipe); burst days are exact integer
+    comparisons; episodes form relationally as gaps-and-islands
+    WITHOUT windows (run starts by an anti-join on day-1 adjacency,
+    membership by max-start-at-or-before via a grid triangular join).
+    Everything after the one corpus aggregate is day-grid work; every
+    output is an exact BIGINT."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.datediff(F.date_trunc("day", "ts").cast("date"),
+                             F.lit("2000-01-01").cast("date")).alias("di")))
+    daily = (ev.groupBy("event_type", "di")
+               .agg(F.count("*").cast("long").alias("x")))
+    dd = daily.groupBy("event_type").agg(F.count("*").cast("long")
+                                          .alias("nd"))
+    dv = (daily.groupBy("event_type", F.col("x").alias("v"))
+               .agg(F.count("*").cast("long").alias("c")))
+    dvb = dv.select(F.col("event_type").alias("et2"),
+                    F.col("v").alias("v2"), F.col("c").alias("c2"))
+    cum = (dv.join(F.broadcast(dvb),
+                   (F.col("et2") == F.col("event_type"))
+                   & (F.col("v2") <= F.col("v")))
+             .groupBy("event_type", "v")
+             .agg(F.sum("c2").cast("long").alias("cle")))
+    med = (cum.join(dd.withColumnRenamed("event_type", "et3"),
+                    F.col("et3") == F.col("event_type"))
+              .where(2 * F.col("cle") >= F.col("nd"))
+              .groupBy("event_type")
+              .agg(F.min("v").alias("m")))
+    burst = (daily.join(med.withColumnRenamed("event_type", "et4"),
+                        F.col("et4") == F.col("event_type"))
+                  .where(5 * F.col("x") > 6 * F.col("m"))
+                  .select("event_type", "di", "x", "m"))
+    bprev = burst.select(F.col("event_type").alias("et5"),
+                         F.col("di").alias("di5"))
+    starts = (burst.join(F.broadcast(bprev),
+                         (F.col("et5") == F.col("event_type"))
+                         & (F.col("di5") == F.col("di") - 1), "left_anti")
+                   .select(F.col("event_type").alias("et6"),
+                           F.col("di").alias("sdi")))
+    assign = (burst.join(F.broadcast(starts),
+                         (F.col("et6") == F.col("event_type"))
+                         & (F.col("sdi") <= F.col("di")))
+                   .groupBy("event_type", "di", "x", "m")
+                   .agg(F.max("sdi").alias("ep_start")))
+    return (assign.groupBy("event_type", F.col("ep_start").alias("start_di"))
+                  .agg(F.max("di").cast("long").alias("end_di"),
+                       F.count("*").cast("long").alias("n_days"),
+                       F.max("x").cast("long").alias("peak"),
+                       F.sum("x").cast("long").alias("total_events"),
+                       F.max("m").cast("long").alias("median_daily")))

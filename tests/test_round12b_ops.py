@@ -1618,3 +1618,66 @@ def test_granger_matches_brute_ols(spark, tmp_path):
     f = (rss0 - rss1) * (n - 3) / rss1
     assert out[("a", "b")]["n_obs"] == n
     assert out[("a", "b")]["f_granger"] == pytest.approx(f, rel=1e-4)
+
+
+# --------------------------------------------------------- period detect
+
+def test_period_detect_finds_planted_cycle(spark, tmp_path):
+    # 36 days with a strong period-4 cycle
+    counts = [12 if d % 4 == 0 else 3 for d in range(36)]
+    d = _daily_count_fixture(tmp_path, counts)
+    out = {r["p"]: r
+           for r in QUERIES["q_period_detect"](spark, d).collect()}
+    assert set(out) == set(range(2, 11))
+    assert out[4]["is_best"] is True
+    assert sum(1 for r in out.values() if r["is_best"]) == 1
+    # folded multiples also score high but below the fundamental
+    assert out[4]["strength"] > out[7]["strength"]
+    assert out[8]["strength"] > out[7]["strength"]  # harmonic of 4
+
+    # brute for p=4
+    n = len(counts)
+    s = sum(counts); ss = sum(x * x for x in counts)
+    phases = {}
+    for di, x in enumerate(counts):
+        ph = di % 4
+        nph, sph = phases.get(ph, (0, 0))
+        phases[ph] = (nph + 1, sph + x)
+    ssb = sum(sp * sp / np for np, sp in phases.values()) - s * s / n
+    sst = ss - s * s / n
+    assert out[4]["strength"] == pytest.approx(ssb / sst, abs=2e-6)
+
+
+def test_period_detect_constant_series_null(spark, tmp_path):
+    d = _daily_count_fixture(tmp_path, [5] * 20)
+    out = QUERIES["q_period_detect"](spark, d).collect()
+    assert all(r["strength"] is None or r["strength"] == 0.0
+               for r in out)
+
+
+# --------------------------------------------------------- burst episodes
+
+def test_burst_episodes_matches_brute(spark, tmp_path):
+    import pandas as pd
+    # median 5; bursts need 5x > 30 i.e. x >= 7: days 3-4 (8,9), day 8 (10)
+    counts = [5, 5, 5, 8, 9, 5, 5, 4, 10, 5, 6, 5]
+    rows = []
+    for di, c in enumerate(counts):
+        for k in range(c):
+            rows.append((1, f"2024-09-{1 + di:02d} {8 + k}:00:00", "a"))
+    d = _events_fixture(tmp_path, rows)
+    out = {(r["event_type"], r["start_di"]): r
+           for r in QUERIES["q_burst_episodes"](spark, d).collect()}
+    assert len(out) == 2
+    eps = sorted(out.values(), key=lambda r: r["start_di"])
+    e1, e2 = eps
+    assert e1["end_di"] - e1["start_di"] == 1     # days 3-4 run
+    assert (e1["n_days"], e1["peak"], e1["total_events"]) == (2, 9, 17)
+    assert e2["end_di"] - e2["start_di"] == 0     # day 8 solo
+    assert (e2["n_days"], e2["peak"], e2["total_events"]) == (1, 10, 10)
+    assert e1["median_daily"] == 5
+
+
+def test_burst_episodes_flat_series_empty(spark, tmp_path):
+    d = _daily_count_fixture(tmp_path, [6] * 10)
+    assert QUERIES["q_burst_episodes"](spark, d).count() == 0
