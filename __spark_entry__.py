@@ -100,14 +100,20 @@ _DRIVER_PRIORITY = [
 # q_effective_rank, q_mcc_f1, q_lift_gains, q_kendall_w,
 # q_design_effect — all vanilla + TZ gated at
 # birth this round, every events/documents row 5-seed fuzzed and the
-# batch-1/2/3 rows additionally 10-seed deep-fuzzed), plus the 14
+# batch-1/2/3 rows additionally 10-seed deep-fuzzed), plus the 30
 # session-2 operators (q_logrank_test, q_pettitt_test, q_isotonic_pav,
 # q_decision_stump, q_calinski_harabasz, q_davies_bouldin,
 # q_heaps_exponent, q_capture_recapture, q_pacf_daily, q_raking_ipf,
 # q_jonckheere_terpstra, q_price_index, q_hurst_exponent,
-# q_gumbel_maxima — same vanilla + TZ + fuzz discipline at birth,
-# brute-force-pinned in tests/test_round12b_ops.py, x10 points in
-# full_registry_x10_r12 and x100 points in r12_session2_x100).
+# q_gumbel_maxima, q_cochran_q, q_page_trend, q_mantel_haenszel,
+# q_growth_accounting, q_srm_check, q_dau_stickiness, q_eb_shrinkage,
+# q_dunn_posthoc, q_weighted_kappa, q_youden_cut, q_holm_bonferroni,
+# q_cmh_test, q_cross_correlation, q_granger_1lag, q_period_detect,
+# q_burst_episodes — same vanilla + TZ + fuzz discipline at birth,
+# the 21 events/documents rows additionally 10-seed deep-fuzzed (one
+# REAL catch: q_period_detect's raw-double argmax, fixed to the R6
+# grid), brute-force-pinned in tests/test_round12b_ops.py, x10 points
+# in full_registry_x10_r12 and x100 points in r12_session2_x100).
 # r13 window:
 # 3 sentinels + ALL 37 pre-r12 rows (clears the oldest debt first)
 # + the 10 riskiest r12 rows (md5-lane/double-surface rows first:

@@ -39,6 +39,8 @@ AXIS_WINDOW_OK = {"q_bounds_derive", "q_bounds_check",
                   # BH ranks the |event_types| x 24 cell grid — domain-
                   # bounded (120 rows), never corpus row count
                   "q_benjamini_hochberg",
+                  # Holm ranks the identical 120-cell p-proxy grid
+                  "q_holm_bonferroni",
                   # Neyman allocation ranks remainders over the
                   # |sources| grid (one row per source post-rollup)
                   "q_stratified_neyman"}

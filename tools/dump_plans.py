@@ -387,6 +387,19 @@ COMMENTARY = {
         "joins over the bin grid (<=210 spans), each span mean a "
         "single BIGINT division — a closed relational PAV with no "
         "iteration, no UDF, no window.",
+    "q_granger_1lag": "Granger screen (r12 s2): one corpus aggregate "
+        "to the (type, day) grid, two keyed alignment joins for the "
+        "lag triple, closed-form 2-regressor OLS from exact BIGINT "
+        "centered moments — 20 pair rows, no window, no iteration.",
+    "q_burst_episodes": "Burst episodes (r12 s2): type-1 median off "
+        "the per-type distinct-volume grid, windowless gaps-and-"
+        "islands (anti-join starts + max-start-at-or-before "
+        "triangular join) — every stage grid-sized after one corpus "
+        "aggregate, all-BIGINT outputs.",
+    "q_period_detect": "Period folding (r12 s2): 9-period broadcast "
+        "fan-out over the day grid, exact phase cores, R6-snapped "
+        "argmax (raw-double argmax flipped under fuzz — the snap is "
+        "the fix).",
 }
 
 
