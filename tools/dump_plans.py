@@ -362,7 +362,11 @@ COMMENTARY = {
         "then the tiny distinct-lifetime grid carries everything — "
         "risk sets via a broadcast triangular self-join, per-time E/V "
         "terms micro-quantized to BIGINT, one 1x1 cross for z.  No "
-        "window, no corpus re-read.",
+        "window, no corpus re-read.  Pre-recorded 5-rep idle steady "
+        "state at sf0.1 (clearCache between reps): [10.2, 2.56, 1.66, "
+        "1.49, 1.28] s — steady ~1.3-1.7 s; the first rep is cold "
+        "Janino codegen, not a plan cost (adjudication data for any "
+        "future driver-bench mover).",
     "q_jonckheere_terpstra": "JT trend (r12 s2): the four block "
         "counts pivot on the distinct-cents grid in ONE aggregate, "
         "a single bucketed_prefix pass carries three cumulative "
@@ -372,7 +376,9 @@ COMMENTARY = {
         "(part, month) grid in one shuffle; the base join is keyed on "
         "part (SMJ at scale — base is month-1-sized, too big to "
         "broadcast at x100 and correctly not broadcast); cross-period "
-        "values quantize per pair so month rollups stay BIGINT.",
+        "values quantize per pair so month rollups stay BIGINT.  "
+        "Pre-recorded 5-rep idle steady state at sf0.1: [3.61, 3.2, "
+        "2.18, 2.19, 1.78] s — steady ~1.8-2.2 s.",
     "q_hurst_exponent": "Hurst R/S (r12 s2): day-grid only after one "
         "corpus aggregate; within-block cumulatives via a <=16-fanout "
         "block-local triangular join (never a window), R exact by "
