@@ -3225,3 +3225,81 @@ def q_burst_episodes(spark, sf_dir):
                        F.max("x").cast("long").alias("peak"),
                        F.sum("x").cast("long").alias("total_events"),
                        F.max("m").cast("long").alias("median_daily")))
+
+
+# =====================================================================
+# streaming guardrail: running sample-ratio-mismatch
+# =====================================================================
+
+@query(
+    "q_stream_srm",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5('mh:' || CAST(event_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 2 AS BIGINT) AS arm
+      FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM ev GROUP BY event_type
+    )
+    SELECT event_type, n0, n1,
+           CASE WHEN n0 + n1 > 0
+                THEN ROUND(CAST((n1 - n0) * (n1 - n0) AS DOUBLE)
+                           / CAST(n0 + n1 AS DOUBLE), 6)
+                ELSE NULL END AS chi2_srm,
+           CASE WHEN n0 + n1 > 0
+                 AND CAST((n1 - n0) * (n1 - n0) AS DOUBLE)
+                     / CAST(n0 + n1 AS DOUBLE)
+                     > CAST(3.841458820694124 AS DOUBLE)
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             AS srm_flag
+    FROM g
+    """,
+)
+def q_stream_srm(spark, sf_dir):
+    """The q_srm_check guardrail lifted onto Structured Streaming: a
+    running per-event-type arm-split chi-square maintained as events
+    arrive (complete-mode streaming aggregation, driven to completion
+    with Trigger.AvailableNow into a memory sink so the finite testdata
+    stream is deterministic and the batch oracle applies exactly) —
+    the alerting form an experimentation platform actually deploys:
+    SRM detected DURING the experiment, not at readout.  The md5 arm
+    lane and the integer (n0, n1) cores are computed stream-side
+    inside the streaming aggregation; the chi2/flag surface is the
+    identical staged expression as the batch row.  At scale this is
+    one streaming shuffle on the 5-key event_type space with
+    partial aggregation ahead of the exchange."""
+    from access_mopper_spark.streaming.resample import (events_stream,
+                                                        harness_shuffle,
+                                                        run_to_memory)
+    stream = (events_stream(spark, sf_dir)
+              .where(F.col("event_type").isNotNull()
+                     & F.col("event_id").isNotNull())
+              .select("event_type",
+                      (F.conv(F.substring(F.md5(F.concat(
+                          F.lit("mh:"), F.col("event_id").cast("string"))),
+                          1, 8), 16, 10).cast("long") % 2).alias("arm")))
+    agg = stream.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long")
+         .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long")
+         .alias("n1"))
+    with harness_shuffle(spark):
+        run_to_memory(agg, "q_stream_srm_sink", mode="complete")
+    g = spark.table("q_stream_srm_sink")
+    chi = F.expr("CAST((n1 - n0) * (n1 - n0) AS DOUBLE) "
+                 "/ CAST(n0 + n1 AS DOUBLE)")
+    return g.select(
+        "event_type", "n0", "n1",
+        F.when(F.expr("n0 + n1 > 0"), pround(chi, 6))
+         .otherwise(F.lit(None).cast("double")).alias("chi2_srm"),
+        F.when(F.expr("n0 + n1 > 0")
+               & (chi > F.expr("CAST(3.841458820694124 AS DOUBLE)")),
+               F.lit(1).cast("long"))
+         .otherwise(F.lit(0).cast("long")).alias("srm_flag"))

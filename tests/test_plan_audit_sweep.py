@@ -21,7 +21,8 @@ from access_mopper_spark.queries import QUERIES
 STREAMING = {"q_stream_resample", "q_stateful_totals", "q_stream_curation",
              "q_stream_trending", "q_stream_sink_replay",
              "q_stream_stream_join", "q_stream_dedup_ingest",
-             "q_stream_dedup_exact", "q_stream_static_join"}
+             "q_stream_dedup_exact", "q_stream_static_join",
+             "q_stream_srm"}
 
 
 #: unpartitioned windows over a BOUNDED sequential axis (time

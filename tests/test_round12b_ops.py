@@ -1681,3 +1681,30 @@ def test_burst_episodes_matches_brute(spark, tmp_path):
 def test_burst_episodes_flat_series_empty(spark, tmp_path):
     d = _daily_count_fixture(tmp_path, [6] * 10)
     assert QUERIES["q_burst_episodes"](spark, d).count() == 0
+
+
+# ------------------------------------------------------------ stream srm
+
+def test_stream_srm_equals_batch_srm(spark, tmp_path):
+    import pandas as pd
+    rows = [(i, f"2024-01-01 {i % 24:02d}:00:00", "t%d" % (i % 2))
+            for i in range(200)]
+    pdf = pd.DataFrame({
+        "event_id": [i for i, _, _ in rows],
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": [e for _, _, e in rows],
+        "value": [1.0] * len(rows),
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    stream = {r["event_type"]: r
+              for r in QUERIES["q_stream_srm"](spark, str(d)).collect()}
+    batch = {r["event_type"]: r
+             for r in QUERIES["q_srm_check"](spark, str(d)).collect()}
+    assert set(stream) == set(batch)
+    for et in batch:
+        for col in ("n0", "n1", "chi2_srm", "srm_flag"):
+            assert stream[et][col] == batch[et][col], (et, col)
