@@ -3303,3 +3303,208 @@ def q_stream_srm(spark, sf_dir):
                & (chi > F.expr("CAST(3.841458820694124 AS DOUBLE)")),
                F.lit(1).cast("long"))
          .otherwise(F.lit(0).cast("long")).alias("srm_flag"))
+
+
+# =====================================================================
+# robust distribution summaries: median CI and quartile skewness
+# =====================================================================
+
+@query(
+    "q_median_ci",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    grid AS (
+      SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY event_type, y
+    ),
+    cum AS (
+      SELECT event_type, y,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY y
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cd
+      FROM grid
+    ),
+    na AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM grid GROUP BY event_type
+    ),
+    rk AS (
+      SELECT event_type, n,
+             CAST((5000 * n + 9999) // 10000 AS BIGINT) AS k_med,
+             GREATEST(CAST(1 AS BIGINT),
+                      CAST(FLOOR(CAST(n AS DOUBLE) / 2
+                                 - CAST(1.96 AS DOUBLE)
+                                   * SQRT(CAST(n AS DOUBLE)) / 2)
+                           AS BIGINT)) AS l_rank
+      FROM na
+    ),
+    rk2 AS (
+      SELECT event_type, n, k_med, l_rank,
+             n - l_rank + 1 AS u_rank
+      FROM rk
+    ),
+    vals AS (
+      SELECT rk2.event_type, rk2.n, rk2.l_rank, rk2.u_rank,
+             MIN(CASE WHEN cum.cd >= rk2.k_med THEN cum.y END) AS med,
+             MIN(CASE WHEN cum.cd >= rk2.l_rank THEN cum.y END) AS lo,
+             MIN(CASE WHEN cum.cd >= rk2.u_rank THEN cum.y END) AS hi
+      FROM rk2 JOIN cum ON cum.event_type = rk2.event_type
+      GROUP BY rk2.event_type, rk2.n, rk2.l_rank, rk2.u_rank
+    )
+    SELECT event_type, n, l_rank, u_rank,
+           CAST(med AS BIGINT) AS median_cents,
+           CAST(lo AS BIGINT) AS ci_lo_cents,
+           CAST(hi AS BIGINT) AS ci_hi_cents
+    FROM vals
+    """,
+)
+def q_median_ci(spark, sf_dir):
+    """Distribution-free 95% confidence interval for the per-type
+    median (order-statistic CI: ranks n/2 -+ 1.96*sqrt(n)/2, the
+    binomial-normal approximation every nonparametric text ships) —
+    the uncertainty q_percentile's point estimate lacks, with no
+    bootstrap resampling (q_bootstrap_ci) needed for the median case.
+    All three order statistics are exact type-1 quantile probes off
+    the per-type distinct-cents grid (ceil-rank conditional min, the
+    QTE recipe; the rank cumulative is a window PARTITIONED by type
+    over grid rows); the only double is ONE sqrt in the rank formula,
+    floored per type (per-distinct quantization) and clamped to [1, n]
+    by the symmetric u = n - l + 1.  Every output is an exact BIGINT.
+    One corpus aggregate; grid work after."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("y")))
+    grid = ev.groupBy("event_type", "y").agg(
+        F.count("*").cast("long").alias("cnt"))
+    wcum = (W.partitionBy("event_type").orderBy("y")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = grid.withColumn("cd", F.sum("cnt").over(wcum).cast("long"))
+    na = grid.groupBy("event_type").agg(F.sum("cnt").cast("long")
+                                         .alias("n"))
+    rk = na.select(
+        "event_type", "n",
+        F.expr("CAST((5000 * n + 9999) DIV 10000 AS BIGINT)")
+         .alias("k_med"),
+        F.expr("GREATEST(CAST(1 AS BIGINT), "
+               "CAST(FLOOR(CAST(n AS DOUBLE) / 2 "
+               "- CAST(1.96 AS DOUBLE) * SQRT(CAST(n AS DOUBLE)) / 2) "
+               "AS BIGINT))").alias("l_rank"))
+    rk2 = rk.withColumn("u_rank", F.expr("n - l_rank + 1"))
+    cumb = cum.select(F.col("event_type").alias("et2"), "y", "cd")
+    vals = (rk2.join(cumb, F.col("et2") == F.col("event_type"))
+               .groupBy("event_type", "n", "l_rank", "u_rank")
+               .agg(F.min(F.when(F.col("cd") >= F.col("k_med"),
+                                 F.col("y"))).alias("med"),
+                    F.min(F.when(F.col("cd") >= F.col("l_rank"),
+                                 F.col("y"))).alias("lo"),
+                    F.min(F.when(F.col("cd") >= F.col("u_rank"),
+                                 F.col("y"))).alias("hi")))
+    return vals.select("event_type", "n", "l_rank", "u_rank",
+                       F.col("med").cast("long").alias("median_cents"),
+                       F.col("lo").cast("long").alias("ci_lo_cents"),
+                       F.col("hi").cast("long").alias("ci_hi_cents"))
+
+
+@query(
+    "q_bowley_skewness",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    grid AS (
+      SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY event_type, y
+    ),
+    cum AS (
+      SELECT event_type, y,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY y
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cd
+      FROM grid
+    ),
+    na AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM grid GROUP BY event_type
+    ),
+    qs AS (SELECT UNNEST([2500, 5000, 7500]) AS q_bp),
+    kq AS (
+      SELECT na.event_type, na.n, qs.q_bp,
+             CAST((qs.q_bp * na.n + 9999) // 10000 AS BIGINT) AS k
+      FROM na CROSS JOIN qs
+    ),
+    vq AS (
+      SELECT kq.event_type, kq.n, kq.q_bp,
+             MIN(CASE WHEN cum.cd >= kq.k THEN cum.y END) AS v
+      FROM kq JOIN cum ON cum.event_type = kq.event_type
+      GROUP BY kq.event_type, kq.n, kq.q_bp
+    ),
+    piv AS (
+      SELECT event_type, MAX(n) AS n,
+             MAX(CASE WHEN q_bp = 2500 THEN v END) AS q1,
+             MAX(CASE WHEN q_bp = 5000 THEN v END) AS q2,
+             MAX(CASE WHEN q_bp = 7500 THEN v END) AS q3
+      FROM vq GROUP BY event_type
+    )
+    SELECT event_type, n, CAST(q1 AS BIGINT) AS q1_cents,
+           CAST(q2 AS BIGINT) AS q2_cents, CAST(q3 AS BIGINT) AS q3_cents,
+           CASE WHEN q3 > q1
+                THEN ROUND(CAST(q3 + q1 - 2 * q2 AS DOUBLE)
+                           / CAST(q3 - q1 AS DOUBLE), 6)
+                ELSE NULL END AS bowley_skew
+    FROM piv
+    """,
+)
+def q_bowley_skewness(spark, sf_dir):
+    """Bowley (quartile) skewness per event type — the outlier-immune
+    asymmetry scalar ((Q3+Q1-2*Q2)/(Q3-Q1), bounded in [-1,1]) that
+    q_skew_metrics' third-moment coefficient is not (one fat tail event
+    saturates a moment skew; quartiles don't move), the robust twin the
+    pair of them makes a distribution-health panel.  Quartiles are
+    exact type-1 probes off the per-type distinct-cents grid (ceil-rank
+    conditional min, partitioned grid window); the scalar is ONE
+    division of exact integer differences through R6 with a
+    zero-IQR NULL guard.  One corpus aggregate; grid work after."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("y")))
+    grid = ev.groupBy("event_type", "y").agg(
+        F.count("*").cast("long").alias("cnt"))
+    wcum = (W.partitionBy("event_type").orderBy("y")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = grid.withColumn("cd", F.sum("cnt").over(wcum).cast("long"))
+    na = grid.groupBy("event_type").agg(F.sum("cnt").cast("long")
+                                         .alias("n"))
+    qs = (spark.range(1, 4)
+          .select((F.col("id") * 2500).cast("long").alias("q_bp")))
+    kq = (na.crossJoin(F.broadcast(qs))
+            .select("event_type", "n", "q_bp",
+                    F.expr("CAST((q_bp * n + 9999) DIV 10000 AS BIGINT)")
+                     .alias("k")))
+    cumb = cum.select(F.col("event_type").alias("et2"), "y", "cd")
+    vq = (kq.join(cumb, F.col("et2") == F.col("event_type"))
+            .groupBy("event_type", "n", "q_bp")
+            .agg(F.min(F.when(F.col("cd") >= F.col("k"), F.col("y")))
+                  .alias("v")))
+    piv = (vq.groupBy("event_type")
+             .agg(F.max("n").alias("n"),
+                  F.max(F.when(F.col("q_bp") == 2500, F.col("v")))
+                   .alias("q1"),
+                  F.max(F.when(F.col("q_bp") == 5000, F.col("v")))
+                   .alias("q2"),
+                  F.max(F.when(F.col("q_bp") == 7500, F.col("v")))
+                   .alias("q3")))
+    return piv.select(
+        "event_type", "n",
+        F.col("q1").cast("long").alias("q1_cents"),
+        F.col("q2").cast("long").alias("q2_cents"),
+        F.col("q3").cast("long").alias("q3_cents"),
+        F.when(F.col("q3") > F.col("q1"),
+               pround(F.expr("CAST(q3 + q1 - 2 * q2 AS DOUBLE) "
+                             "/ CAST(q3 - q1 AS DOUBLE)"), 6))
+         .otherwise(F.lit(None).cast("double")).alias("bowley_skew"))

@@ -1708,3 +1708,78 @@ def test_stream_srm_equals_batch_srm(spark, tmp_path):
     for et in batch:
         for col in ("n0", "n1", "chi2_srm", "srm_flag"):
             assert stream[et][col] == batch[et][col], (et, col)
+
+
+# --------------------------------------------------------------- median ci
+
+def test_median_ci_matches_brute(spark, tmp_path):
+    import pandas as pd
+    vals = [3, 7, 1, 9, 4, 6, 2, 8, 5, 10, 4, 6, 3, 7, 5,
+            2, 9, 1, 8, 6, 5, 4, 7, 3, 6]
+    rows = [(1, f"2024-01-01 {i % 24:02d}:00:00", float(v))
+            for i, v in enumerate(vals)]
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": ["a"] * len(rows),
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = {r["event_type"]: r
+           for r in QUERIES["q_median_ci"](spark, str(d)).collect()}["a"]
+    cents = sorted(int(v * 100 + 0.5) for v in vals)
+    n = len(cents)
+    k_med = (5000 * n + 9999) // 10000
+    l = max(1, int(math.floor(n / 2 - 1.96 * math.sqrt(n) / 2)))
+    u = n - l + 1
+    assert got["n"] == n
+    assert (got["l_rank"], got["u_rank"]) == (l, u)
+    assert got["median_cents"] == cents[k_med - 1]
+    assert got["ci_lo_cents"] == cents[l - 1]
+    assert got["ci_hi_cents"] == cents[u - 1]
+    assert got["ci_lo_cents"] <= got["median_cents"] <= got["ci_hi_cents"]
+
+
+# --------------------------------------------------------------- bowley
+
+def test_bowley_skewness_matches_brute(spark, tmp_path):
+    import pandas as pd
+    # right-skewed values
+    vals = [1, 1, 2, 2, 2, 3, 3, 4, 5, 8, 13, 21]
+    rows = [(1, f"2024-01-01 {i % 24:02d}:00:00", float(v))
+            for i, v in enumerate(vals)]
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime([t for _, t, _ in rows]),
+        "user_id": [1] * len(rows),
+        "event_type": ["a"] * len(rows),
+        "value": [v for _, _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    got = {r["event_type"]: r
+           for r in QUERIES["q_bowley_skewness"](spark,
+                                                 str(d)).collect()}["a"]
+    cents = sorted(int(v * 100 + 0.5) for v in vals)
+    n = len(cents)
+    q = {bp: cents[(bp * n + 9999) // 10000 - 1]
+         for bp in (2500, 5000, 7500)}
+    assert (got["q1_cents"], got["q2_cents"], got["q3_cents"]) == (
+        q[2500], q[5000], q[7500])
+    exp = (q[7500] + q[2500] - 2 * q[5000]) / (q[7500] - q[2500])
+    assert got["bowley_skew"] == pytest.approx(exp, abs=2e-6)
+    assert got["bowley_skew"] > 0  # right-skewed fixture
+
+
+def test_bowley_zero_iqr_null(spark, tmp_path):
+    rows = [(1, "2024-01-01 10:00:00", "b")] * 12
+    d = _events_fixture(tmp_path, rows)
+    got = {r["event_type"]: r
+           for r in QUERIES["q_bowley_skewness"](spark, d).collect()}["b"]
+    assert got["bowley_skew"] is None
