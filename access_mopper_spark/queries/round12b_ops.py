@@ -3508,3 +3508,205 @@ def q_bowley_skewness(spark, sf_dir):
                pround(F.expr("CAST(q3 + q1 - 2 * q2 AS DOUBLE) "
                              "/ CAST(q3 - q1 AS DOUBLE)"), 6))
          .otherwise(F.lit(None).cast("double")).alias("bowley_skew"))
+
+
+# =====================================================================
+# distribution distances between event-type value distributions
+# =====================================================================
+
+@query(
+    "q_wasserstein_1d",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    grid AS (
+      SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY event_type, y
+    ),
+    na AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM grid GROUP BY event_type
+    ),
+    tp AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b,
+             a.n AS n_a, b.n AS n_b
+      FROM na a JOIN na b ON a.event_type < b.event_type
+    ),
+    ug AS (
+      SELECT tp.et_a, tp.et_b, tp.n_a, tp.n_b, g.y,
+             CAST(SUM(CASE WHEN g.event_type = tp.et_a
+                           THEN g.cnt ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN g.event_type = tp.et_b
+                           THEN g.cnt ELSE 0 END) AS BIGINT) AS cb
+      FROM tp JOIN grid g
+        ON g.event_type = tp.et_a OR g.event_type = tp.et_b
+      GROUP BY tp.et_a, tp.et_b, tp.n_a, tp.n_b, g.y
+    ),
+    cdf AS (
+      SELECT et_a, et_b, n_a, n_b, y,
+             CAST(SUM(ca) OVER (PARTITION BY et_a, et_b ORDER BY y
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS fa,
+             CAST(SUM(cb) OVER (PARTITION BY et_a, et_b ORDER BY y
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS fb,
+             LEAD(y) OVER (PARTITION BY et_a, et_b ORDER BY y) AS y_next
+      FROM ug
+    ),
+    terms AS (
+      SELECT et_a, et_b, n_a, n_b,
+             CAST(SUM(ABS(fa * n_b - fb * n_a) * (y_next - y)) AS BIGINT)
+               AS mass
+      FROM cdf WHERE y_next IS NOT NULL
+      GROUP BY et_a, et_b, n_a, n_b
+    )
+    SELECT et_a, et_b, n_a, n_b, mass,
+           ROUND(CAST(mass AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+             AS w1_cents
+    FROM terms
+    """,
+)
+def q_wasserstein_1d(spark, sf_dir):
+    """1-D Wasserstein (earth-mover) distance between every pair of
+    event-type value distributions — the drift metric that sees HOW FAR
+    mass moved, not just that it moved (KS saturates at the largest CDF
+    gap; JSD at disjoint support; W1 in cents is the actionable
+    'average shift' number a distribution-shift monitor reports).
+    Closed 1-D form W1 = integral |F_a - F_b|: CDFs cross-multiplied to
+    the common n_a*n_b denominator so every per-gap term
+    |F_a*n_b - F_b*n_a| * gap is an exact BIGINT (bound n_a*n_b*gap <
+    2^63 holds past 1e7 rows/type at the cents domain, documented),
+    summed exactly, ONE terminal division through R6.  The pair CDFs
+    ride partitioned windows over the union value grid (grid-sized
+    payload); one corpus aggregate ahead of everything."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("y")))
+    grid = ev.groupBy("event_type", "y").agg(
+        F.count("*").cast("long").alias("cnt"))
+    na = grid.groupBy("event_type").agg(F.sum("cnt").cast("long")
+                                         .alias("n"))
+    nb = na.select(F.col("event_type").alias("et_b"),
+                   F.col("n").alias("n_b"))
+    tp = (na.select(F.col("event_type").alias("et_a"),
+                    F.col("n").alias("n_a"))
+            .join(F.broadcast(nb), F.col("et_a") < F.col("et_b")))
+    g = grid.select(F.col("event_type").alias("et_g"), "y", "cnt")
+    ug = (tp.join(F.broadcast(g), (F.col("et_g") == F.col("et_a"))
+                  | (F.col("et_g") == F.col("et_b")))
+            .groupBy("et_a", "et_b", "n_a", "n_b", "y")
+            .agg(F.sum(F.when(F.col("et_g") == F.col("et_a"),
+                              F.col("cnt")).otherwise(0)).cast("long")
+                  .alias("ca"),
+                 F.sum(F.when(F.col("et_g") == F.col("et_b"),
+                              F.col("cnt")).otherwise(0)).cast("long")
+                  .alias("cb")))
+    wp = (W.partitionBy("et_a", "et_b").orderBy("y")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wl = W.partitionBy("et_a", "et_b").orderBy("y")
+    cdf = (ug.withColumn("fa", F.sum("ca").over(wp).cast("long"))
+             .withColumn("fb", F.sum("cb").over(wp).cast("long"))
+             .withColumn("y_next", F.lead("y").over(wl)))
+    terms = (cdf.where(F.col("y_next").isNotNull())
+                .groupBy("et_a", "et_b", "n_a", "n_b")
+                .agg(F.sum(F.abs(F.col("fa") * F.col("n_b")
+                                 - F.col("fb") * F.col("n_a"))
+                           * (F.col("y_next") - F.col("y")))
+                      .cast("long").alias("mass")))
+    return terms.select(
+        "et_a", "et_b", "n_a", "n_b", "mass",
+        pround(F.expr("CAST(mass AS DOUBLE) "
+                      "/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"), 6)
+          .alias("w1_cents"))
+
+
+@query(
+    "q_distribution_overlap",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    grid AS (
+      SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY event_type, y
+    ),
+    na AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM grid GROUP BY event_type
+    ),
+    tp AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b,
+             a.n AS n_a, b.n AS n_b
+      FROM na a JOIN na b ON a.event_type < b.event_type
+    ),
+    ug AS (
+      SELECT tp.et_a, tp.et_b, tp.n_a, tp.n_b, g.y,
+             CAST(SUM(CASE WHEN g.event_type = tp.et_a
+                           THEN g.cnt ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN g.event_type = tp.et_b
+                           THEN g.cnt ELSE 0 END) AS BIGINT) AS cb
+      FROM tp JOIN grid g
+        ON g.event_type = tp.et_a OR g.event_type = tp.et_b
+      GROUP BY tp.et_a, tp.et_b, tp.n_a, tp.n_b, g.y
+    ),
+    s AS (
+      SELECT et_a, et_b, n_a, n_b,
+             CAST(SUM(LEAST(ca * n_b, cb * n_a)) AS BIGINT) AS ov
+      FROM ug GROUP BY et_a, et_b, n_a, n_b
+    )
+    SELECT et_a, et_b, n_a, n_b,
+           CAST(ov * 10000 // (n_a * n_b) AS BIGINT) AS overlap_bp,
+           CAST(10000 - ov * 10000 // (n_a * n_b) AS BIGINT) AS tv_bp
+    FROM s
+    """,
+)
+def q_distribution_overlap(spark, sf_dir):
+    """Histogram overlap coefficient and total-variation distance
+    between every pair of event-type value distributions — the bounded
+    [0,1] companions to q_wasserstein_1d (overlap = sum min(p,q) is
+    the probability mass the two types share; TV = 1 - overlap is the
+    best-achievable classifier advantage — the interpretable pair a
+    drift dashboard shows next to W1's magnitude).  Fully integer:
+    per-value min(c_a*n_b, c_b*n_a) over the union grid under the
+    common n_a*n_b denominator (LEAST of exact BIGINTs), overlap in
+    basis points via integer `//`-vs-DIV, TV as its exact complement.
+    One corpus aggregate; pair work is grid-sized with a broadcast
+    type-pair fan-out."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                   .alias("y")))
+    grid = ev.groupBy("event_type", "y").agg(
+        F.count("*").cast("long").alias("cnt"))
+    na = grid.groupBy("event_type").agg(F.sum("cnt").cast("long")
+                                         .alias("n"))
+    nb = na.select(F.col("event_type").alias("et_b"),
+                   F.col("n").alias("n_b"))
+    tp = (na.select(F.col("event_type").alias("et_a"),
+                    F.col("n").alias("n_a"))
+            .join(F.broadcast(nb), F.col("et_a") < F.col("et_b")))
+    g = grid.select(F.col("event_type").alias("et_g"), "y", "cnt")
+    ug = (tp.join(F.broadcast(g), (F.col("et_g") == F.col("et_a"))
+                  | (F.col("et_g") == F.col("et_b")))
+            .groupBy("et_a", "et_b", "n_a", "n_b", "y")
+            .agg(F.sum(F.when(F.col("et_g") == F.col("et_a"),
+                              F.col("cnt")).otherwise(0)).cast("long")
+                  .alias("ca"),
+                 F.sum(F.when(F.col("et_g") == F.col("et_b"),
+                              F.col("cnt")).otherwise(0)).cast("long")
+                  .alias("cb")))
+    s = (ug.groupBy("et_a", "et_b", "n_a", "n_b")
+           .agg(F.sum(F.least(F.col("ca") * F.col("n_b"),
+                              F.col("cb") * F.col("n_a"))).cast("long")
+                 .alias("ov")))
+    return s.select(
+        "et_a", "et_b", "n_a", "n_b",
+        F.expr("ov * 10000 DIV (n_a * n_b)").alias("overlap_bp"),
+        F.expr("10000 - ov * 10000 DIV (n_a * n_b)").alias("tv_bp"))

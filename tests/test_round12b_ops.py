@@ -1783,3 +1783,80 @@ def test_bowley_zero_iqr_null(spark, tmp_path):
     got = {r["event_type"]: r
            for r in QUERIES["q_bowley_skewness"](spark, d).collect()}["b"]
     assert got["bowley_skew"] is None
+
+
+# ------------------------------------------------------------ wasserstein
+
+def _two_type_fixture(tmp_path, vals_a, vals_b):
+    import pandas as pd
+    rows = ([("a", float(v)) for v in vals_a]
+            + [("b", float(v)) for v in vals_b])
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": pd.to_datetime(["2024-01-01 10:00:00"] * len(rows)),
+        "user_id": [1] * len(rows),
+        "event_type": [e for e, _ in rows],
+        "value": [v for _, v in rows],
+        "props": [None] * len(rows),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def test_wasserstein_matches_scipy_free_brute(spark, tmp_path):
+    va = [1, 2, 2, 3, 5, 8]
+    vb = [2, 3, 3, 4, 9, 9]
+    d = _two_type_fixture(tmp_path, va, vb)
+    got = QUERIES["q_wasserstein_1d"](spark, d).collect()[0]
+    # brute W1 between empirical distributions over the cents grid
+    ca = sorted(int(v * 100 + 0.5) for v in va)
+    cb = sorted(int(v * 100 + 0.5) for v in vb)
+    na, nbn = len(ca), len(cb)
+    ys = sorted(set(ca) | set(cb))
+    w1 = 0
+    for i in range(len(ys) - 1):
+        fa = sum(1 for x in ca if x <= ys[i])
+        fb = sum(1 for x in cb if x <= ys[i])
+        w1 += abs(fa * nbn - fb * na) * (ys[i + 1] - ys[i])
+    assert (got["et_a"], got["et_b"]) == ("a", "b")
+    assert got["mass"] == w1
+    assert got["w1_cents"] == pytest.approx(w1 / (na * nbn), abs=2e-6)
+    # shift invariance sanity: identical distributions -> 0
+    import shutil
+    shutil.rmtree(tmp_path / "sf")
+    d2 = _two_type_fixture(tmp_path, va, va)
+    got2 = QUERIES["q_wasserstein_1d"](spark, d2).collect()[0]
+    assert got2["mass"] == 0 and got2["w1_cents"] == 0.0
+
+
+def test_wasserstein_pure_shift_equals_shift(spark, tmp_path):
+    va = [1, 2, 3, 4]
+    vb = [3, 4, 5, 6]  # every value shifted +2.00 -> W1 = 200 cents
+    d = _two_type_fixture(tmp_path, va, vb)
+    got = QUERIES["q_wasserstein_1d"](spark, d).collect()[0]
+    assert got["w1_cents"] == pytest.approx(200.0, abs=2e-6)
+
+
+# ---------------------------------------------------------------- overlap
+
+def test_overlap_and_tv_match_brute(spark, tmp_path):
+    va = [1, 1, 2, 3, 3, 3]
+    vb = [1, 2, 2, 2, 4, 4]
+    d = _two_type_fixture(tmp_path, va, vb)
+    got = QUERIES["q_distribution_overlap"](spark, d).collect()[0]
+    from collections import Counter
+    ca = Counter(int(v * 100 + 0.5) for v in va)
+    cb = Counter(int(v * 100 + 0.5) for v in vb)
+    na, nbn = len(va), len(vb)
+    ov = sum(min(ca.get(y, 0) * nbn, cb.get(y, 0) * na)
+             for y in set(ca) | set(cb))
+    assert got["overlap_bp"] == ov * 10000 // (na * nbn)
+    assert got["tv_bp"] == 10000 - got["overlap_bp"]
+    # disjoint supports -> overlap 0, TV 10000
+    import shutil
+    shutil.rmtree(tmp_path / "sf")
+    d2 = _two_type_fixture(tmp_path, [1, 2], [5, 6])
+    got2 = QUERIES["q_distribution_overlap"](spark, d2).collect()[0]
+    assert (got2["overlap_bp"], got2["tv_bp"]) == (0, 10000)
