@@ -406,6 +406,15 @@ COMMENTARY = {
         "fan-out over the day grid, exact phase cores, R6-snapped "
         "argmax (raw-double argmax flipped under fuzz — the snap is "
         "the fix).",
+    "q_wasserstein_1d": "W1 (r12 s2): union cents grid per type pair, "
+        "partitioned-window CDFs cross-multiplied to the common "
+        "n_a*n_b denominator — every gap term exact BIGINT, one "
+        "terminal division.  Grid-sized everything after one corpus "
+        "aggregate.",
+    "q_stream_srm": "Streaming SRM (r12 s2): complete-mode streaming "
+        "aggregation on the 5-key type space (partial agg ahead of "
+        "the exchange), md5 arm lane stream-side, AvailableNow to a "
+        "memory sink so the batch oracle applies exactly.",
 }
 
 
