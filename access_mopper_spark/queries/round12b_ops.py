@@ -3710,3 +3710,131 @@ def q_distribution_overlap(spark, sf_dir):
         "et_a", "et_b", "n_a", "n_b",
         F.expr("ov * 10000 DIV (n_a * n_b)").alias("overlap_bp"),
         F.expr("10000 - ov * 10000 DIV (n_a * n_b)").alias("tv_bp"))
+
+
+# =====================================================================
+# marketing attribution: exact 3-channel Shapley values
+# =====================================================================
+
+_SHAP_V = ("CASE WHEN n{k} > 0 THEN CAST(c{k} AS DOUBLE) / n{k} "
+           "ELSE CAST(0 AS DOUBLE) END")
+
+
+@query(
+    "q_shapley_attribution",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS tc,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS tv,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS tsg,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
+    ),
+    co AS (
+      SELECT tc * 4 + tv * 2 + tsg AS k,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS c
+      FROM u GROUP BY tc * 4 + tv * 2 + tsg
+    ),
+    piv AS (
+      SELECT
+        CAST(COALESCE(MAX(CASE WHEN k = 0 THEN n END), 0) AS BIGINT) AS n0,
+        CAST(COALESCE(MAX(CASE WHEN k = 1 THEN n END), 0) AS BIGINT) AS n1,
+        CAST(COALESCE(MAX(CASE WHEN k = 2 THEN n END), 0) AS BIGINT) AS n2,
+        CAST(COALESCE(MAX(CASE WHEN k = 3 THEN n END), 0) AS BIGINT) AS n3,
+        CAST(COALESCE(MAX(CASE WHEN k = 4 THEN n END), 0) AS BIGINT) AS n4,
+        CAST(COALESCE(MAX(CASE WHEN k = 5 THEN n END), 0) AS BIGINT) AS n5,
+        CAST(COALESCE(MAX(CASE WHEN k = 6 THEN n END), 0) AS BIGINT) AS n6,
+        CAST(COALESCE(MAX(CASE WHEN k = 7 THEN n END), 0) AS BIGINT) AS n7,
+        CAST(COALESCE(MAX(CASE WHEN k = 0 THEN c END), 0) AS BIGINT) AS c0,
+        CAST(COALESCE(MAX(CASE WHEN k = 1 THEN c END), 0) AS BIGINT) AS c1,
+        CAST(COALESCE(MAX(CASE WHEN k = 2 THEN c END), 0) AS BIGINT) AS c2,
+        CAST(COALESCE(MAX(CASE WHEN k = 3 THEN c END), 0) AS BIGINT) AS c3,
+        CAST(COALESCE(MAX(CASE WHEN k = 4 THEN c END), 0) AS BIGINT) AS c4,
+        CAST(COALESCE(MAX(CASE WHEN k = 5 THEN c END), 0) AS BIGINT) AS c5,
+        CAST(COALESCE(MAX(CASE WHEN k = 6 THEN c END), 0) AS BIGINT) AS c6,
+        CAST(COALESCE(MAX(CASE WHEN k = 7 THEN c END), 0) AS BIGINT) AS c7
+      FROM co
+    ),
+    v AS (
+      SELECT n0, n1, n2, n3, n4, n5, n6, n7,
+             {v0} AS v0, {v1} AS v1, {v2} AS v2, {v3} AS v3,
+             {v4} AS v4, {v5} AS v5, {v6} AS v6, {v7} AS v7
+      FROM piv
+    )
+    SELECT 'click' AS channel,
+           CAST(n4 + n5 + n6 + n7 AS BIGINT) AS n_touched,
+           ROUND((v4 - v0) / 3 + (v6 - v2) / 6 + (v5 - v1) / 6
+                 + (v7 - v3) / 3, 6) AS phi_shapley
+    FROM v
+    UNION ALL
+    SELECT 'view' AS channel,
+           CAST(n2 + n3 + n6 + n7 AS BIGINT) AS n_touched,
+           ROUND((v2 - v0) / 3 + (v6 - v4) / 6 + (v3 - v1) / 6
+                 + (v7 - v5) / 3, 6) AS phi_shapley
+    FROM v
+    UNION ALL
+    SELECT 'signup' AS channel,
+           CAST(n1 + n3 + n5 + n7 AS BIGINT) AS n_touched,
+           ROUND((v1 - v0) / 3 + (v5 - v4) / 6 + (v3 - v2) / 6
+                 + (v7 - v6) / 3, 6) AS phi_shapley
+    FROM v
+    """.format(**{f"v{k}": _SHAP_V.format(k=k) for k in range(8)}),
+)
+def q_shapley_attribution(spark, sf_dir):
+    """Data-driven Shapley attribution of purchase conversion across
+    the three touch channels (click / view / signup): the
+    coalition-game split of credit that first/last-touch attribution
+    (q_first_touch_attribution, q_last_touch) cannot justify — each
+    channel gets its average marginal lift over every coalition it can
+    join, with the exact 3-player weights 1/3, 1/6, 1/6, 1/3.  The
+    game value v(S) is the observed conversion rate of users whose
+    touch set is EXACTLY S (8 coalitions from one user-level
+    aggregate; unobserved coalitions take v = 0, the standard
+    practical convention, documented).  Each v is one staged division
+    of exact BIGINTs, each phi a fixed 4-term chain of identically-
+    staged doubles through R6.  One corpus aggregate to user level,
+    one 8-row pivot; no joins, no windows."""
+    u = (load_table(spark, sf_dir, "events")
+         .where(F.col("user_id").isNotNull()
+                & F.col("event_type").isNotNull())
+         .groupBy("user_id")
+         .agg(F.max(F.when(F.col("event_type") == "click", 1)
+                     .otherwise(0)).alias("tc"),
+              F.max(F.when(F.col("event_type") == "view", 1)
+                     .otherwise(0)).alias("tv"),
+              F.max(F.when(F.col("event_type") == "signup", 1)
+                     .otherwise(0)).alias("tsg"),
+              F.max(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)).alias("conv")))
+    co = (u.groupBy((F.col("tc") * 4 + F.col("tv") * 2
+                     + F.col("tsg")).alias("k"))
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("conv").cast("long").alias("c")))
+    piv = co.agg(*(
+        [F.coalesce(F.max(F.when(F.col("k") == k, F.col("n"))), F.lit(0))
+          .cast("long").alias(f"n{k}") for k in range(8)]
+        + [F.coalesce(F.max(F.when(F.col("k") == k, F.col("c"))), F.lit(0))
+            .cast("long").alias(f"c{k}") for k in range(8)]))
+    v = piv.select(
+        *[F.col(f"n{k}") for k in range(8)],
+        *[F.expr(_SHAP_V.format(k=k)).alias(f"v{k}") for k in range(8)])
+    click = v.select(
+        F.lit("click").alias("channel"),
+        F.expr("CAST(n4 + n5 + n6 + n7 AS BIGINT)").alias("n_touched"),
+        pround(F.expr("(v4 - v0) / 3 + (v6 - v2) / 6 + (v5 - v1) / 6 "
+                      "+ (v7 - v3) / 3"), 6).alias("phi_shapley"))
+    view = v.select(
+        F.lit("view").alias("channel"),
+        F.expr("CAST(n2 + n3 + n6 + n7 AS BIGINT)").alias("n_touched"),
+        pround(F.expr("(v2 - v0) / 3 + (v6 - v4) / 6 + (v3 - v1) / 6 "
+                      "+ (v7 - v5) / 3"), 6).alias("phi_shapley"))
+    signup = v.select(
+        F.lit("signup").alias("channel"),
+        F.expr("CAST(n1 + n3 + n5 + n7 AS BIGINT)").alias("n_touched"),
+        pround(F.expr("(v1 - v0) / 3 + (v5 - v4) / 6 + (v3 - v2) / 6 "
+                      "+ (v7 - v6) / 3"), 6).alias("phi_shapley"))
+    return click.unionAll(view).unionAll(signup)

@@ -1860,3 +1860,84 @@ def test_overlap_and_tv_match_brute(spark, tmp_path):
     d2 = _two_type_fixture(tmp_path, [1, 2], [5, 6])
     got2 = QUERIES["q_distribution_overlap"](spark, d2).collect()[0]
     assert (got2["overlap_bp"], got2["tv_bp"]) == (0, 10000)
+
+
+# ----------------------------------------------------------------- shapley
+
+def test_shapley_matches_brute(spark, tmp_path):
+    import pandas as pd
+    from itertools import combinations
+    # users with controlled touch sets and conversion
+    spec = [
+        # (uid, touches, converted) — click is the strong channel
+        (1, ("click",), 1), (2, ("click",), 1), (3, ("click",), 0),
+        (4, ("view",), 0), (5, ("view",), 0), (6, ("view",), 1),
+        (7, ("signup",), 0),
+        (8, ("click", "view"), 1), (9, ("click", "view"), 1),
+        (10, ("view", "signup"), 0),
+        (11, ("click", "view", "signup"), 1),
+        (12, (), 0), (13, (), 0),
+    ]
+    rows = []
+    for uid, touches, conv in spec:
+        for i, t in enumerate(touches):
+            rows.append((uid, f"2024-01-01 {8 + i:02d}:00:00", t))
+        if conv:
+            rows.append((uid, "2024-01-01 20:00:00", "purchase"))
+        if not touches and not conv:
+            rows.append((uid, "2024-01-01 07:00:00", "error"))
+    d = _events_fixture(tmp_path, rows)
+    got = {r["channel"]: r
+           for r in QUERIES["q_shapley_attribution"](spark, d).collect()}
+
+    chans = ("click", "view", "signup")
+    vmap = {}
+    for uid, touches, conv in spec:
+        key = frozenset(touches)
+        n, c = vmap.get(key, (0, 0))
+        vmap[key] = (n + 1, c + conv)
+
+    def v(S):
+        n, c = vmap.get(frozenset(S), (0, 0))
+        return c / n if n > 0 else 0.0
+
+    import math as _m
+    for ch in chans:
+        others = [c for c in chans if c != ch]
+        phi = 0.0
+        for r in range(3):
+            for S in combinations(others, r):
+                w = (_m.factorial(len(S)) * _m.factorial(3 - len(S) - 1)
+                     / _m.factorial(3))
+                phi += w * (v(set(S) | {ch}) - v(S))
+        assert got[ch]["phi_shapley"] == pytest.approx(phi, abs=2e-6), ch
+    # the strong channel earns the most credit
+    assert (got["click"]["phi_shapley"] > got["view"]["phi_shapley"]
+            > got["signup"]["phi_shapley"])
+    assert got["click"]["n_touched"] == 6
+
+
+def test_shapley_efficiency_identity(spark, tmp_path):
+    # sum of phis == v(grand coalition) - v(empty) when every coalition
+    # along the chain is observed
+    rows = []
+    uid = 0
+    for touches, conv_rate_n in [((), (0, 4)), (("click",), (2, 4)),
+                                 (("view",), (1, 4)), (("signup",), (1, 4)),
+                                 (("click", "view"), (3, 4)),
+                                 (("click", "signup"), (2, 4)),
+                                 (("view", "signup"), (2, 4)),
+                                 (("click", "view", "signup"), (4, 4))]:
+        conv, n = conv_rate_n
+        for j in range(n):
+            uid += 1
+            for i, t in enumerate(touches):
+                rows.append((uid, f"2024-01-01 {8 + i:02d}:00:00", t))
+            if j < conv:
+                rows.append((uid, "2024-01-01 20:00:00", "purchase"))
+            elif not touches:
+                rows.append((uid, "2024-01-01 07:00:00", "error"))
+    d = _events_fixture(tmp_path, rows)
+    out = QUERIES["q_shapley_attribution"](spark, d).collect()
+    total = sum(r["phi_shapley"] for r in out)
+    assert total == pytest.approx(1.0 - 0.0, abs=5e-6)  # v(C)=1, v({})=0
