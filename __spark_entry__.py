@@ -100,8 +100,8 @@ _DRIVER_PRIORITY = [
 # q_effective_rank, q_mcc_f1, q_lift_gains, q_kendall_w,
 # q_design_effect — all vanilla + TZ gated at
 # birth this round, every events/documents row 5-seed fuzzed and the
-# batch-1/2/3 rows additionally 10-seed deep-fuzzed), plus the 30
-# session-2 operators (q_logrank_test, q_pettitt_test, q_isotonic_pav,
+# batch-1/2/3 rows additionally 10-seed deep-fuzzed), plus the 36
+# session-2 operators (final list; q_logrank_test, q_pettitt_test, q_isotonic_pav,
 # q_decision_stump, q_calinski_harabasz, q_davies_bouldin,
 # q_heaps_exponent, q_capture_recapture, q_pacf_daily, q_raking_ipf,
 # q_jonckheere_terpstra, q_price_index, q_hurst_exponent,
@@ -109,7 +109,9 @@ _DRIVER_PRIORITY = [
 # q_growth_accounting, q_srm_check, q_dau_stickiness, q_eb_shrinkage,
 # q_dunn_posthoc, q_weighted_kappa, q_youden_cut, q_holm_bonferroni,
 # q_cmh_test, q_cross_correlation, q_granger_1lag, q_period_detect,
-# q_burst_episodes — same vanilla + TZ + fuzz discipline at birth,
+# q_burst_episodes, q_stream_srm, q_median_ci, q_bowley_skewness,
+# q_wasserstein_1d, q_distribution_overlap, q_shapley_attribution —
+# 36 in total, same vanilla + TZ + fuzz discipline at birth,
 # the 21 events/documents rows additionally 10-seed deep-fuzzed (one
 # REAL catch: q_period_detect's raw-double argmax, fixed to the R6
 # grid), brute-force-pinned in tests/test_round12b_ops.py, x10 points
@@ -121,7 +123,7 @@ _DRIVER_PRIORITY = [
 # causal rows q_ipw_ate / q_diff_in_diff / q_conformal_interval /
 # q_quantile_treatment_effect, and the double-output q_wilson_interval
 # / q_odds_ratio_ci / q_power_mde / q_regression_discontinuity); the
-# remaining 16 r12 batch-1..11 rows plus the 14 session-2 rows split
+# remaining 16 r12 batch-1..11 rows plus the 36 session-2 rows split
 # across r14/r15 (session-2 rows last — they carry the freshest
 # gate signal):
 # q_ivf_assign, q_distinct_agg, q_stratified_sample, q_decontaminate,
