@@ -25,19 +25,25 @@ from pyspark.sql import functions as F
 
 
 def _pagerank_invariants(edges: DataFrame):
-    """The three loop-invariant tables, persisted so each iteration's
-    plan reads cache instead of re-running the distinct/degree shuffles
+    """The two loop-invariant tables, persisted so each iteration's
+    plan reads cache instead of re-running the dedup/degree shuffles
     (without this the k-th iteration replays k copies of the edge prep
     — visible as 3× the Exchange count in the physical plan).
 
-    ``e`` additionally persists HASH-PARTITIONED ON src: distinct()
-    leaves it partitioned on (src, dst), which does NOT satisfy the
-    per-iteration join's HashPartitioning(src) requirement, so every
-    iteration would re-shuffle the FULL edge table — the one table that
-    is huge at scale.  Cached with the right outputPartitioning,
+    ``e`` persists HASH-PARTITIONED ON src, deduplicated AND carrying
+    ``outdeg``, all inside ONE exchange: the numeric repartition pins
+    HashPartitioning(src), the (src, dst) dedup aggregate runs on that
+    partitioning (ClusteredDistribution(src, dst) is satisfied by the
+    src hash), and the per-src count rides a window over the same
+    partitioning — so the edge table is shuffled exactly once and the
+    old per-iteration ``deg`` join disappears (outdeg is already on
+    the edge row).  A ``distinct().repartition()`` formulation costs
+    two full edge shuffles plus a third for the degree aggregate, and
+    caches ``e`` WITHOUT outdeg so every iteration pays a node-keyed
+    join to fetch it.  Cached with the right outputPartitioning,
     EnsureRequirements reuses it (verified: zero Exchange above the
     edge InMemoryTableScan in the executed sort-merge plan) and each
-    iteration shuffles only the node-sized rank/deg tables.
+    iteration shuffles only the node-sized rank table.
     tests/test_explain_plans.py pins the cached partitioning.
 
     The repartition is NUMERIC (shuffle.partitions), not by-column:
@@ -46,18 +52,22 @@ def _pagerank_invariants(edges: DataFrame):
     AQE-coalescible, so the cached partitioning could shift under the
     consumer join and re-introduce the per-iteration edge shuffle;
     REPARTITION_BY_NUM is never coalesced, which keeps the pin."""
+    from pyspark.sql import Window as W
+
     n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    e = edges.select("src", "dst").distinct().repartition(n, "src").persist()
+    e = (edges.select("src", "dst")
+              .repartition(n, "src")
+              .dropDuplicates(["src", "dst"])
+              .withColumn("outdeg", F.count("*").over(W.partitionBy("src")))
+              .persist())
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node"))).distinct()
               .persist())
-    deg = (e.groupBy(F.col("src").alias("node"))
-            .agg(F.count("*").alias("outdeg")).persist())
-    return e, nodes, deg
+    return e, nodes
 
 
 def pagerank(edges: DataFrame, iterations: int = 3,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85, complete: bool = False) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)``.
 
     Nodes are the union of src and dst; every rank update is
@@ -66,8 +76,16 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     strict stochastic fix symmetrize the edge list or add a dangling
     redistribution term; the oracle-checked query symmetrizes.
 
+    ``complete=True`` asserts every node has at least one IN-edge
+    (true for any symmetrized graph: each node's out-edge is its
+    in-edge flipped), which lets each iteration emit the new ranks
+    straight off the contribution aggregate instead of left-joining
+    the node table to fill never-occurring zero rows — one fewer
+    node-keyed shuffle per iteration, identical results whenever the
+    precondition holds.
+
     Returns ``(node, rank)``."""
-    e, nodes, deg = _pagerank_invariants(edges)
+    e, nodes = _pagerank_invariants(edges)
     # N and the teleport term are scalar: computed once, broadcast into
     # every iteration as a 1-row cross join (no driver round-trip)
     n_row = nodes.agg(F.count("*").alias("__n"))
@@ -75,10 +93,15 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                   .select("node", (F.lit(1.0) / F.col("__n")).alias("rank")))
     for _ in range(iterations):
         contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
-                    .join(deg.withColumnRenamed("node", "src"), "src")
                     .select(F.col("dst").alias("node"),
                             (F.col("rank") / F.col("outdeg")).alias("c")))
         summed = contrib.groupBy("node").agg(F.sum("c").alias("__in"))
+        if complete:
+            ranks = (summed.crossJoin(F.broadcast(n_row))
+                           .select("node",
+                                   ((1.0 - damping) / F.col("__n")
+                                    + damping * F.col("__in")).alias("rank")))
+            continue
         ranks = (nodes.join(summed, "node", "left")
                       .crossJoin(F.broadcast(n_row))
                       .select("node",
@@ -94,7 +117,7 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # (node-sized); callers that are done with it unpersist it.
     out = ranks.persist()
     out.count()
-    for t in (e, nodes, deg):
+    for t in (e, nodes):
         t.unpersist()
     return out
 

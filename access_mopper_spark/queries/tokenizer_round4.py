@@ -350,17 +350,32 @@ def q_pagerank(spark, sf_dir):
     iterative-algorithm complement of dedup_clusters' connected
     components.  Each round is one edges⋈ranks shuffle + one sum by
     dst; N and the teleport term ride a broadcast 1-row aggregate, and
-    nothing ever collects to the driver."""
+    nothing ever collects to the driver.
+
+    Edge-build shape (r12 optimization): the graph runs on BIGINT node
+    ids (partkey·2 / suppkey·2+1 — the two families are disjoint, so
+    the 'p…'/'s…' labels are re-attached only on the node-sized output)
+    and both edge directions come off ONE lineitem scan via explode, so
+    the operator's single repartition+dedup exchange is the only edge
+    shuffle.  The old string-keyed distinct→union→distinct shape cost
+    two scans and three full edge shuffles of 16-char keys (measured
+    9.5 s of the query's 10.5 s at sf0.1)."""
     from access_mopper_spark.operators.graph import pagerank
     li = load_table(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
-    edges = e0.union(e0.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst")))
-    ranks = pagerank(edges, iterations=3, damping=0.85)
-    return ranks.select("node", R6(F.col("rank")).alias("rank"))
+    p = (F.col("l_partkey") * 2).cast("long")
+    s = (F.col("l_suppkey") * 2 + 1).cast("long")
+    edges = (li.select(F.explode(F.array(
+                 F.struct(p.alias("src"), s.alias("dst")),
+                 F.struct(s.alias("src"), p.alias("dst")))).alias("e"))
+               .select("e.src", "e.dst"))
+    ranks = pagerank(edges, iterations=3, damping=0.85, complete=True)
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("p"), F.expr("CAST(node DIV 2 AS STRING)"))
+    ).otherwise(
+        F.concat(F.lit("s"), F.expr("CAST((node - 1) DIV 2 AS STRING)")))
+    return ranks.select(node_str.alias("node"),
+                        R6(F.col("rank")).alias("rank"))
 
 
 @query(

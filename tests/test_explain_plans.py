@@ -339,7 +339,7 @@ def test_pagerank_edge_cache_partitioned_on_join_key(spark, sf_dir):
     edges = spark.range(2000).select(
         (F.col("id") % 53).cast("string").alias("src"),
         (F.col("id") % 17).cast("string").alias("dst"))
-    e, nodes, deg = _pagerank_invariants(edges)
+    e, nodes = _pagerank_invariants(edges)
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         e.count()  # materialize the cache
@@ -355,7 +355,7 @@ def test_pagerank_edge_cache_partitioned_on_join_key(spark, sf_dir):
         assert "Exchange" not in head, head
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        for t in (e, nodes, deg):
+        for t in (e, nodes):
             t.unpersist()
 
 
