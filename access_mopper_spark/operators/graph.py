@@ -289,17 +289,25 @@ def cc_large_small_star(edges: DataFrame, nodes: DataFrame | None = None,
     e_cnt = e.count()
 
     def _star(cur: DataFrame, large: bool) -> DataFrame:
+        # m = min(Γ(u) ∪ {u}) rides a whole-partition window over the
+        # SAME hash(u) shuffle that feeds the neighbour rows, instead of
+        # a groupBy + self-join back on u: one exchange + one in-place
+        # sort per star where the join formulation paid the aggregate
+        # exchange, the join sort AND the hash-relation build (the
+        # small-star extra (u, m) leg now emits once per neighbour and
+        # lets the closing distinct dedup it — same set, no extra pass).
+        from pyspark.sql import Window as W
+
         sym = cur.select("u", "v").unionAll(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = (sym.groupBy("u").agg(F.min("v").alias("__mn"))
-                .select("u", F.least("u", "__mn").alias("m")))
-        nbrs = sym.join(m, "u")
+        nbrs = sym.withColumn(
+            "m", F.least(F.col("u"), F.min("v").over(W.partitionBy("u"))))
         keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
         out = (nbrs.where(keep)
                    .select(F.col("v").alias("a"), F.col("m").alias("b")))
         if not large:
-            out = out.unionAll(m.select(F.col("u").alias("a"),
-                                        F.col("m").alias("b")))
+            out = out.unionAll(nbrs.select(F.col("u").alias("a"),
+                                           F.col("m").alias("b")))
         return (out.where(F.col("a") != F.col("b"))
                    .select(F.least("a", "b").alias("u"),
                            F.greatest("a", "b").alias("v"))
