@@ -122,7 +122,8 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     return out
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame,
+                    assume_canonical: bool = False) -> DataFrame:
     """Per-node triangle counts over an undirected edge list ``(a, b)``
     via degree orientation — the standard O(m^1.5) distributed triangle
     algorithm (each edge is directed from its lower-(degree, id)
@@ -137,10 +138,24 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     their node table if they need zeros).  Three shuffles total: the
     degree agg, the wedge self-join, the closing-edge semi-join; per-
     node reduce is map-side combined.  Nothing driver-side."""
-    und = (edges.select(F.least("a", "b").alias("a"),
-                        F.greatest("a", "b").alias("b"))
-                .where(F.col("a") != F.col("b"))
-                .distinct())
+    # und feeds TWO consumers (the degree aggregate and the orientation
+    # join) — persist it, or the canonicalizing distinct replays.  With
+    # assume_canonical the caller vouches the input is already the
+    # deduped a<b set (and manages its own caching — typically it
+    # persisted the frame because it reuses it too), so the extra
+    # distinct exchange is skipped outright.
+    own_cache = not assume_canonical
+    if assume_canonical:
+        und = edges.select("a", "b")
+    else:
+        und = (edges.select(F.least("a", "b").alias("a"),
+                            F.greatest("a", "b").alias("b"))
+                    .where(F.col("a") != F.col("b"))
+                    .distinct().persist())
+        # materialize BEFORE the consumers fan out: a lazily-persisted
+        # frame read by concurrent stages of one action is recomputed by
+        # every racing stage until a block lands in the cache
+        und.count()
     deg = (und.select(F.col("a").alias("node"))
               .unionAll(und.select(F.col("b").alias("node")))
               .groupBy("node").agg(F.count("*").alias("deg")))
@@ -161,6 +176,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                     F.when(lower_first, F.col("degb")).otherwise(F.col("dega"))
                     .alias("ddeg"))
             .persist())
+    o.count()  # eager: three racing consumers (two wedge legs + closing)
     # wedges at the apex u: pairs of out-neighbours (v, w), canonical in
     # the SAME (deg, id) order the orientation uses, so the closing edge
     # is guaranteed oriented v→w and ONE semi-join finds it
@@ -179,10 +195,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     out = out.persist()
     out.count()
     o.unpersist()
+    if own_cache:
+        und.unpersist()
     return out
 
 
-def k_core_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+def k_core_peel(edges: DataFrame, k: int, rounds: int,
+                assume_canonical: bool = False) -> DataFrame:
     """Fixed-round k-core peeling over an undirected edge list
     ``(a, b)``: each round drops every node whose CURRENT degree is
     below k, plus all its edges, and recomputes degrees — the standard
@@ -206,10 +225,15 @@ def k_core_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     starts from a flat scan.  (Executor-loss caveat: localCheckpoint
     blocks are not recomputable; a fault-tolerant production run uses
     reliable checkpoint() to durable storage instead.)"""
-    e = (edges.select(F.least("a", "b").alias("a"),
-                      F.greatest("a", "b").alias("b"))
-              .where(F.col("a") != F.col("b"))
-              .distinct()).localCheckpoint()
+    if assume_canonical:
+        # caller vouches the input is already the deduped a<b set —
+        # skip the canonicalizing distinct (one full edge shuffle)
+        e = edges.select("a", "b").localCheckpoint()
+    else:
+        e = (edges.select(F.least("a", "b").alias("a"),
+                          F.greatest("a", "b").alias("b"))
+                  .where(F.col("a") != F.col("b"))
+                  .distinct()).localCheckpoint()
     for _ in range(rounds):
         deg = (e.select(F.col("a").alias("node"))
                 .unionAll(e.select(F.col("b").alias("node")))

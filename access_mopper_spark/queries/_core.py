@@ -169,6 +169,31 @@ def eager_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+def copurchase_pairs(li: DataFrame, order_col: str = "l_orderkey",
+                     item_col: str = "l_partkey") -> DataFrame:
+    """Distinct unordered co-purchase pairs ``(a < b)`` per order off
+    ONE scan + TWO shuffles: the basket aggregate (collect_set per
+    order — dedup and grouping in the same exchange) feeds a MAP-SIDE
+    pair expansion from the sorted array, then one distinct over the
+    pair key.  The textbook orderkey self-join costs two scans and
+    three full shuffles for the same set (q_cooccur_parts proved the
+    basket shape at the ×10 sweep; this helper extends it to the graph
+    edge builders).  Basket fan-out is bounded by the per-order item
+    count, exactly the fan-out bound the self-join relies on."""
+    baskets = (li.groupBy(order_col)
+                 .agg(F.array_sort(F.collect_set(item_col)).alias("__ps")))
+    pair_arr = F.flatten(F.transform(
+        F.col("__ps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__ps"), i + 2, F.size(F.col("__ps"))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    return (baskets.where(F.size(F.col("__ps")) >= 2)
+                   .select(F.explode(pair_arr).alias("__p"))
+                   .select(F.col("__p.a").alias("a"),
+                           F.col("__p.b").alias("b"))
+                   .distinct())
+
+
 _SCRATCH_DIRS: set[str] = set()
 
 
@@ -196,4 +221,4 @@ def _pid_scratch(stem: str) -> str:
 
 
 
-__all__ = ['QUERIES', 'ORACLES', 'query', 'R6', '_wide', '_pid_scratch', '_SCRATCH_DIRS', '_portable_round_sql', '_scan_parens', '_split_args', '_ROUND_CALL', 'F', 'W', 'DataFrame', 'SparkSession', 'Callable', 're', 'load_table', 'CalcContext', 'compile_calc', 'pround', 'portable_levenshtein', 'portable_lower', 'time_resample']
+__all__ = ['QUERIES', 'ORACLES', 'query', 'R6', '_wide', '_pid_scratch', '_SCRATCH_DIRS', '_portable_round_sql', '_scan_parens', '_split_args', '_ROUND_CALL', 'F', 'W', 'DataFrame', 'SparkSession', 'Callable', 're', 'load_table', 'CalcContext', 'compile_calc', 'pround', 'portable_levenshtein', 'portable_lower', 'time_resample', 'eager_release', 'copurchase_pairs']

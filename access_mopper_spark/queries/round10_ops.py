@@ -10,7 +10,7 @@ gates run before any driver exposure.
 from __future__ import annotations
 
 from access_mopper_spark.queries._core import (  # noqa: F401
-    F, W, query, R6, _wide, load_table, pround)
+    F, W, query, R6, _wide, copurchase_pairs, eager_release, load_table, pround)
 from access_mopper_spark.functions.text import confusable_skeleton_sql
 
 
@@ -744,12 +744,13 @@ def q_local_clustering(spark, sf_dir):
     li = (load_table(spark, sf_dir, "lineitem")
           .where(F.col("l_quantity") > 25)
           .select("l_orderkey", "l_partkey"))
-    e1 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
-    e2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
-    pairs = (e1.join(e2, "l_orderkey")
-               .where(F.col("a") < F.col("b"))
-               .select("a", "b").distinct())
-    tri = triangle_counts(pairs)
+    # basket-built canonical pair set, persisted: it feeds the triangle
+    # operator (degree agg + orientation join) AND the external degree
+    # table — the old self-join + distinct replayed two scans and three
+    # shuffles per consumer
+    pairs = copurchase_pairs(li).persist()
+    pairs.count()  # eager: racing consumers would recompute the build
+    tri = triangle_counts(pairs, assume_canonical=True)
     deg = (pairs.select(F.col("a").alias("node"))
                 .unionAll(pairs.select(F.col("b").alias("node")))
                 .groupBy("node").agg(F.count("*").cast("long").alias("d")))
@@ -758,11 +759,12 @@ def q_local_clustering(spark, sf_dir):
                     F.coalesce(F.col("__t"), F.lit(0)).cast("long")
                      .alias("triangles"),
                     "d"))
-    return j.withColumn(
+    out = j.withColumn(
         "lcc_bp",
         F.when(F.col("d") >= 2,
                F.expr("(triangles * 20000) DIV (d * (d - 1))"))
          .otherwise(F.lit(None).cast("long")))
+    return eager_release(out, pairs, tri)
 
 
 @query(

@@ -15,7 +15,7 @@ driver exposure.
 from __future__ import annotations
 
 from access_mopper_spark.queries._core import (  # noqa: F401
-    F, W, query, R6, _wide, eager_release, load_table, pround)
+    F, W, query, R6, _wide, copurchase_pairs, eager_release, load_table, pround)
 
 
 # =====================================================================
@@ -875,16 +875,18 @@ def q_adamic_adar(spark, sf_dir):
     li = (load_table(spark, sf_dir, "lineitem")
           .where(F.col("l_quantity") > 25)
           .select("l_orderkey", "l_partkey"))
-    e1 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
-    e2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
     # the edge list feeds THREE consumers (degrees, wedge legs, the
     # existing-edge anti-join) and the weighted adjacency feeds two
-    # wedge legs — persist both or Catalyst replays the orderkey
-    # self-join + distinct up to 5x (measured 53 s -> materially less
-    # at the x10 point)
-    pairs = (e1.join(e2, "l_orderkey")
-               .where(F.col("a") < F.col("b"))
-               .select("a", "b").distinct().persist())
+    # wedge legs — persist both or Catalyst replays the edge build up
+    # to 5x (measured 53 s -> materially less at the x10 point).  The
+    # edge set itself is basket-built (one scan + two shuffles; the old
+    # orderkey self-join + distinct cost two scans and three), and it is
+    # materialized EAGERLY: a lazily-persisted frame whose consumers are
+    # concurrent stages of one action gets recomputed by every racing
+    # stage before any block lands in the cache (measured 17.8 s lazy vs
+    # 6.5 s eager at sf0.1 — the count is one cache-sized job).
+    pairs = copurchase_pairs(li).persist()
+    pairs.count()
     deg = (pairs.select(F.col("a").alias("node"))
                 .unionAll(pairs.select(F.col("b").alias("node")))
                 .groupBy("node").agg(F.count("*").cast("long").alias("d")))
@@ -897,6 +899,7 @@ def q_adamic_adar(spark, sf_dir):
     mid = (adj.join(deg.withColumnRenamed("node", "m"), "m")
               .where((F.col("d") <= 64) & (F.col("d") >= 2))
               .select("m", "nbr", wq.alias("wq")).persist())
+    mid.count()  # same racing-consumer rule: two wedge legs read it
     x = mid.select("m", F.col("nbr").alias("v"), F.col("wq").alias("wq"))
     y = mid.select("m", F.col("nbr").alias("w"))
     cand = (x.join(y, "m").where(F.col("v") < F.col("w"))

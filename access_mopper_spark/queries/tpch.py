@@ -363,12 +363,14 @@ def q_triangle_counts(spark, sf_dir):
     li = (load_table(spark, sf_dir, "lineitem")
           .where(F.col("l_quantity") > 25)
           .select("l_orderkey", "l_partkey"))
-    l2 = li.select(F.col("l_orderkey").alias("o2"),
-                   F.col("l_partkey").alias("b"))
-    edges = (li.join(l2, (F.col("l_orderkey") == F.col("o2"))
-                     & (F.col("l_partkey") < F.col("b")))
-               .select(F.col("l_partkey").alias("a"), "b"))
-    return triangle_counts(edges)
+    # basket-built canonical pair set (one scan + two shuffles; the old
+    # orderkey self-join + operator-side distinct cost two scans and
+    # four) — persisted because the operator reads it twice (degree agg
+    # + orientation join)
+    pairs = copurchase_pairs(li).persist()
+    pairs.count()  # eager: degree agg + orientation join race otherwise
+    out = triangle_counts(pairs, assume_canonical=True)
+    return eager_release(out, pairs, out)
 
 
 @query(
@@ -479,12 +481,11 @@ def q_k_core(spark, sf_dir):
     li = (load_table(spark, sf_dir, "lineitem")
           .where(F.col("l_quantity") > 25)
           .select("l_orderkey", "l_partkey"))
-    l2 = li.select(F.col("l_orderkey").alias("o2"),
-                   F.col("l_partkey").alias("b"))
-    edges = (li.join(l2, (F.col("l_orderkey") == F.col("o2"))
-                     & (F.col("l_partkey") != F.col("b")))
-               .select(F.col("l_partkey").alias("a"), "b"))
-    return k_core_peel(edges, k=18, rounds=5)
+    # basket-built canonical pair set straight into the operator's
+    # round-0 checkpoint — the old directed self-join emitted every
+    # edge twice and paid an extra canonicalizing distinct
+    return k_core_peel(copurchase_pairs(li), k=18, rounds=5,
+                       assume_canonical=True)
 
 
 _LEAKFREE_SPLIT_ORACLE = f"""
