@@ -733,6 +733,11 @@ def prefix_filter_join(df: DataFrame, text_col: str = "text",
     arrs = (base.where(F.size("toks") > 0)
                 .withColumn("sz", F.size("toks"))
                 .persist())
+    # eager: the tokenized table feeds the postings explode AND both
+    # verify legs as concurrent stages of one action — lazily persisted
+    # it is re-tokenized by every racing stage before blocks land in
+    # the cache (the 3x rep variance q_similarity_join_exact showed)
+    arrs.count()
     toks = arrs.select("id", "sz", F.explode("toks").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     # rarity rank within each doc: one keyed window over doc id

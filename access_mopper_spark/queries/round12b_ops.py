@@ -111,8 +111,12 @@ def q_logrank_test(spark, sf_dir):
           .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
           .select("user_id",
                   F.date_trunc("day", "ts").cast("date").alias("d")))
+    # the user-level aggregate feeds the global max, the lifetime grid
+    # AND the arm totals — persist it eagerly (racing-consumer rule) so
+    # the events scan + user rollup run once, not 3×
     u = ev.groupBy("user_id").agg(F.min("d").alias("d0"),
-                                  F.max("d").alias("d1"))
+                                  F.max("d").alias("d1")).persist()
+    u.count()
     mx = u.agg(F.max("d1").alias("gmax"))
     lt = (u.crossJoin(F.broadcast(mx))
            .select((F.col("user_id") % 2).alias("arm"),
@@ -150,19 +154,20 @@ def q_logrank_test(spark, sf_dir):
                    .cast("long").alias("n1_users"),
                   F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
                    .cast("long").alias("n0_users"))
-    return (tots.crossJoin(F.broadcast(arms))
-                .select("n1_users", "n0_users", "o1", "o_all",
-                        pround(F.expr("CAST(e1m AS DOUBLE) / 1e6"), 6)
-                          .alias("e1"),
-                        pround(F.expr("CAST(vm AS DOUBLE) / 1e6"), 6)
-                          .alias("v_hyper"),
-                        F.when(F.col("vm") > 0,
-                               pround(F.expr(
-                                   "CAST(o1 * 1000000 - e1m AS DOUBLE) "
-                                   "/ (SQRT(CAST(vm AS DOUBLE)) * 1000.0)"),
-                                   6))
-                         .otherwise(F.lit(None).cast("double"))
-                         .alias("z_logrank")))
+    out = (tots.crossJoin(F.broadcast(arms))
+               .select("n1_users", "n0_users", "o1", "o_all",
+                       pround(F.expr("CAST(e1m AS DOUBLE) / 1e6"), 6)
+                         .alias("e1"),
+                       pround(F.expr("CAST(vm AS DOUBLE) / 1e6"), 6)
+                         .alias("v_hyper"),
+                       F.when(F.col("vm") > 0,
+                              pround(F.expr(
+                                  "CAST(o1 * 1000000 - e1m AS DOUBLE) "
+                                  "/ (SQRT(CAST(vm AS DOUBLE)) * 1000.0)"),
+                                  6))
+                        .otherwise(F.lit(None).cast("double"))
+                        .alias("z_logrank")))
+    return eager_release(out, u)
 
 
 # =====================================================================
