@@ -312,7 +312,7 @@ def cc_large_small_star(edges: DataFrame, nodes: DataFrame | None = None,
              .distinct().persist())
     e_cnt = e.count()
 
-    def _star(cur: DataFrame, large: bool) -> DataFrame:
+    def _star(cur: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
         # m = min(Γ(u) ∪ {u}) rides a whole-partition window over the
         # SAME hash(u) shuffle that feeds the neighbour rows, instead of
         # a groupBy + self-join back on u: one exchange + one in-place
@@ -320,6 +320,10 @@ def cc_large_small_star(edges: DataFrame, nodes: DataFrame | None = None,
         # exchange, the join sort AND the hash-relation build (the
         # small-star extra (u, m) leg now emits once per neighbour and
         # lets the closing distinct dedup it — same set, no extra pass).
+        # ``dedup=False`` defers the closing distinct: the consumer's
+        # window-min is multiset-invariant, so the large-star half of a
+        # round skips its dedup exchange outright and the round's single
+        # distinct (on the small-star output) restores the set.
         from pyspark.sql import Window as W
 
         sym = cur.select("u", "v").unionAll(
@@ -332,13 +336,14 @@ def cc_large_small_star(edges: DataFrame, nodes: DataFrame | None = None,
         if not large:
             out = out.unionAll(nbrs.select(F.col("u").alias("a"),
                                            F.col("m").alias("b")))
-        return (out.where(F.col("a") != F.col("b"))
-                   .select(F.least("a", "b").alias("u"),
-                           F.greatest("a", "b").alias("v"))
-                   .distinct())
+        out = (out.where(F.col("a") != F.col("b"))
+                  .select(F.least("a", "b").alias("u"),
+                          F.greatest("a", "b").alias("v")))
+        return out.distinct() if dedup else out
 
     for _ in range(max_rounds):
-        nxt = _star(_star(e, large=True), large=False).localCheckpoint()
+        nxt = _star(_star(e, large=True, dedup=False),
+                    large=False).localCheckpoint()
         # equal-cardinality distinct sets with an empty one-sided
         # difference ARE equal — one count (free on the checkpointed
         # table) plus at most one bounded anti probe per round
