@@ -50,10 +50,27 @@ def main() -> None:
         try:
             import contextlib
             import io
-            df = fn(spark, sf_dir)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain(mode="formatted")
+            # bypass eager_release during the dump so the captured plan
+            # is the real computation, not the post-checkpoint RDD scan
+            import access_mopper_spark.queries._core as core
+            orig = core.eager_release
+            ident = lambda r, *c: r  # noqa: E731
+            mods = [m for n, m in list(sys.modules.items())
+                    if n.startswith("access_mopper_spark.queries") and m]
+            patched = [m for m in mods
+                       if getattr(m, "eager_release", None) is orig]
+            for m in patched:
+                m.eager_release = ident
+            core.eager_release = ident
+            try:
+                df = fn(spark, sf_dir)
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain(mode="formatted")
+            finally:
+                core.eager_release = orig
+                for m in patched:
+                    m.eager_release = orig
             with open(f"plans/r12/{name}_{tag}.txt", "w") as f:
                 f.write(buf.getvalue())
         except Exception as exc:  # noqa: BLE001
