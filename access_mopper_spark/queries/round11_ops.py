@@ -902,6 +902,12 @@ def q_adamic_adar(spark, sf_dir):
     mid.count()  # same racing-consumer rule: two wedge legs read it
     x = mid.select("m", F.col("nbr").alias("v"), F.col("wq").alias("wq"))
     y = mid.select("m", F.col("nbr").alias("w"))
+    # NOTE (r12): a map-side combinational emit (collect_list + HOF pair
+    # explode, the copurchase_pairs shape) was tried here and measured
+    # 25 s vs 7 s — at deg<=64 the per-middle fan-out is ~2000 structs
+    # through INTERPRETED transform/flatten, which loses badly to this
+    # whole-stage-codegen self-join.  The basket shape only wins at
+    # small fan-out (orders: <=7 items).
     cand = (x.join(y, "m").where(F.col("v") < F.col("w"))
              .groupBy("v", "w")
              .agg(F.count("*").cast("long").alias("n_common"),
