@@ -97,7 +97,11 @@ COMMENTARY = {
         "+ three bit tests via F.aggregate) — zero corpus shuffle.",
     "q_pagerank": "PageRank round: edges⋈ranks equi-join then sum-by-dst — "
         "one shuffle per iteration; N/teleport ride a broadcast 1-row "
-        "aggregate, nothing collects.",
+        "aggregate, nothing collects.  r12 optimization: the edge "
+        "invariant builds in ONE exchange (repartition(src) + in-place "
+        "dedup + window out-degree), BIGINT node ids, both directions "
+        "off one scan via explode, complete=True drops the per-iteration "
+        "node join — sf0.1 median 10.5 s → 2.7 s.",
     "q_moving_avg": "Time-RANGE moving average: one keyed window exchange; "
         "the frame is a sliding two-pointer over the sorted partition "
         "(O(rows), not O(rows × frame)).",
@@ -147,10 +151,13 @@ COMMENTARY = {
     "q_importance_weights": "DSIR weights: one bucket-count shuffle "
         "(64 rows out), the log-ratio table broadcasts, scoring is a "
         "map-side lookup + per-doc rollup; integer micro-nat sums.",
-    "q_cc_large_small_star": "Star-contraction CC: each half-round is "
-        "one groupBy(node) shuffle + one equi-join; edges contract "
+    "q_cc_large_small_star": "Star-contraction CC: edges contract "
         "toward stars in O(log n) alternations vs min-label's "
-        "O(diameter) rounds.",
+        "O(diameter) rounds.  r12 optimization: min(Γ(u) ∪ {u}) rides a "
+        "whole-partition window over the star's own hash(u) exchange "
+        "(no groupBy+join), and the large-star half defers its dedup to "
+        "the round's closing distinct (window-min is multiset-"
+        "invariant) — sf0.1 median 13.1 s → 6.1 s.",
     "q_pca_power": "PCA power iteration: the corpus reduces ONCE via "
         "per-batch GEMM to the 64×64 Gram; every matvec after that is "
         "dim-sized algebra — iteration cost independent of corpus "
