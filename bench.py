@@ -180,9 +180,13 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        # label the jobs (guide §1.5) so any profiling/event-log of a
+        # bench run maps stages back to queries; timing is unchanged
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
+        spark.sparkContext.setJobDescription(None)
         timings[name] = round(dt, 3)
         total += dt
 
