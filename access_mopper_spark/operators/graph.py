@@ -122,6 +122,81 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     return out
 
 
+def wedge_pairs_arrow(adjl: DataFrame, nbrs_col: str = "nbrs",
+                      payload_col: str = "wq",
+                      max_pairs_per_chunk: int = 1 << 21) -> DataFrame:
+    """Columnar wedge-pair emit: for each row carrying a SORTED array of
+    distinct BIGINT neighbour ids plus one BIGINT payload, emit every
+    unordered pair ``(v < w)`` of that array with the payload attached —
+    the fan-out step of wedge-counting algorithms (Adamic-Adar, common-
+    neighbour scoring) where the middle node's neighbourhood expands to
+    C(d, 2) candidate rows.
+
+    Why Arrow and not an expression rewrite or a self-join (guide §4.2):
+    the expression-level HOF emit (``transform``/``flatten`` lambdas) is
+    INTERPRETED per element — measured 25 s vs 7 s at deg ≤ 64 fan-out
+    (~2000 structs per middle) in r12; the codegen self-join pays a
+    join build + the full wedge multiset through an exchange.  Here the
+    grouped adjacency crosses the Python boundary ONCE (narrow: one
+    array + one long per middle), and the quadratic expansion runs as
+    a handful of NumPy gathers per batch — rows are bucketed by degree
+    so each distinct d expands as one vectorized ``triu_indices``
+    gather over a (rows, d) matrix, never a per-row Python loop.
+
+    Contract: arrays must be sorted ascending and duplicate-free
+    (``array_sort(collect_list(...))`` over distinct edges) — sortedness
+    is what guarantees v < w positionally with zero comparisons.  Output
+    chunks are capped at ``max_pairs_per_chunk`` rows so a batch of
+    deg-64 middles (2016 pairs each) cannot materialize an unbounded
+    record batch.  Returns ``(v, w, <payload_col>)``, all BIGINT."""
+    import pyarrow as pa
+
+    import numpy as np
+
+    def emit(batches):
+        for b in batches:
+            nb = b.column(0)
+            if isinstance(nb, pa.ChunkedArray):  # defensive: combine
+                nb = nb.combine_chunks()
+            offs = nb.offsets.to_numpy().astype(np.int64)
+            flat = nb.values.to_numpy()
+            payv = b.column(1).to_numpy()
+            starts = offs[:-1]
+            sizes = offs[1:] - starts
+            npairs = sizes * (sizes - 1) // 2
+            cum = np.cumsum(npairs)
+            lo, n = 0, len(sizes)
+            while lo < n:
+                base = cum[lo - 1] if lo else 0
+                hi = int(np.searchsorted(cum, base + max_pairs_per_chunk,
+                                         side="right"))
+                hi = max(hi, lo + 1)
+                vs, ws, ps = [], [], []
+                seg = sizes[lo:hi]
+                for d in np.unique(seg):
+                    if d < 2:
+                        continue
+                    rows = np.nonzero(seg == d)[0] + lo
+                    mat = flat[starts[rows][:, None]
+                               + np.arange(d)[None, :]]
+                    iu, ju = np.triu_indices(d, 1)
+                    vs.append(mat[:, iu].ravel())
+                    ws.append(mat[:, ju].ravel())
+                    ps.append(np.repeat(payv[rows], len(iu)))
+                if vs:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(np.concatenate(vs)),
+                         pa.array(np.concatenate(ws)),
+                         pa.array(np.concatenate(ps))],
+                        ["v", "w", payload_col])
+                lo = hi
+
+    # project to exactly the two columns the kernel reads (§4.1: Spark
+    # cannot see inside the function and would ship everything)
+    return adjl.select(nbrs_col, payload_col).mapInArrow(
+        emit, f"v long, w long, {payload_col} long")
+
+
 def triangle_counts(edges: DataFrame,
                     assume_canonical: bool = False) -> DataFrame:
     """Per-node triangle counts over an undirected edge list ``(a, b)``

@@ -57,26 +57,37 @@ def as_double(a: Column) -> Column:
 
 def partial_topk(scored: DataFrame, part_cols: list[str], order: list[Column],
                  k: int, rank_col: str = "rank") -> DataFrame:
-    """Two-phase top-k that never funnels the full input to one reducer.
+    """Top-k that never funnels the full input to one reducer, and (r13)
+    never pays an exchange the native rank pushdown already avoids.
 
-    Phase 1 salts the rank window with ``spark_partition_id()`` — every
-    (group, upstream-partition) combo ranks independently, so the shuffle
-    spreads across all reducers and each keeps only its local top k.
-    Phase 2 ranks the surviving ≤ k·p candidate rows per group — a tiny
-    exchange even when ``part_cols`` is empty (global top-k).  The local
-    top-k per physical partition is always a superset of the global top-k,
-    so results are identical to a single global window for any total
-    ``order``.  This is the formulation that survives 100 TB: the old
-    single-window plan sorts the whole corpus on max(1, |groups|)
-    reducers."""
+    Grouped (``part_cols`` non-empty): a single rank window with the
+    ``rank <= k`` filter — Spark pushes the filter down as
+    Partial/Final ``WindowGroupLimit`` (SPARK-37099, k below
+    ``spark.sql.optimizer.windowGroupLimitThreshold`` = 1000), so every
+    map task pre-prunes to its per-group top-k BEFORE the one
+    hash(part_cols) exchange and the final window sees ≤ k·p rows per
+    group.  The r12 formulation hand-rolled the same bound by salting a
+    first window with ``spark_partition_id()`` — which cost an EXTRA
+    full exchange on (part_cols, pid) before the pruning sort; the
+    native pushdown prunes on the map side of the only exchange
+    (measured on the 90M-row q_adamic_adar candidate table at ×10:
+    the salted phase-1 shuffle was pure overhead).
+
+    Global (``part_cols`` empty): ``orderBy(...).limit(k)`` plans as
+    ``TakeOrderedAndProject`` — a bounded per-partition heap merged at
+    k rows, no partition ever sorts its full input — then the rank
+    attaches via a window over those k rows (the ``rank <= k`` filter
+    keeps the WindowGroupLimit marker the plan audit keys on).
+    Identical rows to a single global window for any total ``order``."""
     from pyspark.sql import Window as W
 
-    local = scored.withColumn("__pid", F.spark_partition_id())
-    wl = W.partitionBy(*part_cols, "__pid").orderBy(*order)
-    cand = (local.withColumn("__lr", F.row_number().over(wl))
-            .where(F.col("__lr") <= k).drop("__lr", "__pid"))
-    wg = W.partitionBy(*part_cols).orderBy(*order) if part_cols else W.orderBy(*order)
-    return cand.withColumn(rank_col, F.row_number().over(wg)).where(F.col(rank_col) <= k)
+    if part_cols:
+        w = W.partitionBy(*part_cols).orderBy(*order)
+        return (scored.withColumn(rank_col, F.row_number().over(w))
+                      .where(F.col(rank_col) <= k))
+    cand = scored.orderBy(*order).limit(k)
+    return (cand.withColumn(rank_col, F.row_number().over(W.orderBy(*order)))
+                .where(F.col(rank_col) <= k))
 
 
 def cosine_topk(corpus: DataFrame, query: DataFrame, k: int = 5,

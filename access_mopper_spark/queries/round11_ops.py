@@ -871,49 +871,60 @@ def q_adamic_adar(spark, sf_dir):
     (never a full sort), and the existing-edge anti-join is the same
     (a, b)-keyed shuffle the candidate groupBy already produced.
     Returns (v, w, n_common, aa_e9, aa_score, rank)."""
+    from access_mopper_spark.operators.graph import wedge_pairs_arrow
     from access_mopper_spark.operators.similarity import partial_topk
     li = (load_table(spark, sf_dir, "lineitem")
           .where(F.col("l_quantity") > 25)
           .select("l_orderkey", "l_partkey"))
-    # the edge list feeds THREE consumers (degrees, wedge legs, the
-    # existing-edge anti-join) and the weighted adjacency feeds two
-    # wedge legs — persist both or Catalyst replays the edge build up
-    # to 5x (measured 53 s -> materially less at the x10 point).  The
-    # edge set itself is basket-built (one scan + two shuffles; the old
-    # orderkey self-join + distinct cost two scans and three), and it is
-    # materialized EAGERLY: a lazily-persisted frame whose consumers are
-    # concurrent stages of one action gets recomputed by every racing
-    # stage before any block lands in the cache (measured 17.8 s lazy vs
-    # 6.5 s eager at sf0.1 — the count is one cache-sized job).
+    # the edge list feeds the adjacency build (both union legs) and the
+    # existing-edge anti-join — persist it eagerly or Catalyst replays
+    # the basket edge build per consumer (racing-consumer rule,
+    # measured 17.8 s lazy vs 6.5 s eager at sf0.1 in r12).
     pairs = copurchase_pairs(li).persist()
     pairs.count()
-    deg = (pairs.select(F.col("a").alias("node"))
-                .unionAll(pairs.select(F.col("b").alias("node")))
-                .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    # r13 (guide §4.2, verdict item 1): the wedge emit is Arrow-native.
+    # One groupBy(m) collects each middle's SORTED neighbour array —
+    # this single shuffle replaces the old deg aggregate + adj⋈deg join
+    # + persisted `mid` table + wedge SELF-JOIN (whose build side and
+    # exchange carried the full wedge multiset).  deg(m) == size(nbrs)
+    # exactly (pairs are distinct), so the degree table is free, and
+    # the per-middle weight wq = FLOOR(1e9/ln(d)+0.5) stays computed in
+    # the JVM so the hash surface is bit-identical to the old plan.
+    # The C(d,2) pair expansion runs as vectorized NumPy gathers per
+    # Arrow batch (operators/graph.wedge_pairs_arrow) — the r12
+    # expression-level HOF emit measured 25 s vs 7 s because
+    # transform/flatten lambdas are INTERPRETED per element; the Arrow
+    # kernel is the §4.2 fix (hand whole batches to native code).
     adj = (pairs.select(F.col("a").alias("m"), F.col("b").alias("nbr"))
                 .unionAll(pairs.select(F.col("b").alias("m"),
                                        F.col("a").alias("nbr"))))
-    wq = F.floor(F.lit(1000000000).cast("double")
-                 / F.log(F.col("d").cast("double")) + F.lit(0.5)) \
-          .cast("long")
-    mid = (adj.join(deg.withColumnRenamed("node", "m"), "m")
-              .where((F.col("d") <= 64) & (F.col("d") >= 2))
-              .select("m", "nbr", wq.alias("wq")).persist())
-    mid.count()  # same racing-consumer rule: two wedge legs read it
-    x = mid.select("m", F.col("nbr").alias("v"), F.col("wq").alias("wq"))
-    y = mid.select("m", F.col("nbr").alias("w"))
-    # NOTE (r12): a map-side combinational emit (collect_list + HOF pair
-    # explode, the copurchase_pairs shape) was tried here and measured
-    # 25 s vs 7 s — at deg<=64 the per-middle fan-out is ~2000 structs
-    # through INTERPRETED transform/flatten, which loses badly to this
-    # whole-stage-codegen self-join.  The basket shape only wins at
-    # small fan-out (orders: <=7 items).
-    cand = (x.join(y, "m").where(F.col("v") < F.col("w"))
-             .groupBy("v", "w")
-             .agg(F.count("*").cast("long").alias("n_common"),
-                  F.sum("wq").cast("long").alias("aa_e9")))
+    d = F.size("nbrs")
+    adjl = (adj.groupBy("m")
+               .agg(F.array_sort(F.collect_list("nbr")).alias("nbrs"))
+               .where((d >= 2) & (d <= 64))
+               .select("nbrs",
+                       F.floor(F.lit(1000000000).cast("double")
+                               / F.log(d.cast("double")) + F.lit(0.5))
+                        .cast("long").alias("wq")))
+    # the grouped adjacency is node-sized and AQE coalesces its exchange
+    # to a handful of partitions — which would pin the C(d,2) expansion
+    # AND the wedge aggregate's map side to as many cores (measured
+    # 5.3 s vs 2.1 s for emit+agg at sf0.1).  Widen before the Python
+    # boundary, same rule as every CPU-bound Arrow stage (_wide).
+    cand = (wedge_pairs_arrow(_wide(adjl), "nbrs", "wq")
+            .groupBy("v", "w")
+            .agg(F.count("*").cast("long").alias("n_common"),
+                 F.sum("wq").cast("long").alias("aa_e9")))
+    # existing-edge anti-join: cand is ALREADY hash-partitioned on
+    # (v, w) by the aggregate, so a shuffled-hash join reuses that
+    # exchange and only the (small) edge side shuffles + builds — the
+    # default sort-merge plan instead SORTED the full candidate table
+    # (measured +10 s of the x10 wall; the hint removes the sort, §3.1).
+    # Broadcast would also avoid the sort at bench scale but does not
+    # survive a corpus-sized edge set at 100 TB; shuffled-hash does.
     nonedge = cand.join(
-        pairs.select(F.col("a").alias("v"), F.col("b").alias("w")),
+        pairs.select(F.col("a").alias("v"), F.col("b").alias("w"))
+             .hint("shuffle_hash"),
         ["v", "w"], "left_anti")
     top = partial_topk(nonedge, [],
                        [F.col("aa_e9").desc(), F.col("v"), F.col("w")], 50)
@@ -922,8 +933,8 @@ def q_adamic_adar(spark, sf_dir):
         pround(F.col("aa_e9").cast("double")
                / F.lit(1e9).cast("double"), 6).alias("aa_score"),
         F.col("rank").cast("int").alias("rank"))
-    # 50-row result: materialize eagerly, release the two caches
-    return eager_release(out, pairs, mid)
+    # 50-row result: materialize eagerly, release the edge cache
+    return eager_release(out, pairs)
 
 
 @query(

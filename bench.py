@@ -7,6 +7,14 @@ Queries are forced with the noop sink (full execution, no driver
 collect). Each query is timed individually after a warmup of the session
 (JVM + parquet footer caches are shared, as they would be on a long-lived
 cluster app).
+
+$SPARK_GRAFT_BENCH_REPS (opt-in, default 1 — contract unchanged): with
+N > 1 each query runs N times back-to-back and reports its per-query
+MINIMUM; the total is the sum of minima.  This box shows multi-second
+stalls that land on random queries (single reps 3-10x the median,
+characterized in OPTIMIZATION_r12.md) — a single-rep run carries that
+noise whatever the code does; reps make one driver bench invocation
+robust to it.  The JSON shape is identical either way.
 """
 
 from __future__ import annotations
@@ -174,21 +182,25 @@ def main() -> None:
     # cached frames from warmup queries must not seed the timed runs
     spark.catalog.clearCache()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        # label the jobs (guide §1.5) so any profiling/event-log of a
-        # bench run maps stages back to queries; timing is unchanged
-        spark.sparkContext.setJobDescription(f"bench:{name}")
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        spark.sparkContext.setJobDescription(None)
-        timings[name] = round(dt, 3)
-        total += dt
+        best = None
+        for rep in range(reps):
+            # label the jobs (guide §1.5) so any profiling/event-log of
+            # a bench run maps stages back to queries; timing unchanged
+            spark.sparkContext.setJobDescription(f"bench:{name}")
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            spark.sparkContext.setJobDescription(None)
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
 
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -380,3 +380,18 @@ def test_url_and_html_stages_are_map_only(spark, sf_dir):
     for name in ("q_url_canonical", "q_html_strip"):
         plan = plan_str(QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_similarity_join_releases_token_cache(spark, sf_dir):
+    # prefix_filter_join eagerly persists the corpus-sized tokenized
+    # array table (racing-consumer rule); the r12 verdict flagged that
+    # the cache was never unpersisted and outlived the query for the
+    # whole session (guide §5 accumulation across an 87-row bench /
+    # 463-row gate).  The operator now checkpoints its bounded pair
+    # output and releases the cache before returning: after the query
+    # function returns, NO CacheManager entry may remain.
+    spark.catalog.clearCache()
+    out = QUERIES["q_similarity_join_exact"](spark, sf_dir)
+    assert out.count() >= 0  # already materialized; any action is cheap
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), \
+        "q_similarity_join_exact left a persisted intermediate cached"
