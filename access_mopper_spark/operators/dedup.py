@@ -798,9 +798,12 @@ def prefix_filter_join(df: DataFrame, text_col: str = "text",
         # eager checkpoint first (materializes while arrs is still
         # cached), THEN drop the token cache — blocks are owned by the
         # checkpoint RDD and reclaimed by the ContextCleaner when the
-        # frame is garbage-collected, unlike CacheManager entries
-        out = out.localCheckpoint(eager=True)
-        arrs.unpersist()
+        # frame is garbage-collected, unlike CacheManager entries.
+        # Routed through eager_release so the SPARK_GRAFT_PLAN_LAZY
+        # plan-dump bypass applies here too (imported lazily: _core
+        # imports operators.resample at module load).
+        from access_mopper_spark.queries._core import eager_release
+        out = eager_release(out, arrs)
     return out
 
 

@@ -141,15 +141,17 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
 
 
 def test_bm25_no_global_single_partition_sort(spark, sf_dir):
-    """BM25 ranking must go through partial_topk: the only
-    SinglePartition exchange feeds the tiny ≤k·p candidate merge, and
-    the corpus-side plan keeps partial aggregation (map-side combine)
-    around the (doc, term) shuffle."""
+    """BM25 ranking must go through partial_topk: the global top-k is a
+    TakeOrderedAndProject (bounded per-partition heap + k-row merge —
+    r13 replaced the salted __pid double-window, which paid an extra
+    full exchange), and the corpus-side plan keeps partial aggregation
+    (map-side combine) around the (doc, term) shuffle.  No partition
+    ever sorts its full input for the ranking."""
     df = QUERIES["q_bm25_topk"](spark, sf_dir)
     plan = plan_str(df, mode="simple")
     assert "partial_count" in plan or "HashAggregate" in plan
-    # the pre-merge local top-k window partitions by spark_partition_id
-    assert "__pid" in plan
+    # the bounded-heap top-k operator carries the ranking
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_pii_redact_is_map_only(spark, sf_dir):
@@ -309,13 +311,17 @@ def test_tpch_shapes_broadcast_dims_and_push_filters(spark, sf_dir):
     assert "PushedFilters: []" not in p9
 
 
-def test_similarity_join_verify_is_array_side_not_explode(spark, sf_dir):
+def test_similarity_join_verify_is_array_side_not_explode(spark, sf_dir, monkeypatch):
     # the verify stage must fetch token ARRAYS per candidate pair and
     # intersect per-row — never re-explode candidates × tokens into a
-    # shuffle (the 103 s sf0.1 pathology this operator was rebuilt from)
+    # shuffle (the 103 s sf0.1 pathology this operator was rebuilt from).
+    # SPARK_GRAFT_PLAN_LAZY keeps the operator's eager release from
+    # collapsing the inspectable plan to a post-checkpoint RDD scan.
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_LAZY", "1")
     plan = plan_str(QUERIES["q_similarity_join_exact"](spark, sf_dir))
     assert "array_intersect" in plan
     assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()  # the lazy path leaves the token cache
 
 
 def test_feature_hash_tf_single_shuffle(spark, sf_dir):

@@ -8,9 +8,11 @@ with an empty partition spec serializes the whole input through one
 task.  Permitted exceptions: (a) plans where Spark pushed the rank
 filter down as Partial/Final WindowGroupLimit — every partition
 pre-prunes to top-k, so the final ordered pass sees ≤ partitions·k
-rows (the five global top-k queries); (b) the NetCDF time-axis lag in
-bounds derive/check — inherently sequential over a calendar-bounded
-coordinate table."""
+rows; (b) the NetCDF time-axis lag in bounds derive/check — inherently
+sequential over a calendar-bounded coordinate table; (c) plans whose
+global top-k runs through TakeOrderedAndProject (r13 partial_topk — a
+bounded per-partition heap merged at k rows), where the unpartitioned
+rank window executes over the ≤ k surviving rows only."""
 
 import re
 
@@ -70,7 +72,8 @@ def test_no_cartesian_product_or_global_window_in_any_query(spark, sf_dir):
         if "CartesianProduct" in plan:
             cartesian.append(name)
         if name not in AXIS_WINDOW_OK and _unpartitioned_windows(plan) \
-                and "WindowGroupLimit" not in plan:
+                and "WindowGroupLimit" not in plan \
+                and "TakeOrderedAndProject" not in plan:
             global_windows.append(name)
     assert not cartesian, f"cartesian products in: {cartesian}"
     assert not global_windows, \

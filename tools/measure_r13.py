@@ -52,25 +52,16 @@ def main() -> None:
             import io
             # bypass eager_release during the dump so the captured plan
             # is the real computation, not the post-checkpoint RDD scan
-            import access_mopper_spark.queries._core as core
-            orig = core.eager_release
-            ident = lambda r, *c: r  # noqa: E731
-            mods = [m for n, m in list(sys.modules.items())
-                    if n.startswith("access_mopper_spark.queries") and m]
-            patched = [m for m in mods
-                       if getattr(m, "eager_release", None) is orig]
-            for m in patched:
-                m.eager_release = ident
-            core.eager_release = ident
+            # (single env-var indirection point inside eager_release —
+            # r12 ADVICE replaced the per-module monkey-patch)
+            os.environ["SPARK_GRAFT_PLAN_LAZY"] = "1"
             try:
                 df = fn(spark, sf_dir)
                 buf = io.StringIO()
                 with contextlib.redirect_stdout(buf):
                     df.explain(mode="formatted")
             finally:
-                core.eager_release = orig
-                for m in patched:
-                    m.eager_release = orig
+                os.environ.pop("SPARK_GRAFT_PLAN_LAZY", None)
             with open(f"plans/r13/{name}_{tag}.txt", "w") as f:
                 f.write(buf.getvalue())
         except Exception as exc:  # noqa: BLE001
